@@ -1,0 +1,586 @@
+"""Deterministic synthetic Common-Crawl-style corpus generator.
+
+Produces the ``pages(url, warc_ts, html, text, lang)`` input table pinned by
+BASELINE.json's ``input_hint`` plus an ``expected_digests`` golden table —
+the role the hoover-testdata fixture corpus plays for the reference
+(testsuite/test_blobs.py:31-124, hash-pinned assertions test_blobs.py:8-28).
+
+Everything derives from ``doc_id`` alone (seeded per-doc RNG), so any scale
+regenerates bit-identically and golden values are computed at generation
+time, independent of the extraction operators:
+
+- html-article golden = the known paragraphs, NFC + whitespace-folded,
+  joined \\n\\n (the extractor must *recover* them from boilerplate);
+- html-bad-encoding golden = paragraphs mapped through the pinned decode
+  rule (meta charset honored; otherwise cp1252 bytes read as iso-8859-1 —
+  computed here by direct byte transcoding, not by running the extractor);
+- eml golden = '\\n\\n'.join(part texts).strip() (reference email.py:267);
+- containers (zip/tar.gz/mbox/csv) golden = '' for the parent and one
+  golden row per child url using the ``parent//name`` convention
+  (digests.py:726-738);
+- pdf golden = per-page span texts joined ' ' in reading order, pages
+  joined \\n\\n (pdf.js item-join rule, pdf-tools/extract-text.js:28-42).
+
+Category mix follows FIXTURES.md §1 (shares via doc_id % 1000).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import random
+import tarfile
+import unicodedata
+import zipfile
+from datetime import datetime, timedelta, timezone
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from .functions.textutils import fold_ws
+
+EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
+
+_WORDS = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod "
+    "tempor incididunt ut labore et dolore magna aliqua enim ad minim veniam "
+    "quis nostrud exercitation ullamco laboris nisi aliquip ex ea commodo "
+    "consequat duis aute irure reprehenderit voluptate velit esse cillum "
+    "fugiat nulla pariatur excepteur sint occaecat cupidatat non proident "
+    "sunt culpa qui officia deserunt mollit anim id est laborum"
+).split()
+
+# function words sprinkled in so language id has signal (langid.py stopwords)
+_LANG_WORDS = {
+    "en": "the and of to in is that it was for".split(),
+    "de": "der die und in den von zu das mit auf".split(),
+    "fr": "de la le et les des en un du que".split(),
+    "ro": "de la în și care pe este cu mai pentru".split(),
+    "es": "de la que el en y los del se las".split(),
+}
+_LANGS = list(_LANG_WORDS)
+
+CATEGORIES = [
+    # (threshold on doc_id % 1000, category)
+    (600, "html-article"),
+    (650, "html-bad-encoding"),
+    (750, "plain-text"),
+    (850, "eml"),
+    (880, "mbox"),
+    (930, "csv-table"),
+    (950, "zip"),
+    (970, "targz"),
+    (985, "pdf-minimal"),
+    (995, "binary-skip"),
+    (1000, "oversized-html"),
+]
+
+
+def category_of(doc_id: int) -> str:
+    # 501 is coprime with 1000 and maps ids 0..16 below 600, so the
+    # duplicate-twin pool (doc_id % 17) always stays in the html bucket;
+    # the scramble gives every contiguous id range the full category mix
+    r = (doc_id * 501) % 1000
+    for threshold, cat in CATEGORIES:
+        if r < threshold:
+            return cat
+    return "html-article"
+
+
+def _rng(doc_id: int, salt: int = 0) -> random.Random:
+    return random.Random((doc_id * 2654435761 + salt * 97531) % 2**63)
+
+
+def lang_of(doc_id: int) -> str:
+    return _LANGS[_rng(doc_id, 7).randrange(len(_LANGS))]
+
+
+def _sentence(rng: random.Random, lang: str) -> str:
+    n = rng.randint(8, 16)
+    words = []
+    lang_pool = _LANG_WORDS[lang]
+    for i in range(n):
+        if rng.random() < 0.35:
+            words.append(rng.choice(lang_pool))
+        else:
+            words.append(rng.choice(_WORDS))
+    s = " ".join(words)
+    return s[0].upper() + s[1:] + "."
+
+
+def paragraphs_of(doc_id: int, lang: str, k: int | None = None) -> list[str]:
+    rng = _rng(doc_id, 1)
+    k = k if k is not None else rng.randint(2, 6)
+    return [" ".join(_sentence(rng, lang) for _ in range(rng.randint(2, 5)))
+            for _ in range(k)]
+
+
+def _golden_from_paragraphs(paras: list[str]) -> str:
+    return "\n\n".join(fold_ws(unicodedata.normalize("NFC", p)) for p in paras)
+
+
+# ---------------------------------------------------------------------------
+# HTML rendering (boilerplate template)
+# ---------------------------------------------------------------------------
+
+_NAV_LINKS = ["Home", "About", "Products", "Blog", "Contact", "Login",
+              "Careers", "Press", "Support", "Terms"]
+
+
+def render_html(doc_id: int, paras: list[str], charset: str | None = "utf-8",
+                sidebar: bool = False, repeat: int = 1) -> str:
+    rng = _rng(doc_id, 2)
+    nav = " | ".join(
+        f'<a href="/{w.lower()}">{w}</a>' for w in rng.sample(_NAV_LINKS, 6)
+    )
+    meta = f'<meta charset="{charset}">' if charset else ""
+    side = ""
+    if sidebar:
+        items = "".join(
+            f'<li><a href="/tag/{i}">tag {i} link {rng.randrange(100)}</a></li>'
+            for i in range(12)
+        )
+        side = f'<div class="sidebar"><ul>{items}</ul></div>'
+    body_paras = "".join(f"<p>{p}</p>" for p in paras) * repeat
+    return (
+        f"<!DOCTYPE html><html><head>{meta}<title>Doc {doc_id}</title>"
+        f"<style>body{{margin:0}}</style></head><body>"
+        f"<nav>{nav}</nav>"
+        f"<header><h1>Site {doc_id % 97} news</h1>"
+        f'<a href="/">back to index</a></header>'
+        f"{side}"
+        f"<article>{body_paras}</article>"
+        f'<footer><a href="/privacy">Privacy</a> · <a href="/imprint">'
+        f"Imprint</a> · © 2024 site{doc_id % 97}</footer>"
+        f"</body></html>"
+    )
+
+
+# ---------------------------------------------------------------------------
+# eml / mbox rendering
+# ---------------------------------------------------------------------------
+
+
+def render_eml(doc_id: int, lang: str) -> tuple[bytes, str, list[tuple[str, bytes, str]]]:
+    """Returns (eml_bytes, golden_text, attachments[(name, bytes, child_golden)])."""
+    rng = _rng(doc_id, 3)
+    plain = " ".join(_sentence(rng, lang) for _ in range(rng.randint(2, 4)))
+    html_para = " ".join(_sentence(rng, lang) for _ in range(2))
+    subj = f"Report {doc_id} " + " ".join(rng.sample(_WORDS, 3))
+    sender = f"user{doc_id % 53}@mail{doc_id % 11}.example"
+    rcpt = f"team{doc_id % 29}@corp{doc_id % 7}.example"
+    date = (EPOCH + timedelta(seconds=doc_id * 137)).strftime(
+        "%a, %d %b %Y %H:%M:%S +0000"
+    )
+    atts: list[tuple[str, bytes, str]] = []
+    n_att = rng.randint(0, 2)
+    for i in range(n_att):
+        att_text = " ".join(_sentence(rng, lang) for _ in range(2))
+        atts.append((f"attach{i}.txt", att_text.encode("utf-8"), _golden_from_paragraphs([att_text])))
+
+    boundary = f"b{doc_id:08d}x"
+    lines = [
+        f"From: {sender}",
+        f"To: {rcpt}",
+        f"Subject: {subj}",
+        f"Date: {date}",
+        f"Message-Id: <m{doc_id}@mail{doc_id % 11}.example>",
+        "MIME-Version: 1.0",
+        f'Content-Type: multipart/mixed; boundary="{boundary}"',
+        "",
+        f"--{boundary}",
+        'Content-Type: text/plain; charset="utf-8"',
+        "",
+        plain,
+        f"--{boundary}",
+        'Content-Type: text/html; charset="utf-8"',
+        "",
+        f"<html><body><p>{html_para}</p></body></html>",
+    ]
+    for name, data, _ in atts:
+        lines += [
+            f"--{boundary}",
+            "Content-Type: application/octet-stream",
+            f'Content-Disposition: attachment; filename="{name}"',
+            "Content-Transfer-Encoding: 8bit",
+            "",
+            data.decode("utf-8"),
+        ]
+    lines.append(f"--{boundary}--")
+    eml = "\r\n".join(lines).encode("utf-8")
+    golden = "\n\n".join([plain, html_para]).strip()
+    return eml, golden, atts
+
+
+def render_mbox(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
+    """>= 3 messages (mbox detection needs 3, magic.py:163).  Children are
+    simple single-part messages; returns (bytes, [(child_name, golden)])."""
+    rng = _rng(doc_id, 4)
+    n = rng.randint(3, 5)
+    chunks = []
+    children = []
+    for i in range(1, n + 1):
+        body = " ".join(_sentence(rng, lang) for _ in range(2))
+        msg = (
+            f"From sender@example Mon Jan  1 00:00:{i:02d} 2024\n"
+            f"From: user{i}@mail.example\n"
+            f"To: list@mail.example\n"
+            f"Subject: msg {doc_id}-{i}\n"
+            f"Date: Mon, 01 Jan 2024 00:00:{i:02d} +0000\n"
+            "\n"
+            f"{body}\n"
+        )
+        chunks.append(msg)
+        children.append((f"{i}.eml", body.strip()))
+    return "".join(chunks).encode("utf-8"), children
+
+
+# ---------------------------------------------------------------------------
+# csv rendering
+# ---------------------------------------------------------------------------
+
+_CSV_DELIMS = [",", "\t", ";", "|", ":"]
+
+
+def render_csv(doc_id: int) -> tuple[bytes, list[tuple[str, str]], dict]:
+    rng = _rng(doc_id, 5)
+    delim = _CSV_DELIMS[doc_id % len(_CSV_DELIMS)]
+    ncols = rng.randint(3, 6)
+    nrows = rng.randint(5, 30)
+    cols = [f"col_{c}" for c in range(1, ncols + 1)]
+    rows = [
+        [f"v{doc_id % 100}r{r}c{c}" for c in range(1, ncols + 1)]
+        for r in range(1, nrows + 1)
+    ]
+    body = delim.join(cols) + "\n" + "\n".join(delim.join(r) for r in rows) + "\n"
+    # child golden is the normalize_text fixpoint of the exploded
+    # "col = value" lines (single lines fold to one spaced block)
+    children = [
+        (f"{i}.txt", " ".join(f"{k} = {v}" for k, v in zip(cols, row)))
+        for i, row in enumerate(rows, start=1)
+    ]
+    info = {
+        "table-columns": cols,
+        "table-row-count": nrows + 1,
+        "table-col-count": ncols,
+    }
+    return body.encode("utf-8"), children, info
+
+
+# ---------------------------------------------------------------------------
+# minimal-PDF rendering (uncompressed, valid xref)
+# ---------------------------------------------------------------------------
+
+
+def _pdf_escape(s: str) -> str:
+    return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
+
+
+def render_pdf(doc_id: int, lang: str) -> tuple[bytes, str]:
+    """1-3 pages of spans; ~1 in 3 docs gets a two-column page.  Golden =
+    per page, spans joined ' ' in reading order; pages joined \\n\\n."""
+    rng = _rng(doc_id, 6)
+    n_pages = rng.randint(1, 3)
+    page_contents: list[bytes] = []
+    page_goldens: list[str] = []
+    for p in range(n_pages):
+        two_col = p == 1 or (n_pages == 1 and doc_id % 3 == 0)
+        lines = [" ".join(rng.sample(_WORDS, rng.randint(3, 6)))
+                 for _ in range(rng.randint(3, 6))]
+        ops = ["BT", "/F1 12 Tf"]
+        if two_col:
+            half = (len(lines) + 1) // 2
+            left, right = lines[:half], lines[half:]
+            emit = []  # interleave emission to force reordering
+            for i in range(max(len(left), len(right))):
+                if i < len(left):
+                    emit.append((72.0, 720.0 - 14 * i, left[i]))
+                if i < len(right):
+                    emit.append((330.0, 720.0 - 14 * i, right[i]))
+            for x, y, t in emit:
+                ops.append(f"1 0 0 1 {x:.1f} {y:.1f} Tm ({_pdf_escape(t)}) Tj")
+            golden = " ".join(left + right)
+        else:
+            for i, t in enumerate(lines):
+                ops.append(f"1 0 0 1 72.0 {720.0 - 14 * i:.1f} Tm ({_pdf_escape(t)}) Tj")
+            golden = " ".join(lines)
+        ops.append("ET")
+        page_contents.append("\n".join(ops).encode("latin-1"))
+        page_goldens.append(golden)
+
+    # object layout: 1 catalog, 2 pages, 3 font, then per page (page, content)
+    objects: list[bytes] = []
+    kids = []
+    next_id = 4
+    page_objs = []
+    for content in page_contents:
+        page_id, content_id = next_id, next_id + 1
+        next_id += 2
+        kids.append(f"{page_id} 0 R")
+        page_objs.append(
+            (
+                page_id,
+                f"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+                f"/Contents {content_id} 0 R /Resources << /Font << /F1 3 0 R >> >> >>".encode(),
+            )
+        )
+        page_objs.append(
+            (
+                content_id,
+                b"<< /Length "
+                + str(len(content)).encode()
+                + b" >>\nstream\n"
+                + content
+                + b"\nendstream",
+            )
+        )
+    header = b"%PDF-1.4\n"
+    objs: list[tuple[int, bytes]] = [
+        (1, b"<< /Type /Catalog /Pages 2 0 R >>"),
+        (2, f"<< /Type /Pages /Kids [{' '.join(kids)}] /Count {len(kids)} >>".encode()),
+        (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ] + page_objs
+
+    out = io.BytesIO()
+    out.write(header)
+    offsets = {}
+    for oid, body in objs:
+        offsets[oid] = out.tell()
+        out.write(f"{oid} 0 obj\n".encode() + body + b"\nendobj\n")
+    xref_pos = out.tell()
+    n = len(objs) + 1
+    out.write(f"xref\n0 {n}\n".encode())
+    out.write(b"0000000000 65535 f \n")
+    for oid in range(1, n):
+        out.write(f"{offsets[oid]:010d} 00000 n \n".encode())
+    out.write(
+        f"trailer\n<< /Size {n} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
+    )
+    return out.getvalue(), "\n\n".join(page_goldens)
+
+
+# ---------------------------------------------------------------------------
+# archive rendering
+# ---------------------------------------------------------------------------
+
+
+def render_zip(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
+    """zip with 2-4 members (txt + html); ~1 in 4 contains a nested zip."""
+    rng = _rng(doc_id, 8)
+    members: list[tuple[str, bytes]] = []
+    children: list[tuple[str, str]] = []
+    for i in range(rng.randint(2, 3)):
+        body = " ".join(_sentence(rng, lang) for _ in range(2))
+        members.append((f"docs/file{i}.txt", body.encode("utf-8")))
+        children.append((f"docs/file{i}.txt", _golden_from_paragraphs([body])))
+    if doc_id % 4 == 0:
+        inner_body = " ".join(_sentence(rng, lang) for _ in range(2))
+        ibuf = io.BytesIO()
+        with zipfile.ZipFile(ibuf, "w", zipfile.ZIP_STORED) as zi:
+            zi.writestr(zipfile.ZipInfo("inner.txt"), inner_body.encode("utf-8"))
+        members.append(("nested.zip", ibuf.getvalue()))
+        children.append(("nested.zip", ""))  # container child: no own text
+        children.append(("nested.zip//inner.txt", _golden_from_paragraphs([inner_body])))
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members:
+            zf.writestr(zipfile.ZipInfo(name), data)
+    return buf.getvalue(), children
+
+
+def render_targz(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
+    rng = _rng(doc_id, 9)
+    members = []
+    children = []
+    for i in range(rng.randint(2, 4)):
+        body = " ".join(_sentence(rng, lang) for _ in range(2))
+        members.append((f"data/part{i}.txt", body.encode("utf-8")))
+        children.append((f"data/part{i}.txt", _golden_from_paragraphs([body])))
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 1704067200  # fixed for determinism
+            tf.addfile(info, io.BytesIO(data))
+    return buf.getvalue(), children
+
+
+# ---------------------------------------------------------------------------
+# per-doc assembly
+# ---------------------------------------------------------------------------
+
+
+def build_doc(doc_id: int) -> dict:
+    """One pages row + its expected digest rows (self + children)."""
+    cat = category_of(doc_id)
+    lang = lang_of(doc_id)
+    ext = {
+        "html-article": "html", "html-bad-encoding": "html",
+        "oversized-html": "html", "plain-text": "txt", "eml": "eml",
+        "mbox": "mbox", "csv-table": "csv", "zip": "zip",
+        "targz": "tar.gz", "pdf-minimal": "pdf", "binary-skip": "bin",
+    }[cat]
+    url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
+    warc_ts = EPOCH + timedelta(seconds=doc_id * 137)
+    children: list[tuple[str, str]] = []
+    extra: dict = {}
+
+    if cat in ("html-article", "oversized-html"):
+        paras = paragraphs_of(doc_id, lang)
+        sidebar = doc_id % 10 == 0
+        repeat = 1
+        if cat == "oversized-html":
+            base = render_html(doc_id, paras, sidebar=sidebar, repeat=1)
+            repeat = max(2, (2 * 2**20) // max(len(base), 1))
+        html = render_html(doc_id, paras, sidebar=sidebar, repeat=repeat).encode("utf-8")
+        golden = _golden_from_paragraphs(paras * repeat)
+    elif cat == "html-bad-encoding":
+        paras = ["Curly “quotes” and em—dash " + p for p in paragraphs_of(doc_id, lang, 2)]
+        variant = doc_id % 3
+        if variant == 0:  # correct meta tag
+            html = render_html(doc_id, paras, charset="windows-1252").encode(
+                "cp1252", errors="replace"
+            )
+            golden_paras = [
+                p.encode("cp1252", errors="replace").decode("cp1252") for p in paras
+            ]
+        elif variant == 1:  # missing meta → bytes read as iso-8859-1
+            html = render_html(doc_id, paras, charset=None).encode(
+                "cp1252", errors="replace"
+            )
+            golden_paras = [
+                p.encode("cp1252", errors="replace").decode("iso-8859-1") for p in paras
+            ]
+        else:  # wrong meta (claims utf-8, is cp1252) → mojibake via replace
+            html = render_html(doc_id, paras, charset="utf-8").encode(
+                "cp1252", errors="replace"
+            )
+            golden_paras = [
+                p.encode("cp1252", errors="replace").decode("utf-8", errors="replace")
+                for p in paras
+            ]
+        golden = _golden_from_paragraphs(golden_paras)
+    elif cat == "plain-text":
+        paras = paragraphs_of(doc_id, lang, 3)
+        raw = "\n\n".join(paras)
+        html = raw.encode("utf-8")
+        golden = _golden_from_paragraphs(paras)
+    elif cat == "eml":
+        html, golden, atts = render_eml(doc_id, lang)
+        children = [(name, g) for name, _, g in atts]
+    elif cat == "mbox":
+        html, kids = render_mbox(doc_id, lang)
+        children = kids
+        golden = ""
+    elif cat == "csv-table":
+        html, kids, info = render_csv(doc_id)
+        children = kids
+        extra.update(info)
+        golden = ""
+    elif cat == "zip":
+        html, kids = render_zip(doc_id, lang)
+        children = kids
+        golden = ""
+    elif cat == "targz":
+        html, kids = render_targz(doc_id, lang)
+        children = kids
+        golden = ""
+    elif cat == "pdf-minimal":
+        html, golden = render_pdf(doc_id, lang)
+    elif cat == "binary-skip":
+        rng = _rng(doc_id, 10)
+        html = bytes([0]) + rng.randbytes(256) + bytes([0])
+        golden = ""
+    else:  # pragma: no cover
+        raise AssertionError(cat)
+
+    # ~5% duplicate payloads: reuse a canonical small doc's bytes
+    # (reference duplicates/ fixtures, test_blobs.py:69-72); twin ids are
+    # all < 17 (html-article bucket) so this never recurses deeper than one
+    if cat == "html-article" and doc_id % 20 == 19 and doc_id >= 20:
+        twin = build_doc(doc_id % 17)
+        html, golden, lang = twin["html"], twin["text"], twin["lang"]
+
+    return {
+        "doc_id": doc_id,
+        "url": url,
+        "warc_ts": warc_ts,
+        "html": html,
+        "text": golden,
+        "lang": lang,
+        "category": cat,
+        "children": children,
+        "extra": extra,
+    }
+
+
+def golden_rows(doc: dict) -> list[dict]:
+    """expected_digests rows for a doc: itself + its direct/nested children."""
+    rows = [
+        {
+            "url": doc["url"],
+            "sha3_256": hashlib.sha3_256(doc["html"]).hexdigest(),
+            "md5": hashlib.md5(doc["html"]).hexdigest(),
+            "text": doc["text"],
+            "lang": doc["lang"],
+            "category": doc["category"],
+            "is_container": bool(doc["children"]),
+            "parent_url": None,
+        }
+    ]
+    for name, child_golden in doc["children"]:
+        rows.append(
+            {
+                "url": f"{doc['url']}//{name}",
+                "sha3_256": None,  # child bytes hashed by the pipeline
+                "md5": None,
+                "text": child_golden,
+                "lang": doc["lang"],
+                "category": doc["category"] + "-child",
+                "is_container": name.endswith(".zip"),
+                "parent_url": doc["url"],
+            }
+        )
+    return rows
+
+
+PAGES_PA_SCHEMA = pa.schema(
+    [
+        ("url", pa.string()),
+        ("warc_ts", pa.timestamp("us", tz="UTC")),
+        ("html", pa.binary()),
+        ("text", pa.string()),
+        ("lang", pa.string()),
+    ]
+)
+
+
+def generate_pages(n_docs: int, out_dir: str, start_id: int = 0) -> tuple[str, str]:
+    """Write pages.parquet + expected_digests.parquet under out_dir.
+
+    Returns (pages_path, golden_path).  Deterministic for any (n, start).
+    """
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = [build_doc(i) for i in range(start_id, start_id + n_docs)]
+
+    pages = pa.Table.from_pydict(
+        {
+            "url": [d["url"] for d in docs],
+            "warc_ts": [d["warc_ts"] for d in docs],
+            "html": [d["html"] for d in docs],
+            "text": [d["text"] for d in docs],
+            "lang": [d["lang"] for d in docs],
+        },
+        schema=PAGES_PA_SCHEMA,
+    )
+    pages_path = os.path.join(out_dir, "pages.parquet")
+    pq.write_table(pages, pages_path)
+
+    grows = [r for d in docs for r in golden_rows(d)]
+    golden = pa.Table.from_pylist(grows)
+    golden_path = os.path.join(out_dir, "expected_digests.parquet")
+    pq.write_table(golden, golden_path)
+    return pages_path, golden_path

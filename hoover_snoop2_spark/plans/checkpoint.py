@@ -1,0 +1,78 @@
+"""Stage checkpoints + resume.
+
+The reference's resumability comes from the persistent Task table: finished
+work is skipped via ``is_completed`` (tasks.py:356-364) and invalidated by a
+per-function ``version`` bump (models.py:732-736).  Our analog: every stage
+boundary writes a parquet snapshot under a run directory with a manifest
+recording the stage version; a resumed run anti-joins new input hashes
+against the last snapshot's processed hashes and only analyzes the delta.
+
+(On a production cluster these snapshots are Iceberg table commits —
+``df.writeTo(tbl).append()`` — giving atomic snapshots and incremental
+reads; the Iceberg runtime jar is absent in this sandbox, so a plain
+parquet directory + manifest JSON stands in.  The interface is the same.)
+
+Checkpointing also truncates lineage for the iterative unpack loop — an
+unbounded logical plan across rounds would otherwise grow per iteration.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+#: bump to invalidate previously-checkpointed stage results (the analog of
+#: @snoop_task(version=...) — e.g. filesystem.handle_file v5)
+STAGE_VERSIONS = {
+    "digests": 1,
+}
+
+
+class CheckpointStore:
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, stage: str) -> str:
+        return os.path.join(self.root, stage)
+
+    def _manifest(self, stage: str) -> str:
+        return os.path.join(self.root, f"{stage}.manifest.json")
+
+    def write(self, df: DataFrame, stage: str, version: int | None = None) -> DataFrame:
+        """Write + read back (lineage truncation). Returns the re-read DF."""
+        path = self._path(stage)
+        df.write.mode("overwrite").parquet(path)
+        with open(self._manifest(stage), "w") as f:
+            json.dump(
+                {"stage": stage, "version": version or STAGE_VERSIONS.get(stage, 1)},
+                f,
+            )
+        return df.sparkSession.read.parquet(path)
+
+    def read(self, spark: SparkSession, stage: str) -> DataFrame | None:
+        path = self._path(stage)
+        if not os.path.exists(path):
+            return None
+        return spark.read.parquet(path)
+
+    def valid(self, stage: str, version: int | None = None) -> bool:
+        m = self._manifest(stage)
+        if not (os.path.exists(m) and os.path.exists(self._path(stage))):
+            return False
+        with open(m) as f:
+            manifest = json.load(f)
+        want = version or STAGE_VERSIONS.get(stage, 1)
+        return manifest.get("version") == want
+
+
+def resume_delta(
+    new_input: DataFrame, processed: DataFrame | None, key: str = "sha3_256"
+) -> DataFrame:
+    """Anti-join memoization (the is_completed analog): keep only input rows
+    whose hash has no finished digest yet."""
+    if processed is None:
+        return new_input
+    return new_input.join(processed.select(key).distinct(), key, "left_anti")

@@ -1,0 +1,76 @@
+"""SparkSession factory tuned for the extraction workload.
+
+Local mode is a single JVM; on a real cluster the same config applies per
+executor.  The knobs that matter at 100 TB:
+
+- AQE on (runtime coalesce + skew-join splitting),
+- shuffle partitions sized to cores locally (cluster: 2-3x total cores),
+- Arrow enabled with a bounded batch size so megabyte-scale ``html`` blobs
+  don't blow up pandas-UDF worker memory (snoop2 caps analogous batches at
+  30 MiB, reference ``tasks.py:1423-1431``),
+- UTC session timezone for oracle comparability.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batches carry raw page bytes; with ~100 KiB average pages, 256 rows
+# keeps a batch in the tens of MiB — the same envelope as the reference's
+# 30 MiB bulk batches (tasks.py:1423-1431).
+ARROW_MAX_RECORDS_PER_BATCH = 256
+
+
+def get_spark(
+    app_name: str = "hoover_snoop2_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (falling back to
+    ``local[*]``) so the bench harness can pin parallelism levels.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+
+    if shuffle_partitions is None:
+        # match local cores; a real cluster would use 2-3x total cores
+        n = master[master.find("[") + 1 : master.find("]")] if "[" in master else "*"
+        shuffle_partitions = 32 if n == "*" else max(int(n), 4)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config(
+            "spark.sql.execution.arrow.maxRecordsPerBatch",
+            str(ARROW_MAX_RECORDS_PER_BATCH),
+        )
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.python.worker.reuse", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def stop_spark() -> None:
+    """Tear down the active session (needed between parallelism levels in
+    the scaling bench — a JVM can only hold one master)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
