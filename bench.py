@@ -1,0 +1,189 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <float>,
+   "extraction": {"docs": n, "urls": m, "docs_per_sec": r, ...},
+   "scaling": {"local8_docs_per_sec": ..., "local32_docs_per_sec": ...,
+               "efficiency": ...}}
+
+- headline relational/text/similarity queries run at $SPARK_GRAFT_SF_DIR
+  (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS];
+- the extraction pipeline runs over a deterministic synthetic pages corpus
+  (BASELINE.json's docs/sec metric);
+- the two-cluster-size scaling criterion (north_rule: efficiency >= 0.8
+  from N to 4N executors) is evidenced by running the identical extraction
+  job at local[8] and local[32]; results also land in BENCH.md.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+SPARK_GRAFT_BENCH_DOCS (default 4000), SPARK_GRAFT_SCALING=0 to skip the
+two-level scaling run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q02_task_matrix",
+    "q07_dim_join",
+    "q11_decorrelated_subquery",
+    "q14_batch_packing",
+    "q16_dedup_exact",
+    "q18_quality",
+    "q21_cosine_topk",
+    "q30_minhash_lsh_dups",
+    "q31_simhash_dups",
+    "q32_ann_lsh_topk",
+]
+
+
+def _force(df) -> int:
+    """Materialize the full plan (noop sink computes every column, unlike
+    count() which lets Catalyst prune projections)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from hoover_snoop2_spark.queries import QUERIES
+
+    out = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, sf_dir))
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def _bench_corpus(n_docs: int) -> str:
+    from hoover_snoop2_spark.corpus import generate_pages
+
+    cache = os.path.join(tempfile.gettempdir(), f"snoop_spark_bench_{n_docs}")
+    pages = os.path.join(cache, "pages.parquet")
+    if not os.path.exists(pages):
+        generate_pages(n_docs, cache)
+    return pages
+
+
+def bench_extraction(spark, n_docs: int) -> dict:
+    from hoover_snoop2_spark.plans.pipeline import run_extraction
+
+    pages_path = _bench_corpus(n_docs)
+    ckpt = tempfile.mkdtemp(prefix="snoop_bench_ckpt_")
+    pages = spark.read.parquet(pages_path).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    t0 = time.perf_counter()
+    digests, _ = run_extraction(spark, pages, checkpoint_dir=ckpt)
+    n_urls = digests.count()
+    wall = time.perf_counter() - t0
+    return {
+        "docs": n_docs,
+        "urls": n_urls,
+        "wall_sec": round(wall, 3),
+        "docs_per_sec": round(n_docs / wall, 2),
+        "urls_per_sec": round(n_urls / wall, 2),
+    }
+
+
+def bench_scaling(n_docs: int) -> dict:
+    """Same job, two parallelism levels (the sandbox stand-in for N vs 4N
+    executor clusters; see BASELINE.md 'Targets')."""
+    from hoover_snoop2_spark.session import get_spark, stop_spark
+
+    results = {}
+    for cores in (8, 32):
+        stop_spark()
+        spark = get_spark(
+            app_name=f"bench_scaling_{cores}", master=f"local[{cores}]",
+            shuffle_partitions=cores,
+        )
+        r = bench_extraction(spark, n_docs)
+        results[cores] = r
+        stop_spark()
+    t8, t32 = results[8]["wall_sec"], results[32]["wall_sec"]
+    eff = (t8 / t32) / 4.0
+    return {
+        "local8_wall_sec": t8,
+        "local32_wall_sec": t32,
+        "local8_docs_per_sec": results[8]["docs_per_sec"],
+        "local32_docs_per_sec": results[32]["docs_per_sec"],
+        "efficiency": round(eff, 3),
+    }
+
+
+def write_bench_md(payload: dict) -> None:
+    sc = payload.get("scaling") or {}
+    ex = payload.get("extraction") or {}
+    lines = [
+        "# BENCH — measured results (written by bench.py)",
+        "",
+        f"- corpus: synthetic pages, {ex.get('docs')} docs "
+        f"({ex.get('urls')} urls incl. container children)",
+        f"- extraction throughput at local[{payload['cpus']}]: "
+        f"**{ex.get('docs_per_sec')} docs/s** ({ex.get('urls_per_sec')} urls/s)",
+        "",
+        "## Two-cluster-size scaling (N vs 4N cores — sandbox analog of",
+        "## N vs 4N executors; BASELINE.json north_rule, target >= 0.8)",
+        "",
+        "| cores | wall (s) | docs/s |",
+        "|---|---|---|",
+        f"| 8 | {sc.get('local8_wall_sec')} | {sc.get('local8_docs_per_sec')} |",
+        f"| 32 | {sc.get('local32_wall_sec')} | {sc.get('local32_docs_per_sec')} |",
+        "",
+        f"**Scaling efficiency (T8/T32)/4 = {sc.get('efficiency')}**",
+        "",
+        "## Headline query times (sf tables at "
+        f"{payload['sf_dir']}, local[{payload['cpus']}])",
+        "",
+        "| query | sec |",
+        "|---|---|",
+    ] + [f"| {k} | {v} |" for k, v in payload["queries"].items()]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def main() -> None:
+    from hoover_snoop2_spark.session import get_spark, stop_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000"))
+    do_scaling = os.environ.get("SPARK_GRAFT_SCALING", "1") != "0"
+    sf = 0.1 if "sf0.1" in sf_dir else (0.01 if "sf0.01" in sf_dir else 0.001)
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]",
+                      shuffle_partitions=cpus)
+    queries = bench_queries(spark, sf_dir)
+    extraction = bench_extraction(spark, n_docs)
+    stop_spark()
+
+    scaling = bench_scaling(n_docs) if do_scaling else None
+
+    total = round(sum(queries.values()) + extraction["wall_sec"], 3)
+    payload = {
+        "metric": "headline query wall time + synthetic-corpus extraction",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "sf_dir": sf_dir,
+        "cpus": cpus,
+        "extraction": extraction,
+        "scaling": scaling,
+    }
+    write_bench_md(payload)
+    print(json.dumps(payload))
+
+
+if __name__ == "__main__":
+    main()

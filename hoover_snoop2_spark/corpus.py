@@ -77,14 +77,19 @@ CATEGORIES = [
 
 
 def category_of(doc_id: int) -> str:
-    # 501 is coprime with 1000 and maps ids 0..16 below 600, so the
-    # duplicate-twin pool (doc_id % 17) always stays in the html bucket;
-    # the scramble gives every contiguous id range the full category mix
-    r = (doc_id * 501) % 1000
+    # 101 is coprime with 1000 and sweeps the whole [0,1000) range within
+    # any ~10 consecutive ids, so even tiny corpora get every category
+    r = (doc_id * 101) % 1000
     for threshold, cat in CATEGORIES:
         if r < threshold:
             return cat
     return "html-article"
+
+
+#: duplicate-payload twin pool: small ids that are html-article (so a dup
+#: always clones an article page); rule only fires for doc_id >= 40, so
+#: twins never recurse
+_TWINS = [i for i in range(40) if ((i * 101) % 1000) < 600][:17]
 
 
 def _rng(doc_id: int, salt: int = 0) -> random.Random:
@@ -496,10 +501,9 @@ def build_doc(doc_id: int) -> dict:
         raise AssertionError(cat)
 
     # ~5% duplicate payloads: reuse a canonical small doc's bytes
-    # (reference duplicates/ fixtures, test_blobs.py:69-72); twin ids are
-    # all < 17 (html-article bucket) so this never recurses deeper than one
-    if cat == "html-article" and doc_id % 20 == 19 and doc_id >= 20:
-        twin = build_doc(doc_id % 17)
+    # (reference duplicates/ fixtures, test_blobs.py:69-72)
+    if cat == "html-article" and doc_id % 20 == 19 and doc_id >= 40:
+        twin = build_doc(_TWINS[doc_id % 17])
         html, golden, lang = twin["html"], twin["text"], twin["lang"]
 
     return {

@@ -1,0 +1,94 @@
+"""Text-quality scoring, token counting and document fingerprinting for
+training-data pipelines.
+
+These have no direct reference analog (snoop2 stops at extraction +
+indexing); they are the standard quality gates a Common-Crawl-scale corpus
+needs before model training (C4/Gopher-style heuristics).  Everything is
+built from JVM-side column expressions — no Python in the hot path — so the
+same definitions translate 1:1 into the DuckDB oracle SQL used by the
+correctness gate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: tiny English stopword set shared verbatim with the oracle SQL
+QUALITY_STOPWORDS = ("the", "and", "of", "to", "in", "is", "that", "it")
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count; empty/blank text counts 0."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("long")
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of characters that are sentence punctuation."""
+    n = F.length(text)
+    p = F.length(F.regexp_replace(text, r"[^.!?,;:]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p / n)
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters."""
+    n = F.length(text)
+    a = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    return F.when(n == 0, F.lit(0.0)).otherwise(a / n)
+
+
+def stopword_hits(text: Column) -> Column:
+    """Occurrences of the shared stopword set as whole lowercase tokens."""
+    lowered = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    padded = F.regexp_replace(lowered, r"\s+", " ")
+    total = F.lit(0).cast("long")
+    for w in QUALITY_STOPWORDS:
+        pat = f" {w} "
+        # non-overlapping occurrence count via length difference
+        total = total + (
+            (F.length(padded) - F.length(F.regexp_replace(padded, pat, " ")))
+            / F.lit(len(pat) - 1)
+        ).cast("long")
+    return total
+
+
+def quality_columns(text: Column) -> dict[str, Column]:
+    """The scoring bundle: apply with ``df.withColumns(...)``."""
+    toks = token_count(text)
+    return {
+        "n_tokens": toks,
+        "punct_ratio": F.round(punct_ratio(text), 4),
+        "alpha_ratio": F.round(alpha_ratio(text), 4),
+        "stopword_hits": stopword_hits(text),
+        "mean_token_len": F.round(
+            F.when(toks == 0, F.lit(0.0)).otherwise(
+                F.length(F.regexp_replace(F.trim(text), r"\s+", "")) / toks
+            ),
+            4,
+        ),
+    }
+
+
+def quality_flag(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-ish keep/drop flag: enough tokens, sane token length, not
+    punctuation soup.  Thresholds are deliberately simple + oracle-checkable.
+    """
+    cols = quality_columns(F.col(text_col))
+    out = df.withColumns(cols)
+    return out.withColumn(
+        "quality_keep",
+        (F.col("n_tokens") >= 5)
+        & (F.col("mean_token_len") >= 2)
+        & (F.col("mean_token_len") <= 15)
+        & (F.col("punct_ratio") <= 0.3),
+    )
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the casefolded,
+    whitespace-normalized text (the exact-dedup key used downstream)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.md5(F.encode(normalized, "UTF-8"))

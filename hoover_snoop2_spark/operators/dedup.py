@@ -1,0 +1,245 @@
+"""Deduplication operators for web-scale corpora.
+
+The reference de-duplicates *exactly* by content hash (Blob PK = sha3_256,
+models.py:102-113); at training-data scale we additionally need near-dup
+families.  Five operators, all returning DataFrames (no driver loops):
+
+- exact_dedup          — hash-groupBy (JVM-only, oracle-checkable)
+- minhash_lsh_pairs    — shingle → minhash signature → banded LSH →
+                         candidate pairs → exact Jaccard verify
+- simhash              — 64-bit simhash per doc + near-dup pairs by
+                         Hamming distance (bit tricks, vectorized UDF)
+- ngram_jaccard_pairs  — exact n-gram Jaccard over LSH candidates
+- embedding_dups       — cosine-similarity near-dups over embeddings
+
+Scale notes: minhash/LSH stays entirely JVM-side (higher-order functions +
+xxhash64), so the shuffle per band is the only heavy op; band keys are
+integer hashes — small rows.  The candidate self-join is an equi-join on
+band_key which AQE handles for skewed buckets (identical boilerplate pages
+→ giant buckets → AQE skew split).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+# 31-bit Mersenne prime: (p-1)^2 < 2^63, so a*h + b never overflows a long
+# even under Spark's ANSI arithmetic
+_MERSENNE = (1 << 31) - 1
+
+
+def _perm_params(n_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
+    rng = np.random.RandomState(seed)
+    return [
+        (int(rng.randint(1, _MERSENNE - 1)) | 1, int(rng.randint(0, _MERSENNE - 1)))
+        for _ in range(n_hashes)
+    ]
+
+
+def shingles_col(text_col: str, k: int = 5) -> F.Column:
+    """Word k-gram shingle array, built with higher-order functions —
+    no Python, no explode."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    return F.when(n < k, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        )
+    )
+
+
+def minhash_signature(df: DataFrame, id_col: str, text_col: str,
+                      n_hashes: int = 16, k: int = 5) -> DataFrame:
+    """id + minhash signature array<long>, all JVM-side."""
+    params = _perm_params(n_hashes)
+    hashes = F.transform(
+        shingles_col(text_col, k),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+    )
+    def perm(a: int, b: int):
+        # pyspark inspects lambda arity — bind (a, b) via an outer closure
+        return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
+    sig = F.array(
+        *[F.array_min(F.transform(hashes, perm(a, b))) for a, b in params]
+    )
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs (id_a < id_b, jaccard >= threshold).
+
+    banding: signature split into ``bands`` bands of ``n_hashes/bands``
+    rows; docs sharing any band-hash are candidates; candidates verified
+    with exact shingle Jaccard (array_intersect/array_union sizes).
+    """
+    rows = n_hashes // bands
+    sigs = minhash_signature(df, id_col, text_col, n_hashes, k)
+    banded = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.band_hash")
+
+    cand = (
+        banded.alias("l")
+        .join(banded.alias("r"), ["band", "band_hash"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .distinct()
+    )
+
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles_col(text_col, k).alias("sh")
+    ).withColumn("sh", F.array_distinct("sh"))
+    verified = (
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+    return verified
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup by content fingerprint: one representative (min id) per
+    group + duplicate count.  The Blob-PK dedup of the reference
+    (models.py:102-113) as a groupBy."""
+    from ..functions.quality import fingerprint
+
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("representative_id"),
+            F.count("*").alias("dup_count"),
+        )
+    )
+
+
+@F.pandas_udf(LongType())
+def simhash64_udf(texts: pd.Series) -> pd.Series:
+    """64-bit simhash over whitespace tokens (vectorized via numpy).
+
+    Token hash = blake2b-8byte (stable across processes, unlike hash()).
+    """
+    import hashlib
+
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if not t:
+            continue
+        tokens = t.lower().split()
+        if not tokens:
+            continue
+        hs = np.frombuffer(
+            b"".join(
+                hashlib.blake2b(tok.encode("utf-8"), digest_size=8).digest()
+                for tok in tokens
+            ),
+            dtype=np.uint64,
+        )
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(tokens)
+        sim = np.uint64(0)
+        sim = (votes > 0).astype(np.uint64) << np.arange(64, dtype=np.uint64)
+        out[i] = np.int64(np.bitwise_or.reduce(sim))
+    return pd.Series(out)
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by simhash Hamming distance, using 4x16-bit block
+    LSH (two equal blocks guarantee recall at distance<=3 is high; exact
+    verify via bit_count on xor)."""
+    sims = df.select(
+        F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sim")
+    )
+    blocks = sims.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned("sim", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"),
+                    )
+                    for b in range(4)
+                ]
+            )
+        ).alias("kb"),
+    ).select("id", "sim", "kb.blk", "kb.key")
+    cand = (
+        blocks.alias("l")
+        .join(blocks.alias("r"), ["blk", "key"])
+        .filter(F.col("l.id") < F.col("r.id"))
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.sim").alias("sim_a"),
+            F.col("r.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def embedding_dups(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.98
+) -> DataFrame:
+    """Embedding-cosine near-dups.  Brute-force pairwise over a
+    block-nested join — correct baseline; the scale path buckets by an
+    LSH sign-projection first (see similarity.ann_lsh)."""
+    from .similarity import cosine_expr
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,120 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+The reference fans image blobs out to HTTP services for thumbnails, object
+detection and classification (thumbnails.py:379-417,
+image_classification.py:128-181) — external services we deliberately do not
+reproduce.  What IS first-class here is the Spark-side plumbing a 100-TB
+multimodal corpus needs:
+
+- media rows are opaque ``binary`` columns + typed metadata struct,
+- decode / feature-extract run as ``mapInPandas`` over Arrow batches with
+  the same size-class repartitioning as text blobs,
+- the actual pixel/sample decode is STUBBED (image/audio libs absent in
+  this container): ``decode_stub=True`` produces a deterministic fake
+  (dimensions parsed from PNG/JPEG/GIF headers — real header parsing, fake
+  pixel features); ``decode_stub=False`` raises NotImplementedError at the
+  kernel level, marking rows ``broken='media_decoder_missing'``.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "sha3_256 string, media_type string, width int, height int, "
+    "n_frames int, feature array<float>, status string, broken_reason string"
+)
+
+#: feature vector length of the stub extractor
+FEATURE_DIM = 8
+
+
+def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
+    """Real header parsing for PNG / GIF / JPEG dimensions (public format
+    specs); returns (kind, width, height) or None."""
+    if data[:8] == b"\x89PNG\r\n\x1a\n" and len(data) >= 24:
+        w, h = struct.unpack(">II", data[16:24])
+        return "png", w, h
+    if data[:6] in (b"GIF87a", b"GIF89a") and len(data) >= 10:
+        w, h = struct.unpack("<HH", data[6:10])
+        return "gif", w, h
+    if data[:3] == b"\xff\xd8\xff":
+        i = 2
+        while i + 9 < len(data):
+            if data[i] != 0xFF:
+                i += 1
+                continue
+            marker = data[i + 1]
+            if marker in (0xC0, 0xC1, 0xC2, 0xC3):
+                h, w = struct.unpack(">HH", data[i + 5 : i + 9])
+                return "jpeg", w, h
+            seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+        return "jpeg", 0, 0
+    return None
+
+
+def _stub_feature(data: bytes) -> list[float]:
+    """Deterministic fake feature: byte-histogram moments.  Stands in for a
+    real embedding model; the Spark plumbing (schema, batching, skew) is
+    identical either way."""
+    if not data:
+        return [0.0] * FEATURE_DIM
+    step = max(1, len(data) // 4096)
+    sample = data[::step]
+    out = []
+    for b in range(FEATURE_DIM):
+        bucket = sample[b::FEATURE_DIM]
+        out.append(round(sum(bucket) / (255.0 * max(1, len(bucket))), 6))
+    return out
+
+
+def media_map_in_pandas(decode_stub: bool = True):
+    """mapInPandas body factory over (sha3_256, data) batches."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sha, data in zip(pdf["sha3_256"], pdf["data"]):
+                data = data or b""
+                hdr = parse_image_header(data)
+                if hdr is None:
+                    rows.append(
+                        dict(sha3_256=sha, media_type=None, width=None,
+                             height=None, n_frames=None, feature=None,
+                             status="skipped", broken_reason="not_media")
+                    )
+                    continue
+                kind, w, h = hdr
+                if not decode_stub:
+                    rows.append(
+                        dict(sha3_256=sha, media_type=kind, width=w, height=h,
+                             n_frames=None, feature=None, status="broken",
+                             broken_reason="media_decoder_missing")
+                    )
+                    continue
+                rows.append(
+                    dict(sha3_256=sha, media_type=kind, width=w, height=h,
+                         n_frames=1, feature=_stub_feature(data),
+                         status="success", broken_reason=None)
+                )
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def extract_media_features(
+    df: DataFrame, data_col: str = "data", decode_stub: bool = True
+) -> DataFrame:
+    """(sha3_256, data) → media metadata + stub features, size-class
+    repartitioned like every other blob stage."""
+    from ..plans.skew import repartition_by_size_class
+
+    src = df.select("sha3_256", F.col(data_col).alias("data"))
+    src = repartition_by_size_class(src, data_col="data", key="sha3_256").drop("_salt")
+    return src.mapInPandas(media_map_in_pandas(decode_stub), schema=MEDIA_SCHEMA)

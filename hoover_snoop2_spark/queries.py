@@ -1,0 +1,709 @@
+"""Query catalog: every operator family from SURVEY.md §2 as a
+(spark_fn, oracle_sql) pair over the driver-provided testdata tables.
+
+Each Spark implementation is written declaratively (DataFrame/SQL) so
+Catalyst handles pushdown/pruning/join strategy; each oracle is the exact
+ANSI-SQL equivalent DuckDB runs on the same parquet files.  Column names
+and value rounding are aligned on both sides (the driver's compare hashes
+values after sorting columns by name).
+
+Conventions:
+- floats rounded to 4 decimals on both sides,
+- timestamps compared as epoch microseconds (unix_micros / epoch_us),
+- BIGINT sums cast on the DuckDB side (duckdb promotes to HUGEINT),
+- every aggregate/computed column aliased identically in both dialects.
+
+Reference parity notes are cited per query (file:line into /root/reference).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _us(col) -> F.Column:
+    """Epoch microseconds of a (possibly NTZ) timestamp column — matches
+    DuckDB's epoch_us over naive timestamps under the UTC session TZ."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.unix_micros(c.cast("timestamp"))
+
+
+# ---------------------------------------------------------------------------
+# relational operators (SURVEY.md §2.c — the reference's ORM-layer ops)
+# ---------------------------------------------------------------------------
+
+
+def q01_pricing_summary(spark, sf_dir):
+    """Hash aggregation with multiple partial aggs (TPC-H Q1 shape; the
+    reference's task-matrix aggregation admin.py:117-276 is the same
+    groupBy+count/avg/sum pattern)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 4) AS sum_qty,
+       round(sum(l_extendedprice), 4) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q02_task_matrix(spark, sf_dir):
+    """The stats/task-matrix aggregation (reference admin.py:117-276:
+    per-(func,status) counts, averages, totals) over the events table."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+            F.round(F.avg("value"), 4).alias("avg_value"),
+            _us(F.max("ts")).alias("max_ts_us"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q02_SQL = """
+SELECT event_type,
+       count(*)::BIGINT AS n,
+       round(sum(value), 4) AS total_value,
+       round(avg(value), 4) AS avg_value,
+       epoch_us(max(ts))::BIGINT AS max_ts_us
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q03_topk_recent(spark, sf_dir):
+    """Sort + limit → TakeOrderedAndProject (reference: newest-first
+    dispatch batches tasks.py:927-943, feed page views.py:303-310)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(100)
+        .select("event_id", _us("ts").alias("ts_us"), "event_type")
+    )
+
+
+Q03_SQL = """
+SELECT event_id, epoch_us(ts)::BIGINT AS ts_us, event_type
+FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
+"""
+
+
+def q04_window_rank(spark, sf_dir):
+    """Window ranking (reference: children_before_item rank computation
+    digests.py:844-846): top-3 orders per status by price."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_orderstatus", "o_orderkey",
+            F.round("o_totalprice", 4).alias("total_price"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
+
+
+Q04_SQL = """
+SELECT o_orderstatus, o_orderkey, round(o_totalprice, 4) AS total_price, rk::INT AS rk
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderstatus
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders
+) WHERE rk <= 3
+"""
+
+
+def q05_semi_join(spark, sf_dir):
+    """Left-semi join (reference: orphan-blob existence check
+    filesystem.py:338-347): customers that have orders, counted by nation."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+Q05_SQL = """
+SELECT c_nationkey, count(*)::BIGINT AS n_customers
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
+def q06_anti_join(spark, sf_dir):
+    """Left-anti join (reference: exclude(func=...) dependency pruning
+    tasks.py:794-795): customers with no orders."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_nationkey")
+        .orderBy("c_custkey")
+    )
+
+
+Q06_SQL = """
+SELECT c_custkey, c_nationkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY c_custkey
+"""
+
+
+def q07_dim_join(spark, sf_dir):
+    """Multi-way broadcast dimension join (reference: FK traversals /
+    OCR md5 equi-join ocr.py:73-77): revenue per region name."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("r_name")
+    )
+
+
+Q07_SQL = """
+SELECT r_name, round(sum(o_totalprice), 4) AS revenue, count(*)::BIGINT AS n_orders
+FROM orders JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+def q08_distinct(spark, sf_dir):
+    """Distinct (reference: values('func').distinct() tasks.py:857)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select("event_type").distinct().orderBy("event_type")
+
+
+Q08_SQL = "SELECT DISTINCT event_type FROM events ORDER BY event_type"
+
+
+def q09_pagination(spark, sf_dir):
+    """Limit/offset pagination as a window (reference: Django Paginator,
+    200/page, digests.py:811-847) — page 2 of documents by doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id")
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > 100) & (F.col("rn") <= 200))
+        .select("doc_id", "source", "n_chars")
+    )
+
+
+Q09_SQL = """
+SELECT doc_id, source, n_chars FROM (
+  SELECT *, row_number() OVER (ORDER BY doc_id) AS rn FROM documents
+) WHERE rn > 100 AND rn <= 200
+"""
+
+
+def q10_upsert_dedup(spark, sf_dir):
+    """get_or_create/upsert analog (reference models.py:219,
+    digests.py:384-389): one representative row per key + occurrence count."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.min("o_orderkey").alias("first_orderkey"),
+            F.count("*").alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+Q10_SQL = """
+SELECT o_custkey, min(o_orderkey)::BIGINT AS first_orderkey, count(*)::BIGINT AS n_orders
+FROM orders GROUP BY o_custkey ORDER BY o_custkey
+"""
+
+
+def q11_decorrelated_subquery(spark, sf_dir):
+    """Correlated-subquery decorrelation (reference: Subquery+OuterRef
+    annotate digests.py:585-596 → Catalyst rewrites to join+agg)."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    mx = li.groupBy("l_orderkey").agg(
+        F.round(F.max("l_extendedprice"), 4).alias("max_item_price")
+    )
+    return (
+        o.join(mx, o.o_orderkey == mx.l_orderkey)
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("total_price"),
+                "max_item_price")
+        .orderBy("o_orderkey")
+    )
+
+
+Q11_SQL = """
+SELECT o_orderkey, round(o_totalprice, 4) AS total_price,
+       round((SELECT max(l_extendedprice) FROM lineitem WHERE l_orderkey = o_orderkey), 4)
+         AS max_item_price
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+ORDER BY o_orderkey
+"""
+
+
+def q12_watermark_sync(spark, sf_dir):
+    """High-watermark incremental sync shape (reference sync_common_data
+    tasks.py:1741-1760: Max(date_created) + per-batch counts) — per-day
+    counts + max ts."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"), _us(F.max("ts")).alias("max_ts_us"))
+        .select(_us("day").alias("day_us"), "n", "max_ts_us")
+        .orderBy("day_us")
+    )
+
+
+Q12_SQL = """
+SELECT epoch_us(date_trunc('day', ts))::BIGINT AS day_us,
+       count(*)::BIGINT AS n, epoch_us(max(ts))::BIGINT AS max_ts_us
+FROM events GROUP BY date_trunc('day', ts) ORDER BY day_us
+"""
+
+
+def q13_set_ops(spark, sf_dir):
+    """Set union with dedup (reference: mime-set unions archives.py:90-96,
+    domain set email.py:260-262): high-balance customer ∪ supplier names."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.filter(F.col("c_acctbal") > 9000).select(F.col("c_name").alias("name"))
+        .union(s.filter(F.col("s_acctbal") > 9000).select(F.col("s_name").alias("name")))
+        .distinct()
+        .orderBy("name")
+    )
+
+
+Q13_SQL = """
+SELECT c_name AS name FROM customer WHERE c_acctbal > 9000
+UNION
+SELECT s_name AS name FROM supplier WHERE s_acctbal > 9000
+ORDER BY name
+"""
+
+
+def q14_batch_packing(spark, sf_dir):
+    """Greedy size-batching analog (reference bulk batches: ≤300 tasks /
+    30 MiB greedy bins tasks.py:1423-1431): running-sum bucketing of
+    documents into ~100 KB batches, then per-batch stats."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        d.withColumn("cum_chars", F.sum("n_chars").over(w))
+        .withColumn("batch_id", F.floor((F.col("cum_chars") - 1) / 100000))
+        .groupBy("batch_id")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("batch_chars"))
+        .orderBy("batch_id")
+    )
+
+
+Q14_SQL = """
+SELECT batch_id, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS batch_chars
+FROM (
+  SELECT doc_id, n_chars,
+         floor((sum(n_chars) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1) / 100000)::BIGINT
+           AS batch_id
+  FROM documents
+) GROUP BY batch_id ORDER BY batch_id
+"""
+
+
+def q15_topk_per_group(spark, sf_dir):
+    """Top-k per group (window + filter) — events top-2 by value."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .select("event_type", "event_id", F.round("value", 4).alias("value"),
+                F.col("rk").cast("int").alias("rk"))
+    )
+
+
+Q15_SQL = """
+SELECT event_type, event_id, round(value, 4) AS value, rk::INT AS rk
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY value DESC, event_id ASC) AS rk
+      FROM events)
+WHERE rk <= 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# text / training-data operators (documents table)
+# ---------------------------------------------------------------------------
+
+
+def q16_dedup_exact(spark, sf_dir):
+    """Exact dedup by normalized-text fingerprint (reference Blob-PK dedup
+    models.py:102-113 re-expressed as hash-groupBy)."""
+    from .operators.dedup import exact_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "doc_id", "text").orderBy("fp")
+
+
+Q16_SQL = """
+SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+       min(doc_id)::BIGINT AS representative_id, count(*)::BIGINT AS dup_count
+FROM documents GROUP BY 1 ORDER BY fp
+"""
+
+
+def q17_token_count(spark, sf_dir):
+    """Whitespace token counting (BPE-precursor stats)."""
+    from .functions.quality import token_count
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count(F.col("text")).alias("n_tokens")).orderBy(
+        "doc_id"
+    )
+
+
+Q17_SQL = """
+SELECT doc_id,
+       (CASE WHEN length(trim(text)) = 0 THEN 0
+             ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tokens
+FROM documents ORDER BY doc_id
+"""
+
+
+def q18_quality(spark, sf_dir):
+    """Text-quality scoring: punct/alpha ratios, mean token length,
+    keep-flag (C4/Gopher-style gates)."""
+    from .functions.quality import quality_flag
+
+    d = _t(spark, sf_dir, "documents")
+    return quality_flag(d, "text").select(
+        "doc_id", "n_tokens", "punct_ratio", "alpha_ratio", "mean_token_len",
+        "quality_keep",
+    ).orderBy("doc_id")
+
+
+Q18_SQL = """
+WITH q AS (
+  SELECT doc_id,
+    (CASE WHEN length(trim(text)) = 0 THEN 0
+          ELSE len(regexp_split_to_array(trim(text), '\\s+')) END)::BIGINT AS n_tokens,
+    round(CASE WHEN length(text) = 0 THEN 0.0
+          ELSE length(regexp_replace(text, '[^.!?,;:]', '', 'g')) * 1.0 / length(text) END, 4)
+      AS punct_ratio,
+    round(CASE WHEN length(text) = 0 THEN 0.0
+          ELSE length(regexp_replace(text, '[^A-Za-z]', '', 'g')) * 1.0 / length(text) END, 4)
+      AS alpha_ratio,
+    length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nosp
+  FROM documents
+)
+SELECT doc_id, n_tokens, punct_ratio, alpha_ratio,
+       round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE nosp * 1.0 / n_tokens END, 4)
+         AS mean_token_len,
+       (n_tokens >= 5
+        AND round(CASE WHEN n_tokens = 0 THEN 0.0 ELSE nosp * 1.0 / n_tokens END, 4)
+            BETWEEN 2 AND 15
+        AND punct_ratio <= 0.3) AS quality_keep
+FROM q ORDER BY doc_id
+"""
+
+
+def q19_fingerprint(spark, sf_dir):
+    """Per-doc content fingerprint column (rolling-hash-class doc id)."""
+    from .functions.quality import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+Q19_SQL = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents ORDER BY doc_id
+"""
+
+
+def q20_lang_stats(spark, sf_dir):
+    """Per-language corpus stats (the digests.index language bookkeeping
+    digests.py:393-495 as a groupBy)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q20_SQL = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS total_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# embedding similarity (embeddings table)
+# ---------------------------------------------------------------------------
+
+
+def q21_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-5 for query vectors vec_id < 10
+    (the ANN correctness baseline)."""
+    from .operators.similarity import brute_force_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return brute_force_topk(e, q, k=5).orderBy("query_id", "rank")
+
+
+Q21_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         round(list_cosine_similarity(q.qv, e.embedding::DOUBLE[]), 4) AS cosine
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, cosine, rank::INT AS rank FROM ranked
+WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
+def q22_embedding_norms(spark, sf_dir):
+    """Vector-norm aggregate per label (zip_with/aggregate higher-order
+    functions — JVM-side vector math)."""
+    e = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding").cast("array<double>"),
+            F.lit(0.0),
+            lambda acc, v: acc + v * v,
+        )
+    )
+    return (
+        e.withColumn("l2", norm)
+        .groupBy("label")
+        .agg(F.count("*").alias("n"), F.round(F.avg("l2"), 4).alias("avg_norm"))
+        .orderBy("label")
+    )
+
+
+Q22_SQL = """
+SELECT label, count(*)::BIGINT AS n,
+       round(avg(sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x * x),
+                                     'sum'))), 4) AS avg_norm
+FROM embeddings GROUP BY label ORDER BY label
+"""
+
+
+# ---------------------------------------------------------------------------
+# non-SQL-expressible operators (rows-only driver check; full validation in
+# pytest golden suites)
+# ---------------------------------------------------------------------------
+
+
+def q30_minhash_lsh_dups(spark, sf_dir):
+    """MinHash+LSH near-dup candidate pairs over documents (shingle →
+    signature → band → bucket-join → exact-Jaccard verify)."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, "doc_id", "text", jaccard_threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+def q31_simhash_dups(spark, sf_dir):
+    """SimHash near-dup pairs (hamming <= 3) over documents."""
+    from .operators.dedup import simhash_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return simhash_pairs(d, "doc_id", "text").orderBy("id_a", "id_b")
+
+
+def q32_ann_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate nearest neighbors (sign projections +
+    multi-probe) — the 100-TB scale path for q21."""
+    from .operators.similarity import ann_lsh_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ann_lsh_topk(e, q, k=5, dim=64).orderBy("query_id", "rank")
+
+
+def q33_langid(spark, sf_dir):
+    """Language identification UDF vs the table's labeled lang —
+    per-(labeled, detected) confusion counts."""
+    from .functions.langid import detect_language_udf
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.withColumn("detected", detect_language_udf(F.col("text")))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "detected")
+    )
+
+
+def q34_extract_digests(spark, sf_dir):
+    """The flagship extraction pipeline over a deterministic synthetic
+    pages corpus (generated on the fly — sf_dir has no binary pages table);
+    returns the digest rows.  Byte-parity asserted in pytest."""
+    import os
+    import tempfile
+
+    from .corpus import generate_pages
+    from .plans.pipeline import run_extraction
+
+    tmp = os.path.join(tempfile.gettempdir(), "snoop_spark_q34")
+    pages_path = os.path.join(tmp, "pages.parquet")
+    if not os.path.exists(pages_path):
+        generate_pages(300, tmp)
+    digests, _ = run_extraction(
+        spark, spark.read.parquet(pages_path),
+        checkpoint_dir=os.path.join(tmp, "ckpt"),
+    )
+    return digests.select(
+        "url", "sha3_256", "md5", "mime_type", "filetype", "status",
+        "word_count", "depth", "is_container",
+    ).orderBy("url")
+
+
+def q35_media_features(spark, sf_dir):
+    """Multimodal plumbing: binary media columns → header-parse + stub
+    feature extraction via mapInPandas (decode stubbed, schema real)."""
+    import struct as _struct
+
+    from .operators.multimodal import extract_media_features
+
+    # deterministic tiny PNG/GIF/JPEG headers + one non-media blob
+    def px(n):
+        return (
+            b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR"
+            + _struct.pack(">II", n, n * 2) + bytes(16)
+        )
+
+    rows = [
+        (f"sha_png_{n}", px(n)) for n in (1, 2, 16)
+    ] + [
+        ("sha_gif", b"GIF89a" + _struct.pack("<HH", 3, 4) + bytes(8)),
+        ("sha_text", b"not media at all"),
+    ]
+    df = spark.createDataFrame(rows, "sha3_256 string, data binary")
+    return extract_media_features(df).orderBy("sha3_256")
+
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_task_matrix": q02_task_matrix,
+    "q03_topk_recent": q03_topk_recent,
+    "q04_window_rank": q04_window_rank,
+    "q05_semi_join": q05_semi_join,
+    "q06_anti_join": q06_anti_join,
+    "q07_dim_join": q07_dim_join,
+    "q08_distinct": q08_distinct,
+    "q09_pagination": q09_pagination,
+    "q10_upsert_dedup": q10_upsert_dedup,
+    "q11_decorrelated_subquery": q11_decorrelated_subquery,
+    "q12_watermark_sync": q12_watermark_sync,
+    "q13_set_ops": q13_set_ops,
+    "q14_batch_packing": q14_batch_packing,
+    "q15_topk_per_group": q15_topk_per_group,
+    "q16_dedup_exact": q16_dedup_exact,
+    "q17_token_count": q17_token_count,
+    "q18_quality": q18_quality,
+    "q19_fingerprint": q19_fingerprint,
+    "q20_lang_stats": q20_lang_stats,
+    "q21_cosine_topk": q21_cosine_topk,
+    "q22_embedding_norms": q22_embedding_norms,
+    "q30_minhash_lsh_dups": q30_minhash_lsh_dups,
+    "q31_simhash_dups": q31_simhash_dups,
+    "q32_ann_lsh_topk": q32_ann_lsh_topk,
+    "q33_langid": q33_langid,
+    "q34_extract_digests": q34_extract_digests,
+    "q35_media_features": q35_media_features,
+}
+
+ORACLES: dict[str, str] = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_task_matrix": Q02_SQL,
+    "q03_topk_recent": Q03_SQL,
+    "q04_window_rank": Q04_SQL,
+    "q05_semi_join": Q05_SQL,
+    "q06_anti_join": Q06_SQL,
+    "q07_dim_join": Q07_SQL,
+    "q08_distinct": Q08_SQL,
+    "q09_pagination": Q09_SQL,
+    "q10_upsert_dedup": Q10_SQL,
+    "q11_decorrelated_subquery": Q11_SQL,
+    "q12_watermark_sync": Q12_SQL,
+    "q13_set_ops": Q13_SQL,
+    "q14_batch_packing": Q14_SQL,
+    "q15_topk_per_group": Q15_SQL,
+    "q16_dedup_exact": Q16_SQL,
+    "q17_token_count": Q17_SQL,
+    "q18_quality": Q18_SQL,
+    "q19_fingerprint": Q19_SQL,
+    "q20_lang_stats": Q20_SQL,
+    "q21_cosine_topk": Q21_SQL,
+    "q22_embedding_norms": Q22_SQL,
+    # q30-q35: non-SQL-expressible (LSH banding, simhash bit votes, UDF
+    # language id, binary extraction pipeline, media UDFs) → rows-only
+}

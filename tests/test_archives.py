@@ -1,0 +1,89 @@
+"""Container unpack — mirrors the reference's exact-listing assertions
+(test_archives.py:11-73) over synthetic archives."""
+
+import gzip
+import io
+import tarfile
+import zipfile
+
+import pytest
+
+from hoover_snoop2_spark.operators.archive_unpack import (
+    UnpackBroken,
+    emlx_strip,
+    unpack_bytes,
+    unpack_children,
+)
+
+
+def _zip(members):
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for name, data in members:
+            z.writestr(name, data)
+    return buf.getvalue()
+
+
+def test_zip_listing():
+    data = _zip([("docs/a.txt", b"alpha"), ("docs/b.txt", b"beta"), ("d/", b"")])
+    got = unpack_bytes(data, "application/zip")
+    assert got == [("docs/a.txt", b"alpha"), ("docs/b.txt", b"beta")]
+
+
+def test_tar_gz_recurses_into_tar():
+    inner = io.BytesIO()
+    with tarfile.open(fileobj=inner, mode="w") as tf:
+        ti = tarfile.TarInfo("x.txt")
+        ti.size = 5
+        tf.addfile(ti, io.BytesIO(b"hello"))
+    data = gzip.compress(inner.getvalue())
+    got = unpack_bytes(data, "application/gzip")
+    assert got == [("x.txt", b"hello")]
+
+
+def test_plain_gzip_single_member():
+    got = unpack_bytes(gzip.compress(b"payload"), "application/gzip")
+    assert got == [("data", b"payload")]
+
+
+def test_mbox_split():
+    msg = (
+        "From a@b Mon Jan  1 00:00:0{i} 2024\n"
+        "From: u{i}@m.example\nSubject: s{i}\n\nbody {i}\n"
+    )
+    data = "".join(msg.format(i=i) for i in range(3)).encode()
+    got = unpack_bytes(data, "application/mbox")
+    assert len(got) == 3
+    assert got[0][0] == "1.eml"
+    assert b"body 0" in got[0][1]
+    assert b"From a@b" not in got[0][1]  # envelope line stripped
+
+
+def test_truncated_zip_broken():
+    data = _zip([("a.txt", b"x" * 100)])[:30]
+    with pytest.raises(UnpackBroken) as e:
+        unpack_bytes(data, "application/zip")
+    assert e.value.reason == "7z_error"
+
+
+def test_tool_missing_formats():
+    for mime in ("application/x-7z-compressed", "application/x-rar",
+                 "application/x-hoover-pst"):
+        with pytest.raises(UnpackBroken) as e:
+            unpack_bytes(b"whatever", mime)
+        assert e.value.reason == "archive_tool_missing"
+
+
+def test_unpack_children_url_convention():
+    data = _zip([("inner/a.txt", b"alpha")])
+    children, broken = unpack_children("https://s.example/x.zip", data, "application/zip")
+    assert broken is None
+    assert children[0][0] == "https://s.example/x.zip//inner/a.txt"
+
+
+def test_emlx_strip():
+    body = b"From: a@b\nSubject: s\n\nhello"
+    emlx = str(len(body)).encode() + b"\n" + body + b"<plist>trailing</plist>"
+    assert emlx_strip(emlx) == body
+    # non-emlx passes through
+    assert emlx_strip(b"not emlx") == b"not emlx"

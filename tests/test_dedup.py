@@ -1,0 +1,72 @@
+"""Dedup operators: exact, minhash LSH, simhash, embedding cosine."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoover_snoop2_spark.operators.dedup import (
+    exact_dedup,
+    embedding_dups,
+    minhash_lsh_pairs,
+    simhash_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "the old house near the river bend every single morning"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),                                   # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),         # near dup of 0
+        (3, "completely different text about spark query planning and "
+            "catalyst optimizer rules for distributed joins at scale with "
+            "partitioning strategies and shuffle elimination techniques"),
+        (4, "short text"),
+        (5, "  The   QUICK brown fox jumps over the lazy dog while the cat "
+            "watches from the warm windowsill and the birds sing in the "
+            "garden outside the old house near the river bend every single "
+            "morning"),                              # fp-equal to 0 (case/ws)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    got = {r["representative_id"]: r["dup_count"]
+           for r in exact_dedup(docs, "doc_id", "text").collect()}
+    assert got[0] == 3  # 0, 1, 5 share the normalized fingerprint
+    assert got[2] == 1
+    assert got[3] == 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    # 8 bands x 2 rows: P(candidate) ≈ 1-(1-j^2)^8 → ~0.997 at j≈0.7
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, "doc_id", "text", n_hashes=16, bands=8,
+                               jaccard_threshold=0.5).collect()}
+    assert (0, 1) in pairs            # exact dup always caught
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup (1-word change)
+    assert not any(3 in p for p in pairs)      # unrelated text never pairs
+
+
+def test_simhash_near_dups(docs):
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             simhash_pairs(docs, "doc_id", "text").collect()}
+    assert (0, 1) in pairs
+    assert not any(3 in p and (0 in p or 1 in p) for p in pairs)
+
+
+def test_embedding_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.999, 0.001, 0.0, 0.0]),   # near dup of 0
+        (2, [0.0, 1.0, 0.0, 0.0]),       # orthogonal
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_dups(df, "vec_id", "embedding", threshold=0.98).collect()}
+    assert pairs == {(0, 1)}

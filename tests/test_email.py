@@ -1,0 +1,55 @@
+"""Email parse + meta fields — assertion shapes mirror the reference's
+test_emails.py:40-161 (subject/date/recipients/attachments/text)."""
+
+from hoover_snoop2_spark.corpus import render_eml
+from hoover_snoop2_spark.operators.email_parse import (
+    attachments_of,
+    email_meta,
+    parse_email_bytes,
+    read_header,
+)
+
+
+def test_parse_known_eml():
+    eml, golden, atts = render_eml(103, "en")
+    data = parse_email_bytes(eml)
+    meta = email_meta(data)
+    assert meta["text"] == golden
+    assert meta["subject"].startswith("Report 103")
+    assert meta["from"] == ["user50@mail4.example"]
+    assert meta["to"] == ["team16@corp5.example"]
+    assert set(meta["email-domains"]) == {"mail4.example", "corp5.example"}
+    assert meta["date"].endswith("Z")  # zulu format (utils/__init__.py:59)
+    got_atts = attachments_of(data)
+    assert [a[0] for a in got_atts] == [a[0] for a in atts]
+    assert [a[1] for a in got_atts] == [a[1] for a in atts]
+
+
+def test_bom_stripped():
+    eml, golden, _ = render_eml(7, "en")
+    assert email_meta(parse_email_bytes(b"\xef\xbb\xbf" + eml))["text"] == golden
+
+
+def test_multi_encoding_header():
+    # RFC 2047 encoded-word headers decode via make_header (email.py:69-90)
+    assert read_header("=?utf-8?b?dMOzcGlj?=") == "tópic"
+    assert read_header("=?iso-8859-1?q?caf=E9?=") == "café"
+
+
+def test_recipient_fold_order_preserving_dedup():
+    raw = (
+        b"From: a@x.example\r\nTo: b@y.example, c@z.example\r\n"
+        b"Cc: b@y.example\r\nSubject: s\r\n\r\nbody"
+    )
+    meta = email_meta(parse_email_bytes(raw))
+    # To + Cc fold into 'to' with order-preserving dedup (email.py:232-252)
+    assert meta["to"] == ["b@y.example, c@z.example", "b@y.example"]
+    assert meta["cc"] == ["b@y.example"]
+
+
+def test_header_dump():
+    raw = b"From: a@x.example\r\nX-Custom: v1\r\nX-Custom: v2\r\n\r\nbody"
+    meta = email_meta(parse_email_bytes(raw))
+    assert "X-Custom=v1" in meta["email-header"]
+    assert "X-Custom=v2" in meta["email-header"]
+    assert "X-Custom" in meta["email-header-key"]

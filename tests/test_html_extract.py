@@ -1,0 +1,68 @@
+"""HTML boilerplate-strip extractor: block scoring, link density,
+charset handling (reference analog: Tika text path + bleach cleanup,
+digests.py:253-268, html.py:20-23)."""
+
+from hoover_snoop2_spark.functions.textutils import decode_html, html_charset
+from hoover_snoop2_spark.operators.html_extract import (
+    extract_blocks,
+    html_to_text,
+    strip_tags,
+)
+
+
+def test_drops_nav_header_footer():
+    html = (
+        b"<html><head><title>T</title><style>x{}</style></head><body>"
+        b'<nav><a href="/">Home</a> <a href="/x">X</a></nav>'
+        b"<header><h1>Big Site</h1></header>"
+        b"<article><p>First real paragraph of content.</p>"
+        b"<p>Second real paragraph here.</p></article>"
+        b'<footer><a href="/p">Privacy</a></footer></body></html>'
+    )
+    assert html_to_text(html) == (
+        "First real paragraph of content.\n\nSecond real paragraph here."
+    )
+
+
+def test_link_density_drops_sidebar():
+    blocks = extract_blocks(
+        '<div><ul><li><a href="/1">link one</a></li>'
+        '<li><a href="/2">link two</a></li></ul></div>'
+        "<p>Actual content sentence with plenty of plain words.</p>"
+    )
+    assert blocks == ["Actual content sentence with plenty of plain words."]
+
+
+def test_inline_links_kept():
+    blocks = extract_blocks(
+        '<p>Paragraph with an <a href="/x">inline link</a> inside lots of '
+        "other plain prose words that dominate the block.</p>"
+    )
+    assert len(blocks) == 1 and "inline link" in blocks[0]
+
+
+def test_whitespace_folded_and_nfc():
+    blocks = extract_blocks("<p>a\n   b\t\tc</p>")
+    assert blocks == ["a b c"]
+
+
+def test_meta_charset_honored():
+    raw = '<html><head><meta charset="windows-1252"></head><body><p>café “q”</p></body></html>'
+    data = raw.encode("cp1252")
+    assert html_charset(data) == "windows-1252"
+    assert "café “q”" in decode_html(data)
+
+
+def test_missing_meta_falls_to_latin1():
+    raw = "<html><body><p>café</p></body></html>"
+    data = raw.encode("cp1252")
+    # é is the same byte in cp1252 and latin-1 → round trips
+    assert "café" in decode_html(data)
+
+
+def test_strip_tags():
+    assert strip_tags("<p>hello <b>world</b></p>") == "hello world"
+
+
+def test_malformed_html_no_crash():
+    assert isinstance(html_to_text(b"<p>unclosed <div><<<>broken"), str)

@@ -1,0 +1,47 @@
+"""PDF span parser — pdf.js item-join semantics
+(pdf-tools/extract-text.js:28-42) over corpus-generated minimal PDFs."""
+
+from hoover_snoop2_spark.corpus import render_pdf
+from hoover_snoop2_spark.operators.pdf_spans import (
+    _decode_pdf_string,
+    extract_pdf_pages,
+    pdf_to_text,
+)
+
+
+def test_corpus_pdf_round_trip():
+    for doc_id in (3, 9, 27, 84, 252):
+        data, golden = render_pdf(doc_id, "en")
+        text, pages, broken = pdf_to_text(data)
+        assert broken is None
+        assert text == golden, doc_id
+
+
+def test_multi_column_reading_order():
+    # two columns emitted interleaved; parser must read column-major
+    content = (
+        b"BT /F1 12 Tf "
+        b"1 0 0 1 72 720 Tm (L1) Tj "
+        b"1 0 0 1 330 720 Tm (R1) Tj "
+        b"1 0 0 1 72 706 Tm (L2) Tj "
+        b"1 0 0 1 330 706 Tm (R2) Tj "
+        b"ET"
+    )
+    pdf = (
+        b"%PDF-1.4\n1 0 obj\n<< >>\nendobj\n2 0 obj\n<< /Length "
+        + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    pages = extract_pdf_pages(pdf)
+    assert pages == [{"page": 1, "text": "L1 L2 R1 R2"}]
+
+
+def test_string_escapes():
+    assert _decode_pdf_string(rb"a\(b\)c\\d") == "a(b)c\\d"
+    assert _decode_pdf_string(rb"\101\102") == "AB"
+    assert _decode_pdf_string(rb"line\nnext") == "line\nnext"
+
+
+def test_not_pdf_broken():
+    text, pages, broken = pdf_to_text(b"not a pdf")
+    assert broken == "pdf_not_pdf"

@@ -1,0 +1,84 @@
+"""Quality/token functions edge cases + the full oracle gate at sf0.001
+(the same comparison the driver runs at sf0.01)."""
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents "
+    "embeddings"
+).split()
+
+
+def test_token_count_edges(spark):
+    from hoover_snoop2_spark.functions.quality import token_count
+
+    rows = [(0, ""), (1, "   "), (2, "one"), (3, " a  b\tc \n d "), (4, None)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["n"] for r in
+           df.select("id", token_count(F.col("text")).alias("n")).collect()}
+    assert got == {0: 0, 1: 0, 2: 1, 3: 4, 4: None}
+
+
+def test_fingerprint_normalization(spark):
+    from hoover_snoop2_spark.functions.quality import fingerprint
+
+    rows = [(0, "Hello  World"), (1, "hello world"), (2, " HELLO\tWORLD ")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    fps = [r["fp"] for r in df.select(fingerprint(F.col("text")).alias("fp")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def _normalize(rows, cols):
+    out = []
+    for r in rows:
+        vals = []
+        for c in sorted(cols):
+            v = r[c]
+            if isinstance(v, float):
+                v = "nan" if math.isnan(v) else round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def test_all_oracles_match(spark):
+    """Every oracle_sql() entry must agree with its queries() entry —
+    row count, column names, order-insensitive values."""
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    qs, os_ = e.queries(), e.oracle_sql()
+    for name, sql in os_.items():
+        sdf = qs[name](spark, SF_DIR)
+        srows = [r.asDict() for r in sdf.collect()]
+        dtab = con.execute(sql).fetch_arrow_table()
+        assert sorted(sdf.columns) == sorted(dtab.column_names), name
+        a = _normalize(srows, sdf.columns)
+        b = _normalize(dtab.to_pylist(), dtab.column_names)
+        assert len(a) == len(b), (name, len(a), len(b))
+        assert a == b, (name, next((x, y) for x, y in zip(a, b) if x != y))
+
+
+def test_rows_only_queries_run(spark):
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    for name, fn in qs.items():
+        if name in os_:
+            continue
+        assert fn(spark, SF_DIR).count() >= 0, name
+
+
+def test_entry_runs(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert df.count() > 0

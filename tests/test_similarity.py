@@ -1,0 +1,48 @@
+"""Similarity search: brute-force exactness vs numpy; LSH ANN recall."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from hoover_snoop2_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.RandomState(7)
+    vecs = rng.normal(size=(200, 16)).astype("float32")
+    rows = [(i, vecs[i].tolist()) for i in range(200)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        vecs,
+    )
+
+
+def test_brute_force_matches_numpy(vectors):
+    df, vecs = vectors
+    q = df.filter(F.col("vec_id") < 3)
+    got = brute_force_topk(df, q, k=5).collect()
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for qi in range(3):
+        s = sims[qi].copy()
+        s[qi] = -2
+        order = np.argsort([(-round(float(s[j]), 4), j) for j in range(200)], axis=0)
+        # deterministic expected ranking: (-rounded_sim, id)
+        expect = sorted(range(200), key=lambda j: (-round(float(s[j]), 4), j))[:5]
+        mine = [r["neighbor_id"] for r in got if r["query_id"] == qi]
+        assert mine == expect, qi
+
+
+def test_ann_lsh_recall(vectors):
+    df, _ = vectors
+    q = df.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(df, q, k=5).collect()}
+    # iid gaussians are LSH's adversarial case (similarities are nearly
+    # uniform); 3 planes = 8 buckets keeps candidate sets wide enough.
+    # measured: recall 0.8 @ 3 planes, 0.62 @ 4, 0.5 @ 5 on this seed
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ann_lsh_topk(df, q, k=5, n_planes=3, dim=16).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
