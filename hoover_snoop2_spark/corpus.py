@@ -560,6 +560,47 @@ PAGES_PA_SCHEMA = pa.schema(
 )
 
 
+def generate_pages_spark(spark, n_docs: int, out_dir: str) -> str:
+    """Distributed corpus generation for bench scale: build_doc is pure
+    per-id, so spark.range → mapInPandas parallelizes it perfectly.
+    Writes pages.parquet (no golden table — bench only) and returns its path.
+    """
+    import os
+
+    import pandas as pd
+
+    out = os.path.join(out_dir, "pages.parquet")
+    if os.path.exists(out):
+        return out
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [build_doc(int(i)) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "url": [d["url"] for d in rows],
+                    "warc_ts": [d["warc_ts"] for d in rows],
+                    "html": [d["html"] for d in rows],
+                    "text": [d["text"] for d in rows],
+                    "lang": [d["lang"] for d in rows],
+                }
+            )
+
+    parallelism = spark.sparkContext.defaultParallelism
+    (
+        spark.range(n_docs)
+        .repartition(parallelism * 2)
+        .mapInPandas(
+            gen,
+            schema="url string, warc_ts timestamp, html binary, "
+                   "text string, lang string",
+        )
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return out
+
+
 def generate_pages(n_docs: int, out_dir: str, start_id: int = 0) -> tuple[str, str]:
     """Write pages.parquet + expected_digests.parquet under out_dir.
 

@@ -35,9 +35,16 @@ from .html_extract import html_to_text
 from .pdf_spans import pdf_to_text
 from .tables import corrected_table_mime, explode_table, is_table_mime, table_info
 
-#: Spark DDL schema of the analyze output (digest ∪ child rows)
+#: Spark DDL schema of the analyze output (digest ∪ deferred-child rows).
+#: url/parent_url/depth/ancestors are computed in-kernel (container
+#: children recurse inside the UDF — see analyze_tree), so digest rows come
+#: out fully formed — no join back to a url map on the hot path.  root_sha
+#: ties every row to its round-input blob so duplicate inputs can clone
+#: whole subtrees with a url-prefix rewrite.
 ANALYZE_SCHEMA = (
-    "kind string, sha3_256 string, md5 string, sha1 string, sha256 string, "
+    "kind string, sha3_256 string, root_sha string, url string, "
+    "parent_url string, depth int, ancestors array<string>, "
+    "md5 string, sha1 string, sha256 string, "
     "size bigint, mime_type string, mime_encoding string, text string, "
     "status string, broken_reason string, subject string, "
     "email_from array<string>, email_to array<string>, "
@@ -45,6 +52,14 @@ ANALYZE_SCHEMA = (
     "table_columns array<string>, table_row_count bigint, "
     "n_children int, child_name string, child_data binary"
 )
+
+#: in-kernel recursion budget: a container whose (direct) listing exceeds
+#: either bound defers its children to the next driver round instead of
+#: expanding inside one task — the Spark analog of the reference's
+#: 20 000-row table splits / 150-page PDF chunks (defaultsettings.py:383,
+#: pdf-tools/run.sh:5-11)
+INLINE_MAX_CHILDREN = 2_000
+INLINE_MAX_BYTES = 128 * 2**20
 
 _EMPTY = {
     "md5": None, "sha1": None, "sha256": None, "size": None,
@@ -144,7 +159,15 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
 
     digest["n_children"] = len(children)
     rows = [digest]
+    seen_names: dict[str, int] = {}
     for name, child_bytes in children:
+        # child urls must be unique per parent (two attachments may share a
+        # filename); disambiguate repeats the way unpack listings do
+        if name in seen_names:
+            seen_names[name] += 1
+            name = f"{name}.{seen_names[name]}"
+        else:
+            seen_names[name] = 0
         child: dict = dict(_EMPTY)
         child.update(
             kind="child",
@@ -156,19 +179,102 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
     return rows
 
 
-def analyze_map_in_pandas(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas body over (sha3_256, html) unique-blob batches.
+def analyze_tree(
+    sha3: str,
+    url: str,
+    parent_url: str | None,
+    depth: int,
+    ancestors: tuple[str, ...],
+    data: bytes,
+    root_sha: str,
+    max_depth: int,
+    inline_max_children: int | None = None,
+    inline_max_bytes: int | None = None,
+) -> list[dict]:
+    """Analyze one blob AND its container subtree in-process.
 
-    Emits digest/child rows in bounded chunks so one giant archive cannot
-    pin an unbounded pandas frame in the Python worker.
+    Children are already in memory after unpack, so recursing here instead
+    of re-shuffling them through a driver round removes ~4 job barriers per
+    nesting level.  Guards:
+
+    - recursion: child hash ∈ ancestor chain → broken 'archive_recursion'
+      (check_recursion analog, archives.py:531-540);
+    - depth: children beyond max_depth are dropped (bounded expansion);
+    - size: oversized listings (INLINE_MAX_*) are NOT recursed — their
+      children come back as kind='child' rows and the driver loop runs
+      them as a normal next round (keeps one task from holding a whole
+      giant archive, the reference's split-granularity concern).
     """
-    CHUNK = 64
-    for pdf in batches:
-        buf: list[dict] = []
-        for sha3, data in zip(pdf["sha3_256"], pdf["html"]):
-            buf.extend(analyze_blob(sha3, data))
-            if len(buf) >= CHUNK:
+    rows = analyze_blob(sha3, data)
+    digest = rows[0]
+    digest.update(kind="digest", root_sha=root_sha, url=url,
+                  parent_url=parent_url, depth=depth, ancestors=None)
+    out = [digest]
+    child_rows = rows[1:]
+    if not child_rows:
+        return out
+
+    max_children = inline_max_children if inline_max_children is not None else INLINE_MAX_CHILDREN
+    max_bytes = inline_max_bytes if inline_max_bytes is not None else INLINE_MAX_BYTES
+    total_bytes = sum(len(c["child_data"] or b"") for c in child_rows)
+    defer = len(child_rows) > max_children or total_bytes > max_bytes
+    chain = ancestors + (sha3,)
+    for c in child_rows:
+        child_url = f"{url}//{c['child_name']}"
+        child_data = c["child_data"] or b""
+        if depth + 1 > max_depth:
+            continue  # bounded expansion: beyond the cap nothing is emitted
+        if defer:
+            c.update(kind="child", root_sha=root_sha, url=child_url,
+                     parent_url=url, depth=depth + 1, ancestors=list(chain))
+            out.append(c)
+            continue
+        child_sha = hashlib.sha3_256(child_data).hexdigest()
+        if child_sha in chain:
+            rec: dict = dict(_EMPTY)
+            rec.update(kind="digest", sha3_256=child_sha, root_sha=root_sha,
+                       url=child_url, parent_url=url, depth=depth + 1,
+                       ancestors=None, status="broken",
+                       broken_reason="archive_recursion", text="")
+            out.append(rec)
+            continue
+        out.extend(
+            analyze_tree(child_sha, child_url, url, depth + 1, chain,
+                         child_data, root_sha, max_depth,
+                         inline_max_children, inline_max_bytes)
+        )
+    return out
+
+
+def analyze_map_in_pandas(max_depth: int = 5,
+                          inline_max_children: int | None = None,
+                          inline_max_bytes: int | None = None):
+    """mapInPandas body factory over (sha3_256, url, parent_url, depth,
+    ancestors, html) unique-blob batches.
+
+    Emits digest/deferred-child rows in bounded chunks so one giant archive
+    cannot pin an unbounded pandas frame in the Python worker.
+    """
+    CHUNK = 256
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            buf: list[dict] = []
+            for sha3, url, parent_url, depth, ancestors, data in zip(
+                pdf["sha3_256"], pdf["url"], pdf["parent_url"], pdf["depth"],
+                pdf["ancestors"], pdf["html"],
+            ):
+                chain = tuple(ancestors) if ancestors is not None else ()
+                buf.extend(
+                    analyze_tree(sha3, url, parent_url, int(depth), chain,
+                                 data, root_sha=sha3, max_depth=max_depth,
+                                 inline_max_children=inline_max_children,
+                                 inline_max_bytes=inline_max_bytes)
+                )
+                if len(buf) >= CHUNK:
+                    yield pd.DataFrame(buf)
+                    buf = []
+            if buf:
                 yield pd.DataFrame(buf)
-                buf = []
-        if buf:
-            yield pd.DataFrame(buf)
+
+    return fn

@@ -61,14 +61,19 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
         shingles_col(text_col, k),
         lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
     )
+    # two projections: the shingle+hash chain lands in a real column first
+    # so the n_hashes permutation expressions reference the column instead
+    # of inlining (and recomputing) the whole chain n_hashes times
+    hashed = df.select(F.col(id_col).alias("id"), hashes.alias("hv"))
+
     def perm(a: int, b: int):
         # pyspark inspects lambda arity — bind (a, b) via an outer closure
         return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
 
     sig = F.array(
-        *[F.array_min(F.transform(hashes, perm(a, b))) for a, b in params]
+        *[F.array_min(F.transform(F.col("hv"), perm(a, b))) for a, b in params]
     )
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature"))
+    return hashed.select("id", sig.alias("signature"))
 
 
 def minhash_lsh_pairs(
@@ -110,21 +115,55 @@ def minhash_lsh_pairs(
             )
         ).alias("bk"),
     ).select("id", "bk.band", "bk.band_hash")
+    # the signature chain (shingles → 16 permutations) is the expensive
+    # part and feeds five downstream consumers — materialize the tiny
+    # (id, band, hash) table once instead of re-deriving it per consumer
+    banded = banded.localCheckpoint(eager=True)
 
+    # degenerate buckets (near-identical boilerplate at web scale) would
+    # make the self-join quadratic; cap them and surface the cap in the
+    # plan rather than silently churning.  A capped bucket's members are
+    # still paired through their other, finer bands.
+    MAX_BUCKET = 200
+    bucket_sizes = banded.groupBy("band", "band_hash").agg(
+        F.count("*").alias("_bn")
+    )
+    banded = banded.join(
+        F.broadcast(bucket_sizes.filter(F.col("_bn") <= MAX_BUCKET)),
+        ["band", "band_hash"],
+        "left_semi",
+    )
     cand = (
         banded.alias("l")
         .join(banded.alias("r"), ["band", "band_hash"])
         .filter(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
 
-    sh = df.select(
-        F.col(id_col).alias("id"), shingles_col(text_col, k).alias("sh")
-    ).withColumn("sh", F.array_distinct("sh"))
+    # exact-Jaccard verify ONLY over candidate ids: shingle arrays are the
+    # heaviest intermediate (10-100 KB/doc), so they are filtered down with
+    # a broadcast semi-join and never shuffle for the full corpus
+    cand_ids = (
+        cand.select(F.col("id_a").alias("id"))
+        .union(cand.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    sh = (
+        df.select(F.col(id_col).alias("id"), shingles_col(text_col, k).alias("sh"))
+        .join(F.broadcast(cand_ids), "id", "left_semi")
+        .withColumn("sh", F.array_distinct("sh"))
+    )
     verified = (
-        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        cand.join(
+            F.broadcast(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})),
+            "id_a",
+        )
+        .join(
+            F.broadcast(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})),
+            "id_b",
+        )
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))

@@ -1,0 +1,87 @@
+"""Digest path/filename field builders + side-table joins — the remaining
+`_get_document_content` surface (reference digests.py:865-978) beyond the
+core gather projection:
+
+- ``full_path`` / ``path_parts`` — container-aware path prefixes
+  (digests.py:726-759): `//` marks archive boundaries; `path-parts` holds
+  every cumulative prefix (ES path-bucket aggregations),
+- ``filename`` — last path segment,
+- OCR side-source join — external OCR artifacts matched to documents **by
+  MD5 prefix of the artifact filename** (ocr.py:113-156, join at
+  ocr.py:73-77): a broadcast left join adding `ocrtext` and an `ocr` flag,
+- user-tags side table (DocumentUserTag, models.py:986-1081): tags
+  aggregated per doc hash and joined at sink time.
+
+All pure column expressions / joins — no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def with_path_fields(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """filename, path, path_parts columns.
+
+    ``path_parts`` = cumulative '/'-prefixes of the url path (scheme+host
+    kept as the first element), mirroring path_parts (digests.py:746-759)
+    which returns every prefix of the slash-split path.
+    """
+    # strip scheme; keep host as first path element (collection-root analog)
+    path = F.regexp_replace(F.col(url_col), r"^[a-z]+://", "")
+    segments = F.split(path, "/")
+    # cumulative prefixes: transform over 1..n joining the first i segments
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(segments)),
+        lambda i: F.concat_ws("/", F.slice(segments, 1, i)),
+    )
+    return (
+        df.withColumn("path", path)
+        .withColumn("filename", F.element_at(segments, -1))
+        .withColumn("path_parts", prefixes)
+    )
+
+
+def join_ocr_sources(
+    digests: DataFrame, ocr_docs: DataFrame, source_name: str = "ocr"
+) -> DataFrame:
+    """Attach external OCR text by md5 (the reference pairs OCR files to
+    originals via the md5 embedded in the artifact filename,
+    ocr.py:126-127; digest merge at digests.py:298-331).
+
+    ocr_docs: (md5 string, ocrtext string).  Broadcast left join — OCR
+    sources are dimension-sized next to the corpus.
+    """
+    ocr = ocr_docs.select(
+        F.col("md5"),
+        F.map_from_arrays(
+            F.array(F.lit(source_name)), F.array(F.col("ocrtext"))
+        ).alias("ocrtext"),
+    )
+    out = digests.join(F.broadcast(ocr), "md5", "left")
+    return out.withColumn("ocr", F.col("ocrtext").isNotNull())
+
+
+def join_user_tags(digests: DataFrame, tags: DataFrame) -> DataFrame:
+    """Aggregate and attach user tags (public + private) per doc hash —
+    the DocumentUserTag sink-time merge (digests.py:505-556).
+
+    tags: (sha3_256 string, tag string, public boolean, user string).
+    Public tags land in `tags`; private ones in `private_tags` as
+    'user:tag' strings (the ES dynamic-template analog, indexing.py:96-113).
+    """
+    agg = tags.groupBy("sha3_256").agg(
+        F.sort_array(
+            F.collect_set(F.when(F.col("public"), F.col("tag")))
+        ).alias("tags"),
+        F.sort_array(
+            F.collect_set(
+                F.when(
+                    ~F.col("public"),
+                    F.concat_ws(":", F.col("user"), F.col("tag")),
+                )
+            )
+        ).alias("private_tags"),
+    )
+    return digests.join(F.broadcast(agg), "sha3_256", "left")

@@ -26,7 +26,7 @@ Scale notes (the parts that matter at 10^12 docs):
 from __future__ import annotations
 
 import os
-import tempfile
+import time as _time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -37,9 +37,11 @@ from ..functions.langid import detect_language_udf
 from ..operators.analyze import ANALYZE_SCHEMA, analyze_map_in_pandas
 from .checkpoint import CheckpointStore, resume_delta
 from .metrics import stage_metrics
-from .skew import repartition_by_size_class
 
 MAX_DEPTH = 5
+
+#: opt-in step timing to stdout (perf debugging)
+_TIMING = os.environ.get("SNOOP_SPARK_TIMING") == "1"
 
 _DIGEST_FIELDS = [
     "sha3_256", "md5", "sha1", "sha256", "size", "mime_type", "mime_encoding",
@@ -55,16 +57,25 @@ def run_extraction(
     checkpoint_dir: str | None = None,
     max_depth: int = MAX_DEPTH,
     previous_digests: DataFrame | None = None,
+    inline_max_children: int | None = None,
+    inline_max_bytes: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """pages(url, warc_ts, html, ...) → (digests, metrics).
 
     ``previous_digests`` enables incremental re-runs: already-processed
     hashes are anti-joined away (resume_delta) and stitched back in.
     """
-    own_tmp = None
+    # Every stage boundary is a parquet snapshot (Iceberg-commit analog):
+    # resumable, lineage-flat, and — decisive for this workload — all
+    # downstream consumers read back COLUMN-PRUNED (children readers never
+    # deserialize digest text; digest readers never touch child binaries).
+    # Block-store persist/localCheckpoint was measured 2-4x more CPU here
+    # because every consumer pays a full-row deserialize.
+    user_dir = checkpoint_dir is not None
     if checkpoint_dir is None:
-        own_tmp = tempfile.mkdtemp(prefix="snoop_spark_ckpt_")
-        checkpoint_dir = own_tmp
+        import tempfile
+
+        checkpoint_dir = tempfile.mkdtemp(prefix="snoop_spark_ckpt_")
     cp = CheckpointStore(checkpoint_dir)
 
     work = pages.select(
@@ -80,65 +91,161 @@ def run_extraction(
     round_no = 0
 
     while True:
-        from pyspark import StorageLevel
+        # hashed is deliberately NOT materialized: blob bytes are the
+        # dominant traffic, so its two consumers (pairs, analyze input)
+        # recompute the cheap hash from the source scan instead of writing
+        # corpus-sized blocks.  Round 0 reads straight from parquet; later
+        # rounds read the (small) checkpointed child work set.
+        hashed = work.withColumn("sha3_256", sha3_256_udf(F.col("html")))
 
-        # hashed feeds three consumers (recursion split, dedup, url map);
-        # persist so the hashing UDF runs once per round
-        hashed = work.withColumn("sha3_256", sha3_256_udf(F.col("html"))).persist(
-            StorageLevel.MEMORY_AND_DISK
+        # pairs: everything about a url EXCEPT the bytes — tiny; this is
+        # the only per-round bookkeeping materialization
+        pairs = cp.write(
+            hashed.select("sha3_256", "url", "parent_url", "depth", "ancestors"),
+            f"pairs_r{round_no}",
         )
 
         # recursion guard: a child whose bytes equal an ancestor container
-        # is a zip bomb (check_recursion, archives.py:531-540)
-        is_rec = F.array_contains(F.col("ancestors"), F.col("sha3_256"))
-        rec_digests = (
-            hashed.filter(is_rec)
-            .select(
-                "url", "parent_url", "depth", "sha3_256",
-                F.lit("broken").alias("status"),
-                F.lit("archive_recursion").alias("broken_reason"),
-                F.lit("").alias("text"),
+        # is a zip bomb (check_recursion, archives.py:531-540).  Round 0
+        # has no ancestors by construction — skip the branch there.
+        if round_no == 0:
+            ok_pairs = pairs
+        else:
+            is_rec = F.array_contains(F.col("ancestors"), F.col("sha3_256"))
+            digest_rounds.append(
+                pairs.filter(is_rec).select(
+                    "url", "parent_url", "depth", "sha3_256",
+                    F.lit("broken").alias("status"),
+                    F.lit("archive_recursion").alias("broken_reason"),
+                    F.lit("").alias("text"),
+                )
             )
-        )
-        ok = hashed.filter(~is_rec)
+            ok_pairs = pairs.filter(~is_rec)
 
         # memoization: skip hashes already digested in a previous run
-        todo = resume_delta(ok, previous_digests) if round_no == 0 else ok
+        if round_no == 0:
+            ok_pairs = resume_delta(ok_pairs, previous_digests)
 
-        uniq = todo.select("sha3_256", "html").dropDuplicates(["sha3_256"])
-        uniq = repartition_by_size_class(uniq, data_col="html", key="sha3_256")
-        analyzed = uniq.drop("_salt").mapInPandas(
-            analyze_map_in_pandas, schema=ANALYZE_SCHEMA
+        # Dedup WITHOUT moving blobs: elect one representative url per
+        # hash over the pairs table (bytes-per-row ~100 B), then semi-join
+        # the winner set back against the blob scan as a BROADCAST join —
+        # blobs never leave their input partitions.  The corpus-sized
+        # dedup shuffle this replaces was the pipeline's bandwidth
+        # bottleneck.  (At 10^12-doc scale the winner set outgrows a
+        # broadcast: there the Iceberg table is bucketed by sha3_256 at
+        # ingest and dedup_by_size_class (plans/skew.py) does the same in
+        # one co-located shuffle; both paths are kept.)
+        winners = (
+            ok_pairs.groupBy("sha3_256").agg(F.min("url").alias("url"))
         )
-        # checkpoint: one write, two reads (digest + child split), flat lineage
+        uniq = hashed.join(
+            F.broadcast(winners), ["sha3_256", "url"], "left_semi"
+        )
+        # container subtrees expand INSIDE the kernel (analyze_tree) —
+        # digest rows come out fully formed for the whole tree; only
+        # oversized listings come back as kind='child' for a next round
+        analyzed = uniq.mapInPandas(
+            analyze_map_in_pandas(
+                max_depth=max_depth,
+                inline_max_children=inline_max_children,
+                inline_max_bytes=inline_max_bytes,
+            ),
+            schema=ANALYZE_SCHEMA,
+        )
+        _t0 = _time.perf_counter()
         analyzed = cp.write(analyzed, f"analyzed_r{round_no}")
+        if _TIMING:
+            print(f"[pipeline] r{round_no} analyze: "
+                  f"{_time.perf_counter() - _t0:.1f}s", flush=True)
 
-        url_map = todo.select("url", "parent_url", "depth", "ancestors", "sha3_256")
-        digests_r = analyzed.filter(F.col("kind") == "digest").select(*_DIGEST_FIELDS)
-        round_digests = url_map.drop("ancestors").join(digests_r, "sha3_256")
-        digest_rounds.append(round_digests)
-        digest_rounds.append(rec_digests)  # usually empty; union is lazy
+        # duplicate round-input urls (lost the election) clone the
+        # representative's whole subtree via a broadcast of the small dup
+        # set + url-prefix rewrite — digest texts themselves never shuffle
+        dups = (
+            ok_pairs.withColumnsRenamed(
+                {"sha3_256": "root_sha", "url": "dup_url",
+                 "parent_url": "dup_parent_url", "depth": "dup_depth",
+                 "ancestors": "dup_ancestors"}
+            )
+            .join(
+                F.broadcast(winners.withColumnsRenamed(
+                    {"sha3_256": "root_sha", "url": "rep_url"})),
+                "root_sha",
+            )
+            .filter(F.col("dup_url") != F.col("rep_url"))
+        )
+
+        digests_r = analyzed.filter(F.col("kind") == "digest").select(
+            "root_sha", "url", "parent_url", "depth", *_DIGEST_FIELDS
+        )
+        digest_rounds.append(digests_r.drop("root_sha"))
+        rewrite_url = F.concat(
+            F.col("dup_url"),
+            F.expr("substring(url, length(rep_url) + 1)"),
+        )
+        rewrite_parent = F.when(
+            F.col("depth") == F.col("dup_depth"), F.col("dup_parent_url")
+        ).otherwise(
+            F.concat(F.col("dup_url"),
+                     F.expr("substring(parent_url, length(rep_url) + 1)"))
+        )
+        dup_digests = (
+            digests_r.join(
+                F.broadcast(dups.select(
+                    "root_sha", "dup_url", "dup_parent_url", "dup_depth", "rep_url")),
+                "root_sha",
+            )
+            .withColumn("url", rewrite_url)
+            .withColumn("parent_url", rewrite_parent)
+            .drop("root_sha", "dup_url", "dup_parent_url", "dup_depth", "rep_url")
+        )
+        digest_rounds.append(dup_digests)
         metric_rounds.append(stage_metrics(digests_r, "analyze", round_no))
 
-        children = analyzed.filter(F.col("kind") == "child").select(
-            "sha3_256", "child_name", "child_data"
-        )
+        children = analyzed.filter(F.col("kind") == "child")
         if round_no >= max_depth:
             break
+        _t0 = _time.perf_counter()
         n_children = children.limit(1).count()
+        if _TIMING:
+            print(f"[pipeline] r{round_no} child probe: "
+                  f"{_time.perf_counter() - _t0:.1f}s", flush=True)
         if n_children == 0:
             break
 
-        # fan children out to every url that carries the parent blob
-        work = (
-            children.join(url_map, "sha3_256")
-            .select(
-                F.concat_ws("//", F.col("url"), F.col("child_name")).alias("url"),
-                F.col("child_data").alias("html"),
-                F.col("url").alias("parent_url"),
-                (F.col("depth") + 1).alias("depth"),
-                F.array_append(F.col("ancestors"), F.col("sha3_256")).alias("ancestors"),
+        # deferred children: representative rows carry their fields already;
+        # duplicate parents clone them with the same prefix rewrite
+        rep_child_work = children.select(
+            "url",
+            F.col("child_data").alias("html"),
+            "parent_url",
+            "depth",
+            "ancestors",
+        )
+        dup_child_work = (
+            children.select(
+                "root_sha", "url", "parent_url", "depth", "ancestors", "child_data"
             )
+            .join(F.broadcast(dups), "root_sha")
+            .select(
+                rewrite_url.alias("url"),
+                F.col("child_data").alias("html"),
+                F.concat(
+                    F.col("dup_url"),
+                    F.expr("substring(parent_url, length(rep_url) + 1)"),
+                ).alias("parent_url"),
+                F.col("depth"),
+                # ancestor chain: duplicate's own prefix + the subtree
+                # suffix (identical bytes → identical hashes below the root)
+                F.concat(
+                    F.col("dup_ancestors"),
+                    F.expr("slice(ancestors, dup_depth + 1, "
+                           "size(ancestors) - dup_depth)"),
+                ).alias("ancestors"),
+            )
+        )
+        work = cp.write(
+            rep_child_work.unionByName(dup_child_work), f"work_r{round_no + 1}"
         )
         round_no += 1
 
@@ -154,11 +261,18 @@ def run_extraction(
     if previous_digests is not None:
         digests = previous_digests.unionByName(digests, allowMissingColumns=True)
 
-    digests = cp.write(digests, "digests")
-    if own_tmp is not None:
-        # caller gets materialized results; temp checkpoints stay until GC
-        pass
+    # with a caller-owned checkpoint dir the final table is snapshotted
+    # (resume anchor); ephemeral runs return it lazily — the caller's
+    # sink/action is the only full-table materialization
+    if user_dir:
+        _t0 = _time.perf_counter()
+        digests = cp.write(digests, "digests")
+        if _TIMING:
+            print(f"[pipeline] final gather: {_time.perf_counter() - _t0:.1f}s",
+                  flush=True)
     return digests, metrics
+
+
 
 
 def gather(all_digests: DataFrame) -> DataFrame:
@@ -166,15 +280,14 @@ def gather(all_digests: DataFrame) -> DataFrame:
     filetype mapping, language detect, word-count, skip-by-extension,
     attachments flag, path fields.  Pure column expressions + one lang UDF.
     """
-    ext = F.lower(F.regexp_extract(F.col("url"), r"(\.[A-Za-z0-9]+)$", 1))
+    url_l = F.lower(F.col("url"))
+    skip_ext = url_l.endswith(".exe") | url_l.endswith(".dat")
     return (
         all_digests
         .withColumn("filetype", filetype_col(F.col("mime_type")))
         .withColumn(
             "status",
-            F.when(ext.isin(".exe", ".dat"), F.lit("skipped")).otherwise(
-                F.col("status")
-            ),
+            F.when(skip_ext, F.lit("skipped")).otherwise(F.col("status")),
         )
         # the reference's "word-count" is max text length in characters
         # (digests.py:887-893) — preserved verbatim, quirk included

@@ -38,6 +38,37 @@ def salted(df: DataFrame, key: str = "url", parts: int | None = None) -> DataFra
     return df.withColumn("_salt", F.pmod(F.xxhash64(F.col(key)), F.lit(n)))
 
 
+def dedup_by_size_class(
+    df: DataFrame,
+    data_col: str = "html",
+    key: str = "sha3_256",
+    base_parts: int | None = None,
+) -> DataFrame:
+    """Size-class split + hash dedup in ONE shuffle per class.
+
+    The size filter is shuffle-free (identical bytes → identical size, so
+    per-class dedup is globally correct); ``repartition(n, key)`` installs
+    HashPartitioning(key) which satisfies dropDuplicates' required
+    distribution, so Catalyst adds no second exchange.  Compared to
+    dropDuplicates-then-repartition this halves the bytes crossing the
+    shuffle — the dominant I/O for a binary corpus.
+    """
+    spark = df.sparkSession
+    n = base_parts or spark.sparkContext.defaultParallelism
+    sized = df.withColumn("_sz", F.coalesce(F.length(F.col(data_col)), F.lit(0)))
+    light = (
+        sized.filter(F.col("_sz") <= SIZE_CLASS_BYTES)
+        .repartition(n, F.col(key))
+        .dropDuplicates([key])
+    )
+    heavy = (
+        sized.filter(F.col("_sz") > SIZE_CLASS_BYTES)
+        .repartition(max(n * 4, 16), F.col(key))
+        .dropDuplicates([key])
+    )
+    return light.unionByName(heavy).drop("_sz")
+
+
 def repartition_by_size_class(
     df: DataFrame,
     data_col: str = "html",

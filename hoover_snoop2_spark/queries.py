@@ -553,6 +553,63 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def q23_path_parts(spark, sf_dir):
+    """Container-aware path prefix expansion (full_path/path_parts,
+    reference digests.py:726-759) over synthesized urls — the ES
+    path-bucket field, as pure array expressions."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("site"), (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example/"), F.col("source"), F.lit("/"),
+        F.col("doc_id").cast("string"), F.lit(".txt"),
+    )
+    segments = F.split(url, "/")
+    prefixes = F.transform(
+        F.sequence(F.lit(1), F.size(segments)),
+        lambda i: F.concat_ws("/", F.slice(segments, 1, i)),
+    )
+    return d.select(
+        "doc_id",
+        F.element_at(segments, -1).alias("filename"),
+        prefixes.alias("path_parts"),
+    ).orderBy("doc_id")
+
+
+Q23_SQL = """
+WITH u AS (
+  SELECT doc_id,
+         'site' || (doc_id % 97) || '.example/' || source || '/' || doc_id || '.txt' AS url
+  FROM documents
+), s AS (
+  SELECT doc_id, string_split(url, '/') AS segments FROM u
+)
+SELECT doc_id,
+       segments[len(segments)] AS filename,
+       list_transform(range(1, len(segments) + 1),
+                      i -> array_to_string(segments[1:i], '/')) AS path_parts
+FROM s ORDER BY doc_id
+"""
+
+
+def q24_host_stats(spark, sf_dir):
+    """Per-host rollup of the synthesized urls (the collection-level
+    Statistics aggregation shape, admin.py:117-276)."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 97).cast("string"))
+    return (
+        d.groupBy(host.alias("host"))
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars"))
+        .orderBy("host")
+    )
+
+
+Q24_SQL = """
+SELECT 'site' || (doc_id % 97) AS host, count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS chars
+FROM documents GROUP BY 1 ORDER BY host
+"""
+
+
 # ---------------------------------------------------------------------------
 # non-SQL-expressible operators (rows-only driver check; full validation in
 # pytest golden suites)
@@ -650,6 +707,48 @@ def q35_media_features(spark, sf_dir):
     return extract_media_features(df).orderBy("sha3_256")
 
 
+def q36_ocr_join(spark, sf_dir):
+    """External-OCR side-source equi-join by md5 (reference ocr.py:73-156,
+    merge digests.py:298-331) — synthesized OCR artifacts for every 10th
+    doc."""
+    from .functions.quality import fingerprint
+    from .operators.gather_fields import join_ocr_sources
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "md5", fingerprint(F.col("text"))
+    )
+    ocr = (
+        d.filter(F.col("doc_id") % 10 == 0)
+        .select("md5", F.concat(F.lit("OCR:"), F.col("text")).alias("ocrtext"))
+    )
+    return (
+        join_ocr_sources(d.select("doc_id", "md5"), ocr)
+        .select("doc_id", "ocr")
+        .orderBy("doc_id")
+    )
+
+
+def q37_user_tags(spark, sf_dir):
+    """User-tag side table aggregated + joined at sink time (reference
+    DocumentUserTag, digests.py:505-556)."""
+    from .operators.gather_fields import join_user_tags
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id"), F.col("doc_id").cast("string").alias("sha3_256")
+    )
+    tags = d.select(
+        "sha3_256",
+        F.concat(F.lit("tag"), (F.col("doc_id") % 5).cast("string")).alias("tag"),
+        (F.col("doc_id") % 2 == 0).alias("public"),
+        F.concat(F.lit("user"), (F.col("doc_id") % 3).cast("string")).alias("user"),
+    )
+    return (
+        join_user_tags(d, tags)
+        .select("doc_id", "tags", "private_tags")
+        .orderBy("doc_id")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -673,12 +772,16 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q20_lang_stats": q20_lang_stats,
     "q21_cosine_topk": q21_cosine_topk,
     "q22_embedding_norms": q22_embedding_norms,
+    "q23_path_parts": q23_path_parts,
+    "q24_host_stats": q24_host_stats,
     "q30_minhash_lsh_dups": q30_minhash_lsh_dups,
     "q31_simhash_dups": q31_simhash_dups,
     "q32_ann_lsh_topk": q32_ann_lsh_topk,
     "q33_langid": q33_langid,
     "q34_extract_digests": q34_extract_digests,
     "q35_media_features": q35_media_features,
+    "q36_ocr_join": q36_ocr_join,
+    "q37_user_tags": q37_user_tags,
 }
 
 ORACLES: dict[str, str] = {
@@ -704,6 +807,8 @@ ORACLES: dict[str, str] = {
     "q20_lang_stats": Q20_SQL,
     "q21_cosine_topk": Q21_SQL,
     "q22_embedding_norms": Q22_SQL,
+    "q23_path_parts": Q23_SQL,
+    "q24_host_stats": Q24_SQL,
     # q30-q35: non-SQL-expressible (LSH banding, simhash bit votes, UDF
     # language id, binary extraction pipeline, media UDFs) → rows-only
 }

@@ -59,6 +59,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.python.worker.reuse", "true")
+        # Blob stages are CPU-bound per byte (parse/hash/unpack), so
+        # partitions must be sized far below the 128 MB scan default or a
+        # 200 MB corpus reads as 2 splits and the UDF stage runs 2-wide.
+        # 8 MB targets keep every core busy while staying well inside the
+        # Arrow batch memory envelope.
+        .config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # columnar-cache compression costs ~10ms/row CPU on binary/text
+        # columns (measured) for no benefit on already-compressed payloads
+        .config("spark.sql.inMemoryColumnarStorage.compressed", "false")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,64 @@
+"""Capture formatted physical plans for the headline queries into PLANS.md
+— the audit trail for the plan-quality claims (filter pushdown reaches the
+parquet scan, dimension joins broadcast, aggregations keep partial/final
+split, whole-stage codegen spans the relational operators).
+
+Usage: python tools/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+
+sys.path.insert(0, ".")
+
+AUDITED = [
+    "q01_pricing_summary",
+    "q05_semi_join",
+    "q07_dim_join",
+    "q11_decorrelated_subquery",
+    "q16_dedup_exact",
+    "q21_cosine_topk",
+    "q30_minhash_lsh_dups",
+]
+
+CHECKS = {
+    "q01_pricing_summary": ["PushedFilters", "HashAggregate"],
+    "q05_semi_join": ["LeftSemi"],
+    "q07_dim_join": ["BroadcastHashJoin"],
+    "q11_decorrelated_subquery": ["HashAggregate"],
+    "q16_dedup_exact": ["HashAggregate"],
+    "q21_cosine_topk": ["BroadcastNestedLoopJoin", "Window"],
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from hoover_snoop2_spark.queries import QUERIES
+    from hoover_snoop2_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    out = ["# PLANS — formatted physical plans for headline queries",
+           "", f"sf_dir: `{sf_dir}` (written by tools/explain_audit.py)", ""]
+    for name in AUDITED:
+        df = QUERIES[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        verdicts = []
+        for want in CHECKS.get(name, []):
+            verdicts.append(f"{'OK' if want in plan else 'MISSING'}: {want}")
+        out += [f"## {name}", "",
+                *(f"- {v}" for v in verdicts), "",
+                "```", plan.strip()[:4000], "```", ""]
+        print(name, "|", "; ".join(verdicts))
+    with open("PLANS.md", "w") as f:
+        f.write("\n".join(out) + "\n")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
