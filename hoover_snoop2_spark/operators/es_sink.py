@@ -1,0 +1,61 @@
+"""Search-index sink shape — the reference's Elasticsearch document body.
+
+`digests.bulk_index` builds one JSON doc per digest with a pinned mapping
+(indexing.py:39-126; body assembly `_get_document_content`
+digests.py:865-978).  Our sink is an Iceberg/parquet table with the same
+field names and types, so a user of the reference's index can point their
+queries at this table:
+
+- keyword fields: content-type, md5, sha1, sha3-256/id, filetype, lang,
+  path, filename, tags
+- text: text, path-text, subject
+- numeric: size (capped at 2^31-1, digests.py:44,635-637), word-count
+- boolean: attachments, ocr, skipped
+- arrays: path-parts, email fields
+
+The bulk-batching games (300 docs/30 MiB bins, refresh-interval toggling,
+tasks.py:1423-1431,1665-1683) are unnecessary — file sizing is the write
+layer's job (`write.target-file-size-bytes` on Iceberg, parquet block size
+here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: reference digests.py:44 — ES integer fields cap at 2^31-1
+MAX_ES_INT = 2**31 - 1
+
+
+def to_es_documents(digests: DataFrame) -> DataFrame:
+    """Project the digest table into the reference's ES mapping shape."""
+    from .gather_fields import with_path_fields
+
+    d = with_path_fields(digests)
+    return d.select(
+        F.col("sha3_256").alias("id"),
+        F.col("sha3_256").alias("sha3-256"),
+        F.col("md5"),
+        F.col("sha1"),
+        F.col("mime_type").alias("content-type"),
+        F.col("filetype"),
+        F.least(F.col("size"), F.lit(MAX_ES_INT)).cast("int").alias("size"),
+        F.col("text"),
+        F.col("lang"),
+        F.least(F.col("word_count"), F.lit(MAX_ES_INT)).cast("int").alias("word-count"),
+        F.array(F.col("filename")).alias("filename"),
+        F.array(F.col("path")).alias("path"),
+        F.array(F.col("path")).alias("path-text"),
+        F.col("path_parts").alias("path-parts"),
+        F.col("email_date").alias("date"),
+        F.col("subject"),
+        F.col("email_from").alias("from"),
+        F.col("email_to").alias("to"),
+        F.col("email_domains").alias("email-domains"),
+        F.col("attachments"),
+        (F.col("status") == "skipped").alias("skipped"),
+        F.when(F.col("status") == "broken", F.array(F.col("broken_reason")))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("broken"),
+    )

@@ -59,6 +59,19 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+def parse_audio_header(data: bytes) -> tuple[str, int, int] | None:
+    """(kind, sample_rate, n_channels) for WAV; deterministic header-only
+    parse (public RIFF/WAVE spec) — the audio analog of the image path."""
+    if data[:4] == b"RIFF" and data[8:12] == b"WAVE" and len(data) >= 36:
+        # fmt chunk normally at offset 12
+        if data[12:16] == b"fmt ":
+            n_channels = struct.unpack("<H", data[22:24])[0]
+            sample_rate = struct.unpack("<I", data[24:28])[0]
+            return "wav", sample_rate, n_channels
+        return "wav", 0, 0
+    return None
+
+
 def _stub_feature(data: bytes) -> list[float]:
     """Deterministic fake feature: byte-histogram moments.  Stands in for a
     real embedding model; the Spark plumbing (schema, batching, skew) is

@@ -225,3 +225,36 @@ def pdf_to_text(data: bytes) -> tuple[str | None, list[dict], str | None]:
         return None, [], e.reason
     text = "\n\n".join(p["text"] for p in pages)
     return text, pages, None
+
+
+def explode_pdf_pages(df, url_col: str = "url", data_col: str = "html"):
+    """(url, pdf bytes) → one row per page: (url, page, page_text).
+
+    The Spark expression of the reference's page-chunk parallelism
+    (qpdf 150-page splits × 6-way xargs, pdf-tools/run.sh:5-15): page rows
+    ARE the parallelism unit — downstream per-page work (OCR, NER,
+    embedding) distributes without any single task holding a whole
+    document.  mapInPandas so a giant PDF never materializes one huge
+    pandas cell list.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for url, data in zip(pdf[url_col], pdf[data_col]):
+                _text, pages, broken = pdf_to_text(data or b"")
+                for p in pages:
+                    rows.append({"url": url, "page": p["page"],
+                                 "page_text": p["text"], "broken_reason": None})
+                if broken:
+                    rows.append({"url": url, "page": None, "page_text": None,
+                                 "broken_reason": broken})
+            yield pd.DataFrame(
+                rows, columns=["url", "page", "page_text", "broken_reason"]
+            )
+
+    return df.select(url_col, data_col).mapInPandas(
+        fn, schema="url string, page int, page_text string, broken_reason string"
+    )

@@ -42,9 +42,24 @@ class CheckpointStore:
         return os.path.join(self.root, f"{stage}.manifest.json")
 
     def write(self, df: DataFrame, stage: str, version: int | None = None) -> DataFrame:
-        """Write + read back (lineage truncation). Returns the re-read DF."""
+        """Write + read back (lineage truncation). Returns the re-read DF.
+
+        The write lands in ``<stage>.tmp`` and is swapped in afterwards, so
+        a plan that still *reads* the previous snapshot of the same stage
+        (e.g. a resume run unioning the old digests) never has its input
+        files deleted mid-job — the poor man's Iceberg snapshot commit.
+        """
+        import shutil
+
         path = self._path(stage)
-        df.write.mode("overwrite").parquet(path)
+        tmp = path + ".tmp"
+        df.write.mode("overwrite").parquet(tmp)
+        old = path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        if os.path.exists(path):
+            os.rename(path, old)
+        os.rename(tmp, path)
         with open(self._manifest(stage), "w") as f:
             json.dump(
                 {"stage": stage, "version": version or STAGE_VERSIONS.get(stage, 1)},

@@ -749,6 +749,20 @@ def q37_user_tags(spark, sf_dir):
     )
 
 
+def q38_pdf_pages(spark, sf_dir):
+    """PDF page-row expansion (the reference's qpdf page-chunk parallelism,
+    pdf-tools/run.sh:5-15, as row-level parallelism)."""
+    from .corpus import render_pdf
+    from .operators.pdf_spans import explode_pdf_pages
+
+    rows = [
+        (f"https://x.example/{i}.pdf", render_pdf(i, "en")[0])
+        for i in range(0, 60, 3)
+    ]
+    df = spark.createDataFrame(rows, "url string, html binary")
+    return explode_pdf_pages(df).orderBy("url", "page")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -782,6 +796,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q35_media_features": q35_media_features,
     "q36_ocr_join": q36_ocr_join,
     "q37_user_tags": q37_user_tags,
+    "q38_pdf_pages": q38_pdf_pages,
 }
 
 ORACLES: dict[str, str] = {

@@ -1,0 +1,49 @@
+"""ES-shaped sink projection + streaming extraction via foreachBatch."""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_es_shape(spark, digests):
+    from hoover_snoop2_spark.operators.es_sink import to_es_documents
+
+    es = to_es_documents(digests)
+    cols = set(es.columns)
+    for want in ("id", "sha3-256", "content-type", "word-count",
+                 "path-parts", "email-domains", "skipped", "broken"):
+        assert want in cols, want
+    row = es.filter(F.col("content-type") == "message/rfc822").first()
+    assert row["from"] and row["subject"]
+    assert es.count() == digests.count()
+
+
+def test_streaming_extraction(spark, tmp_path):
+    from hoover_snoop2_spark.corpus import generate_pages
+    from hoover_snoop2_spark.streaming.extract_stream import start_extract_stream
+
+    src = str(tmp_path / "pages_stream")
+    os.makedirs(src)
+    pages_path, golden_path = generate_pages(60, str(tmp_path / "gen"))
+    pages = spark.read.parquet(pages_path)
+    # two file drops → at least two micro-batches with maxFilesPerTrigger=8
+    pages.filter(F.col("url").contains("/html")).write.mode("append").parquet(src)
+    pages.filter(~F.col("url").contains("/html")).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "digests_out")
+    q = start_extract_stream(spark, src, out, spark.read.parquet(src).schema)
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    golden = spark.read.parquet(golden_path)
+    j = golden.alias("g").join(got.alias("d"), "url", "left")
+    assert j.filter(F.col("d.status").isNull()).count() == 0
+    assert (
+        j.filter(
+            F.coalesce(F.col("d.text"), F.lit(""))
+            != F.coalesce(F.col("g.text"), F.lit(""))
+        ).count()
+        == 0
+    )
+    # memoization across epochs: no duplicate urls
+    assert got.groupBy("url").count().filter(F.col("count") > 1).count() == 0
