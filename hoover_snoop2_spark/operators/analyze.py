@@ -23,6 +23,7 @@ import pandas as pd
 from ..functions.filetypes import skip_mime
 from ..functions.magic import sniff_bytes
 from ..functions.textutils import normalize_text, read_text
+from .exif_extract import EXIF_MIME_TYPES, ExifBroken, extract_exif
 from .archive_unpack import (
     BROKEN_ARCHIVE_MIME_TYPES,
     UNPACK_MIME_TYPES,
@@ -50,6 +51,7 @@ ANALYZE_SCHEMA = (
     "email_from array<string>, email_to array<string>, "
     "email_domains array<string>, email_date string, "
     "table_columns array<string>, table_row_count bigint, "
+    "exif_location string, exif_date string, pgp boolean, "
     "n_children int, child_name string, child_data binary"
 )
 
@@ -67,8 +69,15 @@ _EMPTY = {
     "status": None, "broken_reason": None, "subject": None,
     "email_from": None, "email_to": None, "email_domains": None,
     "email_date": None, "table_columns": None, "table_row_count": None,
+    "exif_location": None, "exif_date": None, "pgp": None,
     "n_children": None, "child_name": None, "child_data": None,
 }
+
+#: reference digests.py:142-147 — extra mime types read as raw text when
+#: the encoding is not binary (can_read_text)
+EXTRA_TEXT_MIME_TYPES = frozenset(
+    {"application/json", "application/csv", "application/tab-separated-values"}
+)
 
 
 def analyze_blob(sha3: str, data: bytes) -> list[dict]:
@@ -133,6 +142,7 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
             digest["email_to"] = meta.get("to")
             digest["email_domains"] = meta.get("email-domains")
             digest["email_date"] = meta.get("date")
+            digest["pgp"] = meta.get("pgp", False) or None
             children = attachments_of(email_data)
 
         elif mime_type == "application/pdf":
@@ -145,6 +155,20 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
 
         elif mime_type in UNPACK_MIME_TYPES or mime_type in BROKEN_ARCHIVE_MIME_TYPES:
             children = unpack_bytes(data, mime_type)
+
+        elif mime_type in EXIF_MIME_TYPES:
+            # EXIF GPS + creation date (reference exif.extract, exif.py:61-99)
+            try:
+                exif = extract_exif(data)
+                digest["exif_location"] = exif.get("location")
+                digest["exif_date"] = exif.get("date-created")
+            except ExifBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+
+        elif mime_type in EXTRA_TEXT_MIME_TYPES and mime_encoding != "binary":
+            # can_read_text's whitelist (digests.py:135-149)
+            digest["text"] = normalize_text(read_text(data, mime_encoding)) or ""
 
         # else: media/other — no text extractor; success with empty text
 

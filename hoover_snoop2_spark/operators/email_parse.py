@@ -107,7 +107,11 @@ def dump_part(message: email.message.Message) -> dict[str, Any]:
     if payload_bytes is None:
         payload_bytes = b""
 
-    if content_type == "text/plain":
+    if payload_bytes.lstrip().startswith(b"-----BEGIN PGP MESSAGE-----"):
+        # PGP armor detection (reference pgp.py:13-46 + email.py:134-136);
+        # decryption needs a gpg keyring — out of scope, flag only
+        rv["pgp"] = True
+    elif content_type == "text/plain":
         rv["text"] = _decode_text_part(payload_bytes, message.get_content_charset())
     elif content_type in _HTML_MIME_TYPES:
         html_text = _decode_text_part(payload_bytes, message.get_content_charset())
@@ -144,6 +148,7 @@ def email_meta(email_data: dict[str, Any]) -> dict[str, Any]:
     headers = email_data["headers"]
 
     text_bits = [p["text"] for p in iter_parts(email_data) if p.get("text")]
+    pgp = any(p.get("pgp") for p in iter_parts(email_data))
 
     ret: dict[str, Any] = {}
     for target_field, sources in _CONVERT.items():
@@ -174,6 +179,7 @@ def email_meta(email_data: dict[str, Any]) -> dict[str, Any]:
             "email-domains": sorted(d.lower() for d in email_domains if d),
             "subject": headers.get("Subject", [""])[0],
             "text": "\n\n".join(text_bits).strip(),
+            "pgp": pgp,
             "date": message_date,
             "email-header-key": sorted(set(headers.keys())),
             "email-header": sum(
