@@ -66,9 +66,11 @@ def bench_queries(spark, sf_dir: str) -> dict[str, float]:
 
 def _bench_corpus(spark, n_docs: int) -> str:
     """Distributed one-time corpus generation, cached under /tmp."""
-    from hoover_snoop2_spark.corpus import generate_pages_spark
+    from hoover_snoop2_spark.corpus import CORPUS_VERSION, generate_pages_spark
 
-    cache = os.path.join(tempfile.gettempdir(), f"snoop_spark_bench_{n_docs}")
+    cache = os.path.join(
+        tempfile.gettempdir(), f"snoop_spark_bench_{n_docs}_v{CORPUS_VERSION}"
+    )
     return generate_pages_spark(spark, n_docs, cache)
 
 

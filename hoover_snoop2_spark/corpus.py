@@ -60,9 +60,16 @@ _LANG_WORDS = {
 }
 _LANGS = list(_LANG_WORDS)
 
+#: bump when generation rules change — invalidates bench corpus caches
+CORPUS_VERSION = 2
+
 CATEGORIES = [
-    # (threshold on doc_id % 1000, category)
-    (600, "html-article"),
+    # (threshold on scrambled doc_id % 1000, category)
+    (540, "html-article"),
+    (570, "docx"),
+    (580, "odt"),
+    (590, "pptx"),
+    (600, "xlsx"),
     (650, "html-bad-encoding"),
     (750, "plain-text"),
     (850, "eml"),
@@ -89,7 +96,8 @@ def category_of(doc_id: int) -> str:
 #: duplicate-payload twin pool: small ids that are html-article (so a dup
 #: always clones an article page); rule only fires for doc_id >= 40, so
 #: twins never recurse
-_TWINS = [i for i in range(40) if ((i * 101) % 1000) < 600][:17]
+_TWINS = [i for i in range(60) if ((i * 101) % 1000) < 540][:17]
+assert len(_TWINS) == 17
 
 
 def _rng(doc_id: int, salt: int = 0) -> random.Random:
@@ -365,6 +373,128 @@ def render_pdf(doc_id: int, lang: str) -> tuple[bytes, str]:
 
 
 # ---------------------------------------------------------------------------
+# office-document rendering (minimal OOXML / ODF containers)
+# ---------------------------------------------------------------------------
+
+_CONTENT_TYPES_DOCX = (
+    '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/'
+    'package/2006/content-types"><Default Extension="xml" ContentType="'
+    'application/xml"/></Types>'
+)
+
+
+def _zip_bytes_of(members: list[tuple[str, bytes]]) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in members:
+            zf.writestr(zipfile.ZipInfo(name), data)
+    return buf.getvalue()
+
+
+def _xml_escape(s: str) -> str:
+    return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+
+def render_docx(doc_id: int, lang: str) -> tuple[bytes, str]:
+    paras = paragraphs_of(doc_id, lang, 3)
+    body = "".join(
+        f"<w:p><w:r><w:t>{_xml_escape(p)}</w:t></w:r></w:p>" for p in paras
+    )
+    doc = (
+        '<?xml version="1.0"?><w:document xmlns:w="http://schemas.'
+        'openxmlformats.org/wordprocessingml/2006/main"><w:body>'
+        f"{body}</w:body></w:document>"
+    )
+    data = _zip_bytes_of(
+        [("[Content_Types].xml", _CONTENT_TYPES_DOCX.encode()),
+         ("word/document.xml", doc.encode("utf-8"))]
+    )
+    return data, _golden_from_paragraphs(paras)
+
+
+def render_odt(doc_id: int, lang: str) -> tuple[bytes, str]:
+    paras = paragraphs_of(doc_id, lang, 2)
+    body = "".join(f"<text:p>{_xml_escape(p)}</text:p>" for p in paras)
+    content = (
+        '<?xml version="1.0"?><office:document-content xmlns:office='
+        '"urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:text='
+        '"urn:oasis:names:tc:opendocument:xmlns:text:1.0"><office:body>'
+        f"<office:text>{body}</office:text></office:body>"
+        "</office:document-content>"
+    )
+    data = _zip_bytes_of(
+        [("mimetype", b"application/vnd.oasis.opendocument.text"),
+         ("content.xml", content.encode("utf-8"))]
+    )
+    return data, _golden_from_paragraphs(paras)
+
+
+def render_pptx(doc_id: int, lang: str) -> tuple[bytes, str]:
+    rng = _rng(doc_id, 11)
+    slides = []
+    goldens = []
+    for s in range(rng.randint(1, 3)):
+        lines = [" ".join(_sentence(rng, lang) for _ in range(1))
+                 for _ in range(rng.randint(1, 3))]
+        body = "".join(
+            f"<a:p><a:r><a:t>{_xml_escape(t)}</a:t></a:r></a:p>" for t in lines
+        )
+        slides.append(
+            '<?xml version="1.0"?><p:sld xmlns:p="http://schemas.'
+            'openxmlformats.org/presentationml/2006/main" xmlns:a="http://'
+            'schemas.openxmlformats.org/drawingml/2006/main">'
+            f"<p:cSld>{body}</p:cSld></p:sld>"
+        )
+        goldens.extend(lines)
+    members = [("[Content_Types].xml", _CONTENT_TYPES_DOCX.encode()),
+               ("ppt/presentation.xml", b'<?xml version="1.0"?><p/>')]
+    for i, s in enumerate(slides, 1):
+        members.append((f"ppt/slides/slide{i}.xml", s.encode("utf-8")))
+    return _zip_bytes_of(members), _golden_from_paragraphs(goldens)
+
+
+def render_xlsx(doc_id: int) -> tuple[bytes, list[tuple[str, str]], dict]:
+    rng = _rng(doc_id, 12)
+    ncols, nrows = rng.randint(2, 4), rng.randint(3, 8)
+    cols = [f"h{c}" for c in range(1, ncols + 1)]
+    rows = [[f"x{doc_id % 50}r{r}c{c}" for c in range(1, ncols + 1)]
+            for r in range(1, nrows + 1)]
+    strings = cols + [v for row in rows for v in row]
+    shared = "".join(f"<si><t>{_xml_escape(s)}</t></si>" for s in strings)
+    sst = (
+        '<?xml version="1.0"?><sst xmlns="http://schemas.openxmlformats.org/'
+        f'spreadsheetml/2006/main">{shared}</sst>'
+    )
+    idx = 0
+    sheet_rows = []
+    for r in range(nrows + 1):
+        cells = "".join(
+            f'<c r="{chr(65 + c)}{r + 1}" t="s"><v>{idx + c}</v></c>'
+            for c in range(ncols)
+        )
+        sheet_rows.append(f'<row r="{r + 1}">{cells}</row>')
+        idx += ncols
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+        'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        f'{"".join(sheet_rows)}</sheetData></worksheet>'
+    )
+    data = _zip_bytes_of(
+        [("[Content_Types].xml", _CONTENT_TYPES_DOCX.encode()),
+         ("xl/workbook.xml", b'<?xml version="1.0"?><workbook/>'),
+         ("xl/sharedStrings.xml", sst.encode("utf-8")),
+         ("xl/worksheets/sheet1.xml", sheet.encode("utf-8"))]
+    )
+    children = [
+        (f"{i}.txt", " ".join(f"{k} = {v}" for k, v in zip(cols, row)))
+        for i, row in enumerate(rows, start=1)
+    ]
+    info = {"table-columns": cols, "table-row-count": nrows + 1,
+            "table-col-count": ncols}
+    return data, children, info
+
+
+# ---------------------------------------------------------------------------
 # archive rendering
 # ---------------------------------------------------------------------------
 
@@ -425,6 +555,7 @@ def build_doc(doc_id: int) -> dict:
         "oversized-html": "html", "plain-text": "txt", "eml": "eml",
         "mbox": "mbox", "csv-table": "csv", "zip": "zip",
         "targz": "tar.gz", "pdf-minimal": "pdf", "binary-skip": "bin",
+        "docx": "docx", "odt": "odt", "pptx": "pptx", "xlsx": "xlsx",
     }[cat]
     url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
     warc_ts = EPOCH + timedelta(seconds=doc_id * 137)
@@ -493,6 +624,17 @@ def build_doc(doc_id: int) -> dict:
         golden = ""
     elif cat == "pdf-minimal":
         html, golden = render_pdf(doc_id, lang)
+    elif cat == "docx":
+        html, golden = render_docx(doc_id, lang)
+    elif cat == "odt":
+        html, golden = render_odt(doc_id, lang)
+    elif cat == "pptx":
+        html, golden = render_pptx(doc_id, lang)
+    elif cat == "xlsx":
+        html, kids, info = render_xlsx(doc_id)
+        children = kids
+        extra.update(info)
+        golden = ""
     elif cat == "binary-skip":
         rng = _rng(doc_id, 10)
         html = bytes([0]) + rng.randbytes(256) + bytes([0])

@@ -24,6 +24,14 @@ from ..functions.filetypes import skip_mime
 from ..functions.magic import sniff_bytes
 from ..functions.textutils import normalize_text, read_text
 from .exif_extract import EXIF_MIME_TYPES, ExifBroken, extract_exif
+from .office_extract import (
+    OOXML_DOCX,
+    OOXML_PPTX,
+    OOXML_XLSX,
+    classify_zip_office,
+    office_to_text,
+    xlsx_to_table,
+)
 from .archive_unpack import (
     BROKEN_ARCHIVE_MIME_TYPES,
     UNPACK_MIME_TYPES,
@@ -84,6 +92,12 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
     """One blob → [digest row, child rows...].  Pure, deterministic."""
     data = data or b""
     mime_type, mime_encoding = sniff_bytes(data)
+    if mime_type == "application/zip":
+        # OOXML/ODF are zips of XML — refine by member names (the role
+        # `file` + extension plays in the reference, magic.py docstring)
+        office = classify_zip_office(data)
+        if office:
+            mime_type = office
     digest: dict = dict(_EMPTY)
     digest.update(
         kind="digest",
@@ -155,6 +169,18 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
 
         elif mime_type in UNPACK_MIME_TYPES or mime_type in BROKEN_ARCHIVE_MIME_TYPES:
             children = unpack_bytes(data, mime_type)
+
+        elif mime_type in (OOXML_DOCX, OOXML_PPTX) or mime_type.startswith(
+            "application/vnd.oasis.opendocument"
+        ):
+            digest["text"] = office_to_text(data, mime_type)
+
+        elif mime_type == OOXML_XLSX:
+            info, kids = xlsx_to_table(data)
+            if info:
+                digest["table_columns"] = info["table-columns"]
+                digest["table_row_count"] = info["table-row-count"]
+            children = [(name, text.encode("utf-8")) for name, text in kids]
 
         elif mime_type in EXIF_MIME_TYPES:
             # EXIF GPS + creation date (reference exif.extract, exif.py:61-99)

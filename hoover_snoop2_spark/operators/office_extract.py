@@ -1,0 +1,185 @@
+"""Office-document text extraction (docx / odt / pptx / xlsx-lite).
+
+The reference sends these to Apache Tika over HTTP (tika.py:137-145,
+mime list _tika_mime_types.py).  OOXML and ODF are zip-of-XML formats
+(public ECMA-376 / OASIS ODF specs), so the text layer is extractable with
+the stdlib: unzip in memory, parse the body XML, walk paragraph/run/cell
+elements.  This covers the reference's `doc`/`ppt`/`xls` filetype classes
+without the Tika service.
+
+Extraction rules (pinned; the regression oracle is the synthetic corpus):
+
+- docx: one block per <w:p>, runs <w:t> concatenated, tabs→space;
+  blocks joined '\\n\\n' then normalized (NFC + fold),
+- odt:  one block per <text:p>/<text:h> in content.xml,
+- pptx: one block per <a:p> across slide*.xml in document order,
+- xlsx: sheet1 cells resolved against sharedStrings; emits the same
+  table-info + 'col = value' row children as the csv path
+  (archives.py:206-234 analog).
+"""
+
+from __future__ import annotations
+
+import io
+import re
+import zipfile
+import xml.etree.ElementTree as ET
+
+from ..functions.textutils import normalize_text
+
+#: zip-member fingerprints → OOXML/ODF mime types (sniff layer)
+OOXML_DOCX = "application/vnd.openxmlformats-officedocument.wordprocessingml.document"
+OOXML_XLSX = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
+OOXML_PPTX = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
+ODF_ODT = "application/vnd.oasis.opendocument.text"
+
+OFFICE_MIME_TYPES = frozenset({OOXML_DOCX, OOXML_XLSX, OOXML_PPTX, ODF_ODT})
+
+
+def classify_zip_office(data: bytes) -> str | None:
+    """Peek a zip's member names to recognize OOXML/ODF containers —
+    the role `file` + extension plays in the reference (magic.py docstring:
+    docx/xlsx 'are actually zips with XMLs inside')."""
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = set(zf.namelist())
+            if "word/document.xml" in names:
+                return OOXML_DOCX
+            if "xl/workbook.xml" in names:
+                return OOXML_XLSX
+            if "ppt/presentation.xml" in names:
+                return OOXML_PPTX
+            if "mimetype" in names and "content.xml" in names:
+                mt = zf.read("mimetype").decode("ascii", "replace").strip()
+                if mt.startswith("application/vnd.oasis.opendocument"):
+                    return mt
+    except Exception:
+        return None
+    return None
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _read_xml(zf: zipfile.ZipFile, name: str) -> ET.Element | None:
+    try:
+        return ET.fromstring(zf.read(name))
+    except (KeyError, ET.ParseError):
+        return None
+
+
+def docx_to_text(data: bytes) -> str:
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        root = _read_xml(zf, "word/document.xml")
+    if root is None:
+        return ""
+    blocks = []
+    for p in root.iter():
+        if _local(p.tag) != "p":
+            continue
+        parts = []
+        for node in p.iter():
+            ln = _local(node.tag)
+            if ln == "t" and node.text:
+                parts.append(node.text)
+            elif ln in ("tab",):
+                parts.append(" ")
+        text = "".join(parts)
+        if text.strip():
+            blocks.append(text)
+    return normalize_text("\n\n".join(blocks)) or ""
+
+
+def odt_to_text(data: bytes) -> str:
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        root = _read_xml(zf, "content.xml")
+    if root is None:
+        return ""
+    blocks = []
+    for p in root.iter():
+        if _local(p.tag) in ("p", "h"):
+            text = "".join(p.itertext())
+            if text.strip():
+                blocks.append(text)
+    return normalize_text("\n\n".join(blocks)) or ""
+
+
+def pptx_to_text(data: bytes) -> str:
+    blocks = []
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        slides = sorted(
+            n for n in zf.namelist()
+            if re.fullmatch(r"ppt/slides/slide\d+\.xml", n)
+        )
+        for name in slides:
+            root = _read_xml(zf, name)
+            if root is None:
+                continue
+            for p in root.iter():
+                if _local(p.tag) == "p":
+                    text = "".join(
+                        node.text for node in p.iter()
+                        if _local(node.tag) == "t" and node.text
+                    )
+                    if text.strip():
+                        blocks.append(text)
+    return normalize_text("\n\n".join(blocks)) or ""
+
+
+_CELL_REF = re.compile(r"([A-Z]+)\d+")
+
+
+def xlsx_to_table(data: bytes) -> tuple[dict | None, list[tuple[str, str]]]:
+    """(table-info, row children) — the csv explode path for xlsx
+    (get_table_info/unpack_table analog, archives.py:244-474)."""
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        shared: list[str] = []
+        sroot = _read_xml(zf, "xl/sharedStrings.xml")
+        if sroot is not None:
+            for si in sroot:
+                shared.append("".join(si.itertext()))
+        sheet = None
+        for name in ("xl/worksheets/sheet1.xml",):
+            sheet = _read_xml(zf, name)
+        if sheet is None:
+            return None, []
+        rows: list[list[str]] = []
+        for row in sheet.iter():
+            if _local(row.tag) != "row":
+                continue
+            cells = []
+            for c in row:
+                if _local(c.tag) != "c":
+                    continue
+                v = next((n.text or "" for n in c.iter() if _local(n.tag) == "v"), "")
+                if c.get("t") == "s" and v.isdigit() and int(v) < len(shared):
+                    v = shared[int(v)]
+                cells.append(v)
+            rows.append(cells)
+    if not rows:
+        return None, []
+    header = rows[0]
+    info = {
+        "table-columns": header,
+        "table-row-count": len(rows),
+        "table-col-count": len(header),
+    }
+    from .tables import explode_row
+
+    children = [
+        (f"{i}.txt", explode_row(row, header)) for i, row in enumerate(rows[1:], 1)
+    ]
+    return info, children
+
+
+def office_to_text(data: bytes, mime_type: str) -> str:
+    if mime_type == OOXML_DOCX:
+        return docx_to_text(data)
+    if mime_type == ODF_ODT or mime_type.startswith(
+        "application/vnd.oasis.opendocument"
+    ):
+        return odt_to_text(data)
+    if mime_type == OOXML_PPTX:
+        return pptx_to_text(data)
+    return ""

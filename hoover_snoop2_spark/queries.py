@@ -666,10 +666,10 @@ def q34_extract_digests(spark, sf_dir):
     import os
     import tempfile
 
-    from .corpus import generate_pages
+    from .corpus import CORPUS_VERSION, generate_pages
     from .plans.pipeline import run_extraction
 
-    tmp = os.path.join(tempfile.gettempdir(), "snoop_spark_q34")
+    tmp = os.path.join(tempfile.gettempdir(), f"snoop_spark_q34_v{CORPUS_VERSION}")
     pages_path = os.path.join(tmp, "pages.parquet")
     if not os.path.exists(pages_path):
         generate_pages(300, tmp)
