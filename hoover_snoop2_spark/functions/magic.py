@@ -32,6 +32,7 @@ from pyspark.sql.types import StringType, StructField, StructType
 
 _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"%PDF-", "application/pdf"),
+    (0, b"{\\rtf", "application/rtf"),
     (0, b"PK\x03\x04", "application/zip"),
     (0, b"PK\x05\x06", "application/zip"),  # empty archive
     (0, b"\x1f\x8b", "application/gzip"),

@@ -175,6 +175,11 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
         ):
             digest["text"] = office_to_text(data, mime_type)
 
+        elif mime_type == "application/rtf":
+            from .rtf_extract import rtf_to_text
+
+            digest["text"] = rtf_to_text(data)
+
         elif mime_type == OOXML_XLSX:
             info, kids = xlsx_to_table(data)
             if info:
