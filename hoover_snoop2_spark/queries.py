@@ -9,7 +9,8 @@ values after sorting columns by name).
 
 Conventions:
 - floats rounded to 4 decimals on both sides,
-- timestamps compared as epoch microseconds (unix_micros / epoch_us),
+- timestamps compared as wall-clock strings (date_format / strftime on
+  NTZ values — session-timezone independent),
 - BIGINT sums cast on the DuckDB side (duckdb promotes to HUGEINT),
 - every aggregate/computed column aliased identically in both dialects.
 
@@ -28,11 +29,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def _us(col) -> F.Column:
-    """Epoch microseconds of a (possibly NTZ) timestamp column — matches
-    DuckDB's epoch_us over naive timestamps under the UTC session TZ."""
+def _ts(col) -> F.Column:
+    """NTZ timestamp rendered as its wall-clock string — date_format over
+    TIMESTAMP_NTZ is session-timezone independent (verified), so the value
+    matches DuckDB's strftime over naive timestamps no matter how the
+    driver configured spark.sql.session.timeZone."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.unix_micros(c.cast("timestamp"))
+    return F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
 
 
 # ---------------------------------------------------------------------------
@@ -87,7 +90,7 @@ def q02_task_matrix(spark, sf_dir):
             F.count("*").alias("n"),
             F.round(F.sum("value"), 4).alias("total_value"),
             F.round(F.avg("value"), 4).alias("avg_value"),
-            _us(F.max("ts")).alias("max_ts_us"),
+            _ts(F.max("ts")).alias("max_ts"),
         )
         .orderBy("event_type")
     )
@@ -98,7 +101,7 @@ SELECT event_type,
        count(*)::BIGINT AS n,
        round(sum(value), 4) AS total_value,
        round(avg(value), 4) AS avg_value,
-       epoch_us(max(ts))::BIGINT AS max_ts_us
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
 FROM events GROUP BY event_type ORDER BY event_type
 """
 
@@ -110,12 +113,12 @@ def q03_topk_recent(spark, sf_dir):
     return (
         ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
         .limit(100)
-        .select("event_id", _us("ts").alias("ts_us"), "event_type")
+        .select("event_id", _ts("ts").alias("ts_str"), "event_type")
     )
 
 
 Q03_SQL = """
-SELECT event_id, epoch_us(ts)::BIGINT AS ts_us, event_type
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, event_type
 FROM events ORDER BY ts DESC, event_id DESC LIMIT 100
 """
 
@@ -296,17 +299,18 @@ def q12_watermark_sync(spark, sf_dir):
     counts + max ts."""
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
-        .agg(F.count("*").alias("n"), _us(F.max("ts")).alias("max_ts_us"))
-        .select(_us("day").alias("day_us"), "n", "max_ts_us")
-        .orderBy("day_us")
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count("*").alias("n"), _ts(F.max("ts")).alias("max_ts"))
+        .select(F.col("day").cast("string").alias("day"), "n", "max_ts")
+        .orderBy("day")
     )
 
 
 Q12_SQL = """
-SELECT epoch_us(date_trunc('day', ts))::BIGINT AS day_us,
-       count(*)::BIGINT AS n, epoch_us(max(ts))::BIGINT AS max_ts_us
-FROM events GROUP BY date_trunc('day', ts) ORDER BY day_us
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
+FROM events GROUP BY date_trunc('day', ts) ORDER BY day
 """
 
 
