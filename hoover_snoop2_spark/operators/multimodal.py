@@ -121,6 +121,65 @@ def media_map_in_pandas(decode_stub: bool = True):
     return fn
 
 
+FRAME_SCHEMA = (
+    "sha3_256 string, frame_no int, frame_offset bigint, "
+    "feature array<float>, status string, broken_reason string"
+)
+
+
+def frame_sample_map_in_pandas(n_frames: int = 4, decode_stub: bool = True):
+    """Video frame sampling as a mapInPandas flatMap: one input blob → up
+    to ``n_frames`` frame rows with (stubbed) per-frame features.
+
+    The Spark plumbing is the deliverable: schema, row expansion, batch
+    shape.  Real decode would replace ``_stub_feature`` with an ffmpeg/
+    codec call per sampled offset; in this container the decode is a
+    deterministic fake over evenly-spaced byte windows (RIFF/AVI
+    recognized by header; other bytes are 'not_media')."""
+    import pandas as pd
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sha, data in zip(pdf["sha3_256"], pdf["data"]):
+                data = data or b""
+                if not (data[:4] == b"RIFF" and data[8:12] in (b"AVI ", b"WAVE")):
+                    rows.append(dict(sha3_256=sha, frame_no=None,
+                                     frame_offset=None, feature=None,
+                                     status="skipped", broken_reason="not_media"))
+                    continue
+                if not decode_stub:
+                    rows.append(dict(sha3_256=sha, frame_no=None,
+                                     frame_offset=None, feature=None,
+                                     status="broken",
+                                     broken_reason="media_decoder_missing"))
+                    continue
+                step = max(1, len(data) // n_frames)
+                for i in range(min(n_frames, max(1, len(data) // step))):
+                    off = i * step
+                    rows.append(dict(sha3_256=sha, frame_no=i,
+                                     frame_offset=off,
+                                     feature=_stub_feature(data[off:off + step]),
+                                     status="success", broken_reason=None))
+            yield pd.DataFrame(rows)
+
+    return fn
+
+
+def sample_video_frames(
+    df: DataFrame, data_col: str = "data", n_frames: int = 4,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """(sha3_256, data) → frame rows; heavy blobs spread before the UDF."""
+    from ..plans.skew import repartition_by_size_class
+
+    src = df.select("sha3_256", F.col(data_col).alias("data"))
+    src = repartition_by_size_class(src, data_col="data", key="sha3_256").drop("_salt")
+    return src.mapInPandas(
+        frame_sample_map_in_pandas(n_frames, decode_stub), schema=FRAME_SCHEMA
+    )
+
+
 def extract_media_features(
     df: DataFrame, data_col: str = "data", decode_stub: bool = True
 ) -> DataFrame:

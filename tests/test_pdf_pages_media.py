@@ -41,3 +41,32 @@ def test_wav_header():
     )
     assert parse_audio_header(wav) == ("wav", 44100, 2)
     assert parse_audio_header(b"not audio") is None
+
+
+def test_video_frame_sampling(spark):
+    import struct
+
+    from hoover_snoop2_spark.operators.multimodal import sample_video_frames
+
+    avi = b"RIFF" + struct.pack("<I", 200) + b"AVI " + bytes(range(200)) 
+    rows = [("v1", avi), ("v2", b"not a video")]
+    df = spark.createDataFrame(rows, "sha3_256 string, data binary")
+    got = sample_video_frames(df, n_frames=4).collect()
+    frames = [r for r in got if r["sha3_256"] == "v1"]
+    assert len(frames) == 4
+    assert [f["frame_no"] for f in sorted(frames, key=lambda r: r["frame_no"])] == [0, 1, 2, 3]
+    assert all(len(f["feature"]) == 8 for f in frames)
+    other = [r for r in got if r["sha3_256"] == "v2"][0]
+    assert other["status"] == "skipped"
+
+
+def test_video_decoder_missing(spark):
+    import struct
+
+    from hoover_snoop2_spark.operators.multimodal import sample_video_frames
+
+    avi = b"RIFF" + struct.pack("<I", 20) + b"AVI " + bytes(20)
+    df = spark.createDataFrame([("v", avi)], "sha3_256 string, data binary")
+    got = sample_video_frames(df, decode_stub=False).collect()[0]
+    assert got["status"] == "broken"
+    assert got["broken_reason"] == "media_decoder_missing"
