@@ -98,6 +98,13 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
         office = classify_zip_office(data)
         if office:
             mime_type = office
+    elif mime_type == "application/vnd.ms-excel":
+        # all OLE containers sniff as ms-excel (the reference's rewrite,
+        # magic.py:110-111); Outlook .msg files are OLE with MAPI streams
+        from .msg_extract import looks_like_msg
+
+        if looks_like_msg(data):
+            mime_type = "application/vnd.ms-outlook"
     digest: dict = dict(_EMPTY)
     digest.update(
         kind="digest",
@@ -174,6 +181,19 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
             "application/vnd.oasis.opendocument"
         ):
             digest["text"] = office_to_text(data, mime_type)
+
+        elif mime_type == "application/vnd.ms-outlook":
+            # .msg extraction in-process (replaces the reference's
+            # msgconvert subprocess, email.py:281-307)
+            from .msg_extract import parse_msg
+
+            meta = parse_msg(data)
+            digest["text"] = normalize_text(meta.get("text", "")) or ""
+            digest["subject"] = meta.get("subject")
+            digest["email_from"] = meta.get("from")
+            digest["email_to"] = meta.get("to")
+            digest["email_date"] = meta.get("date")
+            children = meta.get("attachments", [])
 
         elif mime_type == "application/rtf":
             from .rtf_extract import rtf_to_text

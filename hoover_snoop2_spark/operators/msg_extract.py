@@ -1,0 +1,263 @@
+"""Outlook `.msg` extraction — replaces the reference's external
+`msgconvert` subprocess (email.py:281-307 converts .msg → .eml and feeds
+email.parse).
+
+An OXMSG file is an OLE compound file (public [MS-OXMSG] spec) whose MAPI
+properties live in streams named ``__substg1.0_PPPPTTTT`` (PPPP = property
+id, TTTT = type: 001F UTF-16 / 001E bytes / 0102 binary); attachments are
+``__attach_version1.0_#NNNNNNNN`` storages.  We read the same fields the
+eml path produces (subject/from/to/date/body/attachments), so .msg rows
+come out shaped like message/rfc822 digests.
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import datetime, timedelta, timezone
+
+from ..functions.textutils import zulu
+from .cfb import CfbError, CompoundFile, is_cfb
+
+_P_SUBJECT = "0037"
+_P_BODY = "1000"
+_P_SENDER_NAME = "0C1A"
+_P_SENDER_EMAIL = "5D01"  # SMTP address
+_P_SENDER_EMAIL2 = "0065"
+_P_DISPLAY_TO = "0E04"
+_P_ATT_NAME_LONG = "3707"
+_P_ATT_NAME = "3704"
+_P_ATT_DATA = "3701"
+
+#: FILETIME stream carrying the client-submit time
+_P_SUBMIT_TIME = "0039"
+
+
+def _prop(streams: dict[str, bytes], prefix: str, pid: str) -> bytes | None:
+    for typ in ("001F", "001E", "0102", "0040"):
+        v = streams.get(f"{prefix}__substg1.0_{pid}{typ}")
+        if v is not None:
+            return v
+    return None
+
+
+def _text(streams, prefix, pid) -> str | None:
+    raw = _prop(streams, prefix, pid)
+    if raw is None:
+        return None
+    # 001F = UTF-16LE; 001E = 8-bit
+    key_16 = f"{prefix}__substg1.0_{pid}001F" in streams
+    return raw.decode("utf-16-le" if key_16 else "latin-1", errors="replace")
+
+
+def _filetime_to_zulu(raw: bytes) -> str | None:
+    if len(raw) < 8:
+        return None
+    (ft,) = struct.unpack("<Q", raw[:8])
+    if not ft:
+        return None
+    epoch = datetime(1601, 1, 1, tzinfo=timezone.utc)
+    return zulu(epoch + timedelta(microseconds=ft // 10))
+
+
+def looks_like_msg(data: bytes) -> bool:
+    """OLE container holding MAPI property streams (vs legacy office)."""
+    if not is_cfb(data):
+        return False
+    try:
+        cf = CompoundFile(data)
+        return any("__substg1.0_" in p for p in cf.paths())
+    except (CfbError, struct.error, IndexError):
+        return False
+
+
+def parse_msg(data: bytes) -> dict:
+    """.msg bytes → the email_meta-shaped dict the digest layer expects:
+    subject / from / to / date / text / attachments[(name, bytes)]."""
+    cf = CompoundFile(data)
+    paths = cf.paths()
+    streams = {p: cf.read(e) for p, e in paths.items()}
+
+    out: dict = {}
+    subject = _text(streams, "", _P_SUBJECT)
+    if subject:
+        out["subject"] = subject
+    body = _text(streams, "", _P_BODY)
+    if body:
+        out["text"] = body
+    sender = (
+        _text(streams, "", _P_SENDER_EMAIL)
+        or _text(streams, "", _P_SENDER_EMAIL2)
+        or _text(streams, "", _P_SENDER_NAME)
+    )
+    if sender:
+        out["from"] = [sender]
+    to = _text(streams, "", _P_DISPLAY_TO)
+    if to:
+        out["to"] = [t.strip() for t in to.split(";") if t.strip()]
+    raw_time = _prop(streams, "", _P_SUBMIT_TIME)
+    if raw_time:
+        dt = _filetime_to_zulu(raw_time)
+        if dt:
+            out["date"] = dt
+
+    attachments: list[tuple[str, bytes]] = []
+    att_prefixes = sorted(
+        {p.split("/", 1)[0] + "/" for p in streams
+         if p.startswith("__attach_version1.0_")}
+    )
+    for prefix in att_prefixes:
+        name = (
+            _text(streams, prefix, _P_ATT_NAME_LONG)
+            or _text(streams, prefix, _P_ATT_NAME)
+            or "attachment"
+        )
+        payload = _prop(streams, prefix, _P_ATT_DATA)
+        if payload is not None:
+            attachments.append((name, payload))
+    out["attachments"] = attachments
+    return out
+
+
+# ---------------------------------------------------------------------------
+# deterministic .msg fixture builder (golden-corpus role)
+# ---------------------------------------------------------------------------
+
+
+def build_msg(subject: str, body: str, sender: str, to: list[str],
+              attachments: list[tuple[str, bytes]] | None = None) -> bytes:
+    """Write a minimal valid CFB file with the MAPI streams above — enough
+    structure for any conformant reader.  Single FAT sector, 512-byte
+    sectors, all streams in the mini stream (each < 4096 bytes)."""
+    streams: list[tuple[str, bytes]] = [
+        (f"__substg1.0_{_P_SUBJECT}001F", subject.encode("utf-16-le")),
+        (f"__substg1.0_{_P_BODY}001F", body.encode("utf-16-le")),
+        (f"__substg1.0_{_P_SENDER_EMAIL}001F", sender.encode("utf-16-le")),
+        (f"__substg1.0_{_P_DISPLAY_TO}001F", "; ".join(to).encode("utf-16-le")),
+    ]
+    storages: list[tuple[str, list[tuple[str, bytes]]]] = []
+    for i, (name, payload) in enumerate(attachments or []):
+        storages.append(
+            (f"__attach_version1.0_#{i:08X}",
+             [(f"__substg1.0_{_P_ATT_NAME_LONG}001F", name.encode("utf-16-le")),
+              (f"__substg1.0_{_P_ATT_DATA}0102", payload)])
+        )
+
+    SECT = 512
+    MINI = 64
+
+    # mini stream layout
+    mini_data = bytearray()
+    mini_fat: list[int] = []
+
+    def add_mini(payload: bytes) -> tuple[int, int]:
+        start = len(mini_fat)
+        n = max(1, (len(payload) + MINI - 1) // MINI)
+        mini_data.extend(payload)
+        pad = (-len(payload)) % MINI
+        mini_data.extend(b"\x00" * pad)
+        for i in range(n - 1):
+            mini_fat.append(start + i + 1)
+        mini_fat.append(0xFFFFFFFE)
+        return start, len(payload)
+
+    # directory entries: root(0), then storages and streams
+    entries: list[dict] = []
+
+    def entry(name, typ, start=0xFFFFFFFE, size=0, child=0xFFFFFFFF):
+        entries.append(dict(name=name, type=typ, start=start, size=size,
+                            left=0xFFFFFFFF, right=0xFFFFFFFF, child=child))
+        return len(entries) - 1
+
+    root_idx = entry("Root Entry", 5)
+    top_indices = []
+    for name, payload in streams:
+        s, n = add_mini(payload)
+        top_indices.append(entry(name, 2, s, n))
+    for sname, substreams in storages:
+        st_idx = entry(sname, 1)
+        sub_indices = []
+        for name, payload in substreams:
+            s, n = add_mini(payload)
+            sub_indices.append(entry(name, 2, s, n))
+        # chain storage children as a right-leaning list
+        entries[st_idx]["child"] = sub_indices[0]
+        for a, b in zip(sub_indices, sub_indices[1:]):
+            entries[a]["right"] = b
+        top_indices.append(st_idx)
+    # root children: right-leaning list
+    entries[root_idx]["child"] = top_indices[0]
+    for a, b in zip(top_indices, top_indices[1:]):
+        entries[a]["right"] = b
+
+    # sector plan: [0]=FAT, [1..d]=directory, [m]=miniFAT, rest=mini stream
+    dir_raw = bytearray()
+    mini_total = len(mini_data)
+    root_start_placeholder = 0  # filled below
+
+    n_dir_sectors = max(1, (len(entries) * 128 + SECT - 1) // SECT)
+    minifat_raw = b"".join(struct.pack("<I", v) for v in mini_fat)
+    n_minifat_sectors = max(1, (len(minifat_raw) + SECT - 1) // SECT)
+    n_mini_sectors = max(1, (mini_total + SECT - 1) // SECT)
+
+    fat_sid = 0
+    dir_sid = 1
+    minifat_sid = dir_sid + n_dir_sectors
+    ministream_sid = minifat_sid + n_minifat_sectors
+    total_sectors = ministream_sid + n_mini_sectors
+
+    # root entry points at the mini stream
+    entries[root_idx]["start"] = ministream_sid
+    entries[root_idx]["size"] = mini_total
+    _ = root_start_placeholder
+
+    for e in entries:
+        name_bytes = e["name"].encode("utf-16-le")[:62] + b"\x00\x00"
+        chunk = bytearray(128)
+        chunk[: len(name_bytes)] = name_bytes
+        struct.pack_into("<H", chunk, 64, len(name_bytes))
+        chunk[66] = e["type"]
+        chunk[67] = 1  # black
+        struct.pack_into("<3I", chunk, 68, e["left"], e["right"], e["child"])
+        struct.pack_into("<I", chunk, 116, e["start"] if e["start"] != 0xFFFFFFFE else 0xFFFFFFFE)
+        struct.pack_into("<Q", chunk, 120, e["size"])
+        dir_raw += chunk
+    dir_raw += b"\x00" * ((-len(dir_raw)) % SECT)
+
+    # FAT: one sector covers up to 128 sectors — plenty here
+    fat = [0xFFFFFFFF] * (SECT // 4)
+    fat[fat_sid] = 0xFFFFFFFD  # FATSECT marker
+    for i in range(n_dir_sectors):
+        fat[dir_sid + i] = dir_sid + i + 1 if i < n_dir_sectors - 1 else 0xFFFFFFFE
+    for i in range(n_minifat_sectors):
+        fat[minifat_sid + i] = (
+            minifat_sid + i + 1 if i < n_minifat_sectors - 1 else 0xFFFFFFFE
+        )
+    for i in range(n_mini_sectors):
+        fat[ministream_sid + i] = (
+            ministream_sid + i + 1 if i < n_mini_sectors - 1 else 0xFFFFFFFE
+        )
+
+    header = bytearray(512)
+    header[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
+    struct.pack_into("<H", header, 26, 0x003E)  # minor version
+    struct.pack_into("<H", header, 28, 0x0003)  # major version 3
+    struct.pack_into("<H", header, 24, 0)
+    struct.pack_into("<H", header, 30, 9)   # 512-byte sectors
+    struct.pack_into("<H", header, 32, 6)   # 64-byte mini sectors
+    struct.pack_into("<I", header, 44, 1)   # 1 FAT sector
+    struct.pack_into("<I", header, 48, dir_sid)
+    struct.pack_into("<I", header, 56, 4096)  # mini cutoff
+    struct.pack_into("<I", header, 60, minifat_sid)
+    struct.pack_into("<I", header, 64, n_minifat_sectors)
+    struct.pack_into("<I", header, 68, 0xFFFFFFFE)  # no DIFAT chain
+    struct.pack_into("<I", header, 72, 0)
+    difat = [fat_sid] + [0xFFFFFFFF] * 108
+    struct.pack_into("<109I", header, 76, *difat)
+
+    out = bytearray(header)
+    out += b"".join(struct.pack("<I", v) for v in fat)
+    out += dir_raw
+    out += minifat_raw + b"\x00" * ((-len(minifat_raw)) % SECT)
+    out += mini_data + b"\x00" * ((-mini_total) % SECT)
+    assert len(out) == (total_sectors + 1) * SECT, (len(out), total_sectors)
+    return bytes(out)

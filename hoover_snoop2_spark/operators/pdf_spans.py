@@ -193,6 +193,20 @@ def _reading_order(spans: list[Span]) -> list[Span]:
     return sorted(spans, key=lambda s: (col_of(s), -s.y, s.x))
 
 
+def _maybe_inflate(stream: bytes) -> bytes:
+    """FlateDecode streams (the overwhelmingly common filter) inflate with
+    stdlib zlib; zlib's magic byte 0x78 gates the attempt so uncompressed
+    streams pass through untouched."""
+    if stream[:1] == b"\x78":
+        import zlib
+
+        try:
+            return zlib.decompress(stream)
+        except zlib.error:
+            pass
+    return stream
+
+
 def extract_pdf_pages(data: bytes) -> list[dict]:
     """PDF bytes → [{'page': n, 'text': str}] in reading order; the
     per-page text joins items with ' ' (pdf.js rule)."""
@@ -207,6 +221,7 @@ def extract_pdf_pages(data: bytes) -> list[dict]:
     pages = []
     page_no = 0
     for stream in streams:
+        stream = _maybe_inflate(stream)
         spans = _spans_from_stream(stream, page_no + 1)
         if not spans:
             continue

@@ -45,3 +45,21 @@ def test_string_escapes():
 def test_not_pdf_broken():
     text, pages, broken = pdf_to_text(b"not a pdf")
     assert broken == "pdf_not_pdf"
+
+
+def test_flate_compressed_stream():
+    """FlateDecode content streams inflate via stdlib zlib."""
+    import re
+    import zlib
+
+    data, golden = render_pdf(42, "en")
+    # recompress every content stream in the fixture pdf
+    def compress(m):
+        body = zlib.compress(m.group(1))
+        return b"stream\n" + body + b"endstream"
+
+    squeezed = re.sub(rb"stream\r?\n(.*?)endstream", compress, data, flags=re.DOTALL)
+    assert squeezed != data
+    text, pages, broken = pdf_to_text(squeezed)
+    assert broken is None
+    assert text == golden
