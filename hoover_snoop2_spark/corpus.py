@@ -61,11 +61,12 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 2
+CORPUS_VERSION = 3
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
-    (540, "html-article"),
+    (530, "html-article"),
+    (540, "msg"),
     (570, "docx"),
     (580, "odt"),
     (590, "pptx"),
@@ -96,7 +97,7 @@ def category_of(doc_id: int) -> str:
 #: duplicate-payload twin pool: small ids that are html-article (so a dup
 #: always clones an article page); rule only fires for doc_id >= 40, so
 #: twins never recurse
-_TWINS = [i for i in range(60) if ((i * 101) % 1000) < 540][:17]
+_TWINS = [i for i in range(60) if ((i * 101) % 1000) < 530][:17]
 assert len(_TWINS) == 17
 
 
@@ -372,6 +373,27 @@ def render_pdf(doc_id: int, lang: str) -> tuple[bytes, str]:
     return out.getvalue(), "\n\n".join(page_goldens)
 
 
+def render_msg(doc_id: int, lang: str) -> tuple[bytes, str, list[tuple[str, str]]]:
+    """Outlook .msg via the from-scratch CFB writer; golden text is the
+    normalize_text fixpoint of the body, attachments become children."""
+    from .operators.msg_extract import build_msg
+
+    rng = _rng(doc_id, 13)
+    body = " ".join(_sentence(rng, lang) for _ in range(rng.randint(2, 4)))
+    subject = f"Memo {doc_id} " + " ".join(rng.sample(_WORDS, 2))
+    sender = f"boss{doc_id % 31}@corp{doc_id % 5}.example"
+    to = [f"team{doc_id % 11}@corp{doc_id % 5}.example"]
+    atts = []
+    kids: list[tuple[str, str]] = []
+    if doc_id % 3 == 0:
+        att_text = " ".join(_sentence(rng, lang) for _ in range(2))
+        atts.append((f"note{doc_id % 7}.txt", att_text.encode("utf-8")))
+        kids.append((f"note{doc_id % 7}.txt", _golden_from_paragraphs([att_text])))
+    data = build_msg(subject=subject, body=body, sender=sender, to=to,
+                     attachments=atts)
+    return data, _golden_from_paragraphs([body]), kids
+
+
 # ---------------------------------------------------------------------------
 # office-document rendering (minimal OOXML / ODF containers)
 # ---------------------------------------------------------------------------
@@ -556,6 +578,7 @@ def build_doc(doc_id: int) -> dict:
         "mbox": "mbox", "csv-table": "csv", "zip": "zip",
         "targz": "tar.gz", "pdf-minimal": "pdf", "binary-skip": "bin",
         "docx": "docx", "odt": "odt", "pptx": "pptx", "xlsx": "xlsx",
+        "msg": "msg",
     }[cat]
     url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
     warc_ts = EPOCH + timedelta(seconds=doc_id * 137)
@@ -635,6 +658,9 @@ def build_doc(doc_id: int) -> dict:
         children = kids
         extra.update(info)
         golden = ""
+    elif cat == "msg":
+        html, golden, kids = render_msg(doc_id, lang)
+        children = kids
     elif cat == "binary-skip":
         rng = _rng(doc_id, 10)
         html = bytes([0]) + rng.randbytes(256) + bytes([0])
