@@ -17,10 +17,12 @@ import os
 
 from pyspark.sql import SparkSession
 
-# Arrow batches carry raw page bytes; with ~100 KiB average pages, 256 rows
-# keeps a batch in the tens of MiB — the same envelope as the reference's
-# 30 MiB bulk batches (tasks.py:1423-1431).
-ARROW_MAX_RECORDS_PER_BATCH = 256
+# Arrow batches carry raw page bytes.  512 rows measured cheapest on the
+# bench corpus (tree-CPU 149/128/119/122 s at 128/256/512/1024 rows,
+# local[4], 50k docs).  Megabyte-class blobs can't blow a batch up: the
+# 8 MB scan-split / size-class spread caps how many heavies share a
+# partition, so their batches hold only a handful of rows regardless.
+ARROW_MAX_RECORDS_PER_BATCH = 512
 
 
 def get_spark(
