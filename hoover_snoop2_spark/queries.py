@@ -711,6 +711,58 @@ def q35_media_features(spark, sf_dir):
     return extract_media_features(df).orderBy("sha3_256")
 
 
+def q25_entity_hits(spark, sf_dir):
+    """Pattern-typed entity extraction (the deterministic subset of the
+    reference's NER stage, entities.py:279-351) — emails/urls injected
+    deterministically into the document texts, extracted JVM-side with
+    regexp_extract_all, exploded into EntityHit-shaped rows, rolled up as
+    the Entity dimension upsert (entities.py:415-504)."""
+    from .operators.entities import entity_dimension, extract_entity_hits
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text2",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), (F.col("doc_id") % 7).cast("string"),
+            F.lit("@host"), (F.col("doc_id") % 3).cast("string"),
+            F.lit(".example or visit https://site"),
+            (F.col("doc_id") % 5).cast("string"), F.lit(".example/page"),
+        ),
+    )
+    hits = extract_entity_hits(d, "doc_id", "text2", ["email", "url"])
+    return (
+        entity_dimension(hits)
+        .select("entity", "entity_type",
+                F.col("doc_freq").cast("long").alias("doc_freq"),
+                F.col("n_hits").cast("long").alias("n_hits"))
+        .orderBy("entity_type", "entity")
+    )
+
+
+Q25_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         text || ' contact user' || (doc_id % 7) || '@host' || (doc_id % 3)
+              || '.example or visit https://site' || (doc_id % 5)
+              || '.example/page' AS text2
+  FROM documents
+), hits AS (
+  SELECT doc_id, unnest(regexp_extract_all(text2,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS entity,
+         'email' AS entity_type
+  FROM t
+  UNION ALL
+  SELECT doc_id, unnest(regexp_extract_all(text2,
+           'https?://[^\s"''<>]+')) AS entity,
+         'url' AS entity_type
+  FROM t
+)
+SELECT entity, entity_type,
+       count(DISTINCT doc_id)::BIGINT AS doc_freq, count(*)::BIGINT AS n_hits
+FROM hits GROUP BY entity, entity_type ORDER BY entity_type, entity
+"""
+
+
 def q36_ocr_join(spark, sf_dir):
     """External-OCR side-source equi-join by md5 (reference ocr.py:73-156,
     merge digests.py:298-331) — synthesized OCR artifacts for every 10th
@@ -792,6 +844,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q22_embedding_norms": q22_embedding_norms,
     "q23_path_parts": q23_path_parts,
     "q24_host_stats": q24_host_stats,
+    "q25_entity_hits": q25_entity_hits,
     "q30_minhash_lsh_dups": q30_minhash_lsh_dups,
     "q31_simhash_dups": q31_simhash_dups,
     "q32_ann_lsh_topk": q32_ann_lsh_topk,
@@ -828,6 +881,7 @@ ORACLES: dict[str, str] = {
     "q22_embedding_norms": Q22_SQL,
     "q23_path_parts": Q23_SQL,
     "q24_host_stats": Q24_SQL,
+    "q25_entity_hits": Q25_SQL,
     # q30-q35: non-SQL-expressible (LSH banding, simhash bit votes, UDF
     # language id, binary extraction pipeline, media UDFs) → rows-only
 }
