@@ -27,6 +27,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--resume", action="store_true",
                    help="skip hashes present in the checkpoint's last digests")
     p.add_argument("--max-depth", type=int, default=5)
+    p.add_argument("--dedup-strategy", choices=("broadcast", "shuffle"),
+                   default="broadcast",
+                   help="blob-dedup plan: broadcast winner election (no "
+                        "blob shuffle) or co-located shuffle (for scales "
+                        "where winners outgrow a broadcast)")
     p.add_argument("--es-shape", action="store_true",
                    help="emit reference-ES-mapping field names")
     args = p.parse_args(argv)
@@ -47,6 +52,7 @@ def main(argv: list[str] | None = None) -> int:
     digests, metrics = run_extraction(
         spark, pages, checkpoint_dir=args.checkpoint,
         max_depth=args.max_depth, previous_digests=previous,
+        dedup_strategy=args.dedup_strategy,
     )
     out = to_es_documents(digests) if args.es_shape else digests
     write_digests(out, args.output)

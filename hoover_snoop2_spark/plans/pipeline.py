@@ -59,12 +59,26 @@ def run_extraction(
     previous_digests: DataFrame | None = None,
     inline_max_children: int | None = None,
     inline_max_bytes: int | None = None,
+    dedup_strategy: str = "broadcast",
 ) -> tuple[DataFrame, DataFrame]:
     """pages(url, warc_ts, html, ...) → (digests, metrics).
 
     ``previous_digests`` enables incremental re-runs: already-processed
     hashes are anti-joined away (resume_delta) and stitched back in.
+
+    ``dedup_strategy``:
+    - ``'broadcast'`` (default): blob bytes never shuffle — winner urls
+      elected over the (sha3, url) pairs table and broadcast back as a
+      semi-join.  Right while the per-round winner set fits a broadcast
+      (millions of uniques).
+    - ``'shuffle'``: one co-located shuffle of the blobs by sha3 with a
+      min_by representative election, and the duplicate fan-out joins run
+      as regular (non-broadcast) joins.  Right at 10^12-doc scale where
+      neither winners nor the dup set fit a broadcast; pairs with an
+      Iceberg table bucketed by sha3_256 so the exchange is free.
     """
+    assert dedup_strategy in ("broadcast", "shuffle"), dedup_strategy
+    _bcast = F.broadcast if dedup_strategy == "broadcast" else (lambda df: df)
     # Every stage boundary is a parquet snapshot (Iceberg-commit analog):
     # resumable, lineage-flat, and — decisive for this workload — all
     # downstream consumers read back COLUMN-PRUNED (children readers never
@@ -138,9 +152,35 @@ def run_extraction(
         winners = (
             ok_pairs.groupBy("sha3_256").agg(F.min("url").alias("url"))
         )
-        uniq = hashed.join(
-            F.broadcast(winners), ["sha3_256", "url"], "left_semi"
-        )
+        if dedup_strategy == "broadcast":
+            # winners already reflects the recursion + resume filters, and
+            # the (sha3, url) semi-join keeps exactly the winner rows
+            uniq = hashed.join(
+                F.broadcast(winners), ["sha3_256", "url"], "left_semi"
+            )
+        else:
+            # co-located shuffle election: blobs move once, grouped by
+            # sha3; min_by keeps the representative row whole.  The blob
+            # rows must carry the same filters the pairs table got —
+            # recursion guard (rounds >= 1) and resume memoization
+            # (round 0) — or retired/recursive blobs would win elections.
+            ok_rows = hashed
+            if round_no > 0:
+                ok_rows = ok_rows.filter(
+                    ~F.array_contains(F.col("ancestors"), F.col("sha3_256"))
+                )
+            elif previous_digests is not None:
+                ok_rows = resume_delta(ok_rows, previous_digests)
+            uniq = (
+                ok_rows.groupBy("sha3_256")
+                .agg(
+                    F.min_by(
+                        F.struct("url", "parent_url", "depth", "ancestors", "html"),
+                        F.col("url"),
+                    ).alias("w")
+                )
+                .select("sha3_256", "w.*")
+            )
         # container subtrees expand INSIDE the kernel (analyze_tree) —
         # digest rows come out fully formed for the whole tree; only
         # oversized listings come back as kind='child' for a next round
@@ -168,7 +208,7 @@ def run_extraction(
                  "ancestors": "dup_ancestors"}
             )
             .join(
-                F.broadcast(winners.withColumnsRenamed(
+                _bcast(winners.withColumnsRenamed(
                     {"sha3_256": "root_sha", "url": "rep_url"})),
                 "root_sha",
             )
@@ -191,7 +231,7 @@ def run_extraction(
         )
         dup_digests = (
             digests_r.join(
-                F.broadcast(dups.select(
+                _bcast(dups.select(
                     "root_sha", "dup_url", "dup_parent_url", "dup_depth", "rep_url")),
                 "root_sha",
             )
@@ -226,7 +266,7 @@ def run_extraction(
             children.select(
                 "root_sha", "url", "parent_url", "depth", "ancestors", "child_data"
             )
-            .join(F.broadcast(dups), "root_sha")
+            .join(_bcast(dups), "root_sha")
             .select(
                 rewrite_url.alias("url"),
                 F.col("child_data").alias("html"),
