@@ -61,11 +61,12 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 3
+CORPUS_VERSION = 4
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
-    (530, "html-article"),
+    (520, "html-article"),
+    (530, "doc-legacy"),
     (540, "msg"),
     (570, "docx"),
     (580, "odt"),
@@ -97,7 +98,7 @@ def category_of(doc_id: int) -> str:
 #: duplicate-payload twin pool: small ids that are html-article (so a dup
 #: always clones an article page); rule only fires for doc_id >= 40, so
 #: twins never recurse
-_TWINS = [i for i in range(60) if ((i * 101) % 1000) < 530][:17]
+_TWINS = [i for i in range(60) if ((i * 101) % 1000) < 520][:17]
 assert len(_TWINS) == 17
 
 
@@ -578,7 +579,7 @@ def build_doc(doc_id: int) -> dict:
         "mbox": "mbox", "csv-table": "csv", "zip": "zip",
         "targz": "tar.gz", "pdf-minimal": "pdf", "binary-skip": "bin",
         "docx": "docx", "odt": "odt", "pptx": "pptx", "xlsx": "xlsx",
-        "msg": "msg",
+        "msg": "msg", "doc-legacy": "doc",
     }[cat]
     url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
     warc_ts = EPOCH + timedelta(seconds=doc_id * 137)
@@ -661,6 +662,18 @@ def build_doc(doc_id: int) -> dict:
     elif cat == "msg":
         html, golden, kids = render_msg(doc_id, lang)
         children = kids
+    elif cat == "doc-legacy":
+        from .operators.doc_extract import build_doc_file
+
+        paras = paragraphs_of(doc_id, lang, 3)
+        # compressed pieces are cp1252; only use them when lossless
+        try:
+            "\r".join(paras).encode("cp1252")
+            compressed = doc_id % 2 == 0
+        except UnicodeEncodeError:
+            compressed = False
+        html = build_doc_file(paras, compressed=compressed)
+        golden = _golden_from_paragraphs(paras)
     elif cat == "binary-skip":
         rng = _rng(doc_id, 10)
         html = bytes([0]) + rng.randbytes(256) + bytes([0])

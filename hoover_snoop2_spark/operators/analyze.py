@@ -100,11 +100,15 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
             mime_type = office
     elif mime_type == "application/vnd.ms-excel":
         # all OLE containers sniff as ms-excel (the reference's rewrite,
-        # magic.py:110-111); Outlook .msg files are OLE with MAPI streams
+        # magic.py:110-111); refine by stream names: MAPI streams → .msg,
+        # WordDocument stream → legacy .doc
+        from .doc_extract import is_word_doc
         from .msg_extract import looks_like_msg
 
         if looks_like_msg(data):
             mime_type = "application/vnd.ms-outlook"
+        elif is_word_doc(data):
+            mime_type = "application/msword"
     digest: dict = dict(_EMPTY)
     digest.update(
         kind="digest",
@@ -194,6 +198,16 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
             digest["email_to"] = meta.get("to")
             digest["email_date"] = meta.get("date")
             children = meta.get("attachments", [])
+
+        elif mime_type == "application/msword":
+            # legacy Word piece-table text ([MS-DOC] over our CFB reader)
+            from .doc_extract import DocBroken, doc_to_text
+
+            try:
+                digest["text"] = doc_to_text(data)
+            except DocBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
 
         elif mime_type == "application/rtf":
             from .rtf_extract import rtf_to_text
