@@ -209,6 +209,23 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
                 digest["status"] = "broken"
                 digest["broken_reason"] = e.reason
 
+        elif mime_type == "application/vnd.ms-excel":
+            # legacy BIFF8 workbook ([MS-XLS]): SST + LABELSST cells →
+            # the same table explode as csv/xlsx; non-BIFF OLE (the
+            # catch-all mime) passes through with no text
+            from .xls_extract import XlsBroken, is_xls, xls_to_table
+
+            if is_xls(data):
+                try:
+                    info, kids = xls_to_table(data)
+                    if info:
+                        digest["table_columns"] = info["table-columns"]
+                        digest["table_row_count"] = info["table-row-count"]
+                    children = [(n, t.encode("utf-8")) for n, t in kids]
+                except XlsBroken as e:
+                    digest["status"] = "broken"
+                    digest["broken_reason"] = e.reason
+
         elif mime_type == "application/rtf":
             from .rtf_extract import rtf_to_text
 
