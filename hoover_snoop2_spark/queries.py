@@ -572,10 +572,12 @@ def q23_path_parts(spark, sf_dir):
         F.sequence(F.lit(1), F.size(segments)),
         lambda i: F.concat_ws("/", F.slice(segments, 1, i)),
     )
+    # array columns stringified at the q-entry boundary: the driver's
+    # canonicalizer sorts pandas columns, which cannot factorize lists.
     return d.select(
         "doc_id",
         F.element_at(segments, -1).alias("filename"),
-        prefixes.alias("path_parts"),
+        F.array_join(prefixes, "|").alias("path_parts"),
     ).orderBy("doc_id")
 
 
@@ -589,8 +591,8 @@ WITH u AS (
 )
 SELECT doc_id,
        segments[len(segments)] AS filename,
-       list_transform(range(1, len(segments) + 1),
-                      i -> array_to_string(segments[1:i], '/')) AS path_parts
+       array_to_string(list_transform(range(1, len(segments) + 1),
+                       i -> array_to_string(segments[1:i], '/')), '|') AS path_parts
 FROM s ORDER BY doc_id
 """
 
@@ -708,7 +710,15 @@ def q35_media_features(spark, sf_dir):
         ("sha_text", b"not media at all"),
     ]
     df = spark.createDataFrame(rows, "sha3_256 string, data binary")
-    return extract_media_features(df).orderBy("sha3_256")
+    out = extract_media_features(df)
+    # stringify the float-array feature for the driver's canonicalizer
+    feat = F.array_join(
+        F.transform(F.col("feature"), lambda x: F.format_number(x, 4)), "|"
+    )
+    return out.select(
+        "sha3_256", "media_type", "width", "height", "n_frames",
+        feat.alias("feature"), "status", "broken_reason",
+    ).orderBy("sha3_256")
 
 
 def q25_entity_hits(spark, sf_dir):
@@ -784,6 +794,19 @@ def q36_ocr_join(spark, sf_dir):
     )
 
 
+Q36_SQL = r"""
+WITH d AS (
+  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS md5
+  FROM documents
+), o AS (
+  SELECT md5 FROM d WHERE doc_id % 10 = 0
+)
+SELECT d.doc_id, (o.md5 IS NOT NULL) AS ocr
+FROM d LEFT JOIN o ON d.md5 = o.md5
+ORDER BY d.doc_id
+"""
+
+
 def q37_user_tags(spark, sf_dir):
     """User-tag side table aggregated + joined at sink time (reference
     DocumentUserTag, digests.py:505-556)."""
@@ -800,9 +823,37 @@ def q37_user_tags(spark, sf_dir):
     )
     return (
         join_user_tags(d, tags)
-        .select("doc_id", "tags", "private_tags")
+        .select(
+            "doc_id",
+            F.array_join(F.col("tags"), "|").alias("tags"),
+            F.array_join(F.col("private_tags"), "|").alias("private_tags"),
+        )
         .orderBy("doc_id")
     )
+
+
+Q37_SQL = """
+WITH d AS (
+  SELECT doc_id, doc_id::VARCHAR AS sha3_256 FROM documents
+), t AS (
+  SELECT sha3_256,
+         'tag' || (doc_id % 5) AS tag,
+         (doc_id % 2 = 0) AS public,
+         'user' || (doc_id % 3) AS tag_user
+  FROM d
+), agg AS (
+  SELECT sha3_256,
+         coalesce(array_to_string(
+             list_sort(list(tag) FILTER (WHERE public)), '|'), '') AS tags,
+         coalesce(array_to_string(
+             list_sort(list(tag_user || ':' || tag) FILTER (WHERE NOT public)),
+             '|'), '') AS private_tags
+  FROM t GROUP BY sha3_256
+)
+SELECT d.doc_id, agg.tags, agg.private_tags
+FROM d LEFT JOIN agg ON d.sha3_256 = agg.sha3_256
+ORDER BY d.doc_id
+"""
 
 
 def q38_pdf_pages(spark, sf_dir):
@@ -882,6 +933,9 @@ ORACLES: dict[str, str] = {
     "q23_path_parts": Q23_SQL,
     "q24_host_stats": Q24_SQL,
     "q25_entity_hits": Q25_SQL,
-    # q30-q35: non-SQL-expressible (LSH banding, simhash bit votes, UDF
-    # language id, binary extraction pipeline, media UDFs) → rows-only
+    "q36_ocr_join": Q36_SQL,
+    "q37_user_tags": Q37_SQL,
+    # q30-q35, q38: non-SQL-expressible (LSH banding, simhash bit votes, UDF
+    # language id, binary extraction pipeline, media UDFs, PDF byte parsing)
+    # → rows-only
 }
