@@ -47,7 +47,15 @@ def main(argv: list[str] | None = None) -> int:
     previous = None
     if args.resume:
         cp = CheckpointStore(args.checkpoint)
-        previous = cp.read(spark, "digests")
+        # version gate (the reference's @snoop_task(version=...) retry
+        # invalidation, models.py:732-736): a stage-version bump makes the
+        # old snapshot stale — recompute instead of resuming from it
+        if cp.valid("digests"):
+            previous = cp.read(spark, "digests")
+        else:
+            print("resume: checkpointed digests missing or stale "
+                  "(stage version mismatch) — running full extraction",
+                  file=sys.stderr)
 
     digests, metrics = run_extraction(
         spark, pages, checkpoint_dir=args.checkpoint,

@@ -130,6 +130,14 @@ def pptx_to_text(data: bytes) -> str:
 _CELL_REF = re.compile(r"([A-Z]+)\d+")
 
 
+def _col_index(letters: str) -> int:
+    """'A'→0, 'Z'→25, 'AA'→26 — base-26 bijective column letters."""
+    n = 0
+    for ch in letters:
+        n = n * 26 + (ord(ch) - 64)
+    return n - 1
+
+
 def xlsx_to_table(data: bytes) -> tuple[dict | None, list[tuple[str, str]]]:
     """(table-info, row children) — the csv explode path for xlsx
     (get_table_info/unpack_table analog, archives.py:244-474)."""
@@ -148,14 +156,23 @@ def xlsx_to_table(data: bytes) -> tuple[dict | None, list[tuple[str, str]]]:
         for row in sheet.iter():
             if _local(row.tag) != "row":
                 continue
-            cells = []
+            # Excel omits empty cells; place each <c> at the index its r=
+            # reference names (padding gaps) so sparse rows don't shift.
+            cells: list[str] = []
+            next_idx = 0
             for c in row:
                 if _local(c.tag) != "c":
                     continue
                 v = next((n.text or "" for n in c.iter() if _local(n.tag) == "v"), "")
                 if c.get("t") == "s" and v.isdigit() and int(v) < len(shared):
                     v = shared[int(v)]
-                cells.append(v)
+                ref = c.get("r") or ""
+                m = _CELL_REF.fullmatch(ref)
+                idx = _col_index(m.group(1)) if m else next_idx
+                if idx >= len(cells):
+                    cells.extend([""] * (idx - len(cells) + 1))
+                cells[idx] = v
+                next_idx = idx + 1
             rows.append(cells)
     if not rows:
         return None, []

@@ -212,16 +212,28 @@ def extract_pdf_pages(data: bytes) -> list[dict]:
     per-page text joins items with ' ' (pdf.js rule)."""
     if not data.startswith(b"%PDF"):
         raise PdfBroken("pdf_not_pdf")
-    streams = _STREAM_RE.findall(data)
-    if not streams:
-        return []
-    # only reject filtered *content* streams; our corpus writes none
-    if _FILTER_RE.search(data) and not streams:
-        raise PdfBroken("pdf_filter_unsupported")
     pages = []
     page_no = 0
-    for stream in streams:
-        stream = _maybe_inflate(stream)
+    for m in _STREAM_RE.finditer(data):
+        stream = m.group(1)
+        # per-stream filter check: look back at the stream object's dict
+        # (`N 0 obj << /Length .. /Filter .. >> stream`); a declared filter
+        # other than FlateDecode — or Flate bytes that fail to inflate —
+        # is reported broken instead of tokenized as compressed garbage
+        head = data[max(0, m.start() - 512): m.start()]
+        oi = head.rfind(b" obj")
+        sdict = head[oi:] if oi >= 0 else head
+        if _FILTER_RE.search(sdict):
+            if b"FlateDecode" not in sdict or stream[:1] != b"\x78":
+                raise PdfBroken("pdf_filter_unsupported")
+            import zlib
+
+            try:
+                stream = zlib.decompress(stream)
+            except zlib.error:
+                raise PdfBroken("pdf_filter_unsupported") from None
+        else:
+            stream = _maybe_inflate(stream)
         spans = _spans_from_stream(stream, page_no + 1)
         if not spans:
             continue

@@ -84,8 +84,13 @@ def _parse_sst(payload: bytes) -> list[str]:
 
 def _rk_value(rk: int) -> str:
     mult = 0.01 if rk & 0x01 else 1.0
-    if rk & 0x02:  # integer
-        v = (rk >> 2) * mult
+    if rk & 0x02:  # 30-bit *signed* integer — sign-extend before scaling
+        iv = rk >> 2
+        if rk & 0x80000000:
+            iv -= 1 << 30
+        if not rk & 0x01:
+            return str(iv)  # exact: %g would clip big ints to 6 sig figs
+        v = iv * mult
     else:  # top 30 bits of an IEEE double
         v = struct.unpack("<d", struct.pack("<Q", (rk & 0xFFFFFFFC) << 32))[0] * mult
     return f"{v:g}"

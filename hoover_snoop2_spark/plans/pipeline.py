@@ -60,11 +60,14 @@ def run_extraction(
     inline_max_children: int | None = None,
     inline_max_bytes: int | None = None,
     dedup_strategy: str = "broadcast",
+    include_previous: bool = True,
 ) -> tuple[DataFrame, DataFrame]:
     """pages(url, warc_ts, html, ...) → (digests, metrics).
 
     ``previous_digests`` enables incremental re-runs: already-processed
     hashes are anti-joined away (resume_delta) and stitched back in.
+    ``include_previous=False`` returns only this run's delta (append-style
+    sinks — the streaming per-epoch writer — union epochs themselves).
 
     ``dedup_strategy``:
     - ``'broadcast'`` (default): blob bytes never shuffle — winner urls
@@ -149,8 +152,14 @@ def run_extraction(
         # broadcast: there the Iceberg table is bucketed by sha3_256 at
         # ingest and dedup_by_size_class (plans/skew.py) does the same in
         # one co-located shuffle; both paths are kept.)
+        # winners carry their depth: a duplicate and its representative can
+        # sit at different depths in the same round (deferred children mix
+        # depths), so clones must rebase depth/ancestors on rep_depth.
         winners = (
-            ok_pairs.groupBy("sha3_256").agg(F.min("url").alias("url"))
+            ok_pairs.groupBy("sha3_256")
+            .agg(F.min_by(F.struct("url", "depth"), F.col("url")).alias("w"))
+            .select("sha3_256", F.col("w.url").alias("url"),
+                    F.col("w.depth").alias("rep_depth"))
         )
         if dedup_strategy == "broadcast":
             # winners already reflects the recursion + resume filters, and
@@ -223,21 +232,27 @@ def run_extraction(
             F.col("dup_url"),
             F.expr("substring(url, length(rep_url) + 1)"),
         )
+        # the subtree root is the row at the REPRESENTATIVE's depth; clones
+        # rebase depth as dup_depth + (depth - rep_depth)
         rewrite_parent = F.when(
-            F.col("depth") == F.col("dup_depth"), F.col("dup_parent_url")
+            F.col("depth") == F.col("rep_depth"), F.col("dup_parent_url")
         ).otherwise(
             F.concat(F.col("dup_url"),
                      F.expr("substring(parent_url, length(rep_url) + 1)"))
         )
+        rewrite_depth = F.col("dup_depth") + F.col("depth") - F.col("rep_depth")
         dup_digests = (
             digests_r.join(
                 _bcast(dups.select(
-                    "root_sha", "dup_url", "dup_parent_url", "dup_depth", "rep_url")),
+                    "root_sha", "dup_url", "dup_parent_url", "dup_depth",
+                    "rep_url", "rep_depth")),
                 "root_sha",
             )
             .withColumn("url", rewrite_url)
             .withColumn("parent_url", rewrite_parent)
-            .drop("root_sha", "dup_url", "dup_parent_url", "dup_depth", "rep_url")
+            .withColumn("depth", rewrite_depth)
+            .drop("root_sha", "dup_url", "dup_parent_url", "dup_depth",
+                  "rep_url", "rep_depth")
         )
         digest_rounds.append(dup_digests)
         metric_rounds.append(stage_metrics(digests_r, "analyze", round_no))
@@ -274,13 +289,14 @@ def run_extraction(
                     F.col("dup_url"),
                     F.expr("substring(parent_url, length(rep_url) + 1)"),
                 ).alias("parent_url"),
-                F.col("depth"),
+                rewrite_depth.alias("depth"),
                 # ancestor chain: duplicate's own prefix + the subtree
-                # suffix (identical bytes → identical hashes below the root)
+                # suffix below the representative's depth (identical bytes
+                # → identical hashes below the root)
                 F.concat(
                     F.col("dup_ancestors"),
-                    F.expr("slice(ancestors, dup_depth + 1, "
-                           "size(ancestors) - dup_depth)"),
+                    F.expr("slice(ancestors, rep_depth + 1, "
+                           "size(ancestors) - rep_depth)"),
                 ).alias("ancestors"),
             )
         )
@@ -298,7 +314,7 @@ def run_extraction(
     for m in metric_rounds[1:]:
         metrics = metrics.unionByName(m)
 
-    if previous_digests is not None:
+    if previous_digests is not None and include_previous:
         digests = previous_digests.unionByName(digests, allowMissingColumns=True)
 
     # with a caller-owned checkpoint dir the final table is snapshotted

@@ -7,46 +7,61 @@ stream over the pages directory driven through ``foreachBatch``: every
 micro-batch runs the SAME batch pipeline incrementally, with the digests
 accumulated so far acting as the memoization set (content-hash dedup across
 batches — exactly the reference's cross-run task dedup, tasks.py:356-364).
+
+Sink layout: one partition directory per epoch (``epoch=N/``), append-only.
+Each micro-batch writes ONLY its delta digests — O(batch) write volume per
+epoch, not O(corpus) — and the cumulative table is the partitioned read of
+the whole directory (an Iceberg ``MERGE``/append commit in production).
+Re-running an epoch overwrites its own partition, so retries stay
+idempotent.
 """
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 
+def read_digests(spark: SparkSession, out_dir: str) -> DataFrame | None:
+    """Cumulative digest table = union of all epoch partitions.  Each sha
+    appears in exactly one epoch (the memoization anti-join guarantees it),
+    so the read needs no dedup."""
+    if not os.path.exists(out_dir):
+        return None
+    try:
+        return spark.read.parquet(out_dir).drop("epoch")
+    except Exception:
+        return None
+
+
 class StreamingExtractor:
-    """foreachBatch handler carrying the cumulative digest table."""
+    """foreachBatch handler appending per-epoch digest deltas."""
 
     def __init__(self, spark: SparkSession, out_dir: str, max_depth: int = 5):
         self.spark = spark
         self.out_dir = out_dir
         self.max_depth = max_depth
 
-    def _previous(self) -> DataFrame | None:
-        import os
-
-        if not os.path.exists(self.out_dir):
-            return None
-        try:
-            return self.spark.read.parquet(self.out_dir)
-        except Exception:
-            return None
+    def digests(self) -> DataFrame | None:
+        return read_digests(self.spark, self.out_dir)
 
     def process_batch(self, batch_df: DataFrame, epoch_id: int) -> None:
         from ..plans.pipeline import run_extraction
 
-        previous = self._previous()
-        digests, _ = run_extraction(
+        previous = self.digests()
+        delta, _ = run_extraction(
             self.spark,
             batch_df,
             max_depth=self.max_depth,
             previous_digests=previous,
+            include_previous=False,
         )
-        # exactly-once-ish: overwrite with the merged table per epoch
-        # (an Iceberg MERGE in production)
-        digests.write.mode("overwrite").parquet(self.out_dir + ".tmp")
-        final = self.spark.read.parquet(self.out_dir + ".tmp")
-        final.write.mode("overwrite").parquet(self.out_dir)
+        # append-only: this epoch's delta lands in its own partition dir;
+        # overwrite of the SAME epoch (streaming retry) is idempotent
+        delta.write.mode("overwrite").parquet(
+            os.path.join(self.out_dir, f"epoch={int(epoch_id)}")
+        )
 
 
 def start_extract_stream(
@@ -55,6 +70,7 @@ def start_extract_stream(
     out_dir: str,
     schema,
     available_now: bool = True,
+    max_files_per_trigger: int = 8,
 ):
     """readStream(pages dir) → foreachBatch(incremental pipeline).
 
@@ -65,7 +81,7 @@ def start_extract_stream(
     stream = (
         spark.readStream.format("parquet")
         .schema(schema)
-        .option("maxFilesPerTrigger", "8")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .load(src_dir)
     )
     writer = stream.writeStream.foreachBatch(extractor.process_batch)

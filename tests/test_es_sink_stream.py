@@ -47,3 +47,52 @@ def test_streaming_extraction(spark, tmp_path):
     )
     # memoization across epochs: no duplicate urls
     assert got.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_streaming_per_epoch_append(spark, tmp_path):
+    """Per-epoch write volume stays O(batch): each micro-batch appends only
+    its delta partition (epoch=N/) instead of rewriting the cumulative
+    table, and every url lands in exactly one epoch."""
+    from hoover_snoop2_spark.corpus import generate_pages
+    from hoover_snoop2_spark.streaming.extract_stream import (
+        read_digests,
+        start_extract_stream,
+    )
+
+    src = str(tmp_path / "pages_stream")
+    os.makedirs(src)
+    pages_path, _ = generate_pages(60, str(tmp_path / "gen"))
+    pages = spark.read.parquet(pages_path)
+    # three file drops → three micro-batches with maxFilesPerTrigger=8
+    thirds = [
+        pages.filter(F.abs(F.hash("url")) % 3 == i).coalesce(1)
+        for i in range(3)
+    ]
+    for part in thirds:
+        part.write.mode("append").parquet(src)
+
+    out = str(tmp_path / "digests_out")
+    q = start_extract_stream(
+        spark, src, out, spark.read.parquet(src).schema,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)  # partition-discovers the epoch column
+    per_epoch = {
+        r["epoch"]: r["n"]
+        for r in got.groupBy("epoch").agg(F.count("*").alias("n")).collect()
+    }
+    total = sum(per_epoch.values())
+    assert len(per_epoch) >= 2, per_epoch
+    # append-only: every epoch wrote a strict subset, never the whole table
+    assert max(per_epoch.values()) < total, per_epoch
+    # each url in exactly one epoch (memoization delta, no rewrites)
+    assert (
+        got.groupBy("url")
+        .agg(F.countDistinct("epoch").alias("k"))
+        .filter(F.col("k") > 1)
+        .count()
+        == 0
+    )
+    assert read_digests(spark, out).count() == total

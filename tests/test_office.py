@@ -76,3 +76,30 @@ def test_docx_filetype_mapping():
     from hoover_snoop2_spark.functions.filetypes import get_filetype
 
     assert get_filetype(_digest(data)[0]["mime_type"]) == "doc"
+
+
+def test_xlsx_sparse_rows_align_by_cell_ref():
+    """Excel omits empty cells; values must land at the column their r=
+    reference names, not shift left (ADVICE round-1 regression)."""
+    import io
+    import zipfile
+
+    from hoover_snoop2_spark.operators.office_extract import xlsx_to_table
+
+    sheet = (
+        '<?xml version="1.0"?><worksheet xmlns="http://schemas.'
+        'openxmlformats.org/spreadsheetml/2006/main"><sheetData>'
+        '<row r="1">'
+        '<c r="A1" t="inlineStr"><is><t>a</t></is><v>h1</v></c>'
+        '<c r="B1"><v>h2</v></c><c r="C1"><v>h3</v></c></row>'
+        # row 2 omits B2 — v3 must stay in column C
+        '<row r="2"><c r="A2"><v>v1</v></c><c r="C2"><v>v3</v></c></row>'
+        "</sheetData></worksheet>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("xl/workbook.xml", '<?xml version="1.0"?><workbook/>')
+        zf.writestr("xl/worksheets/sheet1.xml", sheet)
+    info, children = xlsx_to_table(buf.getvalue())
+    assert info["table-col-count"] == 3
+    assert children == [("1.txt", "h1 = v1\nh2 = \nh3 = v3\n")]

@@ -38,3 +38,20 @@ def test_non_biff_ole_passthrough():
     digest = analyze_blob("x", fake)[0]
     assert digest["mime_type"] == "application/vnd.ms-excel"
     assert digest["status"] in ("success", "broken")
+
+
+def test_rk_value_sign_extension():
+    # RK integers are 30-bit SIGNED: -7 encodes with the top bit set
+    from hoover_snoop2_spark.operators.xls_extract import _rk_value
+
+    def enc_int(v, cw=False):
+        return ((v & 0x3FFFFFFF) << 2) | 0x02 | (0x01 if cw else 0)
+
+    assert _rk_value(enc_int(7)) == "7"
+    assert _rk_value(enc_int(-7)) == "-7"
+    assert _rk_value(enc_int(-7, cw=True)) == "-0.07"
+    assert _rk_value(enc_int(-(1 << 29))) == str(-(1 << 29))
+    # IEEE-double RK with a negative value (sign lives in the float bits)
+    import struct as _s
+    top = _s.unpack("<Q", _s.pack("<d", -12.5))[0] >> 32
+    assert _rk_value(top & 0xFFFFFFFC) == "-12.5"
