@@ -27,11 +27,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--resume", action="store_true",
                    help="skip hashes present in the checkpoint's last digests")
     p.add_argument("--max-depth", type=int, default=5)
-    p.add_argument("--dedup-strategy", choices=("broadcast", "shuffle"),
-                   default="broadcast",
-                   help="blob-dedup plan: broadcast winner election (no "
-                        "blob shuffle) or co-located shuffle (for scales "
-                        "where winners outgrow a broadcast)")
+    p.add_argument("--dedup-strategy",
+                   choices=("auto", "broadcast", "shuffle"), default="auto",
+                   help="blob-dedup plan: auto (size-measured per round), "
+                        "broadcast winner election (no blob shuffle), or "
+                        "co-located shuffle (for scales where winners "
+                        "outgrow a broadcast)")
     p.add_argument("--es-shape", action="store_true",
                    help="emit reference-ES-mapping field names")
     args = p.parse_args(argv)

@@ -84,12 +84,20 @@ def minhash_lsh_pairs(
     bands: int = 4,
     k: int = 5,
     jaccard_threshold: float = 0.7,
+    use_local_checkpoint: bool = True,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard >= threshold).
 
     banding: signature split into ``bands`` bands of ``n_hashes/bands``
     rows; docs sharing any band-hash are candidates; candidates verified
     with exact shingle Jaccard (array_intersect/array_union sizes).
+
+    ``use_local_checkpoint`` materializes the small multi-consumer
+    intermediates (band keys, candidate ids) in the block store — right on
+    a single node / static cluster.  Pass ``False`` on clusters with
+    dynamic allocation or flaky executors (block-store checkpoints die
+    with their executor); there, snapshot the *input* df to parquet/Iceberg
+    first (plans.checkpoint.CheckpointStore) and the recompute stays cheap.
     """
     rows = n_hashes // bands
     sigs = minhash_signature(df, id_col, text_col, n_hashes, k)
@@ -118,7 +126,8 @@ def minhash_lsh_pairs(
     # the signature chain (shingles → 16 permutations) is the expensive
     # part and feeds five downstream consumers — materialize the tiny
     # (id, band, hash) table once instead of re-deriving it per consumer
-    banded = banded.localCheckpoint(eager=True)
+    if use_local_checkpoint:
+        banded = banded.localCheckpoint(eager=True)
 
     # degenerate buckets (near-identical boilerplate at web scale) would
     # make the self-join quadratic; cap them and surface the cap in the
@@ -139,12 +148,16 @@ def minhash_lsh_pairs(
         .filter(F.col("l.id") < F.col("r.id"))
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
+    if use_local_checkpoint:
+        cand = cand.localCheckpoint(eager=True)
 
     # exact-Jaccard verify ONLY over candidate ids: shingle arrays are the
-    # heaviest intermediate (10-100 KB/doc), so they are filtered down with
-    # a broadcast semi-join and never shuffle for the full corpus
+    # heaviest intermediate (10-100 KB/doc), so they are filtered down to
+    # candidates first and joined WITHOUT a forced broadcast — AQE picks
+    # broadcast when the candidate set is small and degrades gracefully to
+    # a shuffle join when near-dup families are large (10⁵+ candidates ×
+    # 10-100 KB shingle arrays would OOM a forced broadcast)
     cand_ids = (
         cand.select(F.col("id_a").alias("id"))
         .union(cand.select(F.col("id_b").alias("id")))
@@ -156,14 +169,8 @@ def minhash_lsh_pairs(
         .withColumn("sh", F.array_distinct("sh"))
     )
     verified = (
-        cand.join(
-            F.broadcast(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"})),
-            "id_a",
-        )
-        .join(
-            F.broadcast(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"})),
-            "id_b",
-        )
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
         .withColumn(
             "jaccard",
             F.size(F.array_intersect("sh_a", "sh_b"))
@@ -267,18 +274,51 @@ def simhash_pairs(
 
 
 def embedding_dups(
-    df: DataFrame, id_col: str, vec_col: str, threshold: float = 0.98
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.98,
+    n_planes: int = 6,
+    dim: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dups.  Brute-force pairwise over a
-    block-nested join — correct baseline; the scale path buckets by an
-    LSH sign-projection first (see similarity.ann_lsh)."""
-    from .similarity import cosine_expr
+    """Embedding-cosine near-dups, LSH-bucketed — no all-pairs join.
 
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    Each vector lands in its sign-projection bucket; one side additionally
+    probes its hamming-1 neighbor buckets, so any pair whose bucket ids
+    differ in <=1 bit meets exactly once per shared probe.  Near-dup pairs
+    (cosine >= 0.98 → angle <= 11°) disagree on a plane with prob ~θ/π, so
+    recall at hamming<=1 is high and tunable via ``n_planes``.  Cost: one
+    shuffle of (id, vec, bucket) rows on bucket id — O(n·(n_planes+1))
+    rows, never O(n²).
+    """
+    from .similarity import _plane_literals, bucket_expr, cosine_expr
+
+    if dim is None:
+        dim = df.select(F.size(F.col(vec_col))).first()[0]
+    planes = _plane_literals(dim, n_planes)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+        bucket_expr(vec_col, planes).alias("home"),
+    )
+    probes = base.select(
+        F.col("id"),
+        F.col("v"),
+        F.explode(
+            F.array(
+                F.col("home"),
+                *[F.col("home").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+            )
+        ).alias("bucket"),
+    )
+    # bucket-equi join; cosine + threshold filter run BEFORE the distinct,
+    # so only surviving near-dup pairs (tiny) reach the dedup shuffle
     return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", F.round(cosine_expr("va", "vb"), 6))
+        base.alias("l")
+        .join(probes.alias("r"), F.col("l.home") == F.col("r.bucket"))
+        .filter(F.col("l.id") < F.col("r.id"))
+        .withColumn("cosine", F.round(cosine_expr("l.v", "r.v"), 6))
         .filter(F.col("cosine") >= threshold)
-        .select("id_a", "id_b", "cosine")
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cosine")
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -59,8 +59,9 @@ def run_extraction(
     previous_digests: DataFrame | None = None,
     inline_max_children: int | None = None,
     inline_max_bytes: int | None = None,
-    dedup_strategy: str = "broadcast",
+    dedup_strategy: str = "auto",
     include_previous: bool = True,
+    broadcast_max_uniques: int = 1_000_000,
 ) -> tuple[DataFrame, DataFrame]:
     """pages(url, warc_ts, html, ...) → (digests, metrics).
 
@@ -70,18 +71,22 @@ def run_extraction(
     sinks — the streaming per-epoch writer — union epochs themselves).
 
     ``dedup_strategy``:
-    - ``'broadcast'`` (default): blob bytes never shuffle — winner urls
-      elected over the (sha3, url) pairs table and broadcast back as a
-      semi-join.  Right while the per-round winner set fits a broadcast
-      (millions of uniques).
+    - ``'auto'`` (default): measured per round — an approx-distinct count
+      over the checkpointed pairs table (bookkeeping-sized, one cheap
+      column scan) picks ``broadcast`` while the unique-hash set fits
+      (``broadcast_max_uniques``) and degrades to ``shuffle`` past it, so
+      the plan no longer silently breaks at ~10⁸ uniques on caller trust.
+    - ``'broadcast'``: blob bytes never shuffle — winner urls elected over
+      the (sha3, url) pairs table and broadcast back as a semi-join.
+      Right while the per-round winner set fits a broadcast (millions of
+      uniques).
     - ``'shuffle'``: one co-located shuffle of the blobs by sha3 with a
       min_by representative election, and the duplicate fan-out joins run
       as regular (non-broadcast) joins.  Right at 10^12-doc scale where
       neither winners nor the dup set fit a broadcast; pairs with an
       Iceberg table bucketed by sha3_256 so the exchange is free.
     """
-    assert dedup_strategy in ("broadcast", "shuffle"), dedup_strategy
-    _bcast = F.broadcast if dedup_strategy == "broadcast" else (lambda df: df)
+    assert dedup_strategy in ("auto", "broadcast", "shuffle"), dedup_strategy
     # Every stage boundary is a parquet snapshot (Iceberg-commit analog):
     # resumable, lineage-flat, and — decisive for this workload — all
     # downstream consumers read back COLUMN-PRUNED (children readers never
@@ -122,6 +127,23 @@ def run_extraction(
             f"pairs_r{round_no}",
         )
 
+        # per-round strategy: broadcast while the unique-hash set fits, else
+        # shuffle.  approx_count_distinct over one column of the freshly
+        # checkpointed (tiny) pairs parquet — no blob bytes touched.
+        if dedup_strategy == "auto":
+            n_uniq = pairs.agg(
+                F.approx_count_distinct("sha3_256").alias("n")
+            ).first()["n"]
+            strategy = (
+                "broadcast" if n_uniq <= broadcast_max_uniques else "shuffle"
+            )
+            if _TIMING:
+                print(f"[pipeline] r{round_no} auto dedup: ~{n_uniq} uniques "
+                      f"→ {strategy}", flush=True)
+        else:
+            strategy = dedup_strategy
+        _bcast = F.broadcast if strategy == "broadcast" else (lambda df: df)
+
         # recursion guard: a child whose bytes equal an ancestor container
         # is a zip bomb (check_recursion, archives.py:531-540).  Round 0
         # has no ancestors by construction — skip the branch there.
@@ -161,7 +183,7 @@ def run_extraction(
             .select("sha3_256", F.col("w.url").alias("url"),
                     F.col("w.depth").alias("rep_depth"))
         )
-        if dedup_strategy == "broadcast":
+        if strategy == "broadcast":
             # winners already reflects the recursion + resume filters, and
             # the (sha3, url) semi-join keeps exactly the winner rows
             uniq = hashed.join(

@@ -557,6 +557,50 @@ FROM embeddings GROUP BY label ORDER BY label
 """
 
 
+def q26_embedding_dups(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via LSH sign-projection buckets
+    (hamming-1 multi-probe) — the scale path for pairwise dedup.  The
+    table has no natural near-dups (max pairwise cosine ≈ 0.51), so
+    perturbed copies of vec_id < 20 are synthesized identically on both
+    sides: id+10000, embedding → 1.1·x + 0.005."""
+    from .operators.dedup import embedding_dups
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    dups = e.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.transform(F.col("embedding"), lambda x: x * 1.1 + 0.005).alias(
+            "embedding"
+        ),
+    )
+    both = e.unionByName(dups)
+    return (
+        embedding_dups(both, "vec_id", "embedding", threshold=0.99, dim=64)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q26_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS embedding FROM embeddings
+), dups AS (
+  SELECT vec_id + 10000 AS vec_id,
+         list_transform(embedding, x -> x * 1.1 + 0.005) AS embedding
+  FROM base WHERE vec_id < 20
+), both_t AS (
+  SELECT * FROM base UNION ALL SELECT * FROM dups
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(round(list_cosine_similarity(a.embedding, b.embedding), 6), 4)
+         AS cosine
+FROM both_t a JOIN both_t b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.99
+ORDER BY id_a, id_b
+"""
+
+
 def q23_path_parts(spark, sf_dir):
     """Container-aware path prefix expansion (full_path/path_parts,
     reference digests.py:726-759) over synthesized urls — the ES
@@ -896,6 +940,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q23_path_parts": q23_path_parts,
     "q24_host_stats": q24_host_stats,
     "q25_entity_hits": q25_entity_hits,
+    "q26_embedding_dups": q26_embedding_dups,
     "q30_minhash_lsh_dups": q30_minhash_lsh_dups,
     "q31_simhash_dups": q31_simhash_dups,
     "q32_ann_lsh_topk": q32_ann_lsh_topk,
@@ -933,6 +978,7 @@ ORACLES: dict[str, str] = {
     "q23_path_parts": Q23_SQL,
     "q24_host_stats": Q24_SQL,
     "q25_entity_hits": Q25_SQL,
+    "q26_embedding_dups": Q26_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q30-q35, q38: non-SQL-expressible (LSH banding, simhash bit votes, UDF

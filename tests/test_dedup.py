@@ -70,3 +70,33 @@ def test_embedding_dups(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in
              embedding_dups(df, "vec_id", "embedding", threshold=0.98).collect()}
     assert pairs == {(0, 1)}
+
+
+def test_minhash_cluster_safe_path(docs):
+    """use_local_checkpoint=False (dynamic-allocation clusters) returns the
+    same pairs — only the materialization strategy changes."""
+    kw = dict(n_hashes=16, bands=8, jaccard_threshold=0.5)
+    with_cp = {(r["id_a"], r["id_b"]) for r in
+               minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()}
+    without = {(r["id_a"], r["id_b"]) for r in
+               minhash_lsh_pairs(docs, "doc_id", "text",
+                                 use_local_checkpoint=False, **kw).collect()}
+    assert with_cp == without
+
+
+def test_embedding_dups_no_all_pairs_join(spark, docs):
+    """The plan must be a bucket-equi join — no cartesian/nested-loop."""
+    import io
+    from contextlib import redirect_stdout
+
+    df = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    plan_df = embedding_dups(df, "vec_id", "embedding", dim=8)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        plan_df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -21,9 +21,11 @@ AUDITED = [
     "q11_decorrelated_subquery",
     "q16_dedup_exact",
     "q21_cosine_topk",
+    "q26_embedding_dups",
     "q30_minhash_lsh_dups",
 ]
 
+# "!X" = X must be ABSENT from the plan
 CHECKS = {
     "q01_pricing_summary": ["PushedFilters", "HashAggregate"],
     "q05_semi_join": ["LeftSemi"],
@@ -31,6 +33,22 @@ CHECKS = {
     "q11_decorrelated_subquery": ["HashAggregate"],
     "q16_dedup_exact": ["HashAggregate"],
     "q21_cosine_topk": ["BroadcastNestedLoopJoin", "Window"],
+    "q26_embedding_dups": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    "q30_minhash_lsh_dups": ["!CartesianProduct"],
+}
+
+NOTES = {
+    "q21_cosine_topk": "BroadcastNestedLoopJoin is deliberate: the exact "
+        "brute-force baseline broadcasts a 10-row query set; the scale path "
+        "is q32 (LSH buckets).",
+    "q26_embedding_dups": "bucket-equi join on the LSH sign-projection — "
+        "the all-pairs `id_a < id_b` nested loop is gone; cosine+threshold "
+        "filter runs before the pair-dedup shuffle.",
+    "q30_minhash_lsh_dups": "the Jaccard-verify joins carry NO forced "
+        "broadcast hint — the planner broadcasts the candidate shingle "
+        "set while it is small and degrades to a shuffle join for large "
+        "near-dup families (any BroadcastHashJoin below is planner/"
+        "AQE-chosen from size stats).",
 }
 
 
@@ -50,9 +68,15 @@ def main() -> None:
         plan = buf.getvalue()
         verdicts = []
         for want in CHECKS.get(name, []):
-            verdicts.append(f"{'OK' if want in plan else 'MISSING'}: {want}")
+            if want.startswith("!"):
+                ok = want[1:] not in plan
+                verdicts.append(f"{'OK' if ok else 'VIOLATION'}: no {want[1:]}")
+            else:
+                verdicts.append(f"{'OK' if want in plan else 'MISSING'}: {want}")
+        note = NOTES.get(name)
         out += [f"## {name}", "",
-                *(f"- {v}" for v in verdicts), "",
+                *(f"- {v}" for v in verdicts),
+                *([f"", f"_{note}_"] if note else []), "",
                 "```", plan.strip()[:4000], "```", ""]
         print(name, "|", "; ".join(verdicts))
     with open("PLANS.md", "w") as f:
