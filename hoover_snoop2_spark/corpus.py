@@ -61,11 +61,12 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 4
+CORPUS_VERSION = 5
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
-    (520, "html-article"),
+    (510, "html-article"),
+    (520, "ppt-legacy"),
     (530, "doc-legacy"),
     (540, "msg"),
     (570, "docx"),
@@ -98,7 +99,7 @@ def category_of(doc_id: int) -> str:
 #: duplicate-payload twin pool: small ids that are html-article (so a dup
 #: always clones an article page); rule only fires for doc_id >= 40, so
 #: twins never recurse
-_TWINS = [i for i in range(60) if ((i * 101) % 1000) < 520][:17]
+_TWINS = [i for i in range(60) if ((i * 101) % 1000) < 510][:17]
 assert len(_TWINS) == 17
 
 
@@ -418,6 +419,39 @@ def _xml_escape(s: str) -> str:
     return s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
 
+def office_dates_of(doc_id: int) -> tuple[str, str]:
+    """Deterministic (created, modified) zulu strings for office docs."""
+    created = EPOCH + timedelta(seconds=doc_id * 137)
+    modified = created + timedelta(hours=1)
+    fmt = "%Y-%m-%dT%H:%M:%SZ"
+    return created.strftime(fmt), modified.strftime(fmt)
+
+
+def _core_props_xml(doc_id: int) -> bytes:
+    c, m = office_dates_of(doc_id)
+    return (
+        '<?xml version="1.0"?><cp:coreProperties xmlns:cp="http://schemas.'
+        'openxmlformats.org/package/2006/metadata/core-properties" '
+        'xmlns:dcterms="http://purl.org/dc/terms/" xmlns:xsi="http://www.'
+        'w3.org/2001/XMLSchema-instance">'
+        f'<dcterms:created xsi:type="dcterms:W3CDTF">{c}</dcterms:created>'
+        f'<dcterms:modified xsi:type="dcterms:W3CDTF">{m}</dcterms:modified>'
+        "</cp:coreProperties>"
+    ).encode("utf-8")
+
+
+def _odf_meta_xml(doc_id: int) -> bytes:
+    c, m = office_dates_of(doc_id)
+    return (
+        '<?xml version="1.0"?><office:document-meta xmlns:office='
+        '"urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:meta='
+        '"urn:oasis:names:tc:opendocument:xmlns:meta:1.0" xmlns:dc='
+        '"http://purl.org/dc/elements/1.1/"><office:meta>'
+        f"<meta:creation-date>{c}</meta:creation-date><dc:date>{m}</dc:date>"
+        "</office:meta></office:document-meta>"
+    ).encode("utf-8")
+
+
 def render_docx(doc_id: int, lang: str) -> tuple[bytes, str]:
     paras = paragraphs_of(doc_id, lang, 3)
     body = "".join(
@@ -430,6 +464,7 @@ def render_docx(doc_id: int, lang: str) -> tuple[bytes, str]:
     )
     data = _zip_bytes_of(
         [("[Content_Types].xml", _CONTENT_TYPES_DOCX.encode()),
+         ("docProps/core.xml", _core_props_xml(doc_id)),
          ("word/document.xml", doc.encode("utf-8"))]
     )
     return data, _golden_from_paragraphs(paras)
@@ -447,6 +482,7 @@ def render_odt(doc_id: int, lang: str) -> tuple[bytes, str]:
     )
     data = _zip_bytes_of(
         [("mimetype", b"application/vnd.oasis.opendocument.text"),
+         ("meta.xml", _odf_meta_xml(doc_id)),
          ("content.xml", content.encode("utf-8"))]
     )
     return data, _golden_from_paragraphs(paras)
@@ -470,6 +506,7 @@ def render_pptx(doc_id: int, lang: str) -> tuple[bytes, str]:
         )
         goldens.extend(lines)
     members = [("[Content_Types].xml", _CONTENT_TYPES_DOCX.encode()),
+               ("docProps/core.xml", _core_props_xml(doc_id)),
                ("ppt/presentation.xml", b'<?xml version="1.0"?><p/>')]
     for i, s in enumerate(slides, 1):
         members.append((f"ppt/slides/slide{i}.xml", s.encode("utf-8")))
@@ -504,6 +541,7 @@ def render_xlsx(doc_id: int) -> tuple[bytes, list[tuple[str, str]], dict]:
     )
     data = _zip_bytes_of(
         [("[Content_Types].xml", _CONTENT_TYPES_DOCX.encode()),
+         ("docProps/core.xml", _core_props_xml(doc_id)),
          ("xl/workbook.xml", b'<?xml version="1.0"?><workbook/>'),
          ("xl/sharedStrings.xml", sst.encode("utf-8")),
          ("xl/worksheets/sheet1.xml", sheet.encode("utf-8"))]
@@ -579,7 +617,7 @@ def build_doc(doc_id: int) -> dict:
         "mbox": "mbox", "csv-table": "csv", "zip": "zip",
         "targz": "tar.gz", "pdf-minimal": "pdf", "binary-skip": "bin",
         "docx": "docx", "odt": "odt", "pptx": "pptx", "xlsx": "xlsx",
-        "msg": "msg", "doc-legacy": "doc",
+        "msg": "msg", "doc-legacy": "doc", "ppt-legacy": "ppt",
     }[cat]
     url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
     warc_ts = EPOCH + timedelta(seconds=doc_id * 137)
@@ -674,6 +712,12 @@ def build_doc(doc_id: int) -> dict:
             compressed = False
         html = build_doc_file(paras, compressed=compressed)
         golden = _golden_from_paragraphs(paras)
+    elif cat == "ppt-legacy":
+        from .operators.ppt_extract import build_ppt
+
+        paras = paragraphs_of(doc_id, lang, 3)
+        html = build_ppt(paras)
+        golden = _golden_from_paragraphs(paras)
     elif cat == "binary-skip":
         rng = _rng(doc_id, 10)
         html = bytes([0]) + rng.randbytes(256) + bytes([0])
@@ -687,6 +731,10 @@ def build_doc(doc_id: int) -> dict:
         twin = build_doc(_TWINS[doc_id % 17])
         html, golden, lang = twin["html"], twin["text"], twin["lang"]
 
+    date_created = date_modified = None
+    if cat in ("docx", "odt", "pptx", "xlsx"):
+        date_created, date_modified = office_dates_of(doc_id)
+
     return {
         "doc_id": doc_id,
         "url": url,
@@ -697,6 +745,8 @@ def build_doc(doc_id: int) -> dict:
         "category": cat,
         "children": children,
         "extra": extra,
+        "date_created": date_created,
+        "date_modified": date_modified,
     }
 
 
@@ -712,6 +762,8 @@ def golden_rows(doc: dict) -> list[dict]:
             "category": doc["category"],
             "is_container": bool(doc["children"]),
             "parent_url": None,
+            "date_created": doc["date_created"],
+            "date_modified": doc["date_modified"],
         }
     ]
     for name, child_golden in doc["children"]:
@@ -725,6 +777,8 @@ def golden_rows(doc: dict) -> list[dict]:
                 "category": doc["category"] + "-child",
                 "is_container": name.endswith(".zip"),
                 "parent_url": doc["url"],
+                "date_created": None,
+                "date_modified": None,
             }
         )
     return rows

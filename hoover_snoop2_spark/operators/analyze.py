@@ -29,6 +29,7 @@ from .office_extract import (
     OOXML_PPTX,
     OOXML_XLSX,
     classify_zip_office,
+    office_doc_dates,
     office_to_text,
     xlsx_to_table,
 )
@@ -60,6 +61,7 @@ ANALYZE_SCHEMA = (
     "email_domains array<string>, email_date string, "
     "table_columns array<string>, table_row_count bigint, "
     "exif_location string, exif_date string, pgp boolean, "
+    "date_created string, date_modified string, "
     "n_children int, child_name string, child_data binary"
 )
 
@@ -78,6 +80,7 @@ _EMPTY = {
     "email_from": None, "email_to": None, "email_domains": None,
     "email_date": None, "table_columns": None, "table_row_count": None,
     "exif_location": None, "exif_date": None, "pgp": None,
+    "date_created": None, "date_modified": None,
     "n_children": None, "child_name": None, "child_data": None,
 }
 
@@ -101,14 +104,17 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
     elif mime_type == "application/vnd.ms-excel":
         # all OLE containers sniff as ms-excel (the reference's rewrite,
         # magic.py:110-111); refine by stream names: MAPI streams → .msg,
-        # WordDocument stream → legacy .doc
+        # WordDocument stream → legacy .doc, PowerPoint Document → .ppt
         from .doc_extract import is_word_doc
         from .msg_extract import looks_like_msg
+        from .ppt_extract import PPT_MIME, is_ppt
 
         if looks_like_msg(data):
             mime_type = "application/vnd.ms-outlook"
         elif is_word_doc(data):
             mime_type = "application/msword"
+        elif is_ppt(data):
+            mime_type = PPT_MIME
     digest: dict = dict(_EMPTY)
     digest.update(
         kind="digest",
@@ -185,6 +191,9 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
             "application/vnd.oasis.opendocument"
         ):
             digest["text"] = office_to_text(data, mime_type)
+            created, modified = office_doc_dates(data)
+            digest["date_created"] = created
+            digest["date_modified"] = modified
 
         elif mime_type == "application/vnd.ms-outlook":
             # .msg extraction in-process (replaces the reference's
@@ -226,12 +235,25 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
                     digest["status"] = "broken"
                     digest["broken_reason"] = e.reason
 
+        elif mime_type == "application/vnd.ms-powerpoint":
+            # legacy PowerPoint text atoms ([MS-PPT] over our CFB reader)
+            from .ppt_extract import PptBroken, ppt_to_text
+
+            try:
+                digest["text"] = ppt_to_text(data)
+            except PptBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+
         elif mime_type == "application/rtf":
             from .rtf_extract import rtf_to_text
 
             digest["text"] = rtf_to_text(data)
 
         elif mime_type == OOXML_XLSX:
+            created, modified = office_doc_dates(data)
+            digest["date_created"] = created
+            digest["date_modified"] = modified
             info, kids = xlsx_to_table(data)
             if info:
                 digest["table_columns"] = info["table-columns"]

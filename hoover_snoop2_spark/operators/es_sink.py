@@ -48,7 +48,10 @@ def to_es_documents(digests: DataFrame) -> DataFrame:
         F.array(F.col("path")).alias("path"),
         F.array(F.col("path")).alias("path-text"),
         F.col("path_parts").alias("path-parts"),
-        F.col("email_date").alias("date"),
+        # reference digests.py:305-311: `date` = modified/email date,
+        # `date-created` = Tika created / EXIF creation date
+        F.coalesce(F.col("email_date"), F.col("date_modified")).alias("date"),
+        F.coalesce(F.col("date_created"), F.col("exif_date")).alias("date-created"),
         F.col("subject"),
         F.col("email_from").alias("from"),
         F.col("email_to").alias("to"),

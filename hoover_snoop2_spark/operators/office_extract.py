@@ -190,6 +190,59 @@ def xlsx_to_table(data: bytes) -> tuple[dict | None, list[tuple[str, str]]]:
     return info, children
 
 
+def _parse_iso_zulu(value: str | None) -> str | None:
+    """Normalize an OOXML/ODF metadata timestamp to the reference's zulu
+    format (tika.py:148-176 parses with dateutil then renders
+    '%Y-%m-%dT%H:%M:%SZ', utils/__init__.py:54-61)."""
+    if not value:
+        return None
+    from datetime import timezone
+
+    from ..functions.textutils import zulu
+
+    try:
+        from datetime import datetime
+
+        dt = datetime.fromisoformat(value.strip().replace("Z", "+00:00"))
+        if dt.tzinfo is None:
+            dt = dt.replace(tzinfo=timezone.utc)
+        return zulu(dt.astimezone(timezone.utc))
+    except ValueError:
+        return None
+
+
+def office_doc_dates(data: bytes) -> tuple[str | None, str | None]:
+    """(date_created, date_modified) from document metadata — the ES
+    `date-created`/`date` fields the reference fills from Tika rmeta keys
+    (Creation-Date/dcterms:created and Last-Modified/dcterms:modified,
+    tika.py:148-176).  OOXML: docProps/core.xml; ODF: meta.xml."""
+    created = modified = None
+    try:
+        with zipfile.ZipFile(io.BytesIO(data)) as zf:
+            names = set(zf.namelist())
+            if "docProps/core.xml" in names:
+                root = _read_xml(zf, "docProps/core.xml")
+                if root is not None:
+                    for node in root.iter():
+                        ln = _local(node.tag)
+                        if ln == "created":
+                            created = _parse_iso_zulu(node.text)
+                        elif ln == "modified":
+                            modified = _parse_iso_zulu(node.text)
+            elif "meta.xml" in names:
+                root = _read_xml(zf, "meta.xml")
+                if root is not None:
+                    for node in root.iter():
+                        ln = _local(node.tag)
+                        if ln == "creation-date":
+                            created = _parse_iso_zulu(node.text)
+                        elif ln == "date":
+                            modified = _parse_iso_zulu(node.text)
+    except Exception:
+        return None, None
+    return created, modified
+
+
 def office_to_text(data: bytes, mime_type: str) -> str:
     if mime_type == OOXML_DOCX:
         return docx_to_text(data)

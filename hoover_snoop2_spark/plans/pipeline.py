@@ -47,7 +47,8 @@ _DIGEST_FIELDS = [
     "sha3_256", "md5", "sha1", "sha256", "size", "mime_type", "mime_encoding",
     "text", "status", "broken_reason", "subject", "email_from", "email_to",
     "email_domains", "email_date", "table_columns", "table_row_count",
-    "exif_location", "exif_date", "pgp", "n_children",
+    "exif_location", "exif_date", "pgp", "date_created", "date_modified",
+    "n_children",
 ]
 
 

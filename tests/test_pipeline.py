@@ -107,3 +107,21 @@ def test_incremental_resume(spark, corpus_dir, digests, tmp_path):
         spark, pages, checkpoint_dir=str(tmp_path / "ck2"), previous_digests=prev
     )
     assert out.count() == prev.count()
+
+
+def test_office_docprops_dates(spark, corpus_dir, digests):
+    """date-created/date-modified from docProps/core.xml (OOXML) and
+    meta.xml (ODF) match the golden values for every office doc
+    (reference get_date_created/modified, tika.py:148-176)."""
+    golden = spark.read.parquet(f"{corpus_dir}/expected_digests.parquet")
+    g = golden.filter(F.col("category").isin("docx", "odt", "pptx", "xlsx"))
+    assert g.count() > 0
+    j = g.alias("g").join(digests.alias("d"), "url")
+    bad = j.filter(
+        (F.col("d.date_created") != F.col("g.date_created"))
+        | (F.col("d.date_modified") != F.col("g.date_modified"))
+        | F.col("d.date_created").isNull()
+        | F.col("d.date_modified").isNull()
+    )
+    assert bad.count() == 0, bad.select("url", "d.date_created",
+                                        "g.date_created").take(5)
