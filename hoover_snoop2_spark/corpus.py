@@ -75,7 +75,8 @@ CATEGORIES = [
     (600, "xlsx"),
     (650, "html-bad-encoding"),
     (750, "plain-text"),
-    (850, "eml"),
+    (840, "eml"),
+    (850, "pst"),
     (880, "mbox"),
     (930, "csv-table"),
     (950, "zip"),
@@ -618,6 +619,7 @@ def build_doc(doc_id: int) -> dict:
         "targz": "tar.gz", "pdf-minimal": "pdf", "binary-skip": "bin",
         "docx": "docx", "odt": "odt", "pptx": "pptx", "xlsx": "xlsx",
         "msg": "msg", "doc-legacy": "doc", "ppt-legacy": "ppt",
+        "pst": "pst",
     }[cat]
     url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
     warc_ts = EPOCH + timedelta(seconds=doc_id * 137)
@@ -712,6 +714,26 @@ def build_doc(doc_id: int) -> dict:
             compressed = False
         html = build_doc_file(paras, compressed=compressed)
         golden = _golden_from_paragraphs(paras)
+    elif cat == "pst":
+        from .operators.pst_extract import build_pst
+
+        rng = _rng(doc_id, 13)
+        msgs = []
+        children = []
+        for i in range(rng.randint(1, 3)):
+            body_paras = [_sentence(rng, lang) for _ in range(2)]
+            msgs.append({
+                "subject": f"Msg {doc_id}-{i}",
+                "body": "\n\n".join(body_paras),
+                "sender_name": f"user{doc_id % 7}",
+                "sender_email": f"user{doc_id % 7}@host{doc_id % 3}.example",
+                "to": f"dest{i}@recv{doc_id % 5}.example",
+                "when": EPOCH + timedelta(seconds=doc_id * 137 + i * 3600),
+            })
+            children.append((f"Inbox/{i + 1}.eml",
+                             _golden_from_paragraphs(body_paras)))
+        html = build_pst({"Inbox": msgs})
+        golden = ""
     elif cat == "ppt-legacy":
         from .operators.ppt_extract import build_ppt
 

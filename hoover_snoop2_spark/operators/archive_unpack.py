@@ -37,6 +37,7 @@ UNPACK_MIME_TYPES = frozenset(
         "application/x-bzip2",
         "application/x-xz",
         "application/mbox",
+        "application/x-hoover-pst",
     }
 )
 
@@ -45,7 +46,6 @@ BROKEN_ARCHIVE_MIME_TYPES = frozenset(
     {
         "application/x-7z-compressed",
         "application/x-rar",
-        "application/x-hoover-pst",
     }
 )
 
@@ -157,6 +157,15 @@ def unpack_bytes(data: bytes, mime_type: str) -> list[tuple[str, bytes]]:
         return _unpack_stream(data, lzma.LZMAFile, "data")
     if mime_type == "application/mbox":
         return _unpack_mbox(data)
+    if mime_type == "application/x-hoover-pst":
+        # native [MS-PST] walk (replaces the reference's readpst
+        # subprocess, archives.py:155-170)
+        from .pst_extract import PstBroken, unpack_pst
+
+        try:
+            return unpack_pst(data)[:MAX_CHILDREN]
+        except PstBroken as e:
+            raise UnpackBroken(e.reason) from e
     if mime_type in BROKEN_ARCHIVE_MIME_TYPES:
         raise UnpackBroken("archive_tool_missing")
     return []

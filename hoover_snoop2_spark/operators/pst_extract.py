@@ -1,0 +1,468 @@
+"""Outlook PST mailbox unpacking — a read-only [MS-PST] subset over raw
+bytes, emitting one ``folder/N.eml`` child per message.
+
+The reference shells PSTs out to ``readpst`` (archives.py:155-170, task
+``pst-5``; mime ``application/x-hoover-pst`` set by its magic rewrite) and
+re-walks the extracted directory of .eml files.  Here the format is parsed
+directly from the public [MS-PST] spec:
+
+- NDB layer: Unicode header (wVer >= 23) → ROOT BREFs → Node BTree (NBT)
+  and Block BTree (BBT) page walks; data trees (XBLOCK/XXBLOCK) and
+  subnode BTrees (SLBLOCK/SIBLOCK) resolved per node.
+- LTP layer: Heap-on-Node (HN) page map → BTH → Property Context (PC);
+  variable-length values through HID (heap) or NID (subnode) indirection.
+- Messaging layer: every NBT node of type NID_TYPE_NORMAL_MESSAGE becomes
+  an RFC-822 child assembled from its PC properties (subject, sender,
+  display-to, client-submit time, plain body); folder display names from
+  the parent chain give the child path, mirroring readpst's
+  folder-directory layout.
+
+Deliberate limits (all surfaced as broken reasons, never silent):
+- ANSI PSTs (wVer 14/15) → ``pst_ansi_unsupported``;
+- bCryptMethod PERMUTE/CYCLIC (the [MS-PST] §5 byte-substitution tables
+  are not reproduced here) → ``pst_crypt_unsupported``; fixtures and any
+  NDB_CRYPT_NONE file parse fully;
+- multi-block heaps and BTH index levels beyond what mailbox-scale PCs
+  use → ``pst_parse_error``.
+"""
+
+from __future__ import annotations
+
+import struct
+from datetime import datetime, timedelta, timezone
+
+HOOVER_PST_MIME = "application/x-hoover-pst"
+
+_MAGIC = b"!BDN"
+
+NID_TYPE_NORMAL_FOLDER = 0x02
+NID_TYPE_NORMAL_MESSAGE = 0x04
+
+PT_LONG = 0x0003
+PT_BOOLEAN = 0x000B
+PT_UNICODE = 0x001F
+PT_STRING8 = 0x001E
+PT_SYSTIME = 0x0040
+PT_BINARY = 0x0102
+
+PR_SUBJECT = 0x0037
+PR_CLIENT_SUBMIT_TIME = 0x0039
+PR_SENDER_NAME = 0x0C1A
+PR_SENDER_EMAIL = 0x0C1F
+PR_DISPLAY_TO = 0x0E04
+PR_BODY = 0x1000
+PR_DISPLAY_NAME = 0x3001
+
+#: FILETIME epoch (1601-01-01) in 100 ns ticks
+_FILETIME_EPOCH = datetime(1601, 1, 1, tzinfo=timezone.utc)
+
+
+class PstBroken(Exception):
+    def __init__(self, reason: str):
+        super().__init__(reason)
+        self.reason = reason
+
+
+def is_pst(data: bytes) -> bool:
+    return data[:4] == _MAGIC
+
+
+class PstFile:
+    """Minimal Unicode-PST reader (NDB + LTP + messaging subset)."""
+
+    def __init__(self, data: bytes):
+        if data[:4] != _MAGIC:
+            raise PstBroken("pst_parse_error")
+        self.data = data
+        (w_ver,) = struct.unpack_from("<H", data, 10)
+        if w_ver < 23:
+            raise PstBroken("pst_ansi_unsupported")
+        crypt = data[513]
+        if crypt != 0:
+            raise PstBroken("pst_crypt_unsupported")
+        # ROOT @180: dwReserved 4, ibFileEof 8, ibAMapLast 8, cbAMapFree 8,
+        # cbPMapFree 8 → BREF NBT @216 {bid, ib}, BREF BBT @232 {bid, ib}
+        (self._ib_nbt,) = struct.unpack_from("<Q", data, 224)
+        (self._ib_bbt,) = struct.unpack_from("<Q", data, 240)
+        # bid → (ib, cb)
+        self.blocks: dict[int, tuple[int, int]] = {}
+        for entry in self._walk_btree(self._ib_bbt):
+            bid, ib = struct.unpack_from("<QQ", entry, 0)
+            (cb,) = struct.unpack_from("<H", entry, 16)
+            self.blocks[bid] = (ib, cb)
+        # nid → (bidData, bidSub, nidParent)
+        self.nodes: dict[int, tuple[int, int, int]] = {}
+        for entry in self._walk_btree(self._ib_nbt):
+            nid, bid_data, bid_sub = struct.unpack_from("<QQQ", entry, 0)
+            (nid_parent,) = struct.unpack_from("<I", entry, 24)
+            self.nodes[nid & 0xFFFFFFFF] = (bid_data, bid_sub, nid_parent)
+
+    # ---- NDB ----------------------------------------------------------
+
+    def _walk_btree(self, ib: int, depth: int = 0):
+        """Yield raw leaf-entry bytes of a 512-byte BTree page chain."""
+        if depth > 16 or ib + 512 > len(self.data):
+            raise PstBroken("pst_parse_error")
+        page = self.data[ib : ib + 512]
+        c_ent, _c_max, cb_ent, c_level = struct.unpack_from("<BBBB", page, 488)
+        if cb_ent == 0 or c_ent * cb_ent > 488:
+            raise PstBroken("pst_parse_error")
+        for i in range(c_ent):
+            entry = page[i * cb_ent : (i + 1) * cb_ent]
+            if c_level > 0:  # BTENTRY: btkey 8, BREF {bid 8, ib 8}
+                (child_ib,) = struct.unpack_from("<Q", entry, 16)
+                yield from self._walk_btree(child_ib, depth + 1)
+            else:
+                yield entry
+
+    def _read_block(self, bid: int) -> bytes:
+        try:
+            ib, cb = self.blocks[bid]
+        except KeyError:
+            raise PstBroken("pst_parse_error") from None
+        if ib + cb > len(self.data):
+            raise PstBroken("pst_parse_error")
+        return self.data[ib : ib + cb]
+
+    def _node_data(self, bid: int, depth: int = 0) -> bytes:
+        """Block bytes, resolving XBLOCK/XXBLOCK data trees (bid bit 1 set
+        = internal block)."""
+        if bid == 0:
+            return b""
+        raw = self._read_block(bid)
+        if not bid & 2:
+            return raw
+        if depth > 4 or len(raw) < 8:
+            raise PstBroken("pst_parse_error")
+        btype, _c_level, c_ent = struct.unpack_from("<BBH", raw, 0)
+        if btype != 1:  # not an XBLOCK/XXBLOCK
+            raise PstBroken("pst_parse_error")
+        parts = []
+        for i in range(c_ent):
+            (child_bid,) = struct.unpack_from("<Q", raw, 8 + i * 8)
+            parts.append(self._node_data(child_bid, depth + 1))
+        return b"".join(parts)
+
+    def _subnodes(self, bid_sub: int, depth: int = 0) -> dict[int, tuple[int, int]]:
+        """Subnode BTree → {nid: (bidData, bidSub)} (SLBLOCK leaves)."""
+        out: dict[int, tuple[int, int]] = {}
+        if bid_sub == 0:
+            return out
+        raw = self._read_block(bid_sub)
+        if len(raw) < 8 or depth > 4:
+            raise PstBroken("pst_parse_error")
+        btype, c_level, c_ent = struct.unpack_from("<BBH", raw, 0)
+        if btype != 2:
+            raise PstBroken("pst_parse_error")
+        if c_level == 0:  # SLENTRY: nid 8, bidData 8, bidSub 8
+            for i in range(c_ent):
+                nid, bd, bs = struct.unpack_from("<QQQ", raw, 8 + i * 24)
+                out[nid & 0xFFFFFFFF] = (bd, bs)
+        else:  # SIENTRY: nid 8, bid 8
+            for i in range(c_ent):
+                _nid, bid = struct.unpack_from("<QQ", raw, 8 + i * 16)
+                out.update(self._subnodes(bid, depth + 1))
+        return out
+
+    # ---- LTP ----------------------------------------------------------
+
+    @staticmethod
+    def _heap_item(block: bytes, hid: int) -> bytes:
+        """HN heap item bytes for a HID (single-block heap)."""
+        if hid == 0:
+            return b""
+        if hid & 0x1F or hid >> 16:  # not hidType 0 / block 0
+            raise PstBroken("pst_parse_error")
+        index = (hid >> 5) & 0x7FF
+        (ib_hnpm,) = struct.unpack_from("<H", block, 0)
+        c_alloc, _c_free = struct.unpack_from("<HH", block, ib_hnpm)
+        if index < 1 or index > c_alloc:
+            raise PstBroken("pst_parse_error")
+        rgib = struct.unpack_from(f"<{c_alloc + 1}H", block, ib_hnpm + 4)
+        return block[rgib[index - 1] : rgib[index]]
+
+    def _pc_props(self, bid_data: int, bid_sub: int) -> dict[int, tuple[int, bytes]]:
+        """Property Context → {propId: (propType, raw value bytes)}."""
+        block = self._node_data(bid_data)
+        if len(block) < 12 or block[2] != 0xEC:
+            raise PstBroken("pst_parse_error")
+        (hid_user_root,) = struct.unpack_from("<I", block, 4)
+        bth = self._heap_item(block, hid_user_root)
+        if len(bth) < 8 or bth[0] != 0xB5:
+            raise PstBroken("pst_parse_error")
+        cb_key, cb_ent, idx_levels = bth[1], bth[2], bth[3]
+        (hid_root,) = struct.unpack_from("<I", bth, 4)
+        if cb_key != 2 or cb_ent != 6 or idx_levels != 0:
+            raise PstBroken("pst_parse_error")
+        records = self._heap_item(block, hid_root)
+        subnodes = self._subnodes(bid_sub) if bid_sub else {}
+        props: dict[int, tuple[int, bytes]] = {}
+        for off in range(0, len(records) - len(records) % 8, 8):
+            prop_id, prop_type, hnid = struct.unpack_from("<HHI", records, off)
+            if prop_type in (PT_LONG, PT_BOOLEAN):
+                props[prop_id] = (prop_type, records[off + 4 : off + 8])
+            elif hnid == 0:
+                props[prop_id] = (prop_type, b"")
+            elif hnid & 0x1F:  # NID → subnode data
+                entry = subnodes.get(hnid)
+                if entry:
+                    props[prop_id] = (prop_type, self._node_data(entry[0]))
+            else:  # HID → heap item
+                props[prop_id] = (prop_type, self._heap_item(block, hnid))
+        return props
+
+    # ---- messaging -----------------------------------------------------
+
+    def node_props(self, nid: int) -> dict[int, tuple[int, bytes]]:
+        bid_data, bid_sub, _parent = self.nodes[nid]
+        return self._pc_props(bid_data, bid_sub)
+
+    def folder_name(self, nid: int) -> str | None:
+        try:
+            props = self.node_props(nid)
+        except (PstBroken, KeyError):
+            return None
+        return _prop_str(props.get(PR_DISPLAY_NAME))
+
+    def folder_path(self, nid: int) -> str:
+        """'/'-joined display names up the parent chain (readpst's
+        directory layout)."""
+        parts: list[str] = []
+        seen: set[int] = set()
+        cur = nid
+        while cur in self.nodes and cur not in seen:
+            seen.add(cur)
+            if cur & 0x1F == NID_TYPE_NORMAL_FOLDER:
+                name = self.folder_name(cur)
+                if name:
+                    parts.append(name.replace("/", "_"))
+            parent = self.nodes[cur][2]
+            if parent == cur:
+                break
+            cur = parent
+        return "/".join(reversed(parts))
+
+    def messages(self) -> list[tuple[int, dict[int, tuple[int, bytes]]]]:
+        out = []
+        for nid in sorted(self.nodes):
+            if nid & 0x1F == NID_TYPE_NORMAL_MESSAGE:
+                out.append((nid, self.node_props(nid)))
+        return out
+
+
+def _prop_str(v: tuple[int, bytes] | None) -> str | None:
+    if v is None:
+        return None
+    prop_type, raw = v
+    if prop_type == PT_UNICODE:
+        s = raw.decode("utf-16-le", "replace")
+    elif prop_type == PT_STRING8:
+        s = raw.decode("cp1252", "replace")
+    else:
+        return None
+    # PidTagSubject prefix convention ([MS-PST] 2.5.3.1.1.1): a leading
+    # 0x01 control byte + prefix-length char precede the normalized subject
+    if s.startswith("\x01") and len(s) >= 2:
+        s = s[2:]
+    return s.rstrip("\x00")
+
+
+def _prop_time(v: tuple[int, bytes] | None) -> datetime | None:
+    if v is None or v[0] != PT_SYSTIME or len(v[1]) < 8:
+        return None
+    (ticks,) = struct.unpack("<q", v[1][:8])
+    return _FILETIME_EPOCH + timedelta(microseconds=ticks / 10)
+
+
+def _rfc2822(dt: datetime | None) -> str | None:
+    if dt is None:
+        return None
+    from email.utils import format_datetime
+
+    return format_datetime(dt)
+
+
+def message_to_eml(props: dict[int, tuple[int, bytes]]) -> bytes:
+    """RFC-822 bytes from PC properties (the shape readpst emits: plain
+    headers + text body)."""
+    subject = _prop_str(props.get(PR_SUBJECT)) or ""
+    sender_name = _prop_str(props.get(PR_SENDER_NAME)) or ""
+    sender_email = _prop_str(props.get(PR_SENDER_EMAIL)) or ""
+    display_to = _prop_str(props.get(PR_DISPLAY_TO)) or ""
+    date = _rfc2822(_prop_time(props.get(PR_CLIENT_SUBMIT_TIME)))
+    body = _prop_str(props.get(PR_BODY)) or ""
+
+    from_hdr = (
+        f"{sender_name} <{sender_email}>" if sender_name and sender_email
+        else sender_email or sender_name
+    )
+    lines = []
+    if from_hdr:
+        lines.append(f"From: {from_hdr}")
+    if display_to:
+        lines.append(f"To: {display_to}")
+    if subject:
+        lines.append(f"Subject: {subject}")
+    if date:
+        lines.append(f"Date: {date}")
+    lines.append('Content-Type: text/plain; charset="utf-8"')
+    lines.append("MIME-Version: 1.0")
+    head = "\r\n".join(lines)
+    return head.encode("utf-8") + b"\r\n\r\n" + body.encode("utf-8") + b"\r\n"
+
+
+def unpack_pst(data: bytes) -> list[tuple[str, bytes]]:
+    """PST bytes → [(folder/N.eml, rfc822 bytes), ...] — the unarchive
+    listing the reference gets from readpst (archives.py:155-170)."""
+    pst = PstFile(data)
+    out: list[tuple[str, bytes]] = []
+    counters: dict[str, int] = {}
+    for nid, props in pst.messages():
+        folder = pst.folder_path(pst.nodes[nid][2])
+        n = counters.get(folder, 0) + 1
+        counters[folder] = n
+        name = f"{folder}/{n}.eml" if folder else f"{n}.eml"
+        out.append((name, message_to_eml(props)))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fixture writer (tests + synthetic corpus) — a valid NDB_CRYPT_NONE
+# Unicode PST exercising every structure the reader supports
+# ---------------------------------------------------------------------------
+
+
+def _hid(index: int) -> int:
+    return index << 5
+
+
+def _build_hn_pc(props: list[tuple[int, int, object]]) -> bytes:
+    """Single-block HN containing a PC BTH.  props: (propId, propType,
+    value) with str → UTF-16LE heap values, datetime → SYSTIME heap
+    values, int/bool inline."""
+    heap_items: list[bytes] = []  # 1-based: [0]=BTH header, [1]=records
+    var_values: list[tuple[int, bytes]] = []  # (record position, bytes)
+
+    records = b""
+    for prop_id, prop_type, value in sorted(props):
+        if prop_type in (PT_LONG, PT_BOOLEAN):
+            records += struct.pack("<HHI", prop_id, prop_type, int(value))
+            continue
+        if prop_type in (PT_UNICODE,):
+            raw = str(value).encode("utf-16-le")
+        elif prop_type == PT_STRING8:
+            raw = str(value).encode("cp1252")
+        elif prop_type == PT_SYSTIME:
+            ticks = int((value - _FILETIME_EPOCH).total_seconds() * 10**7)
+            raw = struct.pack("<q", ticks)
+        else:
+            raw = bytes(value)  # PT_BINARY
+        # heap item index = 3 + position among var values
+        idx = 3 + len(var_values)
+        var_values.append((idx, raw))
+        records += struct.pack("<HHI", prop_id, prop_type, _hid(idx))
+
+    bth_header = struct.pack("<BBBBI", 0xB5, 2, 6, 0, _hid(2))
+    heap_items.append(bth_header)          # item 1
+    heap_items.append(records)             # item 2
+    heap_items.extend(raw for _, raw in var_values)
+
+    payload = b"".join(heap_items)
+    ib_hnpm = 12 + len(payload)
+    hnhdr = struct.pack("<HBBII", ib_hnpm, 0xEC, 0xBC, _hid(1), 0)
+    offsets = [12]
+    for item in heap_items:
+        offsets.append(offsets[-1] + len(item))
+    pagemap = struct.pack("<HH", len(heap_items), 0)
+    pagemap += struct.pack(f"<{len(offsets)}H", *offsets)
+    return hnhdr + payload + pagemap
+
+
+class _PstWriter:
+    """Byte-level writer for a minimal, reader-complete Unicode PST."""
+
+    def __init__(self):
+        self.buf = bytearray(1024)  # header area
+        self.blocks: list[tuple[int, int, int]] = []  # (bid, ib, cb)
+        self.next_bid = 4
+
+    def add_block(self, payload: bytes) -> int:
+        bid = self.next_bid
+        self.next_bid += 4
+        ib = len(self.buf)
+        self.buf += payload
+        # block trailer at 64-byte-aligned end: cb 2, wSig 2, dwCRC 4, bid 8
+        total = -(-(len(payload) + 16) // 64) * 64
+        pad = total - len(payload) - 16
+        self.buf += bytes(pad) + struct.pack("<HHIQ", len(payload), 0, 0, bid)
+        self.blocks.append((bid, ib, len(payload)))
+        return bid
+
+    def _page(self, entries: list[bytes], cb_ent: int, ptype: int) -> int:
+        assert len(entries) * cb_ent <= 488, "fixture exceeds one page"
+        body = b"".join(entries)
+        page = body + bytes(488 - len(body))
+        page += struct.pack("<BBBBI", len(entries), 488 // cb_ent, cb_ent, 0, 0)
+        page += struct.pack("<BBHIQ", ptype, ptype, 0, 0, 0)
+        ib = len(self.buf)
+        self.buf += page
+        return ib
+
+    def finish(self, node_entries: list[bytes]) -> bytes:
+        bbt_entries = [
+            struct.pack("<QQHHI", bid, ib, cb, 1, 0)
+            for bid, ib, cb in self.blocks
+        ]
+        ib_bbt = self._page(bbt_entries, 24, 0x80)
+        ib_nbt = self._page(node_entries, 32, 0x81)
+        hdr = self.buf
+        hdr[0:4] = _MAGIC
+        struct.pack_into("<H", hdr, 8, 0x4D53)  # wMagicClient 'SM'
+        struct.pack_into("<H", hdr, 10, 23)     # wVer: Unicode
+        struct.pack_into("<Q", hdr, 184, len(hdr))  # ibFileEof
+        struct.pack_into("<QQ", hdr, 216, 0, ib_nbt)  # BREF NBT
+        struct.pack_into("<QQ", hdr, 232, 0, ib_bbt)  # BREF BBT
+        hdr[513] = 0  # NDB_CRYPT_NONE
+        return bytes(hdr)
+
+
+def build_pst(
+    folders: dict[str, list[dict]],
+    base_time: datetime | None = None,
+) -> bytes:
+    """Deterministic PST fixture.  ``folders``: {folder_name: [message
+    dicts with subject/body/sender_name/sender_email/to keys]}."""
+    w = _PstWriter()
+    node_entries: list[tuple[int, int, int, int]] = []  # nid,bidData,bidSub,parent
+
+    folder_nid = 0x402  # nidIndex 32, type NORMAL_FOLDER
+    msg_index = 64
+    for fname, messages in sorted(folders.items()):
+        fprops = [(PR_DISPLAY_NAME, PT_UNICODE, fname)]
+        fbid = w.add_block(_build_hn_pc(fprops))
+        this_folder = folder_nid
+        node_entries.append((this_folder, fbid, 0, this_folder))
+        folder_nid += 0x20
+        for i, m in enumerate(messages):
+            props = [
+                (PR_SUBJECT, PT_UNICODE, m.get("subject", "")),
+                (PR_BODY, PT_UNICODE, m.get("body", "")),
+                (PR_SENDER_NAME, PT_UNICODE, m.get("sender_name", "")),
+                (PR_SENDER_EMAIL, PT_STRING8, m.get("sender_email", "")),
+                (PR_DISPLAY_TO, PT_UNICODE, m.get("to", "")),
+            ]
+            when = m.get("when") or (
+                (base_time or _FILETIME_EPOCH.replace(year=2024))
+                + timedelta(hours=i)
+            )
+            props.append((PR_CLIENT_SUBMIT_TIME, PT_SYSTIME, when))
+            mbid = w.add_block(_build_hn_pc(props))
+            nid = (msg_index << 5) | NID_TYPE_NORMAL_MESSAGE
+            msg_index += 1
+            node_entries.append((nid, mbid, 0, this_folder))
+
+    raw_entries = [
+        struct.pack("<QQQII", nid, bd, bs, parent, 0)
+        for nid, bd, bs, parent in sorted(node_entries)
+    ]
+    return w.finish(raw_entries)

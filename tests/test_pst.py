@@ -1,0 +1,97 @@
+"""PST mailbox unpacking ([MS-PST] NDB/LTP/messaging subset over raw
+bytes; reference unpacks via readpst, archives.py:155-170)."""
+
+import hashlib
+import struct
+from datetime import datetime, timezone
+
+import pytest
+
+from hoover_snoop2_spark.operators.analyze import analyze_blob
+from hoover_snoop2_spark.operators.pst_extract import (
+    PstBroken,
+    PstFile,
+    build_pst,
+    is_pst,
+    unpack_pst,
+)
+
+MSGS = {
+    "Inbox": [
+        {"subject": "Hello", "body": "First body.\n\nSecond para.",
+         "sender_name": "Jane Doe", "sender_email": "jane@example.com",
+         "to": "Bob <bob@example.com>",
+         "when": datetime(2024, 3, 1, 10, 0, tzinfo=timezone.utc)},
+        {"subject": "Gädget — ünïcode", "body": "Ünïcode body",
+         "sender_name": "Jo", "sender_email": "jo@x.example",
+         "to": "a@b.example"},
+    ],
+    "Sent Items": [
+        {"subject": "out", "body": "sent body", "sender_name": "Me",
+         "sender_email": "me@example.com", "to": "you@example.com"},
+    ],
+}
+
+
+def test_round_trip_folders_and_messages():
+    pst = build_pst(MSGS)
+    assert is_pst(pst)
+    kids = unpack_pst(pst)
+    names = [n for n, _ in kids]
+    assert names == ["Inbox/1.eml", "Inbox/2.eml", "Sent Items/1.eml"]
+    eml = kids[0][1].decode("utf-8")
+    assert "From: Jane Doe <jane@example.com>" in eml
+    assert "Subject: Hello" in eml
+    assert "Date: Fri, 01 Mar 2024 10:00:00 +0000" in eml
+    assert eml.endswith("First body.\n\nSecond para.\r\n")
+    uni = kids[1][1].decode("utf-8")
+    assert "Gädget — ünïcode" in uni
+
+
+def test_analyze_routes_pst_and_extracts_children():
+    pst = build_pst(MSGS)
+    rows = analyze_blob(hashlib.sha3_256(pst).hexdigest(), pst)
+    digest = rows[0]
+    assert digest["mime_type"] == "application/x-hoover-pst"
+    assert digest["status"] == "success"
+    assert digest["n_children"] == 3
+    child_names = [r["child_name"] for r in rows[1:]]
+    assert child_names == ["Inbox/1.eml", "Inbox/2.eml", "Sent Items/1.eml"]
+
+
+def test_pst_eml_children_parse_as_email():
+    pst = build_pst(MSGS)
+    kids = unpack_pst(pst)
+    eml_rows = analyze_blob("x", kids[0][1])
+    d = eml_rows[0]
+    assert d["mime_type"] == "message/rfc822"
+    assert d["subject"] == "Hello"
+    assert d["text"] == "First body.\n\nSecond para."
+    assert d["email_from"] and "jane@example.com" in d["email_from"][0]
+
+
+def test_ansi_and_crypt_rejected():
+    pst = bytearray(build_pst(MSGS))
+    ansi = bytearray(pst)
+    struct.pack_into("<H", ansi, 10, 15)
+    with pytest.raises(PstBroken) as e:
+        PstFile(bytes(ansi))
+    assert e.value.reason == "pst_ansi_unsupported"
+    enc = bytearray(pst)
+    enc[513] = 1  # NDB_CRYPT_PERMUTE
+    with pytest.raises(PstBroken) as e:
+        PstFile(bytes(enc))
+    assert e.value.reason == "pst_crypt_unsupported"
+
+
+def test_garbage_is_broken_not_crash():
+    assert not is_pst(b"plainly not a pst")
+    with pytest.raises(PstBroken):
+        PstFile(b"!BDN" + bytes(2000))
+
+
+def test_subject_prefix_convention():
+    """A stored subject with the 0x01 prefix byte is normalized."""
+    from hoover_snoop2_spark.operators.pst_extract import PT_UNICODE, _prop_str
+
+    assert _prop_str((PT_UNICODE, "\x01\x05Hello".encode("utf-16-le"))) == "Hello"
