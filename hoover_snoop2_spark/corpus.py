@@ -61,7 +61,7 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 5
+CORPUS_VERSION = 6
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
@@ -79,7 +79,8 @@ CATEGORIES = [
     (850, "pst"),
     (880, "mbox"),
     (930, "csv-table"),
-    (950, "zip"),
+    (945, "zip"),
+    (950, "sevenzip"),
     (970, "targz"),
     (985, "pdf-minimal"),
     (995, "binary-skip"),
@@ -619,7 +620,7 @@ def build_doc(doc_id: int) -> dict:
         "targz": "tar.gz", "pdf-minimal": "pdf", "binary-skip": "bin",
         "docx": "docx", "odt": "odt", "pptx": "pptx", "xlsx": "xlsx",
         "msg": "msg", "doc-legacy": "doc", "ppt-legacy": "ppt",
-        "pst": "pst",
+        "pst": "pst", "sevenzip": "7z",
     }[cat]
     url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
     warc_ts = EPOCH + timedelta(seconds=doc_id * 137)
@@ -714,6 +715,20 @@ def build_doc(doc_id: int) -> dict:
             compressed = False
         html = build_doc_file(paras, compressed=compressed)
         golden = _golden_from_paragraphs(paras)
+    elif cat == "sevenzip":
+        from .operators.sevenzip_extract import build_7z
+
+        rng = _rng(doc_id, 14)
+        members = []
+        children = []
+        for i in range(rng.randint(2, 4)):
+            body = " ".join(_sentence(rng, lang) for _ in range(2))
+            members.append((f"docs/file{i}.txt", body.encode("utf-8")))
+            children.append((f"docs/file{i}.txt",
+                             _golden_from_paragraphs([body])))
+        codec = "lzma2" if doc_id % 2 == 0 else "copy"
+        html = build_7z(members, codec=codec)
+        golden = ""
     elif cat == "pst":
         from .operators.pst_extract import build_pst
 

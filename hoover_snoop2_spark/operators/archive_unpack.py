@@ -38,13 +38,13 @@ UNPACK_MIME_TYPES = frozenset(
         "application/x-xz",
         "application/mbox",
         "application/x-hoover-pst",
+        "application/x-7z-compressed",
     }
 )
 
 #: recognized container formats requiring external tools — marked broken
 BROKEN_ARCHIVE_MIME_TYPES = frozenset(
     {
-        "application/x-7z-compressed",
         "application/x-rar",
     }
 )
@@ -157,6 +157,18 @@ def unpack_bytes(data: bytes, mime_type: str) -> list[tuple[str, bytes]]:
         return _unpack_stream(data, lzma.LZMAFile, "data")
     if mime_type == "application/mbox":
         return _unpack_mbox(data)
+    if mime_type == "application/x-7z-compressed":
+        # native 7z container parse (replaces the reference's `7z x`
+        # subprocess, archives.py:173-203)
+        from .sevenzip_extract import SevenZipBroken, unpack_7z
+
+        try:
+            return [
+                (n, b) for n, b in unpack_7z(data, MAX_CHILD_BYTES)
+                if len(b) <= MAX_CHILD_BYTES
+            ][:MAX_CHILDREN]
+        except SevenZipBroken as e:
+            raise UnpackBroken(e.reason) from e
     if mime_type == "application/x-hoover-pst":
         # native [MS-PST] walk (replaces the reference's readpst
         # subprocess, archives.py:155-170)

@@ -1,0 +1,457 @@
+"""7-Zip archive unpacking — a pure-Python reader for the public 7z
+container format (the `7zFormat.txt` spec shipped with the LZMA SDK),
+covering the archives the stdlib can decode.
+
+The reference shells every archive to ``7z x`` (archives.py:173-203);
+this reader parses the container natively and decompresses folders with
+``lzma``'s raw filters:
+
+- COPY (coder id 00), LZMA1 (03 01 01, 5-byte props), LZMA2 (21, 1-byte
+  dict-size prop) — the coders 7z writes by default for data;
+- EncodedHeader (the usual case: the metadata block is itself an
+  LZMA-compressed folder) is decoded through the same path;
+- BCJ/delta filter chains and AES-encrypted folders are surfaced as
+  ``7z_codec_unsupported`` / ``7z_encrypted`` broken reasons — never a
+  wrong extraction.
+
+Multi-file archives use one folder with substream splitting (kSize per
+substream), matching 7z's solid-block layout.
+"""
+
+from __future__ import annotations
+
+import io
+import lzma
+import struct
+
+SEVENZIP_MIME = "application/x-7z-compressed"
+
+MAGIC = b"7z\xbc\xaf\x27\x1c"
+
+_K_END = 0x00
+_K_HEADER = 0x01
+_K_MAIN_STREAMS = 0x04
+_K_FILES_INFO = 0x05
+_K_PACK_INFO = 0x06
+_K_UNPACK_INFO = 0x07
+_K_SUBSTREAMS_INFO = 0x08
+_K_SIZE = 0x09
+_K_CRC = 0x0A
+_K_FOLDER = 0x0B
+_K_CODERS_UNPACK_SIZE = 0x0C
+_K_NUM_UNPACK_STREAM = 0x0D
+_K_EMPTY_STREAM = 0x0E
+_K_EMPTY_FILE = 0x0F
+_K_NAME = 0x11
+_K_ENCODED_HEADER = 0x17
+
+_CODER_COPY = b"\x00"
+_CODER_LZMA1 = b"\x03\x01\x01"
+_CODER_LZMA2 = b"\x21"
+_CODER_AES = b"\x06\xf1\x07\x01"
+
+
+class SevenZipBroken(Exception):
+    def __init__(self, reason: str):
+        super().__init__(reason)
+        self.reason = reason
+
+
+def is_7z(data: bytes) -> bool:
+    return data[:6] == MAGIC
+
+
+def _read_number(f: io.BytesIO) -> int:
+    first = f.read(1)
+    if not first:
+        raise SevenZipBroken("7z_error")
+    b = first[0]
+    mask = 0x80
+    value = 0
+    for i in range(8):
+        if not b & mask:
+            value |= (b & (mask - 1)) << (8 * i)
+            return value
+        nxt = f.read(1)
+        if not nxt:
+            raise SevenZipBroken("7z_error")
+        value |= nxt[0] << (8 * i)
+        mask >>= 1
+    return value
+
+
+def _read_bits(f: io.BytesIO, n: int) -> list[bool]:
+    out: list[bool] = []
+    byte = 0
+    mask = 0
+    for _ in range(n):
+        if mask == 0:
+            byte = f.read(1)[0]
+            mask = 0x80
+        out.append(bool(byte & mask))
+        mask >>= 1
+    return out
+
+
+def _read_bits_or_all(f: io.BytesIO, n: int) -> list[bool]:
+    all_defined = f.read(1)[0]
+    return [True] * n if all_defined else _read_bits(f, n)
+
+
+def _lzma2_dict_size(prop: int) -> int:
+    if prop > 40:
+        raise SevenZipBroken("7z_error")
+    if prop == 40:
+        return 0xFFFFFFFF
+    return (2 | (prop & 1)) << (prop // 2 + 11)
+
+
+class _Folder:
+    def __init__(self):
+        self.coders: list[tuple[bytes, bytes]] = []  # (id, props)
+        self.unpack_sizes: list[int] = []
+        self.num_unpack_streams = 1
+        self.substream_sizes: list[int] = []
+
+    def decode(self, packed: bytes) -> bytes:
+        if len(self.coders) != 1:
+            # bind-pair chains (BCJ+LZMA etc.) — recognized, unsupported
+            raise SevenZipBroken("7z_codec_unsupported")
+        coder_id, props = self.coders[0]
+        size = self.unpack_sizes[-1] if self.unpack_sizes else None
+        if coder_id == _CODER_AES:
+            raise SevenZipBroken("7z_encrypted")
+        if coder_id == _CODER_COPY:
+            return packed[:size]
+        if coder_id == _CODER_LZMA2:
+            if len(props) != 1:
+                raise SevenZipBroken("7z_error")
+            filt = [{"id": lzma.FILTER_LZMA2,
+                     "dict_size": _lzma2_dict_size(props[0])}]
+        elif coder_id == _CODER_LZMA1:
+            if len(props) != 5:
+                raise SevenZipBroken("7z_error")
+            lclppb = props[0]
+            (dict_size,) = struct.unpack("<I", props[1:5])
+            filt = [{
+                "id": lzma.FILTER_LZMA1,
+                "lc": lclppb % 9,
+                "lp": (lclppb // 9) % 5,
+                "pb": lclppb // 45,
+                "dict_size": max(dict_size, 4096),
+            }]
+        else:
+            raise SevenZipBroken("7z_codec_unsupported")
+        try:
+            dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=filt)
+            return dec.decompress(packed, max_length=size if size else -1)
+        except lzma.LZMAError as e:
+            raise SevenZipBroken("7z_error") from e
+
+
+class _StreamsInfo:
+    def __init__(self):
+        self.pack_pos = 0
+        self.pack_sizes: list[int] = []
+        self.folders: list[_Folder] = []
+
+
+def _parse_folder(f: io.BytesIO) -> _Folder:
+    folder = _Folder()
+    num_coders = _read_number(f)
+    if num_coders < 1 or num_coders > 8:
+        raise SevenZipBroken("7z_error")
+    total_out = 0
+    total_in = 0
+    for _ in range(num_coders):
+        flags = f.read(1)[0]
+        id_size = flags & 0x0F
+        coder_id = f.read(id_size)
+        n_in = n_out = 1
+        if flags & 0x10:  # complex
+            n_in = _read_number(f)
+            n_out = _read_number(f)
+        props = b""
+        if flags & 0x20:  # attributes
+            props = f.read(_read_number(f))
+        folder.coders.append((coder_id, props))
+        total_in += n_in
+        total_out += n_out
+    for _ in range(total_out - 1):  # bind pairs
+        _read_number(f)
+        _read_number(f)
+    num_packed = total_in - (total_out - 1)
+    if num_packed > 1:
+        for _ in range(num_packed):
+            _read_number(f)
+    return folder
+
+
+def _parse_streams_info(f: io.BytesIO) -> _StreamsInfo:
+    info = _StreamsInfo()
+    while True:
+        prop = _read_number(f)
+        if prop == _K_END:
+            return info
+        if prop == _K_PACK_INFO:
+            info.pack_pos = _read_number(f)
+            n = _read_number(f)
+            while True:
+                sub = _read_number(f)
+                if sub == _K_END:
+                    break
+                if sub == _K_SIZE:
+                    info.pack_sizes = [_read_number(f) for _ in range(n)]
+                elif sub == _K_CRC:
+                    defined = _read_bits_or_all(f, n)
+                    f.read(4 * sum(defined))
+                else:
+                    raise SevenZipBroken("7z_error")
+        elif prop == _K_UNPACK_INFO:
+            while True:
+                sub = _read_number(f)
+                if sub == _K_END:
+                    break
+                if sub == _K_FOLDER:
+                    n_folders = _read_number(f)
+                    if f.read(1)[0] != 0:  # external folders unsupported
+                        raise SevenZipBroken("7z_error")
+                    info.folders = [_parse_folder(f) for _ in range(n_folders)]
+                elif sub == _K_CODERS_UNPACK_SIZE:
+                    for folder in info.folders:
+                        n_out = len(folder.coders)  # 1 out stream per coder
+                        folder.unpack_sizes = [
+                            _read_number(f) for _ in range(n_out)
+                        ]
+                elif sub == _K_CRC:
+                    defined = _read_bits_or_all(f, len(info.folders))
+                    f.read(4 * sum(defined))
+                else:
+                    raise SevenZipBroken("7z_error")
+        elif prop == _K_SUBSTREAMS_INFO:
+            counts = [1] * len(info.folders)
+            while True:
+                sub = _read_number(f)
+                if sub == _K_END:
+                    break
+                if sub == _K_NUM_UNPACK_STREAM:
+                    counts = [_read_number(f) for _ in info.folders]
+                elif sub == _K_SIZE:
+                    for folder, cnt in zip(info.folders, counts):
+                        sizes = [_read_number(f) for _ in range(cnt - 1)]
+                        total = folder.unpack_sizes[-1] if folder.unpack_sizes else 0
+                        sizes.append(total - sum(sizes))
+                        folder.substream_sizes = sizes
+                elif sub == _K_CRC:
+                    n_digests = sum(counts)
+                    defined = _read_bits_or_all(f, n_digests)
+                    f.read(4 * sum(defined))
+                else:
+                    raise SevenZipBroken("7z_error")
+            for folder, cnt in zip(info.folders, counts):
+                folder.num_unpack_streams = cnt
+                if not folder.substream_sizes:
+                    folder.substream_sizes = list(folder.unpack_sizes[-1:])
+        else:
+            raise SevenZipBroken("7z_error")
+
+
+def _parse_files_info(f: io.BytesIO) -> tuple[list[str], list[bool], list[bool]]:
+    """(names, has_stream per file, is_empty_file per streamless file)."""
+    n_files = _read_number(f)
+    names: list[str] = []
+    empty_stream = [False] * n_files
+    empty_file: list[bool] = []
+    while True:
+        prop = _read_number(f)
+        if prop == _K_END:
+            break
+        size = _read_number(f)
+        block = io.BytesIO(f.read(size))
+        if prop == _K_EMPTY_STREAM:
+            empty_stream = _read_bits(block, n_files)
+        elif prop == _K_EMPTY_FILE:
+            empty_file = _read_bits(block, sum(empty_stream))
+        elif prop == _K_NAME:
+            if block.read(1)[0] != 0:
+                raise SevenZipBroken("7z_error")
+            # names are NUL-terminated UTF-16LE code units back to back
+            raw = block.read()
+            names = []
+            chars: list[str] = []
+            for i in range(0, len(raw) - 1, 2):
+                ch = raw[i : i + 2]
+                if ch == b"\x00\x00":
+                    names.append("".join(chars))
+                    chars = []
+                else:
+                    chars.append(ch.decode("utf-16-le", "replace"))
+        # all other properties (mtime, attributes, ...) skipped
+    has_stream = [not e for e in empty_stream]
+    return names[:n_files], has_stream, empty_file
+
+
+def unpack_7z(data: bytes, max_bytes: int = 256 * 2**20) -> list[tuple[str, bytes]]:
+    """7z bytes → [(member name, member bytes)] (files only)."""
+    if not is_7z(data):
+        raise SevenZipBroken("7z_error")
+    if len(data) < 32:
+        raise SevenZipBroken("7z_error")
+    nh_off, nh_size = struct.unpack_from("<QQ", data, 12)
+    if nh_size == 0:
+        return []  # valid empty archive
+    start = 32 + nh_off
+    header = data[start : start + nh_size]
+    if len(header) != nh_size:
+        raise SevenZipBroken("7z_error")
+    f = io.BytesIO(header)
+    prop = _read_number(f)
+    if prop == _K_ENCODED_HEADER:
+        info = _parse_streams_info(f)
+        if not info.folders or not info.pack_sizes:
+            raise SevenZipBroken("7z_error")
+        packed = data[32 + info.pack_pos : 32 + info.pack_pos + info.pack_sizes[0]]
+        f = io.BytesIO(info.folders[0].decode(packed))
+        prop = _read_number(f)
+    if prop != _K_HEADER:
+        raise SevenZipBroken("7z_error")
+
+    streams = _StreamsInfo()
+    names: list[str] = []
+    has_stream: list[bool] = []
+    empty_file: list[bool] = []
+    while True:
+        prop = _read_number(f)
+        if prop == _K_END:
+            break
+        if prop == _K_MAIN_STREAMS:
+            streams = _parse_streams_info(f)
+        elif prop == _K_FILES_INFO:
+            names, has_stream, empty_file = _parse_files_info(f)
+        else:
+            raise SevenZipBroken("7z_error")
+
+    # decode folders → substream payloads in order
+    payloads: list[bytes] = []
+    pos = 32 + streams.pack_pos
+    pack_idx = 0
+    budget = max_bytes
+    for folder in streams.folders:
+        pack_size = streams.pack_sizes[pack_idx] if pack_idx < len(
+            streams.pack_sizes) else 0
+        pack_idx += 1
+        if folder.unpack_sizes and folder.unpack_sizes[-1] > budget:
+            raise SevenZipBroken("archive_too_big")
+        blob = folder.decode(data[pos : pos + pack_size])
+        pos += pack_size
+        budget -= len(blob)
+        off = 0
+        for size in folder.substream_sizes:
+            payloads.append(blob[off : off + size])
+            off += size
+
+    out: list[tuple[str, bytes]] = []
+    stream_i = 0
+    empty_i = 0
+    for idx, name in enumerate(names):
+        if idx < len(has_stream) and not has_stream[idx]:
+            # streamless entry: empty file or directory
+            is_file = empty_i < len(empty_file) and empty_file[empty_i]
+            empty_i += 1
+            if is_file:
+                out.append((name, b""))
+            continue
+        payload = payloads[stream_i] if stream_i < len(payloads) else b""
+        stream_i += 1
+        out.append((name, payload))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fixture writer: one solid folder (COPY or LZMA2), raw (unencoded) header
+# ---------------------------------------------------------------------------
+
+
+def _write_number(value: int) -> bytes:
+    """Inverse of _read_number: n leading 1-bits in the first byte mark n
+    little-endian extra bytes; the first byte's free low bits carry the
+    value's high bits."""
+    if value < 0x80:
+        return bytes([value])
+    for n in range(1, 8):
+        if value < 1 << (8 * n + 7 - n):
+            marker = (0xFF << (8 - n)) & 0xFF
+            high = value >> (8 * n)
+            low = value & ((1 << (8 * n)) - 1)
+            return bytes([marker | high]) + low.to_bytes(n, "little")
+    return bytes([0xFF]) + value.to_bytes(8, "little")
+
+
+def build_7z(members: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
+    """Deterministic 7z fixture: all members in one solid folder."""
+    blob = b"".join(payload for _, payload in members)
+    if codec == "copy":
+        packed = blob
+        coder = bytes([len(_CODER_COPY)]) + _CODER_COPY
+    elif codec == "lzma2":
+        packed = lzma.compress(
+            blob, format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA2, "preset": 1}],
+        )
+        # props byte 18 → dict size 2 MiB (>= preset-1's 1 MiB window)
+        coder = bytes([len(_CODER_LZMA2) | 0x20]) + _CODER_LZMA2 + b"\x01\x12"
+    else:
+        raise ValueError(codec)
+
+    h = io.BytesIO()
+    h.write(_write_number(_K_HEADER))
+    h.write(_write_number(_K_MAIN_STREAMS))
+    # PackInfo
+    h.write(_write_number(_K_PACK_INFO))
+    h.write(_write_number(0))  # pack pos
+    h.write(_write_number(1))  # num pack streams
+    h.write(_write_number(_K_SIZE))
+    h.write(_write_number(len(packed)))
+    h.write(_write_number(_K_END))
+    # UnPackInfo
+    h.write(_write_number(_K_UNPACK_INFO))
+    h.write(_write_number(_K_FOLDER))
+    h.write(_write_number(1))  # one folder
+    h.write(bytes([0]))  # not external
+    h.write(_write_number(1))  # one coder
+    h.write(coder)
+    h.write(_write_number(_K_CODERS_UNPACK_SIZE))
+    h.write(_write_number(len(blob)))
+    h.write(_write_number(_K_END))
+    # SubStreamsInfo
+    h.write(_write_number(_K_SUBSTREAMS_INFO))
+    h.write(_write_number(_K_NUM_UNPACK_STREAM))
+    h.write(_write_number(len(members)))
+    h.write(_write_number(_K_SIZE))
+    for _, payload in members[:-1]:
+        h.write(_write_number(len(payload)))
+    h.write(_write_number(_K_END))
+    h.write(_write_number(_K_END))  # end MainStreams
+    # FilesInfo
+    h.write(_write_number(_K_FILES_INFO))
+    h.write(_write_number(len(members)))
+    name_block = b"\x00" + b"".join(
+        name.encode("utf-16-le") + b"\x00\x00" for name, _ in members
+    )
+    h.write(_write_number(_K_NAME))
+    h.write(_write_number(len(name_block)))
+    h.write(name_block)
+    h.write(_write_number(_K_END))
+    h.write(_write_number(_K_END))  # end Header
+
+    header = h.getvalue()
+    out = bytearray()
+    out += MAGIC
+    out += bytes([0, 4])  # version 0.4
+    out += bytes(4)  # StartHeaderCRC (unchecked)
+    out += struct.pack("<QQ", len(packed), len(header))
+    out += bytes(4)  # NextHeaderCRC (unchecked)
+    assert len(out) == 32
+    out += packed
+    out += header
+    return bytes(out)

@@ -1,0 +1,70 @@
+"""7z container unpacking (pure-Python reader over the public 7zFormat
+spec; reference shells out to `7z x`, archives.py:173-203)."""
+
+import hashlib
+import io
+
+import pytest
+
+from hoover_snoop2_spark.operators.analyze import analyze_blob
+from hoover_snoop2_spark.operators.sevenzip_extract import (
+    SevenZipBroken,
+    _read_number,
+    _write_number,
+    build_7z,
+    is_7z,
+    unpack_7z,
+)
+
+MEMBERS = [
+    ("docs/a.txt", b"alpha bravo " * 50),
+    ("b.txt", b"second file"),
+    ("bin/c.bin", bytes(range(256))),
+]
+
+
+def test_number_codec_round_trip():
+    for v in (0, 1, 0x7F, 0x80, 0x3FFF, 0x4000, 123456, 2**20, 2**33,
+              2**56, 2**62):
+        assert _read_number(io.BytesIO(_write_number(v))) == v
+
+
+@pytest.mark.parametrize("codec", ["copy", "lzma2"])
+def test_round_trip(codec):
+    data = build_7z(MEMBERS, codec=codec)
+    assert is_7z(data)
+    assert unpack_7z(data) == MEMBERS
+
+
+def test_unicode_member_names():
+    data = build_7z([("päth/ünïcode — file.txt", b"x")], codec="copy")
+    assert unpack_7z(data)[0][0] == "päth/ünïcode — file.txt"
+
+
+def test_analyze_routes_7z():
+    data = build_7z(MEMBERS, codec="lzma2")
+    rows = analyze_blob(hashlib.sha3_256(data).hexdigest(), data)
+    digest = rows[0]
+    assert digest["mime_type"] == "application/x-7z-compressed"
+    assert digest["status"] == "success"
+    assert digest["n_children"] == 3
+    assert [r["child_name"] for r in rows[1:]] == [n for n, _ in MEMBERS]
+    assert rows[1]["child_data"] == MEMBERS[0][1]
+
+
+def test_truncated_is_broken():
+    data = build_7z(MEMBERS, codec="lzma2")
+    with pytest.raises(SevenZipBroken):
+        unpack_7z(data[:40])
+
+
+def test_garbage_is_broken():
+    import struct
+
+    # all-zero start header = valid empty archive
+    assert unpack_7z(b"7z\xbc\xaf\x27\x1c" + bytes(64)) == []
+    # declared header full of garbage bytes must surface broken
+    data = (b"7z\xbc\xaf\x27\x1c" + bytes(6)
+            + struct.pack("<QQ", 0, 16) + bytes(4) + b"\x55" * 16)
+    with pytest.raises(SevenZipBroken):
+        unpack_7z(data)

@@ -67,14 +67,17 @@ def test_truncated_zip_broken():
 
 
 def test_tool_missing_formats():
-    for mime in ("application/x-7z-compressed", "application/x-rar"):
-        with pytest.raises(UnpackBroken) as e:
-            unpack_bytes(b"whatever", mime)
-        assert e.value.reason == "archive_tool_missing"
-    # PST is unpacked natively now; garbage surfaces a pst reason instead
+    with pytest.raises(UnpackBroken) as e:
+        unpack_bytes(b"whatever", "application/x-rar")
+    assert e.value.reason == "archive_tool_missing"
+    # PST and 7z are unpacked natively now; garbage surfaces their own
+    # parse reasons instead of the blanket tool-missing
     with pytest.raises(UnpackBroken) as e:
         unpack_bytes(b"whatever", "application/x-hoover-pst")
     assert e.value.reason == "pst_parse_error"
+    with pytest.raises(UnpackBroken) as e:
+        unpack_bytes(b"whatever", "application/x-7z-compressed")
+    assert e.value.reason == "7z_error"
 
 
 def test_unpack_children_url_convention():
