@@ -294,8 +294,22 @@ def _pdf_escape(s: str) -> str:
     return s.replace("\\", r"\\").replace("(", r"\(").replace(")", r"\)")
 
 
-def render_pdf(doc_id: int, lang: str) -> tuple[bytes, str]:
-    """1-3 pages of spans; ~1 in 3 docs gets a two-column page.  Golden =
+def _tiny_jpeg(w: int, h: int) -> bytes:
+    """Minimal deterministic JPEG (SOI + JFIF APP0 + SOF0 dims + EOI)."""
+    import struct as _s
+
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + _s.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+        + b"\xff\xc0" + _s.pack(">HBHHB", 11, 8, h, w, 1) + b"\x01\x11\x00"
+        + b"\xff\xd9"
+    )
+
+
+def render_pdf(doc_id: int, lang: str) -> tuple[bytes, str, list[tuple[str, str]]]:
+    """1-3 pages of spans; ~1 in 3 docs gets a two-column page; ~1 in 3
+    embeds a JPEG image XObject (the pdfimages fan-out child).  Golden =
     per page, spans joined ' ' in reading order; pages joined \\n\\n."""
     rng = _rng(doc_id, 6)
     n_pages = rng.randint(1, 3)
@@ -359,6 +373,18 @@ def render_pdf(doc_id: int, lang: str) -> tuple[bytes, str]:
         (3, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
     ] + page_objs
 
+    children: list[tuple[str, str]] = []
+    if doc_id % 3 == 1:
+        jpg = _tiny_jpeg(4 + doc_id % 13, 6 + doc_id % 7)
+        objs.append((
+            next_id,
+            b"<< /Type /XObject /Subtype /Image /Width 4 /Height 6 "
+            b"/ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter "
+            b"/DCTDecode /Length " + str(len(jpg)).encode()
+            + b" >>\nstream\n" + jpg + b"\nendstream",
+        ))
+        children.append(("image-001.jpg", ""))  # binary child: no text
+
     out = io.BytesIO()
     out.write(header)
     offsets = {}
@@ -374,7 +400,7 @@ def render_pdf(doc_id: int, lang: str) -> tuple[bytes, str]:
     out.write(
         f"trailer\n<< /Size {n} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
     )
-    return out.getvalue(), "\n\n".join(page_goldens)
+    return out.getvalue(), "\n\n".join(page_goldens), children
 
 
 def render_msg(doc_id: int, lang: str) -> tuple[bytes, str, list[tuple[str, str]]]:
@@ -688,7 +714,7 @@ def build_doc(doc_id: int) -> dict:
         children = kids
         golden = ""
     elif cat == "pdf-minimal":
-        html, golden = render_pdf(doc_id, lang)
+        html, golden, children = render_pdf(doc_id, lang)
     elif cat == "docx":
         html, golden = render_docx(doc_id, lang)
     elif cat == "odt":

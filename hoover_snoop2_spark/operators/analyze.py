@@ -38,6 +38,7 @@ from .archive_unpack import (
     UNPACK_MIME_TYPES,
     UnpackBroken,
     emlx_strip,
+    safe_member_name,
     unpack_bytes,
 )
 from .email_parse import attachments_of, email_meta, parse_email_bytes
@@ -183,6 +184,11 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
                 digest["broken_reason"] = broken
             else:
                 digest["text"] = normalize_text(text) or ""
+                # embedded images fan out as children (pdfimages analog,
+                # archives.py:491-528) — they feed the OCR/media path
+                from .pdf_spans import pdf_image_children
+
+                children = pdf_image_children(data)
 
         elif mime_type in UNPACK_MIME_TYPES or mime_type in BROKEN_ARCHIVE_MIME_TYPES:
             children = unpack_bytes(data, mime_type)
@@ -289,6 +295,10 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
     rows = [digest]
     seen_names: dict[str, int] = {}
     for name, child_bytes in children:
+        # undecodable member names (surrogate-escaped) are percent-escaped
+        # losslessly — Arrow/parquet rejects lone surrogates (the
+        # reference's name_bytes rationale, models.py:516-526)
+        name = safe_member_name(name)
         # child urls must be unique per parent (two attachments may share a
         # filename); disambiguate repeats the way unpack listings do
         if name in seen_names:

@@ -58,6 +58,24 @@ MAX_CHILDREN = 10_000
 MAX_CHILD_BYTES = 64 * 2**20
 
 
+def safe_member_name(name: str) -> str:
+    """Archive member names that didn't decode cleanly arrive as
+    surrogate-escaped strs (tarfile's default; the reference keeps the
+    original bytes in File.name_bytes, models.py:516-526, for the same
+    reason).  Lone surrogates are not valid UTF-8, so Arrow/parquet would
+    reject the row — percent-escape the raw bytes losslessly instead
+    (printable ASCII except '%' kept verbatim)."""
+    try:
+        name.encode("utf-8")
+        return name
+    except UnicodeEncodeError:
+        raw = name.encode("utf-8", "surrogateescape")
+        return "".join(
+            chr(b) if 32 <= b < 127 and b != 0x25 else f"%{b:02X}"
+            for b in raw
+        )
+
+
 class UnpackBroken(Exception):
     """Unpack failed; .reason mirrors snoop2's broken-reason strings."""
 

@@ -27,13 +27,50 @@ from pyspark.sql import functions as F
 #: reference digests.py:44 — ES integer fields cap at 2^31-1
 MAX_ES_INT = 2**31 - 1
 
+#: reference tika.py:178-212 — metadata values truncated to 4 KiB before
+#: folding into the single `tika` k:v field
+KV_TRUNCATE = 4096
+
+
+def metadata_kv_cols() -> tuple[F.Column, F.Column]:
+    """The `tika` / `tika-key` folded-metadata fields (reference
+    convert_for_indexing, tika.py:178-212): every typed metadata column
+    the extractors produce becomes one 'key: value' string in a single
+    array, so the index never grows one ES field per metadata key.  Pure
+    column expressions — the flatten happens JVM-side."""
+
+    def kv(key: str, col: F.Column) -> F.Column:
+        return F.when(
+            col.isNotNull(),
+            F.concat(F.lit(key + ": "),
+                     F.substring(col.cast("string"), 1, KV_TRUNCATE)),
+        )
+
+    pairs = F.array(
+        kv("Content-Type", F.col("mime_type")),
+        kv("Content-Encoding", F.col("mime_encoding")),
+        kv("dcterms:created", F.col("date_created")),
+        kv("dcterms:modified", F.col("date_modified")),
+        kv("exif:GPS", F.col("exif_location")),
+        kv("exif:DateTimeOriginal", F.col("exif_date")),
+        kv("table:columns", F.array_join(F.col("table_columns"), ", ")),
+        kv("table:row-count", F.col("table_row_count")),
+        kv("message:subject", F.col("subject")),
+    )
+    tika = F.filter(pairs, lambda x: x.isNotNull())
+    tika_key = F.transform(tika, lambda s: F.substring_index(s, ": ", 1))
+    return tika, tika_key
+
 
 def to_es_documents(digests: DataFrame) -> DataFrame:
     """Project the digest table into the reference's ES mapping shape."""
     from .gather_fields import with_path_fields
 
     d = with_path_fields(digests)
+    tika, tika_key = metadata_kv_cols()
     return d.select(
+        tika.alias("tika"),
+        tika_key.alias("tika-key"),
         F.col("sha3_256").alias("id"),
         F.col("sha3_256").alias("sha3-256"),
         F.col("md5"),

@@ -223,6 +223,9 @@ def extract_pdf_pages(data: bytes) -> list[dict]:
         head = data[max(0, m.start() - 512): m.start()]
         oi = head.rfind(b" obj")
         sdict = head[oi:] if oi >= 0 else head
+        if b"/Subtype" in sdict and b"/Image" in sdict:
+            continue  # image XObject, not a content stream (see
+            # pdf_image_children for the fan-out)
         if _FILTER_RE.search(sdict):
             if b"FlateDecode" not in sdict or stream[:1] != b"\x78":
                 raise PdfBroken("pdf_filter_unsupported")
@@ -242,6 +245,34 @@ def extract_pdf_pages(data: bytes) -> list[dict]:
         text = ITEM_JOIN.join(s.text for s in ordered)
         pages.append({"page": page_no, "text": text})
     return pages
+
+
+def pdf_image_children(data: bytes) -> list[tuple[str, bytes]]:
+    """Embedded image XObjects → (name, bytes) children — the pdfimages
+    fan-out that feeds the reference's OCR path (archives.py:491-528:
+    `pdfimages -all` children named page-NNN-xxx).
+
+    DCTDecode streams ARE raw JPEG bytes (emitted as .jpg, directly
+    consumable by the multimodal/EXIF operators); FlateDecode raster data
+    inflates to .raw; other image codecs (JBIG2, CCITT, JPX) are skipped —
+    emitting bytes we can't decode would poison the OCR queue."""
+    out: list[tuple[str, bytes]] = []
+    if not data.startswith(b"%PDF"):
+        return out
+    n = 0
+    for m in _STREAM_RE.finditer(data):
+        head = data[max(0, m.start() - 512): m.start()]
+        oi = head.rfind(b" obj")
+        sdict = head[oi:] if oi >= 0 else head
+        if b"/Subtype" not in sdict or b"/Image" not in sdict:
+            continue
+        n += 1
+        if b"DCTDecode" in sdict:
+            out.append((f"image-{n:03d}.jpg", m.group(1)))
+        elif b"FlateDecode" in sdict or not _FILTER_RE.search(sdict):
+            raw = _maybe_inflate(m.group(1))
+            out.append((f"image-{n:03d}.raw", raw))
+    return out
 
 
 def pdf_to_text(data: bytes) -> tuple[str | None, list[dict], str | None]:

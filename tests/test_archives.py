@@ -93,3 +93,31 @@ def test_emlx_strip():
     assert emlx_strip(emlx) == body
     # non-emlx passes through
     assert emlx_strip(b"not emlx") == b"not emlx"
+
+
+def test_undecodable_member_names_survive():
+    """A tar member whose name bytes are not UTF-8 (tarfile surrogate-
+    escapes them) must produce a valid-UTF-8, lossless child name."""
+    import hashlib
+    import io
+    import tarfile
+
+    from hoover_snoop2_spark.operators.analyze import analyze_blob
+    from hoover_snoop2_spark.operators.archive_unpack import safe_member_name
+
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        info = tarfile.TarInfo("caf\udce9_latin1.txt")  # 0xE9 undecodable
+        payload = b"contents"
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+    data = buf.getvalue()
+
+    rows = analyze_blob(hashlib.sha3_256(data).hexdigest(), data)
+    child_name = rows[1]["child_name"]
+    child_name.encode("utf-8")  # must not raise
+    assert child_name == "caf%E9_latin1.txt"
+    assert rows[1]["child_data"] == b"contents"
+
+    # clean names pass through untouched
+    assert safe_member_name("docs/ünïcode.txt") == "docs/ünïcode.txt"

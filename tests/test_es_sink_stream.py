@@ -96,3 +96,20 @@ def test_streaming_per_epoch_append(spark, tmp_path):
         == 0
     )
     assert read_digests(spark, out).count() == total
+
+
+def test_metadata_kv_flatten(spark, digests):
+    """convert_for_indexing analog (tika.py:178-212): typed metadata folds
+    into one `tika` k:v array + `tika-key` key list."""
+    from hoover_snoop2_spark.operators.es_sink import to_es_documents
+
+    es = to_es_documents(digests)
+    assert "tika" in es.columns and "tika-key" in es.columns
+    office = es.filter(
+        F.col("content-type").contains("officedocument.wordprocessingml")
+    ).first()
+    assert any(s.startswith("dcterms:created: ") for s in office["tika"])
+    assert "dcterms:created" in office["tika-key"]
+    assert any(s.startswith("Content-Type: ") for s in office["tika"])
+    table = es.filter(F.col("content-type") == "text/csv").first()
+    assert any(s.startswith("table:row-count: ") for s in table["tika"])

@@ -11,7 +11,7 @@ from hoover_snoop2_spark.operators.pdf_spans import (
 
 def test_corpus_pdf_round_trip():
     for doc_id in (3, 9, 27, 84, 252):
-        data, golden = render_pdf(doc_id, "en")
+        data, golden, _kids = render_pdf(doc_id, "en")
         text, pages, broken = pdf_to_text(data)
         assert broken is None
         assert text == golden, doc_id
@@ -52,7 +52,7 @@ def test_flate_compressed_stream():
     import re
     import zlib
 
-    data, golden = render_pdf(42, "en")
+    data, golden, _kids = render_pdf(42, "en")
     # recompress every content stream in the fixture pdf
     def compress(m):
         body = zlib.compress(m.group(1))
@@ -63,3 +63,28 @@ def test_flate_compressed_stream():
     text, pages, broken = pdf_to_text(squeezed)
     assert broken is None
     assert text == golden
+
+
+def test_pdf_embedded_image_children():
+    """DCTDecode image XObjects fan out as .jpg children (pdfimages
+    analog, archives.py:491-528) and never break text extraction."""
+    import hashlib
+
+    from hoover_snoop2_spark.operators.analyze import analyze_blob
+    from hoover_snoop2_spark.operators.pdf_spans import pdf_image_children
+
+    data, golden, kids = render_pdf(1, "en")  # doc_id % 3 == 1 embeds a jpg
+    assert kids == [("image-001.jpg", "")]
+    imgs = pdf_image_children(data)
+    assert [n for n, _ in imgs] == ["image-001.jpg"]
+    assert imgs[0][1][:3] == b"\xff\xd8\xff"
+
+    rows = analyze_blob(hashlib.sha3_256(data).hexdigest(), data)
+    digest = rows[0]
+    assert digest["status"] == "success"
+    assert golden.startswith(digest["text"][:20])
+    assert rows[1]["child_name"] == "image-001.jpg"
+    # the child digests as a JPEG with empty text
+    child = analyze_blob("x", rows[1]["child_data"])[0]
+    assert child["mime_type"] == "image/jpeg"
+    assert child["status"] == "success"

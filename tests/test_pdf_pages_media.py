@@ -11,7 +11,7 @@ def test_explode_pdf_pages(spark):
     rows = []
     goldens = {}
     for doc_id in (9, 27, 84):
-        data, golden = render_pdf(doc_id, "en")
+        data, golden, _kids = render_pdf(doc_id, "en")
         url = f"https://x.example/{doc_id}.pdf"
         rows.append((url, data))
         goldens[url] = golden.split("\n\n")
