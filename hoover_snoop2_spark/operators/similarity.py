@@ -90,6 +90,135 @@ def bucket_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+def _centroid_scores(vec_col: str, centroids: list[list[float]]) -> F.Column:
+    """array of cosine(vec, centroid_i) — pure JVM expressions."""
+    v = F.col(vec_col)
+    vn = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    scores = []
+    for c in centroids:
+        lit = F.array(*[F.lit(x) for x in c])
+        import math
+
+        cn = math.sqrt(sum(x * x for x in c)) or 1.0
+        scores.append(_dot(v, lit) / (vn * F.lit(cn)))
+    return F.array(*scores)
+
+
+def kmeans_centroids(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over a DataFrame (cosine assignment,
+    element-wise-mean update).  Per iteration: one broadcast of k·dim
+    centroid literals out, one (cluster, position) shuffle back — the
+    classic Spark iterative-ML loop; vectors never collect to the driver
+    (only the k centroids do, which is the whole point of a coarse
+    quantizer)."""
+    v = vectors.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+    # deterministic init: the k lowest-id vectors
+    centroids = [r["v"] for r in v.orderBy("id").limit(n_lists).collect()]
+    for _ in range(iters):
+        scores = _centroid_scores("v", centroids)
+        assigned = v.withColumn(
+            "cluster",
+            F.array_position(scores, F.array_max(scores)).cast("int") - 1,
+        )
+        new = (
+            assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("centroid")
+            )
+            .collect()
+        )
+        by_cluster = {r["cluster"]: r["centroid"] for r in new}
+        centroids = [
+            by_cluster.get(i, centroids[i]) for i in range(n_lists)
+        ]
+    return [[round(x, 6) for x in c] for c in centroids]
+
+
+def ivf_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    iters: int = 5,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: a k-means coarse quantizer partitions the
+    corpus into ``n_lists`` inverted lists; each query probes its
+    ``n_probe`` nearest lists and scores candidates exactly.
+
+    The scale shape mirrors ann_lsh_topk: the big side is assigned +
+    shuffled ONCE on cluster id (in production: written bucketed by
+    cluster, making every later search a pruned scan); queries explode to
+    n_probe rows and the join is cluster-equi.  Pass precomputed
+    ``centroids`` to skip training (the train-once / search-many split).
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(vectors, id_col, vec_col, n_lists, iters)
+    n_lists = len(centroids)
+    n_probe = min(n_probe, n_lists)
+
+    v = vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("nv"),
+    )
+    v = v.withColumn(
+        "cluster",
+        F.array_position(
+            _centroid_scores("nv", centroids),
+            F.array_max(_centroid_scores("nv", centroids)),
+        ).cast("int") - 1,
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    # top n_probe clusters per query: sort (score, idx) structs descending
+    scored = F.transform(
+        _centroid_scores("qv", centroids),
+        lambda s, i: F.struct(s.alias("score"), i.alias("idx")),
+    )
+    probes = q.withColumn(
+        "cluster",
+        F.explode(
+            F.transform(
+                F.slice(F.reverse(F.array_sort(scored)), 1, n_probe),
+                lambda s: s["idx"].cast("int"),
+            )
+        ),
+    )
+    cand = (
+        v.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cosine", F.round(cosine_expr("qv", "nv"), 4))
+        .select("query_id", "neighbor_id", "cosine")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
 def ann_lsh_topk(
     vectors: DataFrame,
     queries: DataFrame,
@@ -107,7 +236,9 @@ def ann_lsh_topk(
     product.
     """
     if dim is None:
-        first = vectors.select(F.size(vec_col)).first()
+        # infer from the QUERY side — always dimension-sized; inferring
+        # from `vectors` would run a hidden action against the 100-TB side
+        first = queries.select(F.size(vec_col)).first()
         dim = first[0]
     planes = _plane_literals(dim, n_planes)
 

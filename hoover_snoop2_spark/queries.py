@@ -601,6 +601,52 @@ ORDER BY id_a, id_b
 """
 
 
+def q27_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard over deterministic pairs (doc i vs
+    i + half) — value-exact oracle coverage for the shingle + jaccard
+    kernel the MinHash-LSH verify stage (q30) is built on."""
+    from .operators.dedup import shingles_col
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.array_distinct(shingles_col("text", k=3)).alias("sh")
+    )
+    a = sh.withColumnsRenamed({"doc_id": "id_a", "sh": "sh_a"})
+    b = sh.withColumnsRenamed({"doc_id": "id_b", "sh": "sh_b"})
+    return (
+        a.join(b, F.col("id_a") + 250 == F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("id_a")
+    )
+
+
+Q27_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1),
+                                    i -> array_to_string(w[i:i+2], ' '))
+           END) AS sh
+  FROM t
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_distinct(list_intersect(a.sh, b.sh))) * 1.0
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM s a JOIN s b ON a.doc_id + 250 = b.doc_id
+ORDER BY id_a
+"""
+
+
 def q23_path_parts(spark, sf_dir):
     """Container-aware path prefix expansion (full_path/path_parts,
     reference digests.py:726-759) over synthesized urls — the ES
@@ -693,6 +739,19 @@ def q32_ann_lsh_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
     return ann_lsh_topk(e, q, k=5, dim=64).orderBy("query_id", "rank")
+
+
+def q28_ivf_topk(spark, sf_dir):
+    """IVF approximate nearest neighbors: k-means coarse quantizer (an
+    iterative algorithm — rows-only check; recall vs the exact q21
+    baseline asserted in pytest) + n_probe inverted-list search."""
+    from .operators.similarity import ivf_topk
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(e, q, k=5, n_lists=16, n_probe=4, iters=3).orderBy(
+        "query_id", "rank"
+    )
 
 
 def q33_langid(spark, sf_dir):
@@ -941,6 +1000,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q24_host_stats": q24_host_stats,
     "q25_entity_hits": q25_entity_hits,
     "q26_embedding_dups": q26_embedding_dups,
+    "q27_ngram_jaccard": q27_ngram_jaccard,
+    "q28_ivf_topk": q28_ivf_topk,
     "q30_minhash_lsh_dups": q30_minhash_lsh_dups,
     "q31_simhash_dups": q31_simhash_dups,
     "q32_ann_lsh_topk": q32_ann_lsh_topk,
@@ -979,6 +1040,7 @@ ORACLES: dict[str, str] = {
     "q24_host_stats": Q24_SQL,
     "q25_entity_hits": Q25_SQL,
     "q26_embedding_dups": Q26_SQL,
+    "q27_ngram_jaccard": Q27_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q30-q35, q38: non-SQL-expressible (LSH banding, simhash bit votes, UDF

@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hoover_snoop2_spark.operators.similarity import ann_lsh_topk, brute_force_topk
+from tests.conftest import SF_DIR
 
 
 @pytest.fixture(scope="module")
@@ -46,3 +47,30 @@ def test_ann_lsh_recall(vectors):
               for r in ann_lsh_topk(df, q, k=5, n_planes=3, dim=16).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.7, recall
+
+
+def test_ivf_topk_recall(spark):
+    """IVF (k-means lists + n_probe search) recall vs the exact baseline;
+    train-once centroids path must give identical results."""
+    from pyspark.sql import functions as F
+
+    from hoover_snoop2_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(e, q, k=5).collect()}
+    cents = kmeans_centroids(e, n_lists=8, iters=3)
+    assert len(cents) == 8 and len(cents[0]) == 64
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(e, q, k=5, n_probe=4, centroids=cents).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, recall
+    # deterministic: same centroids → same result set
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in ivf_topk(e, q, k=5, n_probe=4, centroids=cents).collect()}
+    assert approx == again
