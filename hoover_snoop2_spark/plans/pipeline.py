@@ -36,7 +36,7 @@ from ..functions.hashing import sha3_256_udf
 from ..functions.langid import detect_language_udf
 from ..operators.analyze import ANALYZE_SCHEMA, analyze_map_in_pandas
 from .checkpoint import CheckpointStore, resume_delta
-from .metrics import stage_metrics
+from .metrics import RowCounter, stage_metrics
 
 MAX_DEPTH = 5
 
@@ -216,11 +216,17 @@ def run_extraction(
         # container subtrees expand INSIDE the kernel (analyze_tree) —
         # digest rows come out fully formed for the whole tree; only
         # oversized listings come back as kind='child' for a next round
+        # per-partition row counter rides the UDF via an accumulator —
+        # filled during the checkpoint write, no extra action (the
+        # reference's per-task counters, admin.py:149-276)
+        counter = RowCounter(spark, f"analyze_r{round_no}")
         analyzed = uniq.mapInPandas(
-            analyze_map_in_pandas(
-                max_depth=max_depth,
-                inline_max_children=inline_max_children,
-                inline_max_bytes=inline_max_bytes,
+            counter.wrap(
+                analyze_map_in_pandas(
+                    max_depth=max_depth,
+                    inline_max_children=inline_max_children,
+                    inline_max_bytes=inline_max_bytes,
+                )
             ),
             schema=ANALYZE_SCHEMA,
         )
@@ -229,6 +235,15 @@ def run_extraction(
         if _TIMING:
             print(f"[pipeline] r{round_no} analyze: "
                   f"{_time.perf_counter() - _t0:.1f}s", flush=True)
+        metric_rounds.append(
+            spark.createDataFrame(
+                [("analyze_udf", round_no, "emitted", None,
+                  int(counter.acc.value), None, None)],
+                schema="stage string, round int, status string, "
+                       "broken_reason string, rows bigint, bytes bigint, "
+                       "text_chars bigint",
+            )
+        )
 
         # duplicate round-input urls (lost the election) clone the
         # representative's whole subtree via a broadcast of the small dup

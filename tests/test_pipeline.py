@@ -125,3 +125,27 @@ def test_office_docprops_dates(spark, corpus_dir, digests):
     )
     assert bad.count() == 0, bad.select("url", "d.date_created",
                                         "g.date_created").take(5)
+
+
+def test_analyze_udf_row_counters(spark, corpus_dir, tmp_path):
+    """Accumulator-backed per-partition counters (metrics stage
+    'analyze_udf') count every row the kernel emitted, without an extra
+    action (reference task-matrix counters, admin.py:149-276)."""
+    from hoover_snoop2_spark.plans.pipeline import run_extraction
+
+    pages = spark.read.parquet(f"{corpus_dir}/pages.parquet")
+    digests, metrics = run_extraction(
+        spark, pages, checkpoint_dir=str(tmp_path / "ck_acc")
+    )
+    n_digests = digests.count()
+    udf_rows = (
+        metrics.filter(F.col("stage") == "analyze_udf")
+        .agg(F.sum("rows").alias("n")).first()["n"]
+    )
+    # the kernel emits every unique-blob digest subtree (+ any deferred
+    # child rows); url-level clones are relational fan-out AFTER the UDF,
+    # so emitted rows never exceed the url-level digest count
+    assert 0 < udf_rows <= n_digests
+    rounds = {r["round"] for r in
+              metrics.filter(F.col("stage") == "analyze_udf").collect()}
+    assert 0 in rounds  # at minimum the root round is counted
