@@ -87,6 +87,19 @@ def quality_flag(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def dup_line_ratio(text: Column) -> Column:
+    """Gopher repetition gate: fraction of non-blank lines that duplicate
+    an earlier line — pure array expressions, no shuffle."""
+    lines = F.filter(
+        F.transform(F.split(text, "\n"), lambda s: F.trim(s)),
+        lambda s: F.length(s) > 0,
+    )
+    n = F.size(lines)
+    return F.when(n <= 0, F.lit(0.0)).otherwise(
+        (n - F.size(F.array_distinct(lines))) / n
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of the casefolded,
     whitespace-normalized text (the exact-dedup key used downstream)."""

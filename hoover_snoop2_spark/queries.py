@@ -754,6 +754,71 @@ def q28_ivf_topk(spark, sf_dir):
     )
 
 
+def q29_repetition(spark, sf_dir):
+    """Gopher repetition gates: duplicate-line fraction (array exprs) and
+    top word-bigram token fraction (explode → two-phase groupBy — the
+    relational shape that scales, vs an O(tokens²) per-row expression)."""
+    from .functions.quality import dup_line_ratio, token_count
+    from .operators.dedup import shingles_col
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "n_tokens", token_count(F.col("text"))
+    ).filter(F.col("n_tokens") >= 5)
+    dup = d.select(
+        "doc_id", "n_tokens",
+        F.round(dup_line_ratio(F.col("text")), 4).alias("dup_line_ratio"),
+    )
+    bg = d.select(
+        "doc_id", F.explode(shingles_col("text", k=2)).alias("bg")
+    )
+    top = (
+        bg.groupBy("doc_id", "bg").count()
+        .groupBy("doc_id").agg(F.max("count").alias("top_bg"))
+    )
+    return (
+        dup.join(top, "doc_id")
+        .select(
+            "doc_id", "dup_line_ratio",
+            F.round(F.col("top_bg") / (F.col("n_tokens") - 1), 4).alias(
+                "top_bigram_ratio"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q29_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+), tok AS (
+  SELECT doc_id, text, w, len(w) AS n_tokens FROM t WHERE len(w) >= 5
+), dup AS (
+  SELECT doc_id, n_tokens,
+         round(CASE WHEN len(lines) <= 0 THEN 0.0
+               ELSE (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+               END, 4) AS dup_line_ratio
+  FROM (SELECT doc_id, n_tokens,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          s -> trim(s)),
+                           s -> len(s) > 0) AS lines
+        FROM tok)
+), bg AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i + 1])) AS bg
+  FROM tok
+), c AS (
+  SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg
+), m AS (
+  SELECT doc_id, max(c) AS top_bg FROM c GROUP BY doc_id
+)
+SELECT dup.doc_id, dup.dup_line_ratio,
+       round(m.top_bg * 1.0 / (dup.n_tokens - 1), 4) AS top_bigram_ratio
+FROM dup JOIN m ON dup.doc_id = m.doc_id
+ORDER BY dup.doc_id
+"""
+
+
 def q33_langid(spark, sf_dir):
     """Language identification UDF vs the table's labeled lang —
     per-(labeled, detected) confusion counts."""
@@ -1002,6 +1067,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q26_embedding_dups": q26_embedding_dups,
     "q27_ngram_jaccard": q27_ngram_jaccard,
     "q28_ivf_topk": q28_ivf_topk,
+    "q29_repetition": q29_repetition,
     "q30_minhash_lsh_dups": q30_minhash_lsh_dups,
     "q31_simhash_dups": q31_simhash_dups,
     "q32_ann_lsh_topk": q32_ann_lsh_topk,
@@ -1041,6 +1107,7 @@ ORACLES: dict[str, str] = {
     "q25_entity_hits": Q25_SQL,
     "q26_embedding_dups": Q26_SQL,
     "q27_ngram_jaccard": Q27_SQL,
+    "q29_repetition": Q29_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q30-q35, q38: non-SQL-expressible (LSH banding, simhash bit votes, UDF
