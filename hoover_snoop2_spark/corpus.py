@@ -61,7 +61,7 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 6
+CORPUS_VERSION = 7
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
@@ -160,14 +160,34 @@ def render_html(doc_id: int, paras: list[str], charset: str | None = "utf-8",
         )
         side = f'<div class="sidebar"><ul>{items}</ul></div>'
     body_paras = "".join(f"<p>{p}</p>" for p in paras) * repeat
+    # low-link-density boilerplate that only the class/id "unlikely
+    # candidates" heuristic can reject (cookie banners, comments, promos)
+    cookie = (
+        '<div class="cookie-consent"><p>We use cookies to improve your '
+        "experience on this site. By continuing you agree to our policy."
+        "</p><button>Accept</button></div>"
+    ) if doc_id % 2 == 0 else ""
+    comments = (
+        '<section id="comments"><h3>Comments</h3>'
+        + "".join(
+            f"<p>visitor {rng.randrange(999)} says: nice article "
+            f"number {rng.randrange(99)}!</p>" for _ in range(3)
+        )
+        + "</section>"
+    ) if doc_id % 3 == 0 else ""
+    related = (
+        '<div class="related-promo"><p>You may also like these stories '
+        "from our archive, hand picked by the editorial team.</p></div>"
+    ) if doc_id % 5 == 0 else ""
     return (
         f"<!DOCTYPE html><html><head>{meta}<title>Doc {doc_id}</title>"
         f"<style>body{{margin:0}}</style></head><body>"
         f"<nav>{nav}</nav>"
         f"<header><h1>Site {doc_id % 97} news</h1>"
         f'<a href="/">back to index</a></header>'
-        f"{side}"
+        f"{side}{cookie}"
         f"<article>{body_paras}</article>"
+        f"{comments}{related}"
         f'<footer><a href="/privacy">Privacy</a> · <a href="/imprint">'
         f"Imprint</a> · © 2024 site{doc_id % 97}</footer>"
         f"</body></html>"

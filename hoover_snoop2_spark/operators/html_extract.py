@@ -13,12 +13,16 @@ Algorithm (classic block-scoring, cf. jusText / boilerpipe papers):
 1. stream-parse with ``html.parser`` (stdlib, lenient on broken markup);
 2. drop non-content subtrees structurally: ``script style noscript template
    svg nav header footer aside form iframe``;
-3. segment character data into *blocks* at block-level element boundaries
+3. drop subtrees whose class/id names mark boilerplate (cookie banners,
+   comment sections, share bars, related-article boxes) — the
+   readability "unlikely candidates" heuristic: these have LOW link
+   density, so the structural and density rules alone would keep them;
+4. segment character data into *blocks* at block-level element boundaries
    (p, h1-h6, li, td, blockquote, pre, div, ...);
-4. score each block: ``link_density`` = chars emitted inside <a> / total
+5. score each block: ``link_density`` = chars emitted inside <a> / total
    chars; drop blocks with link_density > 0.33 (link farms, sidebars,
    breadcrumbs) or fewer than 2 characters;
-5. emit surviving blocks NFC-normalized, whitespace-folded, joined \\n\\n.
+6. emit surviving blocks NFC-normalized, whitespace-folded, joined \\n\\n.
 """
 
 from __future__ import annotations
@@ -45,11 +49,28 @@ _BLOCK_TAGS = frozenset(
     "article section main table tr ul ol br hr".split()
 )
 
+#: class/id substrings marking boilerplate subtrees (readability's
+#: "unlikely candidates" — public heuristic: cookie/consent banners,
+#: comments, share/social bars, related/promo boxes, pagination)
+import re as _re
+
+_UNLIKELY_RE = _re.compile(
+    r"cookie|consent|banner|comment|community|disqus|share|social|sponsor|"
+    r"related|promo|advert|shoutbox|sidebar|pagination|pager|popup|breadcrumb",
+    _re.IGNORECASE,
+)
+
 #: a block mostly made of anchor text is navigation, not content
 MAX_LINK_DENSITY = 0.33
 
 #: minimum folded length for a block to count as content
 MIN_BLOCK_CHARS = 2
+
+
+#: void elements never initiate a class-based drop (no closing tag)
+_VOID_TAGS = frozenset(
+    "br hr img input meta link area base col embed source track wbr".split()
+)
 
 
 class _BlockParser(HTMLParser):
@@ -59,8 +80,16 @@ class _BlockParser(HTMLParser):
         self._buf: list[str] = []
         self._chars = 0
         self._link_chars = 0
-        self._drop_depth = 0
+        # stack of [tag, nested_same_tag_count] for dropped subtrees
+        self._drop_stack: list[list] = []
         self._a_depth = 0
+
+    @staticmethod
+    def _is_unlikely(attrs) -> bool:
+        for key, value in attrs:
+            if key in ("class", "id") and value and _UNLIKELY_RE.search(value):
+                return True
+        return False
 
     def _flush(self) -> None:
         text = fold_ws("".join(self._buf))
@@ -69,10 +98,14 @@ class _BlockParser(HTMLParser):
         self._buf, self._chars, self._link_chars = [], 0, 0
 
     def handle_starttag(self, tag: str, attrs) -> None:
-        if tag in _DROP_TAGS:
-            self._drop_depth += 1
+        if self._drop_stack:
+            if tag == self._drop_stack[-1][0] and tag not in _VOID_TAGS:
+                self._drop_stack[-1][1] += 1  # nested same tag inside drop
             return
-        if self._drop_depth:
+        if tag in _DROP_TAGS or (
+            tag not in _VOID_TAGS and self._is_unlikely(attrs)
+        ):
+            self._drop_stack.append([tag, 0])
             return
         if tag == "a":
             self._a_depth += 1
@@ -80,10 +113,13 @@ class _BlockParser(HTMLParser):
             self._flush()
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in _DROP_TAGS:
-            self._drop_depth = max(0, self._drop_depth - 1)
-            return
-        if self._drop_depth:
+        if self._drop_stack:
+            top = self._drop_stack[-1]
+            if tag == top[0]:
+                if top[1] > 0:
+                    top[1] -= 1
+                else:
+                    self._drop_stack.pop()
             return
         if tag == "a":
             self._a_depth = max(0, self._a_depth - 1)
@@ -91,7 +127,7 @@ class _BlockParser(HTMLParser):
             self._flush()
 
     def handle_data(self, data: str) -> None:
-        if self._drop_depth:
+        if self._drop_stack:
             return
         self._buf.append(data)
         n = len(data.strip())

@@ -66,3 +66,44 @@ def test_strip_tags():
 
 def test_malformed_html_no_crash():
     assert isinstance(html_to_text(b"<p>unclosed <div><<<>broken"), str)
+
+
+def test_unlikely_candidates_dropped():
+    """Cookie banners / comments / promo boxes have LOW link density —
+    only the class/id heuristic rejects them (readability-style)."""
+    from hoover_snoop2_spark.operators.html_extract import html_to_text
+
+    html = (
+        "<html><body>"
+        '<div class="cookie-consent"><p>We use cookies. Accept?</p></div>'
+        "<article><p>Real content paragraph one.</p>"
+        '<div><div class="inner">x</div></div>'
+        "<p>Real content paragraph two.</p></article>"
+        '<section id="comments"><p>visitor says hi</p></section>'
+        '<div class="related-promo"><p>You may also like.</p></div>'
+        "</body></html>"
+    ).encode()
+    text = html_to_text(html)
+    assert "Real content paragraph one." in text
+    assert "Real content paragraph two." in text
+    assert "cookies" not in text
+    assert "visitor" not in text
+    assert "also like" not in text
+
+
+def test_nested_same_tag_inside_dropped_subtree():
+    from hoover_snoop2_spark.operators.html_extract import html_to_text
+
+    html = (
+        '<body><div class="comments"><div><p>buried</p></div></div>'
+        "<p>kept</p></body>"
+    ).encode()
+    text = html_to_text(html)
+    assert text == "kept"
+
+
+def test_void_tag_with_unlikely_class_does_not_swallow():
+    from hoover_snoop2_spark.operators.html_extract import html_to_text
+
+    html = b'<body><img class="advert" src="x.png"><p>after image</p></body>'
+    assert html_to_text(html) == "after image"
