@@ -22,6 +22,7 @@ AUDITED = [
     "q16_dedup_exact",
     "q21_cosine_topk",
     "q26_embedding_dups",
+    "q27_ngram_jaccard",
     "q30_minhash_lsh_dups",
 ]
 
@@ -34,6 +35,7 @@ CHECKS = {
     "q16_dedup_exact": ["HashAggregate"],
     "q21_cosine_topk": ["BroadcastNestedLoopJoin", "Window"],
     "q26_embedding_dups": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    "q27_ngram_jaccard": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
     "q30_minhash_lsh_dups": ["!CartesianProduct"],
 }
 
