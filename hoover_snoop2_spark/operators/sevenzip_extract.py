@@ -275,17 +275,16 @@ def _parse_files_info(f: io.BytesIO) -> tuple[list[str], list[bool], list[bool]]
         elif prop == _K_NAME:
             if block.read(1)[0] != 0:
                 raise SevenZipBroken("7z_error")
-            # names are NUL-terminated UTF-16LE code units back to back
+            # names are NUL-terminated UTF-16LE strings back to back;
+            # decode whole chunks (per-unit decode would split the
+            # surrogate pairs of non-BMP characters)
             raw = block.read()
             names = []
-            chars: list[str] = []
+            start = 0
             for i in range(0, len(raw) - 1, 2):
-                ch = raw[i : i + 2]
-                if ch == b"\x00\x00":
-                    names.append("".join(chars))
-                    chars = []
-                else:
-                    chars.append(ch.decode("utf-16-le", "replace"))
+                if raw[i : i + 2] == b"\x00\x00":
+                    names.append(raw[start:i].decode("utf-16-le", "replace"))
+                    start = i + 2
         # all other properties (mtime, attributes, ...) skipped
     has_stream = [not e for e in empty_stream]
     return names[:n_files], has_stream, empty_file

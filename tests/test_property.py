@@ -66,3 +66,102 @@ def test_read_text_consistent_with_encoding(data):
 def test_langid_total(text):
     lang = detect_language(text)
     assert lang is None or len(lang) == 2
+
+
+# ---------------------------------------------------------------------------
+# round-2 byte-level codecs: property round-trips (no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+def test_7z_number_codec_roundtrip(v):
+    import io
+
+    from hoover_snoop2_spark.operators.sevenzip_extract import (
+        _read_number,
+        _write_number,
+    )
+
+    assert _read_number(io.BytesIO(_write_number(v))) == v
+
+
+@given(st.lists(
+    st.tuples(
+        st.text(alphabet=st.characters(blacklist_categories=("Cs",),
+                                       blacklist_characters="/\x00"),
+                min_size=1, max_size=20),
+        st.binary(max_size=200),
+    ),
+    min_size=1, max_size=5,
+))
+@settings(max_examples=25, deadline=None)
+def test_7z_member_roundtrip(members):
+    from hoover_snoop2_spark.operators.sevenzip_extract import (
+        build_7z,
+        unpack_7z,
+    )
+
+    members = [(f"m{i}_{name}", data) for i, (name, data) in enumerate(members)]
+    for codec in ("copy", "lzma2"):
+        assert unpack_7z(build_7z(members, codec=codec)) == members
+
+
+@given(st.binary(min_size=0, max_size=64))
+def test_safe_member_name_always_utf8_and_lossless(raw):
+    from hoover_snoop2_spark.operators.archive_unpack import safe_member_name
+
+    name = raw.decode("utf-8", "surrogateescape")
+    safe = safe_member_name(name)
+    safe.encode("utf-8")  # never raises
+    # lossless: unescaping the %XX bytes recovers the original bytes
+    import re
+
+    if safe != name:
+        out = bytearray()
+        i = 0
+        while i < len(safe):
+            if safe[i] == "%" and re.fullmatch(r"[0-9A-F]{2}", safe[i+1:i+3]):
+                out.append(int(safe[i+1:i+3], 16))
+                i += 3
+            else:
+                out.extend(safe[i].encode("utf-8"))
+                i += 1
+        assert bytes(out) == raw
+
+
+@given(st.lists(
+    st.fixed_dictionaries({
+        "subject": st.text(max_size=30),
+        "body": st.text(max_size=200),
+        "sender_name": st.text(
+            alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+            max_size=15),
+        "sender_email": st.emails(),
+        "to": st.emails(),
+    }),
+    min_size=1, max_size=4,
+))
+@settings(max_examples=20, deadline=None)
+def test_pst_message_roundtrip(messages):
+    from hoover_snoop2_spark.operators.pst_extract import (
+        PstFile,
+        _prop_str,
+        PR_BODY,
+        PR_SUBJECT,
+        build_pst,
+    )
+
+    pst = build_pst({"Folder": messages})
+    parsed = PstFile(pst)
+    got = parsed.messages()
+    assert len(got) == len(messages)
+    for (nid, props), want in zip(got, messages):
+        body = _prop_str(props.get(PR_BODY)) or ""
+        assert body == want["body"].rstrip("\x00")
+        subj = _prop_str(props.get(PR_SUBJECT)) or ""
+        expect = want["subject"].rstrip("\x00")
+        if expect.startswith("\x01") and len(expect) >= 2:
+            expect = expect[2:]
+        assert subj == expect
