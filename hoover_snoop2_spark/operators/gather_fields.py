@@ -44,14 +44,17 @@ def with_path_fields(df: DataFrame, url_col: str = "url") -> DataFrame:
 
 
 def join_ocr_sources(
-    digests: DataFrame, ocr_docs: DataFrame, source_name: str = "ocr"
+    digests: DataFrame, ocr_docs: DataFrame, source_name: str = "ocr",
+    broadcast: bool = True,
 ) -> DataFrame:
     """Attach external OCR text by md5 (the reference pairs OCR files to
     originals via the md5 embedded in the artifact filename,
     ocr.py:126-127; digest merge at digests.py:298-331).
 
-    ocr_docs: (md5 string, ocrtext string).  Broadcast left join — OCR
-    sources are dimension-sized next to the corpus.
+    ocr_docs: (md5 string, ocrtext string).  Defaults to a broadcast left
+    join — OCR sources are usually dimension-sized next to the corpus;
+    pass ``broadcast=False`` when a whole-corpus OCR pass makes the side
+    table corpus-sized (AQE then picks the join strategy from stats).
     """
     ocr = ocr_docs.select(
         F.col("md5"),
@@ -59,17 +62,21 @@ def join_ocr_sources(
             F.array(F.lit(source_name)), F.array(F.col("ocrtext"))
         ).alias("ocrtext"),
     )
-    out = digests.join(F.broadcast(ocr), "md5", "left")
+    out = digests.join(F.broadcast(ocr) if broadcast else ocr, "md5", "left")
     return out.withColumn("ocr", F.col("ocrtext").isNotNull())
 
 
-def join_user_tags(digests: DataFrame, tags: DataFrame) -> DataFrame:
+def join_user_tags(
+    digests: DataFrame, tags: DataFrame, broadcast: bool = True
+) -> DataFrame:
     """Aggregate and attach user tags (public + private) per doc hash —
     the DocumentUserTag sink-time merge (digests.py:505-556).
 
     tags: (sha3_256 string, tag string, public boolean, user string).
     Public tags land in `tags`; private ones in `private_tags` as
     'user:tag' strings (the ES dynamic-template analog, indexing.py:96-113).
+    User tags are human-entered (tiny next to the corpus) → broadcast by
+    default; ``broadcast=False`` defers to AQE for machine-generated tags.
     """
     agg = tags.groupBy("sha3_256").agg(
         F.sort_array(
@@ -84,4 +91,6 @@ def join_user_tags(digests: DataFrame, tags: DataFrame) -> DataFrame:
             )
         ).alias("private_tags"),
     )
-    return digests.join(F.broadcast(agg), "sha3_256", "left")
+    return digests.join(
+        F.broadcast(agg) if broadcast else agg, "sha3_256", "left"
+    )
