@@ -44,7 +44,7 @@ from .archive_unpack import (
 from .email_parse import attachments_of, email_meta, parse_email_bytes
 from .html_extract import html_to_text
 from .pdf_spans import pdf_to_text
-from .tables import corrected_table_mime, explode_table, is_table_mime, table_info
+from .tables import explode_table, is_table_mime, table_info
 
 #: Spark DDL schema of the analyze output (digest ∪ deferred-child rows).
 #: url/parent_url/depth/ancestors are computed in-kernel (container
@@ -139,29 +139,41 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
             digest["text"] = html_to_text(data)
 
         elif mime_type == "text/plain":
-            # csv sniff may correct the mime (is_table, archives.py:123-141)
-            corrected = corrected_table_mime(data, mime_type, mime_encoding)
-            if is_table_mime(corrected):
+            # csv sniff may correct the mime (is_table, archives.py:123-141);
+            # sniff ONCE and thread the dialect through info + explode
+            from .tables import guess_csv_dialect
+
+            dialect = guess_csv_dialect(data, mime_encoding)
+            if dialect is not None:
+                corrected = (
+                    "text/tab-separated-values"
+                    if dialect.delimiter == "\t" else "text/csv"
+                )
                 digest["mime_type"] = corrected
-                info = table_info(data, corrected, mime_encoding)
+                info = table_info(data, corrected, mime_encoding, dialect=dialect)
                 if info:
                     digest["table_columns"] = info["table-columns"]
                     digest["table_row_count"] = info["table-row-count"]
                 children = [
                     (name, text.encode("utf-8"))
-                    for name, text in explode_table(data, corrected, mime_encoding)
+                    for name, text in explode_table(
+                        data, corrected, mime_encoding, dialect=dialect)
                 ]
             else:
                 digest["text"] = normalize_text(read_text(data, mime_encoding)) or ""
 
         elif is_table_mime(mime_type):
-            info = table_info(data, mime_type, mime_encoding)
+            from .tables import guess_csv_dialect
+
+            dialect = guess_csv_dialect(data, mime_encoding)
+            info = table_info(data, mime_type, mime_encoding, dialect=dialect)
             if info:
                 digest["table_columns"] = info["table-columns"]
                 digest["table_row_count"] = info["table-row-count"]
             children = [
                 (name, text.encode("utf-8"))
-                for name, text in explode_table(data, mime_type, mime_encoding)
+                for name, text in explode_table(
+                    data, mime_type, mime_encoding, dialect=dialect)
             ]
 
         elif mime_type in ("message/rfc822", "message/x-emlx"):

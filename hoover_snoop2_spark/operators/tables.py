@@ -45,6 +45,12 @@ def guess_csv_dialect(data: bytes, mime_encoding: str | None):
         decoded = text.decode(enc, errors="backslashreplace")
     except LookupError:
         decoded = text.decode("latin-1", errors="backslashreplace")
+    # sound pre-filter: Sniffer can only ever return a delimiter that
+    # occurs in the sample (sniff() raises otherwise), and its Python
+    # char-frequency scan costs ~1 ms per call — skip it outright when no
+    # candidate delimiter appears (the common prose/exploded-row case)
+    if not any(d in decoded for d in CSV_DELIMITER_LIST):
+        return None
     try:
         return csv.Sniffer().sniff(decoded, CSV_DELIMITER_LIST)
     except csv.Error:
@@ -75,10 +81,14 @@ def _decode_table(data: bytes, mime_encoding: str | None) -> str:
         return data.decode("latin-1", errors="replace")
 
 
-def table_info(data: bytes, mime_type: str, mime_encoding: str | None) -> dict | None:
+def table_info(
+    data: bytes, mime_type: str, mime_encoding: str | None, dialect=None
+) -> dict | None:
     """Row/column counts + header names (get_table_info analog,
-    archives.py:244-344).  Single-sheet (csv) only — no pyexcel here."""
-    dialect = guess_csv_dialect(data, mime_encoding)
+    archives.py:244-344).  Single-sheet (csv) only — no pyexcel here.
+    Pass ``dialect`` to reuse an earlier sniff (3 sniffs/doc otherwise)."""
+    if dialect is None:
+        dialect = guess_csv_dialect(data, mime_encoding)
     if dialect is None and not is_table_mime(mime_type):
         return None
     text = _decode_table(data, mime_encoding)
@@ -121,11 +131,13 @@ def explode_row(row: list[str], colnames: list[str] | None) -> str:
 
 
 def explode_table(
-    data: bytes, mime_type: str, mime_encoding: str | None, max_rows: int = TABLE_SPLIT_ROWS
+    data: bytes, mime_type: str, mime_encoding: str | None,
+    max_rows: int = TABLE_SPLIT_ROWS, dialect=None,
 ) -> list[tuple[str, str]]:
     """Table → [(child_name, child_text)] one per data row, header row used
     as column names (unpack_table analog, archives.py:347-474)."""
-    dialect = guess_csv_dialect(data, mime_encoding)
+    if dialect is None:
+        dialect = guess_csv_dialect(data, mime_encoding)
     text = _decode_table(data, mime_encoding)
     delim = dialect.delimiter if dialect else ("\t" if mime_type.endswith("values") else ",")
     reader = csv.reader(io.StringIO(text), delimiter=delim)
