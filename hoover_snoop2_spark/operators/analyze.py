@@ -92,8 +92,13 @@ EXTRA_TEXT_MIME_TYPES = frozenset(
 )
 
 
-def analyze_blob(sha3: str, data: bytes) -> list[dict]:
-    """One blob → [digest row, child rows...].  Pure, deterministic."""
+def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
+    """One blob → [digest row, child rows...].  Pure, deterministic.
+
+    ``blob_key`` is the pipeline's opaque dedup/join key (JVM-side
+    sha2-256 — F.sha2 needs no Python round-trip over the blob bytes);
+    the digest's REPORTED ``sha3_256`` field (the reference's Blob PK,
+    models.py:66-71) is computed here from the bytes."""
     data = data or b""
     mime_type, mime_encoding = sniff_bytes(data)
     if mime_type == "application/zip":
@@ -119,7 +124,7 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
     digest: dict = dict(_EMPTY)
     digest.update(
         kind="digest",
-        sha3_256=sha3,
+        sha3_256=hashlib.sha3_256(data).hexdigest(),
         md5=hashlib.md5(data).hexdigest(),
         sha1=hashlib.sha1(data).hexdigest(),
         sha256=hashlib.sha256(data).hexdigest(),
@@ -321,7 +326,7 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
         child: dict = dict(_EMPTY)
         child.update(
             kind="child",
-            sha3_256=sha3,  # parent hash; join key back to parent urls
+            sha3_256=blob_key,  # parent join key back to parent urls
             child_name=name,
             child_data=child_bytes,
         )
@@ -330,7 +335,7 @@ def analyze_blob(sha3: str, data: bytes) -> list[dict]:
 
 
 def analyze_tree(
-    sha3: str,
+    blob_key: str,
     url: str,
     parent_url: str | None,
     depth: int,
@@ -355,7 +360,7 @@ def analyze_tree(
       them as a normal next round (keeps one task from holding a whole
       giant archive, the reference's split-granularity concern).
     """
-    rows = analyze_blob(sha3, data)
+    rows = analyze_blob(blob_key, data)
     digest = rows[0]
     digest.update(kind="digest", root_sha=root_sha, url=url,
                   parent_url=parent_url, depth=depth, ancestors=None)
@@ -368,7 +373,9 @@ def analyze_tree(
     max_bytes = inline_max_bytes if inline_max_bytes is not None else INLINE_MAX_BYTES
     total_bytes = sum(len(c["child_data"] or b"") for c in child_rows)
     defer = len(child_rows) > max_children or total_bytes > max_bytes
-    chain = ancestors + (sha3,)
+    # ancestor chain carries blob_keys (sha2) — the SAME key family the
+    # driver's relational guard compares against next-round JVM hashes
+    chain = ancestors + (blob_key,)
     for c in child_rows:
         child_url = f"{url}//{c['child_name']}"
         child_data = c["child_data"] or b""
@@ -379,17 +386,19 @@ def analyze_tree(
                      parent_url=url, depth=depth + 1, ancestors=list(chain))
             out.append(c)
             continue
-        child_sha = hashlib.sha3_256(child_data).hexdigest()
-        if child_sha in chain:
+        child_key = hashlib.sha256(child_data).hexdigest()
+        if child_key in chain:
             rec: dict = dict(_EMPTY)
-            rec.update(kind="digest", sha3_256=child_sha, root_sha=root_sha,
+            rec.update(kind="digest",
+                       sha3_256=hashlib.sha3_256(child_data).hexdigest(),
+                       root_sha=root_sha,
                        url=child_url, parent_url=url, depth=depth + 1,
                        ancestors=None, status="broken",
                        broken_reason="archive_recursion", text="")
             out.append(rec)
             continue
         out.extend(
-            analyze_tree(child_sha, child_url, url, depth + 1, chain,
+            analyze_tree(child_key, child_url, url, depth + 1, chain,
                          child_data, root_sha, max_depth,
                          inline_max_children, inline_max_bytes)
         )
@@ -399,7 +408,7 @@ def analyze_tree(
 def analyze_map_in_pandas(max_depth: int = 5,
                           inline_max_children: int | None = None,
                           inline_max_bytes: int | None = None):
-    """mapInPandas body factory over (sha3_256, url, parent_url, depth,
+    """mapInPandas body factory over (blob_key, url, parent_url, depth,
     ancestors, html) unique-blob batches.
 
     Emits digest/deferred-child rows in bounded chunks so one giant archive
@@ -410,14 +419,14 @@ def analyze_map_in_pandas(max_depth: int = 5,
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             buf: list[dict] = []
-            for sha3, url, parent_url, depth, ancestors, data in zip(
-                pdf["sha3_256"], pdf["url"], pdf["parent_url"], pdf["depth"],
+            for key, url, parent_url, depth, ancestors, data in zip(
+                pdf["blob_key"], pdf["url"], pdf["parent_url"], pdf["depth"],
                 pdf["ancestors"], pdf["html"],
             ):
                 chain = tuple(ancestors) if ancestors is not None else ()
                 buf.extend(
-                    analyze_tree(sha3, url, parent_url, int(depth), chain,
-                                 data, root_sha=sha3, max_depth=max_depth,
+                    analyze_tree(key, url, parent_url, int(depth), chain,
+                                 data, root_sha=key, max_depth=max_depth,
                                  inline_max_children=inline_max_children,
                                  inline_max_bytes=inline_max_bytes)
                 )

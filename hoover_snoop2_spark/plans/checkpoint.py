@@ -84,10 +84,18 @@ class CheckpointStore:
 
 
 def resume_delta(
-    new_input: DataFrame, processed: DataFrame | None, key: str = "sha3_256"
+    new_input: DataFrame,
+    processed: DataFrame | None,
+    key: str = "blob_key",
+    processed_key: str = "sha256",
 ) -> DataFrame:
     """Anti-join memoization (the is_completed analog): keep only input rows
-    whose hash has no finished digest yet."""
+    whose content hash has no finished digest yet.  The pipeline keys work
+    rows by the JVM-computed ``blob_key`` (sha2-256); digests carry the
+    same value in their ``sha256`` field."""
     if processed is None:
         return new_input
-    return new_input.join(processed.select(key).distinct(), key, "left_anti")
+    from pyspark.sql import functions as F
+
+    proc = processed.select(F.col(processed_key).alias(key)).distinct()
+    return new_input.join(proc, key, "left_anti")

@@ -32,7 +32,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.filetypes import filetype_col
-from ..functions.hashing import sha3_256_udf
 from ..functions.langid import detect_language_udf
 from ..operators.analyze import ANALYZE_SCHEMA, analyze_map_in_pandas
 from .checkpoint import CheckpointStore, resume_delta
@@ -119,12 +118,15 @@ def run_extraction(
         # recompute the cheap hash from the source scan instead of writing
         # corpus-sized blocks.  Round 0 reads straight from parquet; later
         # rounds read the (small) checkpointed child work set.
-        hashed = work.withColumn("sha3_256", sha3_256_udf(F.col("html")))
+        # JVM-side sha2-256 as the opaque dedup/recursion key: blob bytes
+        # never cross the Arrow boundary just to be hashed (the reported
+        # sha3_256 Blob-PK field is computed inside the analyze kernel)
+        hashed = work.withColumn("blob_key", F.sha2(F.col("html"), 256))
 
         # pairs: everything about a url EXCEPT the bytes — tiny; this is
         # the only per-round bookkeeping materialization
         pairs = cp.write(
-            hashed.select("sha3_256", "url", "parent_url", "depth", "ancestors"),
+            hashed.select("blob_key", "url", "parent_url", "depth", "ancestors"),
             f"pairs_r{round_no}",
         )
 
@@ -133,7 +135,7 @@ def run_extraction(
         # checkpointed (tiny) pairs parquet — no blob bytes touched.
         if dedup_strategy == "auto":
             n_uniq = pairs.agg(
-                F.approx_count_distinct("sha3_256").alias("n")
+                F.approx_count_distinct("blob_key").alias("n")
             ).first()["n"]
             strategy = (
                 "broadcast" if n_uniq <= broadcast_max_uniques else "shuffle"
@@ -151,10 +153,11 @@ def run_extraction(
         if round_no == 0:
             ok_pairs = pairs
         else:
-            is_rec = F.array_contains(F.col("ancestors"), F.col("sha3_256"))
+            is_rec = F.array_contains(F.col("ancestors"), F.col("blob_key"))
             digest_rounds.append(
                 pairs.filter(is_rec).select(
-                    "url", "parent_url", "depth", "sha3_256",
+                    "url", "parent_url", "depth",
+                    F.lit(None).cast("string").alias("sha3_256"),
                     F.lit("broken").alias("status"),
                     F.lit("archive_recursion").alias("broken_reason"),
                     F.lit("").alias("text"),
@@ -179,16 +182,16 @@ def run_extraction(
         # sit at different depths in the same round (deferred children mix
         # depths), so clones must rebase depth/ancestors on rep_depth.
         winners = (
-            ok_pairs.groupBy("sha3_256")
+            ok_pairs.groupBy("blob_key")
             .agg(F.min_by(F.struct("url", "depth"), F.col("url")).alias("w"))
-            .select("sha3_256", F.col("w.url").alias("url"),
+            .select("blob_key", F.col("w.url").alias("url"),
                     F.col("w.depth").alias("rep_depth"))
         )
         if strategy == "broadcast":
             # winners already reflects the recursion + resume filters, and
             # the (sha3, url) semi-join keeps exactly the winner rows
             uniq = hashed.join(
-                F.broadcast(winners), ["sha3_256", "url"], "left_semi"
+                F.broadcast(winners), ["blob_key", "url"], "left_semi"
             )
         else:
             # co-located shuffle election: blobs move once, grouped by
@@ -199,19 +202,19 @@ def run_extraction(
             ok_rows = hashed
             if round_no > 0:
                 ok_rows = ok_rows.filter(
-                    ~F.array_contains(F.col("ancestors"), F.col("sha3_256"))
+                    ~F.array_contains(F.col("ancestors"), F.col("blob_key"))
                 )
             elif previous_digests is not None:
                 ok_rows = resume_delta(ok_rows, previous_digests)
             uniq = (
-                ok_rows.groupBy("sha3_256")
+                ok_rows.groupBy("blob_key")
                 .agg(
                     F.min_by(
                         F.struct("url", "parent_url", "depth", "ancestors", "html"),
                         F.col("url"),
                     ).alias("w")
                 )
-                .select("sha3_256", "w.*")
+                .select("blob_key", "w.*")
             )
         # container subtrees expand INSIDE the kernel (analyze_tree) —
         # digest rows come out fully formed for the whole tree; only
@@ -250,13 +253,13 @@ def run_extraction(
         # set + url-prefix rewrite — digest texts themselves never shuffle
         dups = (
             ok_pairs.withColumnsRenamed(
-                {"sha3_256": "root_sha", "url": "dup_url",
+                {"blob_key": "root_sha", "url": "dup_url",
                  "parent_url": "dup_parent_url", "depth": "dup_depth",
                  "ancestors": "dup_ancestors"}
             )
             .join(
                 _bcast(winners.withColumnsRenamed(
-                    {"sha3_256": "root_sha", "url": "rep_url"})),
+                    {"blob_key": "root_sha", "url": "rep_url"})),
                 "root_sha",
             )
             .filter(F.col("dup_url") != F.col("rep_url"))
