@@ -188,11 +188,12 @@ def run_extraction(
                     F.col("w.depth").alias("rep_depth"))
         )
         if strategy == "broadcast":
-            # winners already reflects the recursion + resume filters, and
-            # the (sha3, url) semi-join keeps exactly the winner rows
-            uniq = hashed.join(
-                F.broadcast(winners), ["blob_key", "url"], "left_semi"
-            )
+            # winners already reflects the recursion + resume filters.
+            # Join the raw blob scan on the WINNING URL (unique per round):
+            # an inner join attaches the already-computed blob_key, so the
+            # corpus bytes are NOT sha2-hashed a second time — at 10^12
+            # docs a redundant hash pass is ~10^5 core-seconds.
+            uniq = work.join(F.broadcast(winners), "url").drop("rep_depth")
         else:
             # co-located shuffle election: blobs move once, grouped by
             # sha3; min_by keeps the representative row whole.  The blob
