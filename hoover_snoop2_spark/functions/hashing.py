@@ -1,10 +1,16 @@
-"""Content-addressed hashing of blob bytes.
+"""Content-addressed hashing of blob bytes — the standalone column API.
 
 The reference hashes every blob with md5+sha1+sha256+sha3_256 in a single
 streaming pass and uses ``sha3_256`` as the primary key / dedup key
 (reference: snoop/data/models.py:55-113).  Spark has builtin ``md5`` and
 ``sha2`` for BinaryType; sha1/sha3_256 need a pandas UDF (hashlib releases
 the GIL, so Arrow batches hash at native speed).
+
+NOTE: the extraction pipeline itself no longer uses these UDFs on its hot
+path — it dedups on the JVM-side ``F.sha2`` key and computes all four
+reported hashes inside the analyze kernel, where the bytes already crossed
+the Arrow boundary (plans/pipeline.py).  This module remains the
+column-level API for callers hashing an arbitrary binary DataFrame.
 """
 
 from __future__ import annotations
