@@ -230,7 +230,12 @@ Q08_SQL = "SELECT DISTINCT event_type FROM events ORDER BY event_type"
 
 def q09_pagination(spark, sf_dir):
     """Limit/offset pagination as a window (reference: Django Paginator,
-    200/page, digests.py:811-847) — page 2 of documents by doc_id."""
+    200/page, digests.py:811-847) — page 2 of documents by doc_id.
+
+    Scale note: an unpartitioned row_number serializes onto one task; the
+    production shape is KEYSET pagination (WHERE doc_id > :last ORDER BY
+    doc_id LIMIT n → TakeOrderedAndProject, fully parallel).  The window
+    form is kept as the oracle-checkable offset-semantics demo."""
     d = _t(spark, sf_dir, "documents")
     w = Window.orderBy("doc_id")
     return (
@@ -338,7 +343,13 @@ ORDER BY name
 def q14_batch_packing(spark, sf_dir):
     """Greedy size-batching analog (reference bulk batches: ≤300 tasks /
     30 MiB greedy bins tasks.py:1423-1431): running-sum bucketing of
-    documents into ~100 KB batches, then per-batch stats."""
+    documents into ~100 KB batches, then per-batch stats.
+
+    Scale note: the exact running sum needs a global order (single-task
+    window).  At corpus scale the same batching runs hierarchically —
+    per-partition running sums + a tiny driver-side prefix-offset join —
+    or batches by deterministic hash instead of order; exact-order
+    semantics here keep the DuckDB oracle byte-comparable."""
     d = _t(spark, sf_dir, "documents")
     w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
     return (

@@ -165,3 +165,29 @@ def test_pst_message_roundtrip(messages):
         if expect.startswith("\x01") and len(expect) >= 2:
             expect = expect[2:]
         assert subj == expect
+
+
+_MAGIC_PREFIXES = [
+    b"!BDN",                          # PST
+    b"7z\xbc\xaf\x27\x1c",            # 7z
+    b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1",  # OLE/CFB (msg/doc/xls/ppt)
+    b"%PDF-1.4\n",                    # PDF
+    b"PK\x03\x04",                    # zip/OOXML
+    b"Rar!\x1a\x07\x00",              # RAR
+    b"\x89PNG\r\n\x1a\n",             # PNG
+    b"{\\rtf1 ",                      # RTF
+]
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.sampled_from(_MAGIC_PREFIXES), st.binary(max_size=4096))
+def test_analyze_blob_total_on_magic_prefixed_garbage(prefix, tail):
+    """Every format-specific parser must degrade to a broken/skip row on
+    truncated or corrupt bytes that carry a real magic — never raise,
+    never hang (the reference's run_task error capture, tasks.py:696-716).
+    """
+    rows = analyze_blob("k" * 64, prefix + tail)
+    digest = rows[0]
+    assert digest["status"] in ("success", "skipped", "broken")
+    if digest["status"] == "broken":
+        assert digest["broken_reason"]
