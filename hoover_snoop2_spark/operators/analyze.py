@@ -60,6 +60,7 @@ ANALYZE_SCHEMA = (
     "status string, broken_reason string, subject string, "
     "email_from array<string>, email_to array<string>, "
     "email_domains array<string>, email_date string, "
+    "email_header array<string>, email_header_key array<string>, "
     "table_columns array<string>, table_row_count bigint, "
     "exif_location string, exif_date string, pgp boolean, "
     "date_created string, date_modified string, "
@@ -79,7 +80,8 @@ _EMPTY = {
     "mime_type": None, "mime_encoding": None, "text": None,
     "status": None, "broken_reason": None, "subject": None,
     "email_from": None, "email_to": None, "email_domains": None,
-    "email_date": None, "table_columns": None, "table_row_count": None,
+    "email_date": None, "email_header": None, "email_header_key": None,
+    "table_columns": None, "table_row_count": None,
     "exif_location": None, "exif_date": None, "pgp": None,
     "date_created": None, "date_modified": None,
     "n_children": None, "child_name": None, "child_data": None,
@@ -191,6 +193,8 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
             digest["email_to"] = meta.get("to")
             digest["email_domains"] = meta.get("email-domains")
             digest["email_date"] = meta.get("date")
+            digest["email_header"] = meta.get("email-header")
+            digest["email_header_key"] = meta.get("email-header-key")
             digest["pgp"] = meta.get("pgp", False) or None
             children = attachments_of(email_data)
 

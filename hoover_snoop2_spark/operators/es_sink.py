@@ -93,6 +93,8 @@ def to_es_documents(digests: DataFrame) -> DataFrame:
         F.col("email_from").alias("from"),
         F.col("email_to").alias("to"),
         F.col("email_domains").alias("email-domains"),
+        F.col("email_header").alias("email-header"),
+        F.col("email_header_key").alias("email-header-key"),
         F.col("attachments"),
         (F.col("status") == "skipped").alias("skipped"),
         F.when(F.col("status") == "broken", F.array(F.col("broken_reason")))

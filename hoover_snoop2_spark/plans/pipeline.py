@@ -45,7 +45,8 @@ _TIMING = os.environ.get("SNOOP_SPARK_TIMING") == "1"
 _DIGEST_FIELDS = [
     "sha3_256", "md5", "sha1", "sha256", "size", "mime_type", "mime_encoding",
     "text", "status", "broken_reason", "subject", "email_from", "email_to",
-    "email_domains", "email_date", "table_columns", "table_row_count",
+    "email_domains", "email_date", "email_header", "email_header_key",
+    "table_columns", "table_row_count",
     "exif_location", "exif_date", "pgp", "date_created", "date_modified",
     "n_children",
 ]

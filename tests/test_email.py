@@ -53,3 +53,20 @@ def test_header_dump():
     assert "X-Custom=v1" in meta["email-header"]
     assert "X-Custom=v2" in meta["email-header"]
     assert "X-Custom" in meta["email-header-key"]
+
+
+def test_email_header_in_digest_and_sink(spark, digests):
+    """email-header / email-header-key flow through the digest table into
+    the ES sink (reference indexing.py:70-71)."""
+    from pyspark.sql import functions as F
+
+    from hoover_snoop2_spark.operators.es_sink import to_es_documents
+
+    eml = digests.filter(F.col("mime_type") == "message/rfc822").first()
+    assert eml["email_header"] and any(
+        h.startswith("Subject=") for h in eml["email_header"]
+    )
+    assert "Subject" in eml["email_header_key"]
+    es = to_es_documents(digests)
+    row = es.filter(F.col("content-type") == "message/rfc822").first()
+    assert row["email-header"] and row["email-header-key"]
