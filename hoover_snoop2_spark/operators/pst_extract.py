@@ -22,8 +22,9 @@ Deliberate limits (all surfaced as broken reasons, never silent):
 - bCryptMethod PERMUTE/CYCLIC (the [MS-PST] §5 byte-substitution tables
   are not reproduced here) → ``pst_crypt_unsupported``; fixtures and any
   NDB_CRYPT_NONE file parse fully;
-- multi-block heaps and BTH index levels beyond what mailbox-scale PCs
-  use → ``pst_parse_error``.
+- BTH index levels (bIdxLevels > 0 — beyond what mailbox-scale PCs use)
+  → ``pst_parse_error``.  Multi-block heaps ARE supported: HIDs address
+  (block index, item index) and data-tree block boundaries are kept.
 """
 
 from __future__ import annotations
@@ -124,24 +125,28 @@ class PstFile:
             raise PstBroken("pst_parse_error")
         return self.data[ib : ib + cb]
 
-    def _node_data(self, bid: int, depth: int = 0) -> bytes:
-        """Block bytes, resolving XBLOCK/XXBLOCK data trees (bid bit 1 set
-        = internal block)."""
+    def _node_blocks(self, bid: int, depth: int = 0) -> list[bytes]:
+        """Leaf data blocks of a node in order, resolving XBLOCK/XXBLOCK
+        data trees (bid bit 1 set = internal block).  Block BOUNDARIES are
+        preserved — multi-block heaps address items per block."""
         if bid == 0:
-            return b""
+            return []
         raw = self._read_block(bid)
         if not bid & 2:
-            return raw
+            return [raw]
         if depth > 4 or len(raw) < 8:
             raise PstBroken("pst_parse_error")
         btype, _c_level, c_ent = struct.unpack_from("<BBH", raw, 0)
         if btype != 1:  # not an XBLOCK/XXBLOCK
             raise PstBroken("pst_parse_error")
-        parts = []
+        parts: list[bytes] = []
         for i in range(c_ent):
             (child_bid,) = struct.unpack_from("<Q", raw, 8 + i * 8)
-            parts.append(self._node_data(child_bid, depth + 1))
-        return b"".join(parts)
+            parts.extend(self._node_blocks(child_bid, depth + 1))
+        return parts
+
+    def _node_data(self, bid: int) -> bytes:
+        return b"".join(self._node_blocks(bid))
 
     def _subnodes(self, bid_sub: int, depth: int = 0) -> dict[int, tuple[int, int]]:
         """Subnode BTree → {nid: (bidData, bidSub)} (SLBLOCK leaves)."""
@@ -167,14 +172,23 @@ class PstFile:
     # ---- LTP ----------------------------------------------------------
 
     @staticmethod
-    def _heap_item(block: bytes, hid: int) -> bytes:
-        """HN heap item bytes for a HID (single-block heap)."""
+    def _heap_item(blocks: list[bytes], hid: int) -> bytes:
+        """HN heap item bytes for a HID.  hidBlockIndex (bits 16-31)
+        selects the data block; every HN block header variant (HNHDR /
+        HNPAGEHDR / HNBITMAPHDR) starts with a 2-byte ibHnpm, so the page
+        map lookup is uniform across blocks."""
         if hid == 0:
             return b""
-        if hid & 0x1F or hid >> 16:  # not hidType 0 / block 0
+        if hid & 0x1F:  # hidType must be 0 (heap)
             raise PstBroken("pst_parse_error")
+        block_index = hid >> 16
         index = (hid >> 5) & 0x7FF
+        if block_index >= len(blocks):
+            raise PstBroken("pst_parse_error")
+        block = blocks[block_index]
         (ib_hnpm,) = struct.unpack_from("<H", block, 0)
+        if ib_hnpm + 4 > len(block):
+            raise PstBroken("pst_parse_error")
         c_alloc, _c_free = struct.unpack_from("<HH", block, ib_hnpm)
         if index < 1 or index > c_alloc:
             raise PstBroken("pst_parse_error")
@@ -183,18 +197,18 @@ class PstFile:
 
     def _pc_props(self, bid_data: int, bid_sub: int) -> dict[int, tuple[int, bytes]]:
         """Property Context → {propId: (propType, raw value bytes)}."""
-        block = self._node_data(bid_data)
-        if len(block) < 12 or block[2] != 0xEC:
+        blocks = self._node_blocks(bid_data)
+        if not blocks or len(blocks[0]) < 12 or blocks[0][2] != 0xEC:
             raise PstBroken("pst_parse_error")
-        (hid_user_root,) = struct.unpack_from("<I", block, 4)
-        bth = self._heap_item(block, hid_user_root)
+        (hid_user_root,) = struct.unpack_from("<I", blocks[0], 4)
+        bth = self._heap_item(blocks, hid_user_root)
         if len(bth) < 8 or bth[0] != 0xB5:
             raise PstBroken("pst_parse_error")
         cb_key, cb_ent, idx_levels = bth[1], bth[2], bth[3]
         (hid_root,) = struct.unpack_from("<I", bth, 4)
         if cb_key != 2 or cb_ent != 6 or idx_levels != 0:
             raise PstBroken("pst_parse_error")
-        records = self._heap_item(block, hid_root)
+        records = self._heap_item(blocks, hid_root)
         subnodes = self._subnodes(bid_sub) if bid_sub else {}
         props: dict[int, tuple[int, bytes]] = {}
         for off in range(0, len(records) - len(records) % 8, 8):
@@ -208,7 +222,7 @@ class PstFile:
                 if entry:
                     props[prop_id] = (prop_type, self._node_data(entry[0]))
             else:  # HID → heap item
-                props[prop_id] = (prop_type, self._heap_item(block, hnid))
+                props[prop_id] = (prop_type, self._heap_item(blocks, hnid))
         return props
 
     # ---- messaging -----------------------------------------------------
@@ -336,17 +350,32 @@ def _hid(index: int) -> int:
     return index << 5
 
 
-def _build_hn_pc(props: list[tuple[int, int, object]]) -> bytes:
-    """Single-block HN containing a PC BTH.  props: (propId, propType,
-    value) with str → UTF-16LE heap values, datetime → SYSTIME heap
-    values, int/bool inline."""
-    heap_items: list[bytes] = []  # 1-based: [0]=BTH header, [1]=records
-    var_values: list[tuple[int, bytes]] = []  # (record position, bytes)
+#: var-value bytes beyond this spill into a second heap block (real PSTs
+#: cap HN blocks near 8 KiB; exercised by large message bodies)
+_HN_SPLIT_BYTES = 3500
 
-    records = b""
+
+def _hn_pagemap(items: list[bytes], first_offset: int) -> bytes:
+    offsets = [first_offset]
+    for item in items:
+        offsets.append(offsets[-1] + len(item))
+    return struct.pack("<HH", len(items), 0) + struct.pack(
+        f"<{len(offsets)}H", *offsets
+    )
+
+
+def _build_hn_pc(props: list[tuple[int, int, object]]) -> list[bytes]:
+    """HN block payload(s) containing a PC BTH.  props: (propId, propType,
+    value) with str → UTF-16LE heap values, datetime → SYSTIME heap
+    values, int/bool inline.  Large var-value sets spill into a second
+    block (HIDs carry the block index), exercising the multi-block read
+    path."""
+    var_values: list[bytes] = []
+    encoded: list[tuple[int, int, bytes | int]] = []
+    total_var = 0
     for prop_id, prop_type, value in sorted(props):
         if prop_type in (PT_LONG, PT_BOOLEAN):
-            records += struct.pack("<HHI", prop_id, prop_type, int(value))
+            encoded.append((prop_id, prop_type, int(value)))
             continue
         if prop_type in (PT_UNICODE,):
             raw = str(value).encode("utf-16-le")
@@ -357,25 +386,35 @@ def _build_hn_pc(props: list[tuple[int, int, object]]) -> bytes:
             raw = struct.pack("<q", ticks)
         else:
             raw = bytes(value)  # PT_BINARY
-        # heap item index = 3 + position among var values
-        idx = 3 + len(var_values)
-        var_values.append((idx, raw))
-        records += struct.pack("<HHI", prop_id, prop_type, _hid(idx))
+        encoded.append((prop_id, prop_type, raw))
+        total_var += len(raw)
+
+    two_blocks = total_var > _HN_SPLIT_BYTES
+    records = b""
+    for prop_id, prop_type, payload in encoded:
+        if isinstance(payload, int):
+            records += struct.pack("<HHI", prop_id, prop_type, payload)
+            continue
+        if two_blocks:
+            hid = (1 << 16) | _hid(len(var_values) + 1)  # block 1
+        else:
+            hid = _hid(3 + len(var_values))  # block 0, after BTH+records
+        var_values.append(payload)
+        records += struct.pack("<HHI", prop_id, prop_type, hid)
 
     bth_header = struct.pack("<BBBBI", 0xB5, 2, 6, 0, _hid(2))
-    heap_items.append(bth_header)          # item 1
-    heap_items.append(records)             # item 2
-    heap_items.extend(raw for _, raw in var_values)
-
-    payload = b"".join(heap_items)
-    ib_hnpm = 12 + len(payload)
-    hnhdr = struct.pack("<HBBII", ib_hnpm, 0xEC, 0xBC, _hid(1), 0)
-    offsets = [12]
-    for item in heap_items:
-        offsets.append(offsets[-1] + len(item))
-    pagemap = struct.pack("<HH", len(heap_items), 0)
-    pagemap += struct.pack(f"<{len(offsets)}H", *offsets)
-    return hnhdr + payload + pagemap
+    block0_items = [bth_header, records]
+    if not two_blocks:
+        block0_items.extend(var_values)
+    payload0 = b"".join(block0_items)
+    hnhdr = struct.pack("<HBBII", 12 + len(payload0), 0xEC, 0xBC, _hid(1), 0)
+    block0 = hnhdr + payload0 + _hn_pagemap(block0_items, 12)
+    if not two_blocks:
+        return [block0]
+    payload1 = b"".join(var_values)
+    hnpagehdr = struct.pack("<H", 2 + len(payload1))
+    block1 = hnpagehdr + payload1 + _hn_pagemap(var_values, 2)
+    return [block0, block1]
 
 
 class _PstWriter:
@@ -386,8 +425,8 @@ class _PstWriter:
         self.blocks: list[tuple[int, int, int]] = []  # (bid, ib, cb)
         self.next_bid = 4
 
-    def add_block(self, payload: bytes) -> int:
-        bid = self.next_bid
+    def add_block(self, payload: bytes, internal: bool = False) -> int:
+        bid = self.next_bid | (2 if internal else 0)  # bit 1 = internal
         self.next_bid += 4
         ib = len(self.buf)
         self.buf += payload
@@ -426,12 +465,24 @@ class _PstWriter:
         return bytes(hdr)
 
 
+def _add_hn(w: "_PstWriter", blocks: list[bytes]) -> int:
+    """Write HN block(s); multi-block heaps get an XBLOCK data tree."""
+    if len(blocks) == 1:
+        return w.add_block(blocks[0])
+    bids = [w.add_block(b) for b in blocks]
+    xblock = struct.pack(
+        "<BBHI", 1, 1, len(bids), sum(len(b) for b in blocks)
+    ) + b"".join(struct.pack("<Q", b) for b in bids)
+    return w.add_block(xblock, internal=True)
+
+
 def build_pst(
     folders: dict[str, list[dict]],
     base_time: datetime | None = None,
 ) -> bytes:
     """Deterministic PST fixture.  ``folders``: {folder_name: [message
-    dicts with subject/body/sender_name/sender_email/to keys]}."""
+    dicts with subject/body/sender_name/sender_email/to keys]}.  Bodies
+    past ~3.5 KB produce a two-block heap behind an XBLOCK data tree."""
     w = _PstWriter()
     node_entries: list[tuple[int, int, int, int]] = []  # nid,bidData,bidSub,parent
 
@@ -439,7 +490,7 @@ def build_pst(
     msg_index = 64
     for fname, messages in sorted(folders.items()):
         fprops = [(PR_DISPLAY_NAME, PT_UNICODE, fname)]
-        fbid = w.add_block(_build_hn_pc(fprops))
+        fbid = _add_hn(w, _build_hn_pc(fprops))
         this_folder = folder_nid
         node_entries.append((this_folder, fbid, 0, this_folder))
         folder_nid += 0x20
@@ -456,7 +507,7 @@ def build_pst(
                 + timedelta(hours=i)
             )
             props.append((PR_CLIENT_SUBMIT_TIME, PT_SYSTIME, when))
-            mbid = w.add_block(_build_hn_pc(props))
+            mbid = _add_hn(w, _build_hn_pc(props))
             nid = (msg_index << 5) | NID_TYPE_NORMAL_MESSAGE
             msg_index += 1
             node_entries.append((nid, mbid, 0, this_folder))

@@ -95,3 +95,18 @@ def test_subject_prefix_convention():
     from hoover_snoop2_spark.operators.pst_extract import PT_UNICODE, _prop_str
 
     assert _prop_str((PT_UNICODE, "\x01\x05Hello".encode("utf-16-le"))) == "Hello"
+
+
+def test_multi_block_heap_large_body():
+    """Bodies past the HN block budget spill into a second heap block
+    behind an XBLOCK data tree; HIDs carry the block index."""
+    big_body = ("paragraph of text here. " * 300).strip()  # ~7 KB utf-16
+    pst = build_pst({"Big": [
+        {"subject": "large", "body": big_body,
+         "sender_name": "A", "sender_email": "a@x.example", "to": "b@x.example"},
+    ]})
+    kids = unpack_pst(pst)
+    assert kids[0][0] == "Big/1.eml"
+    text = kids[0][1].decode("utf-8")
+    assert text.endswith(big_body + "\r\n")
+    assert "Subject: large" in text
