@@ -355,6 +355,14 @@ def _hid(index: int) -> int:
 _HN_SPLIT_BYTES = 3500
 
 
+class _SubnodeRef:
+    """PC record whose value lives in a subnode (NID-typed HNID) — how
+    Outlook stores very large property values."""
+
+    def __init__(self, nid: int):
+        self.nid = nid
+
+
 def _hn_pagemap(items: list[bytes], first_offset: int) -> bytes:
     offsets = [first_offset]
     for item in items:
@@ -373,7 +381,11 @@ def _build_hn_pc(props: list[tuple[int, int, object]]) -> list[bytes]:
     var_values: list[bytes] = []
     encoded: list[tuple[int, int, bytes | int]] = []
     total_var = 0
-    for prop_id, prop_type, value in sorted(props):
+    subnode_refs: list[tuple[int, int, int]] = []
+    for prop_id, prop_type, value in sorted(props, key=lambda p: p[:2]):
+        if isinstance(value, _SubnodeRef):
+            subnode_refs.append((prop_id, prop_type, value.nid))
+            continue
         if prop_type in (PT_LONG, PT_BOOLEAN):
             encoded.append((prop_id, prop_type, int(value)))
             continue
@@ -390,17 +402,25 @@ def _build_hn_pc(props: list[tuple[int, int, object]]) -> list[bytes]:
         total_var += len(raw)
 
     two_blocks = total_var > _HN_SPLIT_BYTES
-    records = b""
+    record_parts: list[tuple[int, bytes]] = [
+        (prop_id, struct.pack("<HHI", prop_id, prop_type, nid))
+        for prop_id, prop_type, nid in subnode_refs
+    ]
     for prop_id, prop_type, payload in encoded:
         if isinstance(payload, int):
-            records += struct.pack("<HHI", prop_id, prop_type, payload)
+            record_parts.append(
+                (prop_id, struct.pack("<HHI", prop_id, prop_type, payload))
+            )
             continue
         if two_blocks:
             hid = (1 << 16) | _hid(len(var_values) + 1)  # block 1
         else:
             hid = _hid(3 + len(var_values))  # block 0, after BTH+records
         var_values.append(payload)
-        records += struct.pack("<HHI", prop_id, prop_type, hid)
+        record_parts.append(
+            (prop_id, struct.pack("<HHI", prop_id, prop_type, hid))
+        )
+    records = b"".join(r for _, r in sorted(record_parts, key=lambda p: p[0]))
 
     bth_header = struct.pack("<BBBBI", 0xB5, 2, 6, 0, _hid(2))
     block0_items = [bth_header, records]
@@ -495,9 +515,22 @@ def build_pst(
         node_entries.append((this_folder, fbid, 0, this_folder))
         folder_nid += 0x20
         for i, m in enumerate(messages):
+            bid_sub = 0
+            if m.get("body_via_subnode"):
+                # the third value-indirection path: the body lives in its
+                # own subnode data block, referenced by a NID-typed HNID
+                vbid = w.add_block(m.get("body", "").encode("utf-16-le"))
+                sub_nid = ((0x4000 + msg_index) << 5) | 0x1F
+                sl = struct.pack("<BBHI", 2, 0, 1, 0) + struct.pack(
+                    "<QQQ", sub_nid, vbid, 0
+                )
+                bid_sub = w.add_block(sl, internal=True)
+                body_prop = (PR_BODY, PT_UNICODE, _SubnodeRef(sub_nid))
+            else:
+                body_prop = (PR_BODY, PT_UNICODE, m.get("body", ""))
             props = [
                 (PR_SUBJECT, PT_UNICODE, m.get("subject", "")),
-                (PR_BODY, PT_UNICODE, m.get("body", "")),
+                body_prop,
                 (PR_SENDER_NAME, PT_UNICODE, m.get("sender_name", "")),
                 (PR_SENDER_EMAIL, PT_STRING8, m.get("sender_email", "")),
                 (PR_DISPLAY_TO, PT_UNICODE, m.get("to", "")),
@@ -510,7 +543,7 @@ def build_pst(
             mbid = _add_hn(w, _build_hn_pc(props))
             nid = (msg_index << 5) | NID_TYPE_NORMAL_MESSAGE
             msg_index += 1
-            node_entries.append((nid, mbid, 0, this_folder))
+            node_entries.append((nid, mbid, bid_sub, this_folder))
 
     raw_entries = [
         struct.pack("<QQQII", nid, bd, bs, parent, 0)

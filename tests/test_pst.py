@@ -110,3 +110,19 @@ def test_multi_block_heap_large_body():
     text = kids[0][1].decode("utf-8")
     assert text.endswith(big_body + "\r\n")
     assert "Subject: large" in text
+
+
+def test_body_via_subnode_nid():
+    """NID-typed HNID values resolve through the subnode BTree (the path
+    Outlook uses for very large properties)."""
+    body = "subnode body content " * 40
+    pst = build_pst({"S": [
+        {"subject": "via subnode", "body": body, "body_via_subnode": True,
+         "sender_name": "A", "sender_email": "a@x.example",
+         "to": "b@x.example"},
+    ]})
+    kids = unpack_pst(pst)
+    assert len(kids) == 1
+    text = kids[0][1].decode("utf-8")
+    assert "Subject: via subnode" in text
+    assert text.endswith(body + "\r\n")
