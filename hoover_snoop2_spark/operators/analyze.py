@@ -392,9 +392,14 @@ def analyze_tree(
             continue
         child_key = hashlib.sha256(child_data).hexdigest()
         if child_key in chain:
+            # same id convention as the driver-round recursion guard
+            # (plans/pipeline.py): the sha2 blob key doubles as the stable
+            # sha3_256 document id and as the (literal) sha256 — whichever
+            # round catches the bomb, the marker row's identity matches.
             rec: dict = dict(_EMPTY)
             rec.update(kind="digest",
-                       sha3_256=hashlib.sha3_256(child_data).hexdigest(),
+                       sha3_256=child_key,
+                       sha256=child_key,
                        root_sha=root_sha,
                        url=child_url, parent_url=url, depth=depth + 1,
                        ancestors=None, status="broken",

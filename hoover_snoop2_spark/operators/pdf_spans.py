@@ -38,6 +38,22 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)endstream", re.DOTALL)
 _FILTER_RE = re.compile(rb"/Filter")
 _PAGE_RE = re.compile(rb"/Type\s*/Page(?![a-zA-Z])")
 
+#: how far back from `stream` to search for the owning object dict.  Object
+#: dicts with ICC color-space arrays or long DecodeParms routinely exceed a
+#: few hundred bytes; a short window misclassifies those streams.  64 KiB
+#: covers any realistic dict while keeping the rfind cost bounded per
+#: stream (a whole-prefix search would be O(n²) over many streams).
+_DICT_LOOKBACK = 64 * 1024
+
+
+def _stream_dict(data: bytes, stream_start: int) -> bytes:
+    """Bytes of the object dict owning the stream at ``stream_start``:
+    everything from the nearest preceding `obj` keyword (within the
+    lookback window) to the `stream` keyword."""
+    head = data[max(0, stream_start - _DICT_LOOKBACK): stream_start]
+    oi = head.rfind(b" obj")
+    return head[oi:] if oi >= 0 else head
+
 
 @dataclass
 class Span:
@@ -214,27 +230,30 @@ def extract_pdf_pages(data: bytes) -> list[dict]:
         raise PdfBroken("pdf_not_pdf")
     pages = []
     page_no = 0
+    n_unsupported = 0
     for m in _STREAM_RE.finditer(data):
         stream = m.group(1)
         # per-stream filter check: look back at the stream object's dict
         # (`N 0 obj << /Length .. /Filter .. >> stream`); a declared filter
         # other than FlateDecode — or Flate bytes that fail to inflate —
-        # is reported broken instead of tokenized as compressed garbage
-        head = data[max(0, m.start() - 512): m.start()]
-        oi = head.rfind(b" obj")
-        sdict = head[oi:] if oi >= 0 else head
+        # SKIPS that stream (text from the decodable streams still comes
+        # out); the document is only reported broken when nothing at all
+        # could be extracted and at least one stream was undecodable.
+        sdict = _stream_dict(data, m.start())
         if b"/Subtype" in sdict and b"/Image" in sdict:
             continue  # image XObject, not a content stream (see
             # pdf_image_children for the fan-out)
         if _FILTER_RE.search(sdict):
             if b"FlateDecode" not in sdict or stream[:1] != b"\x78":
-                raise PdfBroken("pdf_filter_unsupported")
+                n_unsupported += 1
+                continue
             import zlib
 
             try:
                 stream = zlib.decompress(stream)
             except zlib.error:
-                raise PdfBroken("pdf_filter_unsupported") from None
+                n_unsupported += 1
+                continue
         else:
             stream = _maybe_inflate(stream)
         spans = _spans_from_stream(stream, page_no + 1)
@@ -244,6 +263,8 @@ def extract_pdf_pages(data: bytes) -> list[dict]:
         ordered = _reading_order(spans)
         text = ITEM_JOIN.join(s.text for s in ordered)
         pages.append({"page": page_no, "text": text})
+    if not pages and n_unsupported:
+        raise PdfBroken("pdf_filter_unsupported")
     return pages
 
 
@@ -261,9 +282,7 @@ def pdf_image_children(data: bytes) -> list[tuple[str, bytes]]:
         return out
     n = 0
     for m in _STREAM_RE.finditer(data):
-        head = data[max(0, m.start() - 512): m.start()]
-        oi = head.rfind(b" obj")
-        sdict = head[oi:] if oi >= 0 else head
+        sdict = _stream_dict(data, m.start())
         if b"/Subtype" not in sdict or b"/Image" not in sdict:
             continue
         n += 1

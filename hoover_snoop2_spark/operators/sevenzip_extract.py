@@ -112,6 +112,9 @@ class _Folder:
         self.unpack_sizes: list[int] = []
         self.num_unpack_streams = 1
         self.substream_sizes: list[int] = []
+        #: CRC defined in UnpackInfo — such single-substream folders are
+        #: EXCLUDED from SubStreamsInfo's kCRC digest list (7zFormat.txt)
+        self.crc_defined = False
 
     def decode(self, packed: bytes) -> bytes:
         if len(self.coders) != 1:
@@ -226,6 +229,8 @@ def _parse_streams_info(f: io.BytesIO) -> _StreamsInfo:
                 elif sub == _K_CRC:
                     defined = _read_bits_or_all(f, len(info.folders))
                     f.read(4 * sum(defined))
+                    for folder, d in zip(info.folders, defined):
+                        folder.crc_defined = bool(d)
                 else:
                     raise SevenZipBroken("7z_error")
         elif prop == _K_SUBSTREAMS_INFO:
@@ -243,7 +248,14 @@ def _parse_streams_info(f: io.BytesIO) -> _StreamsInfo:
                         sizes.append(total - sum(sizes))
                         folder.substream_sizes = sizes
                 elif sub == _K_CRC:
-                    n_digests = sum(counts)
+                    # single-substream folders whose CRC was already given
+                    # in UnpackInfo are skipped in this digest list
+                    # (7zFormat.txt SubStreamsInfo): counting them would
+                    # misalign every later header field
+                    n_digests = sum(
+                        cnt for folder, cnt in zip(info.folders, counts)
+                        if cnt != 1 or not folder.crc_defined
+                    )
                     defined = _read_bits_or_all(f, n_digests)
                     f.read(4 * sum(defined))
                 else:
@@ -330,7 +342,15 @@ def unpack_7z(data: bytes, max_bytes: int = 256 * 2**20) -> list[tuple[str, byte
         else:
             raise SevenZipBroken("7z_error")
 
-    # decode folders → substream payloads in order
+    # decode folders → substream payloads in order.  A header may omit
+    # SubStreamsInfo entirely (one substream per folder, allowed by
+    # 7zFormat.txt) — default every such folder to its full unpack size
+    # here, OUTSIDE the SubStreamsInfo branch, or its members would
+    # silently extract as b''.
+    for folder in streams.folders:
+        if not folder.substream_sizes:
+            folder.substream_sizes = list(folder.unpack_sizes[-1:])
+            folder.num_unpack_streams = 1
     payloads: list[bytes] = []
     pos = 32 + streams.pack_pos
     pack_idx = 0
@@ -386,8 +406,24 @@ def _write_number(value: int) -> bytes:
     return bytes([0xFF]) + value.to_bytes(8, "little")
 
 
-def build_7z(members: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
-    """Deterministic 7z fixture: all members in one solid folder."""
+def build_7z(
+    members: list[tuple[str, bytes]],
+    codec: str = "copy",
+    with_substreams: bool = True,
+    unpackinfo_crc: bool = False,
+    substreams_crc: bool = False,
+) -> bytes:
+    """Deterministic 7z fixture: all members in one solid folder.
+
+    ``with_substreams=False`` omits the SubStreamsInfo block entirely
+    (legal for single-member archives); ``unpackinfo_crc`` writes the
+    folder CRC in UnpackInfo; ``substreams_crc`` writes the SubStreamsInfo
+    kCRC digest list — which, per 7zFormat.txt, EXCLUDES single-substream
+    folders whose CRC is already defined in UnpackInfo."""
+    import zlib as _zlib
+
+    if not with_substreams and len(members) != 1:
+        raise ValueError("with_substreams=False needs exactly one member")
     blob = b"".join(payload for _, payload in members)
     if codec == "copy":
         packed = blob
@@ -421,15 +457,30 @@ def build_7z(members: list[tuple[str, bytes]], codec: str = "copy") -> bytes:
     h.write(coder)
     h.write(_write_number(_K_CODERS_UNPACK_SIZE))
     h.write(_write_number(len(blob)))
+    if unpackinfo_crc:
+        h.write(_write_number(_K_CRC))
+        h.write(bytes([1]))  # all defined
+        h.write(struct.pack("<I", _zlib.crc32(blob)))
     h.write(_write_number(_K_END))
-    # SubStreamsInfo
-    h.write(_write_number(_K_SUBSTREAMS_INFO))
-    h.write(_write_number(_K_NUM_UNPACK_STREAM))
-    h.write(_write_number(len(members)))
-    h.write(_write_number(_K_SIZE))
-    for _, payload in members[:-1]:
-        h.write(_write_number(len(payload)))
-    h.write(_write_number(_K_END))
+    # SubStreamsInfo (optional for single-substream folders)
+    if with_substreams:
+        h.write(_write_number(_K_SUBSTREAMS_INFO))
+        h.write(_write_number(_K_NUM_UNPACK_STREAM))
+        h.write(_write_number(len(members)))
+        h.write(_write_number(_K_SIZE))
+        for _, payload in members[:-1]:
+            h.write(_write_number(len(payload)))
+        if substreams_crc:
+            # digest list: all substreams EXCEPT the single substream of a
+            # folder whose CRC is already in UnpackInfo
+            digests = [
+                _zlib.crc32(payload) for _, payload in members
+            ] if not (len(members) == 1 and unpackinfo_crc) else []
+            h.write(_write_number(_K_CRC))
+            h.write(bytes([1]))  # all defined
+            for d in digests:
+                h.write(struct.pack("<I", d))
+        h.write(_write_number(_K_END))
     h.write(_write_number(_K_END))  # end MainStreams
     # FilesInfo
     h.write(_write_number(_K_FILES_INFO))

@@ -132,12 +132,21 @@ def run_extraction(
         )
 
         # per-round strategy: broadcast while the unique-hash set fits, else
-        # shuffle.  approx_count_distinct over one column of the freshly
-        # checkpointed (tiny) pairs parquet — no blob bytes touched.
+        # shuffle.  One aggregation over the freshly checkpointed (tiny)
+        # pairs parquet — no blob bytes touched.  The same pass checks the
+        # unique-url invariant the broadcast fast path depends on (see the
+        # uniq join below): a re-crawled WARC url carrying two different
+        # payloads in one round breaks a url-only join.
+        urls_unique = True
+        if dedup_strategy in ("auto", "broadcast"):
+            stats = pairs.agg(
+                F.approx_count_distinct("blob_key").alias("n_uniq"),
+                F.count("*").alias("n_rows"),
+                F.countDistinct("url").alias("n_urls"),
+            ).first()
+            urls_unique = stats["n_rows"] == stats["n_urls"]
         if dedup_strategy == "auto":
-            n_uniq = pairs.agg(
-                F.approx_count_distinct("blob_key").alias("n")
-            ).first()["n"]
+            n_uniq = stats["n_uniq"]
             strategy = (
                 "broadcast" if n_uniq <= broadcast_max_uniques else "shuffle"
             )
@@ -155,10 +164,18 @@ def run_extraction(
             ok_pairs = pairs
         else:
             is_rec = F.array_contains(F.col("ancestors"), F.col("blob_key"))
+            # recursion markers carry the sha2 blob key as BOTH sha256
+            # (literally correct — blob_key IS the bytes' sha2-256) and as
+            # their stable sha3_256 document id: the ES sink ids on
+            # sha3_256 (a NULL id re-emits forever) and resume_delta
+            # anti-joins on sha256 (a NULL there re-processes the bomb on
+            # every incremental run).  The bytes' true sha3 lives on the
+            # ancestor container's own digest row.
             digest_rounds.append(
                 pairs.filter(is_rec).select(
                     "url", "parent_url", "depth",
-                    F.lit(None).cast("string").alias("sha3_256"),
+                    F.col("blob_key").alias("sha3_256"),
+                    F.col("blob_key").alias("sha256"),
                     F.lit("broken").alias("status"),
                     F.lit("archive_recursion").alias("broken_reason"),
                     F.lit("").alias("text"),
@@ -190,11 +207,24 @@ def run_extraction(
         )
         if strategy == "broadcast":
             # winners already reflects the recursion + resume filters.
-            # Join the raw blob scan on the WINNING URL (unique per round):
-            # an inner join attaches the already-computed blob_key, so the
-            # corpus bytes are NOT sha2-hashed a second time — at 10^12
-            # docs a redundant hash pass is ~10^5 core-seconds.
-            uniq = work.join(F.broadcast(winners), "url").drop("rep_depth")
+            # Fast path (urls unique this round — the overwhelmingly common
+            # case, verified by the stats pass above): join the raw blob
+            # scan on the WINNING URL; the inner join attaches the
+            # already-computed blob_key, so the corpus bytes are NOT
+            # sha2-hashed a second time — at 10^12 docs a redundant hash
+            # pass is ~10^5 core-seconds.
+            # Slow path (a url carries >1 distinct payload this round —
+            # re-crawled WARC urls): a url-only join would attach every
+            # payload under the single winner's blob_key and clone the
+            # wrong content's subtree, so join key-verified on
+            # (blob_key, url) instead, paying one extra hash pass over the
+            # blobs.  Each (url, payload) pair keeps its own digest row.
+            if urls_unique:
+                uniq = work.join(F.broadcast(winners), "url").drop("rep_depth")
+            else:
+                uniq = hashed.join(
+                    F.broadcast(winners.drop("rep_depth")), ["blob_key", "url"]
+                )
         else:
             # co-located shuffle election: blobs move once, grouped by
             # sha3; min_by keeps the representative row whole.  The blob

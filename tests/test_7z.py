@@ -68,3 +68,27 @@ def test_garbage_is_broken():
             + struct.pack("<QQ", 0, 16) + bytes(4) + b"\x55" * 16)
     with pytest.raises(SevenZipBroken):
         unpack_7z(data)
+
+
+def test_no_substreams_info_defaults_to_full_folder():
+    """A header that omits SubStreamsInfo (legal for single-stream folders)
+    must extract the member's full bytes, not b''."""
+    payload = b"solid single stream " * 20
+    data = build_7z([("only.txt", payload)], codec="lzma2",
+                    with_substreams=False)
+    assert unpack_7z(data) == [("only.txt", payload)]
+
+
+def test_unpackinfo_crc_single_substream_digest_exclusion():
+    """SubStreamsInfo kCRC excludes single-substream folders whose CRC is
+    already defined in UnpackInfo — counting them misaligns the header."""
+    payload = b"crc checked bytes"
+    data = build_7z([("f.txt", payload)], codec="copy",
+                    unpackinfo_crc=True, substreams_crc=True)
+    assert unpack_7z(data) == [("f.txt", payload)]
+
+
+def test_substreams_crc_multi_member():
+    data = build_7z(MEMBERS, codec="copy",
+                    unpackinfo_crc=True, substreams_crc=True)
+    assert unpack_7z(data) == MEMBERS

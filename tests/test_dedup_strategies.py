@@ -71,3 +71,42 @@ def test_auto_strategy_selects_by_unique_count(spark, small_corpus, capsys,
     b = auto_shuffle.select("url", "sha3_256", "text")
     assert a.exceptAll(b).count() == 0
     assert b.exceptAll(a).count() == 0
+
+
+def test_same_url_two_payloads_no_cross_contamination(spark, tmp_path):
+    """A re-crawled url carrying two different payloads in one round must
+    emit one digest per payload, each with ITS OWN content — a url-only
+    winner join would analyze both blobs under one blob_key and clone the
+    wrong content's subtree (round-2 advice, pipeline.py:197)."""
+    import hashlib
+
+    rows = [
+        ("http://re.crawl/x", b"<html><body>first crawl body</body></html>"),
+        ("http://re.crawl/x", b"<html><body>second crawl body</body></html>"),
+        ("http://other/y", b"<html><body>unrelated page</body></html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    p = str(tmp_path / "pages")
+    pages.write.parquet(p)
+    for strategy in ("broadcast", "shuffle"):
+        digests = _run(spark, p, strategy)
+        got = {
+            (r["url"], r["sha256"], r["text"])
+            for r in digests.select("url", "sha256", "text").collect()
+        }
+        expected = set()
+        for url, html in rows:
+            text_frag = html.decode().split("<body>")[1].split("</body>")[0]
+            expected.add((url, hashlib.sha256(html).hexdigest(), text_frag))
+        if strategy == "shuffle":
+            # shuffle mode elects ONE representative row per blob; both
+            # payloads are distinct blobs, so both digests must exist
+            assert {e[1] for e in expected} <= {g[1] for g in got}
+        # every emitted digest's text must match its OWN payload's text
+        by_hash = {hashlib.sha256(h).hexdigest():
+                   h.decode().split("<body>")[1].split("</body>")[0]
+                   for _, h in rows}
+        for url, sha, text in got:
+            assert text == by_hash[sha], (strategy, url, sha)
+        # broadcast mode: all three payloads analyzed, no fabricated rows
+        assert {g[1] for g in got} == set(by_hash)

@@ -88,3 +88,49 @@ def test_pdf_embedded_image_children():
     child = analyze_blob("x", rows[1]["child_data"])[0]
     assert child["mime_type"] == "image/jpeg"
     assert child["status"] == "success"
+
+
+def test_large_image_dict_not_misclassified():
+    """An image XObject whose dict exceeds a few hundred bytes (ICC color
+    spaces, DecodeParms) must still be recognized as an image — not
+    tokenized as a content stream or reported filter-unsupported."""
+    big_dict_filler = b"/ICCBased [" + b"0.00123 " * 200 + b"]"
+    jpeg = b"\xff\xd8\xff\xe0" + b"\x00" * 32
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (hello) Tj ET"
+    pdf = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Subtype /Image /Filter /DCTDecode /ColorSpace "
+        + big_dict_filler
+        + b" /Length " + str(len(jpeg)).encode() + b" >>\nstream\n"
+        + jpeg + b"\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    assert len(big_dict_filler) > 512  # would defeat the old 512-byte window
+    text, pages, broken = pdf_to_text(pdf)
+    assert broken is None
+    assert text == "hello"
+    from hoover_snoop2_spark.operators.pdf_spans import pdf_image_children
+    assert [n for n, _ in pdf_image_children(pdf)] == ["image-001.jpg"]
+
+
+def test_unsupported_filter_stream_skipped_not_fatal():
+    """A single LZW/other-filter stream no longer breaks the whole PDF —
+    decodable streams still extract; broken only when NOTHING decodes."""
+    good = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (kept) Tj ET"
+    pdf_mixed = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Filter /LZWDecode /Length 4 >>\nstream\n\x80\x0b\x60\x50\nendstream\nendobj\n"
+        b"2 0 obj\n<< /Length " + str(len(good)).encode()
+        + b" >>\nstream\n" + good + b"\nendstream\nendobj\n%%EOF\n"
+    )
+    text, pages, broken = pdf_to_text(pdf_mixed)
+    assert broken is None
+    assert text == "kept"
+
+    pdf_all_bad = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Filter /LZWDecode /Length 4 >>\nstream\n\x80\x0b\x60\x50\nendstream\nendobj\n%%EOF\n"
+    )
+    text, pages, broken = pdf_to_text(pdf_all_bad)
+    assert broken == "pdf_filter_unsupported"
