@@ -19,7 +19,8 @@ Scale notes (the parts that matter at 10^12 docs):
   ancestor-hash recursion guard replacing check_recursion
   (archives.py:531-540); each round is checkpointed, so lineage stays flat
   and a crashed run resumes from the last round's parquet/Iceberg snapshot;
-- heavy blobs are spread thin before the UDF stage (plans/skew.py);
+- heavy blobs are spread thin before the UDF stage (spread_heavy,
+  plans/skew.py) — light rows pass through unshuffled;
 - everything after the UDF is plain Catalyst-optimized DataFrame code.
 """
 
@@ -36,6 +37,7 @@ from ..functions.langid import detect_language_udf
 from ..operators.analyze import ANALYZE_SCHEMA, analyze_map_in_pandas
 from .checkpoint import CheckpointStore, resume_delta
 from .metrics import RowCounter, stage_metrics
+from .skew import HEAVY_SPREAD_BYTES, spread_heavy
 
 MAX_DEPTH = 5
 
@@ -125,9 +127,14 @@ def run_extraction(
         hashed = work.withColumn("blob_key", F.sha2(F.col("html"), 256))
 
         # pairs: everything about a url EXCEPT the bytes — tiny; this is
-        # the only per-round bookkeeping materialization
+        # the only per-round bookkeeping materialization.  size rides
+        # along (8 B/row) so the skew guard below can be gated on a
+        # measured heavy count instead of engaging unconditionally.
         pairs = cp.write(
-            hashed.select("blob_key", "url", "parent_url", "depth", "ancestors"),
+            hashed.select(
+                "blob_key", "url", "parent_url", "depth", "ancestors",
+                F.coalesce(F.length("html"), F.lit(0)).alias("size"),
+            ),
             f"pairs_r{round_no}",
         )
 
@@ -137,14 +144,13 @@ def run_extraction(
         # unique-url invariant the broadcast fast path depends on (see the
         # uniq join below): a re-crawled WARC url carrying two different
         # payloads in one round breaks a url-only join.
-        urls_unique = True
-        if dedup_strategy in ("auto", "broadcast"):
-            stats = pairs.agg(
-                F.approx_count_distinct("blob_key").alias("n_uniq"),
-                F.count("*").alias("n_rows"),
-                F.countDistinct("url").alias("n_urls"),
-            ).first()
-            urls_unique = stats["n_rows"] == stats["n_urls"]
+        stats = pairs.agg(
+            F.approx_count_distinct("blob_key").alias("n_uniq"),
+            F.count("*").alias("n_rows"),
+            F.countDistinct("url").alias("n_urls"),
+            F.count_if(F.col("size") > HEAVY_SPREAD_BYTES).alias("n_heavy"),
+        ).first()
+        urls_unique = stats["n_rows"] == stats["n_urls"]
         if dedup_strategy == "auto":
             n_uniq = stats["n_uniq"]
             strategy = (
@@ -248,6 +254,16 @@ def run_extraction(
                 )
                 .select("blob_key", "w.*")
             )
+        # skew guard (plans/skew.py): megabyte-class blobs co-located in
+        # one input split would stall the analyze stage — spread ONLY the
+        # heavy rows thin; light rows keep their partitioning unshuffled.
+        # Gated on the measured per-round heavy count (from the same pairs
+        # agg as the dedup strategy pick): an all-light round — the common
+        # web-text case — skips the guard entirely, because its
+        # filter-union costs a second pass over the upstream join/scan.
+        if stats["n_heavy"] > 0:
+            uniq = spread_heavy(uniq)
+
         # container subtrees expand INSIDE the kernel (analyze_tree) —
         # digest rows come out fully formed for the whole tree; only
         # oversized listings come back as kind='child' for a next round

@@ -28,6 +28,13 @@ from pyspark.sql import functions as F
 #: skew class; Tika demotes > 50 MiB entirely)
 SIZE_CLASS_BYTES = 1 * 2**20
 
+#: pipeline spread threshold: only blobs whose ANALYZE time is a
+#: task-stall risk are worth a shuffle + a second upstream pass.  A 1 MiB
+#: html parses in ~10 ms — spreading those costs more than it saves; the
+#: stall class is the 10-100 MiB PST/PDF/archive tier (the reference
+#: demotes Tika jobs > 50 MiB, tika.py:24-28).
+HEAVY_SPREAD_BYTES = 8 * 2**20
+
 #: how many heavy rows one task should hold
 HEAVY_ROWS_PER_PARTITION = 8
 
@@ -36,6 +43,40 @@ def salted(df: DataFrame, key: str = "url", parts: int | None = None) -> DataFra
     """Deterministic uniform salt column from the url hash."""
     n = parts or df.sparkSession.sparkContext.defaultParallelism
     return df.withColumn("_salt", F.pmod(F.xxhash64(F.col(key)), F.lit(n)))
+
+
+def spread_heavy(
+    df: DataFrame,
+    data_col: str = "html",
+    key: str = "url",
+    base_parts: int | None = None,
+    threshold: int = HEAVY_SPREAD_BYTES,
+) -> DataFrame:
+    """Spread ONLY the heavy rows; light rows pass through UNSHUFFLED.
+
+    This is the skew guard for the extraction pipeline's analyze
+    ``mapInPandas`` stage: a handful of megabyte-class blobs co-located in
+    one input split stalls the whole stage at scale.  Heavy rows
+    (> SIZE_CLASS_BYTES) are repartitioned into 4x-many small partitions
+    keyed by url hash, so one task never holds more than a few giants;
+    light rows — the overwhelming bulk of the corpus bytes — keep their
+    input partitioning, preserving the pipeline's "blobs never shuffle"
+    property for the common case.
+
+    Cost trade, stated plainly: the filter split makes both branches
+    recompute their upstream (for the broadcast-dedup path that means a
+    second pass over the source scan — cheap sequential column I/O),
+    and the heavy branch shuffles its bytes once (rare rows, exactly the
+    ones whose co-location would otherwise stall the stage).
+    """
+    spark = df.sparkSession
+    n = base_parts or spark.sparkContext.defaultParallelism
+    size = F.coalesce(F.length(F.col(data_col)), F.lit(0))
+    light = df.filter(size <= threshold)
+    heavy = df.filter(size > threshold).repartition(
+        max(n * 4, 16), F.xxhash64(F.col(key))
+    )
+    return light.unionByName(heavy)
 
 
 def dedup_by_size_class(
