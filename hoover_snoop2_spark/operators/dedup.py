@@ -84,7 +84,8 @@ def minhash_lsh_pairs(
     bands: int = 4,
     k: int = 5,
     jaccard_threshold: float = 0.7,
-    use_local_checkpoint: bool = True,
+    use_local_checkpoint: bool = False,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-dup pairs (id_a < id_b, jaccard >= threshold).
 
@@ -92,12 +93,18 @@ def minhash_lsh_pairs(
     rows; docs sharing any band-hash are candidates; candidates verified
     with exact shingle Jaccard (array_intersect/array_union sizes).
 
-    ``use_local_checkpoint`` materializes the small multi-consumer
-    intermediates (band keys, candidate ids) in the block store — right on
-    a single node / static cluster.  Pass ``False`` on clusters with
-    dynamic allocation or flaky executors (block-store checkpoints die
-    with their executor); there, snapshot the *input* df to parquet/Iceberg
-    first (plans.checkpoint.CheckpointStore) and the recompute stays cheap.
+    Materialization of the small multi-consumer intermediates (band keys,
+    candidate ids), cluster-safe by DEFAULT — the default plan has no
+    block-store dependencies:
+
+    - ``checkpoint_dir`` routes them through plans.checkpoint.
+      CheckpointStore (parquet/Iceberg-style snapshots) — survives executor
+      loss and dynamic allocation; the right choice on a cluster.
+    - ``use_local_checkpoint=True`` uses block-store localCheckpoint —
+      fastest on a single node / static cluster, but the blocks die with
+      their executor.
+    - neither: the lineage recomputes per consumer (correct, ~2x the
+      signature work) — fine for one-shot jobs.
     """
     rows = n_hashes // bands
     sigs = minhash_signature(df, id_col, text_col, n_hashes, k)
@@ -126,8 +133,15 @@ def minhash_lsh_pairs(
     # the signature chain (shingles → 16 permutations) is the expensive
     # part and feeds five downstream consumers — materialize the tiny
     # (id, band, hash) table once instead of re-deriving it per consumer
+    _cp = None
+    if checkpoint_dir is not None:
+        from ..plans.checkpoint import CheckpointStore
+
+        _cp = CheckpointStore(checkpoint_dir)
     if use_local_checkpoint:
         banded = banded.localCheckpoint(eager=True)
+    elif _cp is not None:
+        banded = _cp.write(banded, "minhash_banded")
 
     # degenerate buckets (near-identical boilerplate at web scale) would
     # make the self-join quadratic; cap them and surface the cap in the
@@ -151,6 +165,8 @@ def minhash_lsh_pairs(
     )
     if use_local_checkpoint:
         cand = cand.localCheckpoint(eager=True)
+    elif _cp is not None:
+        cand = _cp.write(cand, "minhash_cand")
 
     # exact-Jaccard verify ONLY over candidate ids: shingle arrays are the
     # heaviest intermediate (10-100 KB/doc), so they are filtered down to
@@ -229,11 +245,20 @@ def simhash64_udf(texts: pd.Series) -> pd.Series:
 
 
 def simhash_pairs(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    max_bucket: int = 200,
 ) -> DataFrame:
     """Near-dup pairs by simhash Hamming distance, using 4x16-bit block
     LSH (two equal blocks guarantee recall at distance<=3 is high; exact
-    verify via bit_count on xor)."""
+    verify via bit_count on xor).
+
+    Degenerate block buckets (identical boilerplate / empty-ish texts
+    share all four 16-bit keys) would make the self-join quadratic in the
+    family size; buckets above ``max_bucket`` are dropped via the same
+    semi-join cap as minhash.  Unlike minhash there is no finer band to
+    catch a capped family's pairs — but a family that big is EXACT
+    duplication, which belongs to exact_dedup (run it first); the cap
+    guards the stage, it doesn't replace exact dedup."""
     sims = df.select(
         F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sim")
     )
@@ -252,6 +277,12 @@ def simhash_pairs(
             )
         ).alias("kb"),
     ).select("id", "sim", "kb.blk", "kb.key")
+    bucket_sizes = blocks.groupBy("blk", "key").agg(F.count("*").alias("_bn"))
+    blocks = blocks.join(
+        F.broadcast(bucket_sizes.filter(F.col("_bn") <= max_bucket)),
+        ["blk", "key"],
+        "left_semi",
+    )
     cand = (
         blocks.alias("l")
         .join(blocks.alias("r"), ["blk", "key"])
@@ -278,7 +309,7 @@ def embedding_dups(
     id_col: str,
     vec_col: str,
     threshold: float = 0.98,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dups, LSH-bucketed — no all-pairs join.
@@ -291,10 +322,15 @@ def embedding_dups(
     shuffle of (id, vec, bucket) rows on bucket id — O(n·(n_planes+1))
     rows, never O(n²).
     """
-    from .similarity import _plane_literals, bucket_expr, cosine_expr
+    from .similarity import _plane_literals, auto_planes, bucket_expr, cosine_expr
 
     if dim is None:
         dim = df.select(F.size(F.col(vec_col))).first()[0]
+    if n_planes is None:
+        # size-driven default: the within-bucket pair join is quadratic in
+        # mean bucket size, so a frozen 64-bucket layout explodes at 10^9
+        # vectors; the count action is parquet-metadata cheap
+        n_planes = auto_planes(df.count())
     planes = _plane_literals(dim, n_planes)
     base = df.select(
         F.col(id_col).alias("id"),

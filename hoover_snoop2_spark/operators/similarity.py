@@ -81,6 +81,20 @@ def _plane_literals(dim: int, n_planes: int, seed: int = 42) -> list[list[float]
     return rng.normal(size=(n_planes, dim)).round(6).tolist()
 
 
+def auto_planes(n_rows: int, target_bucket: int = 512,
+                lo: int = 4, hi: int = 16) -> int:
+    """Size-driven plane count: pick k so the mean LSH bucket holds about
+    ``target_bucket`` vectors (2^k ≈ n/target).  A fixed k is a scale
+    hazard both ways — too few planes at 10⁹ rows makes the within-bucket
+    join quadratic; too many at 10⁴ rows leaves buckets of one.  Clamped to
+    [lo, hi]: recall of hamming-1 multi-probe degrades as k grows (a pair
+    may disagree on 2+ planes), so past ``hi`` add probes or tables instead
+    of planes."""
+    import math
+
+    return max(lo, min(hi, int(round(math.log2(max(1.0, n_rows / target_bucket))))))
+
+
 def bucket_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
     """Sign-projection bucket id: bit i = (v . plane_i) > 0."""
     bucket = F.lit(0).cast("long")
@@ -110,13 +124,24 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     n_lists: int = 16,
     iters: int = 5,
+    sample_fraction: float | None = None,
+    seed: int = 42,
 ) -> list[list[float]]:
     """Deterministic Lloyd's k-means over a DataFrame (cosine assignment,
     element-wise-mean update).  Per iteration: one broadcast of k·dim
     centroid literals out, one (cluster, position) shuffle back — the
     classic Spark iterative-ML loop; vectors never collect to the driver
     (only the k centroids do, which is the whole point of a coarse
-    quantizer)."""
+    quantizer).
+
+    ``sample_fraction`` trains the quantizer on a deterministic-seed
+    sample: at corpus scale each iteration posexplodes n·dim rows, and a
+    coarse k-list quantizer converges on a few hundred k samples — pass
+    e.g. ``min(1.0, 200*n_lists/n)`` instead of sweeping 10¹² vectors per
+    iteration.  Search (ivf_topk) still covers the FULL vector set; only
+    training samples."""
+    if sample_fraction is not None and sample_fraction < 1.0:
+        vectors = vectors.sample(fraction=sample_fraction, seed=seed)
     v = vectors.select(F.col(id_col).alias("id"),
                        F.col(vec_col).cast("array<double>").alias("v"))
     # deterministic init: the k lowest-id vectors
@@ -225,7 +250,7 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 6,
+    n_planes: int | None = None,
     dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket and
@@ -233,13 +258,18 @@ def ann_lsh_topk(
 
     At scale: ``vectors`` is hashed and shuffled ONCE on bucket; each query
     expands to n_planes+1 probe rows — the join is bucket-equi, no cross
-    product.
+    product.  ``n_planes=None`` (default) derives the plane count from the
+    big side's row count (auto_planes) — the count against ``vectors`` is
+    parquet-metadata cheap and keeps the mean bucket bounded as the corpus
+    grows instead of freezing at 64 buckets.
     """
     if dim is None:
         # infer from the QUERY side — always dimension-sized; inferring
         # from `vectors` would run a hidden action against the 100-TB side
         first = queries.select(F.size(vec_col)).first()
         dim = first[0]
+    if n_planes is None:
+        n_planes = auto_planes(vectors.count())
     planes = _plane_literals(dim, n_planes)
 
     v = vectors.select(

@@ -729,9 +729,11 @@ def q30_minhash_lsh_dups(spark, sf_dir):
     from .operators.dedup import minhash_lsh_pairs
 
     d = _t(spark, sf_dir, "documents")
-    return minhash_lsh_pairs(d, "doc_id", "text", jaccard_threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    # single-node bench: block-store materialization is safe and fastest
+    # here; the API default is the cluster-safe no-block-store plan
+    return minhash_lsh_pairs(
+        d, "doc_id", "text", jaccard_threshold=0.5, use_local_checkpoint=True
+    ).orderBy("id_a", "id_b")
 
 
 def q31_simhash_dups(spark, sf_dir):

@@ -100,3 +100,46 @@ def test_embedding_dups_no_all_pairs_join(spark, docs):
     plan = buf.getvalue()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_checkpoint_dir_path(docs, tmp_path):
+    """All three materialization strategies (default lineage-recompute,
+    block-store localCheckpoint, parquet CheckpointStore) return identical
+    pairs; the parquet path leaves snapshots on disk."""
+    kw = dict(n_hashes=16, bands=8, jaccard_threshold=0.5)
+    default = {(r["id_a"], r["id_b"]) for r in
+               minhash_lsh_pairs(docs, "doc_id", "text", **kw).collect()}
+    local = {(r["id_a"], r["id_b"]) for r in
+             minhash_lsh_pairs(docs, "doc_id", "text",
+                               use_local_checkpoint=True, **kw).collect()}
+    cp_dir = str(tmp_path / "mh_ckpt")
+    parquet = {(r["id_a"], r["id_b"]) for r in
+               minhash_lsh_pairs(docs, "doc_id", "text",
+                                 checkpoint_dir=cp_dir, **kw).collect()}
+    assert default == local == parquet
+    import os
+    assert os.path.exists(os.path.join(cp_dir, "minhash_banded"))
+
+
+def test_simhash_degenerate_bucket_cap(spark):
+    """500 identical docs share all four 16-bit block keys; without the
+    cap the self-join is quadratic (~125k pairs).  The cap drops the
+    degenerate family (exact duplication belongs to exact_dedup) while
+    distinct near-dups still pair; the plan shows the semi-join."""
+    import io
+    from contextlib import redirect_stdout
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [(i, base) for i in range(500)]
+    rows += [(1000, "completely different text about spark partitions"),
+             (1001, "completely different text about spark partitions")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = simhash_pairs(df, "doc_id", "text")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        out.explain("formatted")
+    assert "LeftSemi" in buf.getvalue()
+    pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
+    assert (1000, 1001) in pairs
+    assert len(pairs) <= 1 + 500  # no quadratic blow-up from the family
+    assert not any(a < 500 and b < 500 for a, b in pairs)

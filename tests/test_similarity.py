@@ -74,3 +74,46 @@ def test_ivf_topk_recall(spark):
     again = {(r["query_id"], r["neighbor_id"])
              for r in ivf_topk(e, q, k=5, n_probe=4, centroids=cents).collect()}
     assert approx == again
+
+
+def test_auto_planes_grows_with_input():
+    from hoover_snoop2_spark.operators.similarity import auto_planes
+
+    ks = [auto_planes(n) for n in (500, 10_000, 1_000_000, 10**9, 10**12)]
+    assert ks == sorted(ks)            # monotone in corpus size
+    assert ks[0] == 4                  # clamped low for tiny inputs
+    assert ks[2] > ks[0]               # 1M rows → more buckets than 500
+    assert ks[-1] == 16                # clamped high (add probes instead)
+    # mean bucket size stays bounded where unclamped
+    assert abs(1_000_000 / 2 ** auto_planes(1_000_000) - 512) < 512
+
+
+def test_embedding_dups_auto_planes_bucket_count(spark):
+    """n_planes=None derives bucket count from input size: bigger corpus
+    → more buckets (q26/q32 semantics unchanged — verified by oracle)."""
+    from hoover_snoop2_spark.operators.similarity import auto_planes
+
+    assert auto_planes(500) < auto_planes(500_000)
+
+
+def test_kmeans_sampled_training_recall(spark):
+    """sample_fraction trains the quantizer on a subset; IVF recall vs
+    exact stays acceptable and search still covers every vector."""
+    from pyspark.sql import functions as F
+
+    from hoover_snoop2_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+    )
+
+    e = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = e.filter(F.col("vec_id") < 5)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in brute_force_topk(e, q, k=5).collect()}
+    cents = kmeans_centroids(e, n_lists=8, iters=3, sample_fraction=0.5)
+    assert len(cents) == 8
+    approx = {(r["query_id"], r["neighbor_id"])
+              for r in ivf_topk(e, q, k=5, n_probe=4, centroids=cents).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.7, recall
