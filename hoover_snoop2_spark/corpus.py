@@ -61,7 +61,7 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 7
+CORPUS_VERSION = 8
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
@@ -783,17 +783,37 @@ def build_doc(doc_id: int) -> dict:
         children = []
         for i in range(rng.randint(1, 3)):
             body_paras = [_sentence(rng, lang) for _ in range(2)]
-            msgs.append({
+            msg = {
                 "subject": f"Msg {doc_id}-{i}",
                 "body": "\n\n".join(body_paras),
                 "sender_name": f"user{doc_id % 7}",
                 "sender_email": f"user{doc_id % 7}@host{doc_id % 3}.example",
                 "to": f"dest{i}@recv{doc_id % 5}.example",
                 "when": EPOCH + timedelta(seconds=doc_id * 137 + i * 3600),
-            })
+            }
+            # first message of every third pst carries an attachment —
+            # exercises the NID_TYPE_ATTACHMENT walk + email re-explode.
+            # A text/plain part contributes to the .eml's own text too
+            # (email_meta joins every text part, like the reference).
+            eml_paras = list(body_paras)
+            if i == 0 and doc_id % 3 == 0:
+                att_text = " ".join(_sentence(rng, lang) for _ in range(2))
+                msg["attachments"] = [{
+                    "name": f"att{doc_id % 5}.txt",
+                    "mime": "text/plain",
+                    "data": att_text.encode("utf-8"),
+                }]
+                eml_paras.append(att_text)
+                children.append((
+                    f"Inbox/{i + 1}.eml//att{doc_id % 5}.txt",
+                    _golden_from_paragraphs([att_text]),
+                ))
             children.append((f"Inbox/{i + 1}.eml",
-                             _golden_from_paragraphs(body_paras)))
-        html = build_pst({"Inbox": msgs})
+                             _golden_from_paragraphs(eml_paras)))
+            msgs.append(msg)
+        # odd docs write NDB_CRYPT_PERMUTE (Outlook's real-world default)
+        # so the golden corpus exercises the §5.1 decode path end-to-end
+        html = build_pst({"Inbox": msgs}, crypt=doc_id % 2)
         golden = ""
     elif cat == "ppt-legacy":
         from .operators.ppt_extract import build_ppt

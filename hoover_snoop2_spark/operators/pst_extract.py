@@ -17,11 +17,15 @@ directly from the public [MS-PST] spec:
   the parent chain give the child path, mirroring readpst's
   folder-directory layout.
 
+Crypt: NDB_CRYPT_NONE and NDB_CRYPT_PERMUTE (Outlook's default
+"compressible encryption", [MS-PST] §5.1 — a fixed byte substitution over
+external data blocks) both decode; the mpbbR table is embedded with a
+permutation self-check and the decrypt table is computed as its inverse.
+
 Deliberate limits (all surfaced as broken reasons, never silent):
 - ANSI PSTs (wVer 14/15) → ``pst_ansi_unsupported``;
-- bCryptMethod PERMUTE/CYCLIC (the [MS-PST] §5 byte-substitution tables
-  are not reproduced here) → ``pst_crypt_unsupported``; fixtures and any
-  NDB_CRYPT_NONE file parse fully;
+- bCryptMethod CYCLIC (the §5.2 rolling-key cipher) →
+  ``pst_crypt_unsupported``;
 - BTH index levels (bIdxLevels > 0 — beyond what mailbox-scale PCs use)
   → ``pst_parse_error``.  Multi-block heaps ARE supported: HIDs address
   (block index, item index) and data-tree block boundaries are kept.
@@ -38,6 +42,7 @@ _MAGIC = b"!BDN"
 
 NID_TYPE_NORMAL_FOLDER = 0x02
 NID_TYPE_NORMAL_MESSAGE = 0x04
+NID_TYPE_ATTACHMENT = 0x05
 
 PT_LONG = 0x0003
 PT_BOOLEAN = 0x000B
@@ -53,9 +58,50 @@ PR_SENDER_EMAIL = 0x0C1F
 PR_DISPLAY_TO = 0x0E04
 PR_BODY = 0x1000
 PR_DISPLAY_NAME = 0x3001
+PR_ATTACH_DATA = 0x3701        # PidTagAttachDataBinary
+PR_ATTACH_FILENAME = 0x3704    # PidTagAttachFilename (8.3 short name)
+PR_ATTACH_LONG_FILENAME = 0x3707  # PidTagAttachLongFilename
+PR_ATTACH_MIME_TAG = 0x370E    # PidTagAttachMimeTag
 
 #: FILETIME epoch (1601-01-01) in 100 ns ticks
 _FILETIME_EPOCH = datetime(1601, 1, 1, tzinfo=timezone.utc)
+
+#: NDB_CRYPT_PERMUTE ([MS-PST] §5.1): Outlook's DEFAULT "compressible
+#: encryption" is a fixed byte substitution.  This is the spec's mpbbR
+#: table (encrypt direction); decrypt applies its inverse permutation.
+#: Self-check: the table must be an exact permutation of 0..255 — asserted
+#: below, so a transcription error cannot silently corrupt extractions.
+_MPBB_R = bytes([
+     71, 241, 180, 230,  11, 106, 114,  72, 133,  78, 158, 235, 226, 248, 148,  83,
+    224, 187, 160,   2, 232,  90,   9, 171, 219, 227, 186, 198, 124, 195,  16, 221,
+     57,   5, 150,  48, 245,  55,  96, 130, 140, 201,  19,  74, 107,  29, 243, 251,
+    143,  38, 151, 202, 145,  23,   1, 196,  50,  45, 110,  49, 149, 255, 217,  35,
+    209,   0,  94, 121, 220,  68,  59,  26,  40, 197,  97,  87,  32, 144,  61, 131,
+    185,  67, 190, 103, 210,  70,  66, 118, 192, 109,  91, 126, 178,  15,  22,  41,
+     60, 169,   3,  84,  13, 218,  93, 223, 246, 183, 199,  98, 205, 141,   6, 211,
+    105,  92, 134, 214,  20, 247, 165, 102, 117, 172, 177, 233,  69,  33, 112,  12,
+    135, 159, 116, 164,  34,  76, 111, 191,  31,  86, 170,  46, 179, 120,  51,  80,
+    176, 163, 146, 188, 207,  25,  28, 167,  99, 203,  30,  77,  62,  75,  27, 155,
+     79, 231, 240, 238, 173,  58, 181,  89,   4, 234,  64,  85,  37,  81, 229, 122,
+    137,  56, 104,  82, 123, 252,  39, 174, 215, 189, 250,   7, 244, 204, 142,  95,
+    239,  53, 156, 132,  43,  21, 213, 119,  52,  73, 182,  18,  10, 127, 113, 136,
+    253, 157,  24,  65, 125, 147, 216,  88,  44, 206, 254,  36, 175, 222, 184,  54,
+    200, 161, 128, 166, 153, 152, 168,  47,  14, 129, 101, 115, 228, 194, 162, 138,
+    212, 225,  17, 208,   8, 139,  42, 242, 237, 154, 100,  63, 193, 108, 249, 236,
+])
+assert sorted(_MPBB_R) == list(range(256)), "mpbbR must be a permutation"
+
+#: decrypt table (mpbbI in the spec — the inverse permutation of mpbbR,
+#: computed rather than transcribed)
+_MPBB_I = bytes(256)
+_MPBB_I = bytearray(256)
+for _i, _v in enumerate(_MPBB_R):
+    _MPBB_I[_v] = _i
+_MPBB_I = bytes(_MPBB_I)
+
+NDB_CRYPT_NONE = 0
+NDB_CRYPT_PERMUTE = 1
+NDB_CRYPT_CYCLIC = 2
 
 
 class PstBroken(Exception):
@@ -79,8 +125,11 @@ class PstFile:
         if w_ver < 23:
             raise PstBroken("pst_ansi_unsupported")
         crypt = data[513]
-        if crypt != 0:
+        if crypt not in (NDB_CRYPT_NONE, NDB_CRYPT_PERMUTE):
+            # CYCLIC (bCryptMethod=2) needs the §5.2 rolling-key cipher —
+            # still surfaced honestly rather than decoded wrong
             raise PstBroken("pst_crypt_unsupported")
+        self._crypt = crypt
         # ROOT @180: dwReserved 4, ibFileEof 8, ibAMapLast 8, cbAMapFree 8,
         # cbPMapFree 8 → BREF NBT @216 {bid, ib}, BREF BBT @232 {bid, ib}
         (self._ib_nbt,) = struct.unpack_from("<Q", data, 224)
@@ -133,6 +182,11 @@ class PstFile:
             return []
         raw = self._read_block(bid)
         if not bid & 2:
+            # PERMUTE applies to external DATA blocks only ([MS-PST]
+            # §5.1); internal blocks (XBLOCK/SLBLOCK, bid bit 1) and
+            # BTree pages are never encoded
+            if self._crypt == NDB_CRYPT_PERMUTE:
+                raw = raw.translate(_MPBB_I)
             return [raw]
         if depth > 4 or len(raw) < 8:
             raise PstBroken("pst_parse_error")
@@ -263,6 +317,40 @@ class PstFile:
                 out.append((nid, self.node_props(nid)))
         return out
 
+    def attachments(self, nid: int) -> list[tuple[str, str, bytes]]:
+        """(filename, mime, bytes) per attachment of a message node.
+
+        Attachments live in the message's subnode tree as
+        NID_TYPE_ATTACHMENT objects, each its own PC
+        (PidTagAttachDataBinary + filename/mime tags) — the structures
+        readpst walks to emit .eml-with-attachments (the reference then
+        fans those out via create_attachment_files,
+        filesystem.py:441-478)."""
+        _bid_data, bid_sub, _parent = self.nodes[nid]
+        out: list[tuple[str, str, bytes]] = []
+        subs = self._subnodes(bid_sub)
+        for sub_nid in sorted(subs):
+            if sub_nid & 0x1F != NID_TYPE_ATTACHMENT:
+                continue
+            bd, bs = subs[sub_nid]
+            try:
+                props = self._pc_props(bd, bs)
+            except PstBroken:
+                continue  # one bad attachment never drops the message
+            name = (
+                _prop_str(props.get(PR_ATTACH_LONG_FILENAME))
+                or _prop_str(props.get(PR_ATTACH_FILENAME))
+                or f"attachment-{len(out) + 1}"
+            )
+            mime = (
+                _prop_str(props.get(PR_ATTACH_MIME_TAG))
+                or "application/octet-stream"
+            )
+            v = props.get(PR_ATTACH_DATA)
+            data = v[1] if v is not None and v[0] == PT_BINARY else b""
+            out.append((name, mime, data))
+        return out
+
 
 def _prop_str(v: tuple[int, bytes] | None) -> str | None:
     if v is None:
@@ -296,9 +384,16 @@ def _rfc2822(dt: datetime | None) -> str | None:
     return format_datetime(dt)
 
 
-def message_to_eml(props: dict[int, tuple[int, bytes]]) -> bytes:
+def message_to_eml(
+    props: dict[int, tuple[int, bytes]],
+    attachments: list[tuple[str, str, bytes]] | None = None,
+) -> bytes:
     """RFC-822 bytes from PC properties (the shape readpst emits: plain
-    headers + text body)."""
+    headers + text body; with attachments, multipart/mixed with base64
+    parts, which the email fan-out path re-explodes as children)."""
+    import base64
+    import hashlib as _hl
+
     subject = _prop_str(props.get(PR_SUBJECT)) or ""
     sender_name = _prop_str(props.get(PR_SENDER_NAME)) or ""
     sender_email = _prop_str(props.get(PR_SENDER_EMAIL)) or ""
@@ -319,10 +414,33 @@ def message_to_eml(props: dict[int, tuple[int, bytes]]) -> bytes:
         lines.append(f"Subject: {subject}")
     if date:
         lines.append(f"Date: {date}")
-    lines.append('Content-Type: text/plain; charset="utf-8"')
+    if not attachments:
+        lines.append('Content-Type: text/plain; charset="utf-8"')
+        lines.append("MIME-Version: 1.0")
+        head = "\r\n".join(lines)
+        return head.encode("utf-8") + b"\r\n\r\n" + body.encode("utf-8") + b"\r\n"
+
+    # deterministic boundary: hashed from the parts, no randomness
+    bnd = "=_pst_" + _hl.sha256(
+        body.encode("utf-8") + b"".join(d for _, _, d in attachments)
+    ).hexdigest()[:16]
+    lines.append(f'Content-Type: multipart/mixed; boundary="{bnd}"')
     lines.append("MIME-Version: 1.0")
-    head = "\r\n".join(lines)
-    return head.encode("utf-8") + b"\r\n\r\n" + body.encode("utf-8") + b"\r\n"
+    parts = ["\r\n".join(lines), ""]
+    parts.append(f"--{bnd}")
+    parts.append('Content-Type: text/plain; charset="utf-8"')
+    parts.append("")
+    parts.append(body)
+    for name, mime, data in attachments:
+        parts.append(f"--{bnd}")
+        parts.append(f'Content-Type: {mime}; name="{name}"')
+        parts.append(f'Content-Disposition: attachment; filename="{name}"')
+        parts.append("Content-Transfer-Encoding: base64")
+        parts.append("")
+        b64 = base64.b64encode(data).decode("ascii")
+        parts.append("\r\n".join(b64[i:i + 76] for i in range(0, len(b64), 76)))
+    parts.append(f"--{bnd}--")
+    return ("\r\n".join(parts) + "\r\n").encode("utf-8")
 
 
 def unpack_pst(data: bytes) -> list[tuple[str, bytes]]:
@@ -336,7 +454,7 @@ def unpack_pst(data: bytes) -> list[tuple[str, bytes]]:
         n = counters.get(folder, 0) + 1
         counters[folder] = n
         name = f"{folder}/{n}.eml" if folder else f"{n}.eml"
-        out.append((name, message_to_eml(props)))
+        out.append((name, message_to_eml(props, pst.attachments(nid))))
     return out
 
 
@@ -440,15 +558,18 @@ def _build_hn_pc(props: list[tuple[int, int, object]]) -> list[bytes]:
 class _PstWriter:
     """Byte-level writer for a minimal, reader-complete Unicode PST."""
 
-    def __init__(self):
+    def __init__(self, crypt: int = 0):
         self.buf = bytearray(1024)  # header area
         self.blocks: list[tuple[int, int, int]] = []  # (bid, ib, cb)
         self.next_bid = 4
+        self.crypt = crypt
 
     def add_block(self, payload: bytes, internal: bool = False) -> int:
         bid = self.next_bid | (2 if internal else 0)  # bit 1 = internal
         self.next_bid += 4
         ib = len(self.buf)
+        if self.crypt == NDB_CRYPT_PERMUTE and not internal:
+            payload = payload.translate(_MPBB_R)  # encrypt direction
         self.buf += payload
         # block trailer at 64-byte-aligned end: cb 2, wSig 2, dwCRC 4, bid 8
         total = -(-(len(payload) + 16) // 64) * 64
@@ -481,7 +602,7 @@ class _PstWriter:
         struct.pack_into("<Q", hdr, 184, len(hdr))  # ibFileEof
         struct.pack_into("<QQ", hdr, 216, 0, ib_nbt)  # BREF NBT
         struct.pack_into("<QQ", hdr, 232, 0, ib_bbt)  # BREF BBT
-        hdr[513] = 0  # NDB_CRYPT_NONE
+        hdr[513] = self.crypt  # bCryptMethod
         return bytes(hdr)
 
 
@@ -499,11 +620,14 @@ def _add_hn(w: "_PstWriter", blocks: list[bytes]) -> int:
 def build_pst(
     folders: dict[str, list[dict]],
     base_time: datetime | None = None,
+    crypt: int = 0,
 ) -> bytes:
     """Deterministic PST fixture.  ``folders``: {folder_name: [message
     dicts with subject/body/sender_name/sender_email/to keys]}.  Bodies
-    past ~3.5 KB produce a two-block heap behind an XBLOCK data tree."""
-    w = _PstWriter()
+    past ~3.5 KB produce a two-block heap behind an XBLOCK data tree.
+    ``crypt=1`` writes NDB_CRYPT_PERMUTE-encoded data blocks (Outlook's
+    default on real files)."""
+    w = _PstWriter(crypt=crypt)
     node_entries: list[tuple[int, int, int, int]] = []  # nid,bidData,bidSub,parent
 
     folder_nid = 0x402  # nidIndex 32, type NORMAL_FOLDER
@@ -515,19 +639,37 @@ def build_pst(
         node_entries.append((this_folder, fbid, 0, this_folder))
         folder_nid += 0x20
         for i, m in enumerate(messages):
-            bid_sub = 0
+            sl_entries: list[tuple[int, int, int]] = []
             if m.get("body_via_subnode"):
                 # the third value-indirection path: the body lives in its
                 # own subnode data block, referenced by a NID-typed HNID
                 vbid = w.add_block(m.get("body", "").encode("utf-16-le"))
                 sub_nid = ((0x4000 + msg_index) << 5) | 0x1F
-                sl = struct.pack("<BBHI", 2, 0, 1, 0) + struct.pack(
-                    "<QQQ", sub_nid, vbid, 0
-                )
-                bid_sub = w.add_block(sl, internal=True)
+                sl_entries.append((sub_nid, vbid, 0))
                 body_prop = (PR_BODY, PT_UNICODE, _SubnodeRef(sub_nid))
             else:
                 body_prop = (PR_BODY, PT_UNICODE, m.get("body", ""))
+            # attachment objects: one NID_TYPE_ATTACHMENT subnode each,
+            # holding its own PC with data + filename + mime tag
+            for k, att in enumerate(m.get("attachments", [])):
+                aprops = [
+                    (PR_ATTACH_LONG_FILENAME, PT_UNICODE, att["name"]),
+                    (PR_ATTACH_MIME_TAG, PT_STRING8,
+                     att.get("mime", "application/octet-stream")),
+                    (PR_ATTACH_DATA, PT_BINARY, att.get("data", b"")),
+                ]
+                abid = _add_hn(w, _build_hn_pc(aprops))
+                att_nid = (
+                    (0x6000 + msg_index * 16 + k) << 5
+                ) | NID_TYPE_ATTACHMENT
+                sl_entries.append((att_nid, abid, 0))
+            bid_sub = 0
+            if sl_entries:
+                sl = struct.pack("<BBHI", 2, 0, len(sl_entries), 0) + b"".join(
+                    struct.pack("<QQQ", n_, bd_, bs_)
+                    for n_, bd_, bs_ in sl_entries
+                )
+                bid_sub = w.add_block(sl, internal=True)
             props = [
                 (PR_SUBJECT, PT_UNICODE, m.get("subject", "")),
                 body_prop,

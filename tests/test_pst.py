@@ -78,7 +78,7 @@ def test_ansi_and_crypt_rejected():
         PstFile(bytes(ansi))
     assert e.value.reason == "pst_ansi_unsupported"
     enc = bytearray(pst)
-    enc[513] = 1  # NDB_CRYPT_PERMUTE
+    enc[513] = 2  # NDB_CRYPT_CYCLIC — the one crypt mode still unsupported
     with pytest.raises(PstBroken) as e:
         PstFile(bytes(enc))
     assert e.value.reason == "pst_crypt_unsupported"
@@ -126,3 +126,89 @@ def test_body_via_subnode_nid():
     text = kids[0][1].decode("utf-8")
     assert "Subject: via subnode" in text
     assert text.endswith(body + "\r\n")
+
+
+def test_permute_crypt_round_trip():
+    """NDB_CRYPT_PERMUTE (Outlook's default, [MS-PST] §5.1): an encoded
+    PST extracts byte-identically to its NDB_CRYPT_NONE twin."""
+    folders = {"Inbox": [
+        {"subject": "Permuted", "body": "secret body text " * 50,
+         "sender_name": "alice", "sender_email": "a@example.com",
+         "to": "b@example.com"},
+        {"subject": "Second", "body": "x", "body_via_subnode": True},
+    ]}
+    plain = build_pst(folders)
+    encoded = build_pst(folders, crypt=1)
+    assert plain != encoded                       # bytes actually differ
+    assert encoded[513] == 1
+    assert unpack_pst(encoded) == unpack_pst(plain)
+
+
+def test_permute_tables_are_inverse_permutations():
+    from hoover_snoop2_spark.operators.pst_extract import _MPBB_I, _MPBB_R
+
+    assert sorted(_MPBB_R) == list(range(256))
+    assert bytes(range(256)).translate(_MPBB_R).translate(_MPBB_I) == bytes(range(256))
+
+
+def test_cyclic_crypt_still_honest():
+    data = bytearray(build_pst({"Inbox": [{"subject": "s", "body": "b"}]}))
+    data[513] = 2  # NDB_CRYPT_CYCLIC
+    import pytest as _pytest
+
+    from hoover_snoop2_spark.operators.pst_extract import PstBroken
+    with _pytest.raises(PstBroken) as ei:
+        unpack_pst(bytes(data))
+    assert ei.value.reason == "pst_crypt_unsupported"
+
+
+def test_attachments_extracted_as_mime_children():
+    """Attachment subnode objects (PidTagAttachDataBinary + filenames)
+    come out as multipart .eml parts, which the email fan-out re-explodes
+    as byte-identical children — readpst's .eml-with-attachments →
+    create_attachment_files chain (archives.py:155-170,
+    filesystem.py:441-478)."""
+    payload = b"%PDF-1.4 fake attachment bytes \x00\x01\x02" * 20
+    folders = {"Inbox": [
+        {"subject": "with files", "body": "see attached",
+         "sender_name": "A", "sender_email": "a@x.example",
+         "to": "b@x.example",
+         "attachments": [
+             {"name": "report.pdf", "mime": "application/pdf",
+              "data": payload},
+             {"name": "notes.txt", "mime": "text/plain",
+              "data": b"attached note text"},
+         ]},
+        {"subject": "plain", "body": "no attachments"},
+    ]}
+    for crypt in (0, 1):
+        pst = build_pst(folders, crypt=crypt)
+        kids = unpack_pst(pst)
+        assert [n for n, _ in kids] == ["Inbox/1.eml", "Inbox/2.eml"]
+        eml = kids[0][1]
+        assert b"multipart/mixed" in eml
+        # the email fan-out path recovers the attachment bytes exactly
+        rows = analyze_blob("k", eml)
+        digest = rows[0]
+        assert digest["mime_type"] == "message/rfc822"
+        assert digest["text"].startswith("see attached")
+        by_name = {r["child_name"]: r["child_data"] for r in rows[1:]}
+        assert by_name["report.pdf"] == payload
+        assert by_name["notes.txt"] == b"attached note text"
+        # plain message unchanged by the feature
+        plain_rows = analyze_blob("k", kids[1][1])
+        assert plain_rows[0]["n_children"] == 0
+
+
+def test_large_attachment_multiblock_heap():
+    """An attachment past the HN split spills into a multi-block heap
+    behind an XBLOCK — same path as large bodies."""
+    payload = bytes(range(256)) * 40  # 10 KB
+    pst = build_pst({"F": [
+        {"subject": "big att", "body": "b",
+         "attachments": [{"name": "blob.bin", "data": payload}]},
+    ]})
+    eml = unpack_pst(pst)[0][1]
+    rows = analyze_blob("k", eml)
+    by_name = {r["child_name"]: r["child_data"] for r in rows[1:]}
+    assert by_name["blob.bin"] == payload
