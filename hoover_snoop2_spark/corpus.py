@@ -61,7 +61,7 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 8
+CORPUS_VERSION = 9
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
@@ -772,7 +772,9 @@ def build_doc(doc_id: int) -> dict:
             members.append((f"docs/file{i}.txt", body.encode("utf-8")))
             children.append((f"docs/file{i}.txt",
                              _golden_from_paragraphs([body])))
-        codec = "lzma2" if doc_id % 2 == 0 else "copy"
+        # rotate codecs so the golden corpus exercises plain, LZMA2, and
+        # the BCJ branch-converter chain end-to-end
+        codec = ("lzma2", "copy", "bcj_lzma2")[doc_id % 3]
         html = build_7z(members, codec=codec)
         golden = ""
     elif cat == "pst":

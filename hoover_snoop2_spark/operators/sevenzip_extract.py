@@ -8,11 +8,14 @@ this reader parses the container natively and decompresses folders with
 
 - COPY (coder id 00), LZMA1 (03 01 01, 5-byte props), LZMA2 (21, 1-byte
   dict-size prop) — the coders 7z writes by default for data;
+- branch-converter chains: BCJ x86 (04 / 03 03 01 03), Delta (03), and
+  the PPC/IA64/ARM/ARMT/SPARC converters, chained with LZMA1/LZMA2 in one
+  raw-filter decompressor (the layout 7z writes for executables);
 - EncodedHeader (the usual case: the metadata block is itself an
   LZMA-compressed folder) is decoded through the same path;
-- BCJ/delta filter chains and AES-encrypted folders are surfaced as
-  ``7z_codec_unsupported`` / ``7z_encrypted`` broken reasons — never a
-  wrong extraction.
+- AES-encrypted folders (chained or not) are ``7z_encrypted``; BCJ2's
+  4-stream layout and other multi-coder graphs are
+  ``7z_codec_unsupported`` — never a wrong extraction.
 
 Multi-file archives use one folder with substream splitting (kSize per
 substream), matching 7z's solid-block layout.
@@ -49,6 +52,20 @@ _CODER_COPY = b"\x00"
 _CODER_LZMA1 = b"\x03\x01\x01"
 _CODER_LZMA2 = b"\x21"
 _CODER_AES = b"\x06\xf1\x07\x01"
+_CODER_DELTA = b"\x03"
+
+#: branch-converter coders (7z method ids) → stdlib raw-filter ids; these
+#: chain with LZMA1/LZMA2 in one lzma.LZMADecompressor (BCJ+LZMA is the
+#: common layout for executables inside archives)
+_BRANCH_CODERS = {
+    b"\x04": lzma.FILTER_X86,
+    b"\x03\x03\x01\x03": lzma.FILTER_X86,  # old-style BCJ x86 id
+    b"\x05": lzma.FILTER_POWERPC,
+    b"\x06": lzma.FILTER_IA64,
+    b"\x07": lzma.FILTER_ARM,
+    b"\x08": lzma.FILTER_ARMTHUMB,
+    b"\x09": lzma.FILTER_SPARC,
+}
 
 
 class SevenZipBroken(Exception):
@@ -106,44 +123,76 @@ def _lzma2_dict_size(prop: int) -> int:
     return (2 | (prop & 1)) << (prop // 2 + 11)
 
 
+def _lzma_filter_spec(coder_id: bytes, props: bytes) -> dict:
+    """Raw-filter dict for an LZMA1/LZMA2 coder's props bytes."""
+    if coder_id == _CODER_LZMA2:
+        if len(props) != 1:
+            raise SevenZipBroken("7z_error")
+        return {"id": lzma.FILTER_LZMA2, "dict_size": _lzma2_dict_size(props[0])}
+    if coder_id == _CODER_LZMA1:
+        if len(props) != 5:
+            raise SevenZipBroken("7z_error")
+        lclppb = props[0]
+        (dict_size,) = struct.unpack("<I", props[1:5])
+        return {
+            "id": lzma.FILTER_LZMA1,
+            "lc": lclppb % 9,
+            "lp": (lclppb // 9) % 5,
+            "pb": lclppb // 45,
+            "dict_size": max(dict_size, 4096),
+        }
+    raise SevenZipBroken("7z_codec_unsupported")
+
+
 class _Folder:
     def __init__(self):
         self.coders: list[tuple[bytes, bytes]] = []  # (id, props)
         self.unpack_sizes: list[int] = []
         self.num_unpack_streams = 1
         self.substream_sizes: list[int] = []
+        self.bind_pairs: list[tuple[int, int]] = []  # (in_index, out_index)
+        self.total_out = 1
         #: CRC defined in UnpackInfo — such single-substream folders are
         #: EXCLUDED from SubStreamsInfo's kCRC digest list (7zFormat.txt)
         self.crc_defined = False
 
     def decode(self, packed: bytes) -> bytes:
-        if len(self.coders) != 1:
-            # bind-pair chains (BCJ+LZMA etc.) — recognized, unsupported
-            raise SevenZipBroken("7z_codec_unsupported")
-        coder_id, props = self.coders[0]
-        size = self.unpack_sizes[-1] if self.unpack_sizes else None
-        if coder_id == _CODER_AES:
+        if any(cid == _CODER_AES for cid, _ in self.coders):
+            # encryption beats codec-unsupported as the reported reason,
+            # chained or not
             raise SevenZipBroken("7z_encrypted")
-        if coder_id == _CODER_COPY:
-            return packed[:size]
-        if coder_id == _CODER_LZMA2:
-            if len(props) != 1:
-                raise SevenZipBroken("7z_error")
-            filt = [{"id": lzma.FILTER_LZMA2,
-                     "dict_size": _lzma2_dict_size(props[0])}]
-        elif coder_id == _CODER_LZMA1:
-            if len(props) != 5:
-                raise SevenZipBroken("7z_error")
-            lclppb = props[0]
-            (dict_size,) = struct.unpack("<I", props[1:5])
-            filt = [{
-                "id": lzma.FILTER_LZMA1,
-                "lc": lclppb % 9,
-                "lp": (lclppb // 9) % 5,
-                "pb": lclppb // 45,
-                "dict_size": max(dict_size, 4096),
-            }]
+        size = self.unpack_sizes[-1] if self.unpack_sizes else None
+        if len(self.coders) == 1:
+            coder_id, props = self.coders[0]
+            if coder_id == _CODER_COPY:
+                return packed[:size]
+            filt = [_lzma_filter_spec(coder_id, props)]
+        elif len(self.coders) == 2:
+            # branch-converter + LZMA chain (packed → LZMA → BCJ/delta).
+            # All coders here are simple (1-in/1-out), so in/out stream
+            # index i IS coder index i; the single bind pair must connect
+            # the converter's input to the LZMA coder's output.
+            lz = next((i for i, (cid, _) in enumerate(self.coders)
+                       if cid in (_CODER_LZMA1, _CODER_LZMA2)), None)
+            if lz is None:
+                raise SevenZipBroken("7z_codec_unsupported")
+            br = 1 - lz
+            br_id, br_props = self.coders[br]
+            if self.bind_pairs and self.bind_pairs != [(br, lz)]:
+                raise SevenZipBroken("7z_codec_unsupported")
+            if br_id == _CODER_DELTA:
+                if len(br_props) != 1:
+                    raise SevenZipBroken("7z_error")
+                br_spec = {"id": lzma.FILTER_DELTA, "dist": br_props[0] + 1}
+            elif br_id in _BRANCH_CODERS:
+                br_spec = {"id": _BRANCH_CODERS[br_id]}
+            else:
+                raise SevenZipBroken("7z_codec_unsupported")
+            # raw-filter order mirrors COMPRESSION order: data → branch →
+            # LZMA; the decompressor inverts the whole chain
+            filt = [br_spec, _lzma_filter_spec(*self.coders[lz])]
         else:
+            # 3+-coder chains (BCJ2's 4-stream layout etc.)
             raise SevenZipBroken("7z_codec_unsupported")
         try:
             dec = lzma.LZMADecompressor(format=lzma.FORMAT_RAW, filters=filt)
@@ -180,9 +229,11 @@ def _parse_folder(f: io.BytesIO) -> _Folder:
         folder.coders.append((coder_id, props))
         total_in += n_in
         total_out += n_out
+    folder.total_out = total_out
     for _ in range(total_out - 1):  # bind pairs
-        _read_number(f)
-        _read_number(f)
+        in_idx = _read_number(f)
+        out_idx = _read_number(f)
+        folder.bind_pairs.append((in_idx, out_idx))
     num_packed = total_in - (total_out - 1)
     if num_packed > 1:
         for _ in range(num_packed):
@@ -222,7 +273,9 @@ def _parse_streams_info(f: io.BytesIO) -> _StreamsInfo:
                     info.folders = [_parse_folder(f) for _ in range(n_folders)]
                 elif sub == _K_CODERS_UNPACK_SIZE:
                     for folder in info.folders:
-                        n_out = len(folder.coders)  # 1 out stream per coder
+                        # one size per OUT stream (complex coders like
+                        # BCJ2 contribute several)
+                        n_out = getattr(folder, "total_out", len(folder.coders))
                         folder.unpack_sizes = [
                             _read_number(f) for _ in range(n_out)
                         ]
@@ -425,6 +478,9 @@ def build_7z(
     if not with_substreams and len(members) != 1:
         raise ValueError("with_substreams=False needs exactly one member")
     blob = b"".join(payload for _, payload in members)
+    # props byte 18 → dict size 2 MiB (>= preset-1's 1 MiB window)
+    _lzma2_coder = bytes([len(_CODER_LZMA2) | 0x20]) + _CODER_LZMA2 + b"\x01\x12"
+    chain_coders: list[bytes] = []  # second coder of a branch chain
     if codec == "copy":
         packed = blob
         coder = bytes([len(_CODER_COPY)]) + _CODER_COPY
@@ -433,8 +489,26 @@ def build_7z(
             blob, format=lzma.FORMAT_RAW,
             filters=[{"id": lzma.FILTER_LZMA2, "preset": 1}],
         )
-        # props byte 18 → dict size 2 MiB (>= preset-1's 1 MiB window)
-        coder = bytes([len(_CODER_LZMA2) | 0x20]) + _CODER_LZMA2 + b"\x01\x12"
+        coder = _lzma2_coder
+    elif codec == "bcj_lzma2":
+        # data → X86 branch converter → LZMA2 (the layout 7z writes for
+        # executables); header: coder0 = LZMA2, coder1 = BCJ, bind pair
+        # connects BCJ's input to LZMA2's output
+        packed = lzma.compress(
+            blob, format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_X86},
+                     {"id": lzma.FILTER_LZMA2, "preset": 1}],
+        )
+        coder = _lzma2_coder
+        chain_coders = [bytes([1]) + b"\x04"]  # BCJ x86, no props
+    elif codec == "delta_lzma2":
+        packed = lzma.compress(
+            blob, format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_DELTA, "dist": 3},
+                     {"id": lzma.FILTER_LZMA2, "preset": 1}],
+        )
+        coder = _lzma2_coder
+        chain_coders = [bytes([1 | 0x20]) + _CODER_DELTA + b"\x01\x02"]  # dist-1
     else:
         raise ValueError(codec)
 
@@ -453,10 +527,18 @@ def build_7z(
     h.write(_write_number(_K_FOLDER))
     h.write(_write_number(1))  # one folder
     h.write(bytes([0]))  # not external
-    h.write(_write_number(1))  # one coder
+    h.write(_write_number(1 + len(chain_coders)))  # coder count
     h.write(coder)
+    for c in chain_coders:
+        h.write(c)
+    if chain_coders:
+        # one bind pair: converter (coder 1) input ← LZMA2 (coder 0) output
+        h.write(_write_number(1))
+        h.write(_write_number(0))
     h.write(_write_number(_K_CODERS_UNPACK_SIZE))
     h.write(_write_number(len(blob)))
+    for _ in chain_coders:
+        h.write(_write_number(len(blob)))  # branch filters preserve size
     if unpackinfo_crc:
         h.write(_write_number(_K_CRC))
         h.write(bytes([1]))  # all defined

@@ -92,3 +92,33 @@ def test_substreams_crc_multi_member():
     data = build_7z(MEMBERS, codec="copy",
                     unpackinfo_crc=True, substreams_crc=True)
     assert unpack_7z(data) == MEMBERS
+
+
+@pytest.mark.parametrize("codec", ["bcj_lzma2", "delta_lzma2"])
+def test_branch_filter_chains(codec):
+    """BCJ(x86)+LZMA2 and Delta+LZMA2 two-coder folders decode through
+    stdlib raw filter chains (the common layout for executables)."""
+    # x86-ish payload with relative CALLs so BCJ actually transforms bytes
+    payload = (b"\xe8\x12\x34\x56\x00" + bytes(range(64))) * 200
+    members = [("bin/prog.exe", payload), ("readme.txt", b"docs " * 100)]
+    data = build_7z(members, codec=codec)
+    assert unpack_7z(data) == members
+
+
+def test_bcj_lzma2_header_shape_is_two_coders():
+    """The fixture writes a REAL 2-coder folder with a bind pair — the
+    reader must not take the single-coder path."""
+    from hoover_snoop2_spark.operators.sevenzip_extract import (
+        _parse_streams_info,
+    )
+
+    data = build_7z([("a", b"x" * 100)], codec="bcj_lzma2")
+    # parse the raw (unencoded) header directly
+    nh_off, nh_size = __import__("struct").unpack_from("<QQ", data, 12)
+    f = io.BytesIO(data[32 + nh_off: 32 + nh_off + nh_size])
+    assert _read_number(f) == 0x01  # kHeader
+    assert _read_number(f) == 0x04  # kMainStreams
+    info = _parse_streams_info(f)
+    folder = info.folders[0]
+    assert len(folder.coders) == 2
+    assert folder.bind_pairs == [(1, 0)]
