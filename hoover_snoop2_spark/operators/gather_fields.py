@@ -43,6 +43,14 @@ def with_path_fields(df: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
+#: language-detector 2-letter → tesseract 3-letter codes (the subset our
+#: langid emits; reference entities.LANGUAGE_CODE_MAP)
+TESSERACT_LANG_CODES = {
+    "en": "eng", "de": "deu", "fr": "fra", "es": "spa", "ro": "ron",
+    "it": "ita", "pt": "por", "nl": "nld", "pl": "pol", "ru": "rus",
+}
+
+
 def join_ocr_sources(
     digests: DataFrame, ocr_docs: DataFrame, source_name: str = "ocr",
     broadcast: bool = True,
@@ -51,19 +59,77 @@ def join_ocr_sources(
     originals via the md5 embedded in the artifact filename,
     ocr.py:126-127; digest merge at digests.py:298-331).
 
-    ocr_docs: (md5 string, ocrtext string).  Defaults to a broadcast left
-    join — OCR sources are usually dimension-sized next to the corpus;
-    pass ``broadcast=False`` when a whole-corpus OCR pass makes the side
-    table corpus-sized (AQE then picks the join strategy from stats).
+    ocr_docs: (md5, ocrtext) for a single source, or (md5, source,
+    ocrtext) for several (import directories + tesseract_{lang} runs).
+    The result's ``ocrtext`` is the reference's ``map<source, text>`` —
+    one row per document, every OCR source keyed by name — and ``ocr`` is
+    true when ANY source has non-blank text (digests.py:325-331; an
+    all-blank map reports false, not true).
+
+    Defaults to a broadcast left join — OCR sources are usually
+    dimension-sized next to the corpus; pass ``broadcast=False`` when a
+    whole-corpus OCR pass makes the side table corpus-sized (AQE then
+    picks the join strategy from stats).
     """
-    ocr = ocr_docs.select(
-        F.col("md5"),
-        F.map_from_arrays(
-            F.array(F.lit(source_name)), F.array(F.col("ocrtext"))
-        ).alias("ocrtext"),
+    if "source" not in ocr_docs.columns:
+        ocr_docs = ocr_docs.withColumn("source", F.lit(source_name))
+    # collect_set: duplicate-text documents share an md5, so the same
+    # (source, text) entry can arrive once per twin — map_from_entries
+    # rejects duplicate keys under Spark's default EXCEPTION dedup policy
+    ocr = ocr_docs.groupBy("md5").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_set(F.struct("source", "ocrtext")))
+        ).alias("ocrtext")
     )
     out = digests.join(F.broadcast(ocr) if broadcast else ocr, "md5", "left")
-    return out.withColumn("ocr", F.col("ocrtext").isNotNull())
+    return out.withColumn(
+        "ocr",
+        F.coalesce(
+            F.exists(
+                F.map_values("ocrtext"), lambda x: F.length(F.trim(x)) > 0
+            ),
+            F.lit(False),
+        ),
+    )
+
+
+def with_ocr_flags(df: DataFrame, mime_col: str = "mime_type") -> DataFrame:
+    """ocrpdf / ocrimage flags (digests.py:326-331): an OCR'd PDF sets
+    ocrpdf, any other OCR'd source sets ocrimage."""
+    is_pdf = F.col(mime_col) == "application/pdf"
+    return df.withColumn("ocrpdf", F.col("ocr") & is_pdf).withColumn(
+        "ocrimage", F.col("ocr") & ~is_pdf
+    )
+
+
+def filter_ocrtext_by_lang(
+    df: DataFrame,
+    ocr_languages: list[str],
+    lang_col: str = "lang",
+    ocrtext_col: str = "ocrtext",
+) -> DataFrame:
+    """Per-language ocrtext filter at gather time (digests.py:948-968):
+    when the document's detected language maps to a configured tesseract
+    language, keep only the matching ``tesseract_<code>`` entry;
+    ``translated_*`` and custom import sources always survive.  Pure
+    map_filter — no UDF."""
+    code3 = F.create_map(
+        *[F.lit(x) for kv in TESSERACT_LANG_CODES.items() for x in kv]
+    )[F.col(lang_col)]
+    applies = (
+        F.col(lang_col).isNotNull()
+        & code3.isNotNull()
+        & code3.isin(list(ocr_languages))
+        if ocr_languages else F.lit(False)
+    )
+    filtered = F.map_filter(
+        F.col(ocrtext_col),
+        lambda k, v: (~k.startswith("tesseract")) | (~applies) | k.endswith(code3),
+    )
+    return df.withColumn(
+        ocrtext_col,
+        F.when(F.col(ocrtext_col).isNotNull(), filtered),
+    )
 
 
 def join_user_tags(

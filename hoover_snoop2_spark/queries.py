@@ -955,35 +955,70 @@ FROM hits GROUP BY entity, entity_type ORDER BY entity_type, entity
 
 
 def q36_ocr_join(spark, sf_dir):
-    """External-OCR side-source equi-join by md5 (reference ocr.py:73-156,
-    merge digests.py:298-331) — synthesized OCR artifacts for every 10th
-    doc."""
+    """Multi-source OCR merge by md5 (reference ocr.py:73-156, merge
+    digests.py:298-331): ocrtext is the reference's map<source, text> —
+    an import directory covers every 10th doc, a tesseract_eng run every
+    15th; the map is stringified (sorted keys + total chars) so DuckDB
+    can oracle-check it."""
     from .functions.quality import fingerprint
     from .operators.gather_fields import join_ocr_sources
 
     d = _t(spark, sf_dir, "documents").withColumn(
         "md5", fingerprint(F.col("text"))
     )
-    ocr = (
-        d.filter(F.col("doc_id") % 10 == 0)
-        .select("md5", F.concat(F.lit("OCR:"), F.col("text")).alias("ocrtext"))
+    ocr1 = d.filter(F.col("doc_id") % 10 == 0).select(
+        "md5",
+        F.lit("ocr-import").alias("source"),
+        F.concat(F.lit("OCR:"), F.col("text")).alias("ocrtext"),
     )
-    return (
-        join_ocr_sources(d.select("doc_id", "md5"), ocr)
-        .select("doc_id", "ocr")
-        .orderBy("doc_id")
+    ocr2 = d.filter(F.col("doc_id") % 15 == 0).select(
+        "md5",
+        F.lit("tesseract_eng").alias("source"),
+        F.concat(F.lit("T:"), F.col("text")).alias("ocrtext"),
     )
+    joined = join_ocr_sources(
+        d.select("doc_id", "md5"), ocr1.unionByName(ocr2)
+    )
+    return joined.select(
+        "doc_id",
+        "ocr",
+        F.coalesce(
+            F.concat_ws(",", F.array_sort(F.map_keys("ocrtext"))), F.lit("")
+        ).alias("ocr_sources"),
+        F.coalesce(
+            F.aggregate(
+                F.map_values("ocrtext"),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + F.length(x),
+            ),
+            F.lit(0).cast("bigint"),
+        ).alias("ocr_chars"),
+    ).orderBy("doc_id")
 
 
 Q36_SQL = r"""
 WITH d AS (
-  SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS md5
+  SELECT doc_id, text,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS md5
   FROM documents
-), o AS (
-  SELECT md5 FROM d WHERE doc_id % 10 = 0
+), src AS (
+  SELECT md5, 'ocr-import' AS source, 'OCR:' || text AS ocrtext
+  FROM d WHERE doc_id % 10 = 0
+  UNION
+  SELECT md5, 'tesseract_eng' AS source, 'T:' || text AS ocrtext
+  FROM d WHERE doc_id % 15 = 0
+), agg AS (
+  SELECT md5,
+         string_agg(source, ',' ORDER BY source) AS ocr_sources,
+         CAST(sum(length(ocrtext)) AS BIGINT) AS ocr_chars,
+         bool_or(length(trim(ocrtext)) > 0) AS any_text
+  FROM src GROUP BY md5
 )
-SELECT d.doc_id, (o.md5 IS NOT NULL) AS ocr
-FROM d LEFT JOIN o ON d.md5 = o.md5
+SELECT d.doc_id,
+       coalesce(agg.any_text, false) AS ocr,
+       coalesce(agg.ocr_sources, '') AS ocr_sources,
+       coalesce(agg.ocr_chars, 0) AS ocr_chars
+FROM d LEFT JOIN agg USING (md5)
 ORDER BY d.doc_id
 """
 

@@ -54,3 +54,66 @@ def test_user_tags_join(spark):
     assert rows["d1"]["tags"] == ["important", "todo"]
     assert rows["d1"]["private_tags"] == ["bob:secret"]
     assert rows["d2"]["tags"] is None
+
+
+def test_multi_source_ocrtext_map(spark):
+    """ocrtext is a map<source, text>; ocr flag true only for non-blank
+    text somewhere in the map (digests.py:298-331)."""
+    from pyspark.sql import functions as F
+
+    from hoover_snoop2_spark.operators.gather_fields import (
+        filter_ocrtext_by_lang,
+        join_ocr_sources,
+        with_ocr_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "application/pdf", "en"), ("b", "image/png", "de"),
+         ("c", "image/png", None)],
+        "md5 string, mime_type string, lang string",
+    )
+    ocr = spark.createDataFrame(
+        [("a", "ocr-import", "imported text"),
+         ("a", "tesseract_eng", "english ocr"),
+         ("a", "tesseract_deu", "german ocr"),
+         ("a", "translated_en", "translation"),
+         ("b", "tesseract_deu", "   ")],          # blank-only → ocr false
+        "md5 string, source string, ocrtext string",
+    )
+    out = join_ocr_sources(docs, ocr)
+    rows = {r["md5"]: r for r in out.collect()}
+    assert rows["a"]["ocr"] is True
+    assert rows["b"]["ocr"] is False               # all-blank map
+    assert rows["c"]["ocr"] is False and rows["c"]["ocrtext"] is None
+    assert sorted(rows["a"]["ocrtext"]) == [
+        "ocr-import", "tesseract_deu", "tesseract_eng", "translated_en"]
+
+    # language filter: doc 'a' detected en → only tesseract_eng survives;
+    # custom + translated sources always kept
+    filtered = filter_ocrtext_by_lang(out, ["eng", "deu"])
+    fa = {r["md5"]: r for r in filtered.collect()}
+    assert sorted(fa["a"]["ocrtext"]) == [
+        "ocr-import", "tesseract_eng", "translated_en"]
+    assert sorted(fa["b"]["ocrtext"]) == ["tesseract_deu"]  # de → deu kept
+    assert fa["c"]["ocrtext"] is None
+
+    flagged = {r["md5"]: r for r in with_ocr_flags(filtered).collect()}
+    assert flagged["a"]["ocrpdf"] is True and flagged["a"]["ocrimage"] is False
+    assert flagged["b"]["ocrpdf"] is False and flagged["b"]["ocrimage"] is False
+
+
+def test_ocr_duplicate_text_twins_share_entry(spark):
+    """Two documents with identical fingerprints share the OCR row — the
+    duplicate (source, text) entries must not trip Spark's duplicate-map-
+    key exception."""
+    from hoover_snoop2_spark.operators.gather_fields import join_ocr_sources
+
+    docs = spark.createDataFrame(
+        [("m1", 1), ("m1", 2)], "md5 string, doc_id int")
+    ocr = spark.createDataFrame(
+        [("m1", "ocr-import", "same text"), ("m1", "ocr-import", "same text")],
+        "md5 string, source string, ocrtext string",
+    )
+    out = join_ocr_sources(docs, ocr).collect()
+    assert len(out) == 2
+    assert all(dict(r["ocrtext"]) == {"ocr-import": "same text"} for r in out)
