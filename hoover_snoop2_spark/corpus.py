@@ -814,8 +814,10 @@ def build_doc(doc_id: int) -> dict:
                              _golden_from_paragraphs(eml_paras)))
             msgs.append(msg)
         # odd docs write NDB_CRYPT_PERMUTE (Outlook's real-world default)
-        # so the golden corpus exercises the §5.1 decode path end-to-end
-        html = build_pst({"Inbox": msgs}, crypt=doc_id % 2)
+        # and every fifth-ish PST is the 32-bit ANSI format, so the golden
+        # corpus exercises the §5.1 decode and both NDB layouts end-to-end
+        html = build_pst({"Inbox": msgs}, crypt=doc_id % 2,
+                         ansi=doc_id % 5 == 2)
         golden = ""
     elif cat == "ppt-legacy":
         from .operators.ppt_extract import build_ppt

@@ -6,9 +6,10 @@ The reference shells PSTs out to ``readpst`` (archives.py:155-170, task
 re-walks the extracted directory of .eml files.  Here the format is parsed
 directly from the public [MS-PST] spec:
 
-- NDB layer: Unicode header (wVer >= 23) → ROOT BREFs → Node BTree (NBT)
-  and Block BTree (BBT) page walks; data trees (XBLOCK/XXBLOCK) and
-  subnode BTrees (SLBLOCK/SIBLOCK) resolved per node.
+- NDB layer: Unicode (wVer >= 23, 64-bit) AND ANSI (wVer 14/15, 32-bit)
+  headers → ROOT BREFs → Node BTree (NBT) and Block BTree (BBT) page
+  walks; data trees (XBLOCK/XXBLOCK) and subnode BTrees (SLBLOCK/SIBLOCK)
+  resolved per node with format-aware entry widths.
 - LTP layer: Heap-on-Node (HN) page map → BTH → Property Context (PC);
   variable-length values through HID (heap) or NID (subnode) indirection.
 - Messaging layer: every NBT node of type NID_TYPE_NORMAL_MESSAGE becomes
@@ -23,8 +24,8 @@ external data blocks) both decode; the mpbbR table is embedded with a
 permutation self-check and the decrypt table is computed as its inverse.
 
 Deliberate limits (all surfaced as broken reasons, never silent):
-- ANSI PSTs (wVer 14/15) → ``pst_ansi_unsupported``;
-- bCryptMethod CYCLIC (the §5.2 rolling-key cipher) →
+- bCryptMethod CYCLIC (the §5.2 rolling-key cipher needs the mpbbS
+  table, which could not be sourced-and-verified like mpbbR) →
   ``pst_crypt_unsupported``;
 - BTH index levels (bIdxLevels > 0 — beyond what mailbox-scale PCs use)
   → ``pst_parse_error``.  Multi-block heaps ARE supported: HIDs address
@@ -115,36 +116,60 @@ def is_pst(data: bytes) -> bool:
 
 
 class PstFile:
-    """Minimal Unicode-PST reader (NDB + LTP + messaging subset)."""
+    """Minimal PST reader (NDB + LTP + messaging subset), Unicode (wVer
+    >= 23, 64-bit bids/ibs) and ANSI (wVer 14/15, 32-bit) formats.  The
+    LTP and messaging layers are format-independent; only the NDB header
+    offsets, page metadata position, and entry widths differ
+    ([MS-PST] 2.2.2.6 HEADER, 2.2.2.7 pages/blocks)."""
 
     def __init__(self, data: bytes):
         if data[:4] != _MAGIC:
             raise PstBroken("pst_parse_error")
         self.data = data
         (w_ver,) = struct.unpack_from("<H", data, 10)
-        if w_ver < 23:
-            raise PstBroken("pst_ansi_unsupported")
-        crypt = data[513]
+        self.ansi = w_ver < 23
+        if self.ansi and w_ver not in (14, 15):
+            raise PstBroken("pst_parse_error")
+        if self.ansi:
+            # ANSI HEADER: rgnid ends at 164, ROOT @164 with 4-byte
+            # fields → BREF NBT {bid@184, ib@188}, BREF BBT {bid@192,
+            # ib@196}; bSentinel 460, bCryptMethod 461
+            crypt = data[461]
+            (self._ib_nbt,) = struct.unpack_from("<I", data, 188)
+            (self._ib_bbt,) = struct.unpack_from("<I", data, 196)
+        else:
+            # Unicode ROOT @180: dwReserved 4, ibFileEof 8, ibAMapLast 8,
+            # cbAMapFree 8, cbPMapFree 8 → BREF NBT @216 {bid, ib},
+            # BREF BBT @232 {bid, ib}; bCryptMethod @513
+            crypt = data[513]
+            (self._ib_nbt,) = struct.unpack_from("<Q", data, 224)
+            (self._ib_bbt,) = struct.unpack_from("<Q", data, 240)
         if crypt not in (NDB_CRYPT_NONE, NDB_CRYPT_PERMUTE):
             # CYCLIC (bCryptMethod=2) needs the §5.2 rolling-key cipher —
             # still surfaced honestly rather than decoded wrong
             raise PstBroken("pst_crypt_unsupported")
         self._crypt = crypt
-        # ROOT @180: dwReserved 4, ibFileEof 8, ibAMapLast 8, cbAMapFree 8,
-        # cbPMapFree 8 → BREF NBT @216 {bid, ib}, BREF BBT @232 {bid, ib}
-        (self._ib_nbt,) = struct.unpack_from("<Q", data, 224)
-        (self._ib_bbt,) = struct.unpack_from("<Q", data, 240)
         # bid → (ib, cb)
         self.blocks: dict[int, tuple[int, int]] = {}
         for entry in self._walk_btree(self._ib_bbt):
-            bid, ib = struct.unpack_from("<QQ", entry, 0)
-            (cb,) = struct.unpack_from("<H", entry, 16)
+            if self.ansi:  # BBTENTRY ANSI: BREF {bid 4, ib 4}, cb 2
+                bid, ib = struct.unpack_from("<II", entry, 0)
+                (cb,) = struct.unpack_from("<H", entry, 8)
+            else:          # BBTENTRY: BREF {bid 8, ib 8}, cb 2
+                bid, ib = struct.unpack_from("<QQ", entry, 0)
+                (cb,) = struct.unpack_from("<H", entry, 16)
             self.blocks[bid] = (ib, cb)
         # nid → (bidData, bidSub, nidParent)
         self.nodes: dict[int, tuple[int, int, int]] = {}
         for entry in self._walk_btree(self._ib_nbt):
-            nid, bid_data, bid_sub = struct.unpack_from("<QQQ", entry, 0)
-            (nid_parent,) = struct.unpack_from("<I", entry, 24)
+            if self.ansi:  # NBTENTRY ANSI: nid 4, bidData 4, bidSub 4,
+                           # nidParent 4
+                nid, bid_data, bid_sub, nid_parent = struct.unpack_from(
+                    "<IIII", entry, 0)
+            else:          # NBTENTRY: nid 8, bidData 8, bidSub 8,
+                           # nidParent 4
+                nid, bid_data, bid_sub = struct.unpack_from("<QQQ", entry, 0)
+                (nid_parent,) = struct.unpack_from("<I", entry, 24)
             self.nodes[nid & 0xFFFFFFFF] = (bid_data, bid_sub, nid_parent)
 
     # ---- NDB ----------------------------------------------------------
@@ -154,13 +179,22 @@ class PstFile:
         if depth > 16 or ib + 512 > len(self.data):
             raise PstBroken("pst_parse_error")
         page = self.data[ib : ib + 512]
-        c_ent, _c_max, cb_ent, c_level = struct.unpack_from("<BBBB", page, 488)
-        if cb_ent == 0 or c_ent * cb_ent > 488:
+        # page metadata: Unicode @488 (492-495 padding, 16-byte trailer);
+        # ANSI @496 (12-byte trailer)
+        meta_off = 496 if self.ansi else 488
+        c_ent, _c_max, cb_ent, c_level = struct.unpack_from(
+            "<BBBB", page, meta_off)
+        if cb_ent == 0 or c_ent * cb_ent > meta_off:
             raise PstBroken("pst_parse_error")
         for i in range(c_ent):
             entry = page[i * cb_ent : (i + 1) * cb_ent]
-            if c_level > 0:  # BTENTRY: btkey 8, BREF {bid 8, ib 8}
-                (child_ib,) = struct.unpack_from("<Q", entry, 16)
+            if c_level > 0:
+                # BTENTRY: btkey + BREF — child ib after (key, bid):
+                # Unicode 8+8 → @16 (8 bytes); ANSI 4+4 → @8 (4 bytes)
+                if self.ansi:
+                    (child_ib,) = struct.unpack_from("<I", entry, 8)
+                else:
+                    (child_ib,) = struct.unpack_from("<Q", entry, 16)
                 yield from self._walk_btree(child_ib, depth + 1)
             else:
                 yield entry
@@ -195,7 +229,11 @@ class PstFile:
             raise PstBroken("pst_parse_error")
         parts: list[bytes] = []
         for i in range(c_ent):
-            (child_bid,) = struct.unpack_from("<Q", raw, 8 + i * 8)
+            # rgbid after the 8-byte header; 4-byte bids in ANSI
+            if self.ansi:
+                (child_bid,) = struct.unpack_from("<I", raw, 8 + i * 4)
+            else:
+                (child_bid,) = struct.unpack_from("<Q", raw, 8 + i * 8)
             parts.extend(self._node_blocks(child_bid, depth + 1))
         return parts
 
@@ -213,13 +251,22 @@ class PstFile:
         btype, c_level, c_ent = struct.unpack_from("<BBH", raw, 0)
         if btype != 2:
             raise PstBroken("pst_parse_error")
-        if c_level == 0:  # SLENTRY: nid 8, bidData 8, bidSub 8
+        # entries start after dwPadding (Unicode only) — ANSI packs them
+        # right after the 4-byte header; ANSI entries are 4-byte fields
+        base = 4 if self.ansi else 8
+        if c_level == 0:  # SLENTRY: nid, bidData, bidSub
             for i in range(c_ent):
-                nid, bd, bs = struct.unpack_from("<QQQ", raw, 8 + i * 24)
+                if self.ansi:
+                    nid, bd, bs = struct.unpack_from("<III", raw, base + i * 12)
+                else:
+                    nid, bd, bs = struct.unpack_from("<QQQ", raw, base + i * 24)
                 out[nid & 0xFFFFFFFF] = (bd, bs)
-        else:  # SIENTRY: nid 8, bid 8
+        else:  # SIENTRY: nid, bid
             for i in range(c_ent):
-                _nid, bid = struct.unpack_from("<QQ", raw, 8 + i * 16)
+                if self.ansi:
+                    _nid, bid = struct.unpack_from("<II", raw, base + i * 8)
+                else:
+                    _nid, bid = struct.unpack_from("<QQ", raw, base + i * 16)
                 out.update(self._subnodes(bid, depth + 1))
         return out
 
@@ -556,13 +603,16 @@ def _build_hn_pc(props: list[tuple[int, int, object]]) -> list[bytes]:
 
 
 class _PstWriter:
-    """Byte-level writer for a minimal, reader-complete Unicode PST."""
+    """Byte-level writer for a minimal, reader-complete PST — Unicode by
+    default, ANSI (wVer 15, 32-bit structures, 12-byte trailers) with
+    ``ansi=True``."""
 
-    def __init__(self, crypt: int = 0):
+    def __init__(self, crypt: int = 0, ansi: bool = False):
         self.buf = bytearray(1024)  # header area
         self.blocks: list[tuple[int, int, int]] = []  # (bid, ib, cb)
         self.next_bid = 4
         self.crypt = crypt
+        self.ansi = ansi
 
     def add_block(self, payload: bytes, internal: bool = False) -> int:
         bid = self.next_bid | (2 if internal else 0)  # bit 1 = internal
@@ -571,38 +621,68 @@ class _PstWriter:
         if self.crypt == NDB_CRYPT_PERMUTE and not internal:
             payload = payload.translate(_MPBB_R)  # encrypt direction
         self.buf += payload
-        # block trailer at 64-byte-aligned end: cb 2, wSig 2, dwCRC 4, bid 8
-        total = -(-(len(payload) + 16) // 64) * 64
-        pad = total - len(payload) - 16
-        self.buf += bytes(pad) + struct.pack("<HHIQ", len(payload), 0, 0, bid)
+        # block trailer at 64-byte-aligned end:
+        # Unicode (16 B): cb 2, wSig 2, dwCRC 4, bid 8
+        # ANSI    (12 B): cb 2, wSig 2, bid 4, dwCRC 4
+        tsize = 12 if self.ansi else 16
+        total = -(-(len(payload) + tsize) // 64) * 64
+        pad = total - len(payload) - tsize
+        trailer = (
+            struct.pack("<HHII", len(payload), 0, bid, 0) if self.ansi
+            else struct.pack("<HHIQ", len(payload), 0, 0, bid)
+        )
+        self.buf += bytes(pad) + trailer
         self.blocks.append((bid, ib, len(payload)))
         return bid
 
     def _page(self, entries: list[bytes], cb_ent: int, ptype: int) -> int:
-        assert len(entries) * cb_ent <= 488, "fixture exceeds one page"
+        body_size = 496 if self.ansi else 488
+        assert len(entries) * cb_ent <= body_size, "fixture exceeds one page"
         body = b"".join(entries)
-        page = body + bytes(488 - len(body))
-        page += struct.pack("<BBBBI", len(entries), 488 // cb_ent, cb_ent, 0, 0)
-        page += struct.pack("<BBHIQ", ptype, ptype, 0, 0, 0)
+        page = body + bytes(body_size - len(body))
+        if self.ansi:
+            page += struct.pack("<BBBB", len(entries), body_size // cb_ent,
+                                cb_ent, 0)
+            page += struct.pack("<BBHII", ptype, ptype, 0, 0, 0)  # 12 B
+        else:
+            page += struct.pack("<BBBBI", len(entries), body_size // cb_ent,
+                                cb_ent, 0, 0)
+            page += struct.pack("<BBHIQ", ptype, ptype, 0, 0, 0)  # 16 B
+        assert len(page) == body_size + (16 if self.ansi else 24)
         ib = len(self.buf)
         self.buf += page
         return ib
 
     def finish(self, node_entries: list[bytes]) -> bytes:
-        bbt_entries = [
-            struct.pack("<QQHHI", bid, ib, cb, 1, 0)
-            for bid, ib, cb in self.blocks
-        ]
-        ib_bbt = self._page(bbt_entries, 24, 0x80)
-        ib_nbt = self._page(node_entries, 32, 0x81)
+        if self.ansi:
+            bbt_entries = [
+                struct.pack("<IIHH", bid, ib, cb, 1)
+                for bid, ib, cb in self.blocks
+            ]
+            ib_bbt = self._page(bbt_entries, 12, 0x80)
+            ib_nbt = self._page(node_entries, 16, 0x81)
+        else:
+            bbt_entries = [
+                struct.pack("<QQHHI", bid, ib, cb, 1, 0)
+                for bid, ib, cb in self.blocks
+            ]
+            ib_bbt = self._page(bbt_entries, 24, 0x80)
+            ib_nbt = self._page(node_entries, 32, 0x81)
         hdr = self.buf
         hdr[0:4] = _MAGIC
         struct.pack_into("<H", hdr, 8, 0x4D53)  # wMagicClient 'SM'
-        struct.pack_into("<H", hdr, 10, 23)     # wVer: Unicode
-        struct.pack_into("<Q", hdr, 184, len(hdr))  # ibFileEof
-        struct.pack_into("<QQ", hdr, 216, 0, ib_nbt)  # BREF NBT
-        struct.pack_into("<QQ", hdr, 232, 0, ib_bbt)  # BREF BBT
-        hdr[513] = self.crypt  # bCryptMethod
+        if self.ansi:
+            struct.pack_into("<H", hdr, 10, 15)     # wVer: ANSI
+            struct.pack_into("<I", hdr, 168, len(hdr))   # ibFileEof
+            struct.pack_into("<II", hdr, 184, 0, ib_nbt)  # BREF NBT
+            struct.pack_into("<II", hdr, 192, 0, ib_bbt)  # BREF BBT
+            hdr[461] = self.crypt  # bCryptMethod (ANSI offset)
+        else:
+            struct.pack_into("<H", hdr, 10, 23)     # wVer: Unicode
+            struct.pack_into("<Q", hdr, 184, len(hdr))  # ibFileEof
+            struct.pack_into("<QQ", hdr, 216, 0, ib_nbt)  # BREF NBT
+            struct.pack_into("<QQ", hdr, 232, 0, ib_bbt)  # BREF BBT
+            hdr[513] = self.crypt  # bCryptMethod
         return bytes(hdr)
 
 
@@ -611,23 +691,41 @@ def _add_hn(w: "_PstWriter", blocks: list[bytes]) -> int:
     if len(blocks) == 1:
         return w.add_block(blocks[0])
     bids = [w.add_block(b) for b in blocks]
+    fmt = "<I" if w.ansi else "<Q"
     xblock = struct.pack(
         "<BBHI", 1, 1, len(bids), sum(len(b) for b in blocks)
-    ) + b"".join(struct.pack("<Q", b) for b in bids)
+    ) + b"".join(struct.pack(fmt, b) for b in bids)
     return w.add_block(xblock, internal=True)
+
+
+def _sl_block(w: "_PstWriter", entries: list[tuple[int, int, int]]) -> int:
+    """Write an SLBLOCK for (nid, bidData, bidSub) entries — Unicode has
+    a 4-byte padding after the header and 24-byte entries; ANSI packs
+    12-byte entries immediately."""
+    if w.ansi:
+        sl = struct.pack("<BBH", 2, 0, len(entries)) + b"".join(
+            struct.pack("<III", n, bd, bs) for n, bd, bs in entries
+        )
+    else:
+        sl = struct.pack("<BBHI", 2, 0, len(entries), 0) + b"".join(
+            struct.pack("<QQQ", n, bd, bs) for n, bd, bs in entries
+        )
+    return w.add_block(sl, internal=True)
 
 
 def build_pst(
     folders: dict[str, list[dict]],
     base_time: datetime | None = None,
     crypt: int = 0,
+    ansi: bool = False,
 ) -> bytes:
     """Deterministic PST fixture.  ``folders``: {folder_name: [message
     dicts with subject/body/sender_name/sender_email/to keys]}.  Bodies
     past ~3.5 KB produce a two-block heap behind an XBLOCK data tree.
     ``crypt=1`` writes NDB_CRYPT_PERMUTE-encoded data blocks (Outlook's
-    default on real files)."""
-    w = _PstWriter(crypt=crypt)
+    default on real files); ``ansi=True`` writes the 32-bit wVer-15
+    format."""
+    w = _PstWriter(crypt=crypt, ansi=ansi)
     node_entries: list[tuple[int, int, int, int]] = []  # nid,bidData,bidSub,parent
 
     folder_nid = 0x402  # nidIndex 32, type NORMAL_FOLDER
@@ -663,13 +761,7 @@ def build_pst(
                     (0x6000 + msg_index * 16 + k) << 5
                 ) | NID_TYPE_ATTACHMENT
                 sl_entries.append((att_nid, abid, 0))
-            bid_sub = 0
-            if sl_entries:
-                sl = struct.pack("<BBHI", 2, 0, len(sl_entries), 0) + b"".join(
-                    struct.pack("<QQQ", n_, bd_, bs_)
-                    for n_, bd_, bs_ in sl_entries
-                )
-                bid_sub = w.add_block(sl, internal=True)
+            bid_sub = _sl_block(w, sl_entries) if sl_entries else 0
             props = [
                 (PR_SUBJECT, PT_UNICODE, m.get("subject", "")),
                 body_prop,
@@ -687,8 +779,14 @@ def build_pst(
             msg_index += 1
             node_entries.append((nid, mbid, bid_sub, this_folder))
 
-    raw_entries = [
-        struct.pack("<QQQII", nid, bd, bs, parent, 0)
-        for nid, bd, bs, parent in sorted(node_entries)
-    ]
+    if ansi:
+        raw_entries = [
+            struct.pack("<IIII", nid, bd, bs, parent)
+            for nid, bd, bs, parent in sorted(node_entries)
+        ]
+    else:
+        raw_entries = [
+            struct.pack("<QQQII", nid, bd, bs, parent, 0)
+            for nid, bd, bs, parent in sorted(node_entries)
+        ]
     return w.finish(raw_entries)

@@ -70,13 +70,8 @@ def test_pst_eml_children_parse_as_email():
     assert d["email_from"] and "jane@example.com" in d["email_from"][0]
 
 
-def test_ansi_and_crypt_rejected():
+def test_crypt_rejected():
     pst = bytearray(build_pst(MSGS))
-    ansi = bytearray(pst)
-    struct.pack_into("<H", ansi, 10, 15)
-    with pytest.raises(PstBroken) as e:
-        PstFile(bytes(ansi))
-    assert e.value.reason == "pst_ansi_unsupported"
     enc = bytearray(pst)
     enc[513] = 2  # NDB_CRYPT_CYCLIC — the one crypt mode still unsupported
     with pytest.raises(PstBroken) as e:
@@ -212,3 +207,33 @@ def test_large_attachment_multiblock_heap():
     rows = analyze_blob("k", eml)
     by_name = {r["child_name"]: r["child_data"] for r in rows[1:]}
     assert by_name["blob.bin"] == payload
+
+
+def test_ansi_format_round_trip():
+    """ANSI (wVer 15, 32-bit NDB) mailboxes extract identically to their
+    Unicode twins — header offsets, page trailers, entry widths, XBLOCK
+    bids, and SLBLOCK layout all differ ([MS-PST] 2.2.2.6-2.2.2.8)."""
+    pst = build_pst(MSGS, ansi=True)
+    assert pst[10] == 15  # wVer ANSI
+    assert unpack_pst(pst) == unpack_pst(build_pst(MSGS))
+
+
+def test_ansi_permute_attachments_and_multiblock():
+    """ANSI x PERMUTE x attachments x multi-block heap — every structural
+    variant at once."""
+    big_body = ("ansi paragraph text. " * 300).strip()
+    folders = {"Inbox": [
+        {"subject": "full fat", "body": big_body,
+         "sender_name": "A", "sender_email": "a@x.example",
+         "to": "b@x.example",
+         "attachments": [{"name": "data.bin",
+                          "data": bytes(range(256)) * 8}]},
+        {"subject": "sub", "body": "via subnode", "body_via_subnode": True},
+    ]}
+    ref = unpack_pst(build_pst(folders))
+    for crypt in (0, 1):
+        got = unpack_pst(build_pst(folders, crypt=crypt, ansi=True))
+        assert got == ref
+    rows = analyze_blob("k", got[0][1])
+    by_name = {r["child_name"]: r["child_data"] for r in rows[1:]}
+    assert by_name["data.bin"] == bytes(range(256)) * 8
