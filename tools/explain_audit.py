@@ -24,6 +24,8 @@ AUDITED = [
     "q26_embedding_dups",
     "q27_ngram_jaccard",
     "q30_minhash_lsh_dups",
+    "q31_simhash_dups",
+    "q36_ocr_join",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -37,6 +39,8 @@ CHECKS = {
     "q26_embedding_dups": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
     "q27_ngram_jaccard": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
     "q30_minhash_lsh_dups": ["!CartesianProduct"],
+    "q31_simhash_dups": ["LeftSemi", "!CartesianProduct"],
+    "q36_ocr_join": ["BroadcastHashJoin"],
 }
 
 NOTES = {
@@ -46,6 +50,12 @@ NOTES = {
     "q26_embedding_dups": "bucket-equi join on the LSH sign-projection — "
         "the all-pairs `id_a < id_b` nested loop is gone; cosine+threshold "
         "filter runs before the pair-dedup shuffle.",
+    "q31_simhash_dups": "the LeftSemi is the degenerate-bucket cap: block "
+        "buckets above max_bucket are dropped before the self-join, so "
+        "identical-boilerplate families cannot make it quadratic.",
+    "q36_ocr_join": "OCR side sources are dimension-sized and broadcast; "
+        "ocrtext is built as map<source,text> with map_from_entries over "
+        "collect_set — one narrow groupBy on the tiny side table only.",
     "q30_minhash_lsh_dups": "the Jaccard-verify joins carry NO forced "
         "broadcast hint — the planner broadcasts the candidate shingle "
         "set while it is small and degrades to a shuffle join for large "
