@@ -86,18 +86,29 @@ def _bench_corpus(spark, n_docs: int) -> str:
 def bench_extraction(spark, pages_path: str, n_docs: int) -> dict:
     """Full pipeline wall time (fast-path materialization: persist, no
     parquet checkpoints — the resumable mode is benched separately by the
-    pipeline tests)."""
+    pipeline tests).
+
+    Best-of-N (SPARK_GRAFT_EXTRACTION_REPEATS, default 2), same rationale
+    as the query loop: a co-tenant load spike landing on the single
+    extraction pass was measured to under-report throughput ~2.7x; all
+    run walls are recorded so the spread is visible."""
     from hoover_snoop2_spark.plans.pipeline import run_extraction
 
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_EXTRACTION_REPEATS", "2")))
     pages = spark.read.parquet(pages_path)
-    t0 = time.perf_counter()
-    digests, _ = run_extraction(spark, pages, checkpoint_dir=None)
-    n_urls = digests.count()
-    wall = time.perf_counter() - t0
+    walls = []
+    n_urls = 0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        digests, _ = run_extraction(spark, pages, checkpoint_dir=None)
+        n_urls = digests.count()
+        walls.append(time.perf_counter() - t0)
+    wall = min(walls)
     return {
         "docs": n_docs,
         "urls": n_urls,
         "wall_sec": round(wall, 3),
+        "runs_sec": [round(w, 3) for w in walls],
         "docs_per_sec": round(n_docs / wall, 2),
         "urls_per_sec": round(n_urls / wall, 2),
     }

@@ -252,16 +252,24 @@ def ann_lsh_topk(
     k: int = 5,
     n_planes: int | None = None,
     dim: int | None = None,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate top-k: candidates limited to the query's LSH bucket and
     its hamming-1 neighbor buckets (multi-probe), then exact cosine.
 
-    At scale: ``vectors`` is hashed and shuffled ONCE on bucket; each query
-    expands to n_planes+1 probe rows — the join is bucket-equi, no cross
-    product.  ``n_planes=None`` (default) derives the plane count from the
-    big side's row count (auto_planes) — the count against ``vectors`` is
-    parquet-metadata cheap and keeps the mean bucket bounded as the corpus
-    grows instead of freezing at 64 buckets.
+    At scale: ``vectors`` is hashed and shuffled ONCE on (table, bucket);
+    each query expands to n_tables·(n_planes+1) probe rows — the join is
+    bucket-equi, no cross product.  ``n_planes=None`` (default) derives
+    the plane count from the big side's row count (auto_planes) — the
+    count against ``vectors`` is parquet-metadata cheap and keeps the mean
+    bucket bounded as the corpus grows instead of freezing at 64 buckets.
+
+    ``n_tables`` is the recall lever past auto_planes' high clamp: L
+    independent plane sets raise candidate recall to 1-(1-p)^L at the
+    cost of hashing the big side L times (rows ×L through the one
+    shuffle).  Prefer more tables over fewer planes when buckets are
+    already small — fewer planes fattens every bucket, more tables only
+    multiplies the (cheap) hash rows.
     """
     if dim is None:
         # infer from the QUERY side — always dimension-sized; inferring
@@ -270,33 +278,51 @@ def ann_lsh_topk(
         dim = first[0]
     if n_planes is None:
         n_planes = auto_planes(vectors.count())
-    planes = _plane_literals(dim, n_planes)
+    tables = [
+        _plane_literals(dim, n_planes, seed=42 + 7 * t)
+        for t in range(max(1, n_tables))
+    ]
 
     v = vectors.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).cast("array<double>").alias("nv"),
-        bucket_expr(vec_col, planes).alias("bucket"),
-    )
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(t).alias("tbl"),
+                    bucket_expr(vec_col, planes).alias("bucket"),
+                )
+                for t, planes in enumerate(tables)
+            ])
+        ).alias("tb"),
+    ).select("neighbor_id", "nv", "tb.tbl", "tb.bucket")
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
-        bucket_expr(vec_col, planes).alias("qbucket"),
+        *[
+            bucket_expr(vec_col, planes).alias(f"qb_{t}")
+            for t, planes in enumerate(tables)
+        ],
     )
     probes = q.select(
         "query_id",
         "qv",
         F.explode(
-            F.array(
-                F.col("qbucket"),
-                *[
-                    F.col("qbucket").bitwiseXOR(F.lit(1 << i))
-                    for i in range(n_planes)
-                ],
-            )
-        ).alias("bucket"),
-    )
+            F.array(*[
+                F.struct(F.lit(t).alias("tbl"), b.alias("bucket"))
+                for t in range(len(tables))
+                for b in (
+                    F.col(f"qb_{t}"),
+                    *[
+                        F.col(f"qb_{t}").bitwiseXOR(F.lit(1 << i))
+                        for i in range(n_planes)
+                    ],
+                )
+            ])
+        ).alias("tb"),
+    ).select("query_id", "qv", "tb.tbl", "tb.bucket")
     scored = (
-        v.join(F.broadcast(probes), "bucket")
+        v.join(F.broadcast(probes), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cosine", F.round(cosine_expr("qv", "nv"), 4))
         .select("query_id", "neighbor_id", "cosine")
