@@ -61,7 +61,7 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 9
+CORPUS_VERSION = 10
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
@@ -772,10 +772,16 @@ def build_doc(doc_id: int) -> dict:
             members.append((f"docs/file{i}.txt", body.encode("utf-8")))
             children.append((f"docs/file{i}.txt",
                              _golden_from_paragraphs([body])))
-        # rotate codecs so the golden corpus exercises plain, LZMA2, and
-        # the BCJ branch-converter chain end-to-end
-        codec = ("lzma2", "copy", "bcj_lzma2")[doc_id % 3]
-        html = build_7z(members, codec=codec)
+        # rotate containers/codecs so the golden corpus exercises plain,
+        # LZMA2 and BCJ 7z folders plus both RAR generations end-to-end
+        if doc_id % 5 == 4:
+            from .operators.rar_extract import build_rar4, build_rar5
+
+            build_rar = build_rar5 if doc_id % 2 else build_rar4
+            html = build_rar(members)
+        else:
+            codec = ("lzma2", "copy", "bcj_lzma2")[doc_id % 3]
+            html = build_7z(members, codec=codec)
         golden = ""
     elif cat == "pst":
         from .operators.pst_extract import build_pst

@@ -39,15 +39,15 @@ UNPACK_MIME_TYPES = frozenset(
         "application/mbox",
         "application/x-hoover-pst",
         "application/x-7z-compressed",
-    }
-)
-
-#: recognized container formats requiring external tools — marked broken
-BROKEN_ARCHIVE_MIME_TYPES = frozenset(
-    {
         "application/x-rar",
     }
 )
+
+#: recognized container formats requiring external tools — marked broken.
+#: Empty since the native RAR container reader landed (stored members
+#: extract; compressed ones surface rar_method_unsupported) — kept as a
+#: set so a future genuinely-external format slots back in.
+BROKEN_ARCHIVE_MIME_TYPES = frozenset()
 
 #: path separator marking "inside a container" (reference digests.py:726-738)
 CONTAINER_SEP = "//"
@@ -195,6 +195,19 @@ def unpack_bytes(data: bytes, mime_type: str) -> list[tuple[str, bytes]]:
         try:
             return unpack_pst(data)[:MAX_CHILDREN]
         except PstBroken as e:
+            raise UnpackBroken(e.reason) from e
+    if mime_type == "application/x-rar":
+        # native RAR4/RAR5 container parse — stored members extract;
+        # RAR's proprietary compression surfaces rar_method_unsupported
+        # (the reference shells to `7z x`, archives.py:173-203)
+        from .rar_extract import RarBroken, unpack_rar
+
+        try:
+            return [
+                (n, b) for n, b in unpack_rar(data, MAX_CHILD_BYTES)
+                if len(b) <= MAX_CHILD_BYTES
+            ][:MAX_CHILDREN]
+        except RarBroken as e:
             raise UnpackBroken(e.reason) from e
     if mime_type in BROKEN_ARCHIVE_MIME_TYPES:
         raise UnpackBroken("archive_tool_missing")

@@ -27,7 +27,8 @@ from pyspark.sql import functions as F
 
 MEDIA_SCHEMA = (
     "sha3_256 string, media_type string, width int, height int, "
-    "n_frames int, feature array<float>, status string, broken_reason string"
+    "n_frames int, sample_rate int, n_channels int, duration_ms bigint, "
+    "feature array<float>, status string, broken_reason string"
 )
 
 #: feature vector length of the stub extractor
@@ -72,6 +73,47 @@ def parse_audio_header(data: bytes) -> tuple[str, int, int] | None:
     return None
 
 
+def parse_video_header(data: bytes) -> tuple[str, int, int] | None:
+    """(kind, duration_ms, n_tracks) for MP4/ISO-BMFF (box walk → moov/
+    mvhd timescale+duration, trak count) and EBML containers (MKV/WebM
+    detected by DocType); header-only, public format specs."""
+    if len(data) >= 12 and data[4:8] == b"ftyp":
+        duration_ms = 0
+        n_tracks = 0
+        pos = 0
+        while pos + 8 <= len(data):
+            (size,) = struct.unpack(">I", data[pos:pos + 4])
+            btype = data[pos + 4:pos + 8]
+            if size < 8:
+                break
+            if btype == b"moov":
+                end = min(len(data), pos + size)
+                q = pos + 8
+                while q + 8 <= end:
+                    (bsz,) = struct.unpack(">I", data[q:q + 4])
+                    bt = data[q + 4:q + 8]
+                    if bsz < 8:
+                        break
+                    if bt == b"mvhd" and q + 28 <= len(data):
+                        ver = data[q + 8]
+                        if ver == 0:
+                            ts, dur = struct.unpack(">II", data[q + 20:q + 28])
+                        else:  # version 1: 64-bit times
+                            ts, = struct.unpack(">I", data[q + 28:q + 32])
+                            dur, = struct.unpack(">Q", data[q + 32:q + 40])
+                        duration_ms = int(dur * 1000 / ts) if ts else 0
+                    elif bt == b"trak":
+                        n_tracks += 1
+                    q += bsz
+                return "mp4", duration_ms, n_tracks
+            pos += size
+        return "mp4", 0, 0
+    if data[:4] == b"\x1a\x45\xdf\xa3":
+        kind = "webm" if b"webm" in data[:64] else "mkv"
+        return kind, 0, 0
+    return None
+
+
 def _stub_feature(data: bytes) -> list[float]:
     """Deterministic fake feature: byte-histogram moments.  Stands in for a
     real embedding model; the Spark plumbing (schema, batching, skew) is
@@ -90,32 +132,41 @@ def _stub_feature(data: bytes) -> list[float]:
 def media_map_in_pandas(decode_stub: bool = True):
     """mapInPandas body factory over (sha3_256, data) batches."""
 
+    BASE = dict(media_type=None, width=None, height=None, n_frames=None,
+                sample_rate=None, n_channels=None, duration_ms=None,
+                feature=None, status=None, broken_reason=None)
+
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for sha, data in zip(pdf["sha3_256"], pdf["data"]):
                 data = data or b""
-                hdr = parse_image_header(data)
-                if hdr is None:
-                    rows.append(
-                        dict(sha3_256=sha, media_type=None, width=None,
-                             height=None, n_frames=None, feature=None,
-                             status="skipped", broken_reason="not_media")
-                    )
-                    continue
-                kind, w, h = hdr
-                if not decode_stub:
-                    rows.append(
-                        dict(sha3_256=sha, media_type=kind, width=w, height=h,
-                             n_frames=None, feature=None, status="broken",
-                             broken_reason="media_decoder_missing")
-                    )
-                    continue
-                rows.append(
-                    dict(sha3_256=sha, media_type=kind, width=w, height=h,
-                         n_frames=1, feature=_stub_feature(data),
-                         status="success", broken_reason=None)
+                row = dict(BASE, sha3_256=sha)
+                img = parse_image_header(data)
+                aud = parse_audio_header(data) if img is None else None
+                vid = (
+                    parse_video_header(data)
+                    if img is None and aud is None else None
                 )
+                if img is not None:
+                    row.update(media_type=img[0], width=img[1],
+                               height=img[2], n_frames=1)
+                elif aud is not None:
+                    row.update(media_type=aud[0], sample_rate=aud[1],
+                               n_channels=aud[2])
+                elif vid is not None:
+                    row.update(media_type=vid[0], duration_ms=vid[1],
+                               n_frames=vid[2] or None)
+                else:
+                    row.update(status="skipped", broken_reason="not_media")
+                    rows.append(row)
+                    continue
+                if not decode_stub:
+                    row.update(status="broken",
+                               broken_reason="media_decoder_missing")
+                else:
+                    row.update(feature=_stub_feature(data), status="success")
+                rows.append(row)
             yield pd.DataFrame(rows)
 
     return fn

@@ -1,0 +1,279 @@
+"""RAR archive reading — a pure-Python container parser for the public
+RAR 4.x and RAR 5.0 block formats (the technote shipped with unrar and
+the rarfile project's format documentation).
+
+The reference shells RARs to ``7z x`` (archives.py:173-203).  RAR's
+COMPRESSION codecs (LZSS+PPMd variants) are proprietary reverse-
+engineered territory, so this module deliberately decodes only what has
+a public, deterministic definition:
+
+- the container structure of both generations (RAR4 7-byte signature,
+  CRC'd block chain; RAR5 8-byte signature, vint-framed blocks);
+- STORED members (RAR4 method 0x30 / RAR5 compression method 0) extract
+  byte-exactly;
+- anything compressed → ``rar_method_unsupported``; encrypted headers or
+  members → ``rar_encrypted`` — never a wrong extraction, and a strictly
+  better story than the old blanket ``archive_tool_missing``.
+
+A deterministic fixture writer (both generations, correct header CRCs)
+backs the tests and the golden corpus.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+RAR_MIME = "application/x-rar"
+
+_SIG4 = b"Rar!\x1a\x07\x00"
+_SIG5 = b"Rar!\x1a\x07\x01\x00"
+
+# RAR4 block types
+_R4_MAIN = 0x73
+_R4_FILE = 0x74
+_R4_END = 0x7B
+
+_R4_FLAG_ADD_SIZE = 0x8000
+_R4_FLAG_PASSWORD = 0x0004      # file block: encrypted payload
+_R4_MAIN_FLAG_ENC = 0x0080      # main block: encrypted block headers
+_R4_FLAG_LARGE = 0x0100
+_R4_FLAG_UNICODE = 0x0200
+_R4_METHOD_STORE = 0x30
+
+# RAR5 header types
+_R5_MAIN = 1
+_R5_FILE = 2
+_R5_SERVICE = 3
+_R5_ENCRYPTION = 4
+_R5_END = 5
+
+
+class RarBroken(Exception):
+    def __init__(self, reason: str):
+        super().__init__(reason)
+        self.reason = reason
+
+
+def is_rar(data: bytes) -> bool:
+    return data.startswith(_SIG4) or data.startswith(_SIG5)
+
+
+def unpack_rar(data: bytes, max_bytes: int = 256 * 2**20) -> list[tuple[str, bytes]]:
+    """RAR bytes → [(member name, member bytes)] for all-STORED archives;
+    raises RarBroken('rar_method_unsupported' | 'rar_encrypted' |
+    'rar_error') otherwise."""
+    if data.startswith(_SIG5):
+        return _unpack_rar5(data, max_bytes)
+    if data.startswith(_SIG4):
+        return _unpack_rar4(data, max_bytes)
+    raise RarBroken("rar_error")
+
+
+# ---------------------------------------------------------------------------
+# RAR 4.x
+# ---------------------------------------------------------------------------
+
+
+def _unpack_rar4(data: bytes, max_bytes: int) -> list[tuple[str, bytes]]:
+    pos = len(_SIG4)
+    out: list[tuple[str, bytes]] = []
+    budget = max_bytes
+    while pos + 7 <= len(data):
+        _crc, btype, flags, size = struct.unpack_from("<HBHH", data, pos)
+        if size < 7:
+            raise RarBroken("rar_error")
+        if btype == _R4_END:
+            break
+        if btype == _R4_MAIN:
+            if flags & _R4_MAIN_FLAG_ENC:
+                raise RarBroken("rar_encrypted")
+            pos += size
+            continue
+        if btype != _R4_FILE:
+            # any other block: generic skip, honoring ADD_SIZE payloads
+            add = 0
+            if flags & _R4_FLAG_ADD_SIZE and pos + 11 <= len(data):
+                (add,) = struct.unpack_from("<I", data, pos + 7)
+            pos += size + add
+            continue
+        # FILE block: fixed part after the 7-byte block header
+        if pos + 32 > len(data):
+            raise RarBroken("rar_error")
+        (pack_size, unp_size, _host_os, _fcrc, _ftime, _unp_ver, method,
+         name_size, _attr) = struct.unpack_from("<IIBIIBBHI", data, pos + 7)
+        name_off = pos + 32
+        if flags & _R4_FLAG_LARGE:
+            if name_off + 8 > len(data):
+                raise RarBroken("rar_error")
+            high_pack, high_unp = struct.unpack_from("<II", data, name_off)
+            pack_size |= high_pack << 32
+            unp_size |= high_unp << 32
+            name_off += 8
+        raw_name = data[name_off:name_off + name_size]
+        if flags & _R4_FLAG_PASSWORD:
+            raise RarBroken("rar_encrypted")
+        if flags & _R4_FLAG_UNICODE:
+            # name\0<packed unicode>: keep the plain 8-bit part
+            raw_name = raw_name.split(b"\x00")[0]
+        name = raw_name.decode("utf-8", "replace").replace("\\", "/")
+        is_dir = (flags & 0xE0) == 0xE0
+        payload = data[pos + size:pos + size + pack_size]
+        if len(payload) != pack_size:
+            raise RarBroken("rar_error")
+        if not is_dir:
+            if method != _R4_METHOD_STORE:
+                raise RarBroken("rar_method_unsupported")
+            budget -= unp_size
+            if budget < 0:
+                raise RarBroken("archive_too_big")
+            out.append((name, payload[:unp_size]))
+        pos += size + pack_size
+    return out
+
+
+# ---------------------------------------------------------------------------
+# RAR 5.0
+# ---------------------------------------------------------------------------
+
+
+def _read_vint(data: bytes, pos: int) -> tuple[int, int]:
+    """Little-endian base-128 varint (high bit = continuation)."""
+    value = 0
+    shift = 0
+    while True:
+        if pos >= len(data) or shift > 63:
+            raise RarBroken("rar_error")
+        b = data[pos]
+        pos += 1
+        value |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return value, pos
+        shift += 7
+
+
+def _unpack_rar5(data: bytes, max_bytes: int) -> list[tuple[str, bytes]]:
+    pos = len(_SIG5)
+    out: list[tuple[str, bytes]] = []
+    budget = max_bytes
+    while pos + 5 <= len(data):
+        # block: crc32(4) + vint head_size + header bytes [+ data area]
+        head_start = pos + 4
+        head_size, hdr_pos = _read_vint(data, head_start)
+        head_end = hdr_pos + head_size
+        if head_end > len(data):
+            raise RarBroken("rar_error")
+        htype, p = _read_vint(data, hdr_pos)
+        hflags, p = _read_vint(data, p)
+        if hflags & 0x0001:  # extra area
+            _extra_size, p = _read_vint(data, p)
+        data_size = 0
+        if hflags & 0x0002:  # data area
+            data_size, p = _read_vint(data, p)
+        if htype == _R5_END:
+            break
+        if htype == _R5_ENCRYPTION:
+            raise RarBroken("rar_encrypted")
+        if htype == _R5_FILE:
+            file_flags, p = _read_vint(data, p)
+            unp_size, p = _read_vint(data, p)
+            _attr, p = _read_vint(data, p)
+            if file_flags & 0x0002:  # mtime
+                p += 4
+            if file_flags & 0x0004:  # crc32
+                p += 4
+            comp_info, p = _read_vint(data, p)
+            _host_os, p = _read_vint(data, p)
+            name_len, p = _read_vint(data, p)
+            if p + name_len > len(data):
+                raise RarBroken("rar_error")
+            name = data[p:p + name_len].decode("utf-8", "replace")
+            is_dir = bool(file_flags & 0x0001)
+            payload = data[head_end:head_end + data_size]
+            if len(payload) != data_size:
+                raise RarBroken("rar_error")
+            if not is_dir:
+                method = (comp_info >> 7) & 0x7
+                if method != 0:
+                    raise RarBroken("rar_method_unsupported")
+                budget -= unp_size
+                if budget < 0:
+                    raise RarBroken("archive_too_big")
+                out.append((name.replace("\\", "/"), payload[:unp_size]))
+        pos = head_end + data_size
+    return out
+
+
+# ---------------------------------------------------------------------------
+# fixture writers (stored members, correct header CRCs)
+# ---------------------------------------------------------------------------
+
+
+def _r4_block(btype: int, flags: int, body: bytes) -> bytes:
+    size = 7 + len(body)
+    head = struct.pack("<BHH", btype, flags, size) + body
+    crc = zlib.crc32(head) & 0xFFFF
+    return struct.pack("<H", crc) + head
+
+
+def build_rar4(members: list[tuple[str, bytes]], method: int = _R4_METHOD_STORE) -> bytes:
+    """Deterministic RAR 4.x fixture; ``method`` other than 0x30 writes a
+    compressed-claiming header (payload kept raw) for broken-reason tests."""
+    out = bytearray(_SIG4)
+    out += _r4_block(_R4_MAIN, 0, bytes(6))  # HighPosAv+PosAv reserved
+    for name, payload in members:
+        raw_name = name.encode("utf-8")
+        body = struct.pack(
+            "<IIBIIBBHI",
+            len(payload), len(payload), 0,
+            zlib.crc32(payload) & 0xFFFFFFFF, 0, 29, method,
+            len(raw_name), 0x20,
+        ) + raw_name
+        out += _r4_block(_R4_FILE, _R4_FLAG_ADD_SIZE, body)
+        out += payload
+    out += _r4_block(_R4_END, 0, b"")
+    return bytes(out)
+
+
+def _vint(value: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = value & 0x7F
+        value >>= 7
+        if value:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _r5_block(htype: int, hflags: int, body: bytes, data: bytes = b"") -> bytes:
+    hdr = _vint(htype) + _vint(hflags)
+    if hflags & 0x0002:
+        hdr += _vint(len(data))
+    hdr += body
+    head = _vint(len(hdr)) + hdr
+    # RAR5 header CRC covers head_size + header bytes
+    crc = zlib.crc32(head) & 0xFFFFFFFF
+    return struct.pack("<I", crc) + head + data
+
+
+def build_rar5(members: list[tuple[str, bytes]], method: int = 0) -> bytes:
+    """Deterministic RAR 5.0 fixture (vint framing, stored members)."""
+    out = bytearray(_SIG5)
+    out += _r5_block(_R5_MAIN, 0, _vint(0))  # archive flags = 0
+    for name, payload in members:
+        raw_name = name.encode("utf-8")
+        body = (
+            _vint(0x0004)                       # file flags: crc present
+            + _vint(len(payload))               # unpacked size
+            + _vint(0)                          # attributes
+            + struct.pack("<I", zlib.crc32(payload) & 0xFFFFFFFF)
+            + _vint((method & 0x7) << 7)        # compression info
+            + _vint(0)                          # host os
+            + _vint(len(raw_name))
+            + raw_name
+        )
+        out += _r5_block(_R5_FILE, 0x0002, body, payload)
+    out += _r5_block(_R5_END, 0, _vint(0))
+    return bytes(out)

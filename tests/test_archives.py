@@ -66,12 +66,12 @@ def test_truncated_zip_broken():
     assert e.value.reason == "7z_error"
 
 
-def test_tool_missing_formats():
+def test_native_format_parse_reasons():
+    # PST, 7z and RAR are unpacked natively now; garbage surfaces their
+    # own parse reasons instead of the old blanket tool-missing
     with pytest.raises(UnpackBroken) as e:
         unpack_bytes(b"whatever", "application/x-rar")
-    assert e.value.reason == "archive_tool_missing"
-    # PST and 7z are unpacked natively now; garbage surfaces their own
-    # parse reasons instead of the blanket tool-missing
+    assert e.value.reason == "rar_error"
     with pytest.raises(UnpackBroken) as e:
         unpack_bytes(b"whatever", "application/x-hoover-pst")
     assert e.value.reason == "pst_parse_error"

@@ -54,3 +54,46 @@ def test_decode_stub_off_marks_broken(spark):
     got = extract_media_features(df, decode_stub=False).collect()[0]
     assert got["status"] == "broken"
     assert got["broken_reason"] == "media_decoder_missing"
+
+
+def _mp4(duration_s=7, timescale=1000, n_tracks=2):
+    import struct
+
+    mvhd = (b"\x00" + b"\x00" * 3 + b"\x00" * 8
+            + struct.pack(">II", timescale, duration_s * timescale))
+    mvhd_box = struct.pack(">I", 8 + len(mvhd)) + b"mvhd" + mvhd
+    trak_box = struct.pack(">I", 8) + b"trak"
+    moov_body = mvhd_box + trak_box * n_tracks
+    moov = struct.pack(">I", 8 + len(moov_body)) + b"moov" + moov_body
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    return ftyp + moov
+
+
+def test_parse_video_header_mp4_and_ebml():
+    from hoover_snoop2_spark.operators.multimodal import parse_video_header
+
+    assert parse_video_header(_mp4(duration_s=7, n_tracks=2)) == ("mp4", 7000, 2)
+    assert parse_video_header(b"\x1a\x45\xdf\xa3" + b"\x00" * 20 + b"webm" + bytes(8)) == ("webm", 0, 0)
+    assert parse_video_header(b"\x1a\x45\xdf\xa3" + b"matroska" + bytes(40))[0] == "mkv"
+    assert parse_video_header(b"not a video") is None
+
+
+def test_media_features_video_and_audio_rows(spark):
+    import struct
+
+    from hoover_snoop2_spark.operators.multimodal import (
+        extract_media_features,
+    )
+
+    wav = (b"RIFF" + struct.pack("<I", 36) + b"WAVE" + b"fmt "
+           + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16))
+    rows = [("v1", _mp4(duration_s=3, n_tracks=1)), ("a1", wav)]
+    df = spark.createDataFrame(rows, "sha3_256 string, data binary")
+    got = {r["sha3_256"]: r for r in extract_media_features(df).collect()}
+    assert got["v1"]["media_type"] == "mp4"
+    assert got["v1"]["duration_ms"] == 3000
+    assert got["v1"]["n_frames"] == 1  # 1 trak
+    assert got["a1"]["media_type"] == "wav"
+    assert got["a1"]["sample_rate"] == 44100
+    assert got["a1"]["n_channels"] == 2
+    assert got["v1"]["status"] == got["a1"]["status"] == "success"
