@@ -846,6 +846,56 @@ def q33_langid(spark, sf_dir):
     )
 
 
+def _q33_sql() -> str:
+    """DuckDB replica of the langid UDF: the detector is a deterministic
+    stopword-hit argmax (4800-char prefix, punctuation stripped, first 400
+    tokens, ties broken by language order, 5% signal threshold), so it IS
+    SQL-expressible — the stopword tables inline as VALUES.  Verified
+    0 mismatches vs the Python kernel on the full sf0.01/sf0.1 corpora."""
+    from .functions.langid import _LANGS_ORDER, _STOPWORDS
+
+    values = ",".join(
+        f"('{lang}',{pri},'{w}')"
+        for pri, lang in enumerate(_LANGS_ORDER)
+        for w in sorted(_STOPWORDS[lang])
+    )
+    punct = ".,;:!?\"'()[]«»„“”’".replace("'", "''")
+    return f"""
+WITH sw(slang, pri, word) AS (VALUES {values}),
+tok AS (
+  SELECT doc_id, lang AS labeled,
+         list_slice(
+           list_filter(
+             string_split_regex(
+               translate(substr(lower(text), 1, 4800), '{punct}', ''),
+               '\\s+'),
+             x -> x <> ''),
+           1, 400) AS toks
+  FROM documents
+),
+flat AS (SELECT doc_id, unnest(toks) AS t, len(toks) AS n FROM tok),
+hits AS (
+  SELECT f.doc_id, s.slang, s.pri, count(*) AS c, any_value(f.n) AS n
+  FROM flat f JOIN sw s ON f.t = s.word
+  GROUP BY f.doc_id, s.slang, s.pri
+),
+best AS (
+  SELECT doc_id, slang, c, n,
+         row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, pri ASC) AS rk
+  FROM hits
+),
+detected AS (
+  SELECT d.doc_id, d.lang,
+         CASE WHEN b.c >= 0.05 * b.n THEN b.slang END AS detected
+  FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id AND b.rk = 1
+)
+SELECT lang, detected, count(*) AS n
+FROM detected
+GROUP BY lang, detected
+ORDER BY lang, detected
+"""
+
+
 def q34_extract_digests(spark, sf_dir):
     """The flagship extraction pipeline over a deterministic synthetic
     pages corpus (generated on the fly — sf_dir has no binary pages table);
@@ -1156,9 +1206,10 @@ ORACLES: dict[str, str] = {
     "q26_embedding_dups": Q26_SQL,
     "q27_ngram_jaccard": Q27_SQL,
     "q29_repetition": Q29_SQL,
+    "q33_langid": _q33_sql(),
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
-    # q30-q35, q38: non-SQL-expressible (LSH banding, simhash bit votes, UDF
-    # language id, binary extraction pipeline, media UDFs, PDF byte parsing)
-    # → rows-only
+    # q28/q30/q31/q32, q34/q35, q38: non-SQL-expressible (xxhash64 LSH
+    # banding, simhash blake2b bit votes, binary extraction pipeline,
+    # media UDFs, PDF byte parsing) → rows-only
 }
