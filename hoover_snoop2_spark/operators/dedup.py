@@ -106,6 +106,11 @@ def minhash_lsh_pairs(
     - neither: the lineage recomputes per consumer (correct, ~2x the
       signature work) — fine for one-shot jobs.
     """
+    from ..plans.skew import ensure_parallelism
+
+    # the shingle/signature chain is CPU-bound: a narrow scan (one split
+    # for a small parquet) serializes it — widen first (measured 3.3x)
+    df = ensure_parallelism(df)
     rows = n_hashes // bands
     sigs = minhash_signature(df, id_col, text_col, n_hashes, k)
     banded = sigs.select(
@@ -259,7 +264,9 @@ def simhash_pairs(
     catch a capped family's pairs — but a family that big is EXACT
     duplication, which belongs to exact_dedup (run it first); the cap
     guards the stage, it doesn't replace exact dedup."""
-    sims = df.select(
+    from ..plans.skew import ensure_parallelism
+
+    sims = ensure_parallelism(df).select(
         F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sim")
     )
     blocks = sims.select(

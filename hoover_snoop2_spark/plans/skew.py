@@ -79,6 +79,25 @@ def spread_heavy(
     return light.unionByName(heavy)
 
 
+def ensure_parallelism(df: DataFrame, min_parts: int | None = None) -> DataFrame:
+    """Widen a too-narrow scan before a CPU-bound kernel.
+
+    A small parquet input arrives as 1-2 scan splits (a 15 MB file is one
+    split at the default 128 MB maxPartitionBytes), which serializes any
+    compute-heavy stage downstream — measured 3.3x wall on the minhash
+    shingle/signature kernel at sf0.1 on 32 cores.  Repartition UP to the
+    session parallelism when the scan is narrower; inputs already wider
+    (any real corpus) pass through untouched, so the guard costs nothing
+    at scale.  The partition-count probe converts the plan, not the data —
+    no job runs.
+    """
+    spark = df.sparkSession
+    n = min_parts or spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def dedup_by_size_class(
     df: DataFrame,
     data_col: str = "html",

@@ -617,8 +617,9 @@ def q27_ngram_jaccard(spark, sf_dir):
     i + half) — value-exact oracle coverage for the shingle + jaccard
     kernel the MinHash-LSH verify stage (q30) is built on."""
     from .operators.dedup import shingles_col
+    from .plans.skew import ensure_parallelism
 
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_parallelism(_t(spark, sf_dir, "documents"))
     sh = d.select(
         "doc_id", F.array_distinct(shingles_col("text", k=3)).alias("sh")
     )
