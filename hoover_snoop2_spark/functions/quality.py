@@ -105,3 +105,20 @@ def fingerprint(text: Column) -> Column:
     whitespace-normalized text (the exact-dedup key used downstream)."""
     normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
     return F.md5(F.encode(normalized, "UTF-8"))
+
+
+#: PII patterns shared by Spark (Java regex) and the DuckDB oracle (RE2) —
+#: only constructs with identical semantics in both engines
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONG_NUMBER_RE = r"\b\d{9,}\b"
+
+
+def mask_pii(col: F.Column) -> F.Column:
+    """Training-data PII scrub: emails → <EMAIL>, IPv4 → <IP>, 9+-digit
+    runs (phone/account/ssn-shaped) → <NUM>.  Pure JVM regexp_replace
+    chain — order matters: IPs are consumed before the long-number rule
+    so their octet runs don't half-match."""
+    out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+    return F.regexp_replace(out, PII_LONG_NUMBER_RE, "<NUM>")

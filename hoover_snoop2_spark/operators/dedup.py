@@ -365,3 +365,50 @@ def embedding_dups(
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cosine")
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def drop_common_paragraphs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_docs: int = 5,
+    sep: str = "\n\n",
+) -> DataFrame:
+    """CCNet-style cross-corpus boilerplate removal: a paragraph whose
+    normalized form appears in >= ``min_docs`` DISTINCT documents is
+    dropped from every document (cookie banners, nav footers, subscribe
+    prompts); survivors are reassembled in original order.
+
+    Returns (id, clean_text) — documents whose every paragraph was common
+    are absent (callers left-join and coalesce '').
+
+    Scale shape: one explode, one groupBy on the normalized paragraph
+    (map-side partial count), one anti-join (the common set is the
+    boilerplate vocabulary — small, AQE broadcasts it from stats; no
+    forced hint so a degenerate corpus degrades to a shuffle join), one
+    groupBy rebuild.  All JVM-side; paragraphs are keyed by their
+    normalized STRING (not a hash) so a hash collision can never merge
+    two distinct paragraphs.
+    """
+    from ..plans.skew import ensure_parallelism
+
+    paras = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("pos", "para"),
+    ).withColumn("pkey", F.lower(F.trim(F.col("para"))))
+    common = (
+        paras.groupBy("pkey")
+        .agg(F.countDistinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("pkey")
+    )
+    kept = paras.join(common, "pkey", "left_anti")
+    return kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("clean_text")
+    )

@@ -1123,6 +1123,107 @@ ORDER BY d.doc_id
 """
 
 
+def q39_boilerplate_paragraphs(spark, sf_dir):
+    """CCNet-style cross-corpus boilerplate removal: every doc gets a
+    shared 'subscribe' paragraph (and every 4th a cookie notice) appended
+    in-query; drop_common_paragraphs must strip exactly those and
+    reassemble the unique content in order."""
+    from .operators.dedup import drop_common_paragraphs
+
+    d = _t(spark, sf_dir, "documents")
+    synth = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.col("text"),
+            F.lit("Subscribe to our newsletter for updates"),
+            F.when(F.col("doc_id") % 4 == 0,
+                   F.lit("We use cookies on this site")),
+        ).alias("text"),
+    )
+    cleaned = drop_common_paragraphs(synth, "doc_id", "text", min_docs=3)
+    return (
+        d.select("doc_id")
+        .join(cleaned.withColumnRenamed("id", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q39_SQL = r"""
+WITH synth AS (
+  SELECT doc_id,
+         text || e'\n\n' || 'Subscribe to our newsletter for updates'
+           || CASE WHEN doc_id % 4 = 0
+                   THEN e'\n\n' || 'We use cookies on this site'
+                   ELSE '' END AS t
+  FROM documents
+), p AS (
+  SELECT doc_id,
+         unnest(range(1, len(ps) + 1)) AS pos,
+         unnest(ps) AS para
+  FROM (SELECT doc_id, string_split(t, e'\n\n') AS ps FROM synth)
+), common AS (
+  SELECT lower(trim(para)) AS k
+  FROM p GROUP BY 1 HAVING count(DISTINCT doc_id) >= 3
+), kept AS (
+  SELECT doc_id, pos, para FROM p
+  WHERE lower(trim(para)) NOT IN (SELECT k FROM common)
+), rebuilt AS (
+  SELECT doc_id, string_agg(para, e'\n\n' ORDER BY pos) AS clean_text
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(r.clean_text, '') AS clean_text
+FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q40_pii_masking(spark, sf_dir):
+    """Training-data PII scrub: deterministic emails/IPs/long numbers are
+    injected per doc in-query, then masked by the pure-JVM
+    regexp_replace chain (emails → <EMAIL>, IPv4 → <IP>, 9+-digit runs →
+    <NUM>)."""
+    from .functions.quality import mask_pii
+
+    d = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.lit(" Contact user"), F.col("doc_id").cast("string"),
+        F.lit("@example.com or 10.0."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7, account "),
+        (F.col("doc_id") + 900000000).cast("string"), F.lit("."),
+    )
+    return d.select(
+        "doc_id", mask_pii(synth).alias("masked")
+    ).orderBy("doc_id")
+
+
+Q40_SQL = r"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' Contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.7, account ' || CAST(doc_id + 900000000 AS VARCHAR) || '.'
+         AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{9,}\b', '<NUM>', 'g') AS masked
+FROM synth
+ORDER BY doc_id
+"""
+
+
 def q38_pdf_pages(spark, sf_dir):
     """PDF page-row expansion (the reference's qpdf page-chunk parallelism,
     pdf-tools/run.sh:5-15, as row-level parallelism)."""
@@ -1176,6 +1277,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q36_ocr_join": q36_ocr_join,
     "q37_user_tags": q37_user_tags,
     "q38_pdf_pages": q38_pdf_pages,
+    "q39_boilerplate_paragraphs": q39_boilerplate_paragraphs,
+    "q40_pii_masking": q40_pii_masking,
 }
 
 ORACLES: dict[str, str] = {
@@ -1208,6 +1311,8 @@ ORACLES: dict[str, str] = {
     "q27_ngram_jaccard": Q27_SQL,
     "q29_repetition": Q29_SQL,
     "q33_langid": _q33_sql(),
+    "q39_boilerplate_paragraphs": Q39_SQL,
+    "q40_pii_masking": Q40_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32, q34/q35, q38: non-SQL-expressible (xxhash64 LSH

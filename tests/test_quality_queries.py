@@ -82,3 +82,61 @@ def test_entry_runs(spark):
 
     df = e.entry(spark)
     assert df.count() > 0
+
+
+def test_drop_common_paragraphs(spark):
+    """Paragraphs shared by >= min_docs distinct docs are dropped from
+    every doc; unique content survives in original order; docs reduced to
+    nothing disappear (callers coalesce)."""
+    from hoover_snoop2_spark.operators.dedup import drop_common_paragraphs
+
+    boiler = "Subscribe to our newsletter"
+    rows = [
+        (1, f"unique one\n\n{boiler}\n\nalso unique"),
+        (2, f"{boiler}\n\nsecond doc body"),
+        (3, f"third doc body\n\n{boiler}"),
+        (4, boiler),                       # all-boilerplate doc
+        (5, "no boilerplate here at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["id"]: r["clean_text"]
+           for r in drop_common_paragraphs(df, "doc_id", "text",
+                                           min_docs=3).collect()}
+    assert got[1] == "unique one\n\nalso unique"
+    assert got[2] == "second doc body"
+    assert got[3] == "third doc body"
+    assert 4 not in got                    # nothing survived
+    assert got[5] == "no boilerplate here at all"
+
+
+def test_drop_common_paragraphs_distinct_doc_count(spark):
+    """The threshold counts DISTINCT documents — one doc repeating a
+    paragraph 10 times does not make it corpus-boilerplate."""
+    from hoover_snoop2_spark.operators.dedup import drop_common_paragraphs
+
+    rows = [(1, "\n\n".join(["echo echo"] * 10)), (2, "other text")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = {r["id"]: r["clean_text"]
+           for r in drop_common_paragraphs(df, "doc_id", "text",
+                                           min_docs=2).collect()}
+    assert got[1] == "\n\n".join(["echo echo"] * 10)
+
+
+def test_mask_pii(spark):
+    from pyspark.sql import functions as F
+
+    from hoover_snoop2_spark.functions.quality import mask_pii
+
+    rows = [
+        (1, "mail bob.smith+x@corp.example.org now"),
+        (2, "server at 192.168.1.254 port 80"),
+        (3, "card 4111111111111111 and ssn 123456789"),
+        (4, "version 1.2.3 stays; short 12345 stays"),
+    ]
+    df = spark.createDataFrame(rows, "id int, t string")
+    got = {r["id"]: r["m"]
+           for r in df.select("id", mask_pii(F.col("t")).alias("m")).collect()}
+    assert got[1] == "mail <EMAIL> now"
+    assert got[2] == "server at <IP> port 80"
+    assert got[3] == "card <NUM> and ssn <NUM>"
+    assert got[4] == "version 1.2.3 stays; short 12345 stays"
