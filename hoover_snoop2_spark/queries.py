@@ -1224,6 +1224,75 @@ ORDER BY doc_id
 """
 
 
+def q41_url_canonicalize(spark, sf_dir):
+    """URL canonicalization before url-keyed dedup: scheme/host lowercase,
+    default-port strip, fragment strip, tracking params dropped, query
+    params sorted.  Deterministic messy urls are synthesized per doc."""
+    from .functions.urls import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTPS://Site"), (F.col("doc_id") % 50).cast("string"),
+        F.lit(".Example.COM:443/Articles/Doc"), F.col("doc_id").cast("string"),
+        F.lit("?utm_source=feed&b=2&fbclid=xyz&a=1&ref=tw#section-"),
+        F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        messy.alias("url"),
+        canonicalize_url(messy).alias("canonical"),
+    ).orderBy("doc_id")
+
+
+Q41_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         'HTTPS://Site' || CAST(doc_id % 50 AS VARCHAR)
+           || '.Example.COM:443/Articles/Doc' || CAST(doc_id AS VARCHAR)
+           || '?utm_source=feed&b=2&fbclid=xyz&a=1&ref=tw#section-'
+           || CAST(doc_id AS VARCHAR) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         regexp_replace(url, '#.*$', '') AS no_frag
+  FROM m
+), split1 AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(no_frag, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+         regexp_replace(no_frag, '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+  FROM parts
+), split2 AS (
+  SELECT doc_id, url, scheme,
+         lower(regexp_extract(after, '^([^/?]*)', 1)) AS hostport,
+         regexp_replace(after, '^[^/?]*', '') AS pathq
+  FROM split1
+), split3 AS (
+  SELECT doc_id, url, scheme,
+         CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+              ELSE hostport END AS host,
+         CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = '' THEN '/'
+              ELSE regexp_extract(pathq, '^([^?]*)', 1) END AS path,
+         regexp_extract(pathq, '\?(.*)$', 1) AS q
+  FROM split2
+), qs AS (
+  SELECT doc_id, url, scheme, host, path,
+         array_to_string(
+           list_sort(
+             list_filter(string_split(q, '&'),
+               p -> NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid|ref)=')
+                    AND p <> '')),
+           '&') AS sorted_q
+  FROM split3
+)
+SELECT doc_id, url,
+       scheme || '://' || host || path
+         || CASE WHEN sorted_q <> '' THEN '?' || sorted_q ELSE '' END AS canonical
+FROM qs
+ORDER BY doc_id
+"""
+
+
 def q38_pdf_pages(spark, sf_dir):
     """PDF page-row expansion (the reference's qpdf page-chunk parallelism,
     pdf-tools/run.sh:5-15, as row-level parallelism)."""
@@ -1279,6 +1348,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q38_pdf_pages": q38_pdf_pages,
     "q39_boilerplate_paragraphs": q39_boilerplate_paragraphs,
     "q40_pii_masking": q40_pii_masking,
+    "q41_url_canonicalize": q41_url_canonicalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1313,6 +1383,7 @@ ORACLES: dict[str, str] = {
     "q33_langid": _q33_sql(),
     "q39_boilerplate_paragraphs": Q39_SQL,
     "q40_pii_masking": Q40_SQL,
+    "q41_url_canonicalize": Q41_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32, q34/q35, q38: non-SQL-expressible (xxhash64 LSH

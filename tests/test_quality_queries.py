@@ -140,3 +140,25 @@ def test_mask_pii(spark):
     assert got[2] == "server at <IP> port 80"
     assert got[3] == "card <NUM> and ssn <NUM>"
     assert got[4] == "version 1.2.3 stays; short 12345 stays"
+
+
+def test_canonicalize_url_edges(spark):
+    from pyspark.sql import functions as F
+
+    from hoover_snoop2_spark.functions.urls import canonicalize_url
+
+    rows = [
+        (1, "HTTP://WWW.Example.COM:80/A/B?z=1&a=2#frag"),
+        (2, "https://host.example:443"),
+        (3, "https://host.example/path?utm_source=x&utm_medium=y"),
+        (4, "http://host.example:8080/x?b=2&a=1"),
+        (5, "https://host.example/CaseSensitive/Path"),
+    ]
+    df = spark.createDataFrame(rows, "id int, url string")
+    got = {r["id"]: r["c"] for r in
+           df.select("id", canonicalize_url(F.col("url")).alias("c")).collect()}
+    assert got[1] == "http://www.example.com/A/B?a=2&z=1"   # port+frag gone, sorted
+    assert got[2] == "https://host.example/"                # empty path → /
+    assert got[3] == "https://host.example/path"            # all-tracking query gone
+    assert got[4] == "http://host.example:8080/x?a=1&b=2"   # non-default port kept
+    assert got[5] == "https://host.example/CaseSensitive/Path"  # path case kept
