@@ -1,0 +1,189 @@
+"""Connected components over near-dup pair graphs (duplicate families).
+
+Pair generators (minhash LSH, simhash, embedding LSH — operators/dedup.py)
+emit *edges*; a training-data pipeline needs the *transitive* duplicate
+family so one representative per family survives.  The reference keeps that
+closure implicitly — every Blob with the same sha3_256 collapses to one row
+(models.py:102-113) — which only covers exact-hash cliques; near-dup edges
+(A~B, B~C, A!~C) need a real connected-components pass.
+
+Algorithm: the alternating large-star / small-star algorithm of Kiveris et
+al., "Connected Components in MapReduce and Beyond" (ACM SoCC 2014).  Each
+round is two shuffles (a groupBy-min and an equi-join) over the *edge* set
+only — never an adjacency materialization — and the edge set shrinks
+monotonically toward the star fixpoint, converging in O(log^2 n) rounds
+(2-5 rounds in practice on dedup graphs).  This is the published
+web-scale CC recipe, unlike naive label propagation whose round count is
+the graph *diameter* (a 10^6-node crawl chain would need 10^6 shuffles).
+
+Scale notes:
+- every round materializes a checkpoint to truncate lineage — an iterative
+  DataFrame loop otherwise stacks O(rounds) joins into one logical plan and
+  planning time explodes; same CheckpointStore/localCheckpoint convention
+  as minhash_lsh_pairs (dedup.py) — parquet snapshots are the cluster-safe
+  route, localCheckpoint the fast single-node one, cache() the fallback.
+- the convergence probe is a count + xxhash64 checksum of the edge set —
+  one tiny aggregate per round, no collect of data rows.
+- star rounds shuffle on node id; a mega-family (viral boilerplate) makes
+  its root a hot key for ONE groupBy side, which AQE skew-split handles —
+  payload rows are two longs, so even 10^7-member families are ~160 MB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """Connect every neighbor larger than u to u's smallest neighbor.
+
+    Emits (v, m(u)) for v in N(u), v > u, where m(u) = min(N(u) + {u});
+    operates on the symmetric edge view so each undirected edge is seen
+    from both endpoints.
+    """
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Re-point every small neighbor (and the hub) to the smallest one.
+
+    Directs each edge high->low, then for each hub u emits (u, m) and
+    (v, m) for v in N(u), v != m, where m = min(N(u)) (all neighbors are
+    smaller than the hub after directing).
+    """
+    directed = (
+        e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    j = directed.join(directed.groupBy("u").agg(F.min("v").alias("m")), "u")
+    hub = j.select("u", F.col("m").alias("v")).distinct()
+    small = (
+        j.where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .distinct()
+    )
+    return hub.union(small)
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = min id.
+
+    ``edges`` is an undirected pair list (long ids, e.g. the output of
+    minhash_lsh_pairs / simhash_pairs / embedding_dups).  Nodes absent
+    from ``edges`` are absent from the output — callers union singletons
+    back (see dup_families).
+
+    Lineage truncation per round is NOT optional here: each star round
+    references the previous edge set four times, so an untruncated
+    logical plan grows ~16x per round and Catalyst analysis ooms the
+    driver after a handful of rounds (cache() does not cut the plan —
+    GraphFrames mandates a checkpoint dir for its CC for the same
+    reason).  ``checkpoint_dir`` routes round snapshots through
+    plans.checkpoint.CheckpointStore (parquet; survives executor loss —
+    the cluster route); the default is block-store localCheckpoint
+    (fastest, fine for static executors; re-run the job on executor
+    loss).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"), F.col(dst).cast("long").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    _cp = None
+    if checkpoint_dir is not None:
+        from ..plans.checkpoint import CheckpointStore
+
+        _cp = CheckpointStore(checkpoint_dir)
+
+    def _pin(df: DataFrame, name: str) -> DataFrame:
+        if _cp is not None:
+            return _cp.write(df, name)
+        return df.localCheckpoint(eager=True)
+
+    def _checksum(df: DataFrame) -> tuple[int, int]:
+        # hashes shifted to 31 bits so the ANSI-mode sum cannot overflow a
+        # long below 2^32 rows (collisions irrelevant: count is also checked)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.shiftrightunsigned(F.xxhash64(F.col("u"), F.col("v")), 33)),
+                F.lit(0),
+            ).alias("h"),
+        ).first()
+        return int(row["n"]), int(row["h"])
+
+    e = _pin(e, "cc_round_init")
+    prev = _checksum(e)
+    for it in range(max_iter):
+        nxt = _pin(_small_star(_large_star(e)), f"cc_round_{it}")
+        cur = _checksum(nxt)
+        if e.is_cached:
+            e.unpersist()
+        e = nxt
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+
+    # fixpoint edge set is a star forest (node -> component root); roots
+    # themselves appear only on the v side
+    members = e.select(F.col("u").alias("node"), F.col("v").alias("component"))
+    roots = (
+        e.select(F.col("v").alias("node"))
+        .distinct()
+        .join(members.select("node"), "node", "left_anti")
+        .select("node", F.col("node").alias("component"))
+    )
+    return members.union(roots)
+
+
+def dup_families(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+    **cc_kwargs,
+) -> DataFrame:
+    """Assign every document a duplicate-family id (family = component
+    min; singletons are their own family) plus the family size.
+
+    The step after near-dup pair generation in a training pipeline:
+    ``docs -> minhash_lsh_pairs -> dup_families -> keep one per family``.
+    The docs side never shuffles its payload — only (id) columns flow
+    through the CC rounds; the final family join broadcasts the family
+    table when small (AQE decides).
+    """
+    comp = connected_components(pairs, src=src, dst=dst, **cc_kwargs)
+    assigned = (
+        docs.select(F.col(id_col).cast("long").alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", "node").alias("family_id"),
+        )
+    )
+    sizes = assigned.groupBy("family_id").agg(F.count("*").alias("family_size"))
+    return assigned.join(sizes, "family_id").select(
+        id_col, "family_id", "family_size"
+    )

@@ -1293,6 +1293,68 @@ ORDER BY doc_id
 """
 
 
+def q42_dup_families(spark, sf_dir):
+    """Duplicate-family assignment: connected components (alternating
+    large-star/small-star, Kiveris et al. SoCC'14) over a deterministic
+    near-dup edge graph, singletons kept as their own family — the
+    transitive closure step after pair generation (the reference's
+    exact-hash analog is the Blob sha3_256 PK collapse, models.py:102-113).
+
+    The edge rule is scale-invariant modular chains: short 4-node chains
+    everywhere, one 50-node chain per 500-id block (forces multi-round
+    convergence), and +97 cross-links merging chains into larger families.
+    """
+    from .operators.graph import dup_families
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ids = d.select(F.col("doc_id").cast("long").alias("u"))
+    cand = ids.select(
+        "u",
+        F.explode(
+            F.array(
+                F.when(F.col("u") % 10 < 3, F.col("u") + 1),
+                F.when((F.col("u") % 500).between(400, 449), F.col("u") + 1),
+                F.when(F.col("u") % 13 == 0, F.col("u") + 97),
+            )
+        ).alias("v"),
+    ).where(F.col("v").isNotNull())
+    edges = cand.join(
+        ids.select(F.col("u").alias("v")), "v", "left_semi"
+    ).select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
+    return dup_families(d, edges).orderBy("doc_id")
+
+
+Q42_SQL = r"""
+WITH RECURSIVE n AS (
+  SELECT doc_id FROM documents
+), cand AS (
+  SELECT doc_id AS u, doc_id + 1 AS v FROM n WHERE doc_id % 10 < 3
+  UNION
+  SELECT doc_id, doc_id + 1 FROM n WHERE doc_id % 500 BETWEEN 400 AND 449
+  UNION
+  SELECT doc_id, doc_id + 97 FROM n WHERE doc_id % 13 = 0
+), e0 AS (
+  SELECT u, v FROM cand WHERE v IN (SELECT doc_id FROM n)
+), edges AS (
+  SELECT u, v FROM e0 UNION SELECT v, u FROM e0
+), cc(node, lbl) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.v, c.lbl FROM cc c JOIN edges e ON e.u = c.node WHERE c.lbl < e.v
+), comp AS (
+  SELECT node, min(lbl) AS family_id FROM cc GROUP BY node
+), assigned AS (
+  SELECT n.doc_id, coalesce(comp.family_id, n.doc_id) AS family_id
+  FROM n LEFT JOIN comp ON comp.node = n.doc_id
+)
+SELECT a.doc_id, a.family_id, s.family_size
+FROM assigned a
+JOIN (SELECT family_id, count(*)::BIGINT AS family_size
+      FROM assigned GROUP BY family_id) s USING (family_id)
+ORDER BY doc_id
+"""
+
+
 def q38_pdf_pages(spark, sf_dir):
     """PDF page-row expansion (the reference's qpdf page-chunk parallelism,
     pdf-tools/run.sh:5-15, as row-level parallelism)."""
@@ -1349,6 +1411,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q39_boilerplate_paragraphs": q39_boilerplate_paragraphs,
     "q40_pii_masking": q40_pii_masking,
     "q41_url_canonicalize": q41_url_canonicalize,
+    "q42_dup_families": q42_dup_families,
 }
 
 ORACLES: dict[str, str] = {
@@ -1384,6 +1447,7 @@ ORACLES: dict[str, str] = {
     "q39_boilerplate_paragraphs": Q39_SQL,
     "q40_pii_masking": Q40_SQL,
     "q41_url_canonicalize": Q41_SQL,
+    "q42_dup_families": Q42_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32, q34/q35, q38: non-SQL-expressible (xxhash64 LSH
