@@ -187,3 +187,33 @@ def dup_families(
     return assigned.join(sizes, "family_id").select(
         id_col, "family_id", "family_size"
     )
+
+
+def family_representatives(
+    docs: DataFrame,
+    families: DataFrame,
+    id_col: str = "doc_id",
+    order_col: str = "n_chars",
+) -> DataFrame:
+    """One surviving document per duplicate family — the dedup *apply*
+    step (keep-the-longest heuristic; ties broken by lowest id).
+
+    Plan shape: a single groupBy with a max-of-struct aggregate — partial
+    aggregation runs map-side, so the shuffle carries one row per
+    (partition, family), not one per document.  Deliberately NOT a window
+    row_number(), which would shuffle and sort every row.
+    """
+    joined = families.join(docs.select(id_col, order_col), id_col)
+    best = joined.groupBy("family_id", "family_size").agg(
+        F.max(
+            F.struct(
+                F.col(order_col).alias("o"), (-F.col(id_col)).alias("neg_id")
+            )
+        ).alias("b")
+    )
+    return best.select(
+        "family_id",
+        (-F.col("b.neg_id")).cast("long").alias(id_col),
+        F.col("b.o").alias(order_col),
+        "family_size",
+    )

@@ -1293,17 +1293,11 @@ ORDER BY doc_id
 """
 
 
-def q42_dup_families(spark, sf_dir):
-    """Duplicate-family assignment: connected components (alternating
-    large-star/small-star, Kiveris et al. SoCC'14) over a deterministic
-    near-dup edge graph, singletons kept as their own family — the
-    transitive closure step after pair generation (the reference's
-    exact-hash analog is the Blob sha3_256 PK collapse, models.py:102-113).
-
-    The edge rule is scale-invariant modular chains: short 4-node chains
-    everywhere, one 50-node chain per 500-id block (forces multi-round
-    convergence), and +97 cross-links merging chains into larger families.
-    """
+def _dup_family_table(spark, sf_dir):
+    """Shared family assignment for q42/q43: connected components over a
+    deterministic scale-invariant near-dup edge graph (4-node modular
+    chains everywhere, one 50-node chain per 500-id block forcing
+    multi-round convergence, +97 cross-links merging chains)."""
     from .operators.graph import dup_families
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
@@ -1321,10 +1315,31 @@ def q42_dup_families(spark, sf_dir):
     edges = cand.join(
         ids.select(F.col("u").alias("v")), "v", "left_semi"
     ).select(F.col("u").alias("id_a"), F.col("v").alias("id_b"))
-    return dup_families(d, edges).orderBy("doc_id")
+    return dup_families(d, edges)
 
 
-Q42_SQL = r"""
+def q42_dup_families(spark, sf_dir):
+    """Duplicate-family assignment: transitive closure over near-dup
+    pairs (alternating large-star/small-star CC, Kiveris et al. SoCC'14),
+    singletons kept as their own family — the step after pair generation
+    (the reference's exact-hash analog is the Blob sha3_256 PK collapse,
+    models.py:102-113)."""
+    return _dup_family_table(spark, sf_dir).orderBy("doc_id")
+
+
+def q43_family_representatives(spark, sf_dir):
+    """Dedup APPLY step: one surviving document per duplicate family,
+    keep-the-longest (ties -> lowest doc_id), via a map-side-combinable
+    max-of-struct aggregate rather than a per-row window sort."""
+    from .operators.graph import family_representatives
+
+    fam = _dup_family_table(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents")
+    return family_representatives(d, fam).orderBy("family_id")
+
+
+# shared recursive-CTE family assignment (q42/q43 oracles)
+_CC_FAMILY_CTE = r"""
 WITH RECURSIVE n AS (
   SELECT doc_id FROM documents
 ), cand AS (
@@ -1346,12 +1361,25 @@ WITH RECURSIVE n AS (
 ), assigned AS (
   SELECT n.doc_id, coalesce(comp.family_id, n.doc_id) AS family_id
   FROM n LEFT JOIN comp ON comp.node = n.doc_id
+), fam AS (
+  SELECT a.doc_id, a.family_id, s.family_size
+  FROM assigned a
+  JOIN (SELECT family_id, count(*)::BIGINT AS family_size
+        FROM assigned GROUP BY family_id) s USING (family_id)
 )
-SELECT a.doc_id, a.family_id, s.family_size
-FROM assigned a
-JOIN (SELECT family_id, count(*)::BIGINT AS family_size
-      FROM assigned GROUP BY family_id) s USING (family_id)
-ORDER BY doc_id
+"""
+
+Q42_SQL = _CC_FAMILY_CTE + """
+SELECT doc_id, family_id, family_size FROM fam ORDER BY doc_id
+"""
+
+Q43_SQL = _CC_FAMILY_CTE + """
+SELECT family_id, doc_id, n_chars, family_size
+FROM (SELECT f.family_id, f.doc_id, d.n_chars, f.family_size
+      FROM fam f JOIN documents d USING (doc_id))
+QUALIFY row_number() OVER (PARTITION BY family_id
+                           ORDER BY n_chars DESC, doc_id) = 1
+ORDER BY family_id
 """
 
 
@@ -1412,6 +1440,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q40_pii_masking": q40_pii_masking,
     "q41_url_canonicalize": q41_url_canonicalize,
     "q42_dup_families": q42_dup_families,
+    "q43_family_representatives": q43_family_representatives,
 }
 
 ORACLES: dict[str, str] = {
@@ -1448,6 +1477,7 @@ ORACLES: dict[str, str] = {
     "q40_pii_masking": Q40_SQL,
     "q41_url_canonicalize": Q41_SQL,
     "q42_dup_families": Q42_SQL,
+    "q43_family_representatives": Q43_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32, q34/q35, q38: non-SQL-expressible (xxhash64 LSH

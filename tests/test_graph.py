@@ -57,6 +57,34 @@ def test_dup_families_assigns_singletons(spark):
     }
 
 
+def test_family_representatives_longest_wins_ties_lowest_id(spark):
+    from hoover_snoop2_spark.operators.graph import family_representatives
+
+    docs = spark.createDataFrame(
+        [(0, 10), (1, 30), (2, 30), (3, 7)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame([(0, 1), (1, 2)], "id_a long, id_b long")
+    fam = dup_families(docs, pairs)
+    got = {
+        r["family_id"]: (r["doc_id"], r["n_chars"], r["family_size"])
+        for r in family_representatives(docs, fam).collect()
+    }
+    # family {0,1,2}: 1 and 2 tie on length 30 -> lowest id (1) wins
+    assert got == {0: (1, 30, 3), 3: (3, 7, 1)}
+
+
+def test_family_representatives_plan_is_aggregate_not_window(spark):
+    # the dedup-apply step must stay a partial-aggregable groupBy; a
+    # window row_number() would sort every row inside each family
+    from hoover_snoop2_spark.operators.graph import family_representatives
+
+    docs = spark.createDataFrame([(0, 10), (1, 30)], "doc_id long, n_chars long")
+    pairs = spark.createDataFrame([(0, 1)], "id_a long, id_b long")
+    plan = family_representatives(docs, dup_families(docs, pairs))._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "HashAggregate" in plan or "SortAggregate" in plan or "ObjectHashAggregate" in plan
+
+
 def test_dup_families_over_minhash_pairs(spark):
     """End-to-end: near-dup pair generation -> family closure.
 
