@@ -26,6 +26,8 @@ AUDITED = [
     "q30_minhash_lsh_dups",
     "q31_simhash_dups",
     "q36_ocr_join",
+    "q42_dup_families",
+    "q43_family_representatives",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -41,6 +43,8 @@ CHECKS = {
     "q30_minhash_lsh_dups": ["!CartesianProduct"],
     "q31_simhash_dups": ["LeftSemi", "!CartesianProduct"],
     "q36_ocr_join": ["BroadcastHashJoin"],
+    "q42_dup_families": ["!CartesianProduct", "!Window"],
+    "q43_family_representatives": ["HashAggregate", "!Window", "!CartesianProduct"],
 }
 
 NOTES = {
@@ -61,6 +65,13 @@ NOTES = {
         "set while it is small and degrades to a shuffle join for large "
         "near-dup families (any BroadcastHashJoin below is planner/"
         "AQE-chosen from size stats).",
+    "q42_dup_families": "the captured plan is the FINAL assignment join "
+        "only — the CC star rounds are materialized behind localCheckpoint/"
+        "CheckpointStore per round (each is one groupBy-min + one equi-join "
+        "on node id), so the logical plan stays flat at any round count.",
+    "q43_family_representatives": "the dedup apply step is a single "
+        "max-of-struct HashAggregate (map-side partials) — keep-the-longest "
+        "without a per-row Window sort.",
 }
 
 
