@@ -1,0 +1,237 @@
+"""WARC (ISO 28500 / WARC/1.0-1.1) ingest → the pinned pages table.
+
+Common-Crawl-style corpora arrive as WARC container files; the pipeline's
+input contract is ``pages(url, warc_ts, html, text, lang)`` (corpus.py).
+This module bridges the two with two read paths that differ only in how
+parallelism is obtained:
+
+- ``read_warc(spark, path_glob)`` — one task per FILE via the binaryFile
+  source.  Right when files are plentiful and moderate (Common Crawl ships
+  ~72k segment files of ~1 GB per crawl, far more files than executors).
+  A whole file is one task, so per-file memory is bounded by the largest
+  file — use the CDX path if files are huge or few.
+
+- ``read_warc_cdx(spark, cdx)`` — one task per RECORD RANGE via a CDX(J)
+  index DataFrame (filename, offset, length).  Common Crawl gzips each
+  record as its own gzip member precisely so byte ranges are independently
+  decompressible; this path repartitions the index, seeks, and inflates
+  only the referenced members.  This is the 100-TB route: parallelism is
+  index-driven (and predicate pushdown happens on the *index* — filter by
+  url/host/mime before any WARC byte is read).
+
+Parsing is pure stdlib (record grammar: version line, CRLF-terminated
+headers, Content-Length payload, CRLF CRLF separator; response records
+carry an inner HTTP/1.x message whose body is the html payload).  Both
+paths run inside mapInPandas — Arrow-batched, no per-row Python UDF —
+and emit identical schemas.
+
+Reference parity: the reference walks a filesystem for input
+(snoop/data/filesystem.py:60-118); a web-scale corpus walks WARC
+containers instead, so this is the filesystem.walk analog for crawls.
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import zlib
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: output schema — superset of the pages contract (text/lang left null by
+#: ingest; content_type/status kept for filtering before extraction)
+WARC_PAGES_SCHEMA = (
+    "url string, warc_ts timestamp, html binary, "
+    "content_type string, http_status int, warc_file string"
+)
+
+_MAX_HEADER = 64 * 1024
+
+
+class WarcError(ValueError):
+    pass
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    last = None
+    for line in block.split(b"\r\n"):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last:  # RFC 822 continuation
+            headers[last] += " " + line.strip().decode("latin-1")
+            continue
+        if b":" not in line:
+            continue
+        k, v = line.split(b":", 1)
+        last = k.strip().decode("latin-1").lower()
+        headers[last] = v.strip().decode("latin-1")
+    return headers
+
+
+def _parse_warc_date(s: str) -> datetime | None:
+    # WARC-Date is ISO 8601 Zulu, second or sub-second precision
+    try:
+        return datetime.fromisoformat(s.replace("Z", "+00:00")).astimezone(
+            timezone.utc
+        )
+    except ValueError:
+        return None
+
+
+def parse_warc_records(
+    raw: bytes, warc_file: str = ""
+) -> Iterator[dict]:
+    """Yield one dict per *response* record in a WARC byte stream.
+
+    Accepts plain streams, whole-stream gzip, and Common-Crawl-style
+    per-record gzip members (zlib inflates concatenated members
+    transparently when fed the full stream).
+    """
+    if raw[:2] == b"\x1f\x8b":
+        # decompress all members (CC per-record members concatenate)
+        d = bytearray()
+        pos = 0
+        while pos < len(raw):
+            dec = zlib.decompressobj(wbits=31)
+            d += dec.decompress(raw[pos:])
+            d += dec.flush()
+            tail = dec.unused_data
+            if not tail:
+                break
+            pos = len(raw) - len(tail)
+        raw = bytes(d)
+
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        # skip inter-record CRLFs
+        while pos < n and raw[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n:
+            break
+        if not raw[pos : pos + 5] == b"WARC/":
+            raise WarcError(f"bad record magic at offset {pos} in {warc_file!r}")
+        hdr_end = raw.find(b"\r\n\r\n", pos, pos + _MAX_HEADER)
+        if hdr_end < 0:
+            raise WarcError(f"unterminated WARC header at {pos} in {warc_file!r}")
+        headers = _parse_headers(raw[pos : hdr_end])
+        try:
+            length = int(headers["content-length"])
+        except (KeyError, ValueError):
+            raise WarcError(f"missing Content-Length at {pos} in {warc_file!r}")
+        body_start = hdr_end + 4
+        payload = raw[body_start : body_start + length]
+        pos = body_start + length
+
+        if headers.get("warc-type") != "response":
+            continue  # warcinfo/request/metadata/revisit records
+        url = headers.get("warc-target-uri", "")
+        ts = _parse_warc_date(headers.get("warc-date", ""))
+
+        # inner HTTP/1.x response: status line + headers + CRLF CRLF + body
+        status, ctype, html = 0, "", payload
+        if payload[:5] in (b"HTTP/",):
+            hend = payload.find(b"\r\n\r\n")
+            if hend >= 0:
+                head = payload[:hend]
+                html = payload[hend + 4 :]
+                first, _, rest = head.partition(b"\r\n")
+                parts = first.split(None, 2)
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                ctype = _parse_headers(rest).get("content-type", "")
+        yield {
+            "url": url,
+            "warc_ts": ts,
+            "html": html,
+            "content_type": ctype,
+            "http_status": status,
+            "warc_file": warc_file,
+        }
+
+
+def _records_df(it: Iterator[dict]) -> Iterator[pd.DataFrame]:
+    batch: list[dict] = []
+    for rec in it:
+        batch.append(rec)
+        if len(batch) >= 256:
+            yield pd.DataFrame(batch)
+            batch = []
+    if batch:
+        yield pd.DataFrame(batch)
+
+
+def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """One task per WARC file (binaryFile source) → pages rows.
+
+    The binaryFile scan prunes to (path, content); record parsing runs in
+    mapInPandas so the html payloads travel Arrow-batched.  Filter/limit
+    on url or content_type afterwards — at file granularity there is
+    nothing to push below the record parse.
+    """
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                yield from _records_df(
+                    parse_warc_records(bytes(row["content"]), row["path"])
+                )
+
+    return files.select("path", "content").mapInPandas(parse, WARC_PAGES_SCHEMA)
+
+
+def read_warc_cdx(
+    spark: SparkSession, cdx: DataFrame, num_partitions: int | None = None
+) -> DataFrame:
+    """Record-range reads driven by a CDX index: one gzip member per row.
+
+    ``cdx`` must carry (warc_file string, offset long, length long) —
+    exactly what Common Crawl's cdx-index / columnar index publishes.
+    Pre-filter the index (host, mime, status, dedup by url) BEFORE calling:
+    that is the predicate pushdown of this source — untouched records are
+    never read, let alone inflated.
+
+    Parallelism is index-driven: the index repartitions round-robin so
+    range reads spread evenly regardless of how many distinct files there
+    are (a single 1 GB WARC still fans out across the cluster).
+    """
+    idx = cdx.select("warc_file", "offset", "length")
+    if num_partitions:
+        idx = idx.repartition(num_partitions)
+
+    def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        handles: dict[str, io.BufferedReader] = {}
+        try:
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    fname = row["warc_file"]
+                    fh = handles.get(fname)
+                    if fh is None:
+                        fh = handles[fname] = open(fname, "rb")
+                    fh.seek(int(row["offset"]))
+                    member = fh.read(int(row["length"]))
+                    yield from _records_df(parse_warc_records(member, fname))
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    return idx.mapInPandas(fetch, WARC_PAGES_SCHEMA)
+
+
+def to_pages(warc_df: DataFrame) -> DataFrame:
+    """Project ingest rows onto the pinned pages contract
+    (url, warc_ts, html, text, lang) — text/lang are extraction outputs,
+    null at ingest."""
+    return warc_df.select(
+        "url",
+        "warc_ts",
+        "html",
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )
