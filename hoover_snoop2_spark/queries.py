@@ -1338,6 +1338,52 @@ def q43_family_representatives(spark, sf_dir):
     return family_representatives(d, fam).orderBy("family_id")
 
 
+def q44_text_normalize(spark, sf_dir):
+    """Language-aware text normalization (north-star item): NFC
+    composition + whitespace-run folding per block + blank-line paragraph
+    canonicalization (textutils.normalize_text — the shape every digest
+    text passes through, digests.py:300-331 analog).  Input synthesizes
+    the messy cases: combining accents, NBSP, LINE SEPARATOR, ragged
+    blank lines."""
+    from .functions.textutils import normalize_text_udf
+
+    d = _t(spark, sf_dir, "documents")
+    # decomposed accent (e + U+0301), NBSP, LINE SEP — matches the
+    # oracle's chr() construction byte-for-byte pre-normalization
+    messy = F.concat(
+        F.lit("Cafe\u0301\u00a0menu\n \n"),
+        F.col("text"),
+        F.lit("  \u2028 tail\n\n \n"),
+    )
+    return d.select(
+        "doc_id", normalize_text_udf(messy).alias("norm_text")
+    ).orderBy("doc_id")
+
+
+#       spelled via chr() so the oracle string stays ASCII
+_WS_CLASS_SQL = "' \\t\\r\\f\\v\\n' || chr(160) || chr(8232) || chr(8233)"
+
+Q44_SQL = rf"""
+WITH raw AS (
+  SELECT doc_id,
+         'Cafe' || chr(769) || chr(160) || 'menu' || chr(10) || ' ' || chr(10)
+           || text || '  ' || chr(8232) || ' tail' || chr(10) || chr(10)
+           || ' ' || chr(10) AS r
+  FROM documents
+)
+SELECT doc_id,
+  array_to_string(
+    list_filter(
+      list_transform(
+        regexp_split_to_array(nfc_normalize(r),
+                              '\n[' || {_WS_CLASS_SQL} || ']*\n'),
+        b -> trim(regexp_replace(b, '[' || {_WS_CLASS_SQL} || ']+', ' ', 'g'))),
+      b -> b <> ''),
+    chr(10) || chr(10)) AS norm_text
+FROM raw ORDER BY doc_id
+"""
+
+
 # shared recursive-CTE family assignment (q42/q43 oracles)
 _CC_FAMILY_CTE = r"""
 WITH RECURSIVE n AS (
@@ -1441,6 +1487,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q41_url_canonicalize": q41_url_canonicalize,
     "q42_dup_families": q42_dup_families,
     "q43_family_representatives": q43_family_representatives,
+    "q44_text_normalize": q44_text_normalize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1478,6 +1525,7 @@ ORACLES: dict[str, str] = {
     "q41_url_canonicalize": Q41_SQL,
     "q42_dup_families": Q42_SQL,
     "q43_family_representatives": Q43_SQL,
+    "q44_text_normalize": Q44_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32, q34/q35, q38: non-SQL-expressible (xxhash64 LSH
