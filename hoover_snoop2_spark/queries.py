@@ -1384,6 +1384,57 @@ FROM raw ORDER BY doc_id
 """
 
 
+def q45_host_cap(spark, sf_dir):
+    """Per-host document cap (domain-diversity gate — RefinedWeb/C4 keep
+    at most N pages per host).  Skew-aware plan: under-cap hosts bypass
+    the rank via a counts semi-join; only over-cap hosts pay the
+    per-group sort, ordered by a deterministic multiplicative-hash
+    permutation so the kept subset is reproducible."""
+    from .operators.sampling import cap_per_group
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"))
+    withhost = d.select("doc_id", host.alias("host"))
+    return cap_per_group(withhost, "host", cap=40, id_col="doc_id").orderBy(
+        "doc_id"
+    )
+
+
+Q45_SQL = """
+WITH h AS (
+  SELECT doc_id, 'site' || (doc_id % 7) AS host FROM documents
+)
+SELECT doc_id, host FROM h
+QUALIFY row_number() OVER (
+  PARTITION BY host
+  ORDER BY (doc_id % 4294967296) * 2654435761 % 4294967296, doc_id
+) <= 40
+ORDER BY doc_id
+"""
+
+
+def q46_deterministic_sample(spark, sf_dir):
+    """Reproducible corpus subsetting: keep ~30% of documents by a
+    multiplicative-hash filter — no shuffle, identical membership every
+    run/engine (the reproducible train/eval carve-out step)."""
+    from .operators.sampling import deterministic_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        deterministic_sample(d, "doc_id", 0.30)
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
+Q46_SQL = """
+SELECT doc_id, lang, n_chars FROM documents
+WHERE (doc_id % 4294967296) * 2654435761 % 4294967296
+      < CAST(0.30 * 4294967296 AS BIGINT)
+ORDER BY doc_id
+"""
+
+
 # shared recursive-CTE family assignment (q42/q43 oracles)
 _CC_FAMILY_CTE = r"""
 WITH RECURSIVE n AS (
@@ -1488,6 +1539,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q42_dup_families": q42_dup_families,
     "q43_family_representatives": q43_family_representatives,
     "q44_text_normalize": q44_text_normalize,
+    "q45_host_cap": q45_host_cap,
+    "q46_deterministic_sample": q46_deterministic_sample,
 }
 
 ORACLES: dict[str, str] = {
@@ -1526,6 +1579,8 @@ ORACLES: dict[str, str] = {
     "q42_dup_families": Q42_SQL,
     "q43_family_representatives": Q43_SQL,
     "q44_text_normalize": Q44_SQL,
+    "q45_host_cap": Q45_SQL,
+    "q46_deterministic_sample": Q46_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32, q34/q35, q38: non-SQL-expressible (xxhash64 LSH

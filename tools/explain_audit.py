@@ -28,6 +28,8 @@ AUDITED = [
     "q36_ocr_join",
     "q42_dup_families",
     "q43_family_representatives",
+    "q45_host_cap",
+    "q46_deterministic_sample",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -45,6 +47,8 @@ CHECKS = {
     "q36_ocr_join": ["BroadcastHashJoin"],
     "q42_dup_families": ["!CartesianProduct", "!Window"],
     "q43_family_representatives": ["HashAggregate", "!Window", "!CartesianProduct"],
+    "q45_host_cap": ["LeftSemi", "!CartesianProduct"],
+    "q46_deterministic_sample": ["PushedFilters"],
 }
 
 NOTES = {
@@ -72,6 +76,14 @@ NOTES = {
     "q43_family_representatives": "the dedup apply step is a single "
         "max-of-struct HashAggregate (map-side partials) — keep-the-longest "
         "without a per-row Window sort.",
+    "q45_host_cap": "skew-aware cap: the LeftSemi is the under-cap bypass "
+        "— only rows of over-cap hosts reach the Window sort (zipfian host "
+        "populations would otherwise sort the whole corpus).",
+    "q46_deterministic_sample": "the operator itself is a pure "
+        "multiplicative-hash filter with zero Exchange "
+        "(test_sampling.py asserts it on the raw plan); the single "
+        "Exchange below belongs to the q-entry's orderBy, added only for "
+        "deterministic oracle comparison.",
 }
 
 
