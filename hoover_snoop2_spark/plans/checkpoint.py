@@ -10,7 +10,11 @@ against the last snapshot's processed hashes and only analyzes the delta.
 (On a production cluster these snapshots are Iceberg table commits —
 ``df.writeTo(tbl).append()`` — giving atomic snapshots and incremental
 reads; the Iceberg runtime jar is absent in this sandbox, so a plain
-parquet directory + manifest JSON stands in.  The interface is the same.)
+parquet directory + manifest JSON stands in.  The interface is the same.
+``SnapshotStore`` below goes further and reproduces Iceberg's actual
+metadata discipline — versioned per-snapshot file lists with append
+commits, time travel, files-diff incremental scans, rollback and
+expire_snapshots — for the digest output table.)
 
 Checkpointing also truncates lineage for the iterative unpack loop — an
 unbounded logical plan across rounds would otherwise grow per iteration.
@@ -81,6 +85,154 @@ class CheckpointStore:
             manifest = json.load(f)
         want = version or STAGE_VERSIONS.get(stage, 1)
         return manifest.get("version") == want
+
+
+class SnapshotStore:
+    """Iceberg-shaped snapshot table over a parquet directory tree.
+
+    On a production cluster these are real Iceberg tables
+    (``df.writeTo(tbl).append()`` / ``snapshot-id`` time travel /
+    ``expire_snapshots``); the runtime jar is absent in this sandbox, so
+    this class reproduces the metadata discipline Iceberg actually uses —
+    per-snapshot DATA-FILE LISTS in a metadata document, commits that only
+    add files, reads that resolve a version to its file list:
+
+    - ``commit(df, table, mode)``  — 'append' snapshots reference every
+      previous data dir plus the new one; 'overwrite' starts a fresh list.
+      The metadata swap is atomic (tmp + rename), and existing data dirs
+      are never rewritten, so concurrent readers of older snapshots are
+      undisturbed (Iceberg's snapshot-isolation guarantee).
+    - ``read(spark, table, version=None)``  — current or time-travel.
+    - ``incremental(spark, table, since)``  — rows in files added after
+      snapshot ``since`` (Iceberg incremental scan); the resume hook for
+      downstream consumers that processed up to a version.
+    - ``rollback(table, version)``  — metadata-only pointer move.
+    - ``expire(table, keep_last)``  — drops history entries and deletes
+      data dirs unreferenced by the retained snapshots.
+    """
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _meta_path(self, table: str) -> str:
+        return os.path.join(self.root, table, "metadata.json")
+
+    def _meta(self, table: str) -> dict:
+        p = self._meta_path(table)
+        if not os.path.exists(p):
+            return {"current": 0, "snapshots": []}
+        with open(p) as f:
+            return json.load(f)
+
+    def _write_meta(self, table: str, meta: dict) -> None:
+        p = self._meta_path(table)
+        tmp = p + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, p)
+
+    def _snap(self, meta: dict, version: int) -> dict:
+        for s in meta["snapshots"]:
+            if s["version"] == version:
+                return s
+        raise KeyError(f"snapshot v{version} not in history")
+
+    def commit(self, df: DataFrame, table: str, mode: str = "append") -> int:
+        """Write a new snapshot; returns its version number."""
+        if mode not in ("append", "overwrite"):
+            raise ValueError(mode)
+        meta = self._meta(table)
+        # allocate past ALL history, never reusing ids — after a rollback
+        # the rolled-past versions still exist and stay readable
+        version = max(
+            [s["version"] for s in meta["snapshots"]], default=0
+        ) + 1
+        dirname = f"snap-{version:05d}"
+        os.makedirs(os.path.join(self.root, table), exist_ok=True)
+        df.write.mode("errorifexists").parquet(
+            os.path.join(self.root, table, dirname)
+        )
+        if mode == "append" and meta["current"]:
+            files = list(self._snap(meta, meta["current"])["files"])
+        else:
+            files = []
+        files.append(dirname)
+        meta["snapshots"].append(
+            {"version": version, "files": files, "mode": mode}
+        )
+        meta["current"] = version
+        self._write_meta(table, meta)
+        return version
+
+    def _resolve(self, table: str, version: int | None) -> list[str]:
+        meta = self._meta(table)
+        v = meta["current"] if version is None else version
+        if v == 0:
+            raise KeyError(f"table {table!r} has no snapshots")
+        return [
+            os.path.join(self.root, table, d)
+            for d in self._snap(meta, v)["files"]
+        ]
+
+    def read(
+        self, spark: SparkSession, table: str, version: int | None = None
+    ) -> DataFrame:
+        return spark.read.parquet(*self._resolve(table, version))
+
+    def incremental(
+        self, spark: SparkSession, table: str, since: int
+    ) -> DataFrame:
+        """Rows added after snapshot ``since`` (files-diff scan — no
+        anti-join over data, metadata only)."""
+        cur = self._resolve(table, None)
+        base = set(self._resolve(table, since)) if since > 0 else set()
+        added = [p for p in cur if p not in base]
+        if not added:
+            return spark.read.parquet(*cur).limit(0)
+        return spark.read.parquet(*added)
+
+    def history(self, table: str) -> list[dict]:
+        return list(self._meta(table)["snapshots"])
+
+    def current_version(self, table: str) -> int:
+        return self._meta(table)["current"]
+
+    def rollback(self, table: str, version: int) -> None:
+        meta = self._meta(table)
+        self._snap(meta, version)  # must exist
+        meta["current"] = version
+        self._write_meta(table, meta)
+
+    def expire(self, table: str, keep_last: int) -> list[str]:
+        """Retain the last ``keep_last`` snapshots (and the current one if
+        rolled back further); delete data dirs no retained snapshot
+        references.  Returns deleted dir names."""
+        import shutil
+
+        meta = self._meta(table)
+        snaps = meta["snapshots"]
+        if len(snaps) <= keep_last:
+            return []
+        keep = snaps[-keep_last:]
+        keep_versions = {s["version"] for s in keep}
+        keep_versions.add(meta["current"])
+        retained = [s for s in snaps if s["version"] in keep_versions]
+        referenced = {d for s in retained for d in s["files"]}
+        deleted = []
+        for s in snaps:
+            if s["version"] in keep_versions:
+                continue
+            for d in s["files"]:
+                if d not in referenced:
+                    full = os.path.join(self.root, table, d)
+                    if os.path.exists(full):
+                        shutil.rmtree(full)
+                    referenced.add(d)  # delete once
+                    deleted.append(d)
+        meta["snapshots"] = retained
+        self._write_meta(table, meta)
+        return deleted
 
 
 def resume_delta(

@@ -1,0 +1,105 @@
+"""SnapshotStore: Iceberg-shaped commits, time travel, incremental scans,
+rollback, snapshot expiry (plans/checkpoint.py)."""
+
+import os
+
+import pytest
+
+from hoover_snoop2_spark.plans.checkpoint import SnapshotStore
+
+
+def _ids(df):
+    return sorted(r["id"] for r in df.collect())
+
+
+@pytest.fixture()
+def store(tmp_path):
+    return SnapshotStore(str(tmp_path / "snaps"))
+
+
+def test_append_commits_and_time_travel(spark, store):
+    v1 = store.commit(spark.range(0, 3), "t")
+    v2 = store.commit(spark.range(3, 5), "t")
+    assert (v1, v2) == (1, 2)
+    assert _ids(store.read(spark, "t")) == [0, 1, 2, 3, 4]
+    assert _ids(store.read(spark, "t", version=1)) == [0, 1, 2]
+
+
+def test_incremental_scan_is_files_diff(spark, store):
+    store.commit(spark.range(0, 3), "t")
+    store.commit(spark.range(3, 5), "t")
+    store.commit(spark.range(5, 6), "t")
+    assert _ids(store.incremental(spark, "t", since=1)) == [3, 4, 5]
+    assert _ids(store.incremental(spark, "t", since=2)) == [5]
+    assert store.incremental(spark, "t", since=3).count() == 0
+    assert _ids(store.incremental(spark, "t", since=0)) == [0, 1, 2, 3, 4, 5]
+
+
+def test_overwrite_starts_fresh_file_list(spark, store):
+    store.commit(spark.range(0, 3), "t")
+    store.commit(spark.range(10, 12), "t", mode="overwrite")
+    assert _ids(store.read(spark, "t")) == [10, 11]
+    # the old snapshot stays readable (snapshot isolation)
+    assert _ids(store.read(spark, "t", version=1)) == [0, 1, 2]
+
+
+def test_rollback_is_metadata_only(spark, store):
+    store.commit(spark.range(0, 3), "t")
+    store.commit(spark.range(3, 5), "t")
+    store.rollback("t", 1)
+    assert store.current_version("t") == 1
+    assert _ids(store.read(spark, "t")) == [0, 1, 2]
+    # a new commit appends on top of the rolled-back snapshot
+    store.commit(spark.range(7, 8), "t")
+    assert _ids(store.read(spark, "t")) == [0, 1, 2, 7]
+
+
+def test_expire_deletes_unreferenced_dirs_only(spark, store, tmp_path):
+    store.commit(spark.range(0, 2), "t")            # v1: snap-1
+    store.commit(spark.range(2, 4), "t")            # v2: snap-1,2
+    store.commit(spark.range(9, 10), "t", mode="overwrite")  # v3: snap-3
+    store.commit(spark.range(10, 11), "t")          # v4: snap-3,4
+    deleted = store.expire("t", keep_last=2)
+    # v1/v2 dropped; snap-1 and snap-2 unreferenced by v3/v4
+    assert sorted(deleted) == ["snap-00001", "snap-00002"]
+    assert [s["version"] for s in store.history("t")] == [3, 4]
+    assert _ids(store.read(spark, "t")) == [9, 10]
+    with pytest.raises(KeyError):
+        store.read(spark, "t", version=1)
+
+
+def test_expire_keeps_shared_files(spark, store):
+    store.commit(spark.range(0, 2), "t")   # v1: snap-1
+    store.commit(spark.range(2, 3), "t")   # v2: snap-1,2
+    store.commit(spark.range(3, 4), "t")   # v3: snap-1,2,3
+    deleted = store.expire("t", keep_last=1)
+    # snap-1/2 still referenced by the retained v3 — nothing deleted
+    assert deleted == []
+    assert _ids(store.read(spark, "t")) == [0, 1, 2, 3]
+
+
+def test_empty_table_raises(spark, store):
+    with pytest.raises(KeyError):
+        store.read(spark, "missing")
+
+
+def test_digest_resume_via_snapshots(spark, store, tmp_path):
+    """Pipeline-shaped flow: each extraction run commits its digests;
+    a downstream indexer consumes only the incremental rows."""
+    from hoover_snoop2_spark.plans.pipeline import run_extraction
+    from hoover_snoop2_spark.corpus import generate_pages
+
+    pages_path, _ = generate_pages(30, str(tmp_path))
+    pages = spark.read.parquet(pages_path)
+    d1, _ = run_extraction(spark, pages.limit(10),
+                           checkpoint_dir=str(tmp_path / "c1"))
+    store.commit(d1.select("url", "text"), "digests")
+    d2, _ = run_extraction(spark, pages,
+                           checkpoint_dir=str(tmp_path / "c2"))
+    new_urls = {r["url"] for r in d2.select("url").subtract(
+        d1.select("url")).collect()}
+    store.commit(d2.select("url", "text").join(
+        store.read(spark, "digests").select("url"), "url", "left_anti"),
+        "digests")
+    inc = store.incremental(spark, "digests", since=1)
+    assert {r["url"] for r in inc.select("url").collect()} == new_urls
