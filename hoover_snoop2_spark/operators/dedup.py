@@ -76,6 +76,43 @@ def minhash_signature(df: DataFrame, id_col: str, text_col: str,
     return hashed.select("id", sig.alias("signature"))
 
 
+def band_keys(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 16,
+    bands: int = 4,
+    k: int = 5,
+) -> DataFrame:
+    """(id, band, band_hash) LSH band keys — pure column expressions, so
+    the same code paths batch tables AND streaming DataFrames (the
+    stream-static near-dup join in streaming/dedup_stream.py)."""
+    rows = n_hashes // bands
+    sigs = minhash_signature(df, id_col, text_col, n_hashes, k)
+    return sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.col("signature")[b * rows + r].cast("string")
+                                    for r in range(rows)
+                                ],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "bk.band", "bk.band_hash")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -111,30 +148,7 @@ def minhash_lsh_pairs(
     # the shingle/signature chain is CPU-bound: a narrow scan (one split
     # for a small parquet) serializes it — widen first (measured 3.3x)
     df = ensure_parallelism(df)
-    rows = n_hashes // bands
-    sigs = minhash_signature(df, id_col, text_col, n_hashes, k)
-    banded = sigs.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.col("signature")[b * rows + r].cast("string")
-                                    for r in range(rows)
-                                ],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
-    ).select("id", "bk.band", "bk.band_hash")
+    banded = band_keys(df, id_col, text_col, n_hashes, bands, k)
     # the signature chain (shingles → 16 permutations) is the expensive
     # part and feeds five downstream consumers — materialize the tiny
     # (id, band, hash) table once instead of re-deriving it per consumer

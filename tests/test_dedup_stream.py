@@ -1,0 +1,66 @@
+"""Stream-static LSH near-dup join (streaming/dedup_stream.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hoover_snoop2_spark.streaming.dedup_stream import (
+    build_dedup_index,
+    stream_near_dups,
+)
+from hoover_snoop2_spark.streaming.incremental import run_stream_to_memory
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "the old house near the river bend every single morning"
+)
+
+CORPUS = [
+    (100, BASE),
+    (101, "a completely different article about catalyst optimizer rules "
+          "and adaptive query execution with partition coalescing for "
+          "large distributed joins in columnar execution engines"),
+]
+
+
+def test_batch_equivalence_of_stream_expressions(spark):
+    """The stream query over a static frame (same exprs, batch mode)
+    matches hand-computed Jaccard."""
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    index = build_dedup_index(corpus, "doc_id", "text", n_hashes=64, bands=16)
+    pages = spark.createDataFrame(
+        [("https://new.example/dup", BASE.replace("lazy", "sleepy")),
+         ("https://new.example/novel",
+          "utterly novel text on beekeeping techniques in alpine regions "
+          "covering hive placement wind shelter and late winter feeding")],
+        "url string, text string",
+    )
+    got = stream_near_dups(pages, index, n_hashes=64, bands=16).collect()
+    assert {(r["url"], r["matched_id"]) for r in got} == {
+        ("https://new.example/dup", 100)
+    }
+    assert all(r["jaccard"] >= 0.5 for r in got)
+
+
+def test_streaming_near_dups_end_to_end(spark, tmp_path):
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    index = build_dedup_index(corpus, "doc_id", "text", n_hashes=64, bands=16)
+
+    pages_dir = str(tmp_path / "pages_stream")
+    spark.createDataFrame(
+        [("https://new.example/dup", BASE.replace("lazy", "sleepy")),
+         ("https://new.example/novel",
+          "utterly novel text on beekeeping techniques in alpine regions "
+          "covering hive placement wind shelter and late winter feeding")],
+        "url string, text string",
+    ).write.parquet(pages_dir)
+
+    stream = spark.readStream.schema("url string, text string").parquet(pages_dir)
+    out = stream_near_dups(stream, index, n_hashes=64, bands=16)
+    assert out.isStreaming
+    run_stream_to_memory(out, "near_dups_out")
+    rows = spark.sql("select * from near_dups_out").collect()
+    pairs = {(r["url"], r["matched_id"]) for r in rows}
+    assert pairs == {("https://new.example/dup", 100)}
+    # multi-band hits allowed, but every emitted row is verified exact
+    assert all(r["jaccard"] >= 0.5 for r in rows)
