@@ -35,34 +35,58 @@ def main(argv: list[str] | None = None) -> int:
                         "outgrow a broadcast)")
     p.add_argument("--es-shape", action="store_true",
                    help="emit reference-ES-mapping field names")
+    p.add_argument("--snapshot-dir", default=None,
+                   help="version digests in a SnapshotStore table: with "
+                        "--resume, reads the current snapshot as the "
+                        "memoization set and appends only this run's "
+                        "delta; without, commits a fresh overwrite "
+                        "snapshot (old versions stay time-travelable)")
     args = p.parse_args(argv)
 
     from .operators.es_sink import to_es_documents
-    from .plans.checkpoint import CheckpointStore
+    from .plans.checkpoint import CheckpointStore, SnapshotStore
     from .plans.pipeline import run_extraction, write_digests
     from .session import get_spark
 
     spark = get_spark(app_name="snoop2_spark_extract")
     pages = spark.read.parquet(args.input)
 
+    store = SnapshotStore(args.snapshot_dir) if args.snapshot_dir else None
     previous = None
     if args.resume:
-        cp = CheckpointStore(args.checkpoint)
-        # version gate (the reference's @snoop_task(version=...) retry
-        # invalidation, models.py:732-736): a stage-version bump makes the
-        # old snapshot stale — recompute instead of resuming from it
-        if cp.valid("digests"):
-            previous = cp.read(spark, "digests")
+        if store is not None:
+            if store.current_version("digests"):
+                previous = store.read(spark, "digests")
+            else:
+                print("resume: snapshot table empty — running full "
+                      "extraction", file=sys.stderr)
         else:
-            print("resume: checkpointed digests missing or stale "
-                  "(stage version mismatch) — running full extraction",
-                  file=sys.stderr)
+            cp = CheckpointStore(args.checkpoint)
+            # version gate (the reference's @snoop_task(version=...) retry
+            # invalidation, models.py:732-736): a stage-version bump makes
+            # the old snapshot stale — recompute instead of resuming
+            if cp.valid("digests"):
+                previous = cp.read(spark, "digests")
+            else:
+                print("resume: checkpointed digests missing or stale "
+                      "(stage version mismatch) — running full extraction",
+                      file=sys.stderr)
 
     digests, metrics = run_extraction(
         spark, pages, checkpoint_dir=args.checkpoint,
         max_depth=args.max_depth, previous_digests=previous,
         dedup_strategy=args.dedup_strategy,
+        # with a snapshot table the commit IS the union — append the delta
+        include_previous=store is None or previous is None,
     )
+    snapshot_version = None
+    if store is not None:
+        snapshot_version = store.commit(
+            digests, "digests",
+            mode="append" if previous is not None else "overwrite",
+        )
+        digests = store.read(spark, "digests")
+
     out = to_es_documents(digests) if args.es_shape else digests
     write_digests(out, args.output)
     metrics.write.mode("overwrite").parquet(args.output + "/metrics")
@@ -70,7 +94,10 @@ def main(argv: list[str] | None = None) -> int:
     stats = {r["status"]: r["rows"] for r in
              metrics.groupBy("status").agg({"rows": "sum"})
              .withColumnRenamed("sum(rows)", "rows").collect()}
-    print(json.dumps({"digests": digests.count(), "status_rows": stats}))
+    summary = {"digests": digests.count(), "status_rows": stats}
+    if snapshot_version is not None:
+        summary["snapshot_version"] = snapshot_version
+    print(json.dumps(summary))
     spark.stop()
     return 0
 

@@ -47,3 +47,48 @@ def test_cli_run_and_resume(spark, tmp_path, capsys, monkeypatch):
     third = json.loads(err.out.strip().splitlines()[-1])
     assert third["digests"] == first["digests"]
     assert "stale" in err.err
+
+
+def test_cli_snapshot_versioned_resume(spark, tmp_path, capsys, monkeypatch):
+    """--snapshot-dir: first run commits an overwrite snapshot; a resumed
+    run over a grown corpus appends only the delta; old versions stay
+    time-travelable."""
+    from hoover_snoop2_spark.corpus import generate_pages
+    from hoover_snoop2_spark.__main__ import main
+    from hoover_snoop2_spark.plans.checkpoint import SnapshotStore
+
+    monkeypatch.setattr(pyspark.sql.SparkSession, "stop", lambda self: None)
+
+    pages_path, _ = generate_pages(60, str(tmp_path / "gen"))
+    full = spark.read.parquet(pages_path)
+    small_path = str(tmp_path / "pages_small")
+    full.limit(20).write.parquet(small_path)
+
+    out = str(tmp_path / "out")
+    snaps = str(tmp_path / "snaps")
+
+    assert main(["--input", small_path, "--output", out,
+                 "--checkpoint", str(tmp_path / "c1"),
+                 "--snapshot-dir", snaps]) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert first["snapshot_version"] == 1
+
+    assert main(["--input", pages_path, "--output", out,
+                 "--checkpoint", str(tmp_path / "c2"),
+                 "--snapshot-dir", snaps, "--resume"]) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["snapshot_version"] == 2
+    assert second["digests"] > first["digests"]
+
+    store = SnapshotStore(snaps)
+    # cumulative view has no duplicate hashes (delta was memoized)
+    cur = store.read(spark, "digests")
+    assert cur.count() == second["digests"]
+    shas = cur.filter("sha256 is not null").select("sha256", "url")
+    assert shas.count() == shas.distinct().count()
+    # time travel: v1 is exactly the first run
+    assert store.read(spark, "digests", version=1).count() == first["digests"]
+    # incremental consumers see only the delta
+    assert store.incremental(spark, "digests", since=1).count() == (
+        second["digests"] - first["digests"]
+    )
