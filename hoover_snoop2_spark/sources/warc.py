@@ -52,6 +52,16 @@ WARC_PAGES_SCHEMA = (
 _MAX_HEADER = 64 * 1024
 
 
+def _local_path(p: str) -> str:
+    """binaryFile reports file:-scheme URIs; range reads open them
+    locally (on a cluster this is an object-store ranged GET instead)."""
+    if p.startswith("file://"):
+        return p[len("file://"):]
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
+
+
 class WarcError(ValueError):
     pass
 
@@ -83,29 +93,27 @@ def _parse_warc_date(s: str) -> datetime | None:
         return None
 
 
-def parse_warc_records(
+def _gunzip_members(raw: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(offset, compressed_length, inflated_bytes) per gzip member —
+    Common Crawl compresses each record as its own member precisely so
+    these spans are independently fetchable (the CDX contract)."""
+    pos = 0
+    n = len(raw)
+    while pos < n:
+        dec = zlib.decompressobj(wbits=31)
+        data = dec.decompress(raw[pos:]) + dec.flush()
+        end = n - len(dec.unused_data)
+        yield pos, end - pos, data
+        if end == pos:  # safety: no forward progress
+            raise WarcError(f"stalled gzip member walk at {pos}")
+        pos = end
+
+
+def _iter_raw_records(
     raw: bytes, warc_file: str = ""
-) -> Iterator[dict]:
-    """Yield one dict per *response* record in a WARC byte stream.
-
-    Accepts plain streams, whole-stream gzip, and Common-Crawl-style
-    per-record gzip members (zlib inflates concatenated members
-    transparently when fed the full stream).
-    """
-    if raw[:2] == b"\x1f\x8b":
-        # decompress all members (CC per-record members concatenate)
-        d = bytearray()
-        pos = 0
-        while pos < len(raw):
-            dec = zlib.decompressobj(wbits=31)
-            d += dec.decompress(raw[pos:])
-            d += dec.flush()
-            tail = dec.unused_data
-            if not tail:
-                break
-            pos = len(raw) - len(tail)
-        raw = bytes(d)
-
+) -> Iterator[tuple[int, int, dict[str, str], bytes]]:
+    """(start, end, headers, payload) per record in an UNCOMPRESSED
+    stream."""
     pos = 0
     n = len(raw)
     while pos < n:
@@ -114,12 +122,13 @@ def parse_warc_records(
             pos += 2
         if pos >= n:
             break
+        start = pos
         if not raw[pos : pos + 5] == b"WARC/":
             raise WarcError(f"bad record magic at offset {pos} in {warc_file!r}")
         hdr_end = raw.find(b"\r\n\r\n", pos, pos + _MAX_HEADER)
         if hdr_end < 0:
             raise WarcError(f"unterminated WARC header at {pos} in {warc_file!r}")
-        headers = _parse_headers(raw[pos : hdr_end])
+        headers = _parse_headers(raw[pos:hdr_end])
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError):
@@ -127,7 +136,21 @@ def parse_warc_records(
         body_start = hdr_end + 4
         payload = raw[body_start : body_start + length]
         pos = body_start + length
+        yield start, pos, headers, payload
 
+
+def parse_warc_records(
+    raw: bytes, warc_file: str = ""
+) -> Iterator[dict]:
+    """Yield one dict per *response* record in a WARC byte stream.
+
+    Accepts plain streams, whole-stream gzip, and Common-Crawl-style
+    per-record gzip members.
+    """
+    if raw[:2] == b"\x1f\x8b":
+        raw = b"".join(data for _, _, data in _gunzip_members(raw))
+
+    for _start, _end, headers, payload in _iter_raw_records(raw, warc_file):
         if headers.get("warc-type") != "response":
             continue  # warcinfo/request/metadata/revisit records
         url = headers.get("warc-target-uri", "")
@@ -210,7 +233,7 @@ def read_warc_cdx(
         try:
             for pdf in batches:
                 for _, row in pdf.iterrows():
-                    fname = row["warc_file"]
+                    fname = _local_path(row["warc_file"])
                     fh = handles.get(fname)
                     if fh is None:
                         fh = handles[fname] = open(fname, "rb")
@@ -222,6 +245,66 @@ def read_warc_cdx(
                 fh.close()
 
     return idx.mapInPandas(fetch, WARC_PAGES_SCHEMA)
+
+
+#: CDX(J)-shaped index schema: the byte span plus the filterable fields a
+#: crawl index publishes (url / type / mime / status)
+WARC_CDX_SCHEMA = (
+    "warc_file string, offset long, length long, url string, "
+    "warc_type string, http_status int, content_type string"
+)
+
+
+def index_warc(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Build the CDX index for WARC files — (warc_file, offset, length)
+    byte spans per record plus filter columns.  One pass over each file
+    (binaryFile granularity); the output feeds read_warc_cdx, closing the
+    loop: index once, then every downstream job does index-pruned range
+    reads instead of full-file scans.
+
+    gzip inputs index the compressed member spans (what a range fetch
+    must read); plain inputs index raw record spans.  Both are accepted
+    back by read_warc_cdx/parse_warc_records unchanged.
+    """
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def _entry(path, off, ln, headers, payload):
+        status, ctype = 0, ""
+        if payload[:5] == b"HTTP/":
+            hend = payload.find(b"\r\n\r\n")
+            if hend >= 0:
+                first, _, rest = payload[:hend].partition(b"\r\n")
+                parts = first.split(None, 2)
+                if len(parts) >= 2 and parts[1].isdigit():
+                    status = int(parts[1])
+                ctype = _parse_headers(rest).get("content-type", "")
+        return {
+            "warc_file": path,
+            "offset": off,
+            "length": ln,
+            "url": headers.get("warc-target-uri", ""),
+            "warc_type": headers.get("warc-type", ""),
+            "http_status": status,
+            "content_type": ctype,
+        }
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                raw = bytes(row["content"])
+                path = row["path"]
+                entries = []
+                if raw[:2] == b"\x1f\x8b":
+                    for off, ln, data in _gunzip_members(raw):
+                        for _s, _e, hdrs, payload in _iter_raw_records(data, path):
+                            entries.append(_entry(path, off, ln, hdrs, payload))
+                else:
+                    for s, e, hdrs, payload in _iter_raw_records(raw, path):
+                        entries.append(_entry(path, s, e - s, hdrs, payload))
+                if entries:
+                    yield pd.DataFrame(entries)
+
+    return files.select("path", "content").mapInPandas(scan, WARC_CDX_SCHEMA)
 
 
 def to_pages(warc_df: DataFrame) -> DataFrame:

@@ -119,3 +119,36 @@ def test_dup_families_over_minhash_pairs(spark):
     }
     assert fam[0] == fam[1] == fam[2] == 0
     assert fam[3] == 3
+
+
+def test_cc_matches_union_find_on_random_graphs(spark):
+    """Seeded random graphs: the star-rounds fixpoint must equal a plain
+    union-find closure exactly (labels = component min)."""
+    import random
+
+    rng = random.Random(20260817)
+    for trial in range(6):
+        n = rng.randint(2, 60)
+        m = rng.randint(0, 2 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        if not edges:
+            continue
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {v for e in edges for v in e if e[0] != e[1]}
+        # nodes only in self-loops are absent from CC output by contract
+        expect = {v: find(v) for v in touched}
+
+        got = _components(spark, edges)
+        assert got == expect, f"trial {trial}: n={n} edges={edges}"

@@ -153,3 +153,34 @@ def test_warc_pages_flow_through_extraction(spark, tmp_path):
     a = {(r["url"], r["text"]) for r in digests.select("url", "text").collect()}
     b = {(r["url"], r["text"]) for r in digests2.select("url", "text").collect()}
     assert a == b and len(a) >= 1
+
+
+def test_index_warc_roundtrip_gzip_members(spark, tmp_path):
+    """index once -> range-read via the index -> identical records."""
+    from hoover_snoop2_spark.sources.warc import index_warc
+
+    gz = tmp_path / "seg.warc.gz"
+    gz.write_bytes(b"".join(gzip.compress(r) for r in _build_records()))
+
+    cdx = index_warc(spark, str(gz))
+    rows = cdx.orderBy("offset").collect()
+    assert [r["warc_type"] for r in rows] == [
+        "warcinfo", "request", "response", "response"]
+    assert rows[2]["http_status"] == 200 and rows[3]["http_status"] == 301
+    assert rows[2]["content_type"] == "text/html"
+
+    # index-side pushdown, then range reads
+    responses = cdx.filter("warc_type = 'response' and http_status = 200")
+    got = read_warc_cdx(spark, responses).collect()
+    assert [bytes(r["html"]) for r in got] == [BODY_A]
+
+
+def test_index_warc_roundtrip_plain(spark, tmp_path):
+    from hoover_snoop2_spark.sources.warc import index_warc
+
+    plain = tmp_path / "seg.warc"
+    plain.write_bytes(b"".join(_build_records()))
+    cdx = index_warc(spark, str(plain))
+    responses = cdx.filter("warc_type = 'response'")
+    got = read_warc_cdx(spark, responses).orderBy("url").collect()
+    assert [bytes(r["html"]) for r in got] == [BODY_A, BODY_B]
