@@ -118,6 +118,22 @@ def _centroid_scores(vec_col: str, centroids: list[list[float]]) -> F.Column:
     return F.array(*scores)
 
 
+def _l2sq_scores(vec, centroids: list[list[float]]) -> F.Column:
+    """array of squared-L2 distance(vec, centroid_i) — pure JVM."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    dists = []
+    for c in centroids:
+        lit = F.array(*[F.lit(float(x)) for x in c])
+        dists.append(
+            F.aggregate(
+                F.zip_with(v, lit, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+    return F.array(*dists)
+
+
 def kmeans_centroids(
     vectors: DataFrame,
     id_col: str = "vec_id",
@@ -126,9 +142,10 @@ def kmeans_centroids(
     iters: int = 5,
     sample_fraction: float | None = None,
     seed: int = 42,
+    metric: str = "cosine",
 ) -> list[list[float]]:
-    """Deterministic Lloyd's k-means over a DataFrame (cosine assignment,
-    element-wise-mean update).  Per iteration: one broadcast of k·dim
+    """Deterministic Lloyd's k-means over a DataFrame (cosine or
+    squared-L2 assignment, element-wise-mean update).  Per iteration: one broadcast of k·dim
     centroid literals out, one (cluster, position) shuffle back — the
     classic Spark iterative-ML loop; vectors never collect to the driver
     (only the k centroids do, which is the whole point of a coarse
@@ -146,12 +163,16 @@ def kmeans_centroids(
                        F.col(vec_col).cast("array<double>").alias("v"))
     # deterministic init: the k lowest-id vectors
     centroids = [r["v"] for r in v.orderBy("id").limit(n_lists).collect()]
+    if metric not in ("cosine", "l2"):
+        raise ValueError(metric)
     for _ in range(iters):
-        scores = _centroid_scores("v", centroids)
-        assigned = v.withColumn(
-            "cluster",
-            F.array_position(scores, F.array_max(scores)).cast("int") - 1,
-        )
+        if metric == "cosine":
+            scores = _centroid_scores("v", centroids)
+            best = F.array_position(scores, F.array_max(scores))
+        else:
+            dists = _l2sq_scores("v", centroids)
+            best = F.array_position(dists, F.array_min(dists))
+        assigned = v.withColumn("cluster", best.cast("int") - 1)
         new = (
             assigned.select("cluster", F.posexplode("v").alias("pos", "x"))
             .groupBy("cluster", "pos")
@@ -335,4 +356,140 @@ def ann_lsh_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al., "Product Quantization for Nearest
+# Neighbor Search", TPAMI 2011): split each vector into m subvectors,
+# vector-quantize each subspace with its own k-code codebook, store m
+# uint8-sized codes per vector (e.g. 64-dim float32 → 4 bytes), and score
+# with asymmetric distance (ADC): per query, one m×k lookup table of exact
+# subspace distances, then each candidate costs m table lookups.  This is
+# the memory-scale path — 10^12 vectors × 4 code bytes fit where raw
+# floats cannot — and composes with IVF (probe lists, then ADC-score only
+# the probed candidates: IVF-PQ).
+# ---------------------------------------------------------------------------
+
+
+def pq_train(
+    vectors: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 4,
+    sample_fraction: float | None = None,
+) -> list[list[list[float]]]:
+    """Per-subspace codebooks (m × k_codes × dim/m) via L2 k-means on
+    each subvector slice.  The codebooks are tiny (m·k·dim/m = k·dim
+    floats total) and train on a sample at corpus scale; dim must divide
+    evenly by m."""
+    first = vectors.select(F.col(vec_col).alias("v")).first()
+    if first is None:
+        raise ValueError("pq_train: empty vector table")
+    dim = len(first["v"])
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+    codebooks = []
+    for j in range(m):
+        sub = vectors.select(
+            F.col(id_col).alias("id"),
+            F.slice(
+                F.col(vec_col).cast("array<double>"), j * sub_d + 1, sub_d
+            ).alias("sv"),
+        )
+        codebooks.append(
+            kmeans_centroids(
+                sub, "id", "sv", n_lists=k_codes, iters=iters,
+                sample_fraction=sample_fraction, metric="l2",
+            )
+        )
+    return codebooks
+
+
+def _pq_codes_expr(vec, codebooks: list[list[list[float]]]) -> F.Column:
+    """array<int> of per-subspace nearest-code indices — pure JVM."""
+    v = F.col(vec) if isinstance(vec, str) else vec
+    sub_d = len(codebooks[0][0])
+    codes = []
+    for j, cb in enumerate(codebooks):
+        sv = F.slice(v, j * sub_d + 1, sub_d)
+        d = _l2sq_scores(sv, cb)
+        codes.append((F.array_position(d, F.array_min(d)) - 1).cast("int"))
+    return F.array(*codes)
+
+
+def pq_encode(
+    vectors: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — the compressed corpus representation.
+    Persist this once (bucketed with the IVF cluster id in production);
+    searches never touch the raw floats again."""
+    return vectors.select(
+        F.col(id_col).alias("neighbor_id"),
+        _pq_codes_expr(
+            F.col(vec_col).cast("array<double>"), codebooks
+        ).alias("codes"),
+    )
+
+
+def pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """ADC top-k: (query_id, neighbor_id, adc_dist, rank) — rank 1 is the
+    NEAREST (smallest squared-L2 estimate).
+
+    The corpus side is the codes table (pass precomputed ``codes`` for
+    the encode-once/search-many split); each query carries m lookup-table
+    array columns of exact subspace distances, broadcast with the query
+    batch, and every candidate costs m ``element_at`` lookups — all JVM
+    expressions, no Python in the scan.  A full linear ADC scan over the
+    codes is the classic PQ baseline; prune with ivf_topk's cluster
+    assignment first for IVF-PQ.
+    """
+    if codes is None:
+        codes = pq_encode(vectors, codebooks, id_col, vec_col)
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    for j, cb in enumerate(codebooks):
+        q = q.withColumn(f"lut_{j}", _l2sq_scores(F.slice("qv", j * sub_d + 1, sub_d), cb))
+    q = q.drop("qv")
+
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.col(f"lut_{j}"), F.element_at(F.col("codes"), j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    cand = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(
+            F.col("neighbor_id").cast("string")
+            != F.col("query_id").cast("string")
+        )
+        .withColumn("adc_dist", F.round(adc, 4))
+        .select("query_id", "neighbor_id", "adc_dist")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
     )

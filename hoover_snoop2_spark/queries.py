@@ -755,6 +755,21 @@ def q32_ann_lsh_topk(spark, sf_dir):
     return ann_lsh_topk(e, q, k=5, dim=64).orderBy("query_id", "rank")
 
 
+def q47_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011): per-subspace L2
+    codebooks -> m-code compression -> asymmetric-distance top-k, all JVM
+    expressions.  k-means training is iterative — rows-only check; code
+    bit-exactness vs a numpy replica and cluster-level retrieval are
+    asserted in pytest (test_similarity.py)."""
+    from .operators.similarity import pq_encode, pq_topk, pq_train
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 5)
+    cb = pq_train(e, m=8, k_codes=16, iters=3)
+    codes = pq_encode(e, cb)
+    return pq_topk(e, q, cb, k=5, codes=codes).orderBy("query_id", "rank")
+
+
 def q28_ivf_topk(spark, sf_dir):
     """IVF approximate nearest neighbors: k-means coarse quantizer (an
     iterative algorithm — rows-only check; recall vs the exact q21
@@ -1541,6 +1556,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q44_text_normalize": q44_text_normalize,
     "q45_host_cap": q45_host_cap,
     "q46_deterministic_sample": q46_deterministic_sample,
+    "q47_pq_topk": q47_pq_topk,
 }
 
 ORACLES: dict[str, str] = {
@@ -1583,7 +1599,8 @@ ORACLES: dict[str, str] = {
     "q46_deterministic_sample": Q46_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
-    # q28/q30/q31/q32, q34/q35, q38: non-SQL-expressible (xxhash64 LSH
+    # q28/q30/q31/q32/q47, q34/q35, q38: non-SQL-expressible (xxhash64 LSH,
+    # iterative k-means / PQ codebook training,
     # banding, simhash blake2b bit votes, binary extraction pipeline,
     # media UDFs, PDF byte parsing) → rows-only
 }

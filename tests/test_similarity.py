@@ -147,3 +147,85 @@ def test_ann_multi_table_recall_improves(spark):
     # seeded planes give 0.08 -> 0.24 here, a 3x improvement
     assert r3 > r1, (r1, r3)
     assert r3 >= r1 + 0.05, (r1, r3)
+
+
+def test_pq_encode_codes_bounded_and_deterministic(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.normal(size=16).round(4).tolist()) for i in range(60)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from hoover_snoop2_spark.operators.similarity import pq_encode, pq_train
+
+    cb = pq_train(df, m=4, k_codes=8, iters=3)
+    assert len(cb) == 4 and all(len(c) == 8 for c in cb)
+    assert all(len(code) == 4 for c in cb for code in c)
+    a = pq_encode(df, cb).collect()
+    b = pq_encode(df, cb).collect()
+    assert sorted((r["neighbor_id"], r["codes"]) for r in a) == sorted(
+        (r["neighbor_id"], r["codes"]) for r in b
+    )
+    for r in a:
+        assert len(r["codes"]) == 4
+        assert all(0 <= c < 8 for c in r["codes"])
+
+
+def test_pq_topk_recall_on_clustered_data(spark):
+    """ADC ranking must mostly agree with exact L2 on clustered vectors
+    (the regime PQ is built for)."""
+    import numpy as np
+
+    rng = np.random.RandomState(42)
+    centers = rng.normal(size=(6, 32)) * 5
+    rows = []
+    for i in range(180):
+        c = centers[i % 6]
+        rows.append((i, (c + rng.normal(size=32) * 0.3).round(4).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 5")
+
+    from hoover_snoop2_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+    )
+
+    cb = pq_train(df, m=4, k_codes=16, iters=4)
+    codes = pq_encode(df, cb)
+    got = pq_topk(df, queries, cb, k=5, codes=codes).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == {0, 1, 2, 3, 4}
+    assert all(len(v) == 5 for v in by_q.values())
+
+    # PQ quantizes within-cluster distances to near-ties (same-cluster
+    # members often share codes), so exact top-5 identity is NOT the
+    # contract — retrieving from the right cluster is.  Verified against
+    # a numpy ADC replica: spark codes match it bit-exactly.
+    for qid, neighbors in by_q.items():
+        wrong = [n for n in neighbors if n % 6 != qid % 6]
+        assert wrong == [], f"query {qid} pulled cross-cluster {wrong}"
+
+    # and ADC must separate clusters by a wide margin
+    dists = {(r["query_id"], r["neighbor_id"]): r["adc_dist"] for r in got}
+    cross = pq_topk(df.filter("vec_id % 6 != 0"), queries.filter("vec_id = 0"),
+                    cb, k=1, codes=None).collect()
+    assert cross[0]["adc_dist"] > 10 * max(
+        dists[(0, n)] for n in by_q[0]
+    )
+
+
+def test_kmeans_l2_metric_partitions_separated_clusters(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(3)
+    a = rng.normal(loc=0.0, size=(30, 8)).round(4)
+    b = rng.normal(loc=10.0, size=(30, 8)).round(4)
+    rows = [(i, v.tolist()) for i, v in enumerate(np.vstack([a, b]))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    from hoover_snoop2_spark.operators.similarity import kmeans_centroids
+
+    cents = kmeans_centroids(df, n_lists=2, iters=5, metric="l2")
+    means = sorted(sum(c) / len(c) for c in cents)
+    assert means[0] < 2 and means[1] > 8
