@@ -1375,6 +1375,57 @@ def q44_text_normalize(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q48_vocab_builder(spark, sf_dir):
+    """Tokenizer-prep vocabulary build: corpus word counts -> top-V vocab
+    (count desc, word asc) -> per-document out-of-vocabulary rate.  Two
+    aggregates and a broadcast-sized vocab join; the word explode is the
+    only corpus-sized shuffle and it carries (word, 1) rows."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+        ).alias("w"),
+    ).filter(F.col("w") != "")
+    vocab = (
+        words.groupBy("w").agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("w").asc())
+        .limit(100)
+        .select("w", F.lit(1).alias("_in_vocab"))
+    )
+    per_doc = (
+        words.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.round(
+                F.avg(F.when(F.col("_in_vocab").isNull(), 1.0).otherwise(0.0)), 4
+            ).alias("oov_rate"),
+        )
+    )
+    return per_doc.orderBy("doc_id")
+
+
+Q48_SQL = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), w2 AS (
+  SELECT doc_id, w FROM words WHERE w <> ''
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS cnt FROM w2 GROUP BY w
+    ORDER BY cnt DESC, w ASC LIMIT 100
+  )
+)
+SELECT doc_id, count(*)::BIGINT AS n_words,
+       round(avg(CASE WHEN vocab.w IS NULL THEN 1.0 ELSE 0.0 END), 4)
+         AS oov_rate
+FROM w2 LEFT JOIN vocab ON w2.w = vocab.w
+GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 #       spelled via chr() so the oracle string stays ASCII
 _WS_CLASS_SQL = "' \\t\\r\\f\\v\\n' || chr(160) || chr(8232) || chr(8233)"
 
@@ -1557,6 +1608,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q45_host_cap": q45_host_cap,
     "q46_deterministic_sample": q46_deterministic_sample,
     "q47_pq_topk": q47_pq_topk,
+    "q48_vocab_builder": q48_vocab_builder,
 }
 
 ORACLES: dict[str, str] = {
@@ -1597,6 +1649,7 @@ ORACLES: dict[str, str] = {
     "q44_text_normalize": Q44_SQL,
     "q45_host_cap": Q45_SQL,
     "q46_deterministic_sample": Q46_SQL,
+    "q48_vocab_builder": Q48_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32/q47, q34/q35, q38: non-SQL-expressible (xxhash64 LSH,
