@@ -493,3 +493,97 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rank")
     )
+
+
+def ivf_pq_topk(
+    vectors: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    iters: int = 5,
+    centroids: list[list[float]] | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-PQ (the FAISS production shape): an IVF coarse quantizer prunes
+    the corpus to each query's ``n_probe`` nearest inverted lists, and PQ
+    asymmetric distance scores only those candidates — a pruned ADC scan
+    instead of pq_topk's full linear one.
+
+    Corpus-side state is (id, cluster, codes): assigned + encoded ONCE
+    (pass precomputed ``codes`` carrying a ``cluster`` column for the
+    index-build/search split; in production this table is written
+    bucketed by cluster).  Queries broadcast with their m LUT arrays and
+    probe clusters; the join is cluster-equi — no cross join survives.
+    """
+    if centroids is None:
+        centroids = kmeans_centroids(
+            vectors, id_col, vec_col, n_lists, iters, metric="l2"
+        )
+    n_lists = len(centroids)
+    n_probe = min(n_probe, n_lists)
+    m = len(codebooks)
+    sub_d = len(codebooks[0][0])
+
+    if codes is None:
+        v = vectors.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).cast("array<double>").alias("nv"),
+        )
+        d = _l2sq_scores("nv", centroids)
+        codes = v.select(
+            "neighbor_id",
+            (F.array_position(d, F.array_min(d)) - 1).cast("int").alias("cluster"),
+            _pq_codes_expr(F.col("nv"), codebooks).alias("codes"),
+        )
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv"),
+    )
+    qd = _l2sq_scores("qv", centroids)
+    probe_structs = F.transform(
+        qd, lambda dist, i: F.struct(dist.alias("dist"), i.alias("idx"))
+    )
+    q = q.withColumn(
+        "cluster",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(probe_structs), 1, n_probe),
+                lambda s: s["idx"].cast("int"),
+            )
+        ),
+    )
+    for j, cb in enumerate(codebooks):
+        q = q.withColumn(
+            f"lut_{j}", _l2sq_scores(F.slice("qv", j * sub_d + 1, sub_d), cb)
+        )
+    q = q.drop("qv")
+
+    adc = None
+    for j in range(m):
+        term = F.element_at(
+            F.col(f"lut_{j}"), F.element_at(F.col("codes"), j + 1) + 1
+        )
+        adc = term if adc is None else adc + term
+    cand = (
+        codes.join(F.broadcast(q), "cluster")
+        .filter(
+            F.col("neighbor_id").cast("string")
+            != F.col("query_id").cast("string")
+        )
+        .withColumn("adc_dist", F.round(adc, 4))
+        .select("query_id", "neighbor_id", "adc_dist")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rank")
+    )

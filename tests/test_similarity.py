@@ -229,3 +229,40 @@ def test_kmeans_l2_metric_partitions_separated_clusters(spark):
     cents = kmeans_centroids(df, n_lists=2, iters=5, metric="l2")
     means = sorted(sum(c) / len(c) for c in cents)
     assert means[0] < 2 and means[1] > 8
+
+
+def test_ivf_pq_topk_pruned_scan_matches_cluster_retrieval(spark):
+    """IVF-PQ: pruned ADC scan still retrieves from the right cluster,
+    and its plan has no cross join (the pq_topk linear scan is pruned to
+    cluster-equi)."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    centers = rng.normal(size=(4, 32)) * 5
+    rows = []
+    for i in range(120):
+        c = centers[i % 4]
+        rows.append((i, (c + rng.normal(size=32) * 0.3).round(4).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter("vec_id < 4")
+
+    from hoover_snoop2_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_train,
+    )
+
+    cb = pq_train(df, m=4, k_codes=16, iters=3)
+    out = ivf_pq_topk(df, queries, cb, k=5, n_lists=8, n_probe=3, iters=3)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = out.collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, neighbors in by_q.items():
+        assert len(neighbors) == 5
+        wrong = [n for n in neighbors if n % 4 != qid % 4]
+        assert wrong == [], f"query {qid} pulled cross-cluster {wrong}"
