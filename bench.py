@@ -262,7 +262,10 @@ def main() -> None:
         "scaling": scaling,
         "load_avg": {"start": load_start, "end": load_end},
     }
-    write_bench_md(payload)
+    # partial runs (scaling skipped — smoke checks) must not clobber the
+    # recorded full-bench BENCH.md
+    if scaling is not None:
+        write_bench_md(payload)
     print(json.dumps(payload))
 
 
