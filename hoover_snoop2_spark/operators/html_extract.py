@@ -189,3 +189,25 @@ def apply_html_extract(df: DataFrame, data_col: str = "html") -> DataFrame:
     """Add an ``html_text`` column; keep the plan declarative so Catalyst
     prunes ``data_col`` from the scan when downstream drops it."""
     return df.withColumn("html_text", html_to_text_udf(F.col(data_col)))
+
+
+def robots_directives(html_col) -> dict[str, F.Column]:
+    """Crawl-politeness gate columns from raw html — pure JVM regexps, no
+    DOM pass: ``noindex``/``nofollow`` from the robots meta tag and the
+    rel=canonical target.  A training pipeline drops noindex pages before
+    extraction (publisher opt-out) and groups re-crawl variants by their
+    canonical url; both predicates push into the scan as plain column
+    expressions."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    directives = F.lower(
+        F.regexp_extract(
+            c, r'(?i)<meta\s+name="robots"\s+content="([^"]*)"', 1
+        )
+    )
+    return {
+        "robots_noindex": directives.contains("noindex"),
+        "robots_nofollow": directives.contains("nofollow"),
+        "canonical_url": F.regexp_extract(
+            c, r'(?i)<link\s+rel="canonical"\s+href="([^"]*)"', 1
+        ),
+    }

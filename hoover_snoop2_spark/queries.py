@@ -1375,6 +1375,70 @@ def q44_text_normalize(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q49_robots_gate(spark, sf_dir):
+    """Crawl-politeness gates: robots-meta noindex/nofollow + canonical
+    target extracted from synthesized html — the publisher-opt-out filter
+    a training pipeline applies before extraction (pure JVM regexps, the
+    predicates push into the scan)."""
+    from .operators.html_extract import robots_directives
+
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.lit('<meta name="robots" content="noindex,nofollow">'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://canon.example/'),
+                F.col("doc_id").cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.col("text"),
+        F.lit("</body></html>"),
+    )
+    cols = robots_directives(html)
+    return d.select(
+        "doc_id",
+        cols["robots_noindex"].alias("robots_noindex"),
+        cols["robots_nofollow"].alias("robots_nofollow"),
+        cols["canonical_url"].alias("canonical_url"),
+    ).orderBy("doc_id")
+
+
+Q49_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<html><head>'
+           || CASE WHEN doc_id % 5 = 0
+                   THEN '<meta name="robots" content="noindex,nofollow">'
+                   ELSE '' END
+           || CASE WHEN doc_id % 7 = 0
+                   THEN '<link rel="canonical" href="https://canon.example/'
+                        || CAST(doc_id AS VARCHAR) || '">'
+                   ELSE '' END
+           || '</head><body>' || text || '</body></html>' AS html
+  FROM documents
+), x AS (
+  SELECT doc_id,
+         lower(regexp_extract(html,
+           '(?i)<meta\s+name="robots"\s+content="([^"]*)"', 1)) AS directives,
+         regexp_extract(html,
+           '(?i)<link\s+rel="canonical"\s+href="([^"]*)"', 1) AS canonical_url
+  FROM h
+)
+SELECT doc_id,
+       contains(directives, 'noindex') AS robots_noindex,
+       contains(directives, 'nofollow') AS robots_nofollow,
+       canonical_url
+FROM x ORDER BY doc_id
+"""
+
+
 def q48_vocab_builder(spark, sf_dir):
     """Tokenizer-prep vocabulary build: corpus word counts -> top-V vocab
     (count desc, word asc) -> per-document out-of-vocabulary rate.  Two
@@ -1609,6 +1673,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q46_deterministic_sample": q46_deterministic_sample,
     "q47_pq_topk": q47_pq_topk,
     "q48_vocab_builder": q48_vocab_builder,
+    "q49_robots_gate": q49_robots_gate,
 }
 
 ORACLES: dict[str, str] = {
@@ -1650,6 +1715,7 @@ ORACLES: dict[str, str] = {
     "q45_host_cap": Q45_SQL,
     "q46_deterministic_sample": Q46_SQL,
     "q48_vocab_builder": Q48_SQL,
+    "q49_robots_gate": Q49_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32/q47, q34/q35, q38: non-SQL-expressible (xxhash64 LSH,

@@ -107,3 +107,30 @@ def test_void_tag_with_unlikely_class_does_not_swallow():
 
     html = b'<body><img class="advert" src="x.png"><p>after image</p></body>'
     assert html_to_text(html) == "after image"
+
+
+def test_robots_directives_cases(spark):
+    from hoover_snoop2_spark.operators.html_extract import robots_directives
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, '<html><head><META NAME="robots" CONTENT="NOINDEX">'
+            '</head><body>x</body></html>'),
+        (2, '<html><head><link rel="canonical" '
+            'href="https://c.example/a"></head><body>x</body></html>'),
+        (3, '<html><body>plain</body></html>'),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    cols = robots_directives("html")
+    got = {
+        r["id"]: (r["ni"], r["nf"], r["cu"])
+        for r in df.select(
+            "id",
+            cols["robots_noindex"].alias("ni"),
+            cols["robots_nofollow"].alias("nf"),
+            cols["canonical_url"].alias("cu"),
+        ).collect()
+    }
+    assert got[1] == (True, False, "")
+    assert got[2] == (False, False, "https://c.example/a")
+    assert got[3] == (False, False, "")
