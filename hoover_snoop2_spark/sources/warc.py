@@ -83,6 +83,34 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
+def _dechunk(body: bytes) -> bytes:
+    """Decode an HTTP/1.1 chunked transfer coding (RFC 9112 §7.1).  On any
+    framing violation the original bytes come back unchanged — a wrong
+    guess must never lose payload."""
+    out = bytearray()
+    pos = 0
+    n = len(body)
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol < 0:
+            return bytes(body)
+        size_tok = body[pos:eol].split(b";", 1)[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError:
+            return bytes(body)
+        pos = eol + 2
+        if size == 0:
+            return bytes(out)  # trailers (if any) are framing, not payload
+        if pos + size > n:
+            return bytes(body)
+        out += body[pos : pos + size]
+        pos += size
+        if body[pos : pos + 2] != b"\r\n":
+            return bytes(body)
+        pos += 2
+
+
 def _parse_warc_date(s: str) -> datetime | None:
     # WARC-Date is ISO 8601 Zulu, second or sub-second precision
     try:
@@ -167,7 +195,12 @@ def parse_warc_records(
                 parts = first.split(None, 2)
                 if len(parts) >= 2 and parts[1].isdigit():
                     status = int(parts[1])
-                ctype = _parse_headers(rest).get("content-type", "")
+                http_headers = _parse_headers(rest)
+                ctype = http_headers.get("content-type", "")
+                # crawlers often store the wire bytes verbatim — a chunked
+                # body must be de-chunked or the html is framing-polluted
+                if "chunked" in http_headers.get("transfer-encoding", "").lower():
+                    html = _dechunk(html)
         yield {
             "url": url,
             "warc_ts": ts,

@@ -184,3 +184,27 @@ def test_index_warc_roundtrip_plain(spark, tmp_path):
     responses = cdx.filter("warc_type = 'response'")
     got = read_warc_cdx(spark, responses).orderBy("url").collect()
     assert [bytes(r["html"]) for r in got] == [BODY_A, BODY_B]
+
+
+def test_chunked_transfer_encoding_dechunked():
+    body = b"5\r\nalpha\r\n6\r\n page!\r\n0\r\n\r\n"
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+        b"Transfer-Encoding: chunked\r\n\r\n" + body
+    )
+    rec = _record("response", "https://ch.example/x", "2024-01-01T00:00:00Z",
+                  payload)
+    recs = list(parse_warc_records(rec))
+    assert recs[0]["html"] == b"alpha page!"
+
+
+def test_chunked_framing_violation_returns_raw():
+    # a body CLAIMING chunked but not actually framed must survive verbatim
+    payload = (
+        b"HTTP/1.1 200 OK\r\nTransfer-Encoding: chunked\r\n\r\n"
+        b"<html>not actually chunked</html>"
+    )
+    rec = _record("response", "https://ch.example/y", "2024-01-01T00:00:00Z",
+                  payload)
+    recs = list(parse_warc_records(rec))
+    assert recs[0]["html"] == b"<html>not actually chunked</html>"

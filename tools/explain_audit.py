@@ -30,6 +30,8 @@ AUDITED = [
     "q43_family_representatives",
     "q45_host_cap",
     "q46_deterministic_sample",
+    "q48_vocab_builder",
+    "q49_robots_gate",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -49,6 +51,8 @@ CHECKS = {
     "q43_family_representatives": ["HashAggregate", "!Window", "!CartesianProduct"],
     "q45_host_cap": ["LeftSemi", "!CartesianProduct"],
     "q46_deterministic_sample": ["PushedFilters"],
+    "q48_vocab_builder": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
+    "q49_robots_gate": ["Project", "!CartesianProduct"],
 }
 
 NOTES = {
@@ -79,6 +83,13 @@ NOTES = {
     "q45_host_cap": "skew-aware cap: the LeftSemi is the under-cap bypass "
         "— only rows of over-cap hosts reach the Window sort (zipfian host "
         "populations would otherwise sort the whole corpus).",
+    "q48_vocab_builder": "the top-V vocab is a two-phase HashAggregate + "
+        "sort-limit, then a BROADCAST left join back onto the exploded "
+        "words — the corpus-sized side shuffles once (the explode), the "
+        "vocab never does.",
+    "q49_robots_gate": "per-row regexp extraction is a single codegen'd "
+        "Project over the scan; the only Exchange below belongs to the "
+        "q-entry's orderBy for oracle determinism.",
     "q46_deterministic_sample": "the operator itself is a pure "
         "multiplicative-hash filter with zero Exchange "
         "(test_sampling.py asserts it on the raw plan); the single "
