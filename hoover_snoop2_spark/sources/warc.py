@@ -222,6 +222,56 @@ def _records_df(it: Iterator[dict]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(batch)
 
 
+def parse_warc_revisits(raw: bytes, warc_file: str = "") -> Iterator[dict]:
+    """Yield one dict per *revisit* record — the crawl's own URL-level
+    dedup assertions (WARC 1.1 §6.7.2): a re-fetch whose payload matched
+    an earlier capture is stored as a pointer (refers-to + payload
+    digest) instead of the bytes.  Feeding these into the pipeline's
+    dedup avoids re-extracting content the crawler already identified as
+    unchanged."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = b"".join(data for _, _, data in _gunzip_members(raw))
+    for _s, _e, headers, _payload in _iter_raw_records(raw, warc_file):
+        if headers.get("warc-type") != "revisit":
+            continue
+        yield {
+            "url": headers.get("warc-target-uri", ""),
+            "warc_ts": _parse_warc_date(headers.get("warc-date", "")),
+            "refers_to": headers.get("warc-refers-to", ""),
+            "refers_to_target_uri": headers.get(
+                "warc-refers-to-target-uri", ""
+            ),
+            "payload_digest": headers.get("warc-payload-digest", ""),
+            "warc_file": warc_file,
+        }
+
+
+WARC_REVISIT_SCHEMA = (
+    "url string, warc_ts timestamp, refers_to string, "
+    "refers_to_target_uri string, payload_digest string, warc_file string"
+)
+
+
+def read_warc_revisits(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Revisit pointer table for a WARC glob — anti-join the pages read
+    against it (or map urls to their referred capture) before running
+    extraction."""
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for _, row in pdf.iterrows():
+                batch = list(
+                    parse_warc_revisits(bytes(row["content"]), row["path"])
+                )
+                if batch:
+                    yield pd.DataFrame(batch)
+
+    return files.select("path", "content").mapInPandas(
+        parse, WARC_REVISIT_SCHEMA
+    )
+
+
 def read_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """One task per WARC file (binaryFile source) → pages rows.
 

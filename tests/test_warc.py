@@ -208,3 +208,32 @@ def test_chunked_framing_violation_returns_raw():
                   payload)
     recs = list(parse_warc_records(rec))
     assert recs[0]["html"] == b"<html>not actually chunked</html>"
+
+
+def test_revisit_records_surface_as_pointer_table(spark, tmp_path):
+    from hoover_snoop2_spark.sources.warc import read_warc_revisits
+
+    recs = _build_records() + [
+        _record("revisit", "https://a.example/x", "2024-03-01T00:00:00Z",
+                b"", extra={
+                    "WARC-Refers-To": "<urn:uuid:00000000000000000000000000000001>",
+                    "WARC-Refers-To-Target-URI": "https://a.example/x",
+                    "WARC-Payload-Digest": "sha1:ABCDEF",
+                    "WARC-Profile": "http://netpreserve.org/warc/1.1/revisit/identical-payload-digest",
+                }),
+    ]
+    warc = tmp_path / "seg.warc.gz"
+    warc.write_bytes(b"".join(gzip.compress(r) for r in recs))
+
+    rv = read_warc_revisits(spark, str(warc)).collect()
+    assert len(rv) == 1
+    assert rv[0]["url"] == "https://a.example/x"
+    assert rv[0]["payload_digest"] == "sha1:ABCDEF"
+    assert rv[0]["refers_to_target_uri"] == "https://a.example/x"
+    # collected Spark timestamps are session-tz naive (session tz = UTC)
+    assert rv[0]["warc_ts"] == datetime(2024, 3, 1)
+
+    # pages read still returns only true responses — revisits never
+    # masquerade as content rows
+    pages = read_warc(spark, str(warc))
+    assert pages.count() == 2
