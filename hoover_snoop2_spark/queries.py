@@ -1375,6 +1375,60 @@ def q44_text_normalize(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q50_sessionize(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity cut) over the events
+    table — the classic crawl/clickstream operator: lag within user
+    partition marks session starts, a running sum numbers sessions, one
+    aggregate rolls them up.  Single shuffle on user_id; both windows
+    share the same partitioning so Catalyst plans ONE Exchange + sort."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events")
+    byuser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet NTZ timestamps: go through timestamp before long (q12 idiom)
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap_s = epoch - F.lag(epoch).over(byuser)
+    starts = e.withColumn(
+        "is_start",
+        F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0),
+    )
+    sessions = starts.withColumn(
+        "session_no", F.sum("is_start").over(byuser)
+    )
+    return (
+        sessions.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("user_id", "session_no")
+    )
+
+
+Q50_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, session_no, count(*)::BIGINT AS n_events,
+       min(ts) AS session_start, max(ts) AS session_end,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, session_no
+ORDER BY user_id, session_no
+"""
+
+
 def q49_robots_gate(spark, sf_dir):
     """Crawl-politeness gates: robots-meta noindex/nofollow + canonical
     target extracted from synthesized html — the publisher-opt-out filter
@@ -1674,6 +1728,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q47_pq_topk": q47_pq_topk,
     "q48_vocab_builder": q48_vocab_builder,
     "q49_robots_gate": q49_robots_gate,
+    "q50_sessionize": q50_sessionize,
 }
 
 ORACLES: dict[str, str] = {
@@ -1716,6 +1771,7 @@ ORACLES: dict[str, str] = {
     "q46_deterministic_sample": Q46_SQL,
     "q48_vocab_builder": Q48_SQL,
     "q49_robots_gate": Q49_SQL,
+    "q50_sessionize": Q50_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32/q47, q34/q35, q38: non-SQL-expressible (xxhash64 LSH,

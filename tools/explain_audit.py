@@ -32,6 +32,7 @@ AUDITED = [
     "q46_deterministic_sample",
     "q48_vocab_builder",
     "q49_robots_gate",
+    "q50_sessionize",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -53,6 +54,7 @@ CHECKS = {
     "q46_deterministic_sample": ["PushedFilters"],
     "q48_vocab_builder": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
     "q49_robots_gate": ["Project", "!CartesianProduct"],
+    "q50_sessionize": ["Window", "HashAggregate", "!CartesianProduct"],
 }
 
 NOTES = {
@@ -90,6 +92,11 @@ NOTES = {
     "q49_robots_gate": "per-row regexp extraction is a single codegen'd "
         "Project over the scan; the only Exchange below belongs to the "
         "q-entry's orderBy for oracle determinism.",
+    "q50_sessionize": "both windows (lag gap-mark, running session sum) "
+        "share the (user_id) partitioning and (ts, event_id) order, so "
+        "Catalyst plans ONE Exchange + one sort for the whole "
+        "sessionization; the rollup aggregate reuses nothing but is "
+        "map-side partial as usual.",
     "q46_deterministic_sample": "the operator itself is a pure "
         "multiplicative-hash filter with zero Exchange "
         "(test_sampling.py asserts it on the raw plan); the single "
