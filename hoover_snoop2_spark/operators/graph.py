@@ -217,3 +217,88 @@ def family_representatives(
         F.col("b.o").alias(order_col),
         "family_size",
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, rank) PageRank over a directed edge list — the host-graph
+    authority score a crawl pipeline uses for quality priors (Common
+    Crawl publishes exactly this as its host-level ranks).
+
+    Power iteration as DataFrame rounds: ranks join out-degrees, each
+    edge carries rank/degree to its target, a groupBy-sum gathers
+    contributions, dangling mass (nodes with no outlinks) redistributes
+    uniformly so ranks keep summing to 1.  Per-round lineage truncation
+    is mandatory exactly as in connected_components; each round is two
+    shuffles (join on src, groupBy dst) — the published web-graph
+    recipe, O(iters) rounds with iters fixed (10-20 suffices at any
+    scale because convergence depends on damping, not graph size).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct()
+
+    _cp = None
+    if checkpoint_dir is not None:
+        from ..plans.checkpoint import CheckpointStore
+
+        _cp = CheckpointStore(checkpoint_dir)
+
+    def _pin(df: DataFrame, name: str) -> DataFrame:
+        if _cp is not None:
+            return _cp.write(df, name)
+        return df.localCheckpoint(eager=True)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = _pin(nodes, "pr_nodes")
+    n = nodes.count()
+    if n == 0:
+        return nodes.select("node", F.lit(0.0).alias("rank"))
+    degrees = _pin(
+        e.groupBy("src").agg(F.count("*").alias("deg")), "pr_degrees"
+    )
+
+    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
+    for it in range(iters):
+        with_deg = ranks.join(
+            degrees, ranks["node"] == degrees["src"], "left"
+        ).select("node", "rank", "deg")
+        # dangling nodes (deg null) leak their mass; collect it once per
+        # round (a scalar) and hand it back uniformly
+        dangling = (
+            with_deg.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            e.join(
+                with_deg.where(F.col("deg").isNotNull()),
+                e["src"] == with_deg["node"],
+            )
+            .select("dst", (F.col("rank") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("gathered"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        ranks = _pin(
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce("gathered", F.lit(0.0))
+                ).alias("rank"),
+            ),
+            f"pr_round_{it}",
+        )
+    return ranks.select("node", F.round("rank", 6).alias("rank"))

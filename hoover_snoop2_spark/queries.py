@@ -1375,6 +1375,71 @@ def q44_text_normalize(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def _host_edges(spark, sf_dir):
+    """Deterministic host-level outlink edges: each doc's synthesized html
+    carries two anchors; src host = doc_id % 7 (q45's host rule), targets
+    = (doc_id * 3) % 7 and (doc_id + 1) % 7."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><body><a href="https://site'),
+        ((F.col("doc_id") * 3) % 7).cast("string"),
+        F.lit('.example/a">x</a> text <a href="https://site'),
+        ((F.col("doc_id") + 1) % 7).cast("string"),
+        F.lit('.example/b">y</a></body></html>'),
+    )
+    links = d.select(
+        (F.col("doc_id") % 7).alias("src_host"),
+        F.explode(
+            F.regexp_extract_all(
+                html, F.lit(r'href="https://site(\d+)\.example'), F.lit(1)
+            )
+        ).alias("dst"),
+    )
+    return links.select("src_host", F.col("dst").cast("long").alias("dst_host"))
+
+
+def q51_host_link_graph(spark, sf_dir):
+    """Outlink extraction -> host-level web graph with edge weights (the
+    PageRank precursor; Common Crawl publishes exactly this host graph).
+    Pure JVM regexp_extract_all + explode + one groupBy shuffle."""
+    return (
+        _host_edges(spark, sf_dir)
+        .groupBy("src_host", "dst_host")
+        .agg(F.count("*").alias("n_links"))
+        .orderBy("src_host", "dst_host")
+    )
+
+
+Q51_SQL = r"""
+WITH h AS (
+  SELECT doc_id, doc_id % 7 AS src_host,
+         '<html><body><a href="https://site' || CAST((doc_id * 3) % 7 AS VARCHAR)
+           || '.example/a">x</a> text <a href="https://site'
+           || CAST((doc_id + 1) % 7 AS VARCHAR)
+           || '.example/b">y</a></body></html>' AS html
+  FROM documents
+), l AS (
+  SELECT src_host,
+         unnest(regexp_extract_all(html, 'href="https://site(\d+)\.example', 1)) AS dst
+  FROM h
+)
+SELECT src_host, CAST(dst AS BIGINT) AS dst_host, count(*)::BIGINT AS n_links
+FROM l GROUP BY src_host, dst_host ORDER BY src_host, dst_host
+"""
+
+
+def q52_host_pagerank(spark, sf_dir):
+    """PageRank over the q51 host graph (power iteration as DataFrame
+    rounds with dangling-mass redistribution — iterative, rows-only;
+    pinned against a numpy power-iteration replica in test_graph.py)."""
+    from .operators.graph import pagerank
+
+    edges = _host_edges(spark, sf_dir).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return pagerank(edges, iters=10).orderBy("node")
+
+
 def q50_sessionize(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity cut) over the events
     table — the classic crawl/clickstream operator: lag within user
@@ -1729,6 +1794,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q48_vocab_builder": q48_vocab_builder,
     "q49_robots_gate": q49_robots_gate,
     "q50_sessionize": q50_sessionize,
+    "q51_host_link_graph": q51_host_link_graph,
+    "q52_host_pagerank": q52_host_pagerank,
 }
 
 ORACLES: dict[str, str] = {
@@ -1772,6 +1839,7 @@ ORACLES: dict[str, str] = {
     "q48_vocab_builder": Q48_SQL,
     "q49_robots_gate": Q49_SQL,
     "q50_sessionize": Q50_SQL,
+    "q51_host_link_graph": Q51_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32/q47, q34/q35, q38: non-SQL-expressible (xxhash64 LSH,

@@ -152,3 +152,40 @@ def test_cc_matches_union_find_on_random_graphs(spark):
 
         got = _components(spark, edges)
         assert got == expect, f"trial {trial}: n={n} edges={edges}"
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from hoover_snoop2_spark.operators.graph import pagerank
+
+    # directed graph incl. a dangling node (3) and a hub (0)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (4, 0), (4, 3), (1, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=12).collect()}
+
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    for s, ds in out.items():
+        for d in ds:
+            M[idx[d], idx[s]] = 1.0 / len(ds)
+    r = np.full(n, 1.0 / n)
+    damping = 0.85
+    for _ in range(12):
+        dangling = sum(r[idx[v]] for v in nodes if v not in out)
+        r = (1 - damping) / n + damping * (M @ r) + damping * dangling / n
+    for v in nodes:
+        assert abs(got[v] - r[idx[v]]) < 1e-4, (v, got[v], r[idx[v]])
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+
+
+def test_pagerank_empty_edges(spark):
+    from hoover_snoop2_spark.operators.graph import pagerank
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(df, iters=2).count() == 0
