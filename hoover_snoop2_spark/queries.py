@@ -765,7 +765,9 @@ def q47_pq_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 5)
-    cb = pq_train(e, m=8, k_codes=16, iters=3)
+    # m=4 keeps the driver-side correctness sweep snappy (training runs
+    # m sequential k-means jobs); the operator itself is m-agnostic
+    cb = pq_train(e, m=4, k_codes=16, iters=2)
     codes = pq_encode(e, cb)
     return pq_topk(e, q, cb, k=5, codes=codes).orderBy("query_id", "rank")
 
