@@ -36,8 +36,19 @@ _M32 = 1 << 32
 
 
 def rank_key(id_col) -> F.Column:
-    """Deterministic pseudo-random long in [0, 2^32) derived from an id."""
-    return (F.col(id_col) % F.lit(_M32)) * _KNUTH % F.lit(_M32)
+    """Deterministic pseudo-random long in [0, 2^32) derived from an id.
+
+    pmod (not %) so negative ids land in range, and the multiply is split
+    16/16 so (a mod 2^32) * K never overflows a long under ANSI mode:
+    a*K mod 2^32 == (a_lo*K + ((a_hi*K mod 2^16) << 16)) mod 2^32, with
+    every intermediate < 2^48.  Equals the naive formula for all ids, so
+    engines that compute (id % 2^32) * K % 2^32 directly on in-range ids
+    (the DuckDB oracles) agree exactly."""
+    a = F.pmod(F.col(id_col), F.lit(_M32))
+    a_lo = a % 65536
+    a_hi = F.shiftright(a, 16)
+    term2 = F.pmod(a_hi * _KNUTH, F.lit(65536)) * 65536
+    return F.pmod(a_lo * _KNUTH + term2, F.lit(_M32))
 
 
 def cap_per_group(

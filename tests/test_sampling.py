@@ -67,3 +67,20 @@ def test_rank_key_is_permutation_prefix_free(spark):
     df = spark.range(0, 5000).withColumnRenamed("id", "doc_id")
     n = df.select(rank_key("doc_id").alias("k")).distinct().count()
     assert n == 5000
+
+
+def test_rank_key_negative_ids_stay_in_range(spark):
+    df = spark.createDataFrame([(-5,), (-1,), (0,), (7,)], "doc_id long")
+    vals = [r["k"] for r in df.select(rank_key("doc_id").alias("k")).collect()]
+    assert all(0 <= v < 2**32 for v in vals)
+
+
+def test_rank_key_split_multiply_matches_naive(spark):
+    # includes ids near 2^32 where a naive (a % 2^32) * K overflows a long
+    ids = [0, 1, 7, 65535, 65536, 123456789, 2**31 - 1, 2**32 - 1,
+           2**32, 2**40 + 17]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["k"]
+           for r in df.select("doc_id", rank_key("doc_id").alias("k")).collect()}
+    for i in ids:
+        assert got[i] == (i % 2**32) * 2654435761 % 2**32, i
