@@ -1377,6 +1377,62 @@ def q44_text_normalize(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+def q53_tfidf_terms(spark, sf_dir):
+    """Per-document top-3 terms by tf-idf (keyword extraction for search
+    snippets / topic tagging).  Three aggregates: term counts per doc,
+    document frequency, then a per-doc window top-k on the score.  The
+    idf join broadcasts (vocab-sized); round(4) pins float agreement
+    with the oracle."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w") != "")
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    n_docs = d.count()
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    scored = tf.join(F.broadcast(df_), "w").withColumn(
+        "tfidf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4),
+    )
+    win = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("w").asc()
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", F.col("rk").alias("rank"), "w", "tfidf")
+        .orderBy("doc_id", "rank")
+    )
+
+
+Q53_SQL = r"""
+WITH words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), w2 AS (
+  SELECT doc_id, w FROM words WHERE w <> ''
+), tf AS (
+  SELECT doc_id, w, count(*)::BIGINT AS tf FROM w2 GROUP BY doc_id, w
+), idf AS (
+  SELECT w, count(*)::BIGINT AS df FROM tf GROUP BY w
+), scored AS (
+  SELECT tf.doc_id, tf.w,
+         round(tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / idf.df), 4)
+           AS tfidf
+  FROM tf JOIN idf USING (w)
+)
+SELECT doc_id, rank, w, tfidf FROM (
+  SELECT doc_id, w, tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY tfidf DESC, w ASC) AS rank
+  FROM scored
+) WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def _host_edges(spark, sf_dir):
     """Deterministic host-level outlink edges: each doc's synthesized html
     carries two anchors; src host = doc_id % 7 (q45's host rule), targets
@@ -1798,6 +1854,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_sessionize": q50_sessionize,
     "q51_host_link_graph": q51_host_link_graph,
     "q52_host_pagerank": q52_host_pagerank,
+    "q53_tfidf_terms": q53_tfidf_terms,
 }
 
 ORACLES: dict[str, str] = {
@@ -1842,6 +1899,7 @@ ORACLES: dict[str, str] = {
     "q49_robots_gate": Q49_SQL,
     "q50_sessionize": Q50_SQL,
     "q51_host_link_graph": Q51_SQL,
+    "q53_tfidf_terms": Q53_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32/q47, q34/q35, q38: non-SQL-expressible (xxhash64 LSH,
