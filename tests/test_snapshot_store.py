@@ -103,3 +103,17 @@ def test_digest_resume_via_snapshots(spark, store, tmp_path):
         "digests")
     inc = store.incremental(spark, "digests", since=1)
     assert {r["url"] for r in inc.select("url").collect()} == new_urls
+
+
+def test_reader_isolated_from_later_commits(spark, store):
+    """The docstring's snapshot-isolation claim, proven: a DataFrame
+    planned against v1 still collects v1's rows after later commits and
+    even after expire() (v1's files remain referenced by the append
+    chain, so nothing it reads is deleted)."""
+    store.commit(spark.range(0, 3), "t")
+    lazy_v1 = store.read(spark, "t", version=1)   # planned, not collected
+    store.commit(spark.range(3, 6), "t")
+    store.commit(spark.range(6, 7), "t")
+    assert _ids(lazy_v1) == [0, 1, 2]
+    store.expire("t", keep_last=1)
+    assert _ids(lazy_v1) == [0, 1, 2]
