@@ -1433,6 +1433,61 @@ SELECT doc_id, rank, w, tfidf FROM (
 """
 
 
+def q54_session_window(spark, sf_dir):
+    """Native session-window counterpart of q50: Spark's built-in
+    F.session_window (gap-close aggregate, streaming-capable — the same
+    call works under readStream with a watermark) rolls events into
+    30-min-gap sessions in ONE aggregate instead of q50's two windows.
+    Window end is exclusive: last event + gap."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+Q54_SQL = """
+WITH g AS (
+  SELECT user_id, event_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+              THEN 1 ELSE 0 END AS is_start
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts, value,
+         sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
+         AS session_end,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total_value
+FROM s GROUP BY user_id, session_no
+ORDER BY user_id, session_start
+"""
+
+
 def _host_edges(spark, sf_dir):
     """Deterministic host-level outlink edges: each doc's synthesized html
     carries two anchors; src host = doc_id % 7 (q45's host rule), targets
@@ -1855,6 +1910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q51_host_link_graph": q51_host_link_graph,
     "q52_host_pagerank": q52_host_pagerank,
     "q53_tfidf_terms": q53_tfidf_terms,
+    "q54_session_window": q54_session_window,
 }
 
 ORACLES: dict[str, str] = {
@@ -1900,6 +1956,7 @@ ORACLES: dict[str, str] = {
     "q50_sessionize": Q50_SQL,
     "q51_host_link_graph": Q51_SQL,
     "q53_tfidf_terms": Q53_SQL,
+    "q54_session_window": Q54_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32/q47, q34/q35, q38: non-SQL-expressible (xxhash64 LSH,
