@@ -1488,6 +1488,60 @@ ORDER BY user_id, session_start
 """
 
 
+def q55_chunk_documents(spark, sf_dir):
+    """Context-window chunking: split each document into 64-token chunks
+    with 16-token overlap (stride 48) — the LLM training prep step before
+    sequence packing (q14 covers the packing side).  Pure array HOFs:
+    split once, generate starts, slice per start, posexplode; a trailing
+    start whose chunk would be a pure subset of the previous one is
+    filtered (s == 0 OR s < n - overlap)."""
+    CHUNK, OVERLAP = 64, 16
+    STEP = CHUNK - OVERLAP
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(w)
+    starts = F.filter(
+        F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(STEP)),
+        lambda s: (s == 0) | (s < n - OVERLAP),
+    )
+    chunks = F.transform(starts, lambda s: F.slice(w, s + 1, CHUNK))
+    return (
+        d.select("doc_id", F.posexplode(chunks).alias("chunk_id", "cw"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.size("cw").alias("n_tokens"),
+            F.array_join("cw", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )
+
+
+Q55_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w FROM documents
+), s AS (
+  SELECT doc_id, w,
+         list_filter(range(0, greatest(len(w), 1), 48),
+                     s -> s = 0 OR s < len(w) - 16) AS starts
+  FROM t
+), c AS (
+  SELECT doc_id,
+         unnest(list_transform(starts, s -> s)) AS start,
+         w
+  FROM s
+), r AS (
+  SELECT doc_id, start, w[start + 1 : start + 64] AS cw,
+         row_number() OVER (PARTITION BY doc_id ORDER BY start) - 1
+           AS chunk_id
+  FROM c
+)
+SELECT doc_id, chunk_id, len(cw)::INT AS n_tokens,
+       array_to_string(cw, ' ') AS chunk_text
+FROM r ORDER BY doc_id, chunk_id
+"""
+
+
 def _host_edges(spark, sf_dir):
     """Deterministic host-level outlink edges: each doc's synthesized html
     carries two anchors; src host = doc_id % 7 (q45's host rule), targets
@@ -1911,6 +1965,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q52_host_pagerank": q52_host_pagerank,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
+    "q55_chunk_documents": q55_chunk_documents,
 }
 
 ORACLES: dict[str, str] = {
@@ -1957,6 +2012,7 @@ ORACLES: dict[str, str] = {
     "q51_host_link_graph": Q51_SQL,
     "q53_tfidf_terms": Q53_SQL,
     "q54_session_window": Q54_SQL,
+    "q55_chunk_documents": Q55_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32/q47, q34/q35, q38: non-SQL-expressible (xxhash64 LSH,
