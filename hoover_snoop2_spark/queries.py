@@ -1542,6 +1542,103 @@ FROM r ORDER BY doc_id, chunk_id
 """
 
 
+def q56_range_join(spark, sf_dir):
+    """Bucketed range join (the interval-containment join Spark has no
+    built-in for): events attributed to 3-hour maintenance windows every
+    7 hours.  One equi-join shuffle on a 3h time bucket — a naive
+    BETWEEN join would plan a BroadcastNestedLoopJoin."""
+    from .operators.temporal import range_join_bucketed
+
+    BASE = 1704067200  # 2024-01-01 00:00:00 UTC
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "value",
+        F.col("ts").cast("timestamp").cast("long").alias("epoch"),
+    )
+    w = spark.range(100).select(
+        F.col("id").alias("w_id"),
+        (F.lit(BASE) + F.col("id") * 25200).alias("w_start"),
+        (F.lit(BASE) + F.col("id") * 25200 + 10800).alias("w_end"),
+    )
+    matched = range_join_bucketed(e, w, "epoch", "w_start", "w_end", 10800)
+    return (
+        matched.groupBy("w_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("total_value"),
+        )
+        .orderBy("w_id")
+    )
+
+
+Q56_SQL = """
+WITH w AS (
+  SELECT k AS w_id,
+         1704067200 + k * 25200 AS w_start,
+         1704067200 + k * 25200 + 10800 AS w_end
+  FROM range(100) t(k)
+)
+SELECT w_id, count(*)::BIGINT AS n_events, round(sum(value), 4) AS total_value
+FROM events e JOIN w
+  ON floor(epoch(e.ts))::BIGINT >= w.w_start AND floor(epoch(e.ts))::BIGINT < w.w_end
+GROUP BY w_id ORDER BY w_id
+"""
+
+
+def q57_asof_join(spark, sf_dir):
+    """As-of join (latest prior match per key — no Spark built-in):
+    attribute each purchase to the user's most recent click at or before
+    it.  Union + carry-forward window: ONE shuffle on user_id, no join
+    node at all.  Rights are pre-deduped per (user, ts) by max event_id
+    so the latest-prior pick is deterministic on both engines."""
+    from pyspark.sql.window import Window
+    from .operators.temporal import asof_join
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("ts").cast("timestamp").cast("long").alias("epoch"),
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "epoch"
+    )
+    dedup_w = Window.partitionBy("user_id", "epoch").orderBy(
+        F.col("event_id").desc()
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .withColumn("_rn", F.row_number().over(dedup_w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "epoch", "event_id", "value")
+    )
+    out = asof_join(purchases, clicks, "user_id", "epoch",
+                    right_cols=["event_id", "value"], prefix="click_")
+    return out.select(
+        "event_id", "user_id", "epoch",
+        F.col("click_event_id").alias("click_id"),
+        F.round("click_value", 4).alias("click_value"),
+        F.col("click_epoch").alias("click_ts"),
+    ).orderBy("event_id")
+
+
+Q57_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, event_type, value, floor(epoch(ts))::BIGINT AS ts_s
+  FROM events
+), p AS (
+  SELECT event_id, user_id, ts_s FROM e WHERE event_type = 'purchase'
+), c AS (
+  SELECT user_id, ts_s, event_id, value FROM e WHERE event_type = 'click'
+  QUALIFY row_number() OVER (PARTITION BY user_id, ts_s
+                             ORDER BY event_id DESC) = 1
+)
+SELECT p.event_id, p.user_id, p.ts_s AS epoch,
+       c.event_id AS click_id, round(c.value, 4) AS click_value,
+       c.ts_s AS click_ts
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts_s >= c.ts_s
+ORDER BY p.event_id
+"""
+
+
 def _host_edges(spark, sf_dir):
     """Deterministic host-level outlink edges: each doc's synthesized html
     carries two anchors; src host = doc_id % 7 (q45's host rule), targets
@@ -1966,6 +2063,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
+    "q56_range_join": q56_range_join,
+    "q57_asof_join": q57_asof_join,
 }
 
 ORACLES: dict[str, str] = {
@@ -2013,6 +2112,8 @@ ORACLES: dict[str, str] = {
     "q53_tfidf_terms": Q53_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
+    "q56_range_join": Q56_SQL,
+    "q57_asof_join": Q57_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32/q47, q34/q35, q38: non-SQL-expressible (xxhash64 LSH,
