@@ -1639,6 +1639,54 @@ ORDER BY p.event_id
 """
 
 
+def q58_hypertable_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate (TimescaleDB's rollup shape):
+    an HOURLY materialization of mergeable partials (count, sum) and the
+    DAILY level re-aggregated FROM the hourly partials — never from raw
+    rows — so refreshing a day touches 24 small rows.  avg is derived
+    sum/count at read time (averages are not mergeable; store the
+    partials).  The oracle computes the daily level directly from raw
+    events, so value-equality proves the partial re-aggregation law.
+
+    In production the hourly table is the SnapshotStore/Iceberg
+    materialization and incremental refresh recomputes only the hours the
+    new data touches (plans/checkpoint.py)."""
+    e = _t(spark, sf_dir, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+    daily = (
+        hourly.groupBy("event_type", F.date_trunc("day", "h").alias("d"))
+        .agg(F.sum("n").alias("n_events"), F.sum("sv").alias("sum_value"))
+        .select(
+            "event_type",
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            F.round("sum_value", 4).alias("total_value"),
+            # avg derived from the ROUNDED total: the two-level sum can
+            # differ from a direct sum in the last ulp, and round(sum/n, 4)
+            # sits exactly on the boundary for some buckets
+            F.round(
+                F.round("sum_value", 4) / F.col("n_events"), 4
+            ).alias("avg_value"),
+        )
+    )
+    return daily.orderBy("event_type", "day")
+
+
+Q58_SQL = """
+SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n_events,
+       round(sum(value), 4) AS total_value,
+       round(round(sum(value), 4) / count(*), 4) AS avg_value
+FROM events
+GROUP BY event_type, date_trunc('day', ts)
+ORDER BY event_type, day
+"""
+
+
 def _host_edges(spark, sf_dir):
     """Deterministic host-level outlink edges: each doc's synthesized html
     carries two anchors; src host = doc_id % 7 (q45's host rule), targets
@@ -2065,6 +2113,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q55_chunk_documents": q55_chunk_documents,
     "q56_range_join": q56_range_join,
     "q57_asof_join": q57_asof_join,
+    "q58_hypertable_rollup": q58_hypertable_rollup,
 }
 
 ORACLES: dict[str, str] = {
@@ -2114,6 +2163,7 @@ ORACLES: dict[str, str] = {
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
     "q57_asof_join": Q57_SQL,
+    "q58_hypertable_rollup": Q58_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32/q47, q34/q35, q38: non-SQL-expressible (xxhash64 LSH,
