@@ -1665,11 +1665,17 @@ def q58_hypertable_rollup(spark, sf_dir):
             F.date_format("d", "yyyy-MM-dd").alias("day"),
             "n_events",
             F.round("sum_value", 4).alias("total_value"),
-            # avg derived from the ROUNDED total: the two-level sum can
-            # differ from a direct sum in the last ulp, and round(sum/n, 4)
-            # sits exactly on the boundary for some buckets
-            F.round(
-                F.round("sum_value", 4) / F.col("n_events"), 4
+            # avg rounding via explicit floor(x*1e4 + 0.5): sum/n lands
+            # exactly on .xxxx5 decimal boundaries (e.g. 307.03/8), where
+            # Spark's round() HALF_UPs the shortest-decimal repr while
+            # DuckDB rounds the binary double — floor on the double is
+            # computed identically by both engines
+            (
+                F.floor(
+                    F.round("sum_value", 4) / F.col("n_events") * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
             ).alias("avg_value"),
         )
     )
@@ -1680,7 +1686,7 @@ Q58_SQL = """
 SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        count(*)::BIGINT AS n_events,
        round(sum(value), 4) AS total_value,
-       round(round(sum(value), 4) / count(*), 4) AS avg_value
+       floor(round(sum(value), 4) / count(*) * 10000 + 0.5) / 10000 AS avg_value
 FROM events
 GROUP BY event_type, date_trunc('day', ts)
 ORDER BY event_type, day
