@@ -1693,6 +1693,52 @@ ORDER BY event_type, day
 """
 
 
+def q59_salted_agg(spark, sf_dir):
+    """Salted two-phase aggregation over a deliberately zipfian key (70%
+    of rows share one host): phase 1 groups by (host, salt-from-row-id)
+    so the hot key splits across tasks, phase 2 merges the mergeable
+    partials (sum of counts, distinct-union of lang sets).  This is the
+    skew recipe for NON-reducing aggregates like collect_set, where
+    map-side partial aggregation alone cannot shrink a hot key; the salt
+    comes from plans/skew.salted (url/row-hash — the north-rule's salted
+    repartitioning)."""
+    from .plans.skew import salted
+
+    d = _t(spark, sf_dir, "documents")
+    host = F.when(F.col("doc_id") % 10 < 7, F.lit("mega")).otherwise(
+        F.concat(F.lit("h"), (F.col("doc_id") % 50).cast("string"))
+    )
+    rows = salted(
+        d.select(host.alias("host"), "doc_id", "lang"), key="doc_id", parts=16
+    )
+    phase1 = rows.groupBy("host", "_salt").agg(
+        F.count("*").alias("n"), F.collect_set("lang").alias("ls")
+    )
+    return (
+        phase1.groupBy("host")
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.size(
+                F.array_distinct(F.flatten(F.collect_list("ls")))
+            ).alias("n_langs"),
+        )
+        .orderBy("host")
+    )
+
+
+Q59_SQL = """
+WITH h AS (
+  SELECT CASE WHEN doc_id % 10 < 7 THEN 'mega'
+              ELSE 'h' || CAST(doc_id % 50 AS VARCHAR) END AS host,
+         lang
+  FROM documents
+)
+SELECT host, count(*)::BIGINT AS n_docs,
+       count(DISTINCT lang)::INT AS n_langs
+FROM h GROUP BY host ORDER BY host
+"""
+
+
 def _host_edges(spark, sf_dir):
     """Deterministic host-level outlink edges: each doc's synthesized html
     carries two anchors; src host = doc_id % 7 (q45's host rule), targets
@@ -2120,6 +2166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q56_range_join": q56_range_join,
     "q57_asof_join": q57_asof_join,
     "q58_hypertable_rollup": q58_hypertable_rollup,
+    "q59_salted_agg": q59_salted_agg,
 }
 
 ORACLES: dict[str, str] = {
@@ -2170,6 +2217,7 @@ ORACLES: dict[str, str] = {
     "q56_range_join": Q56_SQL,
     "q57_asof_join": Q57_SQL,
     "q58_hypertable_rollup": Q58_SQL,
+    "q59_salted_agg": Q59_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32/q47, q34/q35, q38: non-SQL-expressible (xxhash64 LSH,
