@@ -33,6 +33,9 @@ AUDITED = [
     "q48_vocab_builder",
     "q49_robots_gate",
     "q50_sessionize",
+    "q56_range_join",
+    "q57_asof_join",
+    "q59_salted_agg",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -55,6 +58,10 @@ CHECKS = {
     "q48_vocab_builder": ["BroadcastHashJoin", "HashAggregate", "!CartesianProduct"],
     "q49_robots_gate": ["Project", "!CartesianProduct"],
     "q50_sessionize": ["Window", "HashAggregate", "!CartesianProduct"],
+    "q56_range_join": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    "q57_asof_join": ["Window", "!SortMergeJoin", "!BroadcastHashJoin",
+                      "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    "q59_salted_agg": ["HashAggregate", "!Window", "!CartesianProduct"],
 }
 
 NOTES = {
@@ -97,6 +104,15 @@ NOTES = {
         "Catalyst plans ONE Exchange + one sort for the whole "
         "sessionization; the rollup aggregate reuses nothing but is "
         "map-side partial as usual.",
+    "q56_range_join": "interval containment as a bucketed equi-join: "
+        "facts key on one 3h bucket, intervals explode to covered buckets, "
+        "the exact BETWEEN filter runs inside the join — no nested loop.",
+    "q57_asof_join": "union + carry-forward: NO join node of any kind — "
+        "one Window per user carries the latest prior click forward; the "
+        "planner cannot pick a bad join strategy because there is none.",
+    "q59_salted_agg": "two HashAggregate pairs: phase 1 groups on "
+        "(host, salt) so the zipfian mega-host splits across tasks; "
+        "phase 2 merges mergeable partials.",
     "q46_deterministic_sample": "the operator itself is a pure "
         "multiplicative-hash filter with zero Exchange "
         "(test_sampling.py asserts it on the raw plan); the single "
