@@ -1739,6 +1739,35 @@ FROM h GROUP BY host ORDER BY host
 """
 
 
+def q60_length_percentiles(spark, sf_dir):
+    """Exact continuous percentiles of document length per language (the
+    corpus-profiling step behind length-filter thresholds).  Spark's
+    percentile() is the exact linear-interpolation aggregate — matches
+    DuckDB quantile_cont bit-for-bit after round(4).  At 100 TB swap for
+    approx_percentile and quantile sketches; the exact form is the
+    oracle-checkable baseline."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.percentile("n_chars", 0.5), 4).alias("p50"),
+            F.round(F.percentile("n_chars", 0.9), 4).alias("p90"),
+            F.round(F.percentile("n_chars", 0.99), 4).alias("p99"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q60_SQL = """
+SELECT lang, count(*)::BIGINT AS n_docs,
+       round(quantile_cont(n_chars, 0.5), 4) AS p50,
+       round(quantile_cont(n_chars, 0.9), 4) AS p90,
+       round(quantile_cont(n_chars, 0.99), 4) AS p99
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def _host_edges(spark, sf_dir):
     """Deterministic host-level outlink edges: each doc's synthesized html
     carries two anchors; src host = doc_id % 7 (q45's host rule), targets
@@ -2167,6 +2196,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q57_asof_join": q57_asof_join,
     "q58_hypertable_rollup": q58_hypertable_rollup,
     "q59_salted_agg": q59_salted_agg,
+    "q60_length_percentiles": q60_length_percentiles,
 }
 
 ORACLES: dict[str, str] = {
@@ -2218,6 +2248,7 @@ ORACLES: dict[str, str] = {
     "q57_asof_join": Q57_SQL,
     "q58_hypertable_rollup": Q58_SQL,
     "q59_salted_agg": Q59_SQL,
+    "q60_length_percentiles": Q60_SQL,
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32/q47, q34/q35, q38: non-SQL-expressible (xxhash64 LSH,
