@@ -399,7 +399,9 @@ class PstFile:
         return out
 
 
-def _prop_str(v: tuple[int, bytes] | None) -> str | None:
+def _prop_str(
+    v: tuple[int, bytes] | None, subject_prefix: bool = False
+) -> str | None:
     if v is None:
         return None
     prop_type, raw = v
@@ -410,8 +412,10 @@ def _prop_str(v: tuple[int, bytes] | None) -> str | None:
     else:
         return None
     # PidTagSubject prefix convention ([MS-PST] 2.5.3.1.1.1): a leading
-    # 0x01 control byte + prefix-length char precede the normalized subject
-    if s.startswith("\x01") and len(s) >= 2:
+    # 0x01 control byte + prefix-length char precede the normalized
+    # subject.  ONLY PidTagSubject carries it — a body/display-name that
+    # happens to start with 0x01 must keep its bytes.
+    if subject_prefix and s.startswith("\x01") and len(s) >= 2:
         s = s[2:]
     return s.rstrip("\x00")
 
@@ -441,7 +445,7 @@ def message_to_eml(
     import base64
     import hashlib as _hl
 
-    subject = _prop_str(props.get(PR_SUBJECT)) or ""
+    subject = _prop_str(props.get(PR_SUBJECT), subject_prefix=True) or ""
     sender_name = _prop_str(props.get(PR_SENDER_NAME)) or ""
     sender_email = _prop_str(props.get(PR_SENDER_EMAIL)) or ""
     display_to = _prop_str(props.get(PR_DISPLAY_TO)) or ""

@@ -160,7 +160,7 @@ def test_pst_message_roundtrip(messages):
     for (nid, props), want in zip(got, messages):
         body = _prop_str(props.get(PR_BODY)) or ""
         assert body == want["body"].rstrip("\x00")
-        subj = _prop_str(props.get(PR_SUBJECT)) or ""
+        subj = _prop_str(props.get(PR_SUBJECT), subject_prefix=True) or ""
         expect = want["subject"].rstrip("\x00")
         if expect.startswith("\x01") and len(expect) >= 2:
             expect = expect[2:]

@@ -86,10 +86,14 @@ def test_garbage_is_broken_not_crash():
 
 
 def test_subject_prefix_convention():
-    """A stored subject with the 0x01 prefix byte is normalized."""
+    """A stored SUBJECT with the 0x01 prefix byte is normalized; other
+    string properties keep a leading 0x01 verbatim ([MS-PST] 2.5.3.1.1.1
+    applies to PidTagSubject only)."""
     from hoover_snoop2_spark.operators.pst_extract import PT_UNICODE, _prop_str
 
-    assert _prop_str((PT_UNICODE, "\x01\x05Hello".encode("utf-16-le"))) == "Hello"
+    raw = (PT_UNICODE, "\x01\x05Hello".encode("utf-16-le"))
+    assert _prop_str(raw, subject_prefix=True) == "Hello"
+    assert _prop_str(raw) == "\x01\x05Hello"
 
 
 def test_multi_block_heap_large_body():
