@@ -88,8 +88,13 @@ def q02_task_matrix(spark, sf_dir):
         ev.groupBy("event_type")
         .agg(
             F.count("*").alias("n"),
-            F.round(F.sum("value"), 4).alias("total_value"),
-            F.round(F.avg("value"), 4).alias("avg_value"),
+            # engine-stable rounding (q58 idiom, NOTES.md / ded2efd)
+            (F.floor(F.sum("value") * 10000 + F.lit(0.5)) / 10000).alias(
+                "total_value"
+            ),
+            (F.floor(F.avg("value") * 10000 + F.lit(0.5)) / 10000).alias(
+                "avg_value"
+            ),
             _ts(F.max("ts")).alias("max_ts"),
         )
         .orderBy("event_type")
@@ -99,8 +104,8 @@ def q02_task_matrix(spark, sf_dir):
 Q02_SQL = """
 SELECT event_type,
        count(*)::BIGINT AS n,
-       round(sum(value), 4) AS total_value,
-       round(avg(value), 4) AS avg_value,
+       floor(sum(value) * 10000 + 0.5) / 10000 AS total_value,
+       floor(avg(value) * 10000 + 0.5) / 10000 AS avg_value,
        strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS max_ts
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -1482,7 +1487,7 @@ SELECT user_id,
        strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S')
          AS session_end,
        count(*)::BIGINT AS n_events,
-       round(sum(value), 4) AS total_value
+       floor(sum(value) * 10000 + 0.5) / 10000 AS total_value
 FROM s GROUP BY user_id, session_no
 ORDER BY user_id, session_start
 """
@@ -1564,7 +1569,10 @@ def q56_range_join(spark, sf_dir):
         matched.groupBy("w_id")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # engine-stable rounding (q58 idiom, see q50)
+            (F.floor(F.sum("value") * 10000 + F.lit(0.5)) / 10000).alias(
+                "total_value"
+            ),
         )
         .orderBy("w_id")
     )
@@ -1577,7 +1585,8 @@ WITH w AS (
          1704067200 + k * 25200 + 10800 AS w_end
   FROM range(100) t(k)
 )
-SELECT w_id, count(*)::BIGINT AS n_events, round(sum(value), 4) AS total_value
+SELECT w_id, count(*)::BIGINT AS n_events,
+       floor(sum(value) * 10000 + 0.5) / 10000 AS total_value
 FROM events e JOIN w
   ON floor(epoch(e.ts))::BIGINT >= w.w_start AND floor(epoch(e.ts))::BIGINT < w.w_end
 GROUP BY w_id ORDER BY w_id
@@ -1664,15 +1673,20 @@ def q58_hypertable_rollup(spark, sf_dir):
             "event_type",
             F.date_format("d", "yyyy-MM-dd").alias("day"),
             "n_events",
-            F.round("sum_value", 4).alias("total_value"),
-            # avg rounding via explicit floor(x*1e4 + 0.5): sum/n lands
-            # exactly on .xxxx5 decimal boundaries (e.g. 307.03/8), where
-            # Spark's round() HALF_UPs the shortest-decimal repr while
-            # DuckDB rounds the binary double — floor on the double is
-            # computed identically by both engines
+            # rounding via explicit floor(x*1e4 + 0.5): values land exactly
+            # on .xxxx5 decimal boundaries (e.g. 307.03/8), where Spark's
+            # round() HALF_UPs the shortest-decimal repr while DuckDB
+            # rounds the binary double — floor on the double is computed
+            # identically by both engines
+            (F.floor(F.col("sum_value") * 10000 + F.lit(0.5)) / 10000).alias(
+                "total_value"
+            ),
             (
                 F.floor(
-                    F.round("sum_value", 4) / F.col("n_events") * 10000
+                    F.floor(F.col("sum_value") * 10000 + F.lit(0.5))
+                    / 10000
+                    / F.col("n_events")
+                    * 10000
                     + F.lit(0.5)
                 )
                 / 10000
@@ -1685,8 +1699,9 @@ def q58_hypertable_rollup(spark, sf_dir):
 Q58_SQL = """
 SELECT event_type, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
        count(*)::BIGINT AS n_events,
-       round(sum(value), 4) AS total_value,
-       floor(round(sum(value), 4) / count(*) * 10000 + 0.5) / 10000 AS avg_value
+       floor(sum(value) * 10000 + 0.5) / 10000 AS total_value,
+       floor(floor(sum(value) * 10000 + 0.5) / 10000
+             / count(*) * 10000 + 0.5) / 10000 AS avg_value
 FROM events
 GROUP BY event_type, date_trunc('day', ts)
 ORDER BY event_type, day
@@ -1859,7 +1874,13 @@ def q50_sessionize(spark, sf_dir):
             F.count("*").alias("n_events"),
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # engine-stable rounding (q58 idiom): floor(x*1e4 + 0.5) on the
+            # raw double is computed bit-identically by Spark and DuckDB,
+            # while round() HALF_UPs the shortest-decimal repr on one side
+            # and rounds the binary double on the other (NOTES.md, ded2efd)
+            (F.floor(F.sum("value") * 10000 + F.lit(0.5)) / 10000).alias(
+                "total_value"
+            ),
         )
         .orderBy("user_id", "session_no")
     )
@@ -1881,7 +1902,7 @@ WITH g AS (
 )
 SELECT user_id, session_no, count(*)::BIGINT AS n_events,
        min(ts) AS session_start, max(ts) AS session_end,
-       round(sum(value), 4) AS total_value
+       floor(sum(value) * 10000 + 0.5) / 10000 AS total_value
 FROM s GROUP BY user_id, session_no
 ORDER BY user_id, session_no
 """
