@@ -83,14 +83,47 @@ def band_keys(
     n_hashes: int = 16,
     bands: int = 4,
     k: int = 5,
+    with_shingles: bool = False,
 ) -> DataFrame:
-    """(id, band, band_hash) LSH band keys — pure column expressions, so
-    the same code paths batch tables AND streaming DataFrames (the
-    stream-static near-dup join in streaming/dedup_stream.py)."""
+    """(id, band, band_hash[, sh]) LSH band keys — pure column
+    expressions, so the same code paths batch tables AND streaming
+    DataFrames (the stream-static near-dup join in
+    streaming/dedup_stream.py).
+
+    with_shingles=True carries the distinct shingle set through the
+    projection chain so callers that need (keys + shingles) get them in
+    ONE projection of df.  This matters for streams: joining two
+    projections of the same streaming DataFrame plans a stateful
+    stream-stream self-join with unbounded state; a single projection
+    keeps only the stream-static join.  The signature is unchanged by
+    hashing the distinct array (array_min ignores duplicates)."""
     rows = n_hashes // bands
-    sigs = minhash_signature(df, id_col, text_col, n_hashes, k)
+    if with_shingles:
+        params = _perm_params(n_hashes)
+        shing = F.array_distinct(shingles_col(text_col, k))
+        base = df.select(F.col(id_col).alias("id"), shing.alias("sh"))
+        hashes = F.transform(
+            F.col("sh"),
+            lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)),
+        )
+        hashed = base.select("id", "sh", hashes.alias("hv"))
+
+        def perm(a: int, b: int):
+            return lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MERSENNE))
+
+        sig = F.array(
+            *[
+                F.array_min(F.transform(F.col("hv"), perm(a, b)))
+                for a, b in params
+            ]
+        )
+        sigs = hashed.select("id", "sh", sig.alias("signature"))
+        carry = ["id", "sh"]
+    else:
+        sigs = minhash_signature(df, id_col, text_col, n_hashes, k)
+        carry = ["id"]
     return sigs.select(
-        "id",
+        *carry,
         F.explode(
             F.array(
                 *[
@@ -110,7 +143,7 @@ def band_keys(
                 ]
             )
         ).alias("bk"),
-    ).select("id", "bk.band", "bk.band_hash")
+    ).select(*carry, "bk.band", "bk.band_hash")
 
 
 def minhash_lsh_pairs(

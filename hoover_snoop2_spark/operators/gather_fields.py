@@ -126,10 +126,29 @@ def filter_ocrtext_by_lang(
         F.col(ocrtext_col),
         lambda k, v: (~k.startswith("tesseract")) | (~applies) | k.endswith(code3),
     )
-    return df.withColumn(
+    out = df.withColumn(
         ocrtext_col,
         F.when(F.col(ocrtext_col).isNotNull(), filtered),
     )
+    # re-derive the ocr flag(s) from the FILTERED map — a doc whose only
+    # non-blank text came from a removed tesseract_<lang> entry must flip
+    # ocr back to false (same exists() rule as join_ocr_sources)
+    if "ocr" in out.columns:
+        out = out.withColumn(
+            "ocr",
+            F.coalesce(
+                F.exists(
+                    F.map_values(ocrtext_col),
+                    lambda x: F.length(F.trim(x)) > 0,
+                ),
+                F.lit(False),
+            ),
+        )
+        if "ocrpdf" in out.columns and "ocrimage" in out.columns:
+            out = out.withColumn(
+                "ocrpdf", F.col("ocr") & F.col("ocrpdf")
+            ).withColumn("ocrimage", F.col("ocr") & F.col("ocrimage"))
+    return out
 
 
 def join_user_tags(

@@ -96,9 +96,14 @@ def parse_video_header(data: bytes) -> tuple[str, int, int] | None:
                         break
                     if bt == b"mvhd" and q + 28 <= len(data):
                         ver = data[q + 8]
+                        ts = dur = 0
                         if ver == 0:
                             ts, dur = struct.unpack(">II", data[q + 20:q + 28])
-                        else:  # version 1: 64-bit times
+                        elif q + 40 <= len(data):
+                            # version 1: 64-bit times; the v0 length guard
+                            # above is not enough — a truncated v1 mvhd
+                            # must yield duration 0, not a struct.error
+                            # that fails the whole Spark task
                             ts, = struct.unpack(">I", data[q + 28:q + 32])
                             dur, = struct.unpack(">Q", data[q + 32:q + 40])
                         duration_ms = int(dur * 1000 / ts) if ts else 0

@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -150,9 +151,24 @@ class SnapshotStore:
         ) + 1
         dirname = f"snap-{version:05d}"
         os.makedirs(os.path.join(self.root, table), exist_ok=True)
-        df.write.mode("errorifexists").parquet(
-            os.path.join(self.root, table, dirname)
-        )
+        snap_path = os.path.join(self.root, table, dirname)
+        # crash recovery: a commit that died between the data write and the
+        # metadata swap leaves an orphan snap dir; version=max(history)+1
+        # regenerates the same dirname, so errorifexists would then fail
+        # every future commit.  The dir is garbage by construction (no
+        # snapshot in history references it — referenced dirs can never
+        # collide because their versions stay in history), so remove it.
+        if os.path.exists(snap_path):
+            referenced = any(
+                dirname in s["files"] for s in meta["snapshots"]
+            )
+            if referenced:  # pragma: no cover — invariant violation
+                raise RuntimeError(
+                    f"snapshot dir {dirname} exists AND is referenced; "
+                    "metadata corrupt"
+                )
+            shutil.rmtree(snap_path)
+        df.write.mode("errorifexists").parquet(snap_path)
         if mode == "append" and meta["current"]:
             files = list(self._snap(meta, meta["current"])["files"])
         else:

@@ -307,12 +307,21 @@ def read_warc_cdx(
     range reads spread evenly regardless of how many distinct files there
     are (a single 1 GB WARC still fans out across the cluster).
     """
-    idx = cdx.select("warc_file", "offset", "length")
+    has_rec_span = "rec_offset" in cdx.columns and "rec_length" in cdx.columns
+    cols = ["warc_file", "offset", "length"]
+    if has_rec_span:
+        cols += ["rec_offset", "rec_length"]
+    idx = cdx.select(*cols)
     if num_partitions:
         idx = idx.repartition(num_partitions)
 
     def fetch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         handles: dict[str, io.BufferedReader] = {}
+        # last inflated member, keyed by (fname, offset): rows of a shared
+        # whole-stream-gzip member arrive adjacent (index order), so a
+        # 1-deep cache decompresses each member once, not once per record
+        last_key: tuple[str, int] | None = None
+        last_data: bytes = b""
         try:
             for pdf in batches:
                 for _, row in pdf.iterrows():
@@ -320,9 +329,28 @@ def read_warc_cdx(
                     fh = handles.get(fname)
                     if fh is None:
                         fh = handles[fname] = open(fname, "rb")
-                    fh.seek(int(row["offset"]))
-                    member = fh.read(int(row["length"]))
-                    yield from _records_df(parse_warc_records(member, fname))
+                    off = int(row["offset"])
+                    key = (fname, off)
+                    if key == last_key:
+                        data = last_data
+                    else:
+                        fh.seek(off)
+                        member = fh.read(int(row["length"]))
+                        if member[:2] == b"\x1f\x8b":
+                            data = b"".join(
+                                d for _, _, d in _gunzip_members(member)
+                            )
+                        else:
+                            data = member
+                        last_key, last_data = key, data
+                    if has_rec_span and pd.notna(row["rec_length"]):
+                        s = int(row["rec_offset"])
+                        data_slice = data[s : s + int(row["rec_length"])]
+                    else:
+                        data_slice = data
+                    yield from _records_df(
+                        parse_warc_records(data_slice, fname)
+                    )
         finally:
             for fh in handles.values():
                 fh.close()
@@ -331,10 +359,15 @@ def read_warc_cdx(
 
 
 #: CDX(J)-shaped index schema: the byte span plus the filterable fields a
-#: crawl index publishes (url / type / mime / status)
+#: crawl index publishes (url / type / mime / status).  (offset, length)
+#: address the fetchable unit (gzip member or raw slice); (rec_offset,
+#: rec_length) address the single record INSIDE the inflated member, so a
+#: whole-stream-gzipped WARC (one member, many records) indexes each
+#: record individually instead of re-emitting the full member per row.
 WARC_CDX_SCHEMA = (
-    "warc_file string, offset long, length long, url string, "
-    "warc_type string, http_status int, content_type string"
+    "warc_file string, offset long, length long, rec_offset long, "
+    "rec_length long, url string, warc_type string, http_status int, "
+    "content_type string"
 )
 
 
@@ -351,7 +384,7 @@ def index_warc(spark: SparkSession, path_glob: str) -> DataFrame:
     """
     files = spark.read.format("binaryFile").load(path_glob)
 
-    def _entry(path, off, ln, headers, payload):
+    def _entry(path, off, ln, rec_off, rec_ln, headers, payload):
         status, ctype = 0, ""
         if payload[:5] == b"HTTP/":
             hend = payload.find(b"\r\n\r\n")
@@ -365,6 +398,8 @@ def index_warc(spark: SparkSession, path_glob: str) -> DataFrame:
             "warc_file": path,
             "offset": off,
             "length": ln,
+            "rec_offset": rec_off,
+            "rec_length": rec_ln,
             "url": headers.get("warc-target-uri", ""),
             "warc_type": headers.get("warc-type", ""),
             "http_status": status,
@@ -378,12 +413,19 @@ def index_warc(spark: SparkSession, path_glob: str) -> DataFrame:
                 path = row["path"]
                 entries = []
                 if raw[:2] == b"\x1f\x8b":
+                    # per-record spans inside the inflated member: a
+                    # whole-stream gzip (one member, many records) must
+                    # not index every record with the full member span
                     for off, ln, data in _gunzip_members(raw):
-                        for _s, _e, hdrs, payload in _iter_raw_records(data, path):
-                            entries.append(_entry(path, off, ln, hdrs, payload))
+                        for s, e, hdrs, payload in _iter_raw_records(data, path):
+                            entries.append(
+                                _entry(path, off, ln, s, e - s, hdrs, payload)
+                            )
                 else:
                     for s, e, hdrs, payload in _iter_raw_records(raw, path):
-                        entries.append(_entry(path, s, e - s, hdrs, payload))
+                        entries.append(
+                            _entry(path, s, e - s, 0, e - s, hdrs, payload)
+                        )
                 if entries:
                     yield pd.DataFrame(entries)
 

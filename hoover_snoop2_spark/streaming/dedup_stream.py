@@ -32,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.dedup import band_keys, shingles_col
+from ..operators.dedup import band_keys
 
 
 def build_dedup_index(
@@ -46,12 +46,9 @@ def build_dedup_index(
     """Static LSH index: (id, band, band_hash, sh).  Persist this table
     partitioned/bucketed by (band, band_hash) and append new corpus docs'
     keys as they are admitted."""
-    keys = band_keys(df, id_col, text_col, n_hashes, bands, k)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles_col(text_col, k)).alias("sh"),
+    return band_keys(
+        df, id_col, text_col, n_hashes, bands, k, with_shingles=True
     )
-    return keys.join(sh, "id")
 
 
 def stream_near_dups(
@@ -67,12 +64,13 @@ def stream_near_dups(
     """Streaming (url, matched_id, jaccard) for every incoming page whose
     exact shingle Jaccard against an LSH-candidate corpus doc clears the
     threshold.  Append-mode compatible: no aggregation, no stream state."""
-    keys = band_keys(stream_df, id_col, text_col, n_hashes, bands, k)
-    sh = stream_df.select(
-        F.col(id_col).alias("id"),
-        F.array_distinct(shingles_col(text_col, k)).alias("q_sh"),
-    )
-    probe = keys.join(sh, "id")
+    # ONE projection of stream_df carrying both band keys and shingles —
+    # joining two projections of the same streaming DataFrame would plan a
+    # stateful stream-stream self-join with unbounded state; this keeps
+    # only the stream-static join below
+    probe = band_keys(
+        stream_df, id_col, text_col, n_hashes, bands, k, with_shingles=True
+    ).withColumnRenamed("sh", "q_sh")
     idx = index.select(
         F.col("id").alias("matched_id"),
         "band",

@@ -64,3 +64,22 @@ def test_streaming_near_dups_end_to_end(spark, tmp_path):
     assert pairs == {("https://new.example/dup", 100)}
     # multi-band hits allowed, but every emitted row is verified exact
     assert all(r["jaccard"] >= 0.5 for r in rows)
+
+
+def test_stream_plan_has_no_stream_stream_join(spark, tmp_path):
+    """The stream side must be ONE projection (band keys + shingles
+    carried together): joining two projections of the same streaming
+    DataFrame would plan a stateful stream-stream self-join with
+    unbounded state.  Only the stream-static join may remain."""
+    corpus = spark.createDataFrame(CORPUS, "doc_id long, text string")
+    index = build_dedup_index(corpus, "doc_id", "text", n_hashes=64, bands=16)
+    pages_dir = str(tmp_path / "pages_plan")
+    spark.createDataFrame(
+        [("u", BASE)], "url string, text string"
+    ).write.parquet(pages_dir)
+    stream = spark.readStream.schema("url string, text string").parquet(pages_dir)
+    out = stream_near_dups(stream, index, n_hashes=64, bands=16)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    # exactly ONE streaming leaf: a second one would mean the stream was
+    # projected twice and self-joined (stateful, unbounded)
+    assert plan.count("StreamingRelation") == 1

@@ -117,3 +117,34 @@ def test_ocr_duplicate_text_twins_share_entry(spark):
     out = join_ocr_sources(docs, ocr).collect()
     assert len(out) == 2
     assert all(dict(r["ocrtext"]) == {"ocr-import": "same text"} for r in out)
+
+
+def test_lang_filter_rederives_ocr_flags(spark):
+    """A doc whose ONLY non-blank text came from a removed
+    tesseract_<lang> entry must flip ocr (and ocrpdf/ocrimage) back to
+    false after the language filter."""
+    from hoover_snoop2_spark.operators.gather_fields import (
+        filter_ocrtext_by_lang,
+        join_ocr_sources,
+        with_ocr_flags,
+    )
+
+    docs = spark.createDataFrame(
+        [("a", "application/pdf", "en")],
+        "md5 string, mime_type string, lang string",
+    )
+    # detected lang en → tesseract_eng kept; only non-blank text is in
+    # tesseract_deu, which the filter removes
+    ocr = spark.createDataFrame(
+        [("a", "tesseract_deu", "german ocr"),
+         ("a", "tesseract_eng", "   ")],
+        "md5 string, source string, ocrtext string",
+    )
+    out = with_ocr_flags(join_ocr_sources(docs, ocr))
+    before = out.collect()[0]
+    assert before["ocr"] is True and before["ocrpdf"] is True
+
+    after = filter_ocrtext_by_lang(out, ["eng", "deu"]).collect()[0]
+    assert sorted(after["ocrtext"]) == ["tesseract_eng"]
+    assert after["ocr"] is False
+    assert after["ocrpdf"] is False and after["ocrimage"] is False

@@ -97,3 +97,19 @@ def test_media_features_video_and_audio_rows(spark):
     assert got["a1"]["sample_rate"] == 44100
     assert got["a1"]["n_channels"] == 2
     assert got["v1"]["status"] == got["a1"]["status"] == "success"
+
+
+def test_parse_video_header_truncated_v1_mvhd():
+    """A version-1 (64-bit times) mvhd cut short by the header-prefix read
+    must yield duration 0, not a struct.error that fails the Spark task."""
+    import struct
+
+    from hoover_snoop2_spark.operators.multimodal import parse_video_header
+
+    # v1 mvhd claims 32 bytes of body but the buffer ends mid-timestamps
+    mvhd = b"\x01" + b"\x00" * 3 + b"\x00" * 10   # truncated
+    mvhd_box = struct.pack(">I", 8 + 32) + b"mvhd" + mvhd
+    moov = struct.pack(">I", 8 + len(mvhd_box)) + b"moov" + mvhd_box
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    out = parse_video_header(ftyp + moov)
+    assert out is not None and out[0] == "mp4" and out[1] == 0

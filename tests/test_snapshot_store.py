@@ -117,3 +117,16 @@ def test_reader_isolated_from_later_commits(spark, store):
     assert _ids(lazy_v1) == [0, 1, 2]
     store.expire("t", keep_last=1)
     assert _ids(lazy_v1) == [0, 1, 2]
+
+
+def test_orphan_snap_dir_from_crashed_commit_is_recovered(spark, store, tmp_path):
+    """A crash between the data write and the metadata swap leaves an
+    unreferenced snap-NNNNN dir; the next commit regenerates the same
+    dirname and must clean the orphan instead of failing forever."""
+    store.commit(spark.range(0, 3), "t")
+    # simulate the crashed commit: snap-00002 written, metadata never swapped
+    orphan = os.path.join(store.root, "t", "snap-00002")
+    spark.range(100, 103).write.parquet(orphan)
+    v2 = store.commit(spark.range(3, 5), "t")
+    assert v2 == 2
+    assert _ids(store.read(spark, "t")) == [0, 1, 2, 3, 4]  # no 100..102

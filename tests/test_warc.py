@@ -237,3 +237,43 @@ def test_revisit_records_surface_as_pointer_table(spark, tmp_path):
     # masquerade as content rows
     pages = read_warc(spark, str(warc))
     assert pages.count() == 2
+
+
+def test_index_warc_whole_stream_gzip_no_duplication(spark, tmp_path):
+    """A whole-stream-gzipped WARC (ONE gzip member, many records) must
+    index each record's span inside the inflated member; range reads then
+    yield every response exactly once instead of re-parsing the full
+    member per CDX row."""
+    from hoover_snoop2_spark.sources.warc import index_warc
+
+    gz = tmp_path / "whole.warc.gz"
+    gz.write_bytes(gzip.compress(b"".join(_build_records())))
+
+    cdx = index_warc(spark, str(gz))
+    rows = cdx.orderBy("rec_offset").collect()
+    # all rows share the single member span but carry distinct rec spans
+    assert len({(r["offset"], r["length"]) for r in rows}) == 1
+    assert len({(r["rec_offset"], r["rec_length"]) for r in rows}) == len(rows)
+
+    responses = cdx.filter("warc_type = 'response'")
+    got = read_warc_cdx(spark, responses).orderBy("url").collect()
+    assert [bytes(r["html"]) for r in got] == [BODY_A, BODY_B]
+
+
+def test_read_warc_cdx_without_rec_span_columns(spark, tmp_path):
+    """External CDX tables (Common Crawl's published index) carry only
+    (warc_file, offset, length) — the reader must keep accepting them."""
+    rows = []
+    data = b""
+    for rec in _build_records():
+        member = gzip.compress(rec)
+        rows.append(("f", len(data), len(member)))
+        data += member
+    f = tmp_path / "seg.warc.gz"
+    f.write_bytes(data)
+    cdx = spark.createDataFrame(
+        [(str(f), off, ln) for _, off, ln in rows],
+        "warc_file string, offset long, length long",
+    )
+    got = read_warc_cdx(spark, cdx).orderBy("url").collect()
+    assert [bytes(r["html"]) for r in got] == [BODY_A, BODY_B]
