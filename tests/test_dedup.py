@@ -143,3 +143,31 @@ def test_simhash_degenerate_bucket_cap(spark):
     assert (1000, 1001) in pairs
     assert len(pairs) <= 1 + 500  # no quadratic blow-up from the family
     assert not any(a < 500 and b < 500 for a, b in pairs)
+
+
+def test_simhash_kernel_pinned_and_batch_invariant():
+    """The vectorized kernel (one C hash pass over the flattened batch +
+    cumsum segment reduce) must be deterministic across processes and
+    independent of batch composition.  Values pinned at the pandas
+    SipHash default key; a pin change means the hash function changed
+    and every stored simhash must be recomputed."""
+    import numpy as np
+    import pandas as pd
+
+    from hoover_snoop2_spark.operators.dedup import simhash64_udf
+
+    kern = simhash64_udf.func
+    s = kern(pd.Series(
+        ["the quick brown fox", "the quick brown fox", "", None, "single"]
+    ))
+    assert list(s) == [
+        -8618537268020226968, -8618537268020226968, 0, 0,
+        -2852138774547924146,
+    ]
+    # batch-composition invariance: same doc alone or with neighbors
+    alone = kern(pd.Series(["the quick brown fox"]))[0]
+    assert alone == -8618537268020226968
+    # identical docs, tokens upper-cased → same hash (lowering)
+    assert kern(pd.Series(["THE QUICK Brown fox"]))[0] == alone
+    # all-empty batch
+    assert list(kern(pd.Series(["", None]))) == [0, 0]
