@@ -61,7 +61,7 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 10
+CORPUS_VERSION = 11
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
@@ -439,8 +439,12 @@ def render_msg(doc_id: int, lang: str) -> tuple[bytes, str, list[tuple[str, str]
         att_text = " ".join(_sentence(rng, lang) for _ in range(2))
         atts.append((f"note{doc_id % 7}.txt", att_text.encode("utf-8")))
         kids.append((f"note{doc_id % 7}.txt", _golden_from_paragraphs([att_text])))
+    # cycle the body storage Outlook actually uses: plain PidTagBody,
+    # PidTagHtml, LZFu-compressed PidTagRtfCompressed — same golden text
+    # whichever stream carries it
+    body_mode = ("plain", "html", "rtf")[doc_id % 3]
     data = build_msg(subject=subject, body=body, sender=sender, to=to,
-                     attachments=atts)
+                     attachments=atts, body_mode=body_mode)
     return data, _golden_from_paragraphs([body]), kids
 
 

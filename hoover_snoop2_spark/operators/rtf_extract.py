@@ -69,6 +69,16 @@ def rtf_to_text(data: bytes) -> str:
             code = int(tok[2:].strip())
             if code < 0:
                 code += 65536
+            # non-BMP chars arrive as two \uN units (UTF-16 surrogate
+            # pair) — combine with a pending high surrogate
+            if (
+                0xDC00 <= code <= 0xDFFF
+                and out
+                and len(out[-1]) == 1
+                and 0xD800 <= ord(out[-1]) <= 0xDBFF
+            ):
+                hi = ord(out.pop())
+                code = 0x10000 + ((hi - 0xD800) << 10) + (code - 0xDC00)
             out.append(chr(code))
             pending_skip = uc_skip
             continue

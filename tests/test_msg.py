@@ -57,3 +57,63 @@ def test_plain_ole_not_msg():
     digest = analyze_blob("x", fake)[0]
     assert digest["mime_type"] == "application/vnd.ms-excel"
     assert digest["status"] in ("success", "broken")
+
+
+def test_lzfu_roundtrip_and_edge_cases():
+    """[MS-OXRTFCP] codec: greedy compressor exercises dictionary
+    references (including the pre-loaded RTF prefix); decoder verifies
+    CRC and honors the MELA uncompressed variant."""
+    import struct
+
+    import pytest
+
+    from hoover_snoop2_spark.operators.msg_extract import (
+        LzfuError,
+        compress_lzfu,
+        decompress_lzfu,
+    )
+
+    samples = [
+        b"",
+        b"{\\rtf1\\ansi hello}",
+        b"{\\rtf1\\ansi " + b"repeat me! " * 300 + b"}",
+        bytes(range(256)) * 20,
+        b"a" * 9000,
+    ]
+    for s in samples:
+        assert decompress_lzfu(compress_lzfu(s)) == s
+    # the prefix-dictionary savings are real: an RTF-ish payload
+    # compresses below raw size
+    rtf = b"{\\rtf1\\ansi\\deff0 the quick brown fox}" * 50
+    assert len(compress_lzfu(rtf)) < len(rtf)
+    # MELA uncompressed variant
+    raw = b"{\\rtf1 plain}"
+    mela = struct.pack("<4I", len(raw) + 12, len(raw), 0x414C454D, 0) + raw
+    assert decompress_lzfu(mela) == raw
+    # corrupted CRC refuses
+    enc = bytearray(compress_lzfu(b"{\\rtf1 x}"))
+    enc[12] ^= 0xFF
+    with pytest.raises(LzfuError):
+        decompress_lzfu(bytes(enc))
+    with pytest.raises(LzfuError):
+        decompress_lzfu(b"\x00\x01")
+
+
+def test_msg_html_and_rtf_bodies():
+    """Rich-text .msg (the Outlook default) stores the body as
+    PidTagHtml or LZFu PidTagRtfCompressed instead of PidTagBody — both
+    must extract the same text (reference parity: msgconvert feeds these
+    through the eml path, email.py:281-307)."""
+    for mode in ("html", "rtf"):
+        data = build_msg(
+            subject="Rich",
+            body="the rich body text with diacritics și gânduri",
+            sender="x@corp.example",
+            to=["y@corp.example"],
+            body_mode=mode,
+        )
+        got = parse_msg(data)
+        assert got["text"] == "the rich body text with diacritics și gânduri", mode
+    # plain PidTagBody wins over rich streams when present (priority)
+    plain = build_msg("s", "plain body", "a@x", ["b@y"], body_mode="plain")
+    assert parse_msg(plain)["text"] == "plain body"
