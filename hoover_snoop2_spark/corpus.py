@@ -61,7 +61,7 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 11
+CORPUS_VERSION = 12
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
@@ -540,6 +540,73 @@ def render_odt(doc_id: int, lang: str) -> tuple[bytes, str]:
     return data, _golden_from_paragraphs(paras)
 
 
+def render_ods(doc_id: int, lang: str) -> tuple[bytes, str]:
+    """ODF spreadsheet: cell grid in content.xml; golden text is one
+    block per row (ods_to_text's reading order)."""
+    rng = _rng(doc_id, 17)
+    rows = [
+        [" ".join(rng.sample(_WORDS, 2)) for _ in range(rng.randint(2, 3))]
+        for _ in range(rng.randint(2, 4))
+    ]
+    body = "".join(
+        "<table:table-row>"
+        + "".join(
+            f"<table:table-cell><text:p>{_xml_escape(c)}</text:p>"
+            "</table:table-cell>"
+            for c in cells
+        )
+        + "</table:table-row>"
+        for cells in rows
+    )
+    content = (
+        '<?xml version="1.0"?><office:document-content xmlns:office='
+        '"urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:text='
+        '"urn:oasis:names:tc:opendocument:xmlns:text:1.0" xmlns:table='
+        '"urn:oasis:names:tc:opendocument:xmlns:table:1.0"><office:body>'
+        '<office:spreadsheet><table:table table:name="Sheet1">'
+        f"{body}</table:table></office:spreadsheet></office:body>"
+        "</office:document-content>"
+    )
+    data = _zip_bytes_of(
+        [("mimetype", b"application/vnd.oasis.opendocument.spreadsheet"),
+         ("meta.xml", _odf_meta_xml(doc_id)),
+         ("content.xml", content.encode("utf-8"))]
+    )
+    return data, _golden_from_paragraphs([" ".join(c) for c in rows])
+
+
+def render_odp(doc_id: int, lang: str) -> tuple[bytes, str]:
+    """ODF presentation: draw:page slides with text frames; golden text
+    is one block per text:p in page order (odp_to_text)."""
+    rng = _rng(doc_id, 19)
+    pages = []
+    goldens = []
+    for _ in range(rng.randint(1, 3)):
+        lines = [_sentence(rng, lang) for _ in range(rng.randint(1, 2))]
+        frames = "".join(
+            "<draw:frame><draw:text-box>"
+            f"<text:p>{_xml_escape(t)}</text:p>"
+            "</draw:text-box></draw:frame>"
+            for t in lines
+        )
+        pages.append(f"<draw:page>{frames}</draw:page>")
+        goldens.extend(lines)
+    content = (
+        '<?xml version="1.0"?><office:document-content xmlns:office='
+        '"urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:text='
+        '"urn:oasis:names:tc:opendocument:xmlns:text:1.0" xmlns:draw='
+        '"urn:oasis:names:tc:opendocument:xmlns:drawing:1.0"><office:body>'
+        f"<office:presentation>{''.join(pages)}</office:presentation>"
+        "</office:body></office:document-content>"
+    )
+    data = _zip_bytes_of(
+        [("mimetype", b"application/vnd.oasis.opendocument.presentation"),
+         ("meta.xml", _odf_meta_xml(doc_id)),
+         ("content.xml", content.encode("utf-8"))]
+    )
+    return data, _golden_from_paragraphs(goldens)
+
+
 def render_pptx(doc_id: int, lang: str) -> tuple[bytes, str]:
     rng = _rng(doc_id, 11)
     slides = []
@@ -742,7 +809,19 @@ def build_doc(doc_id: int) -> dict:
     elif cat == "docx":
         html, golden = render_docx(doc_id, lang)
     elif cat == "odt":
-        html, golden = render_odt(doc_id, lang)
+        # the full ODF family under one category: text / spreadsheet /
+        # presentation cycle by doc_id (reference covers all three via
+        # Tika's mime list, _tika_mime_types.py)
+        odf_kind = doc_id % 3
+        if odf_kind == 1:
+            html, golden = render_ods(doc_id, lang)
+            ext = "ods"
+        elif odf_kind == 2:
+            html, golden = render_odp(doc_id, lang)
+            ext = "odp"
+        else:
+            html, golden = render_odt(doc_id, lang)
+        url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
     elif cat == "pptx":
         html, golden = render_pptx(doc_id, lang)
     elif cat == "xlsx":

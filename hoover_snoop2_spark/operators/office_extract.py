@@ -105,6 +105,63 @@ def odt_to_text(data: bytes) -> str:
     return normalize_text("\n\n".join(blocks)) or ""
 
 
+def ods_to_text(data: bytes) -> str:
+    """ODF spreadsheet (.ods): one block per table row, cells joined by
+    a single space — the same reading order Tika's ODF parser emits for
+    the reference (_tika_mime_types.py lists the full ODF family).
+    Covers table:number-columns-repeated for value cells."""
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        root = _read_xml(zf, "content.xml")
+    if root is None:
+        return ""
+    blocks = []
+    for row in root.iter():
+        if _local(row.tag) != "table-row":
+            continue
+        cells = []
+        for cell in row:
+            if _local(cell.tag) != "table-cell":
+                continue
+            text = " ".join(
+                "".join(p.itertext())
+                for p in cell.iter()
+                if _local(p.tag) == "p"
+            ).strip()
+            if not text:
+                continue
+            repeat = 1
+            for k, v in cell.attrib.items():
+                if _local(k) == "number-columns-repeated":
+                    try:
+                        repeat = min(int(v), 1000)
+                    except ValueError:
+                        pass
+            cells.extend([text] * repeat)
+        if cells:
+            blocks.append(" ".join(cells))
+    return normalize_text("\n\n".join(blocks)) or ""
+
+
+def odp_to_text(data: bytes) -> str:
+    """ODF presentation (.odp): slide text in draw:page document order —
+    every text:p/text:h inside a page's frames becomes a block (titles,
+    outlines, notes alike; same shape as pptx_to_text)."""
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        root = _read_xml(zf, "content.xml")
+    if root is None:
+        return ""
+    blocks = []
+    for page in root.iter():
+        if _local(page.tag) != "page":
+            continue
+        for p in page.iter():
+            if _local(p.tag) in ("p", "h"):
+                text = "".join(p.itertext())
+                if text.strip():
+                    blocks.append(text)
+    return normalize_text("\n\n".join(blocks)) or ""
+
+
 def pptx_to_text(data: bytes) -> str:
     blocks = []
     with zipfile.ZipFile(io.BytesIO(data)) as zf:
@@ -246,6 +303,10 @@ def office_doc_dates(data: bytes) -> tuple[str | None, str | None]:
 def office_to_text(data: bytes, mime_type: str) -> str:
     if mime_type == OOXML_DOCX:
         return docx_to_text(data)
+    if mime_type == "application/vnd.oasis.opendocument.spreadsheet":
+        return ods_to_text(data)
+    if mime_type == "application/vnd.oasis.opendocument.presentation":
+        return odp_to_text(data)
     if mime_type == ODF_ODT or mime_type.startswith(
         "application/vnd.oasis.opendocument"
     ):

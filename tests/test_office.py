@@ -103,3 +103,56 @@ def test_xlsx_sparse_rows_align_by_cell_ref():
     info, children = xlsx_to_table(buf.getvalue())
     assert info["table-col-count"] == 3
     assert children == [("1.txt", "h1 = v1\nh2 = \nh3 = v3\n")]
+
+
+def test_ods_cell_text():
+    """ODF spreadsheet: one block per row, cells joined by spaces;
+    number-columns-repeated expands."""
+    from hoover_snoop2_spark.corpus import render_ods
+    from hoover_snoop2_spark.operators.office_extract import (
+        classify_zip_office,
+        ods_to_text,
+        office_to_text,
+    )
+
+    data, golden = render_ods(404, "en")
+    mime = classify_zip_office(data)
+    assert mime == "application/vnd.oasis.opendocument.spreadsheet"
+    assert ods_to_text(data) == golden
+    assert office_to_text(data, mime) == golden
+    # repeated cells
+    import io
+    import zipfile
+
+    content = (
+        '<?xml version="1.0"?><office:document-content xmlns:office='
+        '"urn:oasis:names:tc:opendocument:xmlns:office:1.0" xmlns:text='
+        '"urn:oasis:names:tc:opendocument:xmlns:text:1.0" xmlns:table='
+        '"urn:oasis:names:tc:opendocument:xmlns:table:1.0"><office:body>'
+        "<office:spreadsheet><table:table><table:table-row>"
+        '<table:table-cell table:number-columns-repeated="3">'
+        "<text:p>x</text:p></table:table-cell>"
+        "</table:table-row></table:table></office:spreadsheet>"
+        "</office:body></office:document-content>"
+    )
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/vnd.oasis.opendocument.spreadsheet")
+        zf.writestr("content.xml", content)
+    assert ods_to_text(buf.getvalue()) == "x x x"
+
+
+def test_odp_slide_text():
+    """ODF presentation: text frames in draw:page order."""
+    from hoover_snoop2_spark.corpus import render_odp
+    from hoover_snoop2_spark.operators.office_extract import (
+        classify_zip_office,
+        odp_to_text,
+        office_to_text,
+    )
+
+    data, golden = render_odp(505, "fr")
+    mime = classify_zip_office(data)
+    assert mime == "application/vnd.oasis.opendocument.presentation"
+    assert odp_to_text(data) == golden
+    assert office_to_text(data, mime) == golden
