@@ -61,7 +61,7 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 12
+CORPUS_VERSION = 13
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
@@ -863,7 +863,7 @@ def build_doc(doc_id: int) -> dict:
             build_rar = build_rar5 if doc_id % 2 else build_rar4
             html = build_rar(members)
         else:
-            codec = ("lzma2", "copy", "bcj_lzma2")[doc_id % 3]
+            codec = ("lzma2", "copy", "bcj_lzma2", "bcj2_lzma2")[doc_id % 4]
             html = build_7z(members, codec=codec)
         golden = ""
     elif cat == "pst":

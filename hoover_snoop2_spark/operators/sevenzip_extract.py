@@ -11,11 +11,16 @@ this reader parses the container natively and decompresses folders with
 - branch-converter chains: BCJ x86 (04 / 03 03 01 03), Delta (03), and
   the PPC/IA64/ARM/ARMT/SPARC converters, chained with LZMA1/LZMA2 in one
   raw-filter decompressor (the layout 7z writes for executables);
+- BCJ2 (03 03 01 1B), the 4-stream x86 converter 7z prefers for
+  installers: main/call/jump streams plus an LZMA-style range-coded
+  control stream, decoded natively with a dataflow walk over the
+  folder's bind pairs (each BCJ2 input either directly packed or fed by
+  a simple COPY/LZMA coder);
 - EncodedHeader (the usual case: the metadata block is itself an
   LZMA-compressed folder) is decoded through the same path;
-- AES-encrypted folders (chained or not) are ``7z_encrypted``; BCJ2's
-  4-stream layout and other multi-coder graphs are
-  ``7z_codec_unsupported`` — never a wrong extraction.
+- AES-encrypted folders (chained or not) are ``7z_encrypted``; other
+  multi-coder graphs are ``7z_codec_unsupported`` — never a wrong
+  extraction.
 
 Multi-file archives use one folder with substream splitting (kSize per
 substream), matching 7z's solid-block layout.
@@ -54,6 +59,8 @@ _CODER_LZMA2 = b"\x21"
 _CODER_AES = b"\x06\xf1\x07\x01"
 _CODER_DELTA = b"\x03"
 
+_CODER_BCJ2 = b"\x03\x03\x01\x1b"
+
 #: branch-converter coders (7z method ids) → stdlib raw-filter ids; these
 #: chain with LZMA1/LZMA2 in one lzma.LZMADecompressor (BCJ+LZMA is the
 #: common layout for executables inside archives)
@@ -72,6 +79,164 @@ class SevenZipBroken(Exception):
     def __init__(self, reason: str):
         super().__init__(reason)
         self.reason = reason
+
+
+# ---------------------------------------------------------------------------
+# BCJ2 — the 4-stream x86 branch converter (7zFormat.txt method 0303011B).
+# Unlike BCJ, the converted CALL/JMP/Jcc targets live in separate streams
+# (call, jump) and a range-coded control stream (rc) marks which candidate
+# opcodes were converted.  The range coder is the standard LZMA binary
+# coder: 11-bit probabilities, move-5 adaptation, 2+256 contexts
+# (0 = Jcc, 1 = E9, 2+prev_byte = E8).  Public spec; the reference covers
+# BCJ2 archives by shelling to `7z x` (archives.py:173-203).
+# ---------------------------------------------------------------------------
+
+_RC_TOP = 1 << 24
+_RC_MODEL_TOTAL = 2048
+_RC_INIT_PROB = _RC_MODEL_TOTAL // 2
+
+
+class _RangeDecoder:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 1  # first byte is the encoder's leading zero cache
+        self.range = 0xFFFFFFFF
+        code = 0
+        for _ in range(4):
+            code = (code << 8) | self._byte()
+        self.code = code
+
+    def _byte(self) -> int:
+        b = self.data[self.pos] if self.pos < len(self.data) else 0
+        self.pos += 1
+        return b
+
+    def decode_bit(self, probs: list[int], i: int) -> int:
+        bound = (self.range >> 11) * probs[i]
+        if self.code < bound:
+            self.range = bound
+            probs[i] += (_RC_MODEL_TOTAL - probs[i]) >> 5
+            bit = 0
+        else:
+            self.code -= bound
+            self.range -= bound
+            probs[i] -= probs[i] >> 5
+            bit = 1
+        while self.range < _RC_TOP:
+            self.range = (self.range << 8) & 0xFFFFFFFF
+            self.code = ((self.code << 8) | self._byte()) & 0xFFFFFFFF
+        return bit
+
+
+class _RangeEncoder:
+    def __init__(self):
+        self.low = 0
+        self.range = 0xFFFFFFFF
+        self.cache = 0
+        self.cache_size = 1
+        self.out = bytearray()
+
+    def _shift_low(self):
+        if (self.low & 0xFFFFFFFF) < 0xFF000000 or self.low >> 32:
+            carry = self.low >> 32
+            temp = self.cache
+            while True:
+                self.out.append((temp + carry) & 0xFF)
+                temp = 0xFF
+                self.cache_size -= 1
+                if self.cache_size == 0:
+                    break
+            self.cache = (self.low >> 24) & 0xFF
+        self.cache_size += 1
+        self.low = (self.low << 8) & 0xFFFFFFFF
+
+    def encode_bit(self, probs: list[int], i: int, bit: int):
+        bound = (self.range >> 11) * probs[i]
+        if bit == 0:
+            self.range = bound
+            probs[i] += (_RC_MODEL_TOTAL - probs[i]) >> 5
+        else:
+            self.low += bound
+            self.range -= bound
+            probs[i] -= probs[i] >> 5
+        while self.range < _RC_TOP:
+            self.range = (self.range << 8) & 0xFFFFFFFF
+            self._shift_low()
+
+    def flush(self) -> bytes:
+        for _ in range(5):
+            self._shift_low()
+        return bytes(self.out)
+
+
+def _bcj2_is_candidate(prev: int, b: int) -> bool:
+    return (b & 0xFE) == 0xE8 or (prev == 0x0F and (b & 0xF0) == 0x80)
+
+
+def _bcj2_prob_index(prev: int, b: int) -> int:
+    if b == 0xE8:
+        return 2 + prev
+    return 1 if b == 0xE9 else 0
+
+
+def bcj2_decode(main: bytes, call: bytes, jump: bytes, rc: bytes,
+                out_size: int) -> bytes:
+    """Reassemble x86 code from BCJ2's four streams."""
+    probs = [_RC_INIT_PROB] * (2 + 256)
+    dec = _RangeDecoder(rc)
+    out = bytearray()
+    mi = ci = ji = 0
+    prev = 0
+    while len(out) < out_size:
+        if mi >= len(main):
+            raise SevenZipBroken("7z_error")
+        b = main[mi]
+        mi += 1
+        out.append(b)
+        if _bcj2_is_candidate(prev, b) and len(out) + 4 <= out_size:
+            if dec.decode_bit(probs, _bcj2_prob_index(prev, b)):
+                if b == 0xE8:
+                    src, ci = call[ci : ci + 4], ci + 4
+                else:
+                    src, ji = jump[ji : ji + 4], ji + 4
+                if len(src) != 4:
+                    raise SevenZipBroken("7z_error")
+                absolute = int.from_bytes(src, "big")
+                rel = (absolute - (len(out) + 4)) & 0xFFFFFFFF
+                out += rel.to_bytes(4, "little")
+                prev = (rel >> 24) & 0xFF
+                continue
+        prev = b
+    return bytes(out)
+
+
+def bcj2_encode(data: bytes) -> tuple[bytes, bytes, bytes, bytes]:
+    """(main, call, jump, rc) — fixture-side inverse of bcj2_decode;
+    converts every candidate whose 4 target bytes fit (the real encoder
+    is choosier, which only changes compression, not correctness)."""
+    probs = [_RC_INIT_PROB] * (2 + 256)
+    enc = _RangeEncoder()
+    main = bytearray()
+    call = bytearray()
+    jump = bytearray()
+    i = 0
+    prev = 0
+    n = len(data)
+    while i < n:
+        b = data[i]
+        main.append(b)
+        i += 1
+        if _bcj2_is_candidate(prev, b) and i + 4 <= n:
+            pi = _bcj2_prob_index(prev, b)
+            rel = int.from_bytes(data[i : i + 4], "little")
+            absolute = (rel + i + 4) & 0xFFFFFFFF
+            enc.encode_bit(probs, pi, 1)
+            (call if b == 0xE8 else jump).extend(absolute.to_bytes(4, "big"))
+            prev = data[i + 3]
+            i += 4
+        else:
+            prev = b
+    return bytes(main), bytes(call), bytes(jump), enc.flush()
 
 
 def is_7z(data: bytes) -> bool:
@@ -147,20 +312,29 @@ def _lzma_filter_spec(coder_id: bytes, props: bytes) -> dict:
 class _Folder:
     def __init__(self):
         self.coders: list[tuple[bytes, bytes]] = []  # (id, props)
+        self.coder_io: list[tuple[int, int]] = []  # (n_in, n_out) per coder
         self.unpack_sizes: list[int] = []
         self.num_unpack_streams = 1
         self.substream_sizes: list[int] = []
         self.bind_pairs: list[tuple[int, int]] = []  # (in_index, out_index)
+        self.packed_indices: list[int] = []  # global in-stream index per pack
         self.total_out = 1
         #: CRC defined in UnpackInfo — such single-substream folders are
         #: EXCLUDED from SubStreamsInfo's kCRC digest list (7zFormat.txt)
         self.crc_defined = False
 
-    def decode(self, packed: bytes) -> bytes:
+    @property
+    def num_packed(self) -> int:
+        return max(1, len(self.packed_indices))
+
+    def decode(self, packed_streams: list[bytes]) -> bytes:
         if any(cid == _CODER_AES for cid, _ in self.coders):
             # encryption beats codec-unsupported as the reported reason,
             # chained or not
             raise SevenZipBroken("7z_encrypted")
+        if any(cid == _CODER_BCJ2 for cid, _ in self.coders):
+            return self._decode_bcj2_graph(packed_streams)
+        packed = packed_streams[0] if packed_streams else b""
         size = self.unpack_sizes[-1] if self.unpack_sizes else None
         if len(self.coders) == 1:
             coder_id, props = self.coders[0]
@@ -200,6 +374,78 @@ class _Folder:
         except lzma.LZMAError as e:
             raise SevenZipBroken("7z_error") from e
 
+    def _decode_bcj2_graph(self, packed_streams: list[bytes]) -> bytes:
+        """Dataflow evaluation for BCJ2 folders (the only complex coder
+        supported): BCJ2's 4 inputs are each either a directly-packed
+        stream or bound to the output of a simple 1-in/1-out coder
+        (COPY/LZMA1/LZMA2) that itself consumes a packed stream."""
+        if not self.coder_io:
+            raise SevenZipBroken("7z_error")
+        in_base, out_base = [], []
+        gi = go = 0
+        for n_in, n_out in self.coder_io:
+            in_base.append(gi)
+            out_base.append(go)
+            gi += n_in
+            go += n_out
+        bind_by_in = {i: o for i, o in self.bind_pairs}
+        packed_by_in = {g: k for k, g in enumerate(self.packed_indices)}
+
+        def coder_of_out(gout: int) -> int:
+            for j, (_, n_out) in enumerate(self.coder_io):
+                if out_base[j] <= gout < out_base[j] + n_out:
+                    return j
+            raise SevenZipBroken("7z_error")
+
+        def input_bytes(gin: int) -> bytes:
+            if gin in packed_by_in:
+                return packed_streams[packed_by_in[gin]]
+            if gin in bind_by_in:
+                return produce(bind_by_in[gin])
+            raise SevenZipBroken("7z_error")
+
+        def produce(gout: int) -> bytes:
+            j = coder_of_out(gout)
+            cid, props = self.coders[j]
+            n_in, n_out = self.coder_io[j]
+            size = (
+                self.unpack_sizes[gout]
+                if gout < len(self.unpack_sizes)
+                else None
+            )
+            if cid == _CODER_BCJ2:
+                if n_in != 4:
+                    raise SevenZipBroken("7z_error")
+                main, call, jump, rc = (
+                    input_bytes(in_base[j] + k) for k in range(4)
+                )
+                if size is None:
+                    raise SevenZipBroken("7z_error")
+                return bcj2_decode(main, call, jump, rc, size)
+            if n_in != 1 or n_out != 1:
+                raise SevenZipBroken("7z_codec_unsupported")
+            data = input_bytes(in_base[j])
+            if cid == _CODER_COPY:
+                return data[:size]
+            if cid in (_CODER_LZMA1, _CODER_LZMA2):
+                try:
+                    dec = lzma.LZMADecompressor(
+                        format=lzma.FORMAT_RAW,
+                        filters=[_lzma_filter_spec(cid, props)],
+                    )
+                    return dec.decompress(
+                        data, max_length=size if size else -1
+                    )
+                except lzma.LZMAError as e:
+                    raise SevenZipBroken("7z_error") from e
+            raise SevenZipBroken("7z_codec_unsupported")
+
+        bound_outs = {o for _, o in self.bind_pairs}
+        final = [o for o in range(go) if o not in bound_outs]
+        if len(final) != 1:
+            raise SevenZipBroken("7z_error")
+        return produce(final[0])
+
 
 class _StreamsInfo:
     def __init__(self):
@@ -227,6 +473,7 @@ def _parse_folder(f: io.BytesIO) -> _Folder:
         if flags & 0x20:  # attributes
             props = f.read(_read_number(f))
         folder.coders.append((coder_id, props))
+        folder.coder_io.append((n_in, n_out))
         total_in += n_in
         total_out += n_out
     folder.total_out = total_out
@@ -236,8 +483,12 @@ def _parse_folder(f: io.BytesIO) -> _Folder:
         folder.bind_pairs.append((in_idx, out_idx))
     num_packed = total_in - (total_out - 1)
     if num_packed > 1:
-        for _ in range(num_packed):
-            _read_number(f)
+        folder.packed_indices = [_read_number(f) for _ in range(num_packed)]
+    else:
+        bound = {i for i, _ in folder.bind_pairs}
+        folder.packed_indices = [
+            next((g for g in range(total_in) if g not in bound), 0)
+        ]
     return folder
 
 
@@ -374,8 +625,14 @@ def unpack_7z(data: bytes, max_bytes: int = 256 * 2**20) -> list[tuple[str, byte
         info = _parse_streams_info(f)
         if not info.folders or not info.pack_sizes:
             raise SevenZipBroken("7z_error")
-        packed = data[32 + info.pack_pos : 32 + info.pack_pos + info.pack_sizes[0]]
-        f = io.BytesIO(info.folders[0].decode(packed))
+        hdr_folder = info.folders[0]
+        hp = 32 + info.pack_pos
+        hdr_packs = []
+        for k in range(hdr_folder.num_packed):
+            sz = info.pack_sizes[k] if k < len(info.pack_sizes) else 0
+            hdr_packs.append(data[hp : hp + sz])
+            hp += sz
+        f = io.BytesIO(hdr_folder.decode(hdr_packs))
         prop = _read_number(f)
     if prop != _K_HEADER:
         raise SevenZipBroken("7z_error")
@@ -409,13 +666,16 @@ def unpack_7z(data: bytes, max_bytes: int = 256 * 2**20) -> list[tuple[str, byte
     pack_idx = 0
     budget = max_bytes
     for folder in streams.folders:
-        pack_size = streams.pack_sizes[pack_idx] if pack_idx < len(
-            streams.pack_sizes) else 0
-        pack_idx += 1
+        folder_packs: list[bytes] = []
+        for _ in range(folder.num_packed):
+            pack_size = streams.pack_sizes[pack_idx] if pack_idx < len(
+                streams.pack_sizes) else 0
+            pack_idx += 1
+            folder_packs.append(data[pos : pos + pack_size])
+            pos += pack_size
         if folder.unpack_sizes and folder.unpack_sizes[-1] > budget:
             raise SevenZipBroken("archive_too_big")
-        blob = folder.decode(data[pos : pos + pack_size])
-        pos += pack_size
+        blob = folder.decode(folder_packs)
         budget -= len(blob)
         off = 0
         for size in folder.substream_sizes:
@@ -481,7 +741,31 @@ def build_7z(
     # props byte 18 → dict size 2 MiB (>= preset-1's 1 MiB window)
     _lzma2_coder = bytes([len(_CODER_LZMA2) | 0x20]) + _CODER_LZMA2 + b"\x01\x12"
     chain_coders: list[bytes] = []  # second coder of a branch chain
-    if codec == "copy":
+    multi: dict | None = None  # BCJ2 4-stream layout
+    if codec == "bcj2_lzma2":
+        # data → BCJ2 split (main/call/jump/rc); main additionally LZMA2.
+        # Folder: coder0 = LZMA2, coder1 = BCJ2 (4-in/1-out); bind pair
+        # connects BCJ2 input g1 to LZMA2 output; packed streams are
+        # global inputs [0 (lzma2), 2 (call), 3 (jump), 4 (rc)]
+        b_main, b_call, b_jump, b_rc = bcj2_encode(blob)
+        packed_main = lzma.compress(
+            b_main, format=lzma.FORMAT_RAW,
+            filters=[{"id": lzma.FILTER_LZMA2, "preset": 1}],
+        )
+        multi = {
+            "pack": [packed_main, b_call, b_jump, b_rc],
+            "coders": [
+                _lzma2_coder,
+                bytes([len(_CODER_BCJ2) | 0x10]) + _CODER_BCJ2
+                + _write_number(4) + _write_number(1),
+            ],
+            "bind_pairs": [(1, 0)],
+            "packed_indices": [0, 2, 3, 4],
+            "unpack_sizes": [len(b_main), len(blob)],
+        }
+        packed = b"".join(multi["pack"])
+        coder = b""  # unused on this path
+    elif codec == "copy":
         packed = blob
         coder = bytes([len(_CODER_COPY)]) + _CODER_COPY
     elif codec == "lzma2":
@@ -515,30 +799,46 @@ def build_7z(
     h = io.BytesIO()
     h.write(_write_number(_K_HEADER))
     h.write(_write_number(_K_MAIN_STREAMS))
+    pack_segments = multi["pack"] if multi else [packed]
     # PackInfo
     h.write(_write_number(_K_PACK_INFO))
     h.write(_write_number(0))  # pack pos
-    h.write(_write_number(1))  # num pack streams
+    h.write(_write_number(len(pack_segments)))
     h.write(_write_number(_K_SIZE))
-    h.write(_write_number(len(packed)))
+    for seg in pack_segments:
+        h.write(_write_number(len(seg)))
     h.write(_write_number(_K_END))
     # UnPackInfo
     h.write(_write_number(_K_UNPACK_INFO))
     h.write(_write_number(_K_FOLDER))
     h.write(_write_number(1))  # one folder
     h.write(bytes([0]))  # not external
-    h.write(_write_number(1 + len(chain_coders)))  # coder count
-    h.write(coder)
-    for c in chain_coders:
-        h.write(c)
-    if chain_coders:
-        # one bind pair: converter (coder 1) input ← LZMA2 (coder 0) output
-        h.write(_write_number(1))
-        h.write(_write_number(0))
-    h.write(_write_number(_K_CODERS_UNPACK_SIZE))
-    h.write(_write_number(len(blob)))
-    for _ in chain_coders:
-        h.write(_write_number(len(blob)))  # branch filters preserve size
+    if multi:
+        h.write(_write_number(len(multi["coders"])))
+        for c in multi["coders"]:
+            h.write(c)
+        for in_idx, out_idx in multi["bind_pairs"]:
+            h.write(_write_number(in_idx))
+            h.write(_write_number(out_idx))
+        for g in multi["packed_indices"]:
+            h.write(_write_number(g))
+        h.write(_write_number(_K_CODERS_UNPACK_SIZE))
+        for sz in multi["unpack_sizes"]:
+            h.write(_write_number(sz))
+    else:
+        h.write(_write_number(1 + len(chain_coders)))  # coder count
+        h.write(coder)
+        for c in chain_coders:
+            h.write(c)
+        if chain_coders:
+            # one bind pair: converter (coder 1) input ← LZMA2 (coder 0)
+            # output
+            h.write(_write_number(1))
+            h.write(_write_number(0))
+        h.write(_write_number(_K_CODERS_UNPACK_SIZE))
+        h.write(_write_number(len(blob)))
+        for _ in chain_coders:
+            h.write(_write_number(len(blob)))  # branch filters keep size
     if unpackinfo_crc:
         h.write(_write_number(_K_CRC))
         h.write(bytes([1]))  # all defined

@@ -122,3 +122,51 @@ def test_bcj_lzma2_header_shape_is_two_coders():
     folder = info.folders[0]
     assert len(folder.coders) == 2
     assert folder.bind_pairs == [(1, 0)]
+
+
+def test_bcj2_codec_roundtrip():
+    """BCJ2 (4-stream x86 converter): range-coded control stream, big-
+    endian absolute targets in call/jump streams, candidate rules for
+    E8/E9/0F 8x opcodes."""
+    import random
+
+    from hoover_snoop2_spark.operators.sevenzip_extract import (
+        bcj2_decode,
+        bcj2_encode,
+    )
+
+    rng = random.Random(23)
+    samples = [
+        b"",
+        b"\xe8\x10\x00\x00\x00plain call",
+        b"with \xe9\xf0\xff\xff\xffjmp and \x0f\x84\x01\x02\x03\x04 jcc",
+        bytes(rng.randrange(256) for _ in range(8192)),
+        b"\xe8" * 51,                       # candidate storm + short tail
+        b"p \x0f\x80\x00\x00\x00\x00" + b"\xe9\x00\x01\x02\x03" * 40,
+    ]
+    for s in samples:
+        m, c, j, rc = bcj2_encode(s)
+        assert bcj2_decode(m, c, j, rc, len(s)) == s
+    # converted branches really leave the main stream
+    m, c, j, rc = bcj2_encode(b"\xe8\x10\x00\x00\x00tail")
+    assert len(m) == 5 and len(c) == 4  # opcode+tail in main, target in call
+
+
+def test_bcj2_archive_extracts():
+    """A 4-packed-stream BCJ2+LZMA2 folder extracts byte-identically;
+    reserved 7z_codec_unsupported now means genuinely unknown coders."""
+    import random
+
+    from hoover_snoop2_spark.operators.sevenzip_extract import (
+        build_7z,
+        unpack_7z,
+    )
+
+    rng = random.Random(31)
+    members = [
+        ("bin/app.exe",
+         b"\xe8\x10\x00\x00\x00" + bytes(rng.randrange(256) for _ in range(3000))),
+        ("doc/readme.txt", b"plain text payload " * 20),
+    ]
+    data = build_7z(members, codec="bcj2_lzma2")
+    assert unpack_7z(data) == members
