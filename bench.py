@@ -114,6 +114,51 @@ def bench_extraction(spark, pages_path: str, n_docs: int) -> dict:
     }
 
 
+def bench_alt_paths(spark, pages_path: str, n_docs: int) -> dict:
+    """The 100-TB code paths the default leg doesn't exercise:
+
+    - ``dedup_strategy='shuffle'`` — the past-broadcast-ceiling plan
+      (co-located shuffle by sha3 + min_by election) that the declared
+      10^12-doc story rests on;
+    - incremental resume — a base run over ~80% of pages, then a full-
+      corpus run with ``previous_digests``: the second pass must do
+      delta-only work (its output is only the new urls' digests).
+    """
+    from pyspark.sql import functions as F
+
+    from hoover_snoop2_spark.plans.pipeline import run_extraction
+
+    pages = spark.read.parquet(pages_path)
+
+    t0 = time.perf_counter()
+    digests, _ = run_extraction(
+        spark, pages, checkpoint_dir=None, dedup_strategy="shuffle"
+    )
+    n_urls = digests.count()
+    shuffle_wall = time.perf_counter() - t0
+
+    base_pages = pages.filter(F.crc32(F.col("url")) % 5 != 0)
+    base, _ = run_extraction(spark, base_pages, checkpoint_dir=None)
+    base = base.persist()
+    n_base = base.count()
+    t0 = time.perf_counter()
+    delta, _ = run_extraction(
+        spark, pages, checkpoint_dir=None,
+        previous_digests=base, include_previous=False,
+    )
+    n_delta = delta.count()
+    resume_wall = time.perf_counter() - t0
+    base.unpersist()
+    return {
+        "shuffle_wall_sec": round(shuffle_wall, 3),
+        "shuffle_docs_per_sec": round(n_docs / shuffle_wall, 2),
+        "resume_base_urls": n_base,
+        "resume_delta_urls": n_delta,
+        "resume_delta_frac": round(n_delta / max(1, n_urls), 4),
+        "resume_wall_sec": round(resume_wall, 3),
+    }
+
+
 def bench_scaling(pages_path: str, n_docs: int) -> dict:
     """Same job, two parallelism levels N and 4N (the sandbox stand-in for
     N vs 4N executor clusters; see BASELINE.md 'Targets').
@@ -181,6 +226,25 @@ def write_bench_md(payload: dict) -> None:
         "- reference comparison: snoop2's own micro-benchmark is ~1,710 "
         "docs/s for *bookkeeping only* (tasks.py:1729-1736); this number "
         "includes full sniff/extract/unpack per doc.",
+        *(
+            [
+                "",
+                "## 100-TB code paths (dedup shuffle strategy + resume)",
+                "",
+                f"- `dedup_strategy='shuffle'` (past-broadcast-ceiling "
+                f"plan): **{(payload.get('alt_paths') or {}).get('shuffle_docs_per_sec')} "
+                f"docs/s** ({(payload.get('alt_paths') or {}).get('shuffle_wall_sec')} s)",
+                f"- incremental resume: base run covered "
+                f"{(payload.get('alt_paths') or {}).get('resume_base_urls')} urls; "
+                f"full-corpus re-run with previous_digests produced only "
+                f"{(payload.get('alt_paths') or {}).get('resume_delta_urls')} delta "
+                f"urls ({(payload.get('alt_paths') or {}).get('resume_delta_frac')} "
+                f"of the corpus) in "
+                f"{(payload.get('alt_paths') or {}).get('resume_wall_sec')} s",
+            ]
+            if payload.get("alt_paths")
+            else []
+        ),
         "",
         f"## Two-cluster-size scaling (N={n} vs 4N={n4} cores — sandbox",
         "## analog of N vs 4N executors; BASELINE.json north_rule,",
@@ -244,6 +308,10 @@ def main() -> None:
     queries = bench_queries(spark, sf_dir)
     pages_path = _bench_corpus(spark, n_docs)
     extraction = bench_extraction(spark, pages_path, n_docs)
+    do_alt = os.environ.get("SPARK_GRAFT_ALT", "1") != "0"
+    alt_paths = (
+        bench_alt_paths(spark, pages_path, n_docs) if do_alt else None
+    )
     stop_spark()
 
     scaling = bench_scaling(pages_path, n_docs) if do_scaling else None
@@ -259,6 +327,7 @@ def main() -> None:
         "sf_dir": sf_dir,
         "cpus": cpus,
         "extraction": extraction,
+        "alt_paths": alt_paths,
         "scaling": scaling,
         "load_avg": {"start": load_start, "end": load_end},
     }
