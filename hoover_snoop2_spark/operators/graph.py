@@ -301,4 +301,11 @@ def pagerank(
             ),
             f"pr_round_{it}",
         )
-    return ranks.select("node", F.round("rank", 6).alias("rank"))
+    # engine-stable rounding (queries.py q58 idiom): floor on the raw
+    # double is bit-identical across engines, round()'s tie-break is not
+    return ranks.select(
+        "node",
+        (F.floor(F.col("rank") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "rank"
+        ),
+    )

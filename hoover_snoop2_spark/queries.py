@@ -1838,14 +1838,68 @@ FROM l GROUP BY src_host, dst_host ORDER BY src_host, dst_host
 
 def q52_host_pagerank(spark, sf_dir):
     """PageRank over the q51 host graph (power iteration as DataFrame
-    rounds with dangling-mass redistribution — iterative, rows-only;
-    pinned against a numpy power-iteration replica in test_graph.py)."""
+    rounds with dangling-mass redistribution; pinned against a numpy
+    power-iteration replica in test_graph.py AND — because the host
+    graph has exactly 7 nodes — against a DuckDB recursive-CTE oracle
+    that runs the identical 10 power-iteration rounds as a single-row
+    7-column recursion, value-exact at the 1e-6 floor rounding)."""
     from .operators.graph import pagerank
 
     edges = _host_edges(spark, sf_dir).select(
         F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
     )
     return pagerank(edges, iters=10).orderBy("node")
+
+
+def _q52_sql() -> str:
+    """Recursive-CTE PageRank oracle.  FP expressions mirror the Spark
+    side's operation ORDER exactly (base = (1-d)/n + d*dangling/n,
+    rank = base + d * sum(incoming r_u/deg_u)) so both engines do the
+    same IEEE arithmetic; the only remaining nondeterminism is Spark's
+    7-term gather order, absorbed by the 1e-6 floor rounding."""
+    n = 7
+
+    def nxt(v: int) -> str:
+        dang = " + ".join(
+            f"(CASE WHEN (SELECT count(*) FROM e52 WHERE src = {u}) = 0"
+            f" THEN r{u} ELSE 0.0 END)"
+            for u in range(n)
+        )
+        gathered = " + ".join(
+            f"(CASE WHEN (SELECT count(*) FROM e52 WHERE src = {u}"
+            f" AND dst = {v}) > 0"
+            f" THEN r{u} / (SELECT count(*) FROM e52 WHERE src = {u})"
+            f" ELSE 0.0 END)"
+            for u in range(n)
+        )
+        return (
+            f"(1.0 - 0.85) / 7.0 + 0.85 * ({dang}) / 7.0"
+            f" + 0.85 * ({gathered})"
+        )
+
+    recursive_cols = ", ".join(f"({nxt(v)}) AS r{v}" for v in range(n))
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT {v}::BIGINT AS node,"
+        f" floor(r{v} * 1000000 + 0.5) / 1000000 AS rank"
+        f" FROM pr WHERE it = 10"
+        for v in range(n)
+    )
+    init = ", ".join(["1.0 / 7"] * n)
+    cols = ", ".join(f"r{v}" for v in range(n))
+    return f"""
+WITH RECURSIVE e52 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 7 AS src, (doc_id * 3) % 7 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id % 7, (doc_id + 1) % 7 FROM documents
+  ) WHERE src != dst
+), pr(it, {cols}) AS (
+  SELECT 0, {init}
+  UNION ALL
+  SELECT it + 1, {recursive_cols} FROM pr WHERE it < 10
+)
+SELECT node, rank FROM ({unpivot}) ORDER BY node
+"""
 
 
 def q50_sessionize(spark, sf_dir):
@@ -2262,6 +2316,7 @@ ORACLES: dict[str, str] = {
     "q49_robots_gate": Q49_SQL,
     "q50_sessionize": Q50_SQL,
     "q51_host_link_graph": Q51_SQL,
+    "q52_host_pagerank": _q52_sql(),
     "q53_tfidf_terms": Q53_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
@@ -2273,7 +2328,8 @@ ORACLES: dict[str, str] = {
     "q36_ocr_join": Q36_SQL,
     "q37_user_tags": Q37_SQL,
     # q28/q30/q31/q32/q47, q34/q35, q38: non-SQL-expressible (xxhash64 LSH,
-    # iterative k-means / PQ codebook training,
-    # banding, simhash blake2b bit votes, binary extraction pipeline,
-    # media UDFs, PDF byte parsing) → rows-only
+    # iterative k-means / PQ codebook training, banding, simhash SipHash
+    # bit votes, binary extraction pipeline, media UDFs, PDF byte
+    # parsing) → rows-only.  (q52's iterative PageRank IS oracle-covered:
+    # its 7-node host graph packs into a single-row recursive CTE.)
 }
