@@ -2211,6 +2211,149 @@ def q38_pdf_pages(spark, sf_dir):
     return explode_pdf_pages(df).orderBy("url", "page")
 
 
+def q61_crawl_frontier(spark, sf_dir):
+    """Politeness-scheduled crawl frontier: per-host fetch order plus a
+    scheduled offset honoring each host's crawl-delay — the URL-frontier
+    shape every polite crawler materializes (one row per pending fetch,
+    bucketed by host so a fetcher fleet reads its own host partitions).
+    Order within a host is the q45/q46 multiplicative-hash permutation,
+    so the schedule is deterministic and unbiased by doc_id order.
+    Single shuffle on host; the delay arithmetic is pure projection."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    host_id = F.col("doc_id") % 7
+    perm = F.pmod(F.col("doc_id") * 2654435761 + 12345, F.lit(2**31 - 1))
+    w = Window.partitionBy("host").orderBy("perm", "doc_id")
+    delay_s = F.col("host_id") * 2 + 5  # per-host crawl-delay: 5..17 s
+    return (
+        d.select(
+            "doc_id",
+            host_id.alias("host_id"),
+            F.concat(F.lit("site"), host_id.cast("string")).alias("host"),
+            perm.alias("perm"),
+        )
+        .withColumn("fetch_rank", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "host",
+            "fetch_rank",
+            ((F.col("fetch_rank") - 1) * delay_s).alias("scheduled_s"),
+        )
+        .orderBy("host", "fetch_rank")
+    )
+
+
+Q61_SQL = """
+WITH f AS (
+  SELECT doc_id,
+         doc_id % 7 AS host_id,
+         'site' || (doc_id % 7)::VARCHAR AS host,
+         ((doc_id * 2654435761 + 12345) % 2147483647 + 2147483647)
+           % 2147483647 AS perm
+  FROM documents
+)
+SELECT doc_id, host,
+       row_number() OVER w AS fetch_rank,
+       (row_number() OVER w - 1) * (host_id * 2 + 5) AS scheduled_s
+FROM f
+WINDOW w AS (PARTITION BY host ORDER BY perm, doc_id)
+ORDER BY host, fetch_rank
+"""
+
+
+def q62_capture_dedup(spark, sf_dir):
+    """WARC-revisit-style capture dedup: documents sharing a content
+    fingerprint collapse to the EARLIEST capture (canonical); later
+    captures become revisit pointers (url → refers-to), mirroring WARC
+    1.1 §6.7.2 semantics (sources/warc.py parses the real records; this
+    is the resolution step a crawl pipeline runs after).  One shuffle on
+    fingerprint; min-of-struct aggregation, no window."""
+    from .functions.quality import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    canon = fp.groupBy("fp").agg(F.min("doc_id").alias("canonical_doc_id"))
+    return (
+        fp.join(canon, "fp")
+        .select(
+            "doc_id",
+            "canonical_doc_id",
+            (F.col("doc_id") != F.col("canonical_doc_id")).alias(
+                "is_revisit"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q62_SQL = r"""
+WITH fp AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+), canon AS (
+  SELECT fp, min(doc_id) AS canonical_doc_id FROM fp GROUP BY fp
+)
+SELECT f.doc_id, c.canonical_doc_id,
+       f.doc_id != c.canonical_doc_id AS is_revisit
+FROM fp f JOIN canon c USING (fp)
+ORDER BY f.doc_id
+"""
+
+
+def q63_domain_quality_prior(spark, sf_dir):
+    """Host-level quality prior joined back per document: the host's mean
+    document length becomes a prior and each doc carries its deviation —
+    the RefinedWeb-style 'bad domain' signal (a page is judged against
+    its host's distribution, not the corpus's).  Aggregate-then-broadcast
+    join: the prior table is host-sized (tiny), so the re-join costs no
+    second shuffle of the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(F.lit("site"), (F.col("doc_id") % 7).cast("string"))
+    docs = d.select("doc_id", host.alias("host"), "n_chars")
+    prior = docs.groupBy("host").agg(
+        F.count("*").alias("host_docs"),
+        (F.floor(F.avg("n_chars") * 10000 + F.lit(0.5)) / 10000).alias(
+            "host_mean_chars"
+        ),
+    )
+    return (
+        docs.join(F.broadcast(prior), "host")
+        .select(
+            "doc_id",
+            "host",
+            "host_docs",
+            "host_mean_chars",
+            (
+                F.floor(
+                    (F.col("n_chars") - F.col("host_mean_chars")) * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("chars_dev"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q63_SQL = """
+WITH docs AS (
+  SELECT doc_id, 'site' || (doc_id % 7)::VARCHAR AS host, n_chars
+  FROM documents
+), prior AS (
+  SELECT host, count(*)::BIGINT AS host_docs,
+         floor(avg(n_chars) * 10000 + 0.5) / 10000 AS host_mean_chars
+  FROM docs GROUP BY host
+)
+SELECT doc_id, host, host_docs, host_mean_chars,
+       floor((n_chars - host_mean_chars) * 10000 + 0.5) / 10000
+         AS chars_dev
+FROM docs JOIN prior USING (host)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -2264,6 +2407,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q50_sessionize": q50_sessionize,
     "q51_host_link_graph": q51_host_link_graph,
     "q52_host_pagerank": q52_host_pagerank,
+    "q61_crawl_frontier": q61_crawl_frontier,
+    "q62_capture_dedup": q62_capture_dedup,
+    "q63_domain_quality_prior": q63_domain_quality_prior,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -2318,6 +2464,9 @@ ORACLES: dict[str, str] = {
     "q51_host_link_graph": Q51_SQL,
     "q52_host_pagerank": _q52_sql(),
     "q53_tfidf_terms": Q53_SQL,
+    "q61_crawl_frontier": Q61_SQL,
+    "q62_capture_dedup": Q62_SQL,
+    "q63_domain_quality_prior": Q63_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -36,6 +36,9 @@ AUDITED = [
     "q56_range_join",
     "q57_asof_join",
     "q59_salted_agg",
+    "q61_crawl_frontier",
+    "q62_capture_dedup",
+    "q63_domain_quality_prior",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -62,6 +65,9 @@ CHECKS = {
     "q57_asof_join": ["Window", "!SortMergeJoin", "!BroadcastHashJoin",
                       "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     "q59_salted_agg": ["HashAggregate", "!Window", "!CartesianProduct"],
+    "q61_crawl_frontier": ["Window", "!CartesianProduct"],
+    "q62_capture_dedup": ["HashAggregate", "!Window", "!CartesianProduct"],
+    "q63_domain_quality_prior": ["BroadcastHashJoin", "!CartesianProduct"],
 }
 
 NOTES = {
@@ -118,6 +124,15 @@ NOTES = {
         "(test_sampling.py asserts it on the raw plan); the single "
         "Exchange below belongs to the q-entry's orderBy, added only for "
         "deterministic oracle comparison.",
+    "q61_crawl_frontier": "one Exchange on host feeds the per-host "
+        "row_number; the crawl-delay arithmetic is pure projection above "
+        "it — a fetcher fleet reads its own host partitions.",
+    "q62_capture_dedup": "min-per-fingerprint is a map-side-combinable "
+        "HashAggregate (no Window); the resolve join broadcasts or "
+        "shuffles by planner stats.",
+    "q63_domain_quality_prior": "the prior table is host-sized, so the "
+        "re-join is an explicit broadcast — the corpus shuffles once for "
+        "the aggregate and never again.",
 }
 
 
