@@ -191,3 +191,65 @@ def test_analyze_blob_total_on_magic_prefixed_garbage(prefix, tail):
     assert digest["status"] in ("success", "skipped", "broken")
     if digest["status"] == "broken":
         assert digest["broken_reason"]
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=8192))
+def test_lzfu_roundtrip_property(data):
+    """compress→decompress is the identity for arbitrary bytes (the
+    [MS-OXRTFCP] codec must never corrupt a body)."""
+    from hoover_snoop2_spark.operators.msg_extract import (
+        compress_lzfu,
+        decompress_lzfu,
+    )
+
+    assert decompress_lzfu(compress_lzfu(data)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=8192))
+def test_lzfu_decode_total(data):
+    """Arbitrary bytes into the decoder: clean LzfuError or valid
+    output, never a crash."""
+    from hoover_snoop2_spark.operators.msg_extract import (
+        LzfuError,
+        decompress_lzfu,
+    )
+
+    try:
+        out = decompress_lzfu(data)
+        assert isinstance(out, bytes)
+    except LzfuError:
+        pass
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=8192))
+def test_bcj2_roundtrip_property(data):
+    """encode→decode identity for arbitrary bytes — including E8/E9/0F8x
+    candidate bytes landing at every offset and near the tail."""
+    from hoover_snoop2_spark.operators.sevenzip_extract import (
+        bcj2_decode,
+        bcj2_encode,
+    )
+
+    m, c, j, rc = bcj2_encode(data)
+    assert bcj2_decode(m, c, j, rc, len(data)) == data
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.binary(max_size=2048), st.binary(max_size=64),
+       st.binary(max_size=64), st.binary(max_size=16))
+def test_bcj2_decode_total(main, call, jump, rc):
+    """Arbitrary stream fragments: clean SevenZipBroken or output, never
+    an uncaught IndexError/struct.error inside a Spark task."""
+    from hoover_snoop2_spark.operators.sevenzip_extract import (
+        SevenZipBroken,
+        bcj2_decode,
+    )
+
+    try:
+        out = bcj2_decode(main, call, jump, rc, min(len(main) + 64, 4096))
+        assert isinstance(out, bytes)
+    except SevenZipBroken:
+        pass
