@@ -2354,6 +2354,173 @@ ORDER BY doc_id
 """
 
 
+def q64_stratified_sample(spark, sf_dir):
+    """Per-language stratified sampling with per-stratum rates (the
+    data-mixing step of corpus curation: keep 100% of low-resource
+    languages, downsample the dominant one).  Zero shuffle: membership
+    is the q46 multiplicative-hash rule with a per-language threshold —
+    a pure filter that composes with partition pruning at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", F.lit(0.25))
+        .when(F.col("lang") == "de", F.lit(0.5))
+        .otherwise(F.lit(1.0))
+    )
+    m = 2**31 - 1
+    bucket = F.pmod(F.col("doc_id") * 2654435761 + 97531, F.lit(m))
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate") * m)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
+Q64_SQL = """
+WITH s AS (
+  SELECT doc_id, lang,
+         ((doc_id * 2654435761 + 97531) % 2147483647 + 2147483647)
+           % 2147483647 AS bucket,
+         CASE lang WHEN 'en' THEN 0.25 WHEN 'de' THEN 0.5
+                   ELSE 1.0 END AS rate
+  FROM documents
+)
+SELECT doc_id, lang FROM s
+WHERE bucket < rate * 2147483647
+ORDER BY doc_id
+"""
+
+
+def q65_crawl_delta(spark, sf_dir):
+    """Cross-crawl delta (the CDX-diff a refreshed crawl runs before
+    re-extraction): crawl A = all documents, crawl B = the same corpus
+    with every 10th doc's text perturbed and every 7th doc missing.
+    Full outer join on doc_id classifies added / removed / changed /
+    unchanged by content fingerprint — only 'changed'+'added' re-enter
+    the extraction pipeline.  One shuffle per side on doc_id."""
+    from .functions.quality import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    a = d.select("doc_id", fingerprint(F.col("text")).alias("fp_a"))
+    b = (
+        d.filter(F.col("doc_id") % 7 != 3)
+        .select(
+            "doc_id",
+            fingerprint(
+                F.when(
+                    F.col("doc_id") % 10 == 0,
+                    F.concat(F.col("text"), F.lit(" updated")),
+                ).otherwise(F.col("text"))
+            ).alias("fp_b"),
+        )
+    )
+    return (
+        a.join(b, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("fp_a").isNull(), F.lit("added"))
+            .when(F.col("fp_b").isNull(), F.lit("removed"))
+            .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q65_SQL = r"""
+WITH a AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_a
+  FROM documents
+), b AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(
+           CASE WHEN doc_id % 10 = 0 THEN text || ' updated' ELSE text END
+         )), '\s+', ' ', 'g')) AS fp_b
+  FROM documents WHERE doc_id % 7 != 3
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.fp_a IS NULL THEN 'added'
+            WHEN b.fp_b IS NULL THEN 'removed'
+            WHEN a.fp_a != b.fp_b THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM a FULL OUTER JOIN b USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q66_anchor_text(spark, sf_dir):
+    """Anchor-text aggregation per target host (the web-graph feature
+    ranking pipelines attach to pages: what OTHER sites call you).
+    Anchors come from the q51 synthesized html; one explode + one
+    groupBy on the target; texts collected sorted for determinism."""
+    d = _t(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<a href="https://site'),
+        ((F.col("doc_id") * 3) % 7).cast("string"),
+        F.lit('.example/a">ref '),
+        (F.col("doc_id") % 5).cast("string"),
+        F.lit('</a><a href="https://site'),
+        ((F.col("doc_id") + 1) % 7).cast("string"),
+        F.lit('.example/b">see also '),
+        (F.col("doc_id") % 3).cast("string"),
+        F.lit("</a>"),
+    )
+    pairs = d.select(
+        F.explode(
+            F.regexp_extract_all(
+                html,
+                F.lit(r'href="https://site(\d+)\.example[^>]*>([^<]+)<'),
+                F.lit(0),
+            )
+        ).alias("m")
+    ).select(
+        F.regexp_extract("m", r"site(\d+)\.example", 1)
+        .cast("long")
+        .alias("target_host"),
+        F.regexp_extract("m", r">([^<]+)<", 1).alias("anchor"),
+    )
+    return (
+        pairs.groupBy("target_host")
+        .agg(
+            F.count("*").alias("n_anchors"),
+            F.size(F.collect_set("anchor")).alias("n_distinct_anchors"),
+            F.array_join(
+                F.sort_array(F.collect_set("anchor")), "|"
+            ).alias("anchors"),
+        )
+        .orderBy("target_host")
+    )
+
+
+Q66_SQL = r"""
+WITH h AS (
+  SELECT doc_id,
+         '<a href="https://site' || ((doc_id * 3) % 7)::VARCHAR
+           || '.example/a">ref ' || (doc_id % 5)::VARCHAR
+           || '</a><a href="https://site' || ((doc_id + 1) % 7)::VARCHAR
+           || '.example/b">see also ' || (doc_id % 3)::VARCHAR || '</a>'
+           AS html
+  FROM documents
+), m AS (
+  SELECT unnest(regexp_extract_all(html,
+           'href="https://site(\d+)\.example[^>]*>([^<]+)<')) AS frag
+  FROM h
+), pairs AS (
+  SELECT regexp_extract(frag, 'site(\d+)\.example', 1)::BIGINT
+           AS target_host,
+         regexp_extract(frag, '>([^<]+)<', 1) AS anchor
+  FROM m
+)
+SELECT target_host,
+       count(*)::BIGINT AS n_anchors,
+       count(DISTINCT anchor)::INT AS n_distinct_anchors,
+       array_to_string(list_sort(list(DISTINCT anchor)), '|') AS anchors
+FROM pairs GROUP BY target_host ORDER BY target_host
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -2410,6 +2577,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q61_crawl_frontier": q61_crawl_frontier,
     "q62_capture_dedup": q62_capture_dedup,
     "q63_domain_quality_prior": q63_domain_quality_prior,
+    "q64_stratified_sample": q64_stratified_sample,
+    "q65_crawl_delta": q65_crawl_delta,
+    "q66_anchor_text": q66_anchor_text,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -2467,6 +2637,9 @@ ORACLES: dict[str, str] = {
     "q61_crawl_frontier": Q61_SQL,
     "q62_capture_dedup": Q62_SQL,
     "q63_domain_quality_prior": Q63_SQL,
+    "q64_stratified_sample": Q64_SQL,
+    "q65_crawl_delta": Q65_SQL,
+    "q66_anchor_text": Q66_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

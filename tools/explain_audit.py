@@ -39,6 +39,9 @@ AUDITED = [
     "q61_crawl_frontier",
     "q62_capture_dedup",
     "q63_domain_quality_prior",
+    "q64_stratified_sample",
+    "q65_crawl_delta",
+    "q66_anchor_text",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -68,6 +71,10 @@ CHECKS = {
     "q61_crawl_frontier": ["Window", "!CartesianProduct"],
     "q62_capture_dedup": ["HashAggregate", "!Window", "!CartesianProduct"],
     "q63_domain_quality_prior": ["BroadcastHashJoin", "!CartesianProduct"],
+    "q64_stratified_sample": ["!Window", "!CartesianProduct",
+                              "!HashAggregate"],
+    "q65_crawl_delta": ["SortMergeJoin", "!CartesianProduct"],
+    "q66_anchor_text": ["HashAggregate", "!Window", "!CartesianProduct"],
 }
 
 NOTES = {
@@ -133,6 +140,16 @@ NOTES = {
     "q63_domain_quality_prior": "the prior table is host-sized, so the "
         "re-join is an explicit broadcast — the corpus shuffles once for "
         "the aggregate and never again.",
+    "q64_stratified_sample": "per-stratum sampling is a pure filter "
+        "(membership = multiplicative hash vs a per-language threshold) — "
+        "no aggregate, window, or join; the single Exchange below belongs "
+        "to the q-entry's orderBy for oracle determinism.",
+    "q65_crawl_delta": "full-outer diff of two crawl fingerprint sets — "
+        "SortMergeJoin on doc_id is the right plan (both sides corpus-"
+        "sized); at 10^12 docs both crawls live in Iceberg tables "
+        "bucketed by doc_id so the exchange is free.",
+    "q66_anchor_text": "explode + one groupBy on target host; "
+        "collect_set aggregates are map-side partial.",
 }
 
 
