@@ -92,7 +92,16 @@ class _BlockParser(HTMLParser):
         return False
 
     def _flush(self) -> None:
-        text = fold_ws("".join(self._buf))
+        # most flushes are empty (adjacent block tags) — skip the regex
+        # fold on the fast paths; isspace() is a C scan
+        if not self._buf:
+            self._chars = self._link_chars = 0
+            return
+        joined = "".join(self._buf)
+        if not joined or joined.isspace():
+            self._buf, self._chars, self._link_chars = [], 0, 0
+            return
+        text = fold_ws(joined)
         if text:
             self.blocks.append((text, self._chars, self._link_chars))
         self._buf, self._chars, self._link_chars = [], 0, 0
