@@ -1,0 +1,370 @@
+"""Pure-Python + numpy PNG codec and deterministic thumbnail resize.
+
+The reference generates thumbnails by POSTing blobs to an external
+preview service and resizing with ImageMagick ``convert``
+(``/root/reference/snoop/data/analyzers/thumbnails.py:346-443``) — an
+external binary we deliberately do not shell out to.  For PNG (the one
+raster format whose full codec is public-spec and implementable on the
+stdlib: RFC 2083 / W3C PNG, zlib for DEFLATE) we decode, resize and
+re-encode natively, so the thumbnail pipeline is *real*, not stubbed,
+for PNG inputs.  Other raster formats (JPEG/GIF/…) keep the honest
+``thumbnail_decoder_missing`` broken-reason — their codecs need DCT /
+LZW implementations that are out of scope this round.
+
+Decoder coverage:
+
+- color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha), 6 (RGBA)
+- bit depths 1/2/4/8 for gray+palette, 8/16 for the rest (16 → MSB)
+- all five row filters (None/Sub/Up/Average/Paeth)
+- Adam7 interlace
+- chunk CRCs are verified (corrupt file → ``PngError``)
+- alpha is composited over white (the thumbnail contract; the reference's
+  ``convert … jpg:-`` flattens alpha the same way)
+
+Encoder: 8-bit truecolor (color type 2), per-row filter selectable
+(default 0; the property tests exercise every filter type on encode and
+assert decode round-trips bit-exactly).
+
+The resize is an exact integer-box area average over an integral image —
+deterministic across platforms (no float SIMD reassociation: the integral
+sums are exact in float64 for uint8 inputs, and rounding is
+``floor(x + 0.5)``).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+
+#: (xoff, yoff, xstep, ystep) per Adam7 pass, PNG spec §8.2
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+#: samples per pixel, by color type
+_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+class PngError(ValueError):
+    """Raised on malformed/unsupported PNG input; the caller maps it to a
+    ``broken_reason`` string, never a task failure."""
+
+
+def _chunks(data: bytes):
+    if data[:8] != _SIG:
+        raise PngError("png_bad_signature")
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        ctype = data[pos + 4 : pos + 8]
+        body = data[pos + 8 : pos + 8 + length]
+        if len(body) != length or pos + 12 + length > len(data):
+            raise PngError("png_truncated")
+        (crc,) = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise PngError("png_crc_mismatch")
+        yield ctype, body
+        pos += 12 + length
+        if ctype == b"IEND":
+            return
+    raise PngError("png_truncated")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def _unfilter(raw: bytes, width: int, height: int, bpp_bits: int) -> np.ndarray:
+    """Undo per-row filtering → (height, rowbytes) uint8 array.
+
+    ``bpp_bits`` is bits per pixel.  Filter arithmetic is defined on bytes
+    mod 256 (PNG spec §9); Sub is a modular prefix-sum along byte lanes
+    spaced ``bpp`` apart, which numpy's uint8 cumsum gives directly, and
+    Up is a plain modular row add — only Average/Paeth need the
+    sequential column walk.
+    """
+    rowbytes = (width * bpp_bits + 7) // 8
+    bpp = max(1, bpp_bits // 8)
+    need = (rowbytes + 1) * height
+    if len(raw) < need:
+        raise PngError("png_idat_short")
+    buf = np.frombuffer(raw[:need], dtype=np.uint8).reshape(height, rowbytes + 1)
+    filters = buf[:, 0]
+    rows = buf[:, 1:].copy()
+    prev = np.zeros(rowbytes, dtype=np.uint8)
+    pad = rowbytes % bpp
+    for y in range(height):
+        f = int(filters[y])
+        row = rows[y]
+        if f == 0:
+            pass
+        elif f == 1:  # Sub
+            if pad:
+                row = np.concatenate([row, np.zeros(bpp - pad, np.uint8)])
+            row = np.cumsum(row.reshape(-1, bpp), axis=0, dtype=np.uint8).reshape(-1)[
+                :rowbytes
+            ]
+            rows[y] = row
+        elif f == 2:  # Up
+            rows[y] = row + prev  # uint8 wraps mod 256
+        elif f == 3:  # Average
+            r = row.astype(np.int32)
+            p = prev.astype(np.int32)
+            out = np.empty(rowbytes, dtype=np.int32)
+            for i in range(rowbytes):
+                left = out[i - bpp] if i >= bpp else 0
+                out[i] = (r[i] + ((left + p[i]) >> 1)) & 0xFF
+            rows[y] = out.astype(np.uint8)
+        elif f == 4:  # Paeth
+            r = row.astype(np.int32)
+            p = prev.astype(np.int32)
+            out = np.empty(rowbytes, dtype=np.int32)
+            for i in range(rowbytes):
+                left = int(out[i - bpp]) if i >= bpp else 0
+                ul = int(p[i - bpp]) if i >= bpp else 0
+                out[i] = (r[i] + _paeth(left, int(p[i]), ul)) & 0xFF
+            rows[y] = out.astype(np.uint8)
+        else:
+            raise PngError("png_bad_filter")
+        prev = rows[y]
+    return rows
+
+
+def _unpack_samples(
+    rows: np.ndarray, width: int, bit_depth: int, channels: int
+) -> np.ndarray:
+    """(height, rowbytes) filtered-out bytes → (height, width*channels)
+    uint8 samples; sub-byte depths unpack MSB-first, 16-bit keeps the MSB
+    (the standard 16→8 reduction)."""
+    h = rows.shape[0]
+    if bit_depth == 8:
+        return rows[:, : width * channels]
+    if bit_depth == 16:
+        return rows[:, : width * channels * 2][:, 0::2]
+    # 1/2/4-bit (gray or palette): unpack bit-planes MSB-first
+    bits = np.unpackbits(rows, axis=1)
+    per = bit_depth
+    samples = np.zeros((h, width), dtype=np.uint8)
+    for b in range(per):
+        samples = (samples << 1) | bits[:, b::per][:, :width]
+    return samples
+
+
+def _scale_depth(samples: np.ndarray, bit_depth: int) -> np.ndarray:
+    """Expand 1/2/4-bit gray samples to full 0..255 range."""
+    if bit_depth == 1:
+        return samples * 255
+    if bit_depth == 2:
+        return samples * 85
+    if bit_depth == 4:
+        return samples * 17
+    return samples
+
+
+def _to_rgb(samples: np.ndarray, color_type: int, bit_depth: int,
+            palette: np.ndarray | None, width: int) -> np.ndarray:
+    """Per-pixel samples → (h, w, 3) uint8 RGB, alpha over white."""
+    h = samples.shape[0]
+    if color_type == 3:
+        if palette is None:
+            raise PngError("png_missing_plte")
+        idx = samples[:, :width]
+        if int(idx.max(initial=0)) >= palette.shape[0]:
+            raise PngError("png_palette_index")
+        return palette[idx]
+    if color_type == 0:
+        g = _scale_depth(samples[:, :width], bit_depth)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    px = samples.reshape(h, width, _CHANNELS[color_type]).astype(np.int32)
+    if color_type == 2:
+        return px.astype(np.uint8)
+    if color_type == 4:
+        g, a = px[:, :, 0], px[:, :, 1]
+        flat = (g * a + 255 * (255 - a) + 127) // 255
+        return np.repeat(flat.astype(np.uint8)[:, :, None], 3, axis=2)
+    # color_type 6: RGBA over white
+    rgb, a = px[:, :, :3], px[:, :, 3:4]
+    flat = (rgb * a + 255 * (255 - a) + 127) // 255
+    return flat.astype(np.uint8)
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode a PNG byte string → (height, width, 3) uint8 RGB array.
+
+    Raises :class:`PngError` with a stable reason string on anything
+    malformed or out of coverage (see module docstring)."""
+    ihdr = None
+    palette = None
+    idat = []
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            if len(body) % 3:
+                raise PngError("png_bad_plte")
+            palette = np.frombuffer(body, dtype=np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+    if ihdr is None or not idat:
+        raise PngError("png_missing_chunks")
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise PngError("png_bad_method")
+    if color_type not in _CHANNELS:
+        raise PngError("png_bad_color_type")
+    if color_type in (0, 3):
+        if bit_depth not in (1, 2, 4, 8, 16):
+            raise PngError("png_bad_bit_depth")
+        if color_type == 3 and bit_depth == 16:
+            raise PngError("png_bad_bit_depth")
+    elif bit_depth not in (8, 16):
+        raise PngError("png_bad_bit_depth")
+    if not (0 < width <= 1 << 24 and 0 < height <= 1 << 24):
+        raise PngError("png_bad_dims")
+    if width * height > 64_000_000:
+        raise PngError("png_too_large")  # decompression-bomb guard
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error:
+        raise PngError("png_zlib_error")
+    channels = _CHANNELS[color_type]
+    bpp_bits = bit_depth * channels
+
+    def decode_region(buf: bytes, w: int, h: int) -> np.ndarray:
+        rows = _unfilter(buf, w, h, bpp_bits)
+        samples = _unpack_samples(rows, w, bit_depth, channels)
+        return _to_rgb(samples, color_type, bit_depth, palette, w)
+
+    if interlace == 0:
+        return decode_region(raw, width, height)
+    if interlace != 1:
+        raise PngError("png_bad_interlace")
+    out = np.zeros((height, width, 3), dtype=np.uint8)
+    pos = 0
+    for xoff, yoff, xstep, ystep in _ADAM7:
+        w = (width - xoff + xstep - 1) // xstep
+        h = (height - yoff + ystep - 1) // ystep
+        if w == 0 or h == 0:
+            continue
+        rowbytes = (w * bpp_bits + 7) // 8
+        size = (rowbytes + 1) * h
+        out[yoff::ystep, xoff::xstep] = decode_region(raw[pos : pos + size], w, h)
+        pos += size
+    return out
+
+
+def _filter_row(f: int, row: np.ndarray, prev: np.ndarray, bpp: int) -> np.ndarray:
+    """Apply filter ``f`` to an unfiltered row (encoder side)."""
+    r = row.astype(np.int32)
+    p = prev.astype(np.int32)
+    n = len(row)
+    if f == 0:
+        return row
+    if f == 1:
+        out = r.copy()
+        out[bpp:] -= r[:-bpp]
+        return (out & 0xFF).astype(np.uint8)
+    if f == 2:
+        return ((r - p) & 0xFF).astype(np.uint8)
+    if f == 3:
+        left = np.zeros(n, dtype=np.int32)
+        left[bpp:] = r[:-bpp]
+        return ((r - ((left + p) >> 1)) & 0xFF).astype(np.uint8)
+    if f == 4:
+        out = np.empty(n, dtype=np.int32)
+        for i in range(n):
+            left = int(r[i - bpp]) if i >= bpp else 0
+            ul = int(p[i - bpp]) if i >= bpp else 0
+            out[i] = (int(r[i]) - _paeth(left, int(p[i]), ul)) & 0xFF
+        return out.astype(np.uint8)
+    raise PngError("png_bad_filter")
+
+
+def png_encode(rgb: np.ndarray, filters=None) -> bytes:
+    """Encode (h, w, 3) uint8 RGB → 8-bit truecolor PNG bytes.
+
+    ``filters`` is an optional per-row filter-type sequence (tests use it
+    to exercise every decode path); default all-0."""
+    if rgb.ndim != 3 or rgb.shape[2] != 3 or rgb.dtype != np.uint8:
+        raise PngError("png_encode_shape")
+    h, w = rgb.shape[:2]
+    if filters is None:
+        filters = [0] * h
+    prev = np.zeros(w * 3, dtype=np.uint8)
+    body = bytearray()
+    for y in range(h):
+        row = rgb[y].reshape(-1)
+        body.append(int(filters[y]))
+        body.extend(_filter_row(int(filters[y]), row, prev, 3).tobytes())
+        prev = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        _SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(body), 9))
+        + chunk(b"IEND", b"")
+    )
+
+
+def resize_box(rgb: np.ndarray, max_side: int) -> np.ndarray:
+    """Aspect-preserving deterministic downscale so that
+    ``max(h, w) <= max_side`` (never upscales), mirroring the reference's
+    ``convert -resize {size}x{size}`` contract
+    (thumbnails.py:426,439).  Exact integer-box area average via an
+    integral image; ties round half-up via ``floor(x + 0.5)``."""
+    h, w = rgb.shape[:2]
+    if max(h, w) <= max_side:
+        return rgb
+    if w >= h:
+        ow = max_side
+        oh = max(1, (h * max_side + w // 2) // w)
+    else:
+        oh = max_side
+        ow = max(1, (w * max_side + h // 2) // h)
+    integ = np.zeros((h + 1, w + 1, 3), dtype=np.float64)
+    integ[1:, 1:] = rgb.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
+    ys = (np.arange(oh + 1) * h) // oh
+    xs = (np.arange(ow + 1) * w) // ow
+    # guarantee non-empty boxes
+    ys[1:] = np.maximum(ys[1:], np.arange(1, oh + 1))
+    xs[1:] = np.maximum(xs[1:], np.arange(1, ow + 1))
+    y0, y1 = ys[:-1], ys[1:]
+    x0, x1 = xs[:-1], xs[1:]
+    area = (y1 - y0)[:, None].astype(np.float64) * (x1 - x0)[None, :]
+    s = (
+        integ[y1][:, x1]
+        - integ[y0][:, x1]
+        - integ[y1][:, x0]
+        + integ[y0][:, x0]
+    )
+    return np.floor(s / area[:, :, None] + 0.5).astype(np.uint8)
+
+
+def make_thumbnail_png(data: bytes, size: int) -> bytes:
+    """PNG bytes in → thumbnail PNG bytes (longest side ≤ ``size``)."""
+    return png_encode(resize_box(png_decode(data), size))

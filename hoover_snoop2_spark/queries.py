@@ -2521,6 +2521,211 @@ FROM pairs GROUP BY target_host ORDER BY target_host
 """
 
 
+def q67_thumbnails(spark, sf_dir):
+    """Native PNG thumbnail ladder — 100/200/400 px, the reference's
+    Thumbnail.SizeChoices (models.py:1243-1246), smaller sizes derived
+    from the large thumbnail (thumbnails.py:397-443).
+
+    A deterministic gradient PNG is synthesized per doc (dims are integer
+    functions of doc_id), then decoded → box-resized → re-encoded by the
+    real codec (functions/png_codec.py) and the thumbnail re-DECODED to
+    measure its geometry.  The oracle predicts the same geometry from the
+    integer resize arithmetic alone — a decoder or resizer that mis-sizes
+    any rung by one pixel hash-fails.  Pixel values are pinned in
+    tests/test_png_thumbnails.py (SQL cannot decode PNG)."""
+    from .operators.thumbnails import generate_thumbnails, synth_png_map_in_pandas
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id")
+    )
+    pngs = docs.mapInPandas(
+        synth_png_map_in_pandas(), schema="sha3_256 string, data binary"
+    )
+    return (
+        generate_thumbnails(pngs)
+        .select("sha3_256", "size", "width", "height", "status")
+        .orderBy("sha3_256", "size")
+    )
+
+
+Q67_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         50 + (doc_id % 13) * 40 AS w,
+         30 + (doc_id % 7) * 60 AS h
+  FROM documents WHERE doc_id < 40
+), large AS (
+  -- resize_box(img, 400): aspect-preserving, never upscale, half-up round
+  SELECT doc_id, w, h,
+    CASE WHEN GREATEST(w, h) <= 400 THEN w
+         WHEN w >= h THEN 400
+         ELSE GREATEST(1, (w * 400 + h // 2) // h) END AS lw,
+    CASE WHEN GREATEST(w, h) <= 400 THEN h
+         WHEN w >= h THEN GREATEST(1, (h * 400 + w // 2) // w)
+         ELSE 400 END AS lh
+  FROM src
+), sizes(size) AS (VALUES (100), (200), (400)),
+thumbs AS (
+  -- the 100/200 rungs resize FROM the 400 thumbnail, not the source
+  SELECT doc_id, size,
+    CASE WHEN size = 400 OR GREATEST(lw, lh) <= size THEN lw
+         WHEN lw >= lh THEN size
+         ELSE GREATEST(1, (lw * size + lh // 2) // lh) END AS width,
+    CASE WHEN size = 400 OR GREATEST(lw, lh) <= size THEN lh
+         WHEN lw >= lh THEN GREATEST(1, (lh * size + lw // 2) // lw)
+         ELSE size END AS height
+  FROM large CROSS JOIN sizes
+)
+SELECT CAST(doc_id AS VARCHAR) AS sha3_256, size, width, height,
+       'ok' AS status
+FROM thumbs
+ORDER BY sha3_256, size
+"""
+
+
+def q68_image_stats(spark, sf_dir):
+    """Native image feature extraction with a value-exact oracle: the
+    synthetic gradient PNGs (same generator as q67) are DECODED by the
+    real codec and reduced to exact integer per-channel sums.  PNG is
+    lossless, so the decoded pixels equal the generator's formula
+    ``R=(5y+3x)%256, G=(2y+7x)%256, B=(11y+x)%256`` — which DuckDB
+    recomputes pixel-by-pixel from ``generate_series``.  Any decode bug
+    (filter, bit depth, row order) shifts a sum and hash-fails.  Integer
+    sums, not float means: bit-stable across engines (NOTES.md
+    'last-ulp drift').  Reference parity: snoop2 posts images to an
+    external classifier (image_classification.py:128-181); here the
+    per-modality feature pass is native and verified."""
+    from .operators.media_stats import image_stats
+    from .operators.thumbnails import synth_png_map_in_pandas
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id")
+    )
+    pngs = docs.mapInPandas(
+        synth_png_map_in_pandas(), schema="sha3_256 string, data binary"
+    )
+    return (
+        image_stats(pngs)
+        .select(
+            "sha3_256", "width", "height", "n_pixels",
+            "sum_r", "sum_g", "sum_b", "status",
+        )
+        .orderBy("sha3_256")
+    )
+
+
+Q68_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         50 + (doc_id % 13) * 40 AS w,
+         30 + (doc_id % 7) * 60 AS h
+  FROM documents WHERE doc_id < 40
+), px AS (
+  SELECT s.doc_id, s.w, s.h,
+         (y.y * 5 + x.x * 3) % 256 AS r,
+         (y.y * 2 + x.x * 7) % 256 AS g,
+         (y.y * 11 + x.x) % 256 AS b
+  FROM src s
+  JOIN generate_series(0, 529) AS x(x) ON x.x < s.w
+  JOIN generate_series(0, 389) AS y(y) ON y.y < s.h
+)
+SELECT CAST(doc_id AS VARCHAR) AS sha3_256,
+       CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+       CAST(MAX(w) * MAX(h) AS BIGINT) AS n_pixels,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       'ok' AS status
+FROM px GROUP BY doc_id ORDER BY sha3_256
+"""
+
+
+def q69_audio_stats(spark, sf_dir):
+    """Native WAV PCM sample decode with a value-exact oracle: per-doc
+    mono 16-bit WAVs whose samples are the pure integer function
+    ``s[i] = ((i*7919 + doc_id*104729) % 65536) - 32768`` are encoded
+    (operators/media_stats.wav_encode), decoded back by the RIFF chunk
+    walker, and reduced to exact integer stats; DuckDB recomputes them
+    from generate_series.  A byte-order, bias, or chunk-walk bug shifts
+    sum_abs and hash-fails.  Upgrades the audio modality from
+    header-only (multimodal.py) to sample-level."""
+    from .operators.media_stats import audio_stats, synth_wav_map_in_pandas
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 40)
+        .select("doc_id")
+    )
+    wavs = docs.mapInPandas(
+        synth_wav_map_in_pandas(), schema="sha3_256 string, data binary"
+    )
+    return (
+        audio_stats(wavs)
+        .select(
+            "sha3_256", "sample_rate", "n_channels", "n_samples",
+            "sum_abs", "max_abs", "duration_ms", "status",
+        )
+        .orderBy("sha3_256")
+    )
+
+
+Q69_SQL = """
+WITH src AS (
+  SELECT doc_id,
+         1000 + (doc_id % 10) * 500 AS n,
+         8000 + (doc_id % 4) * 4000 AS rate
+  FROM documents WHERE doc_id < 40
+), s AS (
+  SELECT doc_id, n, rate,
+         ((i.i * 7919 + doc_id * 104729) % 65536) - 32768 AS v
+  FROM src JOIN generate_series(0, 5499) AS i(i) ON i.i < n
+)
+SELECT CAST(doc_id AS VARCHAR) AS sha3_256,
+       CAST(MAX(rate) AS INT) AS sample_rate,
+       CAST(1 AS INT) AS n_channels,
+       CAST(MAX(n) AS BIGINT) AS n_samples,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(v)) AS INT) AS max_abs,
+       CAST(MAX(n) * 1000 // MAX(rate) AS BIGINT) AS duration_ms,
+       'ok' AS status
+FROM s GROUP BY doc_id ORDER BY sha3_256
+"""
+
+
+def q70_phash_near_dups(spark, sf_dir):
+    """Perceptual-hash image near-dup — the image analog of simhash
+    near-dup (q31): 64-bit pHash (32x32 luma → DCT → median threshold)
+    per image, banded into 4x16-bit keys, ONE equi-self-join shuffle on
+    the band key (pigeonhole guarantees recall at hamming ≤ 3), JVM-side
+    ``bit_count`` verify.  The corpus plants one brightness-shifted
+    near-duplicate per ``doc_id % 4 == 0``; pHash is approximate by
+    construction, so like the ANN family this is rows-only — exact hash
+    values and planted-pair recall are pinned in
+    tests/test_media_stats.py."""
+    from .operators.media_stats import (
+        image_phash,
+        phash_near_dups,
+        synth_phash_png_map_in_pandas,
+    )
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 32)
+        .select("doc_id")
+    )
+    pngs = docs.mapInPandas(
+        synth_phash_png_map_in_pandas(), schema="sha3_256 string, data binary"
+    )
+    return (
+        phash_near_dups(image_phash(pngs), max_hamming=3)
+        .orderBy("left_sha", "right_sha")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -2580,6 +2785,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q64_stratified_sample": q64_stratified_sample,
     "q65_crawl_delta": q65_crawl_delta,
     "q66_anchor_text": q66_anchor_text,
+    "q67_thumbnails": q67_thumbnails,
+    "q68_image_stats": q68_image_stats,
+    "q69_audio_stats": q69_audio_stats,
+    "q70_phash_near_dups": q70_phash_near_dups,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -2640,6 +2849,9 @@ ORACLES: dict[str, str] = {
     "q64_stratified_sample": Q64_SQL,
     "q65_crawl_delta": Q65_SQL,
     "q66_anchor_text": Q66_SQL,
+    "q67_thumbnails": Q67_SQL,
+    "q68_image_stats": Q68_SQL,
+    "q69_audio_stats": Q69_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
