@@ -8,9 +8,10 @@ images to an object-detection HTTP service
 This module goes one honest step further than the header-only plumbing
 in :mod:`.multimodal`: the two formats whose codecs are fully
 public-spec and stdlib-implementable — RIFF/WAVE PCM and PNG — are
-decoded to real samples/pixels, so the "multimodal feature extraction"
-story has at least one end-to-end-real path per modality.  Formats that
-need DCT/LZW codecs keep the honest ``media_decoder_missing`` reason.
+decoded to real samples/pixels (GIF joins them via
+:mod:`..functions.gif_codec`), so the "multimodal feature extraction"
+story has at least one end-to-end-real path per modality.  JPEG, which
+needs a DCT codec, keeps the honest ``media_decoder_missing`` reason.
 
 Scale notes: every operator here is a single ``mapInPandas`` pass over
 Arrow batches — embarrassingly parallel, no shuffle.  The perceptual
@@ -30,7 +31,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.png_codec import PngError, png_decode
+from ..functions.raster import decode_raster
 
 
 class WavError(ValueError):
@@ -217,20 +218,9 @@ def image_stats_map_in_pandas():
                     base["broken_reason"] = "empty_blob"
                     rows.append(base)
                     continue
-                data = bytes(data)
-                if data[:8] != b"\x89PNG\r\n\x1a\n":
-                    base["broken_reason"] = (
-                        "media_decoder_missing"
-                        if data[:3] == b"\xff\xd8\xff"
-                        or data[:6] in (b"GIF87a", b"GIF89a")
-                        else "not_image"
-                    )
-                    rows.append(base)
-                    continue
-                try:
-                    rgb = png_decode(data)
-                except PngError as e:
-                    base["broken_reason"] = str(e)
+                rgb, reason = decode_raster(bytes(data))
+                if rgb is None:
+                    base["broken_reason"] = reason
                     rows.append(base)
                     continue
                 h, w = rgb.shape[:2]
@@ -344,10 +334,9 @@ def image_phash_map_in_pandas():
                     base["broken_reason"] = "empty_blob"
                     rows.append(base)
                     continue
-                try:
-                    rgb = png_decode(bytes(data))
-                except PngError as e:
-                    base["broken_reason"] = str(e)
+                rgb, reason = decode_raster(bytes(data))
+                if rgb is None:
+                    base["broken_reason"] = reason
                     rows.append(base)
                     continue
                 base.update(phash=phash64(rgb), status="ok")
@@ -362,6 +351,39 @@ def image_phash_map_in_pandas():
 def image_phash(df: DataFrame, data_col: str = "data") -> DataFrame:
     src = df.select("sha3_256", df[data_col].alias("data"))
     return src.mapInPandas(image_phash_map_in_pandas(), schema=PHASH_SCHEMA)
+
+
+def synth_gif_map_in_pandas():
+    """(doc_id) → deterministic 32-color palette GIF; pixel channels are
+    pure integer functions of (doc_id, x, y) so q68's SQL oracle can
+    recompute the exact sums for GIF-decoded docs too:
+    ``i=(3y+x)%32 → R=(17i)%256, G=(31i)%256, B=(7i)%256``."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.gif_codec import gif_encode
+
+        for pdf in batches:
+            shas, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 40 + (d % 11) * 30
+                h = 20 + (d % 5) * 50
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                idx = (np.add.outer(y * 3, x) % 32).astype(np.uint8)
+                palette = np.stack(
+                    [
+                        (np.arange(32) * 17) % 256,
+                        (np.arange(32) * 31) % 256,
+                        (np.arange(32) * 7) % 256,
+                    ],
+                    axis=1,
+                ).astype(np.uint8)
+                shas.append(str(d))
+                blobs.append(gif_encode(palette[idx], interlace=d % 2 == 1))
+            yield pd.DataFrame({"sha3_256": shas, "data": blobs})
+
+    return fn
 
 
 def synth_phash_png_map_in_pandas():

@@ -9,9 +9,10 @@ mime allowlist and a 32 MiB truncation cap (``thumbnails.py:25-29,340``).
 
 Spark-first re-expression: one ``mapInPandas`` pass over ``(sha3_256,
 data)`` Arrow batches emits up to three rows per document — ``(size,
-thumbnail_png)``.  For PNG inputs the decode/resize/encode is fully
-native (:mod:`..functions.png_codec`); other raster formats surface the
-honest ``thumbnail_decoder_missing`` broken-reason rather than a fake.
+thumbnail_png)``.  For PNG and GIF inputs the decode/resize/encode is
+fully native (:mod:`..functions.png_codec`, :mod:`..functions.gif_codec`
+via :func:`..functions.raster.decode_raster`); JPEG surfaces the honest
+``thumbnail_decoder_missing`` broken-reason rather than a fake.
 Output format deviation: the reference emits JPEG (its service + convert
 default); we emit PNG — lossless and bit-deterministic, which the
 correctness harness needs.
@@ -31,12 +32,11 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions.png_codec import (
-    PngError,
     make_thumbnail_png,
-    png_decode,
     png_encode,
     resize_box,
 )
+from ..functions.raster import decode_raster
 
 #: reference models.py:1243-1246 (SizeChoices SMALL/MEDIUM/LARGE)
 THUMBNAIL_SIZES = (100, 200, 400)
@@ -57,22 +57,13 @@ def _rows_for_blob(sha: str, data: bytes, sizes) -> list[dict]:
                  height=None, status="broken", broken_reason="empty_blob")
         ]
     data = data[:THUMBNAIL_TRUNCATE_FILE_SIZE]
-    if data[:8] != b"\x89PNG\r\n\x1a\n":
-        reason = (
-            "thumbnail_decoder_missing"
-            if data[:3] == b"\xff\xd8\xff" or data[:6] in (b"GIF87a", b"GIF89a")
-            else "not_image"
-        )
+    rgb, reason = decode_raster(bytes(data))
+    if rgb is None:
+        if reason == "media_decoder_missing":
+            reason = "thumbnail_decoder_missing"
         return [
             dict(sha3_256=sha, size=None, thumbnail=None, width=None,
                  height=None, status="broken", broken_reason=reason)
-        ]
-    try:
-        rgb = png_decode(data)
-    except PngError as e:
-        return [
-            dict(sha3_256=sha, size=None, thumbnail=None, width=None,
-                 height=None, status="broken", broken_reason=str(e))
         ]
     # large first, then the smaller sizes derived FROM the large thumbnail
     # (reference thumbnails.py:404-421 create_resized(source=large))

@@ -2588,28 +2588,39 @@ ORDER BY sha3_256, size
 def q68_image_stats(spark, sf_dir):
     """Native image feature extraction with a value-exact oracle: the
     synthetic gradient PNGs (same generator as q67) are DECODED by the
-    real codec and reduced to exact integer per-channel sums.  PNG is
-    lossless, so the decoded pixels equal the generator's formula
-    ``R=(5y+3x)%256, G=(2y+7x)%256, B=(11y+x)%256`` — which DuckDB
-    recomputes pixel-by-pixel from ``generate_series``.  Any decode bug
-    (filter, bit depth, row order) shifts a sum and hash-fails.  Integer
-    sums, not float means: bit-stable across engines (NOTES.md
-    'last-ulp drift').  Reference parity: snoop2 posts images to an
-    external classifier (image_classification.py:128-181); here the
-    per-modality feature pass is native and verified."""
-    from .operators.media_stats import image_stats
+    real codec and reduced to exact integer per-channel sums; docs
+    40-79 take the GIF path instead (32-color palette, odd doc_ids
+    interlaced), exercising the LZW/interlace decoder under the same
+    oracle.  Both formats are lossless, so the decoded pixels equal the
+    generator formulas — PNG ``R=(5y+3x)%256, G=(2y+7x)%256,
+    B=(11y+x)%256``; GIF ``i=(3y+x)%32 → (17i,31i,7i)%256`` — which
+    DuckDB recomputes pixel-by-pixel from ``generate_series``.  Any
+    decode bug (filter, bit depth, row order, LZW code width, interlace
+    pass order) shifts a sum and hash-fails.  Integer sums, not float
+    means: bit-stable across engines (NOTES.md 'last-ulp drift').
+    Reference parity: snoop2 posts images to an external classifier
+    (image_classification.py:128-181); here the per-modality feature
+    pass is native and verified."""
+    from .operators.media_stats import image_stats, synth_gif_map_in_pandas
     from .operators.thumbnails import synth_png_map_in_pandas
 
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < 40)
+    d = _t(spark, sf_dir, "documents")
+    pngs = (
+        d.where(F.col("doc_id") < 40)
         .select("doc_id")
+        .mapInPandas(
+            synth_png_map_in_pandas(), schema="sha3_256 string, data binary"
+        )
     )
-    pngs = docs.mapInPandas(
-        synth_png_map_in_pandas(), schema="sha3_256 string, data binary"
+    gifs = (
+        d.where((F.col("doc_id") >= 40) & (F.col("doc_id") < 80))
+        .select("doc_id")
+        .mapInPandas(
+            synth_gif_map_in_pandas(), schema="sha3_256 string, data binary"
+        )
     )
     return (
-        image_stats(pngs)
+        image_stats(pngs.unionByName(gifs))
         .select(
             "sha3_256", "width", "height", "n_pixels",
             "sum_r", "sum_g", "sum_b", "status",
@@ -2622,13 +2633,23 @@ Q68_SQL = """
 WITH src AS (
   SELECT doc_id,
          50 + (doc_id % 13) * 40 AS w,
-         30 + (doc_id % 7) * 60 AS h
+         30 + (doc_id % 7) * 60 AS h,
+         'png' AS fmt
   FROM documents WHERE doc_id < 40
+  UNION ALL
+  SELECT doc_id,
+         40 + (doc_id % 11) * 30 AS w,
+         20 + (doc_id % 5) * 50 AS h,
+         'gif' AS fmt
+  FROM documents WHERE doc_id >= 40 AND doc_id < 80
 ), px AS (
   SELECT s.doc_id, s.w, s.h,
-         (y.y * 5 + x.x * 3) % 256 AS r,
-         (y.y * 2 + x.x * 7) % 256 AS g,
-         (y.y * 11 + x.x) % 256 AS b
+         CASE WHEN s.fmt = 'png' THEN (y.y * 5 + x.x * 3) % 256
+              ELSE (((y.y * 3 + x.x) % 32) * 17) % 256 END AS r,
+         CASE WHEN s.fmt = 'png' THEN (y.y * 2 + x.x * 7) % 256
+              ELSE (((y.y * 3 + x.x) % 32) * 31) % 256 END AS g,
+         CASE WHEN s.fmt = 'png' THEN (y.y * 11 + x.x) % 256
+              ELSE (((y.y * 3 + x.x) % 32) * 7) % 256 END AS b
   FROM src s
   JOIN generate_series(0, 529) AS x(x) ON x.x < s.w
   JOIN generate_series(0, 389) AS y(y) ON y.y < s.h
