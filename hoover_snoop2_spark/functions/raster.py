@@ -1,14 +1,15 @@
 """Magic-dispatched raster decode shared by the thumbnail and image
-feature operators: PNG and GIF decode natively
-(:mod:`.png_codec`, :mod:`.gif_codec`); JPEG keeps the honest
-``media_decoder_missing`` reason (DCT codec out of scope), everything
-else is ``not_image``."""
+feature operators: PNG, GIF and baseline JPEG decode natively
+(:mod:`.png_codec`, :mod:`.gif_codec`, :mod:`.jpeg_codec`); unsupported
+JPEG variants surface their specific ``jpeg_*_unsupported`` reason, and
+anything unrecognized is ``not_image``."""
 
 from __future__ import annotations
 
 import numpy as np
 
 from .gif_codec import GifError, gif_decode
+from .jpeg_codec import JpegError, jpeg_decode
 from .png_codec import PngError, png_decode
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
@@ -27,5 +28,8 @@ def decode_raster(data: bytes) -> tuple[np.ndarray | None, str | None]:
         except GifError as e:
             return None, str(e)
     if data[:3] == b"\xff\xd8\xff":
-        return None, "media_decoder_missing"
+        try:
+            return jpeg_decode(data), None
+        except JpegError as e:
+            return None, str(e)
     return None, "not_image"

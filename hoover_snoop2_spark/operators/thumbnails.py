@@ -9,10 +9,11 @@ mime allowlist and a 32 MiB truncation cap (``thumbnails.py:25-29,340``).
 
 Spark-first re-expression: one ``mapInPandas`` pass over ``(sha3_256,
 data)`` Arrow batches emits up to three rows per document — ``(size,
-thumbnail_png)``.  For PNG and GIF inputs the decode/resize/encode is
-fully native (:mod:`..functions.png_codec`, :mod:`..functions.gif_codec`
-via :func:`..functions.raster.decode_raster`); JPEG surfaces the honest
-``thumbnail_decoder_missing`` broken-reason rather than a fake.
+thumbnail_png)``.  For PNG, GIF and baseline JPEG inputs the
+decode/resize/encode is fully native (:mod:`..functions.png_codec`,
+:mod:`..functions.gif_codec`, :mod:`..functions.jpeg_codec` via
+:func:`..functions.raster.decode_raster`); unsupported variants surface
+honest ``jpeg_*_unsupported`` / ``not_image`` reasons, never a fake.
 Output format deviation: the reference emits JPEG (its service + convert
 default); we emit PNG — lossless and bit-deterministic, which the
 correctness harness needs.
@@ -59,8 +60,6 @@ def _rows_for_blob(sha: str, data: bytes, sizes) -> list[dict]:
     data = data[:THUMBNAIL_TRUNCATE_FILE_SIZE]
     rgb, reason = decode_raster(bytes(data))
     if rgb is None:
-        if reason == "media_decoder_missing":
-            reason = "thumbnail_decoder_missing"
         return [
             dict(sha3_256=sha, size=None, thumbnail=None, width=None,
                  height=None, status="broken", broken_reason=reason)

@@ -119,7 +119,7 @@ def test_decode_raster_dispatch():
     out, reason = decode_raster(gif_encode(rgb))
     assert reason is None and np.array_equal(out, rgb)
     out, reason = decode_raster(b"\xff\xd8\xff\xe0...")
-    assert out is None and reason == "media_decoder_missing"
+    assert out is None and reason.startswith("jpeg_")
     out, reason = decode_raster(b"GIF89a\xff")
     assert out is None and reason == "gif_truncated"
 
