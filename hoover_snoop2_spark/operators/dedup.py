@@ -466,3 +466,57 @@ def drop_common_paragraphs(
             sep,
         ).alias("clean_text")
     )
+
+
+def paragraph_window_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window_words: int = 12,
+) -> DataFrame:
+    """Global first-occurrence paragraph dedup statistics (the
+    Lee-et-al. "Deduplicating Training Data Makes Language Models
+    Better" exact-substring idea at paragraph granularity, CCNet's
+    per-paragraph variant): every document is cut into fixed
+    ``window_words``-word paragraphs; a paragraph is KEPT only in the
+    globally first position it appears (ordered by (doc, position)),
+    and every later copy anywhere in the corpus is a drop.
+
+    Returns (id, n_paras, n_kept) — ``n_paras - n_kept`` is the
+    per-document duplicate mass a training pipeline would cut.
+
+    Scale shape: one explode, one groupBy on the paragraph STRING (not
+    a hash — a collision must never merge distinct paragraphs; at
+    petabyte scale swap in a 128-bit fingerprint and accept the 2^-64
+    risk), one join back on the same key (co-partitioned with the
+    groupBy so AQE reuses the exchange), one final groupBy on the id.
+    The first-occurrence election is a map-side-combinable MIN of the
+    (doc, position) rank — no Window, no skew pile-up on hot
+    boilerplate paragraphs.
+    """
+    words = F.split(F.col(text_col), " ")
+    n_paras_col = F.ceil(F.size(words) / F.lit(window_words)).cast("int")
+    paras = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_paras_col - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * window_words + 1, window_words), " "
+                ),
+            )
+        ).alias("idx", "para"),
+    )
+    rank = (F.col("id") * F.lit(1_000_000) + F.col("idx")).alias("rank")
+    ranked = paras.select("id", "para", rank)
+    firsts = ranked.groupBy("para").agg(F.min("rank").alias("first_rank"))
+    return (
+        ranked.join(firsts, "para")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_paras"),
+            F.sum(
+                (F.col("rank") == F.col("first_rank")).cast("long")
+            ).alias("n_kept"),
+        )
+    )

@@ -2747,6 +2747,140 @@ def q70_phash_near_dups(spark, sf_dir):
     )
 
 
+def q71_paragraph_dedup(spark, sf_dir):
+    """Global first-occurrence paragraph dedup (Lee et al. exact-substring
+    dedup at paragraph granularity / CCNet paragraph hashes): documents
+    cut into fixed 12-word windows; only the globally first occurrence
+    of each paragraph (by (doc_id, position)) is kept.  Per-doc kept
+    counts are the training-data shrink signal.  Election is a
+    map-side-combinable MIN of an integer rank — no Window; the join
+    back reuses the groupBy's hash partitioning.  Keyed by the
+    paragraph STRING so a hash collision can never merge two distinct
+    paragraphs (swap in a 128-bit fingerprint at petabyte scale)."""
+    from .operators.dedup import paragraph_window_stats
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        paragraph_window_stats(d, "doc_id", "text", window_words=12)
+        .withColumnRenamed("id", "doc_id")
+        .select("doc_id", "n_paras", "n_kept")
+        .orderBy("doc_id")
+    )
+
+
+Q71_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), paras AS (
+  SELECT doc_id, i.i AS idx,
+         array_to_string(w[i.i * 12 + 1 : i.i * 12 + 12], ' ') AS para
+  FROM words JOIN generate_series(0, 99) AS i(i) ON i.i * 12 < len(w)
+), ranked AS (
+  SELECT doc_id, para, doc_id * 1000000 + idx AS rank FROM paras
+), firsts AS (
+  SELECT para, MIN(rank) AS first_rank FROM ranked GROUP BY para
+)
+SELECT r.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_paras,
+       CAST(SUM(CASE WHEN r.rank = f.first_rank THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept
+FROM ranked r JOIN firsts f USING (para)
+GROUP BY r.doc_id ORDER BY r.doc_id
+"""
+
+
+#: Gopher's stop-word rule list (Rae et al. 2021, §A1.1)
+_GOPHER_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def q72_gopher_quality(spark, sf_dir):
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1, the
+    standard pre-training text filter): word-count bounds, mean word
+    length bounds, alphabetic-word fraction, and the two-stop-word
+    rule.  Every rule is evaluated with INTEGER cross-multiplied
+    comparisons (``3n <= chars <= 10n`` instead of a float mean), so
+    the booleans are bit-stable across engines — the float version of
+    this query is exactly the q50/q58 ULP trap.  All JVM-side higher-
+    order functions on one split; no shuffle until the final sort."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n_words = F.size(words).cast("long")
+    sum_chars = F.aggregate(
+        words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-zA-Z]"))
+    ).cast("long")
+    n_stop = sum(
+        F.array_contains(words, s).cast("long") for s in _GOPHER_STOPS
+    )
+    out = d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        sum_chars.alias("sum_word_chars"),
+        n_alpha.alias("n_alpha_words"),
+        n_stop.alias("n_stop_hits"),
+    )
+    return out.select(
+        "*",
+        ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000))
+        .alias("pass_word_count"),
+        (
+            (F.col("sum_word_chars") >= 3 * F.col("n_words"))
+            & (F.col("sum_word_chars") <= 10 * F.col("n_words"))
+        ).alias("pass_mean_word_len"),
+        (5 * F.col("n_alpha_words") >= 4 * F.col("n_words"))
+        .alias("pass_alpha_ratio"),
+        (F.col("n_stop_hits") >= 2).alias("pass_stop_words"),
+    ).select(
+        "*",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_word_len")
+            & F.col("pass_alpha_ratio")
+            & F.col("pass_stop_words")
+        ).alias("pass_overall"),
+    ).orderBy("doc_id")
+
+
+Q72_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         string_split(text, ' ') AS w
+  FROM documents
+), stats AS (
+  SELECT doc_id,
+         CAST(len(w) AS BIGINT) AS n_words,
+         CAST(list_sum(list_transform(w, x -> length(x))) AS BIGINT)
+           AS sum_word_chars,
+         CAST(len(list_filter(w, x -> regexp_matches(x, '[a-zA-Z]')))
+           AS BIGINT) AS n_alpha_words,
+         CAST((CASE WHEN list_contains(w, 'the') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(w, 'be') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(w, 'to') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(w, 'of') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(w, 'and') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(w, 'that') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(w, 'have') THEN 1 ELSE 0 END)
+            + (CASE WHEN list_contains(w, 'with') THEN 1 ELSE 0 END)
+           AS BIGINT) AS n_stop_hits
+  FROM base
+), flags AS (
+  SELECT *,
+         (n_words >= 50 AND n_words <= 100000) AS pass_word_count,
+         (sum_word_chars >= 3 * n_words AND sum_word_chars <= 10 * n_words)
+           AS pass_mean_word_len,
+         (5 * n_alpha_words >= 4 * n_words) AS pass_alpha_ratio,
+         (n_stop_hits >= 2) AS pass_stop_words
+  FROM stats
+)
+SELECT *,
+       (pass_word_count AND pass_mean_word_len AND pass_alpha_ratio
+        AND pass_stop_words) AS pass_overall
+FROM flags ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -2810,6 +2944,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q68_image_stats": q68_image_stats,
     "q69_audio_stats": q69_audio_stats,
     "q70_phash_near_dups": q70_phash_near_dups,
+    "q71_paragraph_dedup": q71_paragraph_dedup,
+    "q72_gopher_quality": q72_gopher_quality,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -2873,6 +3009,8 @@ ORACLES: dict[str, str] = {
     "q67_thumbnails": Q67_SQL,
     "q68_image_stats": Q68_SQL,
     "q69_audio_stats": Q69_SQL,
+    "q71_paragraph_dedup": Q71_SQL,
+    "q72_gopher_quality": Q72_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -171,3 +171,41 @@ def test_simhash_kernel_pinned_and_batch_invariant():
     assert kern(pd.Series(["THE QUICK Brown fox"]))[0] == alone
     # all-empty batch
     assert list(kern(pd.Series(["", None]))) == [0, 0]
+
+
+def test_paragraph_window_stats_first_occurrence(spark):
+    from hoover_snoop2_spark.operators.dedup import paragraph_window_stats
+
+    # 3-word windows: doc 0 = [A B C][D E F]; doc 1 repeats [A B C] twice
+    # and adds a fresh window; doc 2 is entirely doc 0's first window
+    rows = [
+        (0, "A B C D E F"),
+        (1, "A B C A B C X Y Z"),
+        (2, "A B C"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.id: (r.n_paras, r.n_kept)
+        for r in paragraph_window_stats(
+            df, "doc_id", "text", window_words=3
+        ).collect()
+    }
+    # doc 0 keeps both (first occurrences); doc 1 keeps only [X Y Z];
+    # doc 2 keeps nothing
+    assert got == {0: (2, 2), 1: (3, 1), 2: (1, 0)}
+
+
+def test_paragraph_window_stats_partial_tail(spark):
+    from hoover_snoop2_spark.operators.dedup import paragraph_window_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b c d"), (1, "d")], "doc_id long, text string"
+    )
+    got = {
+        r.id: (r.n_paras, r.n_kept)
+        for r in paragraph_window_stats(
+            df, "doc_id", "text", window_words=3
+        ).collect()
+    }
+    # doc 0: [a b c] + partial [d]; doc 1's whole text equals that tail
+    assert got == {0: (2, 2), 1: (1, 0)}
