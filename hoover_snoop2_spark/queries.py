@@ -2881,6 +2881,148 @@ FROM flags ORDER BY doc_id
 """
 
 
+def q73_unigram_surprise(spark, sf_dir):
+    """Unigram-rank surprise score — an integer-only proxy for the
+    perplexity prior LLM pipelines put on web text (CCNet buckets by
+    KenLM perplexity; a language-model binary is out of scope, but the
+    rank-sum of a corpus-trained unigram table is the same signal
+    class, deterministic, and oracle-able).  Two passes: (1) train —
+    explode words, count, rank by (count DESC, word ASC); (2) score —
+    explode again, broadcast-join the rank table, per-doc sum of
+    ranks.  (Train and score run on the same corpus here, so OOV is
+    impossible; a held-out scorer would left-join and charge unseen
+    words ``V+1``.)  The rank Window runs over the
+    VOCABULARY (thousands of rows), never the corpus; the doc-side
+    join is a broadcast of that vocabulary; rank sums are integers —
+    no float logprobs to ULP-drift."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "word",
+            F.row_number()
+            .over(
+                Window.orderBy(F.col("cnt").desc(), F.col("word").asc())
+            )
+            .cast("long")
+            .alias("rank"),
+        )
+    )
+    return (
+        words.join(F.broadcast(vocab), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("rank").alias("rank_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q73_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+), vocab AS (
+  SELECT word,
+         ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, word ASC) AS rank
+  FROM words GROUP BY word
+)
+SELECT w.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(v.rank) AS BIGINT) AS rank_sum
+FROM words w JOIN vocab v USING (word)
+GROUP BY w.doc_id ORDER BY w.doc_id
+"""
+
+
+def q74_sitemap_ingest(spark, sf_dir):
+    """Sitemap ingestion — the crawl-side complement of the robots gate
+    (q49) and the politeness frontier (q61): parse sitemap XML into
+    per-host freshness/priority stats.  Sitemaps are synthesized per
+    doc (host, lastmod day, and priority are integer functions of
+    doc_id) exactly like q51/q66 synthesize html, so the oracle can
+    re-derive every field without an XML parser; extraction itself is
+    one JVM-side regexp pass (the <loc>/<lastmod>/<priority> triple),
+    one explode, one groupBy — the standard scan-shaped crawl job.
+    Priority is aggregated in integer tenths and lastmod as an integer
+    day (formatted back to a date string after the aggregate) — no
+    floats anywhere, and the groupBy stays a codegen'd HashAggregate
+    instead of the SortAggregate a max(string) would force."""
+    d = _t(spark, sf_dir, "documents")
+    xml = F.concat(
+        F.lit("<url><loc>https://site"),
+        (F.col("doc_id") % 9).cast("string"),
+        F.lit(".example/p"),
+        F.col("doc_id").cast("string"),
+        F.lit("</loc><lastmod>2026-01-"),
+        F.lpad(((F.col("doc_id") * 7) % 28 + 1).cast("string"), 2, "0"),
+        F.lit("</lastmod><priority>0."),
+        ((F.col("doc_id") % 10)).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    entries = d.select(
+        F.regexp_extract(xml, r"https://site(\d+)\.example", 1)
+        .cast("long")
+        .alias("host"),
+        # aggregate the integer DAY, not the date string: max(string)
+        # has no fixed-size buffer and demotes the whole groupBy to a
+        # SortAggregate — the day keeps it a codegen'd HashAggregate
+        F.regexp_extract(xml, r"<lastmod>2026-01-(\d+)</lastmod>", 1)
+        .cast("long")
+        .alias("lastmod_day"),
+        F.regexp_extract(xml, r"<priority>0\.(\d)</priority>", 1)
+        .cast("long")
+        .alias("priority_tenths"),
+    )
+    day_str = lambda c: F.concat(  # noqa: E731
+        F.lit("2026-01-"), F.lpad(c.cast("string"), 2, "0")
+    )
+    return (
+        entries.groupBy("host")
+        .agg(
+            F.count("*").alias("n_urls"),
+            F.max("lastmod_day").alias("_newest"),
+            F.min("lastmod_day").alias("_oldest"),
+            F.sum("priority_tenths").alias("priority_tenths_sum"),
+            F.sum((F.col("priority_tenths") >= 8).cast("long"))
+            .alias("n_high_priority"),
+        )
+        .select(
+            "host",
+            "n_urls",
+            day_str(F.col("_newest")).alias("newest_lastmod"),
+            day_str(F.col("_oldest")).alias("oldest_lastmod"),
+            "priority_tenths_sum",
+            "n_high_priority",
+        )
+        .orderBy("host")
+    )
+
+
+Q74_SQL = """
+WITH entries AS (
+  SELECT doc_id % 9 AS host,
+         (doc_id * 7) % 28 + 1 AS lastmod_day,
+         doc_id % 10 AS priority_tenths
+  FROM documents
+)
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       '2026-01-' || lpad(CAST(MAX(lastmod_day) AS VARCHAR), 2, '0')
+         AS newest_lastmod,
+       '2026-01-' || lpad(CAST(MIN(lastmod_day) AS VARCHAR), 2, '0')
+         AS oldest_lastmod,
+       CAST(SUM(priority_tenths) AS BIGINT) AS priority_tenths_sum,
+       CAST(SUM(CASE WHEN priority_tenths >= 8 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_high_priority
+FROM entries GROUP BY host ORDER BY host
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -2946,6 +3088,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q70_phash_near_dups": q70_phash_near_dups,
     "q71_paragraph_dedup": q71_paragraph_dedup,
     "q72_gopher_quality": q72_gopher_quality,
+    "q73_unigram_surprise": q73_unigram_surprise,
+    "q74_sitemap_ingest": q74_sitemap_ingest,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -3011,6 +3155,8 @@ ORACLES: dict[str, str] = {
     "q69_audio_stats": Q69_SQL,
     "q71_paragraph_dedup": Q71_SQL,
     "q72_gopher_quality": Q72_SQL,
+    "q73_unigram_surprise": Q73_SQL,
+    "q74_sitemap_ingest": Q74_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

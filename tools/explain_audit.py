@@ -42,6 +42,11 @@ AUDITED = [
     "q64_stratified_sample",
     "q65_crawl_delta",
     "q66_anchor_text",
+    "q70_phash_near_dups",
+    "q71_paragraph_dedup",
+    "q72_gopher_quality",
+    "q73_unigram_surprise",
+    "q74_sitemap_ingest",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -75,6 +80,11 @@ CHECKS = {
                               "!HashAggregate"],
     "q65_crawl_delta": ["SortMergeJoin", "!CartesianProduct"],
     "q66_anchor_text": ["HashAggregate", "!Window", "!CartesianProduct"],
+    "q70_phash_near_dups": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    "q71_paragraph_dedup": ["HashAggregate", "!Window", "!CartesianProduct"],
+    "q72_gopher_quality": ["Project", "!HashAggregate", "!CartesianProduct"],
+    "q73_unigram_surprise": ["BroadcastHashJoin", "!CartesianProduct"],
+    "q74_sitemap_ingest": ["HashAggregate", "!Window", "!CartesianProduct"],
 }
 
 NOTES = {
@@ -150,6 +160,27 @@ NOTES = {
         "bucketed by doc_id so the exchange is free.",
     "q66_anchor_text": "explode + one groupBy on target host; "
         "collect_set aggregates are map-side partial.",
+    "q70_phash_near_dups": "banded 4x16-bit pHash keys make the "
+        "near-dup search an equi-self-join on (band, key) — the same "
+        "no-all-pairs shape as simhash; bit_count verifies JVM-side.",
+    "q71_paragraph_dedup": "first-occurrence election is a MIN "
+        "HashAggregate on the paragraph string (map-side partial), and "
+        "the join back shares that key so AQE reuses the exchange — a "
+        "hot boilerplate paragraph is one combiner cell, never a Window "
+        "sort pile-up.",
+    "q72_gopher_quality": "every Gopher rule is a higher-order function "
+        "over one split() in a single codegen'd Project — zero shuffles "
+        "except the q-entry's orderBy for oracle determinism; integer "
+        "cross-multiplied bounds, no float means.",
+    "q73_unigram_surprise": "the rank Window runs over the vocabulary "
+        "aggregate only (thousands of rows), then broadcasts back onto "
+        "the corpus-sized explode — the corpus shuffles once for the "
+        "per-doc sum, the vocab never shuffles it.",
+    "q74_sitemap_ingest": "sitemap parse is regexp projection over the "
+        "scan + one groupBy on host; priority in integer tenths and "
+        "lastmod as an integer day (date string rebuilt above the "
+        "aggregate) keep the groupBy a codegen'd HashAggregate — "
+        "max(string) would demote it to SortAggregate.",
 }
 
 
