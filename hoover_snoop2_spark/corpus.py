@@ -61,7 +61,7 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 13
+CORPUS_VERSION = 14
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
@@ -607,6 +607,63 @@ def render_odp(doc_id: int, lang: str) -> tuple[bytes, str]:
     return data, _golden_from_paragraphs(goldens)
 
 
+def render_epub(doc_id: int, lang: str) -> tuple[bytes, str]:
+    """EPUB (OCF/OPF zip): container.xml → OPF manifest/spine → xhtml
+    chapters; golden is the chapters' paragraph text in spine order
+    (epub_to_text runs every chapter through the html block extractor,
+    and plain <p> paragraphs survive block scoring verbatim)."""
+    rng = _rng(doc_id, 23)
+    n_chapters = rng.randint(1, 3)
+    chapters = []
+    chapter_paras = []
+    for c in range(n_chapters):
+        paras = [_sentence(rng, lang) for _ in range(rng.randint(1, 2))]
+        body = "".join(f"<p>{_xml_escape(p)}</p>" for p in paras)
+        chapters.append(
+            f'<?xml version="1.0" encoding="utf-8"?>'
+            f'<html xmlns="http://www.w3.org/1999/xhtml"><head>'
+            f"<title>Chapter {c}</title></head><body>{body}</body></html>"
+        )
+        chapter_paras.append(paras)
+    manifest = "".join(
+        f'<item id="ch{c}" href="ch{c}.xhtml" '
+        'media-type="application/xhtml+xml"/>'
+        for c in range(n_chapters)
+    )
+    # spine order deliberately reversed for odd ids: extraction must
+    # follow the SPINE, not the zip member order
+    order = list(range(n_chapters))
+    if doc_id % 2 == 1:
+        order = order[::-1]
+    spine = "".join(f'<itemref idref="ch{c}"/>' for c in order)
+    goldens = [p for c in order for p in chapter_paras[c]]
+    opf = (
+        '<?xml version="1.0"?><package xmlns="http://www.idpf.org/2007/opf" '
+        'version="3.0" unique-identifier="uid"><metadata xmlns:dc='
+        '"http://purl.org/dc/elements/1.1/"><dc:title>'
+        f"Book {doc_id}</dc:title><dc:date>"
+        f"{office_dates_of(doc_id)[0]}</dc:date>"
+        '<meta property="dcterms:modified">'
+        f"{office_dates_of(doc_id)[1]}</meta></metadata>"
+        f"<manifest>{manifest}</manifest><spine>{spine}</spine></package>"
+    )
+    container = (
+        '<?xml version="1.0"?><container version="1.0" xmlns='
+        '"urn:oasis:names:tc:opendocument:xmlns:container"><rootfiles>'
+        '<rootfile full-path="OEBPS/content.opf" '
+        'media-type="application/oebps-package+xml"/></rootfiles></container>'
+    )
+    members = [
+        ("mimetype", b"application/epub+zip"),
+        ("META-INF/container.xml", container.encode("utf-8")),
+        ("OEBPS/content.opf", opf.encode("utf-8")),
+    ] + [
+        (f"OEBPS/ch{c}.xhtml", chapters[c].encode("utf-8"))
+        for c in range(n_chapters)
+    ]
+    return _zip_bytes_of(members), _golden_from_paragraphs(goldens)
+
+
 def render_pptx(doc_id: int, lang: str) -> tuple[bytes, str]:
     rng = _rng(doc_id, 11)
     slides = []
@@ -809,16 +866,20 @@ def build_doc(doc_id: int) -> dict:
     elif cat == "docx":
         html, golden = render_docx(doc_id, lang)
     elif cat == "odt":
-        # the full ODF family under one category: text / spreadsheet /
-        # presentation cycle by doc_id (reference covers all three via
-        # Tika's mime list, _tika_mime_types.py)
-        odf_kind = doc_id % 3
+        # the zip-of-XML document family under one category: ODF text /
+        # spreadsheet / presentation + EPUB cycle by doc_id (reference
+        # covers all four via Tika's mime list, _tika_mime_types.py;
+        # epub also in its archive extension set, archives.py:54)
+        odf_kind = doc_id % 4
         if odf_kind == 1:
             html, golden = render_ods(doc_id, lang)
             ext = "ods"
         elif odf_kind == 2:
             html, golden = render_odp(doc_id, lang)
             ext = "odp"
+        elif odf_kind == 3:
+            html, golden = render_epub(doc_id, lang)
+            ext = "epub"
         else:
             html, golden = render_odt(doc_id, lang)
         url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"

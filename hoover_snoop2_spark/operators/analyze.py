@@ -25,6 +25,7 @@ from ..functions.magic import sniff_bytes
 from ..functions.textutils import normalize_text, read_text
 from .exif_extract import EXIF_MIME_TYPES, ExifBroken, extract_exif
 from .office_extract import (
+    EPUB_MIME,
     OOXML_DOCX,
     OOXML_PPTX,
     OOXML_XLSX,
@@ -214,13 +215,21 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
         elif mime_type in UNPACK_MIME_TYPES or mime_type in BROKEN_ARCHIVE_MIME_TYPES:
             children = unpack_bytes(data, mime_type)
 
-        elif mime_type in (OOXML_DOCX, OOXML_PPTX) or mime_type.startswith(
-            "application/vnd.oasis.opendocument"
+        elif (
+            mime_type in (OOXML_DOCX, OOXML_PPTX, EPUB_MIME)
+            or mime_type.startswith("application/vnd.oasis.opendocument")
         ):
             digest["text"] = office_to_text(data, mime_type)
-            created, modified = office_doc_dates(data)
-            digest["date_created"] = created
-            digest["date_modified"] = modified
+            if mime_type == EPUB_MIME:
+                from .office_extract import epub_dates
+
+                created, modified = epub_dates(data)
+                digest["date_created"] = created
+                digest["date_modified"] = modified
+            else:
+                created, modified = office_doc_dates(data)
+                digest["date_created"] = created
+                digest["date_modified"] = modified
 
         elif mime_type == "application/vnd.ms-outlook":
             # .msg extraction in-process (replaces the reference's

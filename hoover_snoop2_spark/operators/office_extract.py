@@ -32,8 +32,11 @@ OOXML_DOCX = "application/vnd.openxmlformats-officedocument.wordprocessingml.doc
 OOXML_XLSX = "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet"
 OOXML_PPTX = "application/vnd.openxmlformats-officedocument.presentationml.presentation"
 ODF_ODT = "application/vnd.oasis.opendocument.text"
+EPUB_MIME = "application/epub+zip"
 
-OFFICE_MIME_TYPES = frozenset({OOXML_DOCX, OOXML_XLSX, OOXML_PPTX, ODF_ODT})
+OFFICE_MIME_TYPES = frozenset(
+    {OOXML_DOCX, OOXML_XLSX, OOXML_PPTX, ODF_ODT, EPUB_MIME}
+)
 
 
 def classify_zip_office(data: bytes) -> str | None:
@@ -53,6 +56,14 @@ def classify_zip_office(data: bytes) -> str | None:
                 mt = zf.read("mimetype").decode("ascii", "replace").strip()
                 if mt.startswith("application/vnd.oasis.opendocument"):
                     return mt
+            if "mimetype" in names:
+                mt = zf.read("mimetype").decode("ascii", "replace").strip()
+                if mt == EPUB_MIME:
+                    return EPUB_MIME
+            if "META-INF/container.xml" in names and any(
+                n.endswith(".opf") for n in names
+            ):
+                return EPUB_MIME
     except Exception:
         return None
     return None
@@ -300,7 +311,100 @@ def office_doc_dates(data: bytes) -> tuple[str | None, str | None]:
     return created, modified
 
 
+def epub_to_text(data: bytes) -> str:
+    """EPUB text extraction (IDPF OCF/OPF, zip-of-XHTML; in the
+    reference's Tika mime list, ``_tika_mime_types.py:51``, and its
+    archive-capable extension set, ``archives.py:54``).
+
+    META-INF/container.xml names the OPF package file; the OPF manifest
+    maps ids to hrefs and the spine fixes reading order.  Each spine
+    chapter runs through the SAME block extractor as web pages
+    (:func:`.html_extract.html_to_text`) so boilerplate scoring and
+    whitespace folding match the HTML path; chapters join with a blank
+    line."""
+    import posixpath
+
+    from .html_extract import html_to_text
+
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+    except Exception:
+        return ""
+    opf_path = None
+    root = _read_xml(zf, "META-INF/container.xml")
+    if root is not None:
+        for el in root.iter():
+            if _local(el.tag) == "rootfile" and el.get("full-path"):
+                opf_path = el.get("full-path")
+                break
+    if not opf_path:
+        opf_path = next(
+            (n for n in zf.namelist() if n.endswith(".opf")), None
+        )
+    if not opf_path:
+        return ""
+    opf = _read_xml(zf, opf_path)
+    if opf is None:
+        return ""
+    base = posixpath.dirname(opf_path)
+    manifest: dict[str, str] = {}
+    spine: list[str] = []
+    for el in opf.iter():
+        t = _local(el.tag)
+        if t == "item" and el.get("id") and el.get("href"):
+            manifest[el.get("id")] = el.get("href")
+        elif t == "itemref" and el.get("idref"):
+            spine.append(el.get("idref"))
+    parts = []
+    for idref in spine:
+        href = manifest.get(idref)
+        if not href:
+            continue
+        name = posixpath.normpath(posixpath.join(base, href)) if base else href
+        try:
+            chapter = zf.read(name)
+        except KeyError:
+            continue
+        text = html_to_text(chapter)
+        if text:
+            parts.append(text)
+    return "\n\n".join(parts)
+
+
+def epub_dates(data: bytes) -> tuple[str | None, str | None]:
+    """(created, modified) from the OPF metadata, zulu-normalized:
+    ``dc:date`` is the publication/creation date (EPUB 2+) and the
+    EPUB 3-required ``<meta property="dcterms:modified">`` is the
+    modification timestamp — the fields Tika reports for epub."""
+    created = modified = None
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(data))
+        opf_path = next(
+            (n for n in zf.namelist() if n.endswith(".opf")), None
+        )
+        if not opf_path:
+            return None, None
+        opf = _read_xml(zf, opf_path)
+        if opf is None:
+            return None, None
+        for el in opf.iter():
+            t = _local(el.tag)
+            if t == "date" and el.text and created is None:
+                created = _parse_iso_zulu(el.text.strip())
+            elif (
+                t == "meta"
+                and el.get("property") == "dcterms:modified"
+                and el.text
+            ):
+                modified = _parse_iso_zulu(el.text.strip())
+    except Exception:
+        return None, None
+    return created, modified
+
+
 def office_to_text(data: bytes, mime_type: str) -> str:
+    if mime_type == EPUB_MIME:
+        return epub_to_text(data)
     if mime_type == OOXML_DOCX:
         return docx_to_text(data)
     if mime_type == "application/vnd.oasis.opendocument.spreadsheet":

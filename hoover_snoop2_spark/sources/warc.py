@@ -443,3 +443,120 @@ def to_pages(warc_df: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WET (extracted-text conversion records) — the Common-Crawl derivative
+# format produced FROM extraction output, and read back like any WARC.
+# ---------------------------------------------------------------------------
+
+def build_wet_record(url: str, warc_ts, text: str) -> bytes:
+    """One WARC/1.0 ``conversion`` record (the WET format: Common Crawl
+    ships extracted text as ``*.warc.wet.gz`` files of conversion
+    records).  The record id is a deterministic UUIDv5 of (url, date) so
+    identical inputs produce byte-identical records — the property every
+    golden/round-trip test in this repo leans on."""
+    import uuid
+
+    body = (text or "").encode("utf-8")
+    if warc_ts is None or pd.isna(warc_ts):  # None row-wise, NaT from Arrow
+        date = "1970-01-01T00:00:00Z"
+    else:
+        date = warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date}\nconversion")
+    headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: conversion\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"Content-Type: text/plain\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"\r\n"
+    ).encode("utf-8")
+    return headers + body + b"\r\n\r\n"
+
+
+def write_wet(df: DataFrame, out_dir: str) -> DataFrame:
+    """Distributed WET sink: each partition writes ONE
+    ``part-NNNNN.warc.wet.gz`` whose records are individually gzipped
+    members (Common Crawl's framing — it is what makes CDX byte-range
+    reads independently decompressible, `read_warc_cdx`).  Returns the
+    manifest DataFrame (path, n_records, n_bytes); materialize it to
+    run the write.  Input needs (url, warc_ts, text).
+
+    Scale notes: one file per partition, no shuffle (repartition
+    upstream to set the file count); ``out_dir`` must be a shared
+    filesystem on a real cluster — the same contract as every
+    path-based Spark sink."""
+    import gzip as _gzip
+    import os
+
+    from pyspark import TaskContext
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        n = 0
+        total = 0
+        chunks = []
+        for pdf in batches:
+            for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
+                rec = build_wet_record(url, ts, text)
+                # one gzip member per record, mtime pinned for determinism
+                buf = io.BytesIO()
+                with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                    gz.write(rec)
+                chunks.append(buf.getvalue())
+                n += 1
+                total += len(rec)
+        if n:
+            os.makedirs(out_dir, exist_ok=True)
+            with open(path, "wb") as f:
+                for c in chunks:
+                    f.write(c)
+            yield pd.DataFrame(
+                {"path": [path], "n_records": [n], "n_bytes": [total]}
+            )
+
+    return df.select("url", "warc_ts", "text").mapInPandas(
+        fn, schema="path string, n_records long, n_bytes long"
+    )
+
+
+def parse_wet_records(raw: bytes, warc_file: str = "") -> Iterator[dict]:
+    """Yield one dict per ``conversion`` record (plain, whole-stream
+    gzip, or per-record gzip member streams — same tolerance as
+    parse_warc_records)."""
+    if raw[:2] == b"\x1f\x8b":
+        raw = b"".join(data for _, _, data in _gunzip_members(raw))
+    for _s, _e, headers, payload in _iter_raw_records(raw, warc_file):
+        if headers.get("warc-type") != "conversion":
+            continue
+        yield {
+            "url": headers.get("warc-target-uri", ""),
+            "warc_ts": _parse_warc_date(headers.get("warc-date", "")),
+            "text": payload.decode("utf-8", "replace"),
+            "warc_file": warc_file,
+        }
+
+
+WET_SCHEMA = "url string, warc_ts timestamp, text string, warc_file string"
+
+
+def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
+    """WET ingest — one task per file via binaryFile, like read_warc."""
+    files = spark.read.format("binaryFile").load(path_glob).select(
+        "path", "content"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for path, content in zip(pdf["path"], pdf["content"]):
+                rows = list(
+                    parse_wet_records(bytes(content), _local_path(path))
+                )
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return files.mapInPandas(fn, schema=WET_SCHEMA)

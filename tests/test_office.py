@@ -156,3 +156,52 @@ def test_odp_slide_text():
     assert mime == "application/vnd.oasis.opendocument.presentation"
     assert odp_to_text(data) == golden
     assert office_to_text(data, mime) == golden
+
+
+def test_epub_spine_order_and_date():
+    """EPUB extraction follows the OPF spine (odd doc_ids reverse it vs
+    zip member order); dc:date surfaces as the creation date."""
+    from hoover_snoop2_spark.corpus import office_dates_of, render_epub
+    from hoover_snoop2_spark.operators.office_extract import (
+        classify_zip_office,
+        epub_dates,
+        epub_to_text,
+    )
+
+    for d in (4, 7, 13, 20):
+        data, golden = render_epub(d, "en")
+        assert classify_zip_office(data) == "application/epub+zip"
+        assert epub_to_text(data) == golden
+        assert epub_dates(data) == office_dates_of(d)
+
+
+def test_epub_broken_variants():
+    from hoover_snoop2_spark.corpus import render_epub
+    from hoover_snoop2_spark.operators.office_extract import epub_to_text
+
+    assert epub_to_text(b"not a zip") == ""
+    # zip without any opf → empty, never a crash
+    import io
+    import zipfile
+
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as zf:
+        zf.writestr("mimetype", "application/epub+zip")
+        zf.writestr("foo.txt", "hi")
+    assert epub_to_text(buf.getvalue()) == ""
+    # spine referencing a missing chapter skips it, keeps the rest
+    data, golden = render_epub(4, "en")
+    buf2 = io.BytesIO(data)
+    src = zipfile.ZipFile(buf2)
+    out = io.BytesIO()
+    with zipfile.ZipFile(out, "w") as zf:
+        for n in src.namelist():
+            body = src.read(n)
+            if n == "OEBPS/content.opf":
+                body = body.replace(
+                    b"<manifest>",
+                    b'<manifest><item id="ghost" href="missing.xhtml" '
+                    b'media-type="application/xhtml+xml"/>',
+                ).replace(b"<spine>", b'<spine><itemref idref="ghost"/>')
+            zf.writestr(n, body)
+    assert epub_to_text(out.getvalue()) == golden

@@ -277,3 +277,42 @@ def test_read_warc_cdx_without_rec_span_columns(spark, tmp_path):
     )
     got = read_warc_cdx(spark, cdx).orderBy("url").collect()
     assert [bytes(r["html"]) for r in got] == [BODY_A, BODY_B]
+
+
+def test_wet_roundtrip_spark(spark, tmp_path):
+    """Extraction digests → WET files (per-record gzip members) → read
+    back: url/timestamp/text byte-identical; manifest counts match."""
+    from hoover_snoop2_spark.sources.warc import read_wet, write_wet
+
+    rows = [
+        ("https://a.example/1", datetime(2026, 1, 2, 3, 4, 5), "hello world"),
+        ("https://b.example/2", datetime(2026, 2, 3, 4, 5, 6), "unicode 通 text"),
+        ("https://c.example/3", None, ""),
+    ]
+    df = spark.createDataFrame(rows, "url string, warc_ts timestamp, text string")
+    out = str(tmp_path / "wet")
+    manifest = write_wet(df.repartition(2), out).collect()
+    assert sum(m.n_records for m in manifest) == 3
+    back = read_wet(spark, out + "/*.warc.wet.gz")
+    got = {r.url: (r.warc_ts, r.text) for r in back.collect()}
+    assert got["https://a.example/1"] == (datetime(2026, 1, 2, 3, 4, 5), "hello world")
+    assert got["https://b.example/2"][1] == "unicode 通 text"
+    assert got["https://c.example/3"][1] == ""
+
+
+def test_wet_record_deterministic_and_parseable():
+    from hoover_snoop2_spark.sources.warc import (
+        build_wet_record,
+        parse_wet_records,
+    )
+
+    a = build_wet_record("https://x.example/p", datetime(2026, 3, 1), "text body")
+    b = build_wet_record("https://x.example/p", datetime(2026, 3, 1), "text body")
+    assert a == b  # UUIDv5 record id — no random state
+    recs = list(parse_wet_records(a))
+    assert len(recs) == 1
+    assert recs[0]["url"] == "https://x.example/p"
+    assert recs[0]["text"] == "text body"
+    # response records are NOT conversion records — filtered out
+    from hoover_snoop2_spark.sources.warc import parse_warc_records
+    assert list(parse_warc_records(a)) == []
