@@ -241,7 +241,22 @@ def _extend(v: int, t: int) -> int:
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
-    """Decode a baseline/extended-sequential JPEG to (h, w, 3) uint8."""
+    """Decode a baseline/extended-sequential JPEG to (h, w, 3) uint8.
+
+    Every failure mode raises :class:`JpegError` — fuzzing found short
+    segments leaking bare ValueError/struct.error out of the parsers,
+    and an untyped exception inside mapInPandas fails the whole Spark
+    task instead of producing one broken row (the round-3 mvhd lesson),
+    so the typed safety net here is load-bearing."""
+    try:
+        return _decode_impl(data)
+    except JpegError:
+        raise
+    except (ValueError, IndexError, KeyError, struct.error) as e:
+        raise JpegError("jpeg_malformed") from e
+
+
+def _decode_impl(data: bytes) -> np.ndarray:
     if data[:2] != b"\xff\xd8":
         raise JpegError("not_jpeg")
     qt: dict[int, np.ndarray] = {}
@@ -275,6 +290,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                     table = np.frombuffer(seg[i : i + 64], dtype=np.uint8)
                     i += 64
                 else:
+                    if len(seg) - i < 128:
+                        raise JpegError("jpeg_truncated")
                     table = np.frombuffer(seg[i : i + 128], dtype=">u2")
                     i += 128
                 if len(table) < 64:
@@ -297,6 +314,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
                 raise JpegError("jpeg_precision_unsupported")
             if fh == 0 or fw == 0:
                 raise JpegError("jpeg_zero_dims")
+            if len(seg) < 6 + 3 * nc:
+                raise JpegError("jpeg_truncated")
             comps = []
             for c in range(nc):
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]

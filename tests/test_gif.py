@@ -139,3 +139,29 @@ def test_gif_thumbnails_and_stats(spark):
     sums = rgb.astype(np.int64).sum(axis=(0, 1))
     assert (stats.sum_r, stats.sum_g, stats.sum_b) == tuple(int(s) for s in sums)
     assert stats.status == "ok"
+
+
+def test_fuzz_mutations_only_raise_gif_error():
+    """Same kernel-safety invariant as the JPEG fuzz: mutations of a
+    valid stream decode or raise GifError — never an untyped exception
+    that would fail a whole Spark task."""
+    import random
+
+    rng = random.Random(77)
+    enc = gif_encode(_pattern(24, 16, 17))
+    for _ in range(800):
+        data = bytearray(enc)
+        for _ in range(rng.randint(1, 8)):
+            op = rng.random()
+            if op < 0.5:
+                data[rng.randrange(len(data))] = rng.randrange(256)
+            elif op < 0.8 and len(data) > 4:
+                del data[rng.randrange(len(data))]
+            else:
+                data.insert(rng.randrange(len(data) + 1), rng.randrange(256))
+        if rng.random() < 0.3:
+            data = data[: rng.randrange(len(data) + 1)]
+        try:
+            gif_decode(bytes(data))
+        except GifError:
+            pass

@@ -166,3 +166,35 @@ def test_decode_raster_and_thumbnails(spark):
     # lossy: sums within ±2 per pixel per channel
     for got, exact in zip((stats.sum_r, stats.sum_g, stats.sum_b), sums):
         assert abs(got - int(exact)) <= 2 * 120 * 500
+
+
+def test_fuzz_mutations_only_raise_jpeg_error():
+    """A 100-TB decode stage must never leak an untyped exception out of
+    the kernel (it fails the whole Spark task instead of yielding one
+    broken row) — random byte mutations/truncations of a valid stream
+    must decode or raise JpegError, nothing else."""
+    import random
+
+    rng = random.Random(1234)
+    x = np.arange(24)
+    y = np.arange(16)
+    base = np.stack(
+        [((np.add.outer(y * 3, x)) % 250).astype(np.uint8)] * 3, axis=2
+    )
+    enc = jpeg_encode(base)
+    for _ in range(1500):
+        data = bytearray(enc)
+        for _ in range(rng.randint(1, 8)):
+            op = rng.random()
+            if op < 0.5:
+                data[rng.randrange(len(data))] = rng.randrange(256)
+            elif op < 0.8 and len(data) > 4:
+                del data[rng.randrange(len(data))]
+            else:
+                data.insert(rng.randrange(len(data) + 1), rng.randrange(256))
+        if rng.random() < 0.3:
+            data = data[: rng.randrange(len(data) + 1)]
+        try:
+            jpeg_decode(bytes(data))
+        except JpegError:
+            pass
