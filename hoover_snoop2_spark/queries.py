@@ -3023,6 +3023,175 @@ FROM entries GROUP BY host ORDER BY host
 """
 
 
+def q75_script_profile(spark, sf_dir):
+    """Unicode-script profiling — the writing-system signal language-ID
+    and tokenizer-choice gates need before any model sees the text
+    (fastText-style pipelines bucket by script first).  Scripts are
+    synthesized deterministically: each doc's text is augmented with a
+    block of Cyrillic / CJK / Arabic codepoints whose size is an
+    integer function of doc_id, then per-script character counts are
+    taken with JVM ``regexp_count`` over codepoint classes — one
+    projection, no shuffle before the final sort.  Counts are integers;
+    the dominant script is an argmax over them with a fixed tie order
+    (latin > cyrillic > cjk > arabic ties broken toward latin — both
+    engines use the same CASE chain)."""
+    d = _t(spark, sf_dir, "documents")
+    # deterministic non-Latin payload: doc_id % 4 picks the script,
+    # doc_id % 7 + 1 its length (codepoints repeat a single letter)
+    n_extra = (F.col("doc_id") % 7 + 1).cast("int")
+    script_id = F.col("doc_id") % 4
+    extra = F.when(script_id == 1, F.repeat(F.lit("ж"), n_extra)) \
+        .when(script_id == 2, F.repeat(F.lit("中"), n_extra)) \
+        .when(script_id == 3, F.repeat(F.lit("م"), n_extra)) \
+        .otherwise(F.lit(""))
+    text = F.concat(F.col("text"), F.lit(" "), extra)
+    n_latin = F.regexp_count(text, F.lit("[A-Za-z]")).cast("long")
+    n_cyr = F.regexp_count(text, F.lit("[Ѐ-ӿ]")).cast("long")
+    n_cjk = F.regexp_count(text, F.lit("[一-鿿]")).cast("long")
+    n_arab = F.regexp_count(text, F.lit("[؀-ۿ]")).cast("long")
+    base = d.select(
+        "doc_id",
+        n_latin.alias("n_latin"),
+        n_cyr.alias("n_cyrillic"),
+        n_cjk.alias("n_cjk"),
+        n_arab.alias("n_arabic"),
+    )
+    dominant = (
+        F.when(
+            (F.col("n_latin") >= F.col("n_cyrillic"))
+            & (F.col("n_latin") >= F.col("n_cjk"))
+            & (F.col("n_latin") >= F.col("n_arabic")),
+            F.lit("latin"),
+        )
+        .when(
+            (F.col("n_cyrillic") >= F.col("n_cjk"))
+            & (F.col("n_cyrillic") >= F.col("n_arabic")),
+            F.lit("cyrillic"),
+        )
+        .when(F.col("n_cjk") >= F.col("n_arabic"), F.lit("cjk"))
+        .otherwise(F.lit("arabic"))
+    )
+    return base.select("*", dominant.alias("dominant_script")).orderBy(
+        "doc_id"
+    )
+
+
+Q75_SQL = """
+WITH aug AS (
+  SELECT doc_id,
+         text || ' ' ||
+         CASE doc_id % 4
+           WHEN 1 THEN repeat('ж', CAST(doc_id % 7 + 1 AS INT))
+           WHEN 2 THEN repeat('中', CAST(doc_id % 7 + 1 AS INT))
+           WHEN 3 THEN repeat('م', CAST(doc_id % 7 + 1 AS INT))
+           ELSE '' END AS t
+  FROM documents
+), counts AS (
+  SELECT doc_id,
+         CAST(len(regexp_extract_all(t, '[A-Za-z]')) AS BIGINT) AS n_latin,
+         CAST(len(regexp_extract_all(t, '[Ѐ-ӿ]')) AS BIGINT)
+           AS n_cyrillic,
+         CAST(len(regexp_extract_all(t, '[一-鿿]')) AS BIGINT)
+           AS n_cjk,
+         CAST(len(regexp_extract_all(t, '[؀-ۿ]')) AS BIGINT)
+           AS n_arabic
+  FROM aug
+)
+SELECT *,
+       CASE
+         WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk
+              AND n_latin >= n_arabic THEN 'latin'
+         WHEN n_cyrillic >= n_cjk AND n_cyrillic >= n_arabic
+              THEN 'cyrillic'
+         WHEN n_cjk >= n_arabic THEN 'cjk'
+         ELSE 'arabic'
+       END AS dominant_script
+FROM counts ORDER BY doc_id
+"""
+
+
+def q76_redirect_resolution(spark, sf_dir):
+    """Redirect-chain resolution — collapse 301/302 hop chains to their
+    final landing url, the canonicalization step crawl dedup needs
+    before url-level grouping (Common Crawl's url index stores the
+    redirect target).  A deterministic hop graph over doc ids
+    (``u → u - (u % 5)`` for ``u % 5 != 0``, multiples of 5 terminal,
+    plus a second hop for odd multiples of 5) resolves by iterated
+    edge-following joins — each round one equi-join shuffle following
+    one hop, 3 rounds covering these ≤ 2-hop chains; for long chains
+    swap in pointer doubling (cur→cur2 self-join) for O(log h) rounds,
+    the same trick graph.py's connected components uses.  DuckDB
+    mirrors it with a recursive CTE.  Output: url_id, final_id,
+    n_hops."""
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("url_id")
+    )
+    # edge u -> next(u); terminal nodes have no outgoing edge
+    nxt = (
+        F.when(
+            F.col("url_id") % 5 != 0,
+            F.col("url_id") - (F.col("url_id") % 5),
+        )
+    )
+    edges = d.select("url_id", nxt.alias("dst")).where(F.col("dst").isNotNull())
+    # odd multiples of 5 hop once more to the even multiple below
+    extra = d.where(
+        (F.col("url_id") % 5 == 0) & (F.col("url_id") % 2 == 1)
+    ).select(
+        "url_id", (F.col("url_id") - 5).cast("long").alias("dst")
+    ).where(F.col("dst") >= 0)
+    edges = edges.unionByName(extra)
+
+    # pointer state: (url_id, cur, hops); iterate join-with-edges
+    state = d.select(
+        "url_id", F.col("url_id").alias("cur"), F.lit(0).cast("long").alias("hops")
+    )
+    for _ in range(3):  # chains here are <= 2 hops; 3 rounds = safety
+        e = edges.select(
+            F.col("url_id").alias("cur"), F.col("dst").alias("nxt")
+        )
+        state = (
+            state.join(e, "cur", "left")
+            .select(
+                "url_id",
+                F.coalesce("nxt", "cur").alias("cur"),
+                (
+                    F.col("hops")
+                    + F.when(F.col("nxt").isNotNull(), 1).otherwise(0)
+                ).alias("hops"),
+            )
+        )
+    return (
+        state.select(
+            "url_id",
+            F.col("cur").alias("final_id"),
+            F.col("hops").alias("n_hops"),
+        ).orderBy("url_id")
+    )
+
+
+Q76_SQL = """
+WITH RECURSIVE ids AS (
+  SELECT CAST(doc_id AS BIGINT) AS url_id FROM documents
+), edges AS (
+  SELECT url_id, url_id - (url_id % 5) AS dst
+  FROM ids WHERE url_id % 5 <> 0
+  UNION ALL
+  SELECT url_id, url_id - 5 AS dst
+  FROM ids WHERE url_id % 5 = 0 AND url_id % 2 = 1 AND url_id - 5 >= 0
+), walk AS (
+  SELECT i.url_id, i.url_id AS cur, CAST(0 AS BIGINT) AS hops FROM ids i
+  UNION ALL
+  SELECT w.url_id, e.dst AS cur, w.hops + 1
+  FROM walk w JOIN edges e ON e.url_id = w.cur
+)
+SELECT url_id,
+       CAST(arg_max(cur, hops) AS BIGINT) AS final_id,
+       CAST(MAX(hops) AS BIGINT) AS n_hops
+FROM walk GROUP BY url_id ORDER BY url_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -3090,6 +3259,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q72_gopher_quality": q72_gopher_quality,
     "q73_unigram_surprise": q73_unigram_surprise,
     "q74_sitemap_ingest": q74_sitemap_ingest,
+    "q75_script_profile": q75_script_profile,
+    "q76_redirect_resolution": q76_redirect_resolution,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -3157,6 +3328,8 @@ ORACLES: dict[str, str] = {
     "q72_gopher_quality": Q72_SQL,
     "q73_unigram_surprise": Q73_SQL,
     "q74_sitemap_ingest": Q74_SQL,
+    "q75_script_profile": Q75_SQL,
+    "q76_redirect_resolution": Q76_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -47,6 +47,8 @@ AUDITED = [
     "q72_gopher_quality",
     "q73_unigram_surprise",
     "q74_sitemap_ingest",
+    "q75_script_profile",
+    "q76_redirect_resolution",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -85,6 +87,10 @@ CHECKS = {
     "q72_gopher_quality": ["Project", "!HashAggregate", "!CartesianProduct"],
     "q73_unigram_surprise": ["BroadcastHashJoin", "!CartesianProduct"],
     "q74_sitemap_ingest": ["HashAggregate", "!Window", "!CartesianProduct"],
+    "q75_script_profile": ["Project", "!HashAggregate", "!CartesianProduct",
+                           "!BroadcastHashJoin"],
+    "q76_redirect_resolution": ["!CartesianProduct",
+                                "!BroadcastNestedLoopJoin", "!Window"],
 }
 
 NOTES = {
@@ -181,6 +187,14 @@ NOTES = {
         "lastmod as an integer day (date string rebuilt above the "
         "aggregate) keep the groupBy a codegen'd HashAggregate — "
         "max(string) would demote it to SortAggregate.",
+    "q75_script_profile": "four regexp_count columns + an argmax CASE "
+        "chain in one codegen'd Project over the scan — the orderBy "
+        "Exchange below exists only for oracle determinism.",
+    "q76_redirect_resolution": "three rounds of left equi-join against "
+        "the hop-edge set (one shuffle each, AQE broadcasts the edge "
+        "side from stats) — chain resolution without any per-row loop; "
+        "long chains would switch to pointer doubling like the CC "
+        "rounds in graph.py.",
 }
 
 
