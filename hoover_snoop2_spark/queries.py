@@ -3192,6 +3192,77 @@ FROM walk GROUP BY url_id ORDER BY url_id
 """
 
 
+def q77_decontamination(spark, sf_dir):
+    """Benchmark decontamination — the n-gram-overlap gate every
+    pre-training pipeline runs against its eval sets (GPT-3 appendix C
+    13-gram dedup; Gopher/Llama use similar windows): docs with
+    ``doc_id % 50 == 0`` stand in for the benchmark; their 4-word
+    shingles form the contamination index (real pipelines use 8-13-gram
+    windows — the synthetic vocabulary makes long exact matches too
+    rare to exercise the join, so the window is scaled to the corpus),
+    and every OTHER doc is
+    flagged with its overlap count.  Shape: both sides explode once to
+    word shingles (JVM transform/sequence HOFs), the eval index
+    dedups to a small distinct set the planner broadcasts from stats,
+    the corpus side aggregates matches per doc — one shuffle for the
+    final groupBy, the training-corpus side never sorts.  Keyed by the
+    shingle STRING (collision-free); swap in xxhash64 at petabyte
+    scale like q71."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    k = 4
+    shingles = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.size(words) - k, F.lit(0)),
+        ),
+        lambda i: F.array_join(F.slice(words, i + 1, k), " "),
+    )
+    # docs shorter than k words produce one short shingle (the whole
+    # text) — same on both engines
+    sh = d.select(
+        "doc_id", F.explode(shingles).alias("shingle")
+    )
+    eval_sh = (
+        sh.where(F.col("doc_id") % 50 == 0)
+        .select("shingle")
+        .distinct()
+    )
+    train = sh.where(F.col("doc_id") % 50 != 0)
+    return (
+        train.join(eval_sh, "shingle", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_overlap"))
+        .select(
+            "doc_id",
+            "n_overlap",
+            (F.col("n_overlap") >= 1).alias("contaminated"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q77_SQL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT doc_id,
+         array_to_string(w[i.i + 1 : i.i + 4], ' ') AS shingle
+  FROM words
+  JOIN generate_series(0, 199) AS i(i)
+    ON i.i <= greatest(len(w) - 4, 0)
+), eval_sh AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 50 = 0
+)
+SELECT s.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_overlap,
+       (COUNT(*) >= 1) AS contaminated
+FROM sh s
+WHERE s.doc_id % 50 <> 0 AND s.shingle IN (SELECT shingle FROM eval_sh)
+GROUP BY s.doc_id ORDER BY s.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -3261,6 +3332,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q74_sitemap_ingest": q74_sitemap_ingest,
     "q75_script_profile": q75_script_profile,
     "q76_redirect_resolution": q76_redirect_resolution,
+    "q77_decontamination": q77_decontamination,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -3330,6 +3402,7 @@ ORACLES: dict[str, str] = {
     "q74_sitemap_ingest": Q74_SQL,
     "q75_script_profile": Q75_SQL,
     "q76_redirect_resolution": Q76_SQL,
+    "q77_decontamination": Q77_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

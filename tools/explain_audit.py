@@ -49,6 +49,7 @@ AUDITED = [
     "q74_sitemap_ingest",
     "q75_script_profile",
     "q76_redirect_resolution",
+    "q77_decontamination",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -91,6 +92,8 @@ CHECKS = {
                            "!BroadcastHashJoin"],
     "q76_redirect_resolution": ["!CartesianProduct",
                                 "!BroadcastNestedLoopJoin", "!Window"],
+    "q77_decontamination": ["LeftSemi", "HashAggregate",
+                            "!CartesianProduct", "!Window"],
 }
 
 NOTES = {
@@ -195,6 +198,10 @@ NOTES = {
         "side from stats) — chain resolution without any per-row loop; "
         "long chains would switch to pointer doubling like the CC "
         "rounds in graph.py.",
+    "q77_decontamination": "the eval-shingle index dedups to a small "
+        "DISTINCT set the planner broadcasts into the LeftSemi from "
+        "stats; the training-corpus explode shuffles once for the "
+        "per-doc overlap count and never sorts.",
 }
 
 
