@@ -35,6 +35,10 @@ def main(argv: list[str] | None = None) -> int:
                         "outgrow a broadcast)")
     p.add_argument("--es-shape", action="store_true",
                    help="emit reference-ES-mapping field names")
+    p.add_argument("--wet-dir", default=None,
+                   help="also emit the extracted text as Common-Crawl-"
+                        "style WET files (one part-NNNNN.warc.wet.gz "
+                        "per partition, per-record gzip members)")
     p.add_argument("--snapshot-dir", default=None,
                    help="version digests in a SnapshotStore table: with "
                         "--resume, reads the current snapshot as the "
@@ -91,12 +95,29 @@ def main(argv: list[str] | None = None) -> int:
     write_digests(out, args.output)
     metrics.write.mode("overwrite").parquet(args.output + "/metrics")
 
+    wet_files = None
+    if args.wet_dir:
+        from .sources.warc import write_wet
+
+        # digests are url-keyed; the crawl timestamp lives on the pages
+        # side (container children carry no capture time → epoch date)
+        with_ts = digests.select("url", "text").join(
+            pages.select("url", "warc_ts"), "url", "left"
+        )
+        manifest = write_wet(with_ts, args.wet_dir).collect()
+        wet_files = {
+            "files": len(manifest),
+            "records": sum(m.n_records for m in manifest),
+        }
+
     stats = {r["status"]: r["rows"] for r in
              metrics.groupBy("status").agg({"rows": "sum"})
              .withColumnRenamed("sum(rows)", "rows").collect()}
     summary = {"digests": digests.count(), "status_rows": stats}
     if snapshot_version is not None:
         summary["snapshot_version"] = snapshot_version
+    if wet_files is not None:
+        summary["wet"] = wet_files
     print(json.dumps(summary))
     spark.stop()
     return 0

@@ -92,3 +92,32 @@ def test_cli_snapshot_versioned_resume(spark, tmp_path, capsys, monkeypatch):
     assert store.incremental(spark, "digests", since=1).count() == (
         second["digests"] - first["digests"]
     )
+
+
+def test_cli_wet_output(spark, tmp_path, capsys, monkeypatch):
+    """--wet-dir emits WET conversion records whose text matches the
+    digest table row-for-row (url-keyed, children included)."""
+    from hoover_snoop2_spark.__main__ import main
+    from hoover_snoop2_spark.corpus import generate_pages
+    from hoover_snoop2_spark.sources.warc import read_wet
+
+    monkeypatch.setattr(pyspark.sql.SparkSession, "stop", lambda self: None)
+    pages_path, _ = generate_pages(40, str(tmp_path / "gen"))
+    out = str(tmp_path / "out")
+    wet = str(tmp_path / "wet")
+    assert main(["--input", pages_path, "--output", out,
+                 "--checkpoint", str(tmp_path / "ckpt"),
+                 "--wet-dir", wet]) == 0
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["wet"]["records"] == summary["digests"]
+
+    back = spark.read.parquet(os.path.join(out, "digests")).alias("d").join(
+        read_wet(spark, wet + "/*.warc.wet.gz").alias("w"), "url"
+    )
+    import pyspark.sql.functions as F
+    assert back.count() == summary["digests"]
+    mismatch = back.filter(
+        F.coalesce(F.col("d.text"), F.lit(""))
+        != F.coalesce(F.col("w.text"), F.lit(""))
+    )
+    assert mismatch.count() == 0
