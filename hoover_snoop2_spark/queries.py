@@ -3263,6 +3263,121 @@ GROUP BY s.doc_id ORDER BY s.doc_id
 """
 
 
+def q78_robots_longest_match(spark, sf_dir):
+    """robots.txt longest-match evaluation (RFC 9309 §2.2.2: the most
+    specific — longest — matching Allow/Disallow rule wins, Allow wins
+    ties) — the other half of the crawl-politeness gate next to q49's
+    meta-robots and q61's crawl-delay.  Per host, a deterministic rule
+    set is synthesized (prefixes of varying length over /a /a/b /a/b/c
+    /static); each page url is judged by every rule of its host via
+    one equi-join on host + a startswith filter, then a single
+    max-of-struct aggregate picks (longest, allow-on-tie) — no Window,
+    map-side combinable, exactly the q43 keep-longest shape.  Pages
+    with no matching rule are allowed (RFC default)."""
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        (F.col("doc_id") % 7).alias("host"),
+        F.concat(
+            F.lit("/a"),
+            F.when(F.col("doc_id") % 3 != 0, F.lit("/b")).otherwise(F.lit("")),
+            F.when(F.col("doc_id") % 9 == 1, F.lit("/c")).otherwise(F.lit("")),
+            F.lit("/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("path"),
+        F.col("doc_id"),
+    )
+    # per-host rules: (prefix, allow); longer prefixes flip decisions
+    hosts = spark.range(7).select(F.col("id").alias("host"))
+    rules = hosts.select(
+        "host",
+        F.explode(
+            F.array(
+                F.struct(F.lit("/a").alias("prefix"),
+                         F.lit(False).alias("allow")),
+                F.struct(F.lit("/a/b").alias("prefix"),
+                         F.lit(True).alias("allow")),
+                F.struct(F.lit("/a/b/c").alias("prefix"),
+                         F.lit(False).alias("allow")),
+                F.struct(F.lit("/static").alias("prefix"),
+                         F.lit(True).alias("allow")),
+            )
+        ).alias("r"),
+    ).select(
+        "host",
+        F.col("r.prefix").alias("prefix"),
+        F.col("r.allow").alias("allow"),
+    ).where(
+        # vary rule sets per host: even hosts drop the deep override
+        ~((F.col("host") % 2 == 0) & (F.col("prefix") == "/a/b/c"))
+    )
+    matched = (
+        pages.join(rules, "host")
+        .where(F.col("path").startswith(F.col("prefix")))
+        .groupBy("doc_id", "host", "path")
+        .agg(
+            F.max(
+                F.struct(
+                    F.length("prefix").alias("plen"),
+                    F.col("allow").alias("allow"),
+                    F.col("prefix").alias("prefix"),
+                )
+            ).alias("win")
+        )
+        .select(
+            "doc_id", "host", "path",
+            F.col("win.prefix").alias("rule_prefix"),
+            F.col("win.allow").alias("allowed"),
+        )
+    )
+    # RFC default: no matching rule → allowed
+    unmatched = pages.join(
+        matched.select("doc_id"), "doc_id", "left_anti"
+    ).select(
+        "doc_id", "host", "path",
+        F.lit(None).cast("string").alias("rule_prefix"),
+        F.lit(True).alias("allowed"),
+    )
+    return matched.unionByName(unmatched).orderBy("doc_id")
+
+
+Q78_SQL = """
+WITH pages AS (
+  SELECT doc_id, doc_id % 7 AS host,
+         '/a'
+         || CASE WHEN doc_id % 3 <> 0 THEN '/b' ELSE '' END
+         || CASE WHEN doc_id % 9 = 1 THEN '/c' ELSE '' END
+         || '/p' || CAST(doc_id AS VARCHAR) AS path
+  FROM documents
+), hosts AS (
+  SELECT i.i AS host FROM generate_series(0, 6) AS i(i)
+), rules AS (
+  SELECT host, prefix, allow FROM hosts,
+    (VALUES ('/a', FALSE), ('/a/b', TRUE), ('/a/b/c', FALSE),
+            ('/static', TRUE)) AS r(prefix, allow)
+  WHERE NOT (host % 2 = 0 AND prefix = '/a/b/c')
+), ranked AS (
+  SELECT p.doc_id, p.host, p.path, r.prefix, r.allow,
+         ROW_NUMBER() OVER (
+           PARTITION BY p.doc_id
+           ORDER BY length(r.prefix) DESC, r.allow DESC, r.prefix DESC
+         ) AS rn
+  FROM pages p JOIN rules r
+    ON p.host = r.host AND starts_with(p.path, r.prefix)
+), matched AS (
+  SELECT doc_id, host, path, prefix AS rule_prefix, allow AS allowed
+  FROM ranked WHERE rn = 1
+)
+SELECT doc_id, CAST(host AS BIGINT) AS host, path, rule_prefix, allowed
+FROM matched
+UNION ALL
+SELECT p.doc_id, CAST(p.host AS BIGINT), p.path,
+       NULL AS rule_prefix, TRUE AS allowed
+FROM pages p
+WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.doc_id = p.doc_id)
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -3333,6 +3448,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q75_script_profile": q75_script_profile,
     "q76_redirect_resolution": q76_redirect_resolution,
     "q77_decontamination": q77_decontamination,
+    "q78_robots_longest_match": q78_robots_longest_match,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -3403,6 +3519,7 @@ ORACLES: dict[str, str] = {
     "q75_script_profile": Q75_SQL,
     "q76_redirect_resolution": Q76_SQL,
     "q77_decontamination": Q77_SQL,
+    "q78_robots_longest_match": Q78_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

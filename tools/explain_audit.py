@@ -50,6 +50,7 @@ AUDITED = [
     "q75_script_profile",
     "q76_redirect_resolution",
     "q77_decontamination",
+    "q78_robots_longest_match",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -94,6 +95,8 @@ CHECKS = {
                                 "!BroadcastNestedLoopJoin", "!Window"],
     "q77_decontamination": ["LeftSemi", "HashAggregate",
                             "!CartesianProduct", "!Window"],
+    "q78_robots_longest_match": ["HashAggregate", "!Window",
+                                 "!CartesianProduct"],
 }
 
 NOTES = {
@@ -202,6 +205,11 @@ NOTES = {
         "DISTINCT set the planner broadcasts into the LeftSemi from "
         "stats; the training-corpus explode shuffles once for the "
         "per-doc overlap count and never sorts.",
+    "q78_robots_longest_match": "RFC 9309 longest-match: rules join on "
+        "host (tiny side, planner broadcasts from stats), the winner is "
+        "one max-of-struct (length, allow, prefix) HashAggregate — the "
+        "q43 keep-longest shape, no per-page Window sort; unmatched "
+        "pages re-enter via a LeftAnti with the RFC allow default.",
 }
 
 
