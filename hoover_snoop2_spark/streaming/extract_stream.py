@@ -38,10 +38,12 @@ def read_digests(spark: SparkSession, out_dir: str) -> DataFrame | None:
 class StreamingExtractor:
     """foreachBatch handler appending per-epoch digest deltas."""
 
-    def __init__(self, spark: SparkSession, out_dir: str, max_depth: int = 5):
+    def __init__(self, spark: SparkSession, out_dir: str, max_depth: int = 5,
+                 wet_dir: str | None = None):
         self.spark = spark
         self.out_dir = out_dir
         self.max_depth = max_depth
+        self.wet_dir = wet_dir
 
     def digests(self) -> DataFrame | None:
         return read_digests(self.spark, self.out_dir)
@@ -59,9 +61,22 @@ class StreamingExtractor:
         )
         # append-only: this epoch's delta lands in its own partition dir;
         # overwrite of the SAME epoch (streaming retry) is idempotent
+        delta = delta.persist()
         delta.write.mode("overwrite").parquet(
             os.path.join(self.out_dir, f"epoch={int(epoch_id)}")
         )
+        if self.wet_dir is not None:
+            from ..sources.warc import write_wet
+
+            with_ts = delta.select("url", "text").join(
+                batch_df.select("url", "warc_ts"), "url", "left"
+            )
+            # same per-epoch layout; deterministic records make the
+            # streaming-retry overwrite idempotent here too
+            write_wet(
+                with_ts, os.path.join(self.wet_dir, f"epoch={int(epoch_id)}")
+            ).count()
+        delta.unpersist()
 
 
 def start_extract_stream(
@@ -71,13 +86,15 @@ def start_extract_stream(
     schema,
     available_now: bool = True,
     max_files_per_trigger: int = 8,
+    wet_dir: str | None = None,
 ):
     """readStream(pages dir) → foreachBatch(incremental pipeline).
 
     ``available_now=True`` drains existing files and stops — the test /
     backfill mode; production would trigger on processingTime.
+    ``wet_dir`` additionally lands each epoch's delta as WET files.
     """
-    extractor = StreamingExtractor(spark, out_dir)
+    extractor = StreamingExtractor(spark, out_dir, wet_dir=wet_dir)
     stream = (
         spark.readStream.format("parquet")
         .schema(schema)

@@ -113,3 +113,41 @@ def test_metadata_kv_flatten(spark, digests):
     assert any(s.startswith("Content-Type: ") for s in office["tika"])
     table = es.filter(F.col("content-type") == "text/csv").first()
     assert any(s.startswith("table:row-count: ") for s in table["tika"])
+
+
+def test_streaming_wet_sink(spark, tmp_path):
+    """foreachBatch extraction with wet_dir lands every epoch's delta as
+    WET conversion records; the union across epochs matches the digest
+    table url-for-url with identical text."""
+    from hoover_snoop2_spark.corpus import generate_pages
+    from hoover_snoop2_spark.sources.warc import read_wet
+    from hoover_snoop2_spark.streaming.extract_stream import (
+        start_extract_stream,
+    )
+
+    src = str(tmp_path / "pages_stream")
+    os.makedirs(src)
+    pages_path, _ = generate_pages(40, str(tmp_path / "gen"))
+    pages = spark.read.parquet(pages_path)
+    pages.filter(F.crc32(F.col("url")) % 2 == 0).write.mode("append").parquet(src)
+    pages.filter(F.crc32(F.col("url")) % 2 == 1).write.mode("append").parquet(src)
+
+    out = str(tmp_path / "digests_out")
+    wet = str(tmp_path / "wet_out")
+    q = start_extract_stream(
+        spark, src, out, spark.read.parquet(src).schema, wet_dir=wet
+    )
+    q.awaitTermination()
+
+    digests = spark.read.parquet(out)
+    back = read_wet(spark, wet + "/epoch=*/*.warc.wet.gz")
+    assert back.count() == digests.count()
+    j = digests.alias("d").join(back.alias("w"), "url")
+    assert j.count() == digests.count()
+    assert (
+        j.filter(
+            F.coalesce(F.col("d.text"), F.lit(""))
+            != F.coalesce(F.col("w.text"), F.lit(""))
+        ).count()
+        == 0
+    )
