@@ -130,6 +130,10 @@ def gif_decode(data: bytes) -> np.ndarray:
     sw, sh, flags, bg_index, _ = struct.unpack("<HHBBB", data[6:13])
     if sw == 0 or sh == 0:
         raise GifError("gif_zero_dims")
+    if sw * sh > 64_000_000:
+        # same decompression-bomb guard as png_decode: a ~20-byte header
+        # can otherwise demand a multi-GB canvas before any pixel data
+        raise GifError("gif_too_large")
     pos = 13
     gct = None
     if flags & 0x80:
@@ -175,6 +179,8 @@ def gif_decode(data: bytes) -> np.ndarray:
             raise GifError("gif_no_color_table")
         if iw == 0 or ih == 0:
             raise GifError("gif_zero_dims")
+        if iw * ih > 64_000_000:
+            raise GifError("gif_too_large")
         if pos >= len(data):
             raise GifError("gif_truncated")
         min_code_size = data[pos]

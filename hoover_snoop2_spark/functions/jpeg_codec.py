@@ -254,6 +254,8 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         raise
     except (ValueError, IndexError, KeyError, struct.error) as e:
         raise JpegError("jpeg_malformed") from e
+    except MemoryError as e:
+        raise JpegError("jpeg_too_large") from e
 
 
 def _decode_impl(data: bytes) -> np.ndarray:
@@ -271,7 +273,8 @@ def _decode_impl(data: bytes) -> np.ndarray:
             pos += 1
             continue
         marker = data[pos + 1]
-        if marker in (0xFF, 0x00) or 0xD0 <= marker <= 0xD7:
+        # 0x01 is TEM — standalone like RSTn, no length field (T.81 B.1.1.3)
+        if marker in (0xFF, 0x00, 0x01) or 0xD0 <= marker <= 0xD7:
             pos += 1 if marker == 0xFF else 2
             continue
         if marker == 0xD9:  # EOI
@@ -314,6 +317,10 @@ def _decode_impl(data: bytes) -> np.ndarray:
                 raise JpegError("jpeg_precision_unsupported")
             if fh == 0 or fw == 0:
                 raise JpegError("jpeg_zero_dims")
+            if fh * fw > 64_000_000:
+                # the planes allocate from these header dims BEFORE any
+                # entropy data is validated — same bomb guard as png/gif
+                raise JpegError("jpeg_too_large")
             if len(seg) < 6 + 3 * nc:
                 raise JpegError("jpeg_truncated")
             comps = []

@@ -29,6 +29,14 @@ The resize is an exact integer-box area average over an integral image —
 deterministic across platforms (no float SIMD reassociation: the integral
 sums are exact in float64 for uint8 inputs, and rounding is
 ``floor(x + 0.5)``).
+
+Known perf cliff: the Average/Paeth row unfilters run a per-byte Python
+loop (the left-neighbor recurrence has no numpy closed form — ``floor``
+and mod break prefix-scan tricks); None/Sub/Up rows are vectorized.
+Photographic PNGs where encoders favor Paeth rows decode at Python
+speed — a C kernel is the structural fix, deliberately out of scope
+for a pure-stdlib package shipped via ``--py-files``.  The 64M-pixel
+guard bounds the worst case per blob.
 """
 
 from __future__ import annotations
@@ -239,8 +247,19 @@ def png_decode(data: bytes) -> np.ndarray:
         raise PngError("png_bad_dims")
     if width * height > 64_000_000:
         raise PngError("png_too_large")  # decompression-bomb guard
+    # bound the inflate by the raster geometry: a 1x1 header with a
+    # multi-GB expansion stream must stop at the cap, not when memory
+    # runs out (unbounded zlib.decompress defeats the pixel-count guard)
+    channels_ = _CHANNELS[color_type]
+    row_bytes = (width * bit_depth * channels_ + 7) // 8 + 1
+    # Adam7 re-frames rows per pass (≤ 7 extra filter bytes per row
+    # block + ≤ 2 rows padding per pass) — 2x + slack over-covers it
+    max_raw = 2 * row_bytes * (height + 16) + 1024
     try:
-        raw = zlib.decompress(b"".join(idat))
+        d = zlib.decompressobj()
+        raw = d.decompress(b"".join(idat), max_raw)
+        if d.unconsumed_tail:
+            raise PngError("png_too_large")
     except zlib.error:
         raise PngError("png_zlib_error")
     channels = _CHANNELS[color_type]

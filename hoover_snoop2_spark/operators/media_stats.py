@@ -258,16 +258,20 @@ _PHASH_BLOCK = 8
 def _resize_exact(rgb: np.ndarray, ow: int, oh: int) -> np.ndarray:
     """Exact integer-box area average to an arbitrary (ow, oh) — the
     non-aspect-preserving sibling of png_codec.resize_box, same
-    deterministic integral-image arithmetic."""
+    deterministic integral-image arithmetic.  Upscaling (source smaller
+    than the target, e.g. a 10px icon pHashed at 32x32) maps several
+    output boxes onto the same source row/column (nearest-style) —
+    ``y1 = max(y0+1, natural)`` keeps every box non-empty in both
+    directions and reduces to the old strictly-increasing boundaries
+    whenever the source is at least target-sized (pinned hash values
+    unchanged)."""
     h, w = rgb.shape[:2]
     integ = np.zeros((h + 1, w + 1, 3), dtype=np.float64)
     integ[1:, 1:] = rgb.astype(np.float64).cumsum(axis=0).cumsum(axis=1)
-    ys = (np.arange(oh + 1) * h) // oh
-    xs = (np.arange(ow + 1) * w) // ow
-    ys[1:] = np.maximum(ys[1:], np.arange(1, oh + 1))
-    xs[1:] = np.maximum(xs[1:], np.arange(1, ow + 1))
-    y0, y1 = ys[:-1], ys[1:]
-    x0, x1 = xs[:-1], xs[1:]
+    y0 = (np.arange(oh) * h) // oh
+    y1 = np.maximum(y0 + 1, (np.arange(1, oh + 1) * h) // oh)
+    x0 = (np.arange(ow) * w) // ow
+    x1 = np.maximum(x0 + 1, (np.arange(1, ow + 1) * w) // ow)
     area = (y1 - y0)[:, None].astype(np.float64) * (x1 - x0)[None, :]
     s = (
         integ[y1][:, x1]

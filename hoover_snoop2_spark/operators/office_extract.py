@@ -330,17 +330,7 @@ def epub_to_text(data: bytes) -> str:
         zf = zipfile.ZipFile(io.BytesIO(data))
     except Exception:
         return ""
-    opf_path = None
-    root = _read_xml(zf, "META-INF/container.xml")
-    if root is not None:
-        for el in root.iter():
-            if _local(el.tag) == "rootfile" and el.get("full-path"):
-                opf_path = el.get("full-path")
-                break
-    if not opf_path:
-        opf_path = next(
-            (n for n in zf.namelist() if n.endswith(".opf")), None
-        )
+    opf_path = _epub_opf_path(zf)
     if not opf_path:
         return ""
     opf = _read_xml(zf, opf_path)
@@ -371,6 +361,19 @@ def epub_to_text(data: bytes) -> str:
     return "\n\n".join(parts)
 
 
+def _epub_opf_path(zf: zipfile.ZipFile) -> str | None:
+    """Resolve the package (OPF) path the OCF way: the rootfile in
+    META-INF/container.xml; zip-order ``*.opf`` only as a fallback —
+    an epub can carry secondary package files (renditions, backups)
+    that must not shadow the declared one."""
+    root = _read_xml(zf, "META-INF/container.xml")
+    if root is not None:
+        for el in root.iter():
+            if _local(el.tag) == "rootfile" and el.get("full-path"):
+                return el.get("full-path")
+    return next((n for n in zf.namelist() if n.endswith(".opf")), None)
+
+
 def epub_dates(data: bytes) -> tuple[str | None, str | None]:
     """(created, modified) from the OPF metadata, zulu-normalized:
     ``dc:date`` is the publication/creation date (EPUB 2+) and the
@@ -379,9 +382,7 @@ def epub_dates(data: bytes) -> tuple[str | None, str | None]:
     created = modified = None
     try:
         zf = zipfile.ZipFile(io.BytesIO(data))
-        opf_path = next(
-            (n for n in zf.namelist() if n.endswith(".opf")), None
-        )
+        opf_path = _epub_opf_path(zf)
         if not opf_path:
             return None, None
         opf = _read_xml(zf, opf_path)

@@ -459,6 +459,10 @@ def build_wet_record(url: str, warc_ts, text: str) -> bytes:
     import uuid
 
     body = (text or "").encode("utf-8")
+    # header injection guard: a CR/LF inside the url would terminate the
+    # header block early (or forge WARC headers) and corrupt the framing
+    # of every following record — percent-encode the separators
+    url = (url or "").replace("\r", "%0D").replace("\n", "%0A")
     if warc_ts is None or pd.isna(warc_ts):  # None row-wise, NaT from Arrow
         date = "1970-01-01T00:00:00Z"
     else:
@@ -499,22 +503,30 @@ def write_wet(df: DataFrame, out_dir: str) -> DataFrame:
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
         n = 0
         total = 0
-        chunks = []
-        for pdf in batches:
-            for url, ts, text in zip(pdf["url"], pdf["warc_ts"], pdf["text"]):
-                rec = build_wet_record(url, ts, text)
-                # one gzip member per record, mtime pinned for determinism
-                buf = io.BytesIO()
-                with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
-                    gz.write(rec)
-                chunks.append(buf.getvalue())
-                n += 1
-                total += len(rec)
+        f = None  # opened lazily so empty partitions write nothing
+        try:
+            for pdf in batches:
+                for url, ts, text in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["text"]
+                ):
+                    rec = build_wet_record(url, ts, text)
+                    # one gzip member per record, mtime pinned for
+                    # determinism; streamed straight out — buffering a
+                    # partition's worth of members would hold the whole
+                    # output file in executor memory
+                    if f is None:
+                        os.makedirs(out_dir, exist_ok=True)
+                        f = open(path, "wb")
+                    buf = io.BytesIO()
+                    with _gzip.GzipFile(fileobj=buf, mode="wb", mtime=0) as gz:
+                        gz.write(rec)
+                    f.write(buf.getvalue())
+                    n += 1
+                    total += len(rec)
+        finally:
+            if f is not None:
+                f.close()
         if n:
-            os.makedirs(out_dir, exist_ok=True)
-            with open(path, "wb") as f:
-                for c in chunks:
-                    f.write(c)
             yield pd.DataFrame(
                 {"path": [path], "n_records": [n], "n_bytes": [total]}
             )

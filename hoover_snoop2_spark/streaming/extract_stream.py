@@ -66,16 +66,20 @@ class StreamingExtractor:
             os.path.join(self.out_dir, f"epoch={int(epoch_id)}")
         )
         if self.wet_dir is not None:
+            import shutil
+
             from ..sources.warc import write_wet
 
             with_ts = delta.select("url", "text").join(
                 batch_df.select("url", "warc_ts"), "url", "left"
             )
-            # same per-epoch layout; deterministic records make the
-            # streaming-retry overwrite idempotent here too
-            write_wet(
-                with_ts, os.path.join(self.wet_dir, f"epoch={int(epoch_id)}")
-            ).count()
+            # retry idempotence must be explicit: parquet's overwrite
+            # mode truncates the target, but write_wet appends files —
+            # a failed first attempt would leave stale part files that
+            # read_wet('epoch=*') happily unions into duplicates
+            epoch_dir = os.path.join(self.wet_dir, f"epoch={int(epoch_id)}")
+            shutil.rmtree(epoch_dir, ignore_errors=True)
+            write_wet(with_ts, epoch_dir).count()
         delta.unpersist()
 
 

@@ -165,3 +165,10 @@ def test_fuzz_mutations_only_raise_gif_error():
             gif_decode(bytes(data))
         except GifError:
             pass
+
+
+def test_gif_dimension_bomb_guard():
+    data = bytearray(gif_encode(_pattern(4, 4, 3)))
+    data[6:10] = struct.pack("<HH", 65535, 65535)
+    with pytest.raises(GifError, match="gif_too_large"):
+        gif_decode(bytes(data))

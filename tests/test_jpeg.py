@@ -198,3 +198,17 @@ def test_fuzz_mutations_only_raise_jpeg_error():
             jpeg_decode(bytes(data))
         except JpegError:
             pass
+
+
+def test_jpeg_dimension_bomb_guard():
+    data = bytearray(jpeg_encode(_grad(8, 8)))
+    i = bytes(data).find(b"\xff\xc0")
+    data[i + 5 : i + 9] = struct.pack(">HH", 65535, 65535)
+    with pytest.raises(JpegError, match="jpeg_too_large"):
+        jpeg_decode(bytes(data))
+
+
+def test_jpeg_tem_marker_tolerated():
+    ok = jpeg_encode(np.full((8, 8, 3), 100, dtype=np.uint8))
+    out = jpeg_decode(ok[:2] + b"\xff\x01" + ok[2:])
+    assert (out == 100).all()

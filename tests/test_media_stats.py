@@ -223,3 +223,17 @@ def test_phash_near_dups_plan_no_cartesian(spark):
     plan = phash_near_dups(image_phash(pngs))._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_small_image_no_crash():
+    """Images smaller than the 32x32 pHash grid upscale via repeated
+    boxes instead of crashing (regression: IndexError in _resize_exact
+    killed the whole Spark task for any <32px image)."""
+    for w, h in ((1, 1), (10, 10), (31, 5), (5, 31), (40, 8)):
+        rgb = np.full((h, w, 3), 200, dtype=np.uint8)
+        v = phash64(rgb)
+        assert -(1 << 63) <= v < (1 << 63)
+    # flat image of any size hashes like its 32x32 self (all-AC-zero)
+    a = phash64(np.full((10, 10, 3), 77, dtype=np.uint8))
+    b = phash64(np.full((64, 64, 3), 77, dtype=np.uint8))
+    assert a == b

@@ -255,3 +255,20 @@ def test_generate_thumbnails_spark(spark):
 def test_thumbnail_sizes_match_reference():
     # models.py:1243-1246 SizeChoices SMALL=100 MEDIUM=200 LARGE=400
     assert tuple(sorted(THUMBNAIL_SIZES)) == (100, 200, 400)
+
+
+def test_png_zlib_bomb_capped():
+    """A 1x1 header whose IDAT expands to hundreds of MB must stop at
+    the geometry-derived inflate cap with a typed error, not allocate."""
+    import zlib as _zlib
+
+    ihdr = struct.pack(">IIBBBBB", 1, 1, 8, 2, 0, 0, 0)
+    bomb = _zlib.compress(b"\x00" * (64 * 1024 * 1024), 9)
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", bomb)
+        + _chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError, match="png_too_large"):
+        png_decode(png)
