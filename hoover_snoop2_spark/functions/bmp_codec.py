@@ -1,0 +1,114 @@
+"""Pure-Python + numpy BMP (Windows DIB) decoder/encoder.
+
+``image/x-ms-bmp`` sits in the reference's thumbnail mime allowlist
+(``/root/reference/snoop/data/analyzers/thumbnails.py:31``); the format
+is public-spec (BITMAPFILEHEADER + BITMAPINFOHEADER) and uncompressed in
+the overwhelmingly common case, so it joins the native raster set
+(:mod:`.png_codec`, :mod:`.gif_codec`, :mod:`.jpeg_codec`) at stdlib
+cost.
+
+Decoder coverage: BITMAPINFOHEADER (40) and the V4/V5 supersets
+(108/124), bottom-up and top-down rows, BI_RGB at 24/32 bpp, and 1/4/8
+bpp palette images; 4-byte row padding.  RLE and bitfield compressions
+surface ``bmp_compression_unsupported``.  Encoder: 24-bpp BI_RGB
+bottom-up, for fixtures.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class BmpError(ValueError):
+    """Malformed/unsupported BMP input; callers map it to broken_reason."""
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Decode to (h, w, 3) uint8 RGB; alpha (32 bpp) composites over
+    white like the PNG/GIF paths."""
+    if data[:2] != b"BM" or len(data) < 54:
+        raise BmpError("not_bmp")
+    (pixel_off,) = struct.unpack("<I", data[10:14])
+    (hdr_size,) = struct.unpack("<I", data[14:18])
+    if hdr_size < 40:
+        raise BmpError("bmp_header_unsupported")  # BITMAPCOREHEADER etc.
+    width, height_raw = (
+        struct.unpack("<i", data[18:22])[0],
+        struct.unpack("<i", data[22:26])[0],
+    )
+    planes, bpp = struct.unpack("<HH", data[26:30])
+    (compression,) = struct.unpack("<I", data[30:34])
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    if width <= 0 or height == 0:
+        raise BmpError("bmp_zero_dims")
+    if width * height > 64_000_000:
+        raise BmpError("bmp_too_large")  # same header-bomb guard as png/gif
+    if compression != 0:
+        raise BmpError("bmp_compression_unsupported")
+    if bpp not in (1, 4, 8, 24, 32):
+        raise BmpError("bmp_bpp_unsupported")
+
+    palette = None
+    if bpp in (1, 4, 8):
+        (colors_used,) = struct.unpack("<I", data[46:50])
+        n = colors_used or (1 << bpp)
+        pal_off = 14 + hdr_size
+        raw = data[pal_off : pal_off + 4 * n]
+        if len(raw) < 4 * n:
+            raise BmpError("bmp_truncated")
+        pal = np.frombuffer(raw, dtype=np.uint8).reshape(n, 4)
+        palette = pal[:, [2, 1, 0]]  # BGRX → RGB
+
+    row_bytes = (width * bpp + 7) // 8
+    stride = (row_bytes + 3) & ~3
+    need = stride * height
+    body = data[pixel_off : pixel_off + need]
+    if len(body) < need:
+        raise BmpError("bmp_truncated")
+    rows = np.frombuffer(body, dtype=np.uint8).reshape(height, stride)
+    rows = rows[:, :row_bytes]
+    if not top_down:
+        rows = rows[::-1]
+
+    if bpp == 24:
+        px = rows.reshape(height, -1)[:, : width * 3].reshape(height, width, 3)
+        return px[:, :, ::-1].copy()  # BGR → RGB
+    if bpp == 32:
+        px = rows.reshape(height, -1)[:, : width * 4].reshape(height, width, 4)
+        b, g, r = (px[:, :, i].astype(np.int64) for i in range(3))
+        a = px[:, :, 3].astype(np.int64)
+        out = np.stack([r, g, b], axis=2)
+        # composite over white, floor(x + 0.5) like png _to_rgb
+        out = (out * a + 255 * (255 - a) + 127) // 255
+        return out.astype(np.uint8)
+    # palette depths: unpack bits MSB-first
+    bits = np.unpackbits(rows, axis=1)
+    if bpp == 1:
+        idx = bits[:, :width]
+    else:
+        idx = bits.reshape(height, -1, bpp)
+        weights = 1 << np.arange(bpp - 1, -1, -1)
+        idx = (idx * weights).sum(axis=2)[:, :width]
+    if int(idx.max()) >= len(palette):
+        raise BmpError("bmp_index_out_of_range")
+    return palette[idx].copy()
+
+
+def bmp_encode(rgb: np.ndarray) -> bytes:
+    """24-bpp BI_RGB bottom-up writer for fixtures."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    row_bytes = w * 3
+    stride = (row_bytes + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = rgb[y, :, ::-1].tobytes()  # RGB → BGR
+        body += row + b"\x00" * (stride - row_bytes)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+    return header + info + bytes(body)

@@ -1,13 +1,14 @@
 """Magic-dispatched raster decode shared by the thumbnail and image
-feature operators: PNG, GIF and baseline JPEG decode natively
-(:mod:`.png_codec`, :mod:`.gif_codec`, :mod:`.jpeg_codec`); unsupported
-JPEG variants surface their specific ``jpeg_*_unsupported`` reason, and
-anything unrecognized is ``not_image``."""
+feature operators: PNG, GIF, baseline JPEG and uncompressed BMP decode
+natively (:mod:`.png_codec`, :mod:`.gif_codec`, :mod:`.jpeg_codec`,
+:mod:`.bmp_codec`); unsupported variants surface their specific
+``*_unsupported`` reason, and anything unrecognized is ``not_image``."""
 
 from __future__ import annotations
 
 import numpy as np
 
+from .bmp_codec import BmpError, bmp_decode
 from .gif_codec import GifError, gif_decode
 from .jpeg_codec import JpegError, jpeg_decode
 from .png_codec import PngError, png_decode
@@ -31,5 +32,10 @@ def decode_raster(data: bytes) -> tuple[np.ndarray | None, str | None]:
         try:
             return jpeg_decode(data), None
         except JpegError as e:
+            return None, str(e)
+    if data[:2] == b"BM":
+        try:
+            return bmp_decode(data), None
+        except BmpError as e:
             return None, str(e)
     return None, "not_image"

@@ -390,6 +390,33 @@ def synth_gif_map_in_pandas():
     return fn
 
 
+def synth_bmp_map_in_pandas():
+    """(doc_id) → deterministic 24-bpp BMP; pixels are pure integer
+    functions of (doc_id, x, y) so q68's SQL oracle certifies the BMP
+    decoder too: ``R=(5y+3x)%256, G=(2R)%256, B=255-R``."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.bmp_codec import bmp_encode
+
+        for pdf in batches:
+            shas, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 30 + (d % 9) * 25
+                h = 20 + (d % 6) * 35
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                r = np.add.outer(y * 5, x * 3) % 256
+                rgb = np.stack(
+                    [r, (r * 2) % 256, 255 - r], axis=2
+                ).astype(np.uint8)
+                shas.append(str(d))
+                blobs.append(bmp_encode(rgb))
+            yield pd.DataFrame({"sha3_256": shas, "data": blobs})
+
+    return fn
+
+
 def synth_phash_png_map_in_pandas():
     """(doc_id) → 1-2 deterministic PNGs: a per-doc sawtooth pattern
     (frequency varies with doc_id so pHashes separate) and, for

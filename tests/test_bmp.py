@@ -1,0 +1,140 @@
+"""BMP codec tests — bit depths, row order, padding, and integration."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from hoover_snoop2_spark.functions.bmp_codec import (
+    BmpError,
+    bmp_decode,
+    bmp_encode,
+)
+from hoover_snoop2_spark.functions.raster import decode_raster
+
+
+def _pattern(w, h):
+    x = np.arange(w)
+    y = np.arange(h)
+    r = (np.add.outer(y * 5, x * 3) % 256).astype(np.uint8)
+    return np.stack([r, (r * 2) % 256, 255 - r], axis=2).astype(np.uint8)
+
+
+def test_roundtrip_24bpp():
+    for w, h in ((1, 1), (3, 2), (13, 7), (64, 33)):
+        rgb = _pattern(w, h)
+        assert np.array_equal(bmp_decode(bmp_encode(rgb)), rgb), (w, h)
+
+
+def test_row_padding_widths():
+    # widths whose 3*w is not a multiple of 4 exercise the stride pad
+    for w in (1, 2, 3, 5, 6, 7):
+        rgb = _pattern(w, 3)
+        assert np.array_equal(bmp_decode(bmp_encode(rgb)), rgb), w
+
+
+def test_top_down_negative_height():
+    rgb = _pattern(5, 4)
+    data = bytearray(bmp_encode(rgb))
+    # flip to top-down: negate height, reverse the stored row order
+    stride = (5 * 3 + 3) & ~3
+    body = bytes(data[54:])
+    rows = [body[i * stride : (i + 1) * stride] for i in range(4)]
+    data[22:26] = struct.pack("<i", -4)
+    data[54:] = b"".join(rows[::-1])
+    assert np.array_equal(bmp_decode(bytes(data)), rgb)
+
+
+def test_8bpp_palette():
+    # hand-built 4x2 8-bpp with a 4-entry palette
+    pal = b"".join(bytes([b, g, r, 0]) for r, g, b in
+                   [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 9, 9)])
+    rows = bytes([0, 1, 2, 3]) + bytes([3, 2, 1, 0])  # stride 4, no pad
+    info = struct.pack("<IiiHHIIiiII", 40, 4, 2, 1, 8, 0, len(rows),
+                       0, 0, 4, 0)
+    off = 14 + 40 + len(pal)
+    data = (b"BM" + struct.pack("<IHHI", off + len(rows), 0, 0, off)
+            + info + pal + rows)
+    out = bmp_decode(data)
+    # bottom-up: stored first row is the BOTTOM row
+    assert tuple(out[1, 0]) == (255, 0, 0)
+    assert tuple(out[0, 3]) == (255, 0, 0)
+    assert tuple(out[0, 0]) == (9, 9, 9)
+
+
+def test_1bpp_palette():
+    pal = bytes([0, 0, 0, 0]) + bytes([255, 255, 255, 0])
+    row = bytes([0b10100000]) + b"\x00" * 3  # 5px: 1,0,1,0,0
+    info = struct.pack("<IiiHHIIiiII", 40, 5, 1, 1, 1, 0, 4, 0, 0, 2, 0)
+    off = 14 + 40 + len(pal)
+    data = (b"BM" + struct.pack("<IHHI", off + 4, 0, 0, off)
+            + info + pal + row)
+    out = bmp_decode(data)
+    assert [int(p[0]) for p in out[0]] == [255, 0, 255, 0, 0]
+
+
+def test_32bpp_alpha_over_white():
+    # one pixel, half-transparent black → 127 gray over white
+    px = bytes([0, 0, 0, 128])
+    info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 0, 4, 0, 0, 0, 0)
+    off = 14 + 40
+    data = (b"BM" + struct.pack("<IHHI", off + 4, 0, 0, off) + info + px)
+    assert tuple(bmp_decode(data)[0, 0]) == (127, 127, 127)
+
+
+def test_broken_reasons():
+    with pytest.raises(BmpError, match="not_bmp"):
+        bmp_decode(b"PNG stuff")
+    good = bytearray(bmp_encode(_pattern(4, 4)))
+    with pytest.raises(BmpError, match="bmp_truncated"):
+        bmp_decode(bytes(good[:-8]))
+    rle = bytearray(good)
+    rle[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(BmpError, match="bmp_compression_unsupported"):
+        bmp_decode(bytes(rle))
+    bomb = bytearray(good)
+    bomb[18:26] = struct.pack("<ii", 60000, 60000)
+    with pytest.raises(BmpError, match="bmp_too_large"):
+        bmp_decode(bytes(bomb))
+
+
+def test_fuzz_mutations_only_raise_bmp_error():
+    import random
+
+    rng = random.Random(31)
+    enc = bmp_encode(_pattern(16, 12))
+    for _ in range(800):
+        data = bytearray(enc)
+        for _ in range(rng.randint(1, 8)):
+            op = rng.random()
+            if op < 0.5:
+                data[rng.randrange(len(data))] = rng.randrange(256)
+            elif op < 0.8 and len(data) > 4:
+                del data[rng.randrange(len(data))]
+            else:
+                data.insert(rng.randrange(len(data) + 1), rng.randrange(256))
+        if rng.random() < 0.3:
+            data = data[: rng.randrange(len(data) + 1)]
+        try:
+            bmp_decode(bytes(data))
+        except BmpError:
+            pass
+
+
+def test_raster_dispatch_and_operators(spark):
+    from hoover_snoop2_spark.operators.media_stats import image_stats
+    from hoover_snoop2_spark.operators.thumbnails import generate_thumbnails
+
+    rgb = _pattern(500, 120)
+    data = bmp_encode(rgb)
+    out, reason = decode_raster(data)
+    assert reason is None and np.array_equal(out, rgb)
+
+    df = spark.createDataFrame(
+        [("b", bytearray(data))], "sha3_256 string, data binary"
+    )
+    thumbs = {r.size: r for r in generate_thumbnails(df).collect()}
+    assert (thumbs[400].width, thumbs[400].height) == (400, 96)
+    stats = image_stats(df).collect()[0]
+    sums = rgb.astype(np.int64).sum(axis=(0, 1))
+    assert (stats.sum_r, stats.sum_g, stats.sum_b) == tuple(int(s) for s in sums)
