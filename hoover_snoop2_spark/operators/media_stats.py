@@ -139,7 +139,7 @@ def audio_stats_map_in_pandas():
                     rows.append(base)
                     continue
                 try:
-                    rate, nch, samples = wav_decode(bytes(data))
+                    rate, nch, samples = decode_audio(bytes(data))
                 except WavError as e:
                     base["broken_reason"] = str(e)
                     rows.append(base)
@@ -170,10 +170,13 @@ def audio_stats(df: DataFrame, data_col: str = "data") -> DataFrame:
     return src.mapInPandas(audio_stats_map_in_pandas(), schema=AUDIO_STATS_SCHEMA)
 
 
-def synth_wav_map_in_pandas():
-    """(doc_id) → deterministic mono 16-bit WAV whose samples are a pure
-    integer function of (doc_id, i) so an SQL oracle can recompute every
-    statistic from ``generate_series`` (queries.q69)."""
+def synth_wav_map_in_pandas(aiff_from: int | None = None):
+    """(doc_id) → deterministic mono 16-bit audio whose samples are a
+    pure integer function of (doc_id, i) so an SQL oracle can recompute
+    every statistic from ``generate_series`` (queries.q69).  Docs with
+    ``doc_id >= aiff_from`` encode as big-endian AIFF instead of WAV —
+    identical samples, so the oracle certifies the AIFF decoder (byte
+    order, 80-bit rate, SSND offset) under the same formulas."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -185,7 +188,12 @@ def synth_wav_map_in_pandas():
                 i = np.arange(n, dtype=np.int64)
                 samples = ((i * 7919 + d * 104729) % 65536) - 32768
                 shas.append(str(d))
-                blobs.append(wav_encode(samples.astype(np.int16), rate))
+                enc = (
+                    aiff_encode
+                    if aiff_from is not None and d >= aiff_from
+                    else wav_encode
+                )
+                blobs.append(enc(samples.astype(np.int16), rate))
             yield pd.DataFrame({"sha3_256": shas, "data": blobs})
 
     return fn
@@ -494,3 +502,87 @@ def phash_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .distinct()
     )
     return pairs
+
+
+# ------------------------------------------------------------- AIFF codec
+
+def aiff_encode(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Minimal AIFF writer (mono/interleaved 16-bit PCM, big-endian;
+    Apple AIFF-C spec's plain AIFF profile) for fixtures.  The sample
+    rate is an 80-bit IEEE 754 extended float — encoded exactly for
+    integer rates."""
+    arr = np.asarray(samples)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_frames, n_channels = arr.shape
+    payload = arr.astype(">i2").tobytes()
+    # 80-bit extended: sign(1) exponent(15, bias 16383) mantissa(64,
+    # explicit leading 1); integer rates encode exactly
+    r = int(sample_rate)
+    e = r.bit_length() - 1
+    mant = r << (63 - e)
+    ext = struct.pack(">H", 16383 + e) + struct.pack(">Q", mant)
+    comm = struct.pack(">hIh", n_channels, n_frames, 16) + ext
+    ssnd = struct.pack(">II", 0, 0) + payload
+    body = (
+        b"AIFF"
+        + b"COMM" + struct.pack(">I", len(comm)) + comm
+        + b"SSND" + struct.pack(">I", len(ssnd)) + ssnd
+    )
+    return b"FORM" + struct.pack(">I", len(body)) + body
+
+
+def aiff_decode(data: bytes) -> tuple[int, int, np.ndarray]:
+    """AIFF PCM decoder → (sample_rate, n_channels, int32 frames) —
+    the big-endian sibling of :func:`wav_decode`, same chunk-walk
+    tolerance (word alignment, unknown chunks skipped)."""
+    if data[:4] != b"FORM" or data[8:12] not in (b"AIFF", b"AIFC"):
+        raise WavError("not_aiff")
+    comm = None
+    payload = None
+    pos = 12
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (size,) = struct.unpack(">I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + size]
+        if cid == b"COMM" and len(body) >= 18:
+            n_channels, n_frames, bits = struct.unpack(">hIh", body[:8])
+            (exp,) = struct.unpack(">H", body[8:10])
+            (mant,) = struct.unpack(">Q", body[10:18])
+            e = (exp & 0x7FFF) - 16383
+            rate = int(mant >> (63 - e)) if 0 <= e <= 63 else 0
+            if len(body) > 18 and data[8:12] == b"AIFC":
+                ctype = body[18:22]
+                if ctype not in (b"NONE", b"sowt"):
+                    raise WavError(
+                        f"aiff_codec_unsupported:{ctype.decode('ascii', 'replace')}"
+                    )
+            comm = (n_channels, n_frames, bits, rate)
+        elif cid == b"SSND" and len(body) >= 8:
+            (offset,) = struct.unpack(">I", body[:4])
+            payload = body[8 + offset :]
+        pos += 8 + size + (size & 1)
+    if comm is None or payload is None:
+        raise WavError("aiff_truncated")
+    n_channels, n_frames, bits, rate = comm
+    if n_channels < 1 or rate <= 0:
+        raise WavError("aiff_truncated")
+    if bits != 16:
+        raise WavError(f"aiff_bits_unsupported:{bits}")
+    arr = np.frombuffer(
+        payload[: len(payload) - (len(payload) % 2)], dtype=">i2"
+    ).astype(np.int32)
+    frames = len(arr) // n_channels
+    return rate, n_channels, arr[: frames * n_channels].reshape(
+        frames, n_channels
+    )
+
+
+def decode_audio(data: bytes) -> tuple[int, int, np.ndarray]:
+    """Magic dispatch: RIFF/WAVE or FORM/AIFF → (rate, channels,
+    frames); anything else raises WavError('not_audio')."""
+    if data[:4] == b"RIFF":
+        return wav_decode(data)
+    if data[:4] == b"FORM":
+        return aiff_decode(data)
+    raise WavError("not_audio")

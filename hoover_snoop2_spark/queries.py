@@ -2694,8 +2694,10 @@ def q69_audio_stats(spark, sf_dir):
     (operators/media_stats.wav_encode), decoded back by the RIFF chunk
     walker, and reduced to exact integer stats; DuckDB recomputes them
     from generate_series.  A byte-order, bias, or chunk-walk bug shifts
-    sum_abs and hash-fails.  Upgrades the audio modality from
-    header-only (multimodal.py) to sample-level."""
+    sum_abs and hash-fails.  Docs 20-39 encode as big-endian AIFF with
+    the SAME sample formula, certifying that decoder too (byte order,
+    80-bit extended rate, SSND offset) under one oracle.  Upgrades the
+    audio modality from header-only (multimodal.py) to sample-level."""
     from .operators.media_stats import audio_stats, synth_wav_map_in_pandas
 
     docs = (
@@ -2704,7 +2706,8 @@ def q69_audio_stats(spark, sf_dir):
         .select("doc_id")
     )
     wavs = docs.mapInPandas(
-        synth_wav_map_in_pandas(), schema="sha3_256 string, data binary"
+        synth_wav_map_in_pandas(aiff_from=20),
+        schema="sha3_256 string, data binary",
     )
     return (
         audio_stats(wavs)

@@ -136,7 +136,7 @@ def test_audio_stats_exact(spark):
         )
     ).collect()
     reasons = {r.sha3_256: r.broken_reason for r in r2}
-    assert reasons == {"b": "not_wav", "c": "empty_blob"}
+    assert reasons == {"b": "not_audio", "c": "empty_blob"}
 
 
 def test_synth_wav_matches_formula(spark):
@@ -237,3 +237,82 @@ def test_phash_small_image_no_crash():
     a = phash64(np.full((10, 10, 3), 77, dtype=np.uint8))
     b = phash64(np.full((64, 64, 3), 77, dtype=np.uint8))
     assert a == b
+
+
+# ------------------------------------------------------------------ AIFF
+
+
+def test_aiff_roundtrip():
+    from hoover_snoop2_spark.operators.media_stats import (
+        aiff_decode,
+        aiff_encode,
+    )
+
+    samples = np.array([0, 1, -1, 32767, -32768, 777], dtype=np.int16)
+    for rate in (8000, 22050, 44100, 48000):
+        r, nch, out = aiff_decode(aiff_encode(samples, rate))
+        assert (r, nch) == (rate, 1)
+        assert out[:, 0].tolist() == samples.astype(int).tolist()
+
+
+def test_aiff_broken_and_dispatch():
+    from hoover_snoop2_spark.operators.media_stats import (
+        aiff_encode,
+        decode_audio,
+    )
+
+    with pytest.raises(WavError, match="not_audio"):
+        decode_audio(b"OggS...")
+    with pytest.raises(WavError, match="not_aiff"):
+        from hoover_snoop2_spark.operators.media_stats import aiff_decode
+
+        aiff_decode(b"FORM\x00\x00\x00\x04WAVE")
+    good = aiff_encode(np.array([5], dtype=np.int16), 8000)
+    r, nch, out = decode_audio(good)
+    assert (r, out[0, 0]) == (8000, 5)
+    # truncated COMM
+    with pytest.raises(WavError, match="aiff_truncated"):
+        from hoover_snoop2_spark.operators.media_stats import aiff_decode
+
+        aiff_decode(good[:20])
+
+
+def test_aiff_fuzz_typed_errors():
+    import random
+
+    from hoover_snoop2_spark.operators.media_stats import (
+        aiff_encode,
+        decode_audio,
+    )
+
+    rng = random.Random(91)
+    enc = aiff_encode(np.arange(-500, 500, 9, dtype=np.int16), 16000)
+    for _ in range(800):
+        data = bytearray(enc)
+        for _ in range(rng.randint(1, 8)):
+            op = rng.random()
+            if op < 0.5:
+                data[rng.randrange(len(data))] = rng.randrange(256)
+            elif op < 0.8 and len(data) > 4:
+                del data[rng.randrange(len(data))]
+            else:
+                data.insert(rng.randrange(len(data) + 1), rng.randrange(256))
+        if rng.random() < 0.3:
+            data = data[: rng.randrange(len(data) + 1)]
+        try:
+            decode_audio(bytes(data))
+        except WavError:
+            pass
+
+
+def test_audio_stats_accepts_aiff(spark):
+    from hoover_snoop2_spark.operators.media_stats import aiff_encode
+
+    samples = np.array([100, -200, 300], dtype=np.int16)
+    df = spark.createDataFrame(
+        [("a", bytearray(aiff_encode(samples, 22050)))],
+        "sha3_256 string, data binary",
+    )
+    row = audio_stats(df).collect()[0]
+    assert (row.sample_rate, row.n_samples, row.sum_abs) == (22050, 3, 600)
+    assert row.status == "ok"
