@@ -1,8 +1,9 @@
 """Magic-dispatched raster decode shared by the thumbnail and image
-feature operators: PNG, GIF, baseline JPEG and uncompressed BMP decode
-natively (:mod:`.png_codec`, :mod:`.gif_codec`, :mod:`.jpeg_codec`,
-:mod:`.bmp_codec`); unsupported variants surface their specific
-``*_unsupported`` reason, and anything unrecognized is ``not_image``."""
+feature operators: PNG, GIF, baseline JPEG, uncompressed BMP and
+baseline TIFF decode natively (:mod:`.png_codec`, :mod:`.gif_codec`,
+:mod:`.jpeg_codec`, :mod:`.bmp_codec`, :mod:`.tiff_codec`); unsupported
+variants surface their specific ``*_unsupported`` reason, and anything
+unrecognized is ``not_image``."""
 
 from __future__ import annotations
 
@@ -12,6 +13,7 @@ from .bmp_codec import BmpError, bmp_decode
 from .gif_codec import GifError, gif_decode
 from .jpeg_codec import JpegError, jpeg_decode
 from .png_codec import PngError, png_decode
+from .tiff_codec import TiffError, tiff_decode
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -37,5 +39,10 @@ def decode_raster(data: bytes) -> tuple[np.ndarray | None, str | None]:
         try:
             return bmp_decode(data), None
         except BmpError as e:
+            return None, str(e)
+    if data[:4] in (b"II*\x00", b"MM\x00*"):
+        try:
+            return tiff_decode(data), None
+        except TiffError as e:
             return None, str(e)
     return None, "not_image"

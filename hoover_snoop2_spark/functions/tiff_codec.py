@@ -1,0 +1,270 @@
+"""Pure-Python + numpy baseline TIFF decoder/encoder (TIFF 6.0).
+
+``image/tiff`` is in the reference's thumbnail mime allowlist
+(``/root/reference/snoop/data/analyzers/thumbnails.py:63``) and its
+Tika list; the baseline profile (uncompressed or PackBits strips) is
+public-spec and stdlib-decodable, completing the native raster set
+(PNG/GIF/JPEG/BMP).  The EXIF reader (:mod:`..operators.exif_extract`)
+already walks TIFF IFDs for metadata — this module decodes pixels.
+
+Decoder coverage: II/MM byte orders, IFD0 only (thumbnail semantics —
+subsequent IFDs are usually reduced previews), chunky planar config,
+compression 1 (none) and 32773 (PackBits), photometric 0/1 (gray,
+incl. WhiteIsZero inversion), 2 (RGB, extra sample composited over
+white) and 3 (palette via ColorMap), 8-bit samples, multi-strip
+images.  Planar configuration 2, tiles, LZW/JPEG-in-TIFF and other
+bit depths surface ``tiff_*_unsupported`` reasons.
+
+Encoder (fixtures): chunky 8-bit RGB, single or multi strip,
+uncompressed or PackBits, either byte order.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+
+class TiffError(ValueError):
+    """Malformed/unsupported TIFF input; callers map it to broken_reason."""
+
+
+_TYPE_SIZE = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 6: 1, 7: 1, 8: 2, 9: 4, 10: 8}
+
+
+def _read_ifd(data: bytes, order: str) -> dict[int, tuple]:
+    if len(data) < 8:
+        raise TiffError("tiff_truncated")
+    (off,) = struct.unpack(order + "I", data[4:8])
+    if off + 2 > len(data):
+        raise TiffError("tiff_truncated")
+    (n,) = struct.unpack(order + "H", data[off : off + 2])
+    tags: dict[int, tuple] = {}
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(data):
+            raise TiffError("tiff_truncated")
+        tag, typ, cnt = struct.unpack(order + "HHI", data[e : e + 8])
+        size = _TYPE_SIZE.get(typ, 0) * cnt
+        if size == 0:
+            continue
+        if size <= 4:
+            raw = data[e + 8 : e + 8 + size]
+        else:
+            (voff,) = struct.unpack(order + "I", data[e + 8 : e + 12])
+            raw = data[voff : voff + size]
+            if len(raw) < size:
+                raise TiffError("tiff_truncated")
+        if typ == 3:
+            vals = struct.unpack(order + "H" * cnt, raw)
+        elif typ == 4:
+            vals = struct.unpack(order + "I" * cnt, raw)
+        elif typ in (1, 6, 7):
+            vals = tuple(raw)
+        else:
+            continue  # rationals etc. — not needed for pixel decode
+        tags[tag] = vals
+    return tags
+
+
+def _unpackbits(src: bytes, expect: int) -> bytes:
+    """PackBits (Apple RLE, TIFF 6.0 §9)."""
+    out = bytearray()
+    i = 0
+    n = len(src)
+    while i < n and len(out) < expect:
+        b = src[i]
+        i += 1
+        if b < 128:
+            out += src[i : i + b + 1]
+            i += b + 1
+        elif b > 128:
+            if i >= n:
+                raise TiffError("tiff_truncated")
+            out += bytes([src[i]]) * (257 - b)
+            i += 1
+        # 128 = no-op
+    if len(out) < expect:
+        raise TiffError("tiff_truncated")
+    return bytes(out[:expect])
+
+
+def tiff_decode(data: bytes) -> np.ndarray:
+    """Decode IFD0 to (h, w, 3) uint8 RGB."""
+    if data[:4] == b"II*\x00":
+        order = "<"
+    elif data[:4] == b"MM\x00*":
+        order = ">"
+    else:
+        raise TiffError("not_tiff")
+    tags = _read_ifd(data, order)
+
+    def one(tag, default=None):
+        v = tags.get(tag)
+        return v[0] if v else default
+
+    width = one(256)
+    height = one(257)
+    if not width or not height:
+        raise TiffError("tiff_missing_dims")
+    if width * height > 64_000_000:
+        raise TiffError("tiff_too_large")
+    compression = one(259, 1)
+    if compression not in (1, 32773):
+        raise TiffError(f"tiff_compression_unsupported:{compression}")
+    photometric = one(262, 1)
+    spp = one(277, 1)
+    bits = tags.get(258, (8,) * spp)
+    if any(b != 8 for b in bits):
+        raise TiffError("tiff_bits_unsupported")
+    if one(284, 1) != 1:
+        raise TiffError("tiff_planar_unsupported")
+    offsets = tags.get(273)
+    counts = tags.get(279)
+    if not offsets:
+        raise TiffError("tiff_missing_strips")
+    rows_per_strip = one(278, height)
+    if not counts:
+        if len(offsets) != 1:
+            raise TiffError("tiff_missing_strips")
+        counts = (width * height * spp,)
+
+    row_bytes = width * spp
+    raw = bytearray()
+    rows_left = height
+    for off, cnt in zip(offsets, counts):
+        strip = data[off : off + cnt]
+        if len(strip) < cnt:
+            raise TiffError("tiff_truncated")
+        strip_rows = min(rows_per_strip, rows_left)
+        expect = strip_rows * row_bytes
+        if compression == 32773:
+            raw += _unpackbits(strip, expect)
+        else:
+            if len(strip) < expect:
+                raise TiffError("tiff_truncated")
+            raw += strip[:expect]
+        rows_left -= strip_rows
+    if len(raw) < height * row_bytes:
+        raise TiffError("tiff_truncated")
+    px = np.frombuffer(bytes(raw[: height * row_bytes]), dtype=np.uint8)
+    px = px.reshape(height, width, spp)
+
+    if photometric in (0, 1):
+        g = px[:, :, 0]
+        if photometric == 0:
+            g = 255 - g  # WhiteIsZero
+        return np.repeat(g[:, :, None], 3, axis=2).copy()
+    if photometric == 3:
+        cmap = tags.get(320)
+        if not cmap or len(cmap) < 3 * 256:
+            raise TiffError("tiff_missing_colormap")
+        n = len(cmap) // 3
+        # ColorMap entries are 16-bit; scale to 8 by the high byte
+        table = np.array(cmap, dtype=np.uint32).reshape(3, n).T >> 8
+        idx = px[:, :, 0]
+        if int(idx.max()) >= n:
+            raise TiffError("tiff_index_out_of_range")
+        return table[idx].astype(np.uint8)
+    if photometric == 2:
+        if spp < 3:
+            raise TiffError("tiff_samples_unsupported")
+        if spp == 3:
+            return px.copy()
+        rgb = px[:, :, :3].astype(np.int64)
+        a = px[:, :, 3].astype(np.int64)[:, :, None]
+        out = (rgb * a + 255 * (255 - a) + 127) // 255
+        return out.astype(np.uint8)
+    raise TiffError(f"tiff_photometric_unsupported:{photometric}")
+
+
+def _packbits(row: bytes) -> bytes:
+    """Simple PackBits encoder: runs ≥ 3 compress, else literals."""
+    out = bytearray()
+    i = 0
+    n = len(row)
+    while i < n:
+        run = 1
+        while i + run < n and run < 128 and row[i + run] == row[i]:
+            run += 1
+        if run >= 3:
+            out += bytes([257 - run, row[i]])
+            i += run
+            continue
+        lit_start = i
+        i += run
+        while i < n and (n - i < 3 or not (
+            i + 2 < n and row[i] == row[i + 1] == row[i + 2]
+        )) and i - lit_start < 128:
+            i += 1
+        out += bytes([i - lit_start - 1]) + row[lit_start:i]
+    return bytes(out)
+
+
+def tiff_encode(rgb: np.ndarray, order: str = "<", packbits: bool = False,
+                rows_per_strip: int | None = None) -> bytes:
+    """Chunky 8-bit RGB writer for fixtures."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    h, w = rgb.shape[:2]
+    rps = rows_per_strip or h
+    strips = []
+    for y0 in range(0, h, rps):
+        body = rgb[y0 : y0 + rps].tobytes()
+        strips.append(_packbits(body) if packbits else body)
+
+    magic = b"II*\x00" if order == "<" else b"MM\x00*"
+    n_tags = 9
+    ifd_off = 8
+    data_off = ifd_off + 2 + 12 * n_tags + 4
+    # strip offsets/counts arrays (if >1 strip they spill after IFD)
+    extra = bytearray()
+    def arr_or_inline(vals, typ):
+        nonlocal extra
+        fmt = "I" if typ == 4 else "H"
+        size = len(vals) * _TYPE_SIZE[typ]
+        if size <= 4:
+            raw = struct.pack(order + fmt * len(vals), *vals)
+            return raw + b"\x00" * (4 - size), None
+        pos = data_off + len(extra)
+        extra += struct.pack(order + fmt * len(vals), *vals)
+        return struct.pack(order + "I", pos), pos
+
+    # reserve strip data positions after the arrays
+    counts = [len(s) for s in strips]
+    # two passes: first compute extra arrays with placeholder offsets
+    placeholder = [0] * len(strips)
+    tags_spec = []
+
+    def build(offsets_vals):
+        nonlocal extra
+        extra = bytearray()
+        entries = []
+        def tag(tg, typ, vals):
+            raw, _ = arr_or_inline(vals, typ)
+            entries.append(struct.pack(order + "HHI", tg, typ, len(vals)) + raw)
+        tag(256, 4, [w])
+        tag(257, 4, [h])
+        tag(258, 3, [8, 8, 8])
+        tag(259, 3, [32773 if packbits else 1])
+        tag(262, 3, [2])
+        tag(273, 4, offsets_vals)
+        tag(277, 3, [3])
+        tag(278, 4, [rps])
+        tag(279, 4, counts)
+        return entries
+
+    build(placeholder)
+    arrays_size = len(extra)
+    strip_base = data_off + arrays_size
+    offsets_vals = []
+    pos = strip_base
+    for c in counts:
+        offsets_vals.append(pos)
+        pos += c
+    entries = build(offsets_vals)
+    ifd = struct.pack(order + "H", n_tags) + b"".join(entries) + struct.pack(
+        order + "I", 0
+    )
+    header = magic + struct.pack(order + "I", ifd_off)
+    return header + ifd + bytes(extra) + b"".join(strips)

@@ -425,6 +425,41 @@ def synth_bmp_map_in_pandas():
     return fn
 
 
+def synth_tiff_map_in_pandas():
+    """(doc_id) → deterministic baseline TIFF; odd ids use PackBits,
+    ids % 3 == 0 big-endian, multi-strip throughout — q68's oracle
+    certifies the whole matrix from ``R=(7y+x)%256, G=(R+128)%256,
+    B=(3R)%256``."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions.tiff_codec import tiff_encode
+
+        for pdf in batches:
+            shas, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 25 + (d % 8) * 20
+                h = 15 + (d % 7) * 30
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                r = np.add.outer(y * 7, x) % 256
+                rgb = np.stack(
+                    [r, (r + 128) % 256, (r * 3) % 256], axis=2
+                ).astype(np.uint8)
+                shas.append(str(d))
+                blobs.append(
+                    tiff_encode(
+                        rgb,
+                        order=">" if d % 3 == 0 else "<",
+                        packbits=d % 2 == 1,
+                        rows_per_strip=max(1, h // 3),
+                    )
+                )
+            yield pd.DataFrame({"sha3_256": shas, "data": blobs})
+
+    return fn
+
+
 def synth_phash_png_map_in_pandas():
     """(doc_id) → 1-2 deterministic PNGs: a per-doc sawtooth pattern
     (frequency varies with doc_id so pHashes separate) and, for

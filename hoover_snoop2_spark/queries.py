@@ -2590,15 +2590,18 @@ def q68_image_stats(spark, sf_dir):
     synthetic gradient PNGs (same generator as q67) are DECODED by the
     real codec and reduced to exact integer per-channel sums; docs
     40-79 take the GIF path (32-color palette, odd doc_ids interlaced)
-    and docs 80-119 the BMP path (24-bpp BI_RGB, bottom-up rows, stride
-    padding), exercising every lossless decoder under the same oracle.
-    Lossless means the decoded pixels equal the generator formulas —
-    PNG ``R=(5y+3x)%256, G=(2y+7x)%256, B=(11y+x)%256``; GIF
-    ``i=(3y+x)%32 → (17i,31i,7i)%256``; BMP ``R=(5y+3x)%256, G=2R%256,
-    B=255-R`` — which DuckDB recomputes pixel-by-pixel from
-    ``generate_series``.  Any decode bug (filter, bit depth, row order,
-    LZW code width, interlace pass order, BGR swap, stride pad) shifts
-    a sum and hash-fails.  Integer sums, not float
+    docs 80-119 the BMP path (24-bpp BI_RGB, bottom-up rows, stride
+    padding), and docs 120-159 the TIFF path (multi-strip, PackBits on
+    odd ids, big-endian on ids%3==0), exercising every lossless decoder
+    under the same oracle.  Lossless means the decoded pixels equal the
+    generator formulas — PNG ``R=(5y+3x)%256, G=(2y+7x)%256,
+    B=(11y+x)%256``; GIF ``i=(3y+x)%32 → (17i,31i,7i)%256``; BMP
+    ``R=(5y+3x)%256, G=2R%256, B=255-R``; TIFF ``R=(7y+x)%256,
+    G=(R+128)%256, B=3R%256`` — which DuckDB recomputes pixel-by-pixel
+    from ``generate_series``.  Any decode bug (filter, bit depth, row
+    order, LZW code width, interlace pass, BGR swap, stride pad,
+    PackBits run, strip stitch, IFD byte order) shifts a sum and
+    hash-fails.  Integer sums, not float
     means: bit-stable across engines (NOTES.md 'last-ulp drift').
     Reference parity: snoop2 posts images to an external classifier
     (image_classification.py:128-181); here the per-modality feature
@@ -2607,6 +2610,7 @@ def q68_image_stats(spark, sf_dir):
         image_stats,
         synth_bmp_map_in_pandas,
         synth_gif_map_in_pandas,
+        synth_tiff_map_in_pandas,
     )
     from .operators.thumbnails import synth_png_map_in_pandas
 
@@ -2632,8 +2636,17 @@ def q68_image_stats(spark, sf_dir):
             synth_bmp_map_in_pandas(), schema="sha3_256 string, data binary"
         )
     )
+    tiffs = (
+        d.where((F.col("doc_id") >= 120) & (F.col("doc_id") < 160))
+        .select("doc_id")
+        .mapInPandas(
+            synth_tiff_map_in_pandas(), schema="sha3_256 string, data binary"
+        )
+    )
     return (
-        image_stats(pngs.unionByName(gifs).unionByName(bmps))
+        image_stats(
+            pngs.unionByName(gifs).unionByName(bmps).unionByName(tiffs)
+        )
         .select(
             "sha3_256", "width", "height", "n_pixels",
             "sum_r", "sum_g", "sum_b", "status",
@@ -2661,16 +2674,25 @@ WITH src AS (
          20 + (doc_id % 6) * 35 AS h,
          'bmp' AS fmt
   FROM documents WHERE doc_id >= 80 AND doc_id < 120
+  UNION ALL
+  SELECT doc_id,
+         25 + (doc_id % 8) * 20 AS w,
+         15 + (doc_id % 7) * 30 AS h,
+         'tiff' AS fmt
+  FROM documents WHERE doc_id >= 120 AND doc_id < 160
 ), px AS (
   SELECT s.doc_id, s.w, s.h,
          CASE WHEN s.fmt = 'png' THEN (y.y * 5 + x.x * 3) % 256
               WHEN s.fmt = 'bmp' THEN (y.y * 5 + x.x * 3) % 256
+              WHEN s.fmt = 'tiff' THEN (y.y * 7 + x.x) % 256
               ELSE (((y.y * 3 + x.x) % 32) * 17) % 256 END AS r,
          CASE WHEN s.fmt = 'png' THEN (y.y * 2 + x.x * 7) % 256
               WHEN s.fmt = 'bmp' THEN ((y.y * 5 + x.x * 3) % 256) * 2 % 256
+              WHEN s.fmt = 'tiff' THEN ((y.y * 7 + x.x) % 256 + 128) % 256
               ELSE (((y.y * 3 + x.x) % 32) * 31) % 256 END AS g,
          CASE WHEN s.fmt = 'png' THEN (y.y * 11 + x.x) % 256
               WHEN s.fmt = 'bmp' THEN 255 - (y.y * 5 + x.x * 3) % 256
+              WHEN s.fmt = 'tiff' THEN ((y.y * 7 + x.x) % 256) * 3 % 256
               ELSE (((y.y * 3 + x.x) % 32) * 7) % 256 END AS b
   FROM src s
   JOIN generate_series(0, 529) AS x(x) ON x.x < s.w
