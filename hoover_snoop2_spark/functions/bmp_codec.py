@@ -79,7 +79,7 @@ def bmp_decode(data: bytes) -> np.ndarray:
     if bpp == 32:
         px = rows.reshape(height, -1)[:, : width * 4].reshape(height, width, 4)
         b, g, r = (px[:, :, i].astype(np.int64) for i in range(3))
-        a = px[:, :, 3].astype(np.int64)
+        a = px[:, :, 3].astype(np.int64)[:, :, None]
         out = np.stack([r, g, b], axis=2)
         # composite over white, floor(x + 0.5) like png _to_rgb
         out = (out * a + 255 * (255 - a) + 127) // 255
@@ -112,3 +112,78 @@ def bmp_encode(rgb: np.ndarray) -> bytes:
     off = 14 + 40
     header = b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
     return header + info + bytes(body)
+
+
+# ------------------------------------------------------------------- ICO
+
+def ico_decode(data: bytes) -> np.ndarray:
+    """ICO/CUR container decode (``image/vnd.microsoft.icon``, in the
+    reference's thumbnail allowlist, thumbnails.py:44): pick the LARGEST
+    directory entry (thumbnail semantics) and decode it — each entry is
+    either an embedded PNG (Vista+) or a BMP DIB with doubled height
+    (XOR pixels + 1-bpp AND transparency mask, applied over white).
+
+    Reuses :func:`bmp_decode` by synthesizing a BITMAPFILEHEADER around
+    the DIB with the height halved back to the real value."""
+    if len(data) < 6:
+        raise BmpError("not_ico")
+    reserved, ico_type, count = struct.unpack("<HHH", data[:6])
+    if reserved != 0 or ico_type not in (1, 2) or count == 0:
+        raise BmpError("not_ico")
+    best = None
+    for i in range(count):
+        e = 6 + 16 * i
+        if e + 16 > len(data):
+            raise BmpError("ico_truncated")
+        w, h, _pal, _res, _planes, _bpp, size, off = struct.unpack(
+            "<BBBBHHII", data[e : e + 16]
+        )
+        w = w or 256
+        h = h or 256
+        if best is None or w * h > best[0]:
+            best = (w * h, w, h, size, off)
+    _, w, h, size, off = best
+    blob = data[off : off + size]
+    if len(blob) < size:
+        raise BmpError("ico_truncated")
+    if blob[:8] == b"\x89PNG\r\n\x1a\n":
+        from .png_codec import PngError, png_decode
+
+        try:
+            return png_decode(blob)
+        except PngError as exc:
+            raise BmpError(str(exc))
+    if len(blob) < 40:
+        raise BmpError("ico_truncated")
+    (hdr_size,) = struct.unpack("<I", blob[:4])
+    height2 = struct.unpack("<i", blob[8:12])[0]
+    bpp = struct.unpack("<H", blob[14:16])[0]
+    # palette follows the header for <=8 bpp
+    n_pal = 0
+    if bpp in (1, 4, 8):
+        (colors_used,) = struct.unpack("<I", blob[32:36])
+        n_pal = colors_used or (1 << bpp)
+    pixel_off = hdr_size + 4 * n_pal
+    # rebuild a standalone BMP with the true (halved) height
+    dib = bytearray(blob)
+    dib[8:12] = struct.pack("<i", height2 // 2)
+    fileheader = b"BM" + struct.pack("<IHHI", 14 + len(dib), 0, 0,
+                                     14 + pixel_off)
+    rgb = bmp_decode(bytes(fileheader) + bytes(dib))
+    rh, rw = rgb.shape[:2]
+    # AND mask: 1-bpp rows (stride 4) after the XOR pixels, bottom-up.
+    # 32-bpp icons carry a real alpha channel (already composited by
+    # bmp_decode) — their AND mask is vestigial and skipped, the
+    # standard renderer behavior.
+    xor_stride = ((rw * bpp + 31) // 32) * 4
+    mask_off = pixel_off + xor_stride * rh
+    mask_stride = ((rw + 31) // 32) * 4
+    mask_bytes = blob[mask_off : mask_off + mask_stride * rh]
+    if bpp != 32 and len(mask_bytes) == mask_stride * rh:
+        rows = np.frombuffer(mask_bytes, dtype=np.uint8).reshape(
+            rh, mask_stride
+        )[::-1]
+        bits = np.unpackbits(rows, axis=1)[:, :rw].astype(bool)
+        rgb = rgb.copy()
+        rgb[bits] = 255  # masked-out pixels → white
+    return rgb

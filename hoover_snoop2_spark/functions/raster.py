@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from .bmp_codec import BmpError, bmp_decode
+from .bmp_codec import BmpError, bmp_decode, ico_decode
 from .gif_codec import GifError, gif_decode
 from .jpeg_codec import JpegError, jpeg_decode
 from .png_codec import PngError, png_decode
@@ -44,5 +44,10 @@ def decode_raster(data: bytes) -> tuple[np.ndarray | None, str | None]:
         try:
             return tiff_decode(data), None
         except TiffError as e:
+            return None, str(e)
+    if data[:4] in (b"\x00\x00\x01\x00", b"\x00\x00\x02\x00") and len(data) >= 6:
+        try:
+            return ico_decode(data), None
+        except BmpError as e:
             return None, str(e)
     return None, "not_image"

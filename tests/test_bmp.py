@@ -138,3 +138,97 @@ def test_raster_dispatch_and_operators(spark):
     stats = image_stats(df).collect()[0]
     sums = rgb.astype(np.int64).sum(axis=(0, 1))
     assert (stats.sum_r, stats.sum_g, stats.sum_b) == tuple(int(s) for s in sums)
+
+
+# ------------------------------------------------------------------- ICO
+
+
+def _build_ico(entries):
+    """entries: list of (w, h, image_bytes)."""
+    header = struct.pack("<HHH", 0, 1, len(entries))
+    directory = b""
+    blobs = b""
+    off = 6 + 16 * len(entries)
+    for w, h, blob in entries:
+        directory += struct.pack(
+            "<BBBBHHII", w % 256, h % 256, 0, 0, 1, 32, len(blob), off
+        )
+        off += len(blob)
+        blobs += blob
+    return header + directory + blobs
+
+
+def _dib_entry(rgb, mask_bits=None):
+    """32-bpp DIB with doubled height + AND mask."""
+    h, w = rgb.shape[:2]
+    info = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0, 0,
+                       0, 0, 0, 0)
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        for x in range(w):
+            r, g, b = rgb[y, x]
+            body += bytes([b, g, r, 255])
+    mask_stride = ((w + 31) // 32) * 4
+    if mask_bits is None:
+        mask = b"\x00" * (mask_stride * h)
+    else:
+        rows = []
+        for y in range(h - 1, -1, -1):
+            packed = np.packbits(mask_bits[y].astype(np.uint8))
+            rows.append(packed.tobytes().ljust(mask_stride, b"\x00"))
+        mask = b"".join(rows)
+    return bytes(info) + bytes(body) + mask
+
+
+def test_ico_png_entry():
+    from hoover_snoop2_spark.functions.bmp_codec import ico_decode
+    from hoover_snoop2_spark.functions.png_codec import png_encode
+
+    rgb = _pattern(24, 16)
+    data = _build_ico([(24, 16, png_encode(rgb))])
+    assert np.array_equal(ico_decode(data), rgb)
+
+
+def test_ico_dib_entry_and_largest_selection():
+    from hoover_snoop2_spark.functions.bmp_codec import ico_decode
+
+    small = _pattern(4, 4)
+    big = _pattern(16, 8)
+    data = _build_ico([
+        (4, 4, _dib_entry(small)),
+        (16, 8, _dib_entry(big)),
+    ])
+    assert np.array_equal(ico_decode(data), big)
+
+
+def test_ico_raster_dispatch_and_broken():
+    from hoover_snoop2_spark.functions.bmp_codec import BmpError, ico_decode
+
+    rgb = _pattern(8, 8)
+    data = _build_ico([(8, 8, _dib_entry(rgb))])
+    out, reason = decode_raster(data)
+    assert reason is None and np.array_equal(out, rgb)
+    with pytest.raises(BmpError, match="not_ico"):
+        ico_decode(b"\x01\x02")
+    with pytest.raises(BmpError, match="ico_truncated"):
+        ico_decode(data[: len(data) // 2])
+
+
+def test_32bpp_alpha_wide_image():
+    """Regression: the alpha composite broadcast only worked at width 1
+    (trailing-dim coincidence) — exercise a wide 32-bpp image."""
+    h, w = 3, 7
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        for x in range(w):
+            body += bytes([10, 20, 30, 128])  # BGRA half-transparent
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 32, 0, len(body),
+                       0, 0, 0, 0)
+    off = 14 + 40
+    data = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+            + info + bytes(body))
+    out = bmp_decode(data)
+    # (c*128 + 255*127 + 127) // 255 per channel
+    expect = tuple((c * 128 + 255 * 127 + 127) // 255 for c in (30, 20, 10))
+    assert out.shape == (h, w, 3)
+    assert all(tuple(px) == expect for row in out for px in row)
