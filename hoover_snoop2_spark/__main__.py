@@ -97,13 +97,23 @@ def main(argv: list[str] | None = None) -> int:
 
     wet_files = None
     if args.wet_dir:
+        import shutil
+
         from .sources.warc import write_wet
 
         # digests are url-keyed; the crawl timestamp lives on the pages
-        # side (container children carry no capture time → epoch date)
-        with_ts = digests.select("url", "text").join(
-            pages.select("url", "warc_ts"), "url", "left"
+        # side (container children carry no capture time → epoch date).
+        # Both sides dedup by url: re-crawled urls carry several page
+        # rows and a plain m:n join would emit duplicate WET records
+        # with identical record ids.
+        with_ts = digests.select("url", "text").dropDuplicates(["url"]).join(
+            pages.select("url", "warc_ts").dropDuplicates(["url"]),
+            "url",
+            "left",
         )
+        # stale part files from a previous (or failed) run must not
+        # survive — write_wet appends files, it cannot truncate
+        shutil.rmtree(args.wet_dir, ignore_errors=True)
         manifest = write_wet(with_ts, args.wet_dir).collect()
         wet_files = {
             "files": len(manifest),

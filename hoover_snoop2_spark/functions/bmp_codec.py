@@ -20,14 +20,21 @@ import struct
 
 import numpy as np
 
+from .raster_common import MAX_PIXELS, composite_over_white
+
 
 class BmpError(ValueError):
     """Malformed/unsupported BMP input; callers map it to broken_reason."""
 
 
-def bmp_decode(data: bytes) -> np.ndarray:
-    """Decode to (h, w, 3) uint8 RGB; alpha (32 bpp) composites over
-    white like the PNG/GIF paths."""
+def bmp_decode(data: bytes, alpha_32bpp: bool = False) -> np.ndarray:
+    """Decode to (h, w, 3) uint8 RGB.
+
+    In BI_RGB the 32-bpp fourth byte is RESERVED and most writers (GDI,
+    screenshots) leave it 0 — standard decoders render those opaque, so
+    the default here ignores it; ``alpha_32bpp=True`` treats it as real
+    alpha composited over white (the ICO DIB convention,
+    :func:`ico_decode`)."""
     if data[:2] != b"BM" or len(data) < 54:
         raise BmpError("not_bmp")
     (pixel_off,) = struct.unpack("<I", data[10:14])
@@ -44,7 +51,7 @@ def bmp_decode(data: bytes) -> np.ndarray:
     height = -height_raw if top_down else height_raw
     if width <= 0 or height == 0:
         raise BmpError("bmp_zero_dims")
-    if width * height > 64_000_000:
+    if width * height > MAX_PIXELS:
         raise BmpError("bmp_too_large")  # same header-bomb guard as png/gif
     if compression != 0:
         raise BmpError("bmp_compression_unsupported")
@@ -78,12 +85,10 @@ def bmp_decode(data: bytes) -> np.ndarray:
         return px[:, :, ::-1].copy()  # BGR → RGB
     if bpp == 32:
         px = rows.reshape(height, -1)[:, : width * 4].reshape(height, width, 4)
-        b, g, r = (px[:, :, i].astype(np.int64) for i in range(3))
-        a = px[:, :, 3].astype(np.int64)[:, :, None]
-        out = np.stack([r, g, b], axis=2)
-        # composite over white, floor(x + 0.5) like png _to_rgb
-        out = (out * a + 255 * (255 - a) + 127) // 255
-        return out.astype(np.uint8)
+        rgb = px[:, :, 2::-1]  # BGR(X) → RGB
+        if not alpha_32bpp:
+            return rgb.copy()
+        return composite_over_white(rgb, px[:, :, 3])
     # palette depths: unpack bits MSB-first
     bits = np.unpackbits(rows, axis=1)
     if bpp == 1:
@@ -169,17 +174,24 @@ def ico_decode(data: bytes) -> np.ndarray:
     dib[8:12] = struct.pack("<i", height2 // 2)
     fileheader = b"BM" + struct.pack("<IHHI", 14 + len(dib), 0, 0,
                                      14 + pixel_off)
-    rgb = bmp_decode(bytes(fileheader) + bytes(dib))
+    rh = abs(height2) // 2
+    rw = struct.unpack("<i", blob[4:8])[0]
+    # 32-bpp icons MAY carry real alpha (Vista+), but legacy writers
+    # zero the reserved byte and rely on the AND mask — render alpha
+    # only when any alpha byte is nonzero (standard renderer behavior)
+    use_alpha = False
+    if bpp == 32:
+        a = blob[pixel_off + 3 : pixel_off + 4 * rw * rh : 4]
+        use_alpha = any(a)
+    rgb = bmp_decode(bytes(fileheader) + bytes(dib), alpha_32bpp=use_alpha)
     rh, rw = rgb.shape[:2]
-    # AND mask: 1-bpp rows (stride 4) after the XOR pixels, bottom-up.
-    # 32-bpp icons carry a real alpha channel (already composited by
-    # bmp_decode) — their AND mask is vestigial and skipped, the
-    # standard renderer behavior.
+    # AND mask: 1-bpp rows (stride 4) after the XOR pixels, bottom-up;
+    # skipped when real alpha already composited
     xor_stride = ((rw * bpp + 31) // 32) * 4
     mask_off = pixel_off + xor_stride * rh
     mask_stride = ((rw + 31) // 32) * 4
     mask_bytes = blob[mask_off : mask_off + mask_stride * rh]
-    if bpp != 32 and len(mask_bytes) == mask_stride * rh:
+    if not use_alpha and len(mask_bytes) == mask_stride * rh:
         rows = np.frombuffer(mask_bytes, dtype=np.uint8).reshape(
             rh, mask_stride
         )[::-1]

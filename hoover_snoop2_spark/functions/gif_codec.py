@@ -33,6 +33,8 @@ import struct
 
 import numpy as np
 
+from .raster_common import MAX_PIXELS
+
 
 class GifError(ValueError):
     """Malformed/unsupported GIF input; callers map it to broken_reason."""
@@ -130,7 +132,7 @@ def gif_decode(data: bytes) -> np.ndarray:
     sw, sh, flags, bg_index, _ = struct.unpack("<HHBBB", data[6:13])
     if sw == 0 or sh == 0:
         raise GifError("gif_zero_dims")
-    if sw * sh > 64_000_000:
+    if sw * sh > MAX_PIXELS:
         # same decompression-bomb guard as png_decode: a ~20-byte header
         # can otherwise demand a multi-GB canvas before any pixel data
         raise GifError("gif_too_large")
@@ -179,7 +181,7 @@ def gif_decode(data: bytes) -> np.ndarray:
             raise GifError("gif_no_color_table")
         if iw == 0 or ih == 0:
             raise GifError("gif_zero_dims")
-        if iw * ih > 64_000_000:
+        if iw * ih > MAX_PIXELS:
             raise GifError("gif_too_large")
         if pos >= len(data):
             raise GifError("gif_truncated")

@@ -39,6 +39,8 @@ import struct
 
 import numpy as np
 
+from .raster_common import MAX_PIXELS
+
 
 class JpegError(ValueError):
     """Malformed/unsupported JPEG input; callers map it to broken_reason."""
@@ -317,7 +319,7 @@ def _decode_impl(data: bytes) -> np.ndarray:
                 raise JpegError("jpeg_precision_unsupported")
             if fh == 0 or fw == 0:
                 raise JpegError("jpeg_zero_dims")
-            if fh * fw > 64_000_000:
+            if fh * fw > MAX_PIXELS:
                 # the planes allocate from these header dims BEFORE any
                 # entropy data is validated — same bomb guard as png/gif
                 raise JpegError("jpeg_too_large")

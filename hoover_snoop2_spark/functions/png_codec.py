@@ -46,6 +46,8 @@ import zlib
 
 import numpy as np
 
+from .raster_common import MAX_PIXELS, composite_over_white
+
 _SIG = b"\x89PNG\r\n\x1a\n"
 
 #: (xoff, yoff, xstep, ystep) per Adam7 pass, PNG spec §8.2
@@ -203,13 +205,10 @@ def _to_rgb(samples: np.ndarray, color_type: int, bit_depth: int,
     if color_type == 2:
         return px.astype(np.uint8)
     if color_type == 4:
-        g, a = px[:, :, 0], px[:, :, 1]
-        flat = (g * a + 255 * (255 - a) + 127) // 255
-        return np.repeat(flat.astype(np.uint8)[:, :, None], 3, axis=2)
+        g = np.repeat(px[:, :, 0:1], 3, axis=2)
+        return composite_over_white(g, px[:, :, 1])
     # color_type 6: RGBA over white
-    rgb, a = px[:, :, :3], px[:, :, 3:4]
-    flat = (rgb * a + 255 * (255 - a) + 127) // 255
-    return flat.astype(np.uint8)
+    return composite_over_white(px[:, :, :3], px[:, :, 3])
 
 
 def png_decode(data: bytes) -> np.ndarray:
@@ -245,7 +244,7 @@ def png_decode(data: bytes) -> np.ndarray:
         raise PngError("png_bad_bit_depth")
     if not (0 < width <= 1 << 24 and 0 < height <= 1 << 24):
         raise PngError("png_bad_dims")
-    if width * height > 64_000_000:
+    if width * height > MAX_PIXELS:
         raise PngError("png_too_large")  # decompression-bomb guard
     # bound the inflate by the raster geometry: a 1x1 header with a
     # multi-GB expansion stream must stop at the cap, not when memory

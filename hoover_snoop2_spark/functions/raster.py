@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from .raster_common import MAX_PIXELS, composite_over_white  # noqa: F401
+
 from .bmp_codec import BmpError, bmp_decode, ico_decode
 from .gif_codec import GifError, gif_decode
 from .jpeg_codec import JpegError, jpeg_decode

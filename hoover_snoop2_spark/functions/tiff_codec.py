@@ -25,6 +25,8 @@ import struct
 
 import numpy as np
 
+from .raster_common import MAX_PIXELS, composite_over_white
+
 
 class TiffError(ValueError):
     """Malformed/unsupported TIFF input; callers map it to broken_reason."""
@@ -108,13 +110,17 @@ def tiff_decode(data: bytes) -> np.ndarray:
     height = one(257)
     if not width or not height:
         raise TiffError("tiff_missing_dims")
-    if width * height > 64_000_000:
+    if width * height > MAX_PIXELS:
         raise TiffError("tiff_too_large")
     compression = one(259, 1)
     if compression not in (1, 32773):
         raise TiffError(f"tiff_compression_unsupported:{compression}")
     photometric = one(262, 1)
     spp = one(277, 1)
+    if spp not in (1, 2, 3, 4):
+        # also caps the raw buffer: the pixel guard bounds w*h but a
+        # 16-bit SamplesPerPixel would multiply it by up to 65535
+        raise TiffError(f"tiff_samples_unsupported:{spp}")
     bits = tags.get(258, (8,) * spp)
     if any(b != 8 for b in bits):
         raise TiffError("tiff_bits_unsupported")
@@ -172,10 +178,7 @@ def tiff_decode(data: bytes) -> np.ndarray:
             raise TiffError("tiff_samples_unsupported")
         if spp == 3:
             return px.copy()
-        rgb = px[:, :, :3].astype(np.int64)
-        a = px[:, :, 3].astype(np.int64)[:, :, None]
-        out = (rgb * a + 255 * (255 - a) + 127) // 255
-        return out.astype(np.uint8)
+        return composite_over_white(px[:, :, :3], px[:, :, 3])
     raise TiffError(f"tiff_photometric_unsupported:{photometric}")
 
 

@@ -575,6 +575,7 @@ def aiff_decode(data: bytes) -> tuple[int, int, np.ndarray]:
         raise WavError("not_aiff")
     comm = None
     payload = None
+    little_endian = False
     pos = 12
     while pos + 8 <= len(data):
         cid = data[pos : pos + 4]
@@ -588,7 +589,9 @@ def aiff_decode(data: bytes) -> tuple[int, int, np.ndarray]:
             rate = int(mant >> (63 - e)) if 0 <= e <= 63 else 0
             if len(body) > 18 and data[8:12] == b"AIFC":
                 ctype = body[18:22]
-                if ctype not in (b"NONE", b"sowt"):
+                if ctype == b"sowt":
+                    little_endian = True  # AIFF-C little-endian PCM
+                elif ctype != b"NONE":
                     raise WavError(
                         f"aiff_codec_unsupported:{ctype.decode('ascii', 'replace')}"
                     )
@@ -605,9 +608,13 @@ def aiff_decode(data: bytes) -> tuple[int, int, np.ndarray]:
     if bits != 16:
         raise WavError(f"aiff_bits_unsupported:{bits}")
     arr = np.frombuffer(
-        payload[: len(payload) - (len(payload) % 2)], dtype=">i2"
+        payload[: len(payload) - (len(payload) % 2)],
+        dtype="<i2" if little_endian else ">i2",
     ).astype(np.int32)
-    frames = len(arr) // n_channels
+    # SSND may carry block-alignment slack — COMM's numSampleFrames is
+    # the authoritative count (phantom tail samples otherwise inflate
+    # every statistic with status ok)
+    frames = min(len(arr) // n_channels, n_frames)
     return rate, n_channels, arr[: frames * n_channels].reshape(
         frames, n_channels
     )

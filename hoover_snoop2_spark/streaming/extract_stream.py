@@ -62,25 +62,38 @@ class StreamingExtractor:
         # append-only: this epoch's delta lands in its own partition dir;
         # overwrite of the SAME epoch (streaming retry) is idempotent
         delta = delta.persist()
-        delta.write.mode("overwrite").parquet(
-            os.path.join(self.out_dir, f"epoch={int(epoch_id)}")
-        )
-        if self.wet_dir is not None:
-            import shutil
-
-            from ..sources.warc import write_wet
-
-            with_ts = delta.select("url", "text").join(
-                batch_df.select("url", "warc_ts"), "url", "left"
+        try:
+            delta.write.mode("overwrite").parquet(
+                os.path.join(self.out_dir, f"epoch={int(epoch_id)}")
             )
-            # retry idempotence must be explicit: parquet's overwrite
-            # mode truncates the target, but write_wet appends files —
-            # a failed first attempt would leave stale part files that
-            # read_wet('epoch=*') happily unions into duplicates
-            epoch_dir = os.path.join(self.wet_dir, f"epoch={int(epoch_id)}")
-            shutil.rmtree(epoch_dir, ignore_errors=True)
-            write_wet(with_ts, epoch_dir).count()
-        delta.unpersist()
+            if self.wet_dir is not None:
+                import shutil
+
+                from ..sources.warc import write_wet
+
+                # one WET record per url: a re-crawled url carries
+                # several page rows, and a plain join would fan the
+                # digest out into duplicate records with identical ids
+                with_ts = delta.select("url", "text").dropDuplicates(
+                    ["url"]
+                ).join(
+                    batch_df.select("url", "warc_ts")
+                    .dropDuplicates(["url"]),
+                    "url",
+                    "left",
+                )
+                # retry idempotence must be explicit: parquet's
+                # overwrite mode truncates the target, but write_wet
+                # appends files — a failed first attempt would leave
+                # stale part files that read_wet('epoch=*') unions
+                # into duplicates
+                epoch_dir = os.path.join(
+                    self.wet_dir, f"epoch={int(epoch_id)}"
+                )
+                shutil.rmtree(epoch_dir, ignore_errors=True)
+                write_wet(with_ts, epoch_dir).count()
+        finally:
+            delta.unpersist()
 
 
 def start_extract_stream(

@@ -73,13 +73,18 @@ def test_1bpp_palette():
     assert [int(p[0]) for p in out[0]] == [255, 0, 255, 0, 0]
 
 
-def test_32bpp_alpha_over_white():
-    # one pixel, half-transparent black → 127 gray over white
-    px = bytes([0, 0, 0, 128])
+def test_32bpp_reserved_byte_opaque_by_default():
+    """BI_RGB's 4th byte is RESERVED — GDI-style writers zero it, and a
+    decoder honoring it as alpha would render those files all-white."""
+    px = bytes([30, 20, 10, 0])  # BGRX with zeroed reserved byte
     info = struct.pack("<IiiHHIIiiII", 40, 1, 1, 1, 32, 0, 4, 0, 0, 0, 0)
     off = 14 + 40
     data = (b"BM" + struct.pack("<IHHI", off + 4, 0, 0, off) + info + px)
-    assert tuple(bmp_decode(data)[0, 0]) == (127, 127, 127)
+    assert tuple(bmp_decode(data)[0, 0]) == (10, 20, 30)
+    # the ICO convention: opt-in alpha, half-transparent black → 127
+    px2 = bytes([0, 0, 0, 128])
+    data2 = (b"BM" + struct.pack("<IHHI", off + 4, 0, 0, off) + info + px2)
+    assert tuple(bmp_decode(data2, alpha_32bpp=True)[0, 0]) == (127, 127, 127)
 
 
 def test_broken_reasons():
@@ -227,8 +232,35 @@ def test_32bpp_alpha_wide_image():
     off = 14 + 40
     data = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
             + info + bytes(body))
-    out = bmp_decode(data)
+    out = bmp_decode(data, alpha_32bpp=True)
     # (c*128 + 255*127 + 127) // 255 per channel
     expect = tuple((c * 128 + 255 * 127 + 127) // 255 for c in (30, 20, 10))
     assert out.shape == (h, w, 3)
     assert all(tuple(px) == expect for row in out for px in row)
+
+
+def test_ico_legacy_zero_alpha_uses_and_mask():
+    """Legacy 32-bpp icons zero the alpha byte and rely on the AND mask
+    — honoring zero alpha would render them invisible (all white)."""
+    from hoover_snoop2_spark.functions.bmp_codec import ico_decode
+
+    h, w = 4, 8
+    rgb = _pattern(w, h)
+    info = struct.pack("<IiiHHIIiiII", 40, w, 2 * h, 1, 32, 0, 0, 0, 0, 0, 0)
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        for x in range(w):
+            r, g, b = rgb[y, x]
+            body += bytes([b, g, r, 0])  # zero alpha
+    mask_stride = ((w + 31) // 32) * 4
+    mask = np.zeros((h, w), dtype=bool)
+    mask[0, 0] = True  # top-left pixel masked out
+    rows = []
+    for y in range(h - 1, -1, -1):
+        packed = np.packbits(mask[y].astype(np.uint8))
+        rows.append(packed.tobytes().ljust(mask_stride, b"\x00"))
+    blob = bytes(info) + bytes(body) + b"".join(rows)
+    data = _build_ico([(w, h, blob)])
+    out = ico_decode(data)
+    assert tuple(out[0, 0]) == (255, 255, 255)  # masked → white
+    assert np.array_equal(out[1:], rgb[1:])  # everything else opaque
