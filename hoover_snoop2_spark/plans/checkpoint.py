@@ -208,6 +208,37 @@ class SnapshotStore:
             return spark.read.parquet(*cur).limit(0)
         return spark.read.parquet(*added)
 
+    def compact(
+        self,
+        spark: SparkSession,
+        table: str,
+        target_file_bytes: int = 128 * 2**20,
+    ) -> int | None:
+        """Iceberg ``rewrite_data_files`` analog — the small-files
+        problem is what append-only incremental commits naturally
+        produce at 10^12-document scale (every resume delta is its own
+        data dir; readers pay an open() per tiny file).  Read the
+        current snapshot once, coalesce to ``ceil(bytes/target)``
+        output files (coalesce, not repartition: no shuffle — this is
+        an IO rewrite, not a redistribution), and commit the rewrite as
+        a fresh overwrite snapshot.  Row content is identical; older
+        snapshots keep their own file lists, so time travel and
+        concurrent readers of previous versions are undisturbed, and
+        ``expire`` eventually reclaims the superseded dirs.  Returns
+        the new version, or None when the current snapshot is already
+        a single data dir (nothing to do)."""
+        dirs = self._resolve(table, None)
+        if len(dirs) <= 1:
+            return None
+        total = 0
+        for d in dirs:
+            for name in os.listdir(d):
+                if name.endswith(".parquet"):
+                    total += os.path.getsize(os.path.join(d, name))
+        n_files = max(1, -(-total // target_file_bytes))
+        df = spark.read.parquet(*dirs).coalesce(n_files)
+        return self.commit(df, table, mode="overwrite")
+
     def history(self, table: str) -> list[dict]:
         return list(self._meta(table)["snapshots"])
 

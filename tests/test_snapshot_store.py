@@ -130,3 +130,38 @@ def test_orphan_snap_dir_from_crashed_commit_is_recovered(spark, store, tmp_path
     v2 = store.commit(spark.range(3, 5), "t")
     assert v2 == 2
     assert _ids(store.read(spark, "t")) == [0, 1, 2, 3, 4]  # no 100..102
+
+
+def test_compact_rewrites_small_files(spark, tmp_path):
+    """rewrite_data_files analog: N append deltas → one data dir, rows
+    identical, time travel to pre-compaction versions intact, the
+    files-diff incremental scan sees the rewrite as its own snapshot."""
+    from hoover_snoop2_spark.plans.checkpoint import SnapshotStore
+
+    store = SnapshotStore(str(tmp_path / "snap"))
+    versions = []
+    for i in range(4):
+        df = spark.range(i * 10, (i + 1) * 10).withColumnRenamed("id", "v")
+        versions.append(store.commit(df, "t", mode="append"))
+    before = sorted(r.v for r in store.read(spark, "t").collect())
+    assert len(store._resolve("t", None)) == 4
+
+    new_v = store.compact(spark, "t")
+    assert new_v == versions[-1] + 1
+    assert len(store._resolve("t", None)) == 1
+    after = sorted(r.v for r in store.read(spark, "t").collect())
+    assert after == before == list(range(40))
+
+    # time travel to a pre-compaction version is untouched
+    old = sorted(r.v for r in store.read(spark, "t", versions[1]).collect())
+    assert old == list(range(20))
+    # the rewrite is its own snapshot for incremental consumers: the
+    # files-diff from the last pre-compaction version is the new dir
+    inc = store.incremental(spark, "t", versions[-1])
+    assert sorted(r.v for r in inc.collect()) == list(range(40))
+    # nothing to do on a second pass
+    assert store.compact(spark, "t") is None
+    # expire reclaims the superseded small dirs
+    deleted = store.expire("t", keep_last=1)
+    assert len(deleted) == 4
+    assert sorted(r.v for r in store.read(spark, "t").collect()) == before
