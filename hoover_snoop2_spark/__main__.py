@@ -39,6 +39,11 @@ def main(argv: list[str] | None = None) -> int:
                    help="also emit the extracted text as Common-Crawl-"
                         "style WET files (one part-NNNNN.warc.wet.gz "
                         "per partition, per-record gzip members)")
+    p.add_argument("--compact-snapshots", action="store_true",
+                   help="after the snapshot commit, rewrite the table's "
+                        "accumulated small data dirs into right-sized "
+                        "files (Iceberg rewrite_data_files analog); "
+                        "requires --snapshot-dir")
     p.add_argument("--snapshot-dir", default=None,
                    help="version digests in a SnapshotStore table: with "
                         "--resume, reads the current snapshot as the "
@@ -89,6 +94,10 @@ def main(argv: list[str] | None = None) -> int:
             digests, "digests",
             mode="append" if previous is not None else "overwrite",
         )
+        if args.compact_snapshots:
+            compacted = store.compact(spark, "digests")
+            if compacted is not None:
+                snapshot_version = compacted
         digests = store.read(spark, "digests")
 
     out = to_es_documents(digests) if args.es_shape else digests

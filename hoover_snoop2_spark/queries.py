@@ -3425,6 +3425,62 @@ ORDER BY doc_id
 """
 
 
+def q79_search_facets(spark, sf_dir):
+    """Search-facet aggregations — what the reference's UI runs against
+    ES for every query (hoover facets on filetype / lang / date
+    buckets; the `filetype` and `date` mapping fields come from
+    digests.py and our es_sink).  Synthesized facet dimensions are
+    integer functions of doc_id (filetype class, month bucket), so one
+    GROUPING SETS pass produces all three facet tables in a single
+    shuffle — the Spark-first replacement for three separate ES
+    aggregations.  Counts are integers; ordering fixed for the
+    oracle."""
+    d = _t(spark, sf_dir, "documents")
+    ft = F.element_at(
+        F.array(F.lit("doc"), F.lit("email"), F.lit("pdf"), F.lit("html"),
+                F.lit("archive")),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    month = F.lpad(((F.col("doc_id") * 11) % 12 + 1).cast("string"), 2, "0")
+    base = d.select(
+        ft.alias("filetype"),
+        F.col("lang"),
+        F.concat(F.lit("2026-"), month).alias("month_bucket"),
+    )
+    return (
+        base.cube("filetype", "lang", "month_bucket")
+        .agg(F.count("*").alias("n"))
+        # keep exactly the three one-dimensional facets + the total
+        .where(
+            (
+                F.col("filetype").isNotNull().cast("int")
+                + F.col("lang").isNotNull().cast("int")
+                + F.col("month_bucket").isNotNull().cast("int")
+            )
+            <= 1
+        )
+        .orderBy("filetype", "lang", "month_bucket")
+    )
+
+
+Q79_SQL = """
+WITH base AS (
+  SELECT (['doc', 'email', 'pdf', 'html', 'archive'])[doc_id % 5 + 1]
+           AS filetype,
+         lang,
+         '2026-' || lpad(CAST((doc_id * 11) % 12 + 1 AS VARCHAR), 2, '0')
+           AS month_bucket
+  FROM documents
+)
+SELECT filetype, lang, month_bucket, CAST(COUNT(*) AS BIGINT) AS n
+FROM base
+GROUP BY CUBE (filetype, lang, month_bucket)
+HAVING ((filetype IS NOT NULL)::INT + (lang IS NOT NULL)::INT
+        + (month_bucket IS NOT NULL)::INT) <= 1
+ORDER BY filetype, lang, month_bucket
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -3496,6 +3552,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q76_redirect_resolution": q76_redirect_resolution,
     "q77_decontamination": q77_decontamination,
     "q78_robots_longest_match": q78_robots_longest_match,
+    "q79_search_facets": q79_search_facets,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -3567,6 +3624,7 @@ ORACLES: dict[str, str] = {
     "q76_redirect_resolution": Q76_SQL,
     "q77_decontamination": Q77_SQL,
     "q78_robots_longest_match": Q78_SQL,
+    "q79_search_facets": Q79_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -121,3 +121,35 @@ def test_cli_wet_output(spark, tmp_path, capsys, monkeypatch):
         != F.coalesce(F.col("w.text"), F.lit(""))
     )
     assert mismatch.count() == 0
+
+
+def test_cli_compact_snapshots(spark, tmp_path, capsys, monkeypatch):
+    """--compact-snapshots after a resumed append: the reported version
+    is the rewrite, the table collapses to one data dir, and counts are
+    unchanged."""
+    from hoover_snoop2_spark.__main__ import main
+    from hoover_snoop2_spark.corpus import generate_pages
+    from hoover_snoop2_spark.plans.checkpoint import SnapshotStore
+
+    monkeypatch.setattr(pyspark.sql.SparkSession, "stop", lambda self: None)
+    pages_path, _ = generate_pages(40, str(tmp_path / "gen"))
+    full = spark.read.parquet(pages_path)
+    small_path = str(tmp_path / "pages_small")
+    full.limit(15).write.parquet(small_path)
+    out = str(tmp_path / "out")
+    snaps = str(tmp_path / "snaps")
+
+    assert main(["--input", small_path, "--output", out,
+                 "--checkpoint", str(tmp_path / "c1"),
+                 "--snapshot-dir", snaps]) == 0
+    first = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert main(["--input", pages_path, "--output", out,
+                 "--checkpoint", str(tmp_path / "c2"),
+                 "--snapshot-dir", snaps, "--resume",
+                 "--compact-snapshots"]) == 0
+    second = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert second["snapshot_version"] == 3  # append=2, rewrite=3
+    store = SnapshotStore(snaps)
+    assert len(store._resolve("digests", None)) == 1
+    assert store.read(spark, "digests").count() == second["digests"]
+    assert second["digests"] > first["digests"]

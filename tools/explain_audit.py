@@ -51,6 +51,7 @@ AUDITED = [
     "q76_redirect_resolution",
     "q77_decontamination",
     "q78_robots_longest_match",
+    "q79_search_facets",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -97,6 +98,8 @@ CHECKS = {
                             "!CartesianProduct", "!Window"],
     "q78_robots_longest_match": ["HashAggregate", "!Window",
                                  "!CartesianProduct"],
+    "q79_search_facets": ["Expand", "HashAggregate", "!Window",
+                          "!CartesianProduct"],
 }
 
 NOTES = {
@@ -210,6 +213,10 @@ NOTES = {
         "one max-of-struct (length, allow, prefix) HashAggregate — the "
         "q43 keep-longest shape, no per-page Window sort; unmatched "
         "pages re-enter via a LeftAnti with the RFC allow default.",
+    "q79_search_facets": "CUBE plans one Expand + one HashAggregate — "
+        "all three facet dimensions (and the grand total) come out of a "
+        "single shuffle where three separate ES aggregations would scan "
+        "the index three times.",
 }
 
 
