@@ -3481,6 +3481,301 @@ ORDER BY filetype, lang, month_bucket
 """
 
 
+def q80_bigram_coverage(spark, sf_dir):
+    """Bigram-coverage fluency prior — the conditional-probability
+    companion of q73's unigram-rank surprise (CCNet buckets web text by
+    KenLM perplexity; with an LM binary out of scope, the fraction of a
+    doc's adjacent word pairs that recur corpus-wide is the same
+    fluency signal class, deterministic, and oracle-able).  Bigrams are
+    built JVM-side with one higher-order ``transform`` over the split
+    array (the array lands in its own projection first — NOTES.md's
+    HOF-CSE rule), counted once corpus-wide, and joined back by bigram
+    key.  Unlike q73's unigram vocabulary, the bigram table GROWS with
+    the corpus, so the score join is a plain shuffle equi-join — at
+    100 TB a broadcast would not fit and AQE may still pick one at
+    small SF.  Integer counts and an exact floor percentage — no float
+    logprobs to ULP-drift (the 100*n/d double division is exact at
+    these magnitudes, same argument as q45)."""
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select("doc_id", F.split(F.col("text"), " ").alias("w"))
+    bi = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(w, 1, size(w) - 1),"
+                " (x, i) -> concat(x, ' ', w[i + 1]))"
+            )
+        ).alias("bigram"),
+    )
+    counts = bi.groupBy("bigram").agg(F.count("*").alias("cnt"))
+    return (
+        bi.join(counts, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum((F.col("cnt") >= 2).cast("long")).alias("n_common"),
+        )
+        .withColumn(
+            "coverage_pct",
+            F.floor(F.lit(100) * F.col("n_common") / F.col("n_bigrams")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q80_SQL = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), bi AS (
+  SELECT doc_id, unnest(list_transform(range(1, len(w)),
+                        i -> w[i] || ' ' || w[i + 1])) AS bigram
+  FROM docs
+), counts AS (
+  SELECT bigram, COUNT(*) AS cnt FROM bi GROUP BY bigram
+)
+SELECT b.doc_id,
+       COUNT(*)::BIGINT AS n_bigrams,
+       SUM((c.cnt >= 2)::INT)::BIGINT AS n_common,
+       FLOOR(100 * SUM((c.cnt >= 2)::INT) / COUNT(*))::BIGINT AS coverage_pct
+FROM bi b JOIN counts c USING (bigram)
+GROUP BY b.doc_id ORDER BY b.doc_id
+"""
+
+
+def q81_inverted_index(spark, sf_dir):
+    """Distributed inverted-index build — the structure the reference
+    delegates to Elasticsearch (es_sink ships documents; ES builds the
+    postings).  Spark-first shape: tf per (term, doc) in one shuffle,
+    then per-term df/tf totals, and a postings list CAPPED to the
+    first 20 doc_ids BEFORE any collect_list — the row_number window
+    bounds the aggregation buffer, so a stop word with a billion
+    postings costs 20 slots, not an OOM (real engines shard postings;
+    a champion list is the bounded analog).  df >= 3 prunes the long
+    unique-term tail so the index, like ES's, stores only reusable
+    terms.  Everything is integers and sorted comma-joined strings."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tfd = words.groupBy("term", "doc_id").agg(F.count("*").alias("tf"))
+    stats = (
+        tfd.groupBy("term")
+        .agg(F.count("*").alias("df"), F.sum("tf").alias("tf_total"))
+        .where(F.col("df") >= 3)
+    )
+    top = (
+        tfd.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("term").orderBy("doc_id")),
+        )
+        .where(F.col("rn") <= 20)
+        .groupBy("term")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.col("doc_id"))),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings")
+        )
+    )
+    return (
+        stats.join(top, "term")
+        .select("term", "df", "tf_total", "postings")
+        .orderBy("term")
+    )
+
+
+Q81_SQL = """
+WITH words AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+), tfd AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM words GROUP BY term, doc_id
+), stats AS (
+  SELECT term, COUNT(*) AS df, SUM(tf) AS tf_total
+  FROM tfd GROUP BY term HAVING COUNT(*) >= 3
+), top AS (
+  SELECT term, doc_id FROM (
+    SELECT term, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY term ORDER BY doc_id) AS rn
+    FROM tfd
+  ) WHERE rn <= 20
+), p AS (
+  SELECT term, string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)
+           AS postings
+  FROM top GROUP BY term
+)
+SELECT s.term, s.df::BIGINT AS df, s.tf_total::BIGINT AS tf_total, p.postings
+FROM stats s JOIN p USING (term) ORDER BY s.term
+"""
+
+
+def q82_phrase_search(spark, sf_dir):
+    """Positional-index phrase query — hoover's ES quoted-phrase search
+    re-expressed as the classic positional-postings join: a 3-word
+    phrase matches where w1 sits at position p, w2 at p+1, w3 at p+2.
+    The phrase set is deterministic (the first three words of docs
+    0-4), broadcast onto the position table; the two follow-up joins
+    are equi-joins on (doc_id, pos+offset, word) — Catalyst extracts
+    the pos+1/pos+2 expressions as equi-join keys, and since the
+    candidate side after the broadcast filter is tiny, AQE broadcasts
+    it too: the big position table is never shuffled twice.  Every
+    phrase originates from a real document prefix, so the inner joins
+    lose nothing."""
+    d = _t(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos", "word"),
+    )
+    w = F.split(F.col("text"), " ")
+    phrases = (
+        d.where(F.col("doc_id") < 5)
+        .where(F.size(w) >= 3)
+        .select(
+            F.col("doc_id").alias("phrase_id"),
+            w[0].alias("w1"),
+            w[1].alias("w2"),
+            w[2].alias("w3"),
+        )
+    )
+    m1 = pos.join(F.broadcast(phrases), pos.word == phrases.w1).select(
+        "phrase_id", "w2", "w3", "doc_id", "pos"
+    )
+    p2 = pos.select(
+        F.col("doc_id").alias("d2"),
+        F.col("pos").alias("q2"),
+        F.col("word").alias("x2"),
+    )
+    m2 = m1.join(
+        p2,
+        (m1.doc_id == p2.d2) & (p2.q2 == m1.pos + 1) & (m1.w2 == p2.x2),
+    ).select("phrase_id", "w3", "doc_id", "pos")
+    p3 = pos.select(
+        F.col("doc_id").alias("d3"),
+        F.col("pos").alias("q3"),
+        F.col("word").alias("x3"),
+    )
+    m3 = m2.join(
+        p3,
+        (m2.doc_id == p3.d3) & (p3.q3 == m2.pos + 2) & (m2.w3 == p3.x3),
+    )
+    return (
+        m3.groupBy("phrase_id")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("*").alias("n_matches"),
+        )
+        .join(
+            F.broadcast(
+                phrases.select(
+                    "phrase_id",
+                    F.concat_ws(" ", "w1", "w2", "w3").alias("phrase"),
+                )
+            ),
+            "phrase_id",
+        )
+        .select("phrase_id", "phrase", "n_docs", "n_matches")
+        .orderBy("phrase_id")
+    )
+
+
+Q82_SQL = """
+WITH docs AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), pos AS (
+  SELECT doc_id, unnest(w) AS word, unnest(range(0, len(w))) AS pos
+  FROM docs
+), ph AS (
+  SELECT doc_id AS phrase_id, w[1] AS w1, w[2] AS w2, w[3] AS w3,
+         w[1] || ' ' || w[2] || ' ' || w[3] AS phrase
+  FROM docs WHERE doc_id < 5 AND len(w) >= 3
+)
+SELECT ph.phrase_id, ph.phrase,
+       COUNT(DISTINCT p1.doc_id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_matches
+FROM ph
+JOIN pos p1 ON p1.word = ph.w1
+JOIN pos p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+           AND p2.word = ph.w2
+JOIN pos p3 ON p3.doc_id = p1.doc_id AND p3.pos = p1.pos + 2
+           AND p3.word = ph.w3
+GROUP BY ph.phrase_id, ph.phrase
+ORDER BY ph.phrase_id
+"""
+
+
+def q83_link_reciprocity(spark, sf_dir):
+    """Reciprocal-link (link-farm) detection over the q51 host graph —
+    the link-spam prior crawl pipelines put next to PageRank: a host
+    most of whose distinct outlinks link straight back is a farm, not
+    an endorsement.  Distinct directed edges, one self-semi-join on
+    the reversed pair (edge tables co-partition on the join key — one
+    shuffle each side, no row explosion since both sides are
+    distinct), integer counts and an exact floor percentage."""
+    edges = (
+        _host_edges(spark, sf_dir)
+        .select(F.col("src_host").alias("src"), F.col("dst_host").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    recip = (
+        edges.join(rev, ["src", "dst"], "left_semi")
+        .groupBy("src")
+        .agg(F.count("*").alias("n_recip"))
+    )
+    out = edges.groupBy("src").agg(F.count("*").alias("n_out"))
+    n_recip = F.coalesce(F.col("n_recip"), F.lit(0))
+    return (
+        out.join(recip, "src", "left")
+        .select(
+            F.col("src").alias("host"),
+            F.col("n_out"),
+            n_recip.alias("n_recip"),
+            F.floor(F.lit(100) * n_recip / F.col("n_out")).alias("recip_pct"),
+            (
+                (F.lit(100) * n_recip >= F.lit(80) * F.col("n_out"))
+                & (F.col("n_out") >= 2)
+            )
+            .cast("int")
+            .alias("link_farm"),
+        )
+        .orderBy("host")
+    )
+
+
+Q83_SQL = r"""
+WITH h AS (
+  SELECT doc_id, doc_id % 7 AS src_host,
+         '<html><body><a href="https://site' || CAST((doc_id * 3) % 7 AS VARCHAR)
+           || '.example/a">x</a> text <a href="https://site'
+           || CAST((doc_id + 1) % 7 AS VARCHAR)
+           || '.example/b">y</a></body></html>' AS html
+  FROM documents
+), l AS (
+  SELECT src_host AS src,
+         CAST(unnest(regexp_extract_all(html, 'href="https://site(\d+)\.example', 1)) AS BIGINT) AS dst
+  FROM h
+), e AS (
+  SELECT DISTINCT src, dst FROM l WHERE src <> dst
+), o AS (
+  SELECT src, COUNT(*) AS n_out FROM e GROUP BY src
+), r AS (
+  SELECT e.src, COUNT(*) AS n_recip
+  FROM e JOIN e e2 ON e.src = e2.dst AND e.dst = e2.src
+  GROUP BY e.src
+)
+SELECT o.src AS host, o.n_out::BIGINT AS n_out,
+       COALESCE(r.n_recip, 0)::BIGINT AS n_recip,
+       FLOOR(100 * COALESCE(r.n_recip, 0) / o.n_out)::BIGINT AS recip_pct,
+       (100 * COALESCE(r.n_recip, 0) >= 80 * o.n_out
+        AND o.n_out >= 2)::INT AS link_farm
+FROM o LEFT JOIN r ON o.src = r.src
+ORDER BY host
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -3553,6 +3848,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q77_decontamination": q77_decontamination,
     "q78_robots_longest_match": q78_robots_longest_match,
     "q79_search_facets": q79_search_facets,
+    "q80_bigram_coverage": q80_bigram_coverage,
+    "q81_inverted_index": q81_inverted_index,
+    "q82_phrase_search": q82_phrase_search,
+    "q83_link_reciprocity": q83_link_reciprocity,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -3625,6 +3924,10 @@ ORACLES: dict[str, str] = {
     "q77_decontamination": Q77_SQL,
     "q78_robots_longest_match": Q78_SQL,
     "q79_search_facets": Q79_SQL,
+    "q80_bigram_coverage": Q80_SQL,
+    "q81_inverted_index": Q81_SQL,
+    "q82_phrase_search": Q82_SQL,
+    "q83_link_reciprocity": Q83_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
