@@ -33,7 +33,7 @@ from html.parser import HTMLParser
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, StringType
 
 from ..functions.textutils import decode_html, fold_ws
 
@@ -220,3 +220,118 @@ def robots_directives(html_col) -> dict[str, F.Column]:
             c, r'(?i)<link\s+rel="canonical"\s+href="([^"]*)"', 1
         ),
     }
+
+
+class _TableParser(HTMLParser):
+    """``<table>`` structure parser: tables → rows → cell strings.
+
+    Deterministic, documented semantics (not browser-perfect layout):
+    nested tables become their own entries, emitted in close order
+    (inner-first), and their cells do NOT leak into the parent cell's
+    text; inline markup inside a cell is stripped; character references
+    decode (``convert_charrefs``); cell text is whitespace-folded;
+    colspan/rowspan are ignored (one cell per ``<td>``/``<th>``).  The
+    reference renders tables through Tika's HTML handler
+    (tika.py:95-145), which likewise flattens them to cell text; the
+    structured rows feed the same ``explode_row`` machinery the CSV
+    path uses (archives.py:206-234).
+    """
+
+    def __init__(self) -> None:
+        super().__init__()
+        self.tables: list[list[list[str]]] = []
+        self._stack: list[dict] = []
+
+    def _ctx(self):
+        return self._stack[-1] if self._stack else None
+
+    def _end_cell(self, ctx: dict) -> None:
+        if ctx["in_cell"]:
+            ctx["row"].append(fold_ws("".join(ctx["buf"])).strip())
+            ctx["buf"] = []
+            ctx["in_cell"] = False
+
+    def _end_row(self, ctx: dict) -> None:
+        self._end_cell(ctx)
+        if ctx["in_row"]:
+            ctx["rows"].append(ctx["row"])
+            ctx["row"] = []
+            ctx["in_row"] = False
+
+    def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag == "table":
+            self._stack.append(
+                {
+                    "rows": [],
+                    "row": [],
+                    "buf": [],
+                    "in_row": False,
+                    "in_cell": False,
+                }
+            )
+            return
+        ctx = self._ctx()
+        if ctx is None:
+            return
+        if tag == "tr":
+            self._end_row(ctx)
+            ctx["in_row"] = True
+        elif tag in ("td", "th"):
+            self._end_cell(ctx)
+            # broken markup: a cell outside any <tr> opens an implicit row
+            ctx["in_row"] = True
+            ctx["in_cell"] = True
+
+    def handle_endtag(self, tag):  # noqa: D102
+        ctx = self._ctx()
+        if ctx is None:
+            return
+        if tag == "table":
+            self._end_row(ctx)
+            self._stack.pop()
+            self.tables.append(ctx["rows"])
+        elif tag == "tr":
+            self._end_row(ctx)
+        elif tag in ("td", "th"):
+            self._end_cell(ctx)
+
+    def handle_data(self, data):  # noqa: D102
+        ctx = self._ctx()
+        if ctx is not None and ctx["in_cell"]:
+            ctx["buf"].append(data)
+
+
+def extract_tables(html_text: str) -> list[list[list[str]]]:
+    """All ``<table>`` elements as rows of cell strings (see
+    :class:`_TableParser` for the exact semantics)."""
+    parser = _TableParser()
+    try:
+        parser.feed(html_text)
+        parser.close()
+    except Exception:
+        pass
+    # truncated markup: flush tables left open at EOF (outer-most last,
+    # matching the close-order contract)
+    while parser._stack:
+        ctx = parser._stack.pop()
+        parser._end_row(ctx)
+        parser.tables.append(ctx["rows"])
+    return parser.tables
+
+
+_TABLES_TYPE = ArrayType(ArrayType(ArrayType(StringType())))
+
+
+@F.pandas_udf(_TABLES_TYPE)
+def html_tables_udf(html: pd.Series) -> pd.Series:
+    """Arrow-batched table extraction; accepts raw bytes (meta-charset
+    aware decode) or an already-decoded string column."""
+
+    def one(v):
+        if v is None:
+            return []
+        if isinstance(v, (bytes, bytearray)):
+            v = decode_html(bytes(v))
+        return extract_tables(v)
+
+    return html.map(one)

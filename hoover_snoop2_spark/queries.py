@@ -3776,6 +3776,64 @@ ORDER BY host
 """
 
 
+def q84_html_tables(spark, sf_dir):
+    """Structured ``<table>`` extraction from web pages — the HTML
+    analog of the CSV ``explode_row`` path (the reference flattens
+    tables through Tika's HTML handler; tables.py re-rows CSVs).  The
+    page html is synthesized from doc_id arithmetic exactly like
+    q74's sitemaps, so a DuckDB oracle can re-derive every cell
+    WITHOUT an HTML parser — which makes this a value-exact
+    certification of the real ``_TableParser`` (header cells, inline
+    markup stripping, charref decoding, whitespace folding all sit on
+    the certified path).  The UDF is Arrow-batched; everything after
+    it is JVM higher-order functions over the nested array."""
+    from .operators.html_extract import html_tables_udf
+
+    d = _t(spark, sf_dir, "documents")
+    v1 = (F.col("doc_id") * 3) % 100
+    v2 = (F.col("doc_id") * 7) % 100
+    html = F.concat(
+        F.lit(
+            "<html><body><p>intro</p><table>"
+            "<tr><th>key</th><th>value</th></tr><tr><td>a"
+        ),
+        F.col("doc_id").cast("string"),
+        F.lit("&amp;x</td><td><b>"),
+        v1.cast("string"),
+        F.lit("</b></td></tr><tr><td>b"),
+        F.col("doc_id").cast("string"),
+        F.lit("</td><td> "),
+        v2.cast("string"),
+        F.lit(" </td></tr></table></body></html>"),
+    )
+    t0 = F.element_at(html_tables_udf(html), 1)
+    return (
+        d.select(
+            "doc_id",
+            F.size(t0).cast("long").alias("n_rows"),
+            F.aggregate(t0, F.lit(0), lambda acc, r: acc + F.size(r))
+            .cast("long")
+            .alias("n_cells"),
+            F.element_at(F.element_at(t0, 2), 1).alias("cell_a"),
+            (
+                F.element_at(F.element_at(t0, 2), 2).cast("long")
+                + F.element_at(F.element_at(t0, 3), 2).cast("long")
+            ).alias("v_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q84_SQL = """
+SELECT doc_id,
+       CAST(3 AS BIGINT) AS n_rows,
+       CAST(6 AS BIGINT) AS n_cells,
+       'a' || CAST(doc_id AS VARCHAR) || '&x' AS cell_a,
+       CAST((doc_id * 3) % 100 + (doc_id * 7) % 100 AS BIGINT) AS v_sum
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -3852,6 +3910,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q81_inverted_index": q81_inverted_index,
     "q82_phrase_search": q82_phrase_search,
     "q83_link_reciprocity": q83_link_reciprocity,
+    "q84_html_tables": q84_html_tables,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -3928,6 +3987,7 @@ ORACLES: dict[str, str] = {
     "q81_inverted_index": Q81_SQL,
     "q82_phrase_search": Q82_SQL,
     "q83_link_reciprocity": Q83_SQL,
+    "q84_html_tables": Q84_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

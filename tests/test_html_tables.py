@@ -1,0 +1,83 @@
+"""<table> structure extraction: semantics pinned against hand-built HTML.
+
+Covers the contract documented on _TableParser: nested tables emitted
+inner-first without leaking cells into the parent, inline markup stripped,
+charrefs decoded, whitespace folded, ragged/implicit rows, truncated
+markup flushed at EOF.
+"""
+
+from hoover_snoop2_spark.operators.html_extract import extract_tables
+
+
+def test_basic_table_with_header():
+    html = (
+        "<table><tr><th>k</th><th>v</th></tr>"
+        "<tr><td>a</td><td>1</td></tr></table>"
+    )
+    assert extract_tables(html) == [[["k", "v"], ["a", "1"]]]
+
+
+def test_inline_markup_stripped_and_charrefs_decoded():
+    html = "<table><tr><td><b>bold</b> &amp; <i>x</i></td></tr></table>"
+    assert extract_tables(html) == [[["bold & x"]]]
+
+
+def test_whitespace_folded():
+    html = "<table><tr><td>  a\n\t b  </td></tr></table>"
+    assert extract_tables(html) == [[["a b"]]]
+
+
+def test_text_outside_cells_ignored():
+    html = "<p>before</p><table>noise<tr>gap<td>a</td></tr></table><p>after</p>"
+    assert extract_tables(html) == [[["a"]]]
+
+
+def test_nested_table_inner_first_no_leak():
+    html = (
+        "<table><tr><td>outer1"
+        "<table><tr><td>inner</td></tr></table>"
+        "</td><td>outer2</td></tr></table>"
+    )
+    assert extract_tables(html) == [
+        [["inner"]],
+        [["outer1", "outer2"]],
+    ]
+
+
+def test_ragged_rows_and_unclosed_cells():
+    # missing </td>/</tr>: next <td>/<tr> implicitly closes the previous
+    html = "<table><tr><td>a<td>b<tr><td>c</table>"
+    assert extract_tables(html) == [[["a", "b"], ["c"]]]
+
+
+def test_implicit_row_for_cell_outside_tr():
+    html = "<table><td>a</td><td>b</td></table>"
+    assert extract_tables(html) == [[["a", "b"]]]
+
+
+def test_truncated_markup_flushed():
+    html = "<table><tr><td>a</td><td>b"
+    assert extract_tables(html) == [[["a", "b"]]]
+
+
+def test_no_tables():
+    assert extract_tables("<p>just text</p>") == []
+
+
+def test_multiple_sibling_tables_in_order():
+    html = (
+        "<table><tr><td>t1</td></tr></table>"
+        "<table><tr><td>t2</td></tr></table>"
+    )
+    assert extract_tables(html) == [[["t1"]], [["t2"]]]
+
+
+def test_stray_close_tags_ignored():
+    assert extract_tables("</td></tr></table><table><tr><td>a</td></tr></table>") == [
+        [["a"]]
+    ]
+
+
+def test_empty_cells_kept():
+    html = "<table><tr><td></td><td>x</td></tr></table>"
+    assert extract_tables(html) == [[["", "x"]]]
