@@ -52,6 +52,11 @@ AUDITED = [
     "q77_decontamination",
     "q78_robots_longest_match",
     "q79_search_facets",
+    "q80_bigram_coverage",
+    "q81_inverted_index",
+    "q82_phrase_search",
+    "q83_link_reciprocity",
+    "q84_html_tables",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -100,9 +105,26 @@ CHECKS = {
                                  "!CartesianProduct"],
     "q79_search_facets": ["Expand", "HashAggregate", "!Window",
                           "!CartesianProduct"],
+    "q80_bigram_coverage": ["HashAggregate", "!Window", "!CartesianProduct"],
+    "q81_inverted_index": ["Window", "HashAggregate", "!CartesianProduct"],
+    "q82_phrase_search": ["BroadcastHashJoin", "HashAggregate",
+                          "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    "q83_link_reciprocity": ["LeftSemi", "HashAggregate",
+                             "!CartesianProduct"],
+    "q84_html_tables": ["Project", "!CartesianProduct", "!HashAggregate"],
 }
 
 NOTES = {
+    "q80_bigram_coverage": "the bigram-count score join carries no "
+        "broadcast hint: the bigram table grows with the corpus (unlike "
+        "q73's vocabulary), so the plan must stay valid as a shuffle join "
+        "at scale even if AQE broadcasts it at small SF.",
+    "q82_phrase_search": "!BroadcastNestedLoopJoin is the audit's point: "
+        "the pos+1/pos+2 follow-up joins only stay hash joins if Catalyst "
+        "extracts the position arithmetic as equi-join keys.",
+    "q84_html_tables": "no aggregate anywhere — the per-row table "
+        "reshaping is one Arrow UDF plus JVM higher-order functions in a "
+        "single Project.",
     "q21_cosine_topk": "BroadcastNestedLoopJoin is deliberate: the exact "
         "brute-force baseline broadcasts a 10-row query set; the scale path "
         "is q32 (LSH buckets).",
