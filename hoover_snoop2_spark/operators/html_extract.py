@@ -241,6 +241,9 @@ class _TableParser(HTMLParser):
         super().__init__()
         self.tables: list[list[list[str]]] = []
         self._stack: list[dict] = []
+        # depth inside script/style/etc. subtrees — their character data
+        # is code, not cell text (same drop set as the block extractor)
+        self._drop_depth = 0
 
     def _ctx(self):
         return self._stack[-1] if self._stack else None
@@ -259,6 +262,11 @@ class _TableParser(HTMLParser):
             ctx["in_row"] = False
 
     def handle_starttag(self, tag, attrs):  # noqa: D102
+        if tag in _DROP_TAGS and tag not in _VOID_TAGS:
+            self._drop_depth += 1
+            return
+        if self._drop_depth:
+            return  # the whole dropped subtree is invisible, tables included
         if tag == "table":
             self._stack.append(
                 {
@@ -283,6 +291,12 @@ class _TableParser(HTMLParser):
             ctx["in_cell"] = True
 
     def handle_endtag(self, tag):  # noqa: D102
+        if tag in _DROP_TAGS and tag not in _VOID_TAGS:
+            if self._drop_depth:
+                self._drop_depth -= 1
+            return
+        if self._drop_depth:
+            return
         ctx = self._ctx()
         if ctx is None:
             return
@@ -296,6 +310,8 @@ class _TableParser(HTMLParser):
             self._end_cell(ctx)
 
     def handle_data(self, data):  # noqa: D102
+        if self._drop_depth:
+            return
         ctx = self._ctx()
         if ctx is not None and ctx["in_cell"]:
             ctx["buf"].append(data)

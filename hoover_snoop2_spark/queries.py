@@ -1451,7 +1451,12 @@ def q54_session_window(spark, sf_dir):
         e.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 4).alias("total_value"),
+            # engine-stable rounding (q50/q58 idiom) — round(sum(double))
+            # HALF_UPs the shortest-decimal repr on one engine only and
+            # flips a last-ulp boundary bucket against the oracle's floor
+            (F.floor(F.sum("value") * 10000 + F.lit(0.5)) / 10000).alias(
+                "total_value"
+            ),
         )
         .select(
             "user_id",

@@ -78,6 +78,22 @@ def test_stray_close_tags_ignored():
     ]
 
 
+def test_script_and_style_inside_cells_dropped():
+    html = (
+        "<table><tr><td>a<script>var x = 1;</script></td>"
+        "<td><style>.c{}</style>b</td></tr></table>"
+    )
+    assert extract_tables(html) == [[["a", "b"]]]
+
+
+def test_table_inside_dropped_subtree_invisible():
+    html = (
+        "<form><table><tr><td>hidden</td></tr></table></form>"
+        "<table><tr><td>visible</td></tr></table>"
+    )
+    assert extract_tables(html) == [[["visible"]]]
+
+
 def test_empty_cells_kept():
     html = "<table><tr><td></td><td>x</td></tr></table>"
     assert extract_tables(html) == [[["", "x"]]]
