@@ -2,7 +2,12 @@
 entry on Spark and its oracle_sql() on DuckDB over the same parquet dir,
 compare row count, column names, and order-insensitive values.
 
-Usage: python tools/check_oracles.py [sf_dir] [query ...]
+Usage: python tools/check_oracles.py [--strict] [sf_dir] [query ...]
+
+--strict compares float values by full repr (no 6-decimal rounding),
+matching the driver's raw value-hash gate: a query that passes tolerant
+but fails strict is exactly the q50-round-3 failure mode (last-ulp
+serialization drift between engines).
 """
 
 from __future__ import annotations
@@ -17,7 +22,7 @@ sys.path.insert(0, ".")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def normalize(rows, cols):
+def normalize(rows, cols, strict=False):
     out = []
     for r in rows:
         vals = []
@@ -26,6 +31,8 @@ def normalize(rows, cols):
             if isinstance(v, float):
                 if math.isnan(v):
                     v = "nan"
+                elif strict:
+                    v = repr(v)
                 else:
                     v = round(v, 6)
             vals.append(v)
@@ -35,8 +42,11 @@ def normalize(rows, cols):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    strict = "--strict" in argv
+    argv = [a for a in argv if a != "--strict"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as e
     from hoover_snoop2_spark.session import get_spark
@@ -76,7 +86,8 @@ def main():
             failures += 1
             print(f"{name:28s} SCHEMA MISMATCH spark={sorted(scols)} duck={sorted(dcols)}")
             continue
-        a, b = normalize(srows, scols), normalize(drows, dcols)
+        a = normalize(srows, scols, strict=strict)
+        b = normalize(drows, dcols, strict=strict)
         if len(a) != len(b):
             failures += 1
             print(f"{name:28s} ROWCOUNT spark={len(a)} duck={len(b)}")
