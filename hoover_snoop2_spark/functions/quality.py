@@ -122,3 +122,51 @@ def mask_pii(col: F.Column) -> F.Column:
     out = F.regexp_replace(col, PII_EMAIL_RE, "<EMAIL>")
     out = F.regexp_replace(out, PII_IPV4_RE, "<IP>")
     return F.regexp_replace(out, PII_LONG_NUMBER_RE, "<NUM>")
+
+
+#: C4's page-level blocklist (Raffel et al. 2020 §2.2 uses the "List of
+#: Dirty, Naughty, Obscene or Otherwise Bad Words"; the list itself is a
+#: deployment policy input — these two placeholders exercise the rule).
+C4_BAD_WORDS = ("badword1", "badword2")
+
+
+def c4_line_clean(lines: Column, bad_words=C4_BAD_WORDS) -> dict[str, Column]:
+    """C4's line- and page-level cleaning rules (Raffel et al. 2020,
+    §2.2 — the filter that built the C4 corpus from Common Crawl):
+
+    - keep only lines ending in terminal punctuation (``. ! ? "``),
+    - keep only lines with at least 3 words,
+    - drop any line mentioning ``javascript``,
+    - drop the whole page if it contains a blocklisted word, the phrase
+      ``lorem ipsum``, or a curly brace (template/code leakage),
+    - drop the page if fewer than 5 lines survive ("at least five
+      sentences").
+
+    Everything is a JVM higher-order function over the pre-split line
+    array — zero Python, zero shuffle; at 100 TB this runs entirely
+    inside whole-stage codegen next to the scan.  Returns named columns
+    (not a struct) so callers choose their own output shape."""
+    kept = F.filter(
+        lines,
+        lambda ln: ln.rlike('[.!?"]$')
+        & (F.size(F.split(ln, " ")) >= 3)
+        & ~ln.contains("javascript"),
+    )
+    page = F.array_join(lines, "\n")
+    drop_badword = F.lit(False)
+    for w in bad_words:
+        drop_badword = drop_badword | page.contains(w)
+    drop_lorem = page.contains("lorem ipsum")
+    drop_brace = page.contains("{") | page.contains("}")
+    n_kept = F.size(kept).cast("long")
+    pass_min_lines = n_kept >= 5
+    return {
+        "n_kept": n_kept,
+        "kept_text": F.array_join(kept, "\n"),
+        "drop_badword": drop_badword,
+        "drop_lorem": drop_lorem,
+        "drop_brace": drop_brace,
+        "pass_min_lines": pass_min_lines,
+        "pass_overall": pass_min_lines
+        & ~(drop_badword | drop_lorem | drop_brace),
+    }

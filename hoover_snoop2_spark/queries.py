@@ -3839,6 +3839,189 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q85_c4_line_filter(spark, sf_dir):
+    """C4's line/page cleaning rules (Raffel et al. 2020 §2.2) over
+    synthetic multi-line pages — the corpus text has no newlines, so
+    each page is synthesized from doc_id arithmetic (q74/q84 idiom):
+    5-8 lines of 1-5 ``tok`` words, with deterministically injected
+    missing-punctuation, short-line, and ``javascript`` cases, plus
+    page-level badword / ``lorem ipsum`` / curly-brace lines on
+    doc_id residues.  Both engines rebuild the identical page and run
+    the identical rules, so ``c4_line_clean`` (JVM higher-order
+    functions, zero shuffle) is value-certified end to end, including
+    the cleaned text itself."""
+    from .functions.quality import c4_line_clean
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    n_lines = (doc % 4 + 5).cast("long")
+
+    def line(i):
+        k = ((doc * i) % 5 + 1).cast("int")
+        body = F.array_join(F.array_repeat(F.lit("tok"), k), " ")
+        body = F.when(
+            (doc * i) % 11 == 0, F.concat(body, F.lit(" javascript"))
+        ).otherwise(body)
+        punct = F.when((doc + i) % 4 != 1, F.lit(".")).otherwise(F.lit(""))
+        return F.concat(body, punct)
+
+    def maybe(cond, text):
+        return F.when(cond, F.array(F.lit(text))).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    lines = F.concat(
+        F.transform(F.sequence(F.lit(1).cast("long"), n_lines), line),
+        maybe(doc % 13 == 0, "badword1 here now."),
+        maybe(doc % 17 == 0, "lorem ipsum dolor sit."),
+        maybe(doc % 19 == 0, "config data { x }."),
+    )
+    cols = c4_line_clean(lines)
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        cols["n_kept"].alias("n_kept"),
+        cols["kept_text"].alias("kept_text"),
+        cols["drop_badword"].alias("drop_badword"),
+        cols["drop_lorem"].alias("drop_lorem"),
+        cols["drop_brace"].alias("drop_brace"),
+        cols["pass_min_lines"].alias("pass_min_lines"),
+        cols["pass_overall"].alias("pass_overall"),
+    ).orderBy("doc_id")
+
+
+Q85_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         list_transform(range(1, doc_id % 4 + 6),
+           i -> trim(repeat('tok ', (doc_id * i) % 5 + 1))
+                || CASE WHEN (doc_id * i) % 11 = 0
+                        THEN ' javascript' ELSE '' END
+                || CASE WHEN (doc_id + i) % 4 <> 1
+                        THEN '.' ELSE '' END)
+         || (CASE WHEN doc_id % 13 = 0
+                  THEN ['badword1 here now.'] ELSE [] END)
+         || (CASE WHEN doc_id % 17 = 0
+                  THEN ['lorem ipsum dolor sit.'] ELSE [] END)
+         || (CASE WHEN doc_id % 19 = 0
+                  THEN ['config data { x }.'] ELSE [] END) AS lines
+  FROM documents
+), cleaned AS (
+  SELECT doc_id, lines,
+         list_filter(lines,
+           ln -> regexp_matches(ln, '[.!?"]$')
+                 AND len(string_split(ln, ' ')) >= 3
+                 AND NOT contains(ln, 'javascript')) AS kept,
+         array_to_string(lines, chr(10)) AS page
+  FROM pages
+)
+SELECT doc_id,
+       CAST(len(lines) AS BIGINT) AS n_lines,
+       CAST(len(kept) AS BIGINT) AS n_kept,
+       -- duckdb's array_to_string([]) is NULL; spark's array_join is ''
+       COALESCE(array_to_string(kept, chr(10)), '') AS kept_text,
+       (contains(page, 'badword1') OR contains(page, 'badword2'))
+         AS drop_badword,
+       contains(page, 'lorem ipsum') AS drop_lorem,
+       (contains(page, '{') OR contains(page, '}')) AS drop_brace,
+       (len(kept) >= 5) AS pass_min_lines,
+       (len(kept) >= 5
+        AND NOT (contains(page, 'badword1') OR contains(page, 'badword2')
+                 OR contains(page, 'lorem ipsum')
+                 OR contains(page, '{') OR contains(page, '}')))
+         AS pass_overall
+FROM cleaned ORDER BY doc_id
+"""
+
+
+def q86_shingle_containment(spark, sf_dir):
+    """Broder containment C(A,B) = |S(A) ∩ S(B)| / |S(A)| (Broder 1997,
+    "On the resemblance and containment of documents") — the asymmetric
+    companion of q27's Jaccard resemblance: a short document quoted
+    inside a long one scores near 1 here while its Jaccard is near 0
+    (feed pages, quoted mail, boilerplate wrappers).  Pairs follow
+    q27's deterministic (i, i+250) scheme, but B is synthesized as
+    [first 30 words of A] ++ [B's own text] so every pair has a real
+    partial overlap whose exact size both engines re-derive.  Outputs
+    are integers plus a cross-multiplied >=80% flag and a floored
+    percent — no raw float ratio to ULP-drift.  Same scale shape as
+    q27: one equi-join, array intersections JVM-side."""
+    from .operators.dedup import shingles_col
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.array_distinct(shingles_col("text", k=3)).alias("sh_a"),
+        F.concat_ws(" ", F.slice(words, 1, 30)).alias("prefix_a"),
+    )
+    b = d.select(F.col("doc_id").alias("id_b"), F.col("text").alias("text_b"))
+    paired = a.join(b, F.col("id_a") + 250 == F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        "sh_a",
+        F.concat_ws(" ", "prefix_a", "text_b").alias("text_ab"),
+    )
+    paired = paired.select(
+        "id_a",
+        "id_b",
+        "sh_a",
+        F.array_distinct(shingles_col("text_ab", k=3)).alias("sh_b"),
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("long")
+    size_a = F.size("sh_a").cast("long")
+    return paired.select(
+        "id_a",
+        "id_b",
+        size_a.alias("size_a"),
+        F.size("sh_b").cast("long").alias("size_b"),
+        inter.alias("n_common"),
+        F.floor(F.lit(100) * inter / size_a).cast("long").alias(
+            "containment_pct"
+        ),
+        (5 * inter >= 4 * size_a).alias("contained_80"),
+    ).orderBy("id_a")
+
+
+Q86_SQL = r"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+), a AS (
+  SELECT doc_id AS id_a,
+         list_distinct(
+           CASE WHEN len(w) < 3 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 1),
+                                    i -> array_to_string(w[i:i+2], ' '))
+           END) AS sh_a,
+         array_to_string(w[1:30], ' ') AS prefix_a
+  FROM t
+), pair AS (
+  SELECT a.id_a, b.doc_id AS id_b, a.sh_a,
+         regexp_split_to_array(
+           trim(a.prefix_a || ' ' || b.text), '\s+') AS wab
+  FROM a JOIN t b ON a.id_a + 250 = b.doc_id
+), shb AS (
+  SELECT id_a, id_b, sh_a,
+         list_distinct(
+           CASE WHEN len(wab) < 3 THEN [array_to_string(wab, ' ')]
+                ELSE list_transform(range(1, len(wab) - 1),
+                                    i -> array_to_string(wab[i:i+2], ' '))
+           END) AS sh_b
+  FROM pair
+)
+SELECT id_a, id_b,
+       CAST(len(sh_a) AS BIGINT) AS size_a,
+       CAST(len(sh_b) AS BIGINT) AS size_b,
+       CAST(len(list_intersect(sh_a, sh_b)) AS BIGINT) AS n_common,
+       CAST(floor(100.0 * len(list_intersect(sh_a, sh_b)) / len(sh_a))
+            AS BIGINT) AS containment_pct,
+       (5 * len(list_intersect(sh_a, sh_b)) >= 4 * len(sh_a))
+         AS contained_80
+FROM shb ORDER BY id_a
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -3916,6 +4099,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q82_phrase_search": q82_phrase_search,
     "q83_link_reciprocity": q83_link_reciprocity,
     "q84_html_tables": q84_html_tables,
+    "q85_c4_line_filter": q85_c4_line_filter,
+    "q86_shingle_containment": q86_shingle_containment,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -3993,6 +4178,8 @@ ORACLES: dict[str, str] = {
     "q82_phrase_search": Q82_SQL,
     "q83_link_reciprocity": Q83_SQL,
     "q84_html_tables": Q84_SQL,
+    "q85_c4_line_filter": Q85_SQL,
+    "q86_shingle_containment": Q86_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

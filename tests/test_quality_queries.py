@@ -162,3 +162,45 @@ def test_canonicalize_url_edges(spark):
     assert got[3] == "https://host.example/path"            # all-tracking query gone
     assert got[4] == "http://host.example:8080/x?a=1&b=2"   # non-default port kept
     assert got[5] == "https://host.example/CaseSensitive/Path"  # path case kept
+
+
+def test_c4_line_clean_rules(spark):
+    from hoover_snoop2_spark.functions.quality import c4_line_clean
+
+    pages = [
+        # kept: 5 good lines -> passes everything
+        (0, ["one two three.", "a b c!", 'q w e?', 'x y z"', "m n o."]),
+        # line filters: no punct / short / javascript dropped
+        (1, ["one two three", "a b.", "uses javascript here.",
+             "good line here.", "also a keeper.", "third good one.",
+             "fourth good one.", "fifth good one."]),
+        # page drops: badword, lorem ipsum, brace
+        (2, ["badword1 is here.", "k l m.", "n o p.", "q r s.", "t u v."]),
+        (3, ["lorem ipsum dolor sit.", "k l m.", "n o p.", "q r s.",
+             "t u v."]),
+        (4, ["code { block }.", "k l m.", "n o p.", "q r s.", "t u v."]),
+        # too few survivors
+        (5, ["only one good line.", "and two more words."]),
+    ]
+    df = spark.createDataFrame(pages, "id long, lines array<string>")
+    cols = c4_line_clean(F.col("lines"))
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            *(cols[k].alias(k) for k in (
+                "n_kept", "kept_text", "drop_badword", "drop_lorem",
+                "drop_brace", "pass_overall",
+            )),
+        ).collect()
+    }
+    assert out[0]["pass_overall"] and out[0]["n_kept"] == 5
+    # doc 1: 8 lines, 3 dropped by line rules -> 5 kept, passes
+    assert out[1]["n_kept"] == 5 and out[1]["pass_overall"]
+    assert "javascript" not in out[1]["kept_text"]
+    assert "one two three\n" not in out[1]["kept_text"] + "\n"
+    for i, flag in ((2, "drop_badword"), (3, "drop_lorem"), (4, "drop_brace")):
+        assert out[i][flag] and not out[i]["pass_overall"]
+        others = {"drop_badword", "drop_lorem", "drop_brace"} - {flag}
+        assert not any(out[i][o] for o in others)
+    assert out[5]["n_kept"] == 2 and not out[5]["pass_overall"]

@@ -57,6 +57,8 @@ AUDITED = [
     "q82_phrase_search",
     "q83_link_reciprocity",
     "q84_html_tables",
+    "q85_c4_line_filter",
+    "q86_shingle_containment",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -112,6 +114,12 @@ CHECKS = {
     "q83_link_reciprocity": ["LeftSemi", "HashAggregate",
                              "!CartesianProduct"],
     "q84_html_tables": ["Project", "!CartesianProduct", "!HashAggregate"],
+    # pure narrow HOF chain: no shuffle, no join, no python
+    "q85_c4_line_filter": ["Project", "!HashAggregate", "!CartesianProduct",
+                           "!BroadcastHashJoin", "!ArrowEvalPython"],
+    # single equi-join on the arithmetic pair key, like q27
+    "q86_shingle_containment": ["!CartesianProduct",
+                                "!BroadcastNestedLoopJoin"],
 }
 
 NOTES = {
