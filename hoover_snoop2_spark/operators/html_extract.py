@@ -351,3 +351,55 @@ def html_tables_udf(html: pd.Series) -> pd.Series:
         return extract_tables(v)
 
     return html.map(one)
+
+
+def heading_outline(html_col: F.Column) -> F.Column:
+    """Hierarchical section numbering over a page's ``<h1>``-``<h6>``
+    headings — the document-outline signal search UIs (including
+    hoover's) build from Tika's structured HTML output.  Returns
+    ``array<string>`` of ``"1.2.1 title"`` entries in document order:
+    each heading increments its level's counter and resets all deeper
+    ones (naive HTML5 outline; a level skipped by the author shows as
+    0, e.g. ``h3`` directly under ``h1`` → ``1.0.1``).
+
+    Entirely JVM-side: ``regexp_extract_all`` pulls (level, title)
+    pairs and one ``aggregate`` threads the six counters through the
+    heading sequence — no Python, no shuffle, scan-adjacent at any
+    scale."""
+    levels = F.regexp_extract_all(html_col, F.lit(r"<h([1-6])>"), 1)
+    titles = F.regexp_extract_all(
+        html_col, F.lit(r"<h[1-6]>([^<]*)</h[1-6]>"), 1
+    )
+    heads = F.zip_with(
+        levels,
+        titles,
+        lambda l, t: F.struct(
+            l.cast("int").alias("lvl"), t.alias("title")
+        ),
+    )
+    zero = F.struct(
+        F.array_repeat(F.lit(0), 6).alias("c"),
+        F.array().cast("array<string>").alias("out"),
+    )
+
+    def step(acc, h):
+        newc = F.transform(
+            F.sequence(F.lit(1), F.lit(6)),
+            lambda j: F.when(j < h["lvl"], F.element_at(acc["c"], j))
+            .when(j == h["lvl"], F.element_at(acc["c"], j) + 1)
+            .otherwise(F.lit(0)),
+        )
+        num = F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), h["lvl"]),
+                lambda j: F.element_at(newc, j).cast("string"),
+            ),
+            ".",
+        )
+        entry = F.concat_ws(" ", num, h["title"])
+        return F.struct(
+            newc.alias("c"),
+            F.concat(acc["out"], F.array(entry)).alias("out"),
+        )
+
+    return F.aggregate(heads, zero, step, lambda acc: acc["out"])

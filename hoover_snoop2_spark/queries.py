@@ -4022,6 +4022,187 @@ FROM shb ORDER BY id_a
 """
 
 
+def q87_heading_outline(spark, sf_dir):
+    """Document-outline extraction: ``<h1>``-``<h6>`` headings to
+    hierarchical section numbers ("1.2.1 title") — the navigation
+    structure search UIs derive from Tika's structured HTML (reference
+    surfaces heading text flattened; this keeps the hierarchy).  Pages
+    are synthesized from doc_id arithmetic (q84 idiom): 4-6 headings
+    whose levels walk a deterministic 1-3 pattern, including level
+    skips (h3 under h1 → "1.0.1").  The Spark side runs the generic
+    6-level ``heading_outline`` operator (regexp_extract_all + one
+    counter-threading ``aggregate``, all JVM); the DuckDB oracle
+    re-walks the same sequence with a recursive CTE — two independent
+    implementations of the outline algorithm, value-compared on the
+    rendered outline string."""
+    from .operators.html_extract import heading_outline
+
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    n = (doc % 3 + 4).cast("int")
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), n),
+                lambda i: F.concat(
+                    F.lit("<h"),
+                    F.when(i == 1, F.lit(1))
+                    .otherwise((doc * i) % 3 + 1)
+                    .cast("string"),
+                    F.lit(">t"),
+                    i.cast("string"),
+                    F.lit("</h"),
+                    F.when(i == 1, F.lit(1))
+                    .otherwise((doc * i) % 3 + 1)
+                    .cast("string"),
+                    F.lit(">"),
+                ),
+            ),
+            "",
+        ),
+        F.lit("</body></html>"),
+    )
+    entries = heading_outline(html)
+    return d.select(
+        "doc_id",
+        F.size(entries).cast("long").alias("n_headings"),
+        F.array_join(entries, "; ").alias("outline_text"),
+    ).orderBy("doc_id")
+
+
+Q87_SQL = r"""
+WITH RECURSIVE walk AS (
+  SELECT doc_id, 0 AS i, 0 AS c1, 0 AS c2, 0 AS c3, '' AS outline
+  FROM documents
+  UNION ALL
+  SELECT doc_id, i + 1,
+         CASE WHEN lvl = 1 THEN c1 + 1 ELSE c1 END,
+         CASE WHEN lvl = 1 THEN 0
+              WHEN lvl = 2 THEN c2 + 1 ELSE c2 END,
+         CASE WHEN lvl = 3 THEN c3 + 1 ELSE 0 END,
+         outline || CASE WHEN i > 0 THEN '; ' ELSE '' END
+           || CASE WHEN lvl = 1 THEN CAST(c1 + 1 AS VARCHAR)
+                   WHEN lvl = 2 THEN CAST(c1 AS VARCHAR) || '.'
+                                     || CAST(c2 + 1 AS VARCHAR)
+                   ELSE CAST(c1 AS VARCHAR) || '.'
+                        || CAST(c2 AS VARCHAR) || '.'
+                        || CAST(c3 + 1 AS VARCHAR)
+              END
+           || ' t' || CAST(i + 1 AS VARCHAR)
+  FROM (SELECT walk.*,
+               CASE WHEN i + 1 = 1 THEN 1
+                    ELSE (doc_id * (i + 1)) % 3 + 1 END AS lvl
+        FROM walk) w
+  WHERE i < 4 + doc_id % 3
+)
+SELECT doc_id,
+       CAST(4 + doc_id % 3 AS BIGINT) AS n_headings,
+       outline AS outline_text
+FROM walk WHERE i = 4 + doc_id % 3 ORDER BY doc_id
+"""
+
+
+_BM25_TERMS = ("data", "table", "spark")
+
+
+def q88_bm25_retrieval(spark, sf_dir):
+    """BM25 top-10 retrieval per query term (Robertson/Spärck Jones;
+    k1=1.2, b=0.75, Lucene's ``ln(1+(N-df+.5)/(df+.5))`` idf) — the
+    scoring function behind the reference's Elasticsearch search box,
+    run as a DataFrame job.  Float discipline: ``avgdl`` is derived
+    from an EXACT BIGINT ``sum(dl)`` divided once (both engines do one
+    identical double op — never ``avg()``, whose summation order is
+    engine-dependent), every expression is parenthesized to fix
+    operand order, and the score is floor-rounded to 1e-4 (q58 idiom)
+    BEFORE the rank window orders by it.  Plan: the term filter
+    prunes the exploded corpus before any aggregation; df (3 rows)
+    broadcasts; the rank window partitions by term."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id",
+        F.size(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("dl"),
+    )
+    n_docs = d.count()
+    sum_dl = docs.agg(F.sum("dl")).collect()[0][0]
+    avgdl = sum_dl / n_docs  # one exact-int division, identical in SQL
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("w"),
+    ).filter(F.col("w").isin(*_BM25_TERMS))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("w").agg(F.count("*").alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("df") + F.lit(0.5))
+        / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(2.2)) / (
+        F.col("tf")
+        + F.lit(1.2)
+        * (F.lit(0.25) + (F.lit(0.75) * F.col("dl")) / F.lit(avgdl))
+    )
+    scored = (
+        tf.join(F.broadcast(df_), "w")
+        .join(docs, "doc_id")
+        .select(
+            F.col("w").alias("term"),
+            "doc_id",
+            (F.floor(idf * tfn * 10000 + F.lit(0.5)) / 10000).alias("score"),
+        )
+    )
+    win = Window.partitionBy("term").orderBy(
+        F.col("score").desc(), F.col("doc_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("term", "rank", "doc_id", "score")
+        .orderBy("term", "rank")
+    )
+
+
+Q88_SQL = r"""
+WITH docs AS (
+  SELECT doc_id,
+         len(regexp_split_to_array(trim(lower(text)), '\s+')) AS dl
+  FROM documents
+), stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+  FROM docs
+), words AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+  FROM documents
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM words
+  WHERE w IN ('data', 'table', 'spark') GROUP BY doc_id, w
+), dfreq AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w
+), scored AS (
+  SELECT tf.w AS term, tf.doc_id,
+         floor(
+           ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * ((tf.tf * 2.2)
+              / (tf.tf + 1.2 * (0.25 + (0.75 * docs.dl) / stats.avgdl)))
+           * 10000 + 0.5) / 10000 AS score
+  FROM tf
+  JOIN dfreq USING (w)
+  JOIN docs ON tf.doc_id = docs.doc_id
+  CROSS JOIN stats
+), ranked AS (
+  SELECT term, doc_id, score,
+         ROW_NUMBER() OVER (PARTITION BY term
+                            ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT term, CAST(rank AS BIGINT) AS rank, doc_id, score
+FROM ranked WHERE rank <= 10 ORDER BY term, rank
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -4101,6 +4282,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q84_html_tables": q84_html_tables,
     "q85_c4_line_filter": q85_c4_line_filter,
     "q86_shingle_containment": q86_shingle_containment,
+    "q87_heading_outline": q87_heading_outline,
+    "q88_bm25_retrieval": q88_bm25_retrieval,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -4180,6 +4363,8 @@ ORACLES: dict[str, str] = {
     "q84_html_tables": Q84_SQL,
     "q85_c4_line_filter": Q85_SQL,
     "q86_shingle_containment": Q86_SQL,
+    "q87_heading_outline": Q87_SQL,
+    "q88_bm25_retrieval": Q88_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -134,3 +134,30 @@ def test_robots_directives_cases(spark):
     assert got[1] == (True, False, "")
     assert got[2] == (False, False, "https://c.example/a")
     assert got[3] == (False, False, "")
+
+
+def test_heading_outline_numbering(spark):
+    from pyspark.sql import functions as F
+    from hoover_snoop2_spark.operators.html_extract import heading_outline
+
+    rows = [
+        (0, "<h1>a</h1><h2>b</h2><h2>c</h2><h1>d</h1><h2>e</h2>"),
+        # level skip: h3 directly under h1 -> 1.0.1
+        (1, "<h1>a</h1><h3>b</h3>"),
+        # deep counters reset when a shallower heading appears
+        (2, "<h1>a</h1><h2>b</h2><h3>c</h3><h2>d</h2><h3>e</h3>"),
+        (3, "no headings here"),
+        (4, "<h6>deep</h6>"),
+    ]
+    df = spark.createDataFrame(rows, "id long, html string")
+    got = {
+        r["id"]: r["o"]
+        for r in df.select(
+            "id", heading_outline(F.col("html")).alias("o")
+        ).collect()
+    }
+    assert got[0] == ["1 a", "1.1 b", "1.2 c", "2 d", "2.1 e"]
+    assert got[1] == ["1 a", "1.0.1 b"]
+    assert got[2] == ["1 a", "1.1 b", "1.1.1 c", "1.2 d", "1.2.1 e"]
+    assert got[3] == []
+    assert got[4] == ["0.0.0.0.0.1 deep"]

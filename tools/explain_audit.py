@@ -59,6 +59,8 @@ AUDITED = [
     "q84_html_tables",
     "q85_c4_line_filter",
     "q86_shingle_containment",
+    "q87_heading_outline",
+    "q88_bm25_retrieval",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -120,6 +122,12 @@ CHECKS = {
     # single equi-join on the arithmetic pair key, like q27
     "q86_shingle_containment": ["!CartesianProduct",
                                 "!BroadcastNestedLoopJoin"],
+    # outline algorithm is an expression-level aggregate: narrow plan
+    "q87_heading_outline": ["Project", "!HashAggregate",
+                            "!CartesianProduct", "!ArrowEvalPython"],
+    # df (3 rows) broadcasts; rank window partitions by term
+    "q88_bm25_retrieval": ["BroadcastHashJoin", "Window", "HashAggregate",
+                           "!CartesianProduct"],
 }
 
 NOTES = {
