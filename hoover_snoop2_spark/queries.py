@@ -4203,6 +4203,174 @@ FROM ranked WHERE rank <= 10 ORDER BY term, rank
 """
 
 
+def q89_template_removal(spark, sf_dir):
+    """Cross-page template removal by line document-frequency — the
+    host-level boilerplate detector (CleanEval / "page-level templates
+    repeat across a site" heuristic) that complements q39's per-page
+    text-density rules: a line appearing in ≥80% of a host's pages is
+    site furniture (nav, promo, footer), whatever its density.  Pages
+    are synthesized as [nav, promo, body×2, footer] where nav/promo/
+    footer repeat per host (doc_id % 20) and body lines come from the
+    document's own words.  Three shuffles by construction: the
+    (host, line) doc-frequency aggregate, the line→flag join back
+    (corpus-sized on both sides — no broadcast hint, q80 reasoning),
+    and the per-doc reassembly; posexplode preserves line order so the
+    cleaned text is byte-stable."""
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    host = (doc % 20).cast("long")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    lines = F.array(
+        F.concat(F.lit("nav of h"), host.cast("string"), F.lit(".")),
+        F.concat(F.lit("promo h"), host.cast("string"), F.lit(".")),
+        F.concat_ws(" ", F.slice(words, 1, 3)),
+        F.concat_ws(" ", F.slice(words, 4, 3)),
+        F.concat(F.lit("footer h"), host.cast("string"), F.lit(".")),
+    )
+    pages = d.select("doc_id", host.alias("host"), lines.alias("lines"))
+    exploded = pages.select(
+        "doc_id", "host", F.posexplode("lines").alias("pos", "line")
+    )
+    host_pages = pages.groupBy("host").agg(
+        F.count("*").alias("hp")
+    )
+    line_df = exploded.groupBy("host", "line").agg(
+        F.countDistinct("doc_id").alias("ldf")
+    )
+    flagged = (
+        exploded.join(line_df, ["host", "line"])
+        .join(F.broadcast(host_pages), "host")
+        .select(
+            "doc_id",
+            "pos",
+            "line",
+            (F.col("ldf") * 5 >= F.col("hp") * 4).alias("is_template"),
+        )
+    )
+    return (
+        flagged.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum(F.col("is_template").cast("long")).alias("n_template"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                ~F.col("is_template"),
+                                F.struct("pos", "line"),
+                            )
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("kept_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q89_SQL = r"""
+WITH pages AS (
+  SELECT doc_id, doc_id % 20 AS host,
+         ['nav of h' || CAST(doc_id % 20 AS VARCHAR) || '.',
+          'promo h' || CAST(doc_id % 20 AS VARCHAR) || '.',
+          array_to_string(regexp_split_to_array(trim(text), '\s+')[1:3], ' '),
+          array_to_string(regexp_split_to_array(trim(text), '\s+')[4:6], ' '),
+          'footer h' || CAST(doc_id % 20 AS VARCHAR) || '.'] AS lines
+  FROM documents
+), exploded AS (
+  SELECT doc_id, host, s.line AS line, s.pos AS pos
+  FROM pages,
+       unnest(list_transform(range(1, len(lines) + 1),
+              i -> {'pos': i, 'line': lines[i]})) AS t(s)
+), hp AS (
+  SELECT host, count(*) AS hp FROM pages GROUP BY host
+), ldf AS (
+  SELECT host, line, count(DISTINCT doc_id) AS ldf
+  FROM exploded GROUP BY host, line
+), flagged AS (
+  SELECT e.doc_id, e.pos, e.line,
+         (l.ldf * 5 >= h.hp * 4) AS is_template
+  FROM exploded e
+  JOIN ldf l ON e.host = l.host AND e.line = l.line
+  JOIN hp h ON e.host = h.host
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN is_template THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_template,
+       COALESCE(
+         array_to_string(
+           list_transform(
+             list_sort(list_filter(
+               list(CASE WHEN NOT is_template
+                         THEN {'pos': pos, 'line': line} END),
+               s -> s IS NOT NULL)),
+             s -> s.line),
+           chr(10)), '') AS kept_text
+FROM flagged GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q90_kwic_snippets(spark, sf_dir):
+    """Keyword-in-context snippet generation — the search-result
+    highlight hoover asks Elasticsearch for (``highlight`` on the
+    text field): for each query term, the first hit position and a
+    ±3-word window with the hit bracketed.  Pure narrow array
+    expressions per (doc × 3 terms): ``array_position`` finds the
+    hit, two clamped slices build the window — no shuffle before the
+    final sort, no Python anywhere.  At 100 TB this is a map-only
+    pass over the postings' source docs."""
+    d = _t(spark, sf_dir, "documents")
+    terms = F.explode(
+        F.array(*(F.lit(t) for t in _BM25_TERMS))
+    ).alias("term")
+    base = d.select(
+        "doc_id",
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("words"),
+    ).select("doc_id", "words", terms)
+    pos = F.array_position("words", F.col("term")).cast("long")
+    hit = base.select(
+        "doc_id", "term", "words", pos.alias("pos")
+    ).filter(F.col("pos") > 0)
+    start = F.greatest(F.col("pos") - 3, F.lit(1).cast("long"))
+    snippet_words = F.concat(
+        F.slice("words", start, (F.col("pos") - start).cast("int")),
+        F.array(F.concat(F.lit("["), F.col("term"), F.lit("]"))),
+        F.slice("words", (F.col("pos") + 1).cast("int"), 3),
+    )
+    return hit.select(
+        "doc_id",
+        "term",
+        "pos",
+        F.array_join(snippet_words, " ").alias("snippet"),
+    ).orderBy("doc_id", "term")
+
+
+Q90_SQL = r"""
+WITH base AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS words,
+         t.term
+  FROM documents
+  CROSS JOIN (VALUES ('data'), ('table'), ('spark')) AS t(term)
+), hit AS (
+  SELECT doc_id, term, words,
+         CAST(list_position(words, term) AS BIGINT) AS pos
+  FROM base
+  WHERE list_position(words, term) > 0
+)
+SELECT doc_id, term, pos,
+       array_to_string(
+         words[CAST(greatest(pos - 3, 1) AS INT):CAST(pos - 1 AS INT)]
+         || ['[' || term || ']']
+         || words[CAST(pos + 1 AS INT):CAST(pos + 3 AS INT)],
+         ' ') AS snippet
+FROM hit ORDER BY doc_id, term
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -4284,6 +4452,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q86_shingle_containment": q86_shingle_containment,
     "q87_heading_outline": q87_heading_outline,
     "q88_bm25_retrieval": q88_bm25_retrieval,
+    "q89_template_removal": q89_template_removal,
+    "q90_kwic_snippets": q90_kwic_snippets,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -4365,6 +4535,8 @@ ORACLES: dict[str, str] = {
     "q86_shingle_containment": Q86_SQL,
     "q87_heading_outline": Q87_SQL,
     "q88_bm25_retrieval": Q88_SQL,
+    "q89_template_removal": Q89_SQL,
+    "q90_kwic_snippets": Q90_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

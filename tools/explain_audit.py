@@ -61,6 +61,8 @@ AUDITED = [
     "q86_shingle_containment",
     "q87_heading_outline",
     "q88_bm25_retrieval",
+    "q89_template_removal",
+    "q90_kwic_snippets",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -128,6 +130,13 @@ CHECKS = {
     # df (3 rows) broadcasts; rank window partitions by term
     "q88_bm25_retrieval": ["BroadcastHashJoin", "Window", "HashAggregate",
                            "!CartesianProduct"],
+    # line-df aggregate + shuffle join back + per-doc reassembly;
+    # only the host-count table broadcasts
+    "q89_template_removal": ["HashAggregate", "BroadcastHashJoin",
+                             "!CartesianProduct", "!Window"],
+    # map-only: explode of a 3-literal array, no join, no aggregate
+    "q90_kwic_snippets": ["Generate", "!HashAggregate", "!CartesianProduct",
+                          "!BroadcastHashJoin", "!Window"],
 }
 
 NOTES = {
