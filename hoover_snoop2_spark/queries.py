@@ -4371,6 +4371,163 @@ FROM hit ORDER BY doc_id, term
 """
 
 
+def q91_canonical_dedup(spark, sf_dir):
+    """``<link rel="canonical">`` extraction + canonical-URL dedup —
+    how web corpora collapse print/mobile/tracking variants of one
+    page BEFORE any content hashing (cheaper than q16's text dedup
+    and catches dynamic pages content-hashing misses).  Heads are
+    synthesized from doc_id arithmetic: docs i and i+250 declare the
+    same canonical; every 7th doc has no canonical tag and falls back
+    to its own URL.  The regex pull is one JVM ``regexp_extract``;
+    dedup is a single groupBy on the canonical key (corpus-sized —
+    no broadcast), keeping the earliest doc_id as representative."""
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    has_canon = doc % 7 != 0
+    html = F.concat(
+        F.lit("<html><head><title>p</title>"),
+        F.when(
+            has_canon,
+            F.concat(
+                F.lit('<link rel="canonical" href="https://site'),
+                (doc % 20).cast("string"),
+                F.lit(".example/page"),
+                (doc % 250).cast("string"),
+                F.lit('">'),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>x</body></html>"),
+    )
+    extracted = F.regexp_extract(
+        html, r'<link rel="canonical" href="([^"]*)"', 1
+    )
+    self_url = F.concat(
+        F.lit("https://site"),
+        (doc % 20).cast("string"),
+        F.lit(".example/self"),
+        doc.cast("string"),
+    )
+    canon = F.when(extracted != "", extracted).otherwise(self_url)
+    return (
+        d.select("doc_id", canon.alias("canonical"))
+        .groupBy("canonical")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .orderBy("canonical")
+    )
+
+
+Q91_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         '<html><head><title>p</title>'
+         || CASE WHEN doc_id % 7 <> 0
+                 THEN '<link rel="canonical" href="https://site'
+                      || CAST(doc_id % 20 AS VARCHAR) || '.example/page'
+                      || CAST(doc_id % 250 AS VARCHAR) || '">'
+                 ELSE '' END
+         || '</head><body>x</body></html>' AS html
+  FROM documents
+), canon AS (
+  SELECT doc_id,
+         CASE WHEN regexp_extract(html,
+                     '<link rel="canonical" href="([^"]*)"', 1) <> ''
+              THEN regexp_extract(html,
+                     '<link rel="canonical" href="([^"]*)"', 1)
+              ELSE 'https://site' || CAST(doc_id % 20 AS VARCHAR)
+                   || '.example/self' || CAST(doc_id AS VARCHAR)
+         END AS canonical
+  FROM pages
+)
+SELECT canonical,
+       min(doc_id) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM canon GROUP BY canonical ORDER BY canonical
+"""
+
+
+def q92_postings_compression(spark, sf_dir):
+    """Delta + varint size estimation for the inverted index's
+    postings (the gap-encoding every search engine stores its
+    doc_id lists with — Lucene's VInt): per term, sort doc_ids,
+    take gaps, charge ``1 + ⌊log₁₂₈ gap⌋`` bytes each, compare to
+    raw 8-byte ids.  Distributed shape matters: gaps come from a
+    ``lag`` window partitioned by term — a sort-based sequential
+    scan per posting list with NO collected array (q81 caps its
+    postings buffer; this path never builds one, so stop words cost
+    sort time, not memory).  Integer-only output."""
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+            ).alias("term"),
+        )
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gap = F.col("doc_id") - F.coalesce(
+        F.lag("doc_id", 1).over(w), F.lit(0)
+    )
+    vbytes = (
+        F.when(gap < 128, 1)
+        .when(gap < 16384, 2)
+        .when(gap < 2097152, 3)
+        .when(gap < 268435456, 4)
+        .otherwise(5)
+        .cast("long")
+    )
+    return (
+        pairs.select("term", vbytes.alias("vb"))
+        .groupBy("term")
+        .agg(
+            F.count("*").cast("long").alias("df"),
+            F.sum("vb").alias("varint_bytes"),
+            (F.count("*") * 8).cast("long").alias("raw_bytes"),
+            F.floor(
+                F.lit(100) * F.sum("vb") / (F.count("*") * 8)
+            ).cast("long").alias("size_pct"),
+        )
+        .orderBy("term")
+    )
+
+
+Q92_SQL = r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, w AS term
+  FROM (SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents)
+  WHERE w <> ''
+), gaps AS (
+  SELECT term,
+         doc_id - COALESCE(LAG(doc_id) OVER
+                   (PARTITION BY term ORDER BY doc_id), 0) AS gap
+  FROM pairs
+), sized AS (
+  SELECT term,
+         CASE WHEN gap < 128 THEN 1
+              WHEN gap < 16384 THEN 2
+              WHEN gap < 2097152 THEN 3
+              WHEN gap < 268435456 THEN 4
+              ELSE 5 END AS vb
+  FROM gaps
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       CAST(sum(vb) AS BIGINT) AS varint_bytes,
+       CAST(count(*) * 8 AS BIGINT) AS raw_bytes,
+       CAST(floor(100.0 * sum(vb) / (count(*) * 8)) AS BIGINT) AS size_pct
+FROM sized GROUP BY term ORDER BY term
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -4454,6 +4611,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q88_bm25_retrieval": q88_bm25_retrieval,
     "q89_template_removal": q89_template_removal,
     "q90_kwic_snippets": q90_kwic_snippets,
+    "q91_canonical_dedup": q91_canonical_dedup,
+    "q92_postings_compression": q92_postings_compression,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -4537,6 +4696,8 @@ ORACLES: dict[str, str] = {
     "q88_bm25_retrieval": Q88_SQL,
     "q89_template_removal": Q89_SQL,
     "q90_kwic_snippets": Q90_SQL,
+    "q91_canonical_dedup": Q91_SQL,
+    "q92_postings_compression": Q92_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -63,6 +63,8 @@ AUDITED = [
     "q88_bm25_retrieval",
     "q89_template_removal",
     "q90_kwic_snippets",
+    "q91_canonical_dedup",
+    "q92_postings_compression",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -137,6 +139,16 @@ CHECKS = {
     # map-only: explode of a 3-literal array, no join, no aggregate
     "q90_kwic_snippets": ["Generate", "!HashAggregate", "!CartesianProduct",
                           "!BroadcastHashJoin", "!Window"],
+    # regexp pull is JVM; dedup is ONE corpus-sized groupBy on the
+    # canonical key — no join, no window, no python
+    "q91_canonical_dedup": ["HashAggregate", "!CartesianProduct",
+                            "!BroadcastHashJoin", "!Window",
+                            "!ArrowEvalPython"],
+    # lag window and final groupBy both key on term — one Exchange
+    # feeds both; distinct is a pre-aggregate, no join anywhere
+    "q92_postings_compression": ["Window", "HashAggregate",
+                                 "!CartesianProduct",
+                                 "!BroadcastHashJoin"],
 }
 
 NOTES = {
