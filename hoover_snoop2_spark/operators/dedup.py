@@ -520,3 +520,92 @@ def paragraph_window_stats(
             ).alias("n_kept"),
         )
     )
+
+
+def duplicate_spans(docs: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", k: int = 6,
+                    min_docs: int = 2) -> DataFrame:
+    """Maximal duplicated-substring spans per document (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" — the
+    ExactSubstr shape, re-expressed relationally instead of via a suffix
+    array).  A word ``k``-gram occurring in >= ``min_docs`` distinct
+    documents marks the interval ``[pos, pos+k)`` as duplicated; per
+    document, overlapping or adjacent intervals merge into maximal
+    islands (the SQL gaps-and-islands pattern).  The reference dedups
+    whole blobs only (sha3_256 PK, models.py:102-113); span-level dedup
+    is the corpus-hygiene extension a training pipeline needs.
+
+    Returns (id, span_start, span_end, span_len, n_grams), 1-based word
+    positions, end exclusive.
+
+    Scale: gram building is JVM higher-order functions (no Python); the
+    duplicated-gram filter is one groupBy on the gram string with an
+    early count-distinct; the join back is the same key so AQE reuses
+    the exchange; island assignment is two windows partitioned by doc —
+    per-doc data is bounded by document length, so no skew beyond what
+    AQE's skew-join handles on the gram key (stop-phrase grams are
+    capped by min_docs filtering happening BEFORE the positions join).
+    """
+    from pyspark.sql import Window
+
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    toks = docs.select(F.col(id_col).alias("id"), words.alias("w")).filter(
+        F.size("w") >= k
+    )
+    n = F.size("w")
+    grams = toks.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), n - k + 1),
+                lambda i: F.struct(
+                    i.cast("long").alias("pos"),
+                    F.concat_ws(" ", F.slice("w", i, k)).alias("gram"),
+                ),
+            )
+        ).alias("g"),
+    ).select("id", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("gram")
+    )
+    pos = grams.join(dup, "gram").select(
+        "id", "pos", (F.col("pos") + k).alias("e")
+    )
+    w_prev = (
+        Window.partitionBy("id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = pos.select(
+        "id", "pos", "e",
+        F.when(
+            F.col("pos") > F.coalesce(
+                F.max("e").over(w_prev), F.lit(-(1 << 40))
+            ),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("id").orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = flagged.select(
+        "id", "pos", "e", F.sum("new_island").over(w_run).alias("island")
+    )
+    return (
+        islands.groupBy("id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            F.max("e").alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            "id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_len"),
+            "n_grams",
+        )
+    )

@@ -4528,6 +4528,75 @@ FROM sized GROUP BY term ORDER BY term
 """
 
 
+def q93_duplicate_spans(spark, sf_dir):
+    """Maximal duplicated-substring spans (Lee et al. 2022 ExactSubstr,
+    relational form): word 6-grams appearing in >= 2 distinct documents
+    mark [pos, pos+6) duplicated; per document, overlapping/adjacent
+    intervals merge into maximal islands via the gaps-and-islands
+    pattern (prev-max window + running-sum island ids).  This is the
+    span-level companion of q16's whole-blob exact dedup (reference
+    dedups by sha3_256 PK only, models.py:102-113) — what a training
+    pipeline runs to excise boilerplate quotes instead of dropping
+    whole pages.  Scale: gram build is JVM higher-order functions; the
+    dup-gram filter is one groupBy on the gram (count-distinct pushed
+    before the positions join, so stop-phrase grams never fan out);
+    both windows partition by doc_id — bounded per-doc state.  The
+    DuckDB oracle independently re-implements the island merge with
+    window functions; output is integer-only, no float drift."""
+    from .operators.dedup import duplicate_spans
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        duplicate_spans(d, "doc_id", "text", k=6, min_docs=2)
+        .select(
+            F.col("id").alias("doc_id"),
+            "span_start",
+            "span_end",
+            "span_len",
+            "n_grams",
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+Q93_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+), g AS (
+  SELECT doc_id, i AS pos, array_to_string(w[i:i+5], ' ') AS gram
+  FROM t, unnest(range(1, len(w) - 4)) AS u(i)
+  WHERE len(w) >= 6
+), d AS (
+  SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2
+), p AS (
+  SELECT g.doc_id, g.pos, g.pos + 6 AS e FROM g JOIN d USING (gram)
+), m AS (
+  SELECT doc_id, pos, e,
+         max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_e
+  FROM p
+), f AS (
+  SELECT doc_id, pos, e,
+         CASE WHEN prev_e IS NULL OR pos > prev_e THEN 1 ELSE 0 END AS ni
+  FROM m
+), isl AS (
+  SELECT doc_id, pos, e,
+         sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS island
+  FROM f
+)
+SELECT doc_id,
+       CAST(min(pos) AS BIGINT) AS span_start,
+       CAST(max(e) AS BIGINT) AS span_end,
+       CAST(max(e) - min(pos) AS BIGINT) AS span_len,
+       CAST(count(*) AS BIGINT) AS n_grams
+FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -4613,6 +4682,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q90_kwic_snippets": q90_kwic_snippets,
     "q91_canonical_dedup": q91_canonical_dedup,
     "q92_postings_compression": q92_postings_compression,
+    "q93_duplicate_spans": q93_duplicate_spans,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -4698,6 +4768,7 @@ ORACLES: dict[str, str] = {
     "q90_kwic_snippets": Q90_SQL,
     "q91_canonical_dedup": Q91_SQL,
     "q92_postings_compression": Q92_SQL,
+    "q93_duplicate_spans": Q93_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

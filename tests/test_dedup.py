@@ -209,3 +209,63 @@ def test_paragraph_window_stats_partial_tail(spark):
     }
     # doc 0: [a b c] + partial [d]; doc 1's whole text equals that tail
     assert got == {0: (2, 2), 1: (1, 0)}
+
+
+def test_duplicate_spans_islands(spark):
+    """Known geometry: a shared 8-word snippet inside two documents
+    produces one maximal island each (3 overlapping 6-gram matches
+    merge); a second shared snippet adjacent to the first merges into
+    it; unique text yields no spans."""
+    from hoover_snoop2_spark.operators.dedup import duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 words
+    docs = spark.createDataFrame(
+        [
+            # shared snippet at words 3-10 (1-based)
+            (1, "u1 u2 " + shared + " v1 v2 v3"),
+            # same snippet at words 1-8
+            (2, shared + " w1 w2 w3 w4 w5"),
+            # all-unique text: no duplicated grams
+            (3, "x1 x2 x3 x4 x5 x6 x7 x8 x9 x10"),
+        ],
+        "doc_id int, text string",
+    )
+    out = duplicate_spans(docs, "doc_id", "text", k=6, min_docs=2)
+    rows = {r["id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2}
+    # doc 1: matched 6-gram starts at 3, 4, 5 → island [3, 11), 3 grams
+    assert (rows[1]["span_start"], rows[1]["span_end"],
+            rows[1]["span_len"], rows[1]["n_grams"]) == (3, 11, 8, 3)
+    assert (rows[2]["span_start"], rows[2]["span_end"],
+            rows[2]["span_len"], rows[2]["n_grams"]) == (1, 9, 8, 3)
+
+
+def test_duplicate_spans_adjacent_merge(spark):
+    """Two match runs whose intervals touch (end == next start) merge
+    into one island; a gap of one word keeps them separate."""
+    from hoover_snoop2_spark.operators.dedup import duplicate_spans
+
+    s1 = "a1 a2 a3 a4 a5 a6"          # 6 words: one gram
+    s2 = "b1 b2 b3 b4 b5 b6"
+    docs = spark.createDataFrame(
+        [
+            # s1 at 1-6, s2 at 7-12: intervals [1,7) and [7,13) touch
+            (1, s1 + " " + s2),
+            # s1 at 1-6, gap word, s2 at 8-13: [1,7) and [8,14) split
+            (2, s1 + " gap " + s2),
+            # partner doc holding both snippets (far apart, own islands)
+            (3, s1 + " z1 z2 z3 z4 z5 z6 z7 " + s2),
+        ],
+        "doc_id int, text string",
+    )
+    out = duplicate_spans(docs, "doc_id", "text", k=6, min_docs=2)
+    spans = {}
+    for r in out.collect():
+        spans.setdefault(r["id"], []).append(
+            (r["span_start"], r["span_end"])
+        )
+    for v in spans.values():
+        v.sort()
+    assert spans[1] == [(1, 13)]
+    assert spans[2] == [(1, 7), (8, 14)]
+    assert spans[3] == [(1, 7), (14, 20)]

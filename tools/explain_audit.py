@@ -65,6 +65,7 @@ AUDITED = [
     "q90_kwic_snippets",
     "q91_canonical_dedup",
     "q92_postings_compression",
+    "q93_duplicate_spans",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -149,6 +150,13 @@ CHECKS = {
     "q92_postings_compression": ["Window", "HashAggregate",
                                  "!CartesianProduct",
                                  "!BroadcastHashJoin"],
+    # dup-gram filter joins back on the gram key (equi, AQE-managed);
+    # the island windows and final groupBy all partition by doc id —
+    # no cartesian, no python, no nested loop
+    "q93_duplicate_spans": ["Window", "HashAggregate",
+                            "!CartesianProduct",
+                            "!BroadcastNestedLoopJoin",
+                            "!ArrowEvalPython"],
 }
 
 NOTES = {
