@@ -4597,6 +4597,104 @@ FROM isl GROUP BY doc_id, island ORDER BY doc_id, span_start
 """
 
 
+def q94_block_scoring(spark, sf_dir):
+    """Value-exact driver certification of the DOM block scorer — the
+    north-rule invariant (byte-identical extracted text per url) as an
+    oracle row instead of only a pytest golden.  Pages are synthesized
+    from doc_id arithmetic: 3-5 blocks per page cycling through four
+    kinds — plain <p> (kept), fully-linked <p><a> (link density 1.0 >
+    0.33, dropped), <div class="sidebar"> (readability unlikely-
+    candidate, dropped), plain <li> (kept).  The Spark side runs the
+    REAL extractor (html_to_text_udf: html.parser stream parse, drop
+    subtrees, block segmentation, link-density scoring, NFC + ws fold);
+    the DuckDB oracle never parses HTML — it re-derives the expected
+    surviving text purely from the same arithmetic.  Any deviation in
+    drop rules, block boundaries, whitespace folding, or join order
+    breaks the byte compare.  Scale: page synthesis and word joins are
+    JVM higher-order functions; the extractor is the same Arrow UDF the
+    production pipeline uses — one Project, no shuffle except the
+    oracle-determinism orderBy."""
+    from .operators.html_extract import html_to_text_udf
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+
+    def words(i):
+        m = (doc * 7 + i * 5) % 6 + 3
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), m.cast("int")),
+                lambda j: F.concat(
+                    F.lit("w"), doc.cast("string"), F.lit("x"),
+                    i.cast("string"), F.lit("x"), j.cast("string"),
+                ),
+            ),
+            " ",
+        )
+
+    def block(i):
+        kind = (doc + i) % 4
+        w = words(i)
+        return (
+            F.when(kind == 0, F.concat(F.lit("<p>"), w, F.lit("</p>")))
+            .when(kind == 1, F.concat(
+                F.lit('<p><a href="#">'), w, F.lit("</a></p>")))
+            .when(kind == 2, F.concat(
+                F.lit('<div class="sidebar">'), w, F.lit("</div>")))
+            .otherwise(F.concat(F.lit("<li>"), w, F.lit("</li>")))
+        )
+
+    n_blocks = (doc % 3 + 3).cast("int")
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), n_blocks), block), ""
+        ),
+        F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    out = pages.select(
+        "doc_id", html_to_text_udf(F.col("html")).alias("text")
+    )
+    return out.select(
+        "doc_id",
+        "text",
+        F.when(F.col("text") == "", F.lit(0))
+        .otherwise(F.size(F.split("text", "\n\n")))
+        .cast("long")
+        .alias("n_kept"),
+    ).orderBy("doc_id")
+
+
+Q94_SQL = r"""
+WITH d AS (
+  SELECT doc_id FROM documents
+), blocks AS (
+  SELECT doc_id, i,
+         (doc_id + i) % 4 AS kind,
+         (doc_id * 7 + i * 5) % 6 + 3 AS m
+  FROM d, unnest(range(1, doc_id % 3 + 4)) AS u(i)
+), texts AS (
+  SELECT doc_id, i,
+         array_to_string(
+           list_transform(range(1, m + 1),
+                          j -> 'w' || doc_id || 'x' || i || 'x' || j),
+           ' ') AS btxt
+  FROM blocks WHERE kind IN (0, 3)
+), agg AS (
+  SELECT doc_id,
+         string_agg(btxt, chr(10) || chr(10) ORDER BY i) AS text,
+         count(*)::BIGINT AS n_kept
+  FROM texts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       coalesce(a.text, '') AS text,
+       coalesce(a.n_kept, 0)::BIGINT AS n_kept
+FROM d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -4683,6 +4781,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q91_canonical_dedup": q91_canonical_dedup,
     "q92_postings_compression": q92_postings_compression,
     "q93_duplicate_spans": q93_duplicate_spans,
+    "q94_block_scoring": q94_block_scoring,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -4769,6 +4868,7 @@ ORACLES: dict[str, str] = {
     "q91_canonical_dedup": Q91_SQL,
     "q92_postings_compression": Q92_SQL,
     "q93_duplicate_spans": Q93_SQL,
+    "q94_block_scoring": Q94_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

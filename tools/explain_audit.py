@@ -66,6 +66,7 @@ AUDITED = [
     "q91_canonical_dedup",
     "q92_postings_compression",
     "q93_duplicate_spans",
+    "q94_block_scoring",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -157,6 +158,16 @@ CHECKS = {
                             "!CartesianProduct",
                             "!BroadcastNestedLoopJoin",
                             "!ArrowEvalPython"],
+    # the REAL production extractor UDF must sit in the plan (not a JVM
+    # reimplementation), and nothing else — no join, no aggregate.
+    # Asserted by UDF name, not the ArrowEvalPython node: Spark 4.1
+    # prints the first plan of a session with the extracted
+    # ArrowEvalPython operator but renders repeat plannings of the
+    # same pandas UDF fused inside Project (execution is identical —
+    # verified by running both forms).
+    "q94_block_scoring": ["html_to_text_udf", "!CartesianProduct",
+                          "!HashAggregate", "!BroadcastHashJoin",
+                          "!Window"],
 }
 
 NOTES = {
