@@ -4695,6 +4695,91 @@ ORDER BY d.doc_id
 """
 
 
+def q95_pdf_reading_order(spark, sf_dir):
+    """Driver-oracle certification of PDF layout parsing into
+    reading-order spans — the north rule's second named extraction
+    component, previously rows-only (q38).  Each doc synthesizes a
+    two-page PDF from doc_id arithmetic: page 1 emits four Tm-positioned
+    spans in SCRAMBLED order (4,1,3,2) across two columns (x=50 and
+    x=450, gap 400 > COLUMN_GAP 72) so the real extractor
+    (explode_pdf_pages → _reading_order) must recover column-major
+    order — left column top-to-bottom (s1, s3: y 690-d, 670-d), then
+    right column (s2, s4); page 2 walks the Td/relative-cursor path
+    (three spans, descending lines).  The DuckDB oracle never parses
+    PDF — it re-derives the expected ordered text from the same
+    arithmetic, so any drift in stream scanning, Tm/Td cursor
+    tracking, span ordering, or the pdf.js ITEM_JOIN rule breaks the
+    byte compare.  Scale: synthesis is JVM concat; extraction is the
+    production mapInPandas page exploder — page rows are the
+    parallelism unit (reference splits PDFs via qpdf for the same
+    reason, pdf-tools/run.sh:5-15)."""
+    from .operators.pdf_spans import explode_pdf_pages
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+
+    def y(s):
+        return (F.lit(700 - 10 * s) - doc % 5).cast("string")
+
+    def span_tm(x, s):
+        return F.concat(
+            F.lit(f"1 0 0 1 {x} "), y(s),
+            F.lit(" Tm (p"), ds, F.lit(f"x{s}) Tj "),
+        )
+
+    page1 = F.concat(
+        F.lit("BT "),
+        span_tm(450, 4), span_tm(50, 1), span_tm(50, 3), span_tm(450, 2),
+        F.lit("ET"),
+    )
+    page2 = F.concat(
+        F.lit("BT 50 "), (F.lit(700) - doc % 5).cast("string"),
+        F.lit(" Td (q"), ds, F.lit("x1) Tj 0 -20 Td (q"), ds,
+        F.lit("x2) Tj 0 -20 Td (q"), ds, F.lit("x3) Tj ET"),
+    )
+
+    def obj(n, body):
+        return F.concat(
+            F.lit(f"{n} 0 obj << /Length 0 >> stream\n"),
+            body,
+            F.lit("\nendstream endobj\n"),
+        )
+
+    pdf = F.concat(
+        F.lit("%PDF-1.4\n"), obj(1, page1), obj(2, page2), F.lit("%%EOF")
+    )
+    pages = d.select(
+        ds.alias("url"), F.encode(pdf, "UTF-8").alias("pdf")
+    )
+    out = explode_pdf_pages(pages, url_col="url", data_col="pdf")
+    return out.select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("page").cast("long").alias("page"),
+        F.col("page_text").alias("text"),
+        "broken_reason",
+    ).orderBy("doc_id", "page")
+
+
+Q95_SQL = r"""
+WITH d AS (
+  SELECT doc_id FROM documents
+), pages AS (
+  SELECT doc_id, p.page,
+         CASE WHEN p.page = 1 THEN
+           'p' || doc_id || 'x1 p' || doc_id || 'x3 p' ||
+           doc_id || 'x2 p' || doc_id || 'x4'
+         ELSE
+           'q' || doc_id || 'x1 q' || doc_id || 'x2 q' || doc_id || 'x3'
+         END AS text
+  FROM d, (SELECT unnest([1, 2]) AS page) p
+)
+SELECT doc_id, CAST(page AS BIGINT) AS page, text,
+       CAST(NULL AS VARCHAR) AS broken_reason
+FROM pages ORDER BY doc_id, page
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -4782,6 +4867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q92_postings_compression": q92_postings_compression,
     "q93_duplicate_spans": q93_duplicate_spans,
     "q94_block_scoring": q94_block_scoring,
+    "q95_pdf_reading_order": q95_pdf_reading_order,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -4869,6 +4955,7 @@ ORACLES: dict[str, str] = {
     "q92_postings_compression": Q92_SQL,
     "q93_duplicate_spans": Q93_SQL,
     "q94_block_scoring": Q94_SQL,
+    "q95_pdf_reading_order": Q95_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
