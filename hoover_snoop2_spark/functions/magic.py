@@ -150,7 +150,9 @@ def decode_for_probe(data: bytes) -> str | None:
     if enc == "us-ascii":
         return data.decode("ascii", errors="replace")
     if enc == "utf-8":
-        return data.decode("utf-8", errors="replace")
+        # utf-8-sig: strip a leading BOM (no-op otherwise) so U+FEFF
+        # never reaches text probes — consistent with the utf-16 rung
+        return data.decode("utf-8-sig", errors="replace")
     return data.decode("iso-8859-1", errors="replace")
 
 

@@ -65,6 +65,11 @@ def decode_html(data: bytes) -> str:
         enc = "iso-8859-1"  # html declared by tag structure; decode anyway
     if enc == "us-ascii":
         enc = "ascii"
+    elif enc == "utf-8":
+        # utf-8-sig strips a leading BOM (and is a no-op without one) —
+        # U+FEFF must never leak into extracted text; the utf-16 codec
+        # already consumes its BOM, this keeps the two rungs consistent
+        enc = "utf-8-sig"
     return data[:MAX_TEXT_FIELD_SIZE].decode(enc, errors="replace")
 
 
@@ -79,6 +84,8 @@ def read_text(data: bytes, mime_encoding: str | None) -> str | None:
         return None
     if enc == "us-ascii":
         enc = "ascii"
+    elif enc == "utf-8":
+        enc = "utf-8-sig"  # strip a leading BOM, no-op otherwise
     try:
         return data[:MAX_TEXT_FIELD_SIZE].decode(enc, errors="replace")
     except LookupError:

@@ -403,3 +403,73 @@ def heading_outline(html_col: F.Column) -> F.Column:
         )
 
     return F.aggregate(heads, zero, step, lambda acc: acc["out"])
+
+
+def head_metadata(html_col, url_col=None) -> dict[str, F.Column]:
+    """Page metadata from the HTML ``<head>`` — the title/OpenGraph/
+    publish-date fields hoover's UI shows per document (the reference
+    surfaces them through Tika's metadata map, tika.py:95-145; search
+    engines and training pipelines read the same tags for dedup keys and
+    temporal filtering).  Pure JVM regexps over the raw html — no DOM
+    pass, no Python — so the projection stays scan-adjacent at any scale
+    and pushes through column pruning like any other expression.
+
+    Returned columns (absent tag → NULL, never ``''``):
+
+    - ``title`` — ``<title>`` text;
+    - ``og_title`` / ``og_description`` — OpenGraph properties;
+    - ``author`` — ``<meta name="author">``;
+    - ``display_title`` — ``og:title`` falling back to ``<title>``
+      (the precedence link-preview renderers use);
+    - ``published`` — ``article:published_time`` meta, falling back to
+      a ``/YYYY/MM/DD/`` segment of the url when ``url_col`` is given
+      (the blog-permalink heuristic trafilatura-style date extractors
+      apply before giving up).
+    """
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+
+    def meta(attr: str, name: str) -> F.Column:
+        pat = rf'(?i)<meta\s+{attr}="{name}"\s+content="([^"]*)"'
+        return F.nullif(F.regexp_extract(c, pat, 1), F.lit(""))
+
+    title = F.nullif(
+        F.regexp_extract(c, r"(?i)<title>([^<]*)</title>", 1), F.lit("")
+    )
+    og_title = meta("property", "og:title")
+    og_desc = meta("property", "og:description")
+    author = meta("name", "author")
+    published = meta("property", "article:published_time")
+    if url_col is not None:
+        u = F.col(url_col) if isinstance(url_col, str) else url_col
+        pat = r"/(\d{4})/(\d{2})/(\d{2})/"
+        y = F.regexp_extract(u, pat, 1)
+        url_date = F.when(
+            y != "",
+            F.concat_ws(
+                "-",
+                y,
+                F.regexp_extract(u, pat, 2),
+                F.regexp_extract(u, pat, 3),
+            ),
+        )
+        published = F.coalesce(published, url_date)
+    return {
+        "title": title,
+        "og_title": og_title,
+        "og_description": og_desc,
+        "author": author,
+        "display_title": F.coalesce(og_title, title),
+        "published": published,
+    }
+
+
+@F.pandas_udf(StringType())
+def decode_html_udf(data: pd.Series) -> pd.Series:
+    """Arrow-batched ``decode_html``: meta-charset probe first, then the
+    magic encoding ladder (BOM → NUL/binary → ascii → utf-8 → latin-1) —
+    the exact byte→str step the html analyze kernel runs before block
+    scoring (reference sniffs the same way via libmagic's encoding field,
+    magic.py + digests.py:171-200).  Exposed standalone so the ladder is
+    driver-oracle certifiable (q99) and usable as a one-Project decode
+    over raw crawl bytes."""
+    return data.map(lambda b: decode_html(b) if b is not None else None)

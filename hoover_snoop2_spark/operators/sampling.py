@@ -91,3 +91,75 @@ def deterministic_sample(
     membership on every run and every engine that does exact integer
     arithmetic."""
     return df.filter(rank_key(id_col) < int(fraction * _M32))
+
+
+def dsir_log_weights(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    target_col: str = "is_target",
+    n_buckets: int = 1024,
+    bucket=None,
+) -> DataFrame:
+    """DSIR hashed-unigram importance weights (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling").  Scores
+    every document by how much its token distribution resembles a target
+    subset of the corpus: ``log w(d) = Σ_tok [log p_target(b(tok)) -
+    log p_raw(b(tok))]`` with add-one smoothing over ``n_buckets``
+    hashed-unigram buckets.  Raw counts come from all rows, target
+    counts from rows where ``target_col`` is true.
+
+    The hashing trick is what makes this a 100-TB operator: the learned
+    model is two count vectors of fixed size ``n_buckets`` regardless of
+    corpus size, so the per-bucket log-ratio table always broadcasts.
+    Plan shape: one token explode feeding (a) a bounded groupBy(bucket)
+    (map-side partials collapse to ≤n_buckets rows per partition) and
+    (b) a BroadcastHashJoin against the weight table followed by one
+    groupBy(id) — a single corpus-sized Exchange end to end, no
+    driver-side model fitting beyond the two scalar totals.
+
+    ``bucket`` overrides the bucket expression (a function of the token
+    column); default is JVM ``xxhash64 % n_buckets``.  The driver-oracle
+    query (q98) passes the portable ``conv(md5[:8]) % n_buckets`` so
+    DuckDB can replay the exact bucket assignment.
+    """
+    tok = F.explode(
+        F.split(F.lower(F.col(text_col)), r"\s+")
+    ).alias("tok")
+    toks = (
+        df.select(id_col, target_col, tok)
+        .filter(F.length("tok") > 0)
+    )
+    b = (
+        bucket(F.col("tok"))
+        if bucket is not None
+        else F.pmod(F.xxhash64("tok"), F.lit(n_buckets))
+    )
+    tb = toks.select(id_col, target_col, b.cast("long").alias("b"))
+    bucket_counts = tb.groupBy("b").agg(
+        F.count("*").alias("r_cnt"),
+        F.sum(F.when(F.col(target_col), 1).otherwise(0)).alias("t_cnt"),
+    )
+    totals = bucket_counts.agg(
+        F.sum("r_cnt").alias("r_tot"), F.sum("t_cnt").alias("t_tot")
+    )
+    lw = (
+        F.log((F.col("t_cnt") + 1).cast("double"))
+        - F.log((F.col("t_tot") + F.lit(n_buckets)).cast("double"))
+        - F.log((F.col("r_cnt") + 1).cast("double"))
+        + F.log((F.col("r_tot") + F.lit(n_buckets)).cast("double"))
+    )
+    weights = (
+        bucket_counts.crossJoin(F.broadcast(totals))
+        .select("b", lw.alias("lw"), "t_cnt", "r_cnt")
+    )
+    return (
+        tb.join(F.broadcast(weights), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("lw").alias("log_weight"),
+            F.sum("t_cnt").alias("target_mass"),
+            F.sum("r_cnt").alias("raw_mass"),
+        )
+    )

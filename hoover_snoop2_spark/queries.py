@@ -4780,6 +4780,336 @@ FROM pages ORDER BY doc_id, page
 """
 
 
+def q96_pipeline_text(spark, sf_dir):
+    """Driver certification of the FULL extraction DAG — ``run_extraction``
+    end-to-end (magic sniff → dispatch → html analyze → dedup election →
+    duplicate fan-out → gather), not just the html kernel (q94) or the
+    PDF kernel (q95).  Pages are synthesized from doc_id arithmetic with
+    the q94 block pattern, but from ``base = doc_id - (doc_id % 10 == 7)``
+    so every doc_id ending in 7 is a byte-identical duplicate of its
+    predecessor: the pipeline's content-hash dedup elects one
+    representative, analyzes it once, and fans the digest back out to the
+    duplicate url — the oracle asserts both urls carry the identical
+    extracted text, certifying the election/fan-out joins in the driver
+    gate.  The DuckDB side re-derives text purely from the base
+    arithmetic (no HTML parse, no pipeline).  Any drift in sniffing,
+    dispatch, the block scorer, dedup attribution, or gather's
+    word-count/filetype projections breaks the byte compare.  Scale: this
+    is the production DAG itself — the same checkpointed plan the bench
+    measures at 150k docs; here it runs ephemeral (temp checkpoint dir,
+    column-pruned snapshots)."""
+    from .plans.pipeline import run_extraction
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    base = doc - F.when(doc % 10 == 7, 1).otherwise(0)
+
+    def words(i):
+        m = (base * 7 + i * 5) % 6 + 3
+        return F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), m.cast("int")),
+                lambda j: F.concat(
+                    F.lit("w"), base.cast("string"), F.lit("x"),
+                    i.cast("string"), F.lit("x"), j.cast("string"),
+                ),
+            ),
+            " ",
+        )
+
+    def block(i):
+        kind = (base + i) % 4
+        w = words(i)
+        return (
+            F.when(kind == 0, F.concat(F.lit("<p>"), w, F.lit("</p>")))
+            .when(kind == 1, F.concat(
+                F.lit('<p><a href="#">'), w, F.lit("</a></p>")))
+            .when(kind == 2, F.concat(
+                F.lit('<div class="sidebar">'), w, F.lit("</div>")))
+            .otherwise(F.concat(F.lit("<li>"), w, F.lit("</li>")))
+        )
+
+    n_blocks = (base % 3 + 3).cast("int")
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), n_blocks), block), ""
+        ),
+        F.lit("</body></html>"),
+    )
+    pages = d.select(
+        doc.cast("string").alias("url"),
+        F.encode(html, "UTF-8").alias("html"),
+    )
+    digests, _metrics = run_extraction(spark, pages)
+    return digests.select(
+        F.col("url").cast("long").alias("doc_id"),
+        "status",
+        "mime_type",
+        "filetype",
+        "text",
+        F.col("word_count").cast("long").alias("word_count"),
+    ).orderBy("doc_id")
+
+
+Q96_SQL = r"""
+WITH d AS (
+  SELECT doc_id,
+         doc_id - CASE WHEN doc_id % 10 = 7 THEN 1 ELSE 0 END AS base
+  FROM documents
+), blocks AS (
+  SELECT doc_id, base, i,
+         (base + i) % 4 AS kind,
+         (base * 7 + i * 5) % 6 + 3 AS m
+  FROM d, unnest(range(1, base % 3 + 4)) AS u(i)
+), texts AS (
+  SELECT doc_id, i,
+         array_to_string(
+           list_transform(range(1, m + 1),
+                          j -> 'w' || base || 'x' || i || 'x' || j),
+           ' ') AS btxt
+  FROM blocks WHERE kind IN (0, 3)
+), agg AS (
+  SELECT doc_id,
+         string_agg(btxt, chr(10) || chr(10) ORDER BY i) AS text
+  FROM texts GROUP BY doc_id
+)
+SELECT d.doc_id,
+       'success' AS status,
+       'text/html' AS mime_type,
+       'html' AS filetype,
+       coalesce(a.text, '') AS text,
+       length(coalesce(a.text, ''))::BIGINT AS word_count
+FROM d LEFT JOIN agg a USING (doc_id)
+ORDER BY d.doc_id
+"""
+
+
+def q97_head_metadata(spark, sf_dir):
+    """HTML head/OpenGraph metadata extraction (``head_metadata``) under
+    the driver oracle.  Pages synthesize a ``<head>`` from doc_id
+    arithmetic with deliberate absence patterns — ``og:title`` missing
+    when doc%3==0, ``og:description`` when doc%4==0,
+    ``article:published_time`` when doc%5==0 — and a blog-permalink url
+    ``/YYYY/MM/DD/`` for every doc, so the oracle exercises both
+    coalesce ladders: ``display_title`` (og:title → <title>) and
+    ``published`` (meta → url date fallback).  The DuckDB side
+    re-derives every field from the arithmetic without touching HTML;
+    NULL-vs-empty semantics (absent tag → NULL) are part of the
+    contract.  Scale: pure JVM regexps in one Project over the scan —
+    no shuffle but the determinism orderBy."""
+    from .operators.html_extract import head_metadata
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    two = lambda e: F.lpad(e.cast("string"), 2, "0")  # noqa: E731
+    yy = (F.lit(2020) + doc % 5).cast("string")
+    mm = two(doc % 12 + 1)
+    dd = two(doc % 28 + 1)
+    url = F.concat(
+        F.lit("https://h"), (doc % 20).cast("string"),
+        F.lit(".example/"), yy, F.lit("/"), mm, F.lit("/"), dd,
+        F.lit("/p"), ds,
+    )
+    head = F.concat(
+        F.lit("<head><title>Title "), ds, F.lit("</title>"),
+        F.when(doc % 3 != 0, F.concat(
+            F.lit('<meta property="og:title" content="OG '), ds,
+            F.lit('">'))).otherwise(F.lit("")),
+        F.when(doc % 4 != 0, F.concat(
+            F.lit('<meta property="og:description" content="Desc '), ds,
+            F.lit('">'))).otherwise(F.lit("")),
+        F.when(doc % 5 != 0, F.concat(
+            F.lit('<meta property="article:published_time" content="'),
+            yy, F.lit("-"), mm, F.lit("-"), dd, F.lit('T00:00:00Z">'),
+        )).otherwise(F.lit("")),
+        F.lit('<meta name="author" content="Author '),
+        (doc % 50).cast("string"), F.lit('">'),
+        F.lit("</head><body></body>"),
+    )
+    pages = d.select("doc_id", url.alias("url"), head.alias("html"))
+    m = head_metadata("html", url_col="url")
+    return pages.select(
+        "doc_id",
+        m["title"].alias("title"),
+        m["og_title"].alias("og_title"),
+        m["og_description"].alias("og_description"),
+        m["author"].alias("author"),
+        m["display_title"].alias("display_title"),
+        m["published"].alias("published"),
+    ).orderBy("doc_id")
+
+
+Q97_SQL = r"""
+SELECT doc_id,
+       'Title ' || doc_id AS title,
+       CASE WHEN doc_id % 3 != 0 THEN 'OG ' || doc_id END AS og_title,
+       CASE WHEN doc_id % 4 != 0 THEN 'Desc ' || doc_id
+            END AS og_description,
+       'Author ' || (doc_id % 50) AS author,
+       CASE WHEN doc_id % 3 != 0 THEN 'OG ' || doc_id
+            ELSE 'Title ' || doc_id END AS display_title,
+       CASE WHEN doc_id % 5 != 0 THEN
+              (2020 + doc_id % 5) || '-' ||
+              lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-' ||
+              lpad((doc_id % 28 + 1)::VARCHAR, 2, '0') || 'T00:00:00Z'
+            ELSE
+              (2020 + doc_id % 5) || '-' ||
+              lpad((doc_id % 12 + 1)::VARCHAR, 2, '0') || '-' ||
+              lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+            END AS published
+FROM documents ORDER BY doc_id
+"""
+
+
+def q98_dsir_weights(spark, sf_dir):
+    """DSIR importance weights under the driver oracle — the
+    hashed-unigram importance-resampling score (Xie et al. 2023) that
+    selects raw web text resembling a target distribution; here the
+    target is the English subset of ``documents`` and the raw
+    distribution is the whole corpus.  Runs the production operator
+    (``sampling.dsir_log_weights``) with the portable bucket function
+    ``conv(md5(tok)[:8], 16, 10) % 256`` so DuckDB replays the exact
+    bucket assignment; integer sufficient statistics (n_words,
+    target_mass, raw_mass) are exact, and the float ``log_weight`` uses
+    the engine-stable floor rounding (q58 idiom) because both engines
+    sum the per-token doubles in their own order.  Scale: the learned
+    model is two fixed-size count vectors — the weight table broadcasts
+    at any corpus size; one corpus Exchange total."""
+    from .operators.sampling import dsir_log_weights
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "is_target", F.col("lang") == "en"
+    )
+
+    def bucket(tok):
+        return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast(
+            "long"
+        ) % 256
+
+    out = dsir_log_weights(
+        d, n_buckets=256, bucket=bucket
+    )
+    return out.select(
+        "doc_id",
+        "n_words",
+        (F.floor(F.col("log_weight") * 10000 + F.lit(0.5)) / 10000)
+        .alias("log_weight"),
+        F.col("target_mass").cast("long").alias("target_mass"),
+        F.col("raw_mass").cast("long").alias("raw_mass"),
+    ).orderBy("doc_id")
+
+
+Q98_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang = 'en' AS is_target,
+         ('0x' || substr(md5(t.tok), 1, 8))::BIGINT % 256 AS b
+  FROM documents,
+       unnest(string_split_regex(lower(text), '\s+')) AS t(tok)
+  WHERE length(t.tok) > 0
+), bc AS (
+  SELECT b, COUNT(*) AS r_cnt,
+         SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS t_cnt
+  FROM toks GROUP BY b
+), tot AS (
+  SELECT SUM(r_cnt) AS r_tot, SUM(t_cnt) AS t_tot FROM bc
+), w AS (
+  SELECT b,
+         ln((t_cnt + 1)::DOUBLE) - ln((t_tot + 256)::DOUBLE)
+         - ln((r_cnt + 1)::DOUBLE) + ln((r_tot + 256)::DOUBLE) AS lw,
+         t_cnt, r_cnt
+  FROM bc, tot
+)
+SELECT t.doc_id,
+       COUNT(*)::BIGINT AS n_words,
+       floor(SUM(w.lw) * 10000 + 0.5) / 10000 AS log_weight,
+       SUM(w.t_cnt)::BIGINT AS target_mass,
+       SUM(w.r_cnt)::BIGINT AS raw_mass
+FROM toks t JOIN w USING (b)
+GROUP BY t.doc_id ORDER BY t.doc_id
+"""
+
+
+def q99_encoding_ladder(spark, sf_dir):
+    """Driver certification of the byte→str encoding ladder
+    (``decode_html``: meta-charset probe, then BOM → ascii → utf-8 →
+    latin-1 detection) — the decode step every html page passes before
+    block scoring, and the analog of the reference's libmagic encoding
+    sniff (digests.py:171-200).  Six byte-level synthesis kinds by
+    doc_id%6, each hitting one rung: (0) pure ascii, (1) raw UTF-8 with
+    a non-ASCII char, (2) latin-1 bytes that are INVALID UTF-8 (0xE9
+    followed by space — the ladder must fall through to iso-8859-1),
+    (3) UTF-8 BOM, (4) an explicit ``<meta charset="iso-8859-1">``
+    overriding the ladder, (5) UTF-16 with BOM (NUL bytes — the binary
+    rung must NOT claim it).  Bytes are built JVM-side with
+    ``F.encode`` per charset; decode runs the real Arrow UDF.  The
+    oracle re-derives both the decoded string AND the exact byte count
+    per kind (é is 2 bytes in kind 1 but 1 byte in kinds 2/4; UTF-16 is
+    2·chars+2) — so the test proves the bytes really were in the claimed
+    encoding, not just that decode round-tripped.  Scale: one Project,
+    no shuffle but the determinism orderBy."""
+    from .operators.html_extract import decode_html_udf
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    kind = doc % 6
+    s_ascii = F.concat(F.lit("<p>plain p"), ds, F.lit("</p>"))
+    s_acc = F.concat(F.lit("<p>café p"), ds, F.lit("</p>"))
+    s_bom = F.concat(F.lit("<p>bom p"), ds, F.lit("</p>"))
+    s_meta = F.concat(
+        F.lit('<meta charset="iso-8859-1"><p>café p'), ds,
+        F.lit("</p>"),
+    )
+    s_wide = F.concat(F.lit("<p>wide p"), ds, F.lit("</p>"))
+    data = (
+        F.when(kind == 0, F.encode(s_ascii, "US-ASCII"))
+        .when(kind == 1, F.encode(s_acc, "UTF-8"))
+        .when(kind == 2, F.encode(s_acc, "ISO-8859-1"))
+        .when(kind == 3, F.concat(
+            F.lit(b"\xef\xbb\xbf"), F.encode(s_bom, "UTF-8")))
+        .when(kind == 4, F.encode(s_meta, "ISO-8859-1"))
+        .otherwise(F.encode(s_wide, "UTF-16"))
+    )
+    pages = d.select(
+        "doc_id", kind.cast("long").alias("kind"), data.alias("data")
+    )
+    return pages.select(
+        "doc_id",
+        "kind",
+        decode_html_udf(F.col("data")).alias("text"),
+        F.length("data").cast("long").alias("n_bytes"),
+    ).orderBy("doc_id")
+
+
+Q99_SQL = r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 6 AS kind FROM documents
+)
+SELECT doc_id, kind,
+       CASE kind
+         WHEN 0 THEN '<p>plain p' || doc_id || '</p>'
+         WHEN 1 THEN '<p>café p' || doc_id || '</p>'
+         WHEN 2 THEN '<p>café p' || doc_id || '</p>'
+         WHEN 3 THEN '<p>bom p' || doc_id || '</p>'
+         WHEN 4 THEN '<meta charset="iso-8859-1"><p>café p'
+                     || doc_id || '</p>'
+         ELSE '<p>wide p' || doc_id || '</p>'
+       END AS text,
+       CASE kind
+         WHEN 0 THEN octet_length(encode('<p>plain p' || doc_id || '</p>'))
+         WHEN 1 THEN octet_length(encode('<p>café p' || doc_id || '</p>'))
+         WHEN 2 THEN length('<p>café p' || doc_id || '</p>')
+         WHEN 3 THEN octet_length(encode('<p>bom p' || doc_id || '</p>')) + 3
+         WHEN 4 THEN length('<meta charset="iso-8859-1"><p>café p'
+                            || doc_id || '</p>')
+         ELSE 2 * length('<p>wide p' || doc_id || '</p>') + 2
+       END::BIGINT AS n_bytes
+FROM d ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -4868,6 +5198,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q93_duplicate_spans": q93_duplicate_spans,
     "q94_block_scoring": q94_block_scoring,
     "q95_pdf_reading_order": q95_pdf_reading_order,
+    "q96_pipeline_text": q96_pipeline_text,
+    "q97_head_metadata": q97_head_metadata,
+    "q98_dsir_weights": q98_dsir_weights,
+    "q99_encoding_ladder": q99_encoding_ladder,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -4956,6 +5290,10 @@ ORACLES: dict[str, str] = {
     "q93_duplicate_spans": Q93_SQL,
     "q94_block_scoring": Q94_SQL,
     "q95_pdf_reading_order": Q95_SQL,
+    "q96_pipeline_text": Q96_SQL,
+    "q97_head_metadata": Q97_SQL,
+    "q98_dsir_weights": Q98_SQL,
+    "q99_encoding_ladder": Q99_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
