@@ -67,6 +67,11 @@ AUDITED = [
     "q92_postings_compression",
     "q93_duplicate_spans",
     "q94_block_scoring",
+    "q95_pdf_reading_order",
+    "q96_pipeline_text",
+    "q97_head_metadata",
+    "q98_dsir_weights",
+    "q99_encoding_ladder",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -168,6 +173,30 @@ CHECKS = {
     "q94_block_scoring": ["html_to_text_udf", "!CartesianProduct",
                           "!HashAggregate", "!BroadcastHashJoin",
                           "!Window"],
+    # the production page exploder must sit in the plan (mapInPandas
+    # renders as an anonymous MapInPandas node, not by function name);
+    # synthesis is pure JVM concat so nothing else may appear
+    "q95_pdf_reading_order": ["MapInPandas", "!CartesianProduct",
+                              "!HashAggregate", "!BroadcastHashJoin",
+                              "!Window"],
+    # the FULL extraction DAG: the dedup election aggregate is
+    # materialized BEHIND the checkpoint (lineage truncation), so the
+    # final plan is winner-scan UNION fan-out joins; no all-pairs shape
+    "q96_pipeline_text": ["Union", "BroadcastHashJoin",
+                          "!CartesianProduct",
+                          "!BroadcastNestedLoopJoin"],
+    # head metadata is JVM regexps in one codegen'd Project
+    "q97_head_metadata": ["Project", "!HashAggregate", "!CartesianProduct",
+                          "!BroadcastHashJoin", "!ArrowEvalPython"],
+    # hashed-unigram model: bounded groupBy(bucket) + broadcast weight
+    # join + one corpus groupBy(id); the only nested-loop is the 1-row
+    # totals scalar broadcast (deliberate)
+    "q98_dsir_weights": ["BroadcastHashJoin", "HashAggregate", "Generate",
+                         "!CartesianProduct", "!Window"],
+    # the real decode UDF in the plan; byte synthesis is JVM encode()
+    "q99_encoding_ladder": ["decode_html_udf", "!CartesianProduct",
+                            "!HashAggregate", "!BroadcastHashJoin",
+                            "!Window"],
 }
 
 NOTES = {
@@ -295,6 +324,18 @@ NOTES = {
         "all three facet dimensions (and the grand total) come out of a "
         "single shuffle where three separate ES aggregations would scan "
         "the index three times.",
+    "q96_pipeline_text": "the captured plan is the production DAG's "
+        "gather stage over checkpointed snapshots — the dedup-election "
+        "HashAggregate ran before the column-pruned parquet checkpoint "
+        "(mandatory lineage truncation), so the final plan is winner "
+        "scan UNION duplicate fan-out joins on the content hash; blob "
+        "bytes never appear above the analyze checkpoint, and the "
+        "BroadcastHashJoins are planner/AQE-sized, not hinted.",
+    "q98_dsir_weights": "the weight table is ≤ n_buckets rows whatever "
+        "the corpus size (the hashing trick), so its join back onto the "
+        "token explode is an explicit broadcast; the single "
+        "BroadcastNestedLoopJoin below is the 1-row totals scalar "
+        "attach, not a pair enumeration.",
 }
 
 
