@@ -115,3 +115,58 @@ def normalize_text(text: str | None) -> str | None:
 @F.pandas_udf(StringType())
 def normalize_text_udf(s: pd.Series) -> pd.Series:
     return s.map(lambda t: normalize_text(t) if t is not None else None)
+
+
+#: UTF-8-bytes-misdecoded-as-latin-1 signature: the misread lead byte of
+#: a 2/3/4-byte UTF-8 sequence becomes U+00C2-U+00F4 and every
+#: continuation byte becomes U+0080-U+00BF — a two-to-four char shape
+#: ordinary Western text essentially never produces on purpose.
+MOJIBAKE_RE = (
+    "([\u00c2-\u00df][\u0080-\u00bf])"
+    "|([\u00e0-\u00ef][\u0080-\u00bf]{2})"
+    "|([\u00f0-\u00f4][\u0080-\u00bf]{3})"
+)
+
+
+def mojibake_score(col) -> F.Column:
+    """Count of mojibake signatures in the column — a pure JVM
+    ``regexp_count`` gate, so scoring the whole corpus costs one
+    codegen'd Project and only flagged rows matter downstream."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(MOJIBAKE_RE))
+
+
+@F.pandas_udf(StringType())
+def fix_mojibake_udf(s: pd.Series) -> pd.Series:
+    """Repair UTF-8-as-latin-1 mojibake ("CafÃ©" →
+    "Café") by reversing the misdecode: re-encode as iso-8859-1
+    and re-decode as UTF-8, keeping the original unless the WHOLE
+    string survives both hops (ftfy's core transform, restricted to
+    the lossless case).  This must be an Arrow UDF, not
+    ``decode(encode(..))``: Spark 4's codecs raise
+    MALFORMED_CHARACTER_CODING on any row that is not pure latin-1 /
+    valid UTF-8, and a repair pass that can kill the job on one weird
+    row is unusable at crawl scale — here those rows just pass through
+    unchanged."""
+
+    def fix(t):
+        if t is None:
+            return None
+        try:
+            b = t.encode("iso-8859-1")
+        except UnicodeEncodeError:
+            return t  # chars beyond U+00FF: not a latin-1 misdecode
+        try:
+            return b.decode("utf-8")
+        except UnicodeDecodeError:
+            return t  # not valid UTF-8 underneath: leave it alone
+
+    return s.map(fix)
+
+
+def repair_mojibake(col) -> F.Column:
+    """``fix_mojibake_udf`` gated on ``mojibake_score > 0`` so a wrong
+    repair can never touch a string carrying no mojibake signature;
+    the gate is JVM-side, the UDF only decides flagged rows."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.when(mojibake_score(c) > 0, fix_mojibake_udf(c)).otherwise(c)

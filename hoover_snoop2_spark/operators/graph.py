@@ -309,3 +309,71 @@ def pagerank(
             "rank"
         ),
     )
+
+
+def resolve_roots(
+    df: DataFrame,
+    id_col: str = "id",
+    parent_col: str = "parent",
+    rounds: int = 5,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(id, root, depth) for a parent-pointer forest — the primitive
+    behind email-thread reconstruction (In-Reply-To chains; the
+    reference walks the same parent links one Django row at a time via
+    ``parent_id``, models.py) and any other ancestry flattening.
+
+    Pointer doubling: start from ``r(i) = parent(i) or i`` and iterate
+    ``r(i) <- r(r(i))``, ``d(i) <- d(i) + d(r(i))`` — after k rounds
+    every node within ``2^k`` steps of its root is fully resolved, so
+    ``rounds=5`` covers chains 32 deep while a naive parent walk would
+    need 32 joins.  Each round is ONE self equi-join on the current
+    ancestor (shuffle on id — at 10^12 rows both sides hash-partition
+    on the same key and AQE handles skewed mega-threads), followed by a
+    mandatory lineage truncation exactly as in connected_components:
+    the join references the mapping twice per round, so the untruncated
+    plan doubles per round.
+
+    A parent id absent from ``df`` (a References header pointing at a
+    message the crawl never saw) stays as-is: the chain resolves to the
+    nearest *known* ancestor — the dangling id becomes the thread key,
+    which is what mail clients do when the head of a thread is missing.
+    """
+    m = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(parent_col).cast("long").alias("p"),
+    )
+
+    _cp = None
+    if checkpoint_dir is not None:
+        from ..plans.checkpoint import CheckpointStore
+
+        _cp = CheckpointStore(checkpoint_dir)
+
+    def _pin(d: DataFrame, name: str) -> DataFrame:
+        if _cp is not None:
+            return _cp.write(d, name)
+        return d.localCheckpoint(eager=True)
+
+    r = m.select(
+        "id",
+        F.coalesce("p", "id").alias("r"),
+        F.when(F.col("p").isNull(), F.lit(0)).otherwise(F.lit(1)).alias("d"),
+    )
+    for it in range(rounds):
+        nxt = r.select(
+            F.col("id").alias("id2"),
+            F.col("r").alias("r2"),
+            F.col("d").alias("d2"),
+        )
+        r = _pin(
+            r.join(nxt, r["r"] == nxt["id2"], "left").select(
+                "id",
+                F.coalesce("r2", "r").alias("r"),
+                (F.col("d") + F.coalesce("d2", F.lit(0))).alias("d"),
+            ),
+            f"roots_{it}",
+        )
+    return r.select(
+        "id", F.col("r").alias("root"), F.col("d").cast("long").alias("depth")
+    )

@@ -61,6 +61,9 @@ class Span:
     x: float
     y: float
     text: str
+    #: current font size when the span was shown (Tf operand); 0.0 when
+    #: the stream never set one before showing text
+    size: float = 0.0
 
 
 class PdfBroken(Exception):
@@ -114,6 +117,8 @@ def _spans_from_stream(stream: bytes, page: int) -> list[Span]:
     spans: list[Span] = []
     x = y = 0.0
     lx = ly = 0.0  # line start (Td is relative to line start)
+    fs = 0.0  # current font size (/Name size Tf); graphics state, so it
+    # persists across BT/ET within the stream
     stack: list[bytes | float | str | list] = []
     in_text = False
 
@@ -149,6 +154,8 @@ def _spans_from_stream(stream: bytes, page: int) -> list[Span]:
                 in_text = False
                 stack.clear()
             elif not in_text:
+                if op == b"Tf" and stack and isinstance(stack[-1], float):
+                    fs = stack[-1]
                 stack.clear()
             elif op in (b"Td", b"TD"):
                 if len(stack) >= 2 and isinstance(stack[-1], float) and isinstance(stack[-2], float):
@@ -167,10 +174,14 @@ def _spans_from_stream(stream: bytes, page: int) -> list[Span]:
             elif op == b"T*":
                 x, y = lx, ly
                 stack.clear()
+            elif op == b"Tf":
+                if stack and isinstance(stack[-1], float):
+                    fs = stack[-1]
+                stack.clear()
             elif op == b"Tj" or op == b"'":
                 text = shown(stack[-1:])
                 if text:
-                    spans.append(Span(page, x, y, text))
+                    spans.append(Span(page, x, y, text, fs))
                 stack.clear()
             elif op == b"TJ":
                 # array of strings and kerning numbers between [ ... ]
@@ -180,7 +191,7 @@ def _spans_from_stream(stream: bytes, page: int) -> list[Span]:
                     lb = 0
                 text = shown(stack[lb:])
                 if text:
-                    spans.append(Span(page, x, y, text))
+                    spans.append(Span(page, x, y, text, fs))
                 stack.clear()
             else:
                 stack.clear()
@@ -334,4 +345,85 @@ def explode_pdf_pages(df, url_col: str = "url", data_col: str = "html"):
 
     return df.select(url_col, data_col).mapInPandas(
         fn, schema="url string, page int, page_text string, broken_reason string"
+    )
+
+
+def extract_pdf_page_spans(data: bytes) -> list[dict]:
+    """PDF bytes → one dict per text span in reading order:
+    ``{'page', 'seq', 'x', 'y', 'size', 'text'}`` — the layout-level
+    view under ``extract_pdf_pages`` (same stream walk, same column-
+    major ordering, same filter-skip rules) with the Tf font size kept
+    per span, so layout analysis (heading levels, body-size inference)
+    can run relationally on top instead of inside the parser."""
+    if not data.startswith(b"%PDF"):
+        raise PdfBroken("pdf_not_pdf")
+    out = []
+    page_no = 0
+    n_unsupported = 0
+    for m in _STREAM_RE.finditer(data):
+        stream = m.group(1)
+        sdict = _stream_dict(data, m.start())
+        if b"/Subtype" in sdict and b"/Image" in sdict:
+            continue
+        if _FILTER_RE.search(sdict):
+            if b"FlateDecode" not in sdict or stream[:1] != b"\x78":
+                n_unsupported += 1
+                continue
+            import zlib
+
+            try:
+                stream = zlib.decompress(stream)
+            except zlib.error:
+                n_unsupported += 1
+                continue
+        else:
+            stream = _maybe_inflate(stream)
+        spans = _spans_from_stream(stream, page_no + 1)
+        if not spans:
+            continue
+        page_no += 1
+        for seq, s in enumerate(_reading_order(spans), 1):
+            out.append({"page": page_no, "seq": seq, "x": s.x, "y": s.y,
+                        "size": s.size, "text": s.text})
+    if not out and n_unsupported:
+        raise PdfBroken("pdf_filter_unsupported")
+    return out
+
+
+def explode_pdf_spans(df, url_col: str = "url", data_col: str = "html"):
+    """(url, pdf bytes) → one row per span: (url, page, seq, x, y,
+    size, span_text, broken_reason) in reading order.  Same
+    mapInPandas shape as ``explode_pdf_pages`` — span rows are the
+    parallelism unit, and the heading/body analysis that consumes
+    them (see ``queries.q104_pdf_headings``) is pure DataFrame
+    aggregation, so the Python side stays a tokenizer and nothing
+    else."""
+    import pandas as pd
+
+    def fn(batches):
+        for pdf in batches:
+            rows = []
+            for url, data in zip(pdf[url_col], pdf[data_col]):
+                try:
+                    spans = extract_pdf_page_spans(data or b"")
+                except PdfBroken as e:
+                    rows.append({"url": url, "page": None, "seq": None,
+                                 "x": None, "y": None, "size": None,
+                                 "span_text": None, "broken_reason": e.reason})
+                    continue
+                for s in spans:
+                    rows.append({"url": url, "page": s["page"],
+                                 "seq": s["seq"], "x": s["x"], "y": s["y"],
+                                 "size": s["size"], "span_text": s["text"],
+                                 "broken_reason": None})
+            yield pd.DataFrame(
+                rows,
+                columns=["url", "page", "seq", "x", "y", "size",
+                         "span_text", "broken_reason"],
+            )
+
+    return df.select(url_col, data_col).mapInPandas(
+        fn,
+        schema=("url string, page int, seq int, x double, y double, "
+                "size double, span_text string, broken_reason string"),
     )

@@ -4652,7 +4652,20 @@ def q94_block_scoring(spark, sf_dir):
         ),
         F.lit("</body></html>"),
     )
-    pages = d.select("doc_id", F.encode(html, "UTF-8").alias("html"))
+    # The repartition is a mandatory planning barrier, not a perf knob:
+    # without it CollapseProject folds the nested-lambda synthesis into
+    # the UDF argument, and Spark 4.1's ExtractPythonUDFs fails to pull
+    # a pandas UDF with nested NamedLambdaVariables out of the Project
+    # on every planning after the session's first pandas-UDF query —
+    # the unextracted PythonUDF then dies at execution with
+    # INTERNAL_ERROR "Cannot evaluate expression" (minimal repro:
+    # q44 collect, then transform-in-transform under any Arrow UDF).
+    # Behind the Exchange the UDF arg is a plain attribute and
+    # extraction always succeeds.  Production pages never synthesize
+    # html via lambdas, so only this certification query needs it.
+    pages = d.select(
+        "doc_id", F.encode(html, "UTF-8").alias("html")
+    ).repartition(8)
     out = pages.select(
         "doc_id", html_to_text_udf(F.col("html")).alias("text")
     )
@@ -5110,6 +5123,442 @@ FROM d ORDER BY doc_id
 """
 
 
+def q100_jsonld_metadata(spark, sf_dir):
+    """schema.org JSON-LD structured-data extraction (``jsonld_fields``)
+    under the driver oracle — the machine-readable article metadata
+    channel (headline, datePublished, author, publisher) that news
+    pages publish in ``<script type="application/ld+json">``.  Pages
+    synthesize the block from doc_id arithmetic with deliberate
+    variation: the whole script absent when doc%7==0 (all fields must
+    be NULL, not ''); the author encoded BOTH ways the wild uses — a
+    single object when doc is odd, an ARRAY of objects when even (the
+    coalesced ``$.author.name`` / ``$.author[0].name`` paths must both
+    work); datePublished absent when doc%5==0.  Spark runs the real
+    extractor (one JVM regexp + Catalyst's get_json_object); the
+    DuckDB side re-derives every field from the arithmetic without
+    parsing JSON.  Scale: a codegen'd Project over the scan — no
+    shuffle but the determinism orderBy."""
+    from .operators.html_extract import jsonld_fields
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    ld_type = (
+        F.when(doc % 3 == 0, F.lit("Article"))
+        .when(doc % 3 == 1, F.lit("NewsArticle"))
+        .otherwise(F.lit("BlogPosting"))
+    )
+    author = F.when(
+        doc % 2 == 1,
+        F.concat(F.lit('{"name":"Auth '), (doc % 20).cast("string"),
+                 F.lit('"}')),
+    ).otherwise(
+        F.concat(F.lit('[{"name":"Auth '), (doc % 20).cast("string"),
+                 F.lit('"},{"name":"Second"}]')),
+    )
+    date = F.concat(
+        (F.lit(2020) + doc % 4).cast("string"), F.lit("-05-06T00:00:00Z")
+    )
+    js = F.concat(
+        F.lit('{"@context":"https://schema.org","@type":"'), ld_type,
+        F.lit('","headline":"Headline '), ds,
+        F.when(doc % 5 != 0, F.concat(
+            F.lit('","datePublished":"'), date)).otherwise(F.lit("")),
+        F.lit('","author":'), author,
+        F.lit(',"publisher":{"name":"Pub '), (doc % 10).cast("string"),
+        F.lit('"}}'),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(doc % 7 != 0, F.concat(
+            F.lit('<script type="application/ld+json">'), js,
+            F.lit("</script>"))).otherwise(F.lit("")),
+        F.lit("</head><body></body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    m = jsonld_fields("html")
+    return pages.select(
+        "doc_id",
+        m["ld_type"].alias("ld_type"),
+        m["headline"].alias("headline"),
+        m["date_published"].alias("date_published"),
+        m["author_name"].alias("author_name"),
+        m["publisher"].alias("publisher"),
+    ).orderBy("doc_id")
+
+
+Q100_SQL = r"""
+SELECT doc_id,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            WHEN doc_id % 3 = 0 THEN 'Article'
+            WHEN doc_id % 3 = 1 THEN 'NewsArticle'
+            ELSE 'BlogPosting' END AS ld_type,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE 'Headline ' || doc_id END AS headline,
+       CASE WHEN doc_id % 7 = 0 OR doc_id % 5 = 0 THEN NULL
+            ELSE (2020 + doc_id % 4) || '-05-06T00:00:00Z'
+            END AS date_published,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE 'Auth ' || (doc_id % 20) END AS author_name,
+       CASE WHEN doc_id % 7 = 0 THEN NULL
+            ELSE 'Pub ' || (doc_id % 10) END AS publisher
+FROM documents ORDER BY doc_id
+"""
+
+
+def _moji(s: str) -> str:
+    """UTF-8 bytes misread as latin-1 — how mojibake is born."""
+    return s.encode("utf-8").decode("iso-8859-1")
+
+
+def q101_mojibake_repair(spark, sf_dir):
+    """Mojibake detection + repair (``mojibake_score`` /
+    ``repair_mojibake``) under the driver oracle — the
+    UTF-8-read-as-latin-1 damage endemic to crawled text (ftfy's core
+    case), reversed only when the whole string survives the
+    encode/decode round trip.  Five byte-synthesis kinds by doc%5:
+    (0) clean ascii — score 0, untouched; (1) properly-decoded
+    accented text — the gate must NOT fire on real é/è; (2) mojibake
+    of 2-byte sequences ("CafÃ© crÃ¨me" → "Café crème"); (3) mojibake
+    of 3-byte punctuation ("â€™/â€œ" → curly quotes); (4) an
+    adversarial mix — a genuine mojibake marker (Â½) next to a bare
+    latin-1 é, so the gate fires but the round trip is NOT valid
+    UTF-8 and the repair must leave the row byte-identical.  The
+    oracle re-derives score and repaired text from the construction.
+    Scale: the gate is one JVM regexp_count; the Arrow UDF decides
+    only flagged rows."""
+    from .functions.textutils import mojibake_score, repair_mojibake
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    kind = doc % 5
+    text = (
+        F.when(kind == 0, F.concat(F.lit("plain text "), ds))
+        .when(kind == 1, F.concat(F.lit("Café crème "), ds))
+        .when(kind == 2, F.concat(F.lit(_moji("Café crème ")), ds))
+        .when(kind == 3, F.concat(F.lit(_moji("it’s “quoted” ")), ds))
+        .otherwise(F.concat(F.lit(_moji("½ broken ") + "é "), ds))
+    )
+    rows = d.select("doc_id", kind.cast("long").alias("kind"),
+                    text.alias("text"))
+    return rows.select(
+        "doc_id",
+        "kind",
+        mojibake_score(F.col("text")).cast("long").alias("score"),
+        repair_mojibake("text").alias("fixed"),
+    ).orderBy("doc_id")
+
+
+Q101_SQL = f"""
+SELECT doc_id, (doc_id % 5)::BIGINT AS kind,
+       CASE doc_id % 5
+         WHEN 0 THEN 0 WHEN 1 THEN 0 WHEN 2 THEN 2 WHEN 3 THEN 3
+         ELSE 1 END::BIGINT AS score,
+       CASE doc_id % 5
+         WHEN 0 THEN 'plain text ' || doc_id
+         WHEN 1 THEN 'Café crème ' || doc_id
+         WHEN 2 THEN 'Café crème ' || doc_id
+         WHEN 3 THEN 'it’s “quoted” ' || doc_id
+         ELSE '{_moji("½ broken ") + "é "}' || doc_id
+       END AS fixed
+FROM documents ORDER BY doc_id
+"""
+
+
+def q102_email_threads(spark, sf_dir):
+    """Email-thread reconstruction (``graph.resolve_roots``) under the
+    driver oracle — flatten In-Reply-To parent chains to (thread root,
+    depth, thread size), the ancestry walk the reference performs one
+    Django row at a time over ``parent_id`` and a mail UI needs for
+    every inbox rendering.  Messages synthesize a parent-pointer
+    forest from doc_id arithmetic: parent = doc_id-1 unless doc%8==0,
+    giving chains up to 7 deep — and the FIRST chain of the corpus
+    deliberately dangles (its root references a message below
+    min(doc_id) that does not exist), exercising the
+    resolve-to-nearest-known-ancestor rule.  Pointer doubling with
+    rounds=3 covers depth 8 in three self-joins where a parent walk
+    would need seven.  The oracle computes root and depth closed-form
+    (doc_id - doc_id%8, doc_id%8) and thread sizes with one GROUP BY.
+    Scale: O(log depth) shuffles, per-round lineage truncation, one
+    size aggregate."""
+    from .operators.graph import resolve_roots
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    msgs = d.select(
+        "doc_id", F.when(doc % 8 != 0, doc - 1).alias("parent")
+    )
+    r = resolve_roots(msgs, id_col="doc_id", parent_col="parent", rounds=3)
+    sizes = r.groupBy("root").agg(F.count("*").alias("thread_size"))
+    return (
+        r.join(sizes, "root")
+        .select(F.col("id").alias("doc_id"), "root", "depth", "thread_size")
+        .orderBy("doc_id")
+    )
+
+
+Q102_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         doc_id - doc_id % 8 AS root,
+         (doc_id % 8)::BIGINT AS depth
+  FROM documents
+), s AS (
+  SELECT root, COUNT(*)::BIGINT AS thread_size FROM m GROUP BY root
+)
+SELECT m.doc_id, m.root, m.depth, s.thread_size
+FROM m JOIN s USING (root) ORDER BY m.doc_id
+"""
+
+
+def q103_multipage_stitch(spark, sf_dir):
+    """Multi-page article stitching under the driver oracle — the
+    rel="prev"/rel="next" pagination chains news sites split articles
+    across, which a main-content extractor must reassemble before the
+    text is usable (trafilatura and the reference's UI both walk the
+    same link relation; this is the fetch-order-independent batch
+    form).  Every 3 consecutive doc_ids form one article; each
+    non-first page carries ``<link rel="prev">``.  Spark genuinely
+    extracts the prev pointer from the html with a JVM regexp, then
+    flattens the chains with ``graph.resolve_roots`` (pointer
+    doubling, rounds=2 covers the depth-2 chains in O(log) joins) and
+    stitches page texts in chain order with one sort_array +
+    aggregate — no Window.  The oracle re-derives article id
+    (doc - doc%3), page order, and the stitched string closed-form.
+    Scale: two doubling joins + one groupBy(article); page text never
+    moves more than once."""
+    from .operators.graph import resolve_roots
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    part = doc % 3
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(part > 0, F.concat(
+            F.lit('<link rel="prev" href="p'), (doc - 1).cast("string"),
+            F.lit('">'))).otherwise(F.lit("")),
+        F.when(part < 2, F.concat(
+            F.lit('<link rel="next" href="p'), (doc + 1).cast("string"),
+            F.lit('">'))).otherwise(F.lit("")),
+        F.lit("</head><body>txt"), ds, F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    parsed = pages.select(
+        "doc_id",
+        F.nullif(
+            F.regexp_extract(
+                "html", r'<link rel="prev" href="p(\d+)">', 1
+            ),
+            F.lit(""),
+        ).cast("long").alias("prev"),
+        F.regexp_extract("html", r"<body>(.*?)</body>", 1).alias("text"),
+    )
+    roots = resolve_roots(parsed, id_col="doc_id", parent_col="prev",
+                          rounds=2)
+    ordered = roots.join(parsed, roots["id"] == parsed["doc_id"]).select(
+        F.col("root").alias("article_id"), "depth", "text"
+    )
+    return (
+        ordered.groupBy("article_id")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("depth", "text"))),
+                    lambda s: s["text"],
+                ),
+                " ",
+            ).alias("stitched"),
+        )
+        .orderBy("article_id")
+    )
+
+
+Q103_SQL = r"""
+WITH m AS (
+  SELECT doc_id, doc_id - doc_id % 3 AS article_id,
+         'txt' || doc_id AS text
+  FROM documents
+)
+SELECT article_id,
+       COUNT(*)::BIGINT AS n_pages,
+       string_agg(text, ' ' ORDER BY doc_id) AS stitched
+FROM m GROUP BY article_id ORDER BY article_id
+"""
+
+
+def q104_pdf_headings(spark, sf_dir):
+    """PDF heading detection by font size under the driver oracle —
+    the layout-analysis step that turns raw spans into a document
+    outline (H1/H2 by size ratio over the inferred body size), the
+    third leg of the north rule's "PDF layout parsing" after page
+    text (q38) and reading order (q95).  Each doc synthesizes a PDF
+    whose content stream sets real Tf operators: a 24pt title, then
+    doc%3+2 blocks of one 16pt heading + two 11pt body spans.  Spark
+    runs the production span exploder (``explode_pdf_spans``,
+    mapInPandas) and infers the body size RELATIONALLY — the modal
+    span size per url via a max-of-struct (count, size) aggregate, no
+    Window, no Python — then flags headings at >=1.2x body and levels
+    them at the 2x ratio.  The oracle re-derives every span row
+    closed-form.  Scale: span rows are the parallelism unit; the mode
+    aggregate is map-side combinable; the body-size table is
+    doc-sized and joins back by planner stats."""
+    from .operators.pdf_spans import explode_pdf_spans
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+
+    def block(i):
+        hy = (F.lit(740) - i * 30).cast("string")
+        b1y = (F.lit(730) - i * 30).cast("string")
+        b2y = (F.lit(720) - i * 30).cast("string")
+        return F.concat(
+            F.lit("/F1 16 Tf 1 0 0 1 50 "), hy,
+            F.lit(" Tm (H"), ds, F.lit("x"), i.cast("string"),
+            F.lit(") Tj /F1 11 Tf 1 0 0 1 50 "), b1y,
+            F.lit(" Tm (b"), ds, F.lit("x"), i.cast("string"),
+            F.lit("a) Tj 1 0 0 1 50 "), b2y,
+            F.lit(" Tm (b"), ds, F.lit("x"), i.cast("string"),
+            F.lit("b) Tj "),
+        )
+    n_blocks = (doc % 3 + 2).cast("int")
+    stream = F.concat(
+        F.lit("BT /F1 24 Tf 1 0 0 1 50 770 Tm (Title "), ds,
+        F.lit(") Tj "),
+        F.array_join(
+            F.transform(F.sequence(F.lit(1), n_blocks), block), ""
+        ),
+        F.lit("ET"),
+    )
+    pdf = F.concat(
+        F.lit("%PDF-1.4\n1 0 obj << /Length 0 >> stream\n"), stream,
+        F.lit("\nendstream endobj\n%%EOF"),
+    )
+    pages = d.select(
+        ds.alias("url"), F.encode(pdf, "UTF-8").alias("pdf")
+    )
+    spans = explode_pdf_spans(pages, url_col="url", data_col="pdf").where(
+        F.col("broken_reason").isNull()
+    )
+    body = (
+        spans.groupBy("url", "size")
+        .agg(F.count("*").alias("cnt"))
+        .groupBy("url")
+        .agg(F.max(F.struct("cnt", "size")).alias("m"))
+        .select("url", F.col("m.size").alias("body_size"))
+    )
+    out = spans.join(body, "url").select(
+        F.col("url").cast("long").alias("doc_id"),
+        F.col("seq").cast("long").alias("seq"),
+        F.col("size"),
+        (F.col("size") >= F.col("body_size") * 1.2).alias("is_heading"),
+        F.when(F.col("size") >= F.col("body_size") * 2.0, F.lit(1))
+        .when(F.col("size") >= F.col("body_size") * 1.2, F.lit(2))
+        .otherwise(F.lit(0)).cast("long").alias("level"),
+        F.col("span_text"),
+    )
+    return out.orderBy("doc_id", "seq")
+
+
+Q104_SQL = r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 3 + 2 AS k FROM documents
+), blocks AS (
+  SELECT doc_id, i FROM d, unnest(range(1, k + 1)) AS u(i)
+), spans AS (
+  SELECT doc_id, 1 AS seq, 24.0 AS size, 'Title ' || doc_id AS span_text
+  FROM d
+  UNION ALL
+  SELECT doc_id, 3 * (i - 1) + 2, 16.0, 'H' || doc_id || 'x' || i
+  FROM blocks
+  UNION ALL
+  SELECT doc_id, 3 * (i - 1) + 3, 11.0, 'b' || doc_id || 'x' || i || 'a'
+  FROM blocks
+  UNION ALL
+  SELECT doc_id, 3 * (i - 1) + 4, 11.0, 'b' || doc_id || 'x' || i || 'b'
+  FROM blocks
+)
+SELECT doc_id, seq::BIGINT AS seq, size::DOUBLE AS size,
+       size >= 11.0 * 1.2 AS is_heading,
+       (CASE WHEN size >= 11.0 * 2.0 THEN 1
+             WHEN size >= 11.0 * 1.2 THEN 2 ELSE 0 END)::BIGINT AS level,
+       span_text
+FROM spans ORDER BY doc_id, seq
+"""
+
+
+def q105_sentence_chunks(spark, sf_dir):
+    """Sentence-window chunking under the driver oracle — the
+    RAG/training-prep variant of q55 that never cuts inside a
+    sentence: split on sentence boundaries (Java-regex lookbehind
+    ``(?<=[.!?]) `` — a JVM split, which DuckDB's RE2 cannot even
+    express, hence the closed-form oracle), then windows of 3
+    sentences at stride 2 (overlap 1) via the q55 start-generation
+    idiom (sequence + filter + slice + posexplode, all JVM HOFs).
+    Docs synthesize doc%4+4 sentences from arithmetic.  Scale: one
+    codegen'd Project chain, no shuffle but the determinism orderBy;
+    chunk rows are the downstream parallelism unit."""
+    W, ST = 3, 2
+    OV = W - ST
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    m = (doc % 4 + 4).cast("int")
+    text = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), m),
+            lambda j: F.concat(
+                F.lit("S"), doc.cast("string"), F.lit("x"),
+                j.cast("string"), F.lit(" alpha beta."),
+            ),
+        ),
+        " ",
+    )
+    rows = d.select("doc_id", text.alias("text"))
+    sent = F.split(F.col("text"), r"(?<=[.!?]) ")
+    n = F.size(sent)
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1, F.lit(ST)),
+        lambda s: (s == 0) | (s < n - OV),
+    )
+    chunks = rows.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda s: F.array_join(F.slice(sent, s + 1, W), " "),
+            )
+        ).alias("chunk_id", "chunk_text"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.size(F.split("chunk_text", r"(?<=[.!?]) ")).cast("long")
+        .alias("n_sentences"),
+        "chunk_text",
+    ).orderBy("doc_id", "chunk_id")
+
+
+Q105_SQL = r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 4 + 4 AS m FROM documents
+), starts AS (
+  SELECT doc_id, m, s, s // 2 AS chunk_id
+  FROM d, unnest(range(0, m, 2)) AS u(s)
+  WHERE s = 0 OR s < m - 1
+)
+SELECT doc_id, chunk_id::BIGINT AS chunk_id,
+       (least(s + 3, m) - s)::BIGINT AS n_sentences,
+       array_to_string(
+         list_transform(range(s + 1, least(s + 3, m) + 1),
+                        j -> 'S' || doc_id || 'x' || j || ' alpha beta.'),
+         ' ') AS chunk_text
+FROM starts ORDER BY doc_id, chunk_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -5202,6 +5651,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q97_head_metadata": q97_head_metadata,
     "q98_dsir_weights": q98_dsir_weights,
     "q99_encoding_ladder": q99_encoding_ladder,
+    "q100_jsonld_metadata": q100_jsonld_metadata,
+    "q101_mojibake_repair": q101_mojibake_repair,
+    "q102_email_threads": q102_email_threads,
+    "q103_multipage_stitch": q103_multipage_stitch,
+    "q104_pdf_headings": q104_pdf_headings,
+    "q105_sentence_chunks": q105_sentence_chunks,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -5294,6 +5749,12 @@ ORACLES: dict[str, str] = {
     "q97_head_metadata": Q97_SQL,
     "q98_dsir_weights": Q98_SQL,
     "q99_encoding_ladder": Q99_SQL,
+    "q100_jsonld_metadata": Q100_SQL,
+    "q101_mojibake_repair": Q101_SQL,
+    "q102_email_threads": Q102_SQL,
+    "q103_multipage_stitch": Q103_SQL,
+    "q104_pdf_headings": Q104_SQL,
+    "q105_sentence_chunks": Q105_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -134,3 +134,29 @@ def test_unsupported_filter_stream_skipped_not_fatal():
     )
     text, pages, broken = pdf_to_text(pdf_all_bad)
     assert broken == "pdf_filter_unsupported"
+
+
+def test_span_font_sizes_and_span_explode():
+    """Tf tracking: sizes ride the spans (graphics state persists across
+    BT/ET and may be set outside BT); extract_pdf_page_spans emits
+    reading-ordered rows with seq + size."""
+    from hoover_snoop2_spark.operators.pdf_spans import (
+        extract_pdf_page_spans,
+    )
+
+    stream = (
+        b"/F1 24 Tf "                       # set OUTSIDE BT: must stick
+        b"BT 1 0 0 1 50 770 Tm (Title) Tj "
+        b"/F2 11.5 Tf 1 0 0 1 50 750 Tm (body one) Tj ET "
+        b"BT 1 0 0 1 50 730 Tm (body two) Tj ET"  # 11.5 persists
+    )
+    pdf = (
+        b"%PDF-1.4\n1 0 obj << /Length 0 >> stream\n" + stream
+        + b"\nendstream endobj\n%%EOF"
+    )
+    spans = extract_pdf_page_spans(pdf)
+    assert [(s["seq"], s["text"], s["size"]) for s in spans] == [
+        (1, "Title", 24.0),
+        (2, "body one", 11.5),
+        (3, "body two", 11.5),
+    ]
