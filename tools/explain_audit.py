@@ -72,6 +72,12 @@ AUDITED = [
     "q97_head_metadata",
     "q98_dsir_weights",
     "q99_encoding_ladder",
+    "q100_jsonld_metadata",
+    "q101_mojibake_repair",
+    "q102_email_threads",
+    "q103_multipage_stitch",
+    "q104_pdf_headings",
+    "q105_sentence_chunks",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -197,6 +203,28 @@ CHECKS = {
     "q99_encoding_ladder": ["decode_html_udf", "!CartesianProduct",
                             "!HashAggregate", "!BroadcastHashJoin",
                             "!Window"],
+    # regexp pull + get_json_object: one codegen'd Project, no python
+    "q100_jsonld_metadata": ["Project", "!HashAggregate",
+                             "!CartesianProduct", "!BroadcastHashJoin",
+                             "!ArrowEvalPython"],
+    # JVM regexp gate + Arrow repair UDF (asserted by name, q94 rule)
+    "q101_mojibake_repair": ["fix_mojibake_udf", "!HashAggregate",
+                             "!CartesianProduct", "!BroadcastHashJoin",
+                             "!Window"],
+    # doubling rounds live behind localCheckpoint; final plan is the
+    # size aggregate + equi-join back — no Window, no pair blowup
+    "q102_email_threads": ["HashAggregate", "!CartesianProduct",
+                           "!BroadcastNestedLoopJoin", "!Window"],
+    # stitch = one groupBy(article) with sort_array, never a Window
+    "q103_multipage_stitch": ["HashAggregate", "!Window",
+                              "!CartesianProduct"],
+    # production span exploder + relational mode inference
+    "q104_pdf_headings": ["MapInPandas", "HashAggregate", "!Window",
+                          "!CartesianProduct"],
+    # sentence windows are pure array HOFs + posexplode
+    "q105_sentence_chunks": ["Generate", "!HashAggregate",
+                             "!CartesianProduct", "!BroadcastHashJoin",
+                             "!Window"],
 }
 
 NOTES = {
