@@ -515,3 +515,64 @@ def jsonld_fields(html_col) -> dict[str, F.Column]:
         "author_name": F.coalesce(g("$.author.name"), g("$.author[0].name")),
         "publisher": g("$.publisher.name"),
     }
+
+
+def hreflang_alternates(html_col) -> dict[str, F.Column]:
+    """``<link rel="alternate" hreflang=..>`` extraction — the i18n
+    cluster declaration search engines use to group language variants
+    of one page (and a crawl pipeline uses to dedup translations
+    before language-specific training splits).  Two aligned
+    ``regexp_extract_all`` pulls (same pattern, different groups)
+    zipped into (hreflang, href) pairs — all JVM, order-preserving,
+    no DOM pass.
+
+    Returns ``langs`` (array of hreflang codes in document order),
+    ``hrefs`` (aligned targets) and ``x_default`` (the x-default
+    target, NULL when absent)."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    pat = r'<link rel="alternate" hreflang="([^"]+)" href="([^"]+)"\s*/?>'
+    langs = F.regexp_extract_all(c, F.lit(pat), 1)
+    hrefs = F.regexp_extract_all(c, F.lit(pat), 2)
+    x_default = F.nullif(
+        F.regexp_extract(
+            c,
+            r'<link rel="alternate" hreflang="x-default" href="([^"]+)"',
+            1,
+        ),
+        F.lit(""),
+    )
+    return {"langs": langs, "hrefs": hrefs, "x_default": x_default}
+
+
+def soft404_verdict(title_col, body_col) -> F.Column:
+    """Soft-404 / error-page triage: pages served with HTTP 200 whose
+    CONTENT is an error or a wall — the classic crawl-corpus poison
+    (C4 and CCNet both gate on it; the reference records the analog
+    per-blob as ``broken_reason``).  Pure JVM regexps over title and
+    body, first match wins, ``ok`` otherwise.  Verdicts:
+    ``not_found`` / ``forbidden`` / ``login_wall`` / ``empty`` /
+    ``ok``."""
+    t = F.col(title_col) if isinstance(title_col, str) else title_col
+    b = F.col(body_col) if isinstance(body_col, str) else body_col
+    tl = F.lower(F.coalesce(t, F.lit("")))
+    bl = F.lower(F.coalesce(b, F.lit("")))
+    return (
+        F.when(
+            tl.rlike(r"(404|page not found|not found)")
+            | bl.rlike(r"(could not be found|does not exist"
+                       r"|page not found)"),
+            F.lit("not_found"),
+        )
+        .when(
+            tl.rlike(r"(403|access denied|forbidden)")
+            | bl.rlike(r"access denied"),
+            F.lit("forbidden"),
+        )
+        .when(
+            tl.rlike(r"(log ?in|sign ?in required)")
+            | bl.rlike(r"(please log ?in to continue|subscribers only)"),
+            F.lit("login_wall"),
+        )
+        .when(F.length(F.trim(bl)) == 0, F.lit("empty"))
+        .otherwise(F.lit("ok"))
+    )

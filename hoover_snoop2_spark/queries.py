@@ -5559,6 +5559,210 @@ FROM starts ORDER BY doc_id, chunk_id
 """
 
 
+def q106_hreflang_clusters(spark, sf_dir):
+    """hreflang alternate-language extraction
+    (``hreflang_alternates``) under the driver oracle — the i18n
+    cluster declarations a crawl pipeline reads to group translations
+    of one page before language-split dedup (search engines read the
+    same tags; the reference has no i18n grouping, this is the
+    Spark-native addition).  Each page lists doc%3+2 language
+    alternates plus an x-default, all synthesized from arithmetic;
+    Spark extracts them with two aligned regexp_extract_all pulls.
+    The oracle re-derives the ordered lang list and the x-default
+    target closed-form; n_alternates counts the x-default row too
+    (the tag shape is identical — that asymmetry is part of the
+    contract).  Scale: one codegen'd Project, no shuffle but the
+    determinism orderBy."""
+    from .operators.html_extract import hreflang_alternates
+
+    LANGS = ["en", "de", "fr", "es"]
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    cluster = (doc - doc % 4).cast("string")
+    k = (doc % 3 + 2).cast("int")
+    lang_of = None
+
+    def link(v):
+        lang = (
+            F.when(v % 4 == 0, F.lit(LANGS[0]))
+            .when(v % 4 == 1, F.lit(LANGS[1]))
+            .when(v % 4 == 2, F.lit(LANGS[2]))
+            .otherwise(F.lit(LANGS[3]))
+        )
+        return F.concat(
+            F.lit('<link rel="alternate" hreflang="'), lang,
+            F.lit('" href="https://x.example/c'), cluster,
+            F.lit("/v"), v.cast("string"), F.lit('">'),
+        )
+
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), k - 1), link), ""
+        ),
+        F.lit('<link rel="alternate" hreflang="x-default" '
+              'href="https://x.example/c'), cluster, F.lit('/v0">'),
+        F.lit("</head><body></body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    m = hreflang_alternates("html")
+    return pages.select(
+        "doc_id",
+        F.size(m["langs"]).cast("long").alias("n_alternates"),
+        F.array_join(m["langs"], ",").alias("langs_csv"),
+        m["x_default"].alias("x_default"),
+    ).orderBy("doc_id")
+
+
+Q106_SQL = r"""
+WITH d AS (
+  SELECT doc_id, doc_id - doc_id % 4 AS cluster,
+         doc_id % 3 + 2 AS k
+  FROM documents
+)
+SELECT doc_id,
+       (k + 1)::BIGINT AS n_alternates,
+       array_to_string(
+         list_transform(range(0, k),
+           v -> CASE v % 4 WHEN 0 THEN 'en' WHEN 1 THEN 'de'
+                WHEN 2 THEN 'fr' ELSE 'es' END), ',')
+         || ',x-default' AS langs_csv,
+       'https://x.example/c' || cluster || '/v0' AS x_default
+FROM d ORDER BY doc_id
+"""
+
+
+def q107_feed_items(spark, sf_dir):
+    """RSS feed-item extraction under the driver oracle — the
+    syndication channel a crawler ingests for article discovery
+    (sitemaps' editorial sibling; complements q74).  Each doc
+    synthesizes an RSS channel with doc%3+1 items; Spark pulls the
+    item blocks with regexp_extract_all + posexplode and the
+    per-item fields (title/link/pubDate) with plain regexps — all
+    JVM, one Generate, no Python XML parser in the hot path.  The
+    oracle re-derives every item row from the arithmetic.  Scale:
+    item rows are the downstream fetch-queue parallelism unit; the
+    explode is the only row-multiplying step."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    k = (doc % 3 + 1).cast("int")
+
+    def item(i):
+        return F.concat(
+            F.lit("<item><title>I"), ds, F.lit("x"), i.cast("string"),
+            F.lit("</title><link>https://h"), (doc % 10).cast("string"),
+            F.lit(".example/p"), ds, F.lit("i"), i.cast("string"),
+            F.lit("</link><pubDate>2024-01-0"), i.cast("string"),
+            F.lit("</pubDate></item>"),
+        )
+
+    xml = F.concat(
+        F.lit("<rss><channel><title>Chan"), (doc % 7).cast("string"),
+        F.lit("</title>"),
+        F.array_join(F.transform(F.sequence(F.lit(1), k), item), ""),
+        F.lit("</channel></rss>"),
+    )
+    feeds = d.select("doc_id", xml.alias("xml"))
+    items = feeds.select(
+        "doc_id",
+        F.regexp_extract("xml", r"<channel><title>([^<]*)</title>", 1)
+        .alias("channel"),
+        F.posexplode(
+            F.regexp_extract_all("xml", F.lit(r"<item>(.*?)</item>"), 1)
+        ).alias("pos", "item"),
+    )
+    return items.select(
+        "doc_id",
+        "channel",
+        (F.col("pos") + 1).cast("long").alias("item_no"),
+        F.regexp_extract("item", r"<title>([^<]*)</title>", 1)
+        .alias("title"),
+        F.regexp_extract("item", r"<link>([^<]*)</link>", 1).alias("link"),
+        F.regexp_extract("item", r"<pubDate>([^<]*)</pubDate>", 1)
+        .alias("pub_date"),
+    ).orderBy("doc_id", "item_no")
+
+
+Q107_SQL = r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 3 + 1 AS k FROM documents
+)
+SELECT doc_id,
+       'Chan' || (doc_id % 7) AS channel,
+       i::BIGINT AS item_no,
+       'I' || doc_id || 'x' || i AS title,
+       'https://h' || (doc_id % 10) || '.example/p' || doc_id || 'i' || i
+         AS link,
+       '2024-01-0' || i AS pub_date
+FROM d, unnest(range(1, k + 1)) AS u(i)
+ORDER BY doc_id, item_no
+"""
+
+
+def q108_soft404_triage(spark, sf_dir):
+    """Soft-404 / error-page triage (``soft404_verdict``) under the
+    driver oracle — pages served 200 whose content is an error or a
+    wall, the crawl poison every corpus pipeline gates on (C4/CCNet
+    filter them; the reference's per-blob analog is broken_reason).
+    Six synthesis kinds by doc%6: real content, a 404 title, an
+    Access-Denied title, a could-not-be-found BODY (title clean — the
+    body rung must fire), a login wall, and an empty body.  Spark
+    extracts title and body with JVM regexps from the synthesized
+    html and classifies with the production CASE chain; the oracle
+    maps kind → verdict closed-form.  Scale: one codegen'd Project
+    over the scan."""
+    from .operators.html_extract import soft404_verdict
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    kind = doc % 6
+    title = (
+        F.when(kind == 1, F.lit("404 Not Found"))
+        .when(kind == 2, F.lit("Access Denied"))
+        .when(kind == 4, F.lit("Welcome"))
+        .otherwise(F.concat(F.lit("Doc "), ds))
+    )
+    body = (
+        F.when(kind == 3,
+               F.lit("The page you requested could not be found."))
+        .when(kind == 4, F.lit("Please login to continue."))
+        .when(kind == 5, F.lit(""))
+        .otherwise(F.concat(F.lit("Real content for doc "), ds))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>"), title,
+        F.lit("</title></head><body>"), body,
+        F.lit("</body></html>"),
+    )
+    pages = d.select("doc_id", kind.cast("long").alias("kind"),
+                     html.alias("html"))
+    parsed = pages.select(
+        "doc_id", "kind",
+        F.regexp_extract("html", r"<title>([^<]*)</title>", 1)
+        .alias("title"),
+        F.regexp_extract("html", r"<body>(.*?)</body>", 1).alias("body"),
+    )
+    return parsed.select(
+        "doc_id", "kind",
+        soft404_verdict("title", "body").alias("verdict"),
+    ).orderBy("doc_id")
+
+
+Q108_SQL = r"""
+SELECT doc_id, (doc_id % 6)::BIGINT AS kind,
+       CASE doc_id % 6
+         WHEN 1 THEN 'not_found'
+         WHEN 2 THEN 'forbidden'
+         WHEN 3 THEN 'not_found'
+         WHEN 4 THEN 'login_wall'
+         WHEN 5 THEN 'empty'
+         ELSE 'ok' END AS verdict
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -5657,6 +5861,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q103_multipage_stitch": q103_multipage_stitch,
     "q104_pdf_headings": q104_pdf_headings,
     "q105_sentence_chunks": q105_sentence_chunks,
+    "q106_hreflang_clusters": q106_hreflang_clusters,
+    "q107_feed_items": q107_feed_items,
+    "q108_soft404_triage": q108_soft404_triage,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -5755,6 +5962,9 @@ ORACLES: dict[str, str] = {
     "q103_multipage_stitch": Q103_SQL,
     "q104_pdf_headings": Q104_SQL,
     "q105_sentence_chunks": Q105_SQL,
+    "q106_hreflang_clusters": Q106_SQL,
+    "q107_feed_items": Q107_SQL,
+    "q108_soft404_triage": Q108_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -211,3 +211,50 @@ def test_pandas_udf_nested_lambda_arg_after_other_udf(spark):
     )
     got = {r.id: r.t for r in barrier.collect()}
     assert len(got) == 20 and all(t.startswith("w1x1") for t in got.values())
+
+
+def test_hreflang_alternates_alignment_and_default(spark):
+    from hoover_snoop2_spark.operators.html_extract import (
+        hreflang_alternates,
+    )
+
+    rows = [
+        Row(html=(
+            '<link rel="alternate" hreflang="en" href="https://x/en">'
+            '<link rel="alternate" hreflang="de" href="https://x/de">'
+            '<link rel="alternate" hreflang="x-default" href="https://x/">'
+        )),
+        Row(html="<html>no alternates</html>"),
+    ]
+    df = spark.createDataFrame(rows)
+    m = hreflang_alternates("html")
+    got = df.select(
+        m["langs"].alias("l"), m["hrefs"].alias("h"),
+        m["x_default"].alias("d"),
+    ).collect()
+    assert got[0].l == ["en", "de", "x-default"]
+    assert got[0].h == ["https://x/en", "https://x/de", "https://x/"]
+    assert got[0].d == "https://x/"
+    assert got[1].l == [] and got[1].d is None
+
+
+def test_soft404_verdict_rungs(spark):
+    from hoover_snoop2_spark.operators.html_extract import soft404_verdict
+
+    rows = [
+        Row(title="My Article", body="Interesting prose."),
+        Row(title="404 Not Found", body="x"),
+        Row(title="Oops", body="This page does not exist."),
+        Row(title="403 Forbidden", body="x"),
+        Row(title="Welcome", body="Subscribers only."),
+        Row(title="T", body="   "),
+        Row(title=None, body=None),
+    ]
+    got = [
+        r.v
+        for r in spark.createDataFrame(rows)
+        .select(soft404_verdict("title", "body").alias("v"))
+        .collect()
+    ]
+    assert got == ["ok", "not_found", "not_found", "forbidden",
+                   "login_wall", "empty", "empty"]

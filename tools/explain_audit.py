@@ -78,6 +78,9 @@ AUDITED = [
     "q103_multipage_stitch",
     "q104_pdf_headings",
     "q105_sentence_chunks",
+    "q106_hreflang_clusters",
+    "q107_feed_items",
+    "q108_soft404_triage",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -225,6 +228,19 @@ CHECKS = {
     "q105_sentence_chunks": ["Generate", "!HashAggregate",
                              "!CartesianProduct", "!BroadcastHashJoin",
                              "!Window"],
+    # aligned regexp_extract_all pulls in one codegen'd Project
+    "q106_hreflang_clusters": ["Project", "!HashAggregate",
+                               "!CartesianProduct", "!BroadcastHashJoin",
+                               "!ArrowEvalPython"],
+    # item explode is the only row-multiplying step; fields are
+    # per-item regexps above it
+    "q107_feed_items": ["Generate", "!HashAggregate",
+                        "!CartesianProduct", "!BroadcastHashJoin",
+                        "!Window", "!ArrowEvalPython"],
+    # extraction + triage CASE chain, all JVM, no shuffle but orderBy
+    "q108_soft404_triage": ["Project", "!HashAggregate",
+                            "!CartesianProduct", "!BroadcastHashJoin",
+                            "!ArrowEvalPython"],
 }
 
 NOTES = {
