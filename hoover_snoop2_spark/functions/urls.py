@@ -15,6 +15,8 @@ Rules (the common-crawl-style canonical subset, all pure column exprs):
 
 from __future__ import annotations
 
+import unicodedata
+
 from pyspark.sql import functions as F
 
 #: params stripped during canonicalization (shared with the q41 oracle)
@@ -46,3 +48,68 @@ def canonicalize_url(col: F.Column) -> F.Column:
         scheme, F.lit("://"), host, path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+
+
+#: public-suffix subset for registrable-domain extraction.  The real
+#: Mozilla PSL is ~9k rules; pipelines embed it as a broadcast table —
+#: this deterministic subset keeps the operator testable offline while
+#: the lookup shape (longest matching suffix wins) is the real one.
+#: Two-label entries must be checked before their one-label parent.
+PUBLIC_SUFFIXES = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "or.jp", "ne.jp",
+    "com.br", "com.cn", "co.in",
+    "github.io", "blogspot.com",
+    "com", "org", "net", "edu", "gov", "io", "de", "fr", "uk", "jp",
+    "au", "br", "cn", "in", "us", "info", "biz",
+]
+
+
+def registrable_domain(host_col) -> F.Column:
+    """eTLD+1 (the "registrable domain") from a hostname — the grouping
+    key crawl politeness, per-site caps (q45) and domain priors (q63)
+    should really use: ``news.bbc.co.uk`` → ``bbc.co.uk``, not
+    ``co.uk``.  Longest-matching public suffix wins, evaluated as a
+    CASE chain over JVM ``endswith`` tests (two-label suffixes first),
+    then one label is prepended with a regexp pull.  Unknown TLDs fall
+    back to the last two labels (the PSL's implicit ``*`` rule).  Pure
+    expressions: the suffix list compiles INTO the plan, so there is
+    no join and no Python at any scale — swap ``PUBLIC_SUFFIXES`` for
+    the full broadcast PSL table if exotic TLD fidelity matters."""
+    h = F.col(host_col) if isinstance(host_col, str) else host_col
+    h = F.lower(h)
+    expr = None
+    for suf in sorted(PUBLIC_SUFFIXES, key=lambda s: -s.count(".")):
+        esc = suf.replace(".", r"\.")
+        cond = h.rlike(rf"(^|\.){esc}$")
+        # label immediately left of the suffix, plus the suffix
+        pull = F.regexp_extract(h, rf"([^.]+\.{esc})$", 1)
+        val = F.when(pull != "", pull).otherwise(h)  # host IS the suffix
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    fallback = F.regexp_extract(h, r"([^.]+\.[^.]+)$", 1)
+    return expr.otherwise(F.when(fallback != "", fallback).otherwise(h))
+
+
+def ascii_fold(col) -> F.Column:
+    """Accent folding for search keys (ES ``asciifolding`` analyzer
+    analog — hoover's index applies it before matching): lowercase,
+    strip combining marks of NFD-decomposable latin letters, and map
+    the common non-decomposable ones (ø, ß, æ, œ, đ, þ).  Implemented
+    as JVM ``translate`` over the precomposed latin-1/latin-2 range —
+    zero Python, zero shuffle; text outside the mapped range passes
+    through unchanged (folding is a search-key transform, not a
+    lossless one)."""
+    c = F.col(col) if isinstance(col, str) else col
+    src = ("àáâãäåāăąèéêëēĕėęěìíîïĩīĭįòóôõöōŏőùúûüũūŭůűýÿñçćĉčśŝšźżžĝğġ"
+           "ĥĵķĺļľŀłńņňŕŗřţťŧŵŷđ")
+    # fold target = NFD base letter; ŀłđŧ do not decompose, map by hand
+    _manual = {"ŀ": "l", "ł": "l", "đ": "d", "ŧ": "t"}
+    dst = "".join(
+        _manual.get(ch, unicodedata.normalize("NFD", ch)[0]) for ch in src
+    )
+    folded = F.translate(F.lower(c), src, dst)
+    for a, b in (("ß", "ss"), ("æ", "ae"), ("œ", "oe"), ("ø", "o"),
+                 ("þ", "th")):
+        folded = F.replace(folded, F.lit(a), F.lit(b))
+    return folded

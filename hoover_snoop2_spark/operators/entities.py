@@ -56,3 +56,37 @@ def entity_dimension(hits: DataFrame) -> DataFrame:
         F.countDistinct("id").alias("doc_freq"),
         F.count("*").alias("n_hits"),
     )
+
+
+#: candidate IBAN shape: 2 letters + 2 check digits + 10-30 alnum
+IBAN_RE = r"\b[A-Z]{2}\d{2}[A-Z0-9]{10,30}\b"
+
+
+def iban_mod97_valid(col) -> F.Column:
+    """ISO 13616 IBAN checksum validation as a pure JVM expression —
+    the verification step that turns a regexp PII *candidate* (shape
+    match, huge false-positive rate on invoice numbers) into a
+    confirmed detection.  Rearrange (first 4 chars to the back), map
+    letters to two-digit values (A=10..Z=35), and fold mod 97 left to
+    right with an ``aggregate`` higher-order function — the standard
+    streaming form of the big-integer check, O(len) per row, no
+    Python, no Decimal width limit.  NULL for NULL/empty input;
+    ``true`` iff the remainder is 1."""
+    c = F.col(col) if isinstance(col, str) else col
+    rearranged = F.concat(F.substring(c, 5, 100), F.substring(c, 1, 4))
+    chars = F.split(rearranged, "")
+
+    def step(acc, ch):
+        a = F.ascii(ch)
+        return F.when(
+            ch.rlike("[0-9]"), (acc * 10 + (a - 48)) % 97
+        ).otherwise((acc * 100 + (a - 55)) % 97)
+
+    rem = F.aggregate(
+        F.filter(chars, lambda ch: ch != ""),
+        F.lit(0).cast("long"),
+        step,
+    )
+    return F.when(c.isNull() | (F.length(c) == 0), F.lit(None)).otherwise(
+        rem == 1
+    )

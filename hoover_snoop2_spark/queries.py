@@ -5763,6 +5763,178 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q109_domain_rollup(spark, sf_dir):
+    """Registrable-domain (eTLD+1) rollup under the driver oracle —
+    per-SITE aggregation with public-suffix awareness, the grouping
+    key crawl politeness and domain priors actually need
+    (``news.bbc.co.uk`` and ``www.bbc.co.uk`` are one site;
+    ``a.github.io`` and ``b.github.io`` are NOT).  Hosts synthesize
+    five shapes by doc%5 covering two-label suffixes (co.uk),
+    private-registry suffixes (github.io), plain TLDs with www/deep
+    subdomains, and the operator (``urls.registrable_domain``, a CASE
+    chain of JVM endswith/regexp pulls — the suffix list compiles
+    into the plan, no join) collapses them; one groupBy counts pages
+    per site.  The oracle re-derives the domain closed-form per
+    shape.  Scale: suffix matching is expression-only; the rollup is
+    one map-side-combinable Exchange on the domain."""
+    from .functions.urls import registrable_domain
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ex = F.concat(F.lit("ex"), (doc % 13).cast("string"))
+    kind = doc % 5
+    host = (
+        F.when(kind == 0, F.concat(
+            F.lit("s"), (doc % 7).cast("string"), F.lit("."), ex,
+            F.lit(".com")))
+        .when(kind == 1, F.concat(F.lit("news."), ex, F.lit(".co.uk")))
+        .when(kind == 2, F.concat(
+            F.lit("u"), (doc % 11).cast("string"), F.lit(".github.io")))
+        .when(kind == 3, F.concat(F.lit("www."), ex, F.lit(".org")))
+        .otherwise(F.concat(F.lit("a.b."), ex, F.lit(".de")))
+    )
+    pages = d.select("doc_id", host.alias("host"))
+    return (
+        pages.select(registrable_domain("host").alias("domain"))
+        .groupBy("domain")
+        .agg(F.count("*").cast("long").alias("n_pages"))
+        .orderBy("domain")
+    )
+
+
+Q109_SQL = r"""
+WITH d AS (
+  SELECT doc_id, 'ex' || (doc_id % 13) AS ex, doc_id % 5 AS kind
+  FROM documents
+), m AS (
+  SELECT CASE kind
+           WHEN 0 THEN ex || '.com'
+           WHEN 1 THEN ex || '.co.uk'
+           WHEN 2 THEN 'u' || (doc_id % 11) || '.github.io'
+           WHEN 3 THEN ex || '.org'
+           ELSE ex || '.de' END AS domain
+  FROM d
+)
+SELECT domain, COUNT(*)::BIGINT AS n_pages
+FROM m GROUP BY domain ORDER BY domain
+"""
+
+
+def q110_search_fold(spark, sf_dir):
+    """ASCII/accent folding for search keys (``urls.ascii_fold``)
+    under the driver oracle — the ES ``asciifolding`` analyzer analog
+    hoover's index applies before matching, so "Łódź" finds "lodz".
+    Four synthesis kinds by doc%4 cover NFD-decomposable accents, the
+    non-decomposable latin set (ø ß þ æ œ ł), and a CJK passthrough
+    row that folding must NOT touch.  The operator is one JVM
+    ``translate`` (dst generated from NFD at import, so the mapping
+    cannot drift from Unicode) plus five two-char replaces.  The
+    oracle states the folded strings closed-form.  Scale: pure
+    Project."""
+    from .functions.urls import ascii_fold
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    kind = doc % 4
+    text = (
+        F.when(kind == 0, F.concat(F.lit("Crème BRÛLÉE "), ds))
+        .when(kind == 1, F.concat(F.lit("naïve Łódź œuvre "), ds))
+        .when(kind == 2, F.concat(F.lit("ØRSTED ß þing "), ds))
+        .otherwise(F.concat(F.lit("東京 Plain "), ds))
+    )
+    rows = d.select("doc_id", kind.cast("long").alias("kind"),
+                    text.alias("text"))
+    return rows.select(
+        "doc_id", "kind", ascii_fold("text").alias("folded")
+    ).orderBy("doc_id")
+
+
+Q110_SQL = r"""
+SELECT doc_id, (doc_id % 4)::BIGINT AS kind,
+       CASE doc_id % 4
+         WHEN 0 THEN 'creme brulee ' || doc_id
+         WHEN 1 THEN 'naive lodz oeuvre ' || doc_id
+         WHEN 2 THEN 'orsted ss thing ' || doc_id
+         ELSE '東京 plain ' || doc_id
+       END AS folded
+FROM documents ORDER BY doc_id
+"""
+
+
+def q111_iban_detection(spark, sf_dir):
+    """PII IBAN detection with REAL ISO 13616 checksum verification
+    under the driver oracle — the step that separates an IBAN-shaped
+    invoice number from an actual account leak (q40 masks shapes;
+    this CONFIRMS them).  Docs synthesize German IBANs whose check
+    digits are computed from the actual mod-97 arithmetic (exact
+    38-digit decimal in Spark, HUGEINT in DuckDB — both exact, so the
+    check digits agree byte-for-byte); kind 1 corrupts the check
+    digits, kind 2 has no candidate.  Spark extracts the candidate
+    with the IBAN shape regexp and validates with
+    ``entities.iban_mod97_valid`` — a streaming mod-97 fold via the
+    ``aggregate`` higher-order function, O(len) per row, no Python,
+    no width limit.  Scale: pure Project over the scan."""
+    from .operators.entities import IBAN_RE, iban_mod97_valid
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    kind = doc % 3
+    bban = F.concat(
+        F.lpad(((doc * 7919) % 10_000_000_000).cast("string"), 10, "0"),
+        F.lit("00532013"),
+    )
+    rem = (
+        F.concat(bban, F.lit("131400")).cast("decimal(38,0)") % 97
+    ).cast("int")
+    cc = F.lit(98) - rem
+    cc_bad = F.when(cc == 98, F.lit(2)).otherwise(cc + 1)
+    iban_ok = F.concat(F.lit("DE"), F.lpad(cc.cast("string"), 2, "0"),
+                       bban)
+    iban_bad = F.concat(F.lit("DE"), F.lpad(cc_bad.cast("string"), 2, "0"),
+                        bban)
+    text = (
+        F.when(kind == 0, F.concat(F.lit("pay to "), iban_ok,
+                                   F.lit(" today")))
+        .when(kind == 1, F.concat(F.lit("pay to "), iban_bad,
+                                  F.lit(" today")))
+        .otherwise(F.concat(F.lit("no account here "),
+                            doc.cast("string")))
+    )
+    rows = d.select("doc_id", kind.cast("long").alias("kind"),
+                    text.alias("text"))
+    cand = F.nullif(F.regexp_extract("text", IBAN_RE, 0), F.lit(""))
+    return rows.select(
+        "doc_id", "kind",
+        cand.alias("iban"),
+        iban_mod97_valid(cand).alias("valid"),
+    ).orderBy("doc_id")
+
+
+Q111_SQL = r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS kind,
+         lpad(((doc_id * 7919) % 10000000000)::VARCHAR, 10, '0')
+           || '00532013' AS bban
+  FROM documents
+), c AS (
+  SELECT doc_id, kind, bban,
+         98 - ((bban || '131400')::HUGEINT % 97)::INT AS cc
+  FROM d
+)
+SELECT doc_id, kind::BIGINT AS kind,
+       CASE kind
+         WHEN 0 THEN 'DE' || lpad(cc::VARCHAR, 2, '0') || bban
+         WHEN 1 THEN 'DE' || lpad(
+           (CASE WHEN cc = 98 THEN 2 ELSE cc + 1 END)::VARCHAR, 2, '0')
+           || bban
+         ELSE NULL END AS iban,
+       CASE kind WHEN 0 THEN true WHEN 1 THEN false
+         ELSE NULL END AS valid
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -5864,6 +6036,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q106_hreflang_clusters": q106_hreflang_clusters,
     "q107_feed_items": q107_feed_items,
     "q108_soft404_triage": q108_soft404_triage,
+    "q109_domain_rollup": q109_domain_rollup,
+    "q110_search_fold": q110_search_fold,
+    "q111_iban_detection": q111_iban_detection,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -5965,6 +6140,9 @@ ORACLES: dict[str, str] = {
     "q106_hreflang_clusters": Q106_SQL,
     "q107_feed_items": Q107_SQL,
     "q108_soft404_triage": Q108_SQL,
+    "q109_domain_rollup": Q109_SQL,
+    "q110_search_fold": Q110_SQL,
+    "q111_iban_detection": Q111_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

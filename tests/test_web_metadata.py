@@ -258,3 +258,57 @@ def test_soft404_verdict_rungs(spark):
     ]
     assert got == ["ok", "not_found", "not_found", "forbidden",
                    "login_wall", "empty", "empty"]
+
+
+def test_registrable_domain_psl_rules(spark):
+    from hoover_snoop2_spark.functions.urls import registrable_domain
+
+    rows = [
+        Row(h="news.bbc.co.uk"), Row(h="WWW.Example.COM"),
+        Row(h="a.github.io"), Row(h="b.github.io"),
+        Row(h="deep.sub.example.org.uk"), Row(h="weird.multi.part.tldx"),
+        Row(h="com"),
+    ]
+    got = [
+        r.d for r in spark.createDataFrame(rows)
+        .select(registrable_domain("h").alias("d")).collect()
+    ]
+    assert got == [
+        "bbc.co.uk", "example.com",
+        "a.github.io", "b.github.io",      # private registry: NOT merged
+        "example.org.uk", "part.tldx",     # unknown TLD: last two labels
+        "com",                             # bare suffix: unchanged
+    ]
+
+
+def test_ascii_fold_accents_and_passthrough(spark):
+    from hoover_snoop2_spark.functions.urls import ascii_fold
+
+    rows = [Row(t="Crème BRÛLÉE"), Row(t="Łódź œuvre ß Ørsted þing"),
+            Row(t="東京 unchanged"), Row(t="already plain 123")]
+    got = [
+        r.f for r in spark.createDataFrame(rows)
+        .select(ascii_fold("t").alias("f")).collect()
+    ]
+    assert got == ["creme brulee", "lodz oeuvre ss orsted thing",
+                   "東京 unchanged", "already plain 123"]
+
+
+def test_iban_mod97_public_examples(spark):
+    from hoover_snoop2_spark.operators.entities import iban_mod97_valid
+
+    rows = [
+        Row(i="DE89370400440532013000", v=True),
+        Row(i="GB82WEST12345698765432", v=True),
+        Row(i="FR1420041010050500013M02606", v=True),
+        Row(i="NL91ABNA0417164300", v=True),
+        Row(i="DE89370400440532013001", v=False),   # last digit off
+        Row(i="GB82WEST12345698765431", v=False),
+        Row(i="", v=None), Row(i=None, v=None),
+    ]
+    got = (
+        spark.createDataFrame([Row(i=r.i) for r in rows])
+        .select("i", iban_mod97_valid("i").alias("valid")).collect()
+    )
+    for expect, g in zip(rows, got):
+        assert g.valid == expect.v, (g.i, g.valid, expect.v)

@@ -81,6 +81,9 @@ AUDITED = [
     "q106_hreflang_clusters",
     "q107_feed_items",
     "q108_soft404_triage",
+    "q109_domain_rollup",
+    "q110_search_fold",
+    "q111_iban_detection",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -239,6 +242,19 @@ CHECKS = {
                         "!Window", "!ArrowEvalPython"],
     # extraction + triage CASE chain, all JVM, no shuffle but orderBy
     "q108_soft404_triage": ["Project", "!HashAggregate",
+                            "!CartesianProduct", "!BroadcastHashJoin",
+                            "!ArrowEvalPython"],
+    # suffix list compiles into the plan: no join, one rollup Exchange
+    "q109_domain_rollup": ["HashAggregate", "!BroadcastHashJoin",
+                           "!CartesianProduct", "!Window",
+                           "!ArrowEvalPython"],
+    # one JVM translate + replaces in a codegen'd Project
+    "q110_search_fold": ["Project", "!HashAggregate",
+                         "!CartesianProduct", "!BroadcastHashJoin",
+                         "!ArrowEvalPython"],
+    # mod-97 fold is an aggregate HOF inside the Project — not a
+    # HashAggregate, not Python
+    "q111_iban_detection": ["Project", "!HashAggregate",
                             "!CartesianProduct", "!BroadcastHashJoin",
                             "!ArrowEvalPython"],
 }
