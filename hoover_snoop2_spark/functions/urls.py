@@ -17,7 +17,9 @@ from __future__ import annotations
 
 import unicodedata
 
+import pandas as pd
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType
 
 #: params stripped during canonicalization (shared with the q41 oracle)
 TRACKING_PARAM_RE = r"^(utm_[^=]*|fbclid|gclid|ref)="
@@ -113,3 +115,59 @@ def ascii_fold(col) -> F.Column:
                  ("þ", "th")):
         folded = F.replace(folded, F.lit(a), F.lit(b))
     return folded
+
+
+def idn_decode_host_py(host: str | None) -> str | None:
+    """Pure-Python IDN host decode: every ``xn--`` (ACE) label decodes
+    via RFC 3492 punycode (stdlib codec); malformed labels stay as-is
+    (a crawl normalizer must never throw on hostile input)."""
+    if host is None:
+        return None
+    out = []
+    for label in host.lower().split("."):
+        if label.startswith("xn--"):
+            try:
+                out.append(label[4:].encode("ascii").decode("punycode"))
+                continue
+            except (UnicodeError, ValueError):
+                pass
+        out.append(label)
+    return ".".join(out)
+
+
+@F.pandas_udf(StringType())
+def idn_decode_host_udf(s: pd.Series) -> pd.Series:
+    """Arrow-batched ``idn_decode_host_py`` — IDN hosts are the one
+    URL-normalization step with no JVM expression (punycode needs the
+    RFC 3492 insertion-sort state machine); everything else in this
+    module stays expression-only."""
+    return s.map(idn_decode_host_py)
+
+#: RFC 3986 unreserved set — percent-escapes of these MUST decode
+_UNRESERVED_RE = "[A-Za-z0-9._~-]"
+
+
+def percent_normalize(col) -> F.Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization, expression-only:
+    tokenize into ``%XX`` escapes vs literal runs with one
+    ``regexp_extract_all``, then per token either decode (when the
+    escaped byte is unreserved — ``%41`` → ``A``) or uppercase the hex
+    (``%3f`` → ``%3F``), and re-join.  The whole transform is JVM
+    higher-order functions over one array — no shuffle, no Python —
+    so it composes with ``canonicalize_url`` in the same Project.
+    Multi-byte UTF-8 escapes are left encoded (only unreserved ASCII
+    may decode, per the RFC)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(
+        c, F.lit("(%[0-9A-Fa-f]{2}|%|[^%]+)"), 1
+    )
+
+    def fix(t):
+        is_esc = t.rlike("^%[0-9A-Fa-f]{2}$")
+        code = F.conv(F.substring(t, 2, 2), 16, 10).cast("int")
+        ch = F.char(code)
+        return F.when(
+            is_esc & ch.rlike(f"^{_UNRESERVED_RE}$"), ch
+        ).when(is_esc, F.upper(t)).otherwise(t)
+
+    return F.array_join(F.transform(toks, fix), "")

@@ -5935,6 +5935,103 @@ FROM c ORDER BY doc_id
 """
 
 
+def q112_idn_hosts(spark, sf_dir):
+    """IDN (punycode) host decoding under the driver oracle — crawls
+    carry the same site as ``bücher.example`` in links and
+    ``xn--bcher-kva.example`` in DNS/WARC headers; without ACE
+    decoding they count as two hosts in every per-site cap, prior,
+    and dedup key.  Four synthesis kinds: plain ascii, an xn-- label
+    mid-host, an xn-- label as the registrable label, and a MALFORMED
+    xn-- label (hostile input must pass through unchanged, never
+    throw).  Spark runs the real Arrow UDF (punycode is the one URL
+    normalization with no JVM expression — RFC 3492 is an
+    insertion-sort state machine); the oracle states the decoded
+    hosts closed-form.  Scale: one ArrowEvalPython over the scan."""
+    from .functions.urls import idn_decode_host_udf
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    kind = doc % 4
+    host = (
+        F.when(kind == 0, F.concat(
+            F.lit("www.site"), (doc % 20).cast("string"), F.lit(".com")))
+        .when(kind == 1, F.lit("www.xn--bcher-kva.example"))
+        .when(kind == 2, F.lit("xn--mnchen-3ya.de"))
+        .otherwise(F.concat(
+            F.lit("xn--!!"), (doc % 5).cast("string"), F.lit(".com")))
+    )
+    rows = d.select("doc_id", kind.cast("long").alias("kind"),
+                    host.alias("host"))
+    return rows.select(
+        "doc_id", "kind", "host",
+        idn_decode_host_udf(F.col("host")).alias("decoded"),
+    ).orderBy("doc_id")
+
+
+Q112_SQL = r"""
+SELECT doc_id, (doc_id % 4)::BIGINT AS kind,
+       CASE doc_id % 4
+         WHEN 0 THEN 'www.site' || (doc_id % 20) || '.com'
+         WHEN 1 THEN 'www.xn--bcher-kva.example'
+         WHEN 2 THEN 'xn--mnchen-3ya.de'
+         ELSE 'xn--!!' || (doc_id % 5) || '.com'
+       END AS host,
+       CASE doc_id % 4
+         WHEN 0 THEN 'www.site' || (doc_id % 20) || '.com'
+         WHEN 1 THEN 'www.bücher.example'
+         WHEN 2 THEN 'münchen.de'
+         ELSE 'xn--!!' || (doc_id % 5) || '.com'
+       END AS decoded
+FROM documents ORDER BY doc_id
+"""
+
+
+def q113_percent_normalize(spark, sf_dir):
+    """RFC 3986 §6.2.2 percent-encoding normalization
+    (``urls.percent_normalize``) under the driver oracle — ``%41`` and
+    ``A`` are the same URL and a dedup key must not see two; escapes
+    of unreserved bytes decode, everything else keeps its escape with
+    UPPERCASED hex, multi-byte UTF-8 escapes stay encoded, and a lone
+    ``%`` passes through.  Five synthesis kinds exercise each rule.
+    Expression-only: one regexp_extract_all tokenize + a transform
+    with F.char(F.conv(hex)) per token — no Python, composes with
+    canonicalize_url in the same Project.  The oracle states the
+    normalized strings closed-form.  Scale: pure Project."""
+    from .functions.urls import percent_normalize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    kind = doc % 5
+    url = (
+        F.when(kind == 0, F.concat(
+            F.lit("https://x.com/p%41th%2Fq"), ds))
+        .when(kind == 1, F.concat(F.lit("/a%7Eb%7e"), ds))
+        .when(kind == 2, F.concat(F.lit("/q%3fx%3d1_"), ds))
+        .when(kind == 3, F.concat(F.lit("/caf%c3%a9_"), ds))
+        .otherwise(F.concat(F.lit("/100%25ok/odd%x"), ds))
+    )
+    rows = d.select("doc_id", kind.cast("long").alias("kind"),
+                    url.alias("url"))
+    return rows.select(
+        "doc_id", "kind",
+        percent_normalize("url").alias("normalized"),
+    ).orderBy("doc_id")
+
+
+Q113_SQL = r"""
+SELECT doc_id, (doc_id % 5)::BIGINT AS kind,
+       CASE doc_id % 5
+         WHEN 0 THEN 'https://x.com/pAth%2Fq' || doc_id
+         WHEN 1 THEN '/a~b~' || doc_id
+         WHEN 2 THEN '/q%3Fx%3D1_' || doc_id
+         WHEN 3 THEN '/caf%C3%A9_' || doc_id
+         ELSE '/100%25ok/odd%x' || doc_id
+       END AS normalized
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -6039,6 +6136,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q109_domain_rollup": q109_domain_rollup,
     "q110_search_fold": q110_search_fold,
     "q111_iban_detection": q111_iban_detection,
+    "q112_idn_hosts": q112_idn_hosts,
+    "q113_percent_normalize": q113_percent_normalize,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -6143,6 +6242,8 @@ ORACLES: dict[str, str] = {
     "q109_domain_rollup": Q109_SQL,
     "q110_search_fold": Q110_SQL,
     "q111_iban_detection": Q111_SQL,
+    "q112_idn_hosts": Q112_SQL,
+    "q113_percent_normalize": Q113_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

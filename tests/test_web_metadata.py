@@ -312,3 +312,33 @@ def test_iban_mod97_public_examples(spark):
     )
     for expect, g in zip(rows, got):
         assert g.valid == expect.v, (g.i, g.valid, expect.v)
+
+
+def test_idn_decode_and_percent_normalize(spark):
+    from hoover_snoop2_spark.functions.urls import (
+        idn_decode_host_py,
+        idn_decode_host_udf,
+        percent_normalize,
+    )
+
+    assert idn_decode_host_py("www.xn--bcher-kva.example") == \
+        "www.bücher.example"
+    assert idn_decode_host_py("xn--wgbh1c.example") == "مصر.example"
+    assert idn_decode_host_py("xn--!!bad!!.com") == "xn--!!bad!!.com"
+
+    rows = [
+        Row(h="XN--MNCHEN-3YA.de", u="https://x/%41%2f%7e"),
+        Row(h="plain.com", u="/100%25%x%"),
+    ]
+    got = (
+        spark.createDataFrame(rows)
+        .select(
+            idn_decode_host_udf("h").alias("d"),
+            percent_normalize("u").alias("n"),
+        )
+        .collect()
+    )
+    assert got[0].d == "münchen.de"
+    assert got[0].n == "https://x/A%2F~"
+    assert got[1].d == "plain.com"
+    assert got[1].n == "/100%25%x%"

@@ -84,6 +84,8 @@ AUDITED = [
     "q109_domain_rollup",
     "q110_search_fold",
     "q111_iban_detection",
+    "q112_idn_hosts",
+    "q113_percent_normalize",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -257,6 +259,15 @@ CHECKS = {
     "q111_iban_detection": ["Project", "!HashAggregate",
                             "!CartesianProduct", "!BroadcastHashJoin",
                             "!ArrowEvalPython"],
+    # the one URL normalization that NEEDS Python (RFC 3492 state
+    # machine): assert the real Arrow UDF by name (q94 rule)
+    "q112_idn_hosts": ["idn_decode_host_udf", "!HashAggregate",
+                       "!CartesianProduct", "!BroadcastHashJoin",
+                       "!Window"],
+    # tokenize + per-token char/conv in one codegen'd Project
+    "q113_percent_normalize": ["Project", "!HashAggregate",
+                               "!CartesianProduct", "!BroadcastHashJoin",
+                               "!ArrowEvalPython"],
 }
 
 NOTES = {
