@@ -171,3 +171,42 @@ def percent_normalize(col) -> F.Column:
         ).when(is_esc, F.upper(t)).otherwise(t)
 
     return F.array_join(F.transform(toks, fix), "")
+
+
+def absolutize(base_col, href_col, dot_iters: int = 3) -> F.Column:
+    """RFC 3986 §5 reference resolution for crawl outlinks, expression-
+    only: absolute hrefs pass through, ``//host/x`` inherits the base
+    scheme, ``/x`` the base origin, ``?q`` replaces the base query, and
+    relative paths join the base path's directory; dot segments
+    (``./`` and ``x/../``) are removed with ``dot_iters`` bounded
+    regexp passes (each pass removes one nesting level — 3 covers any
+    sane link; raise it for adversarial depth).  Fragments are
+    stripped first on both sides (a fetch key never includes them).
+    Everything is JVM regexps/CASE — the outlink explode this feeds is
+    the crawl frontier's row source, so the resolver must not cost a
+    UDF."""
+    b = F.col(base_col) if isinstance(base_col, str) else base_col
+    h = F.col(href_col) if isinstance(href_col, str) else href_col
+    b = F.regexp_replace(b, "#.*$", "")
+    h = F.regexp_replace(h, "#.*$", "")
+    scheme = F.regexp_extract(b, r"^([a-z][a-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(b, r"^([a-z][a-z0-9+.-]*://[^/?]+)", 1)
+    base_path = F.regexp_extract(b, r"^[a-z][a-z0-9+.-]*://[^/?]+([^?]*)", 1)
+    base_path = F.when(base_path == "", F.lit("/")).otherwise(base_path)
+    base_noq = F.concat(origin, base_path)
+    dirname = F.regexp_extract(base_path, r"^(.*/)", 1)
+    dirname = F.when(dirname == "", F.lit("/")).otherwise(dirname)
+    resolved = (
+        F.when(h == "", b)
+        .when(h.rlike(r"^[a-z][a-z0-9+.-]*://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .when(h.startswith("?"), F.concat(base_noq, h))
+        .otherwise(F.concat(origin, dirname, h))
+    )
+    for _ in range(dot_iters):
+        resolved = F.regexp_replace(resolved, r"/\./", "/")
+        resolved = F.regexp_replace(
+            resolved, r"/[^/.?][^/?]*/\.\./", "/"
+        )
+    return resolved

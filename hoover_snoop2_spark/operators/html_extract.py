@@ -576,3 +576,88 @@ def soft404_verdict(title_col, body_col) -> F.Column:
         .when(F.length(F.trim(bl)) == 0, F.lit("empty"))
         .otherwise(F.lit("ok"))
     )
+
+
+def crawl_directives(html_col) -> dict[str, F.Column]:
+    """Page-level crawl directives: ``<meta name="robots">`` noindex /
+    nofollow flags (the page-side half of the robots.txt gate, q49/
+    q78 — a compliant indexer honors BOTH) and the ``<meta
+    http-equiv="refresh">`` redirect (delay + target url), which
+    feeds the same chain resolution as HTTP redirects (q76).  All JVM
+    regexps in one Project."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    robots = F.lower(F.regexp_extract(
+        c, r'(?i)<meta name="robots" content="([^"]*)"', 1
+    ))
+    refresh = F.regexp_extract(
+        c,
+        r'(?i)<meta http-equiv="refresh"\s+'
+        r'content="(\d+)\s*;\s*url=([^"]+)"',
+        2,
+    )
+    delay = F.regexp_extract(
+        c,
+        r'(?i)<meta http-equiv="refresh"\s+'
+        r'content="(\d+)\s*;\s*url=([^"]+)"',
+        1,
+    )
+    return {
+        "noindex": robots.rlike(r"(^|[,\s])noindex($|[,\s])"),
+        "nofollow": robots.rlike(r"(^|[,\s])nofollow($|[,\s])"),
+        "refresh_url": F.nullif(refresh, F.lit("")),
+        "refresh_seconds": F.nullif(delay, F.lit("")).cast("long"),
+    }
+
+
+def decode_entities(col) -> F.Column:
+    """HTML character-reference decoding, expression-only: tokenize
+    into numeric refs (``&#233;`` / ``&#x41;``), named refs and
+    literal runs with one ``regexp_extract_all``, then decode per
+    token — numeric refs become the codepoint via
+    ``decode(unhex(lpad(conv(n,10,16),8,'0')), 'UTF-32')`` (full
+    Unicode, surrogate/range-guarded so hostile refs pass through
+    instead of killing the task under Spark 4's strict codecs), and a
+    named subset (the W3C core + the typography set real pages use)
+    via CASE.  Unknown named refs stay as-is, like browsers render
+    them."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(
+        c, F.lit("(&#[Xx][0-9A-Fa-f]+;|&#[0-9]+;|&[a-zA-Z]+;|&|[^&]+)"), 1
+    )
+    NAMED = {
+        "amp": "&", "lt": "<", "gt": ">", "quot": '"', "apos": "'",
+        "nbsp": " ", "copy": "©", "reg": "®",
+        "eacute": "é", "egrave": "è", "agrave": "à", "ccedil": "ç",
+        "uuml": "ü", "ouml": "ö", "auml": "ä", "szlig": "ß",
+        "mdash": "—", "ndash": "–", "hellip": "…",
+        "rsquo": "’", "lsquo": "‘",
+        "rdquo": "”", "ldquo": "“",
+    }
+
+    def cp_char(n):
+        # codepoint -> char via UTF-32 decode; guard range + surrogates
+        ok = (n > 0) & (n <= 0x10FFFF) & ~((n >= 0xD800) & (n <= 0xDFFF))
+        return F.when(
+            ok, F.decode(F.unhex(F.lpad(F.conv(n.cast("string"), 10, 16),
+                                        8, "0")), "UTF-32")
+        )
+
+    def fix(t):
+        dec = F.regexp_extract(t, r"^&#([0-9]+);$", 1)
+        hexs = F.regexp_extract(t, r"^&#[Xx]([0-9A-Fa-f]+);$", 1)
+        name = F.regexp_extract(t, r"^&([a-zA-Z]+);$", 1)
+        named = None
+        for k, v in NAMED.items():
+            cond = name == k
+            named = (F.when(cond, F.lit(v)) if named is None
+                     else named.when(cond, F.lit(v)))
+        named = named.otherwise(t)  # unknown named ref: keep literal
+        return (
+            F.when(dec != "", F.coalesce(cp_char(dec.cast("long")), t))
+            .when(hexs != "",
+                  F.coalesce(cp_char(F.conv(hexs, 16, 10).cast("long")), t))
+            .when(name != "", named)
+            .otherwise(t)
+        )
+
+    return F.array_join(F.transform(toks, fix), "")

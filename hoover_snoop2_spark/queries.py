@@ -6032,6 +6032,162 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q114_outlink_absolutize(spark, sf_dir):
+    """Outlink absolutization (``urls.absolutize``) under the driver
+    oracle — RFC 3986 §5 reference resolution, the step between "we
+    found an href" and "the crawl frontier can fetch it" (q61/q66
+    consume absolute urls; real pages emit every relative form).
+    Five href shapes by doc%5: absolute, protocol-relative, root-
+    relative, relative-with-dot-segments (``../`` must collapse), and
+    query-only; the base url carries a two-level path so directory
+    joining is actually exercised.  Expression-only resolver (regexps
+    + CASE + bounded dot-segment passes); the oracle states the
+    resolved urls closed-form.  Scale: pure Project feeding the
+    frontier explode."""
+    from .functions.urls import absolutize
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    base = F.concat(
+        F.lit("https://h"), (doc % 20).cast("string"),
+        F.lit(".example/a/b/page"), ds, F.lit(".html"),
+    )
+    kind = doc % 5
+    href = (
+        F.when(kind == 0, F.concat(F.lit("http://other.example/x"), ds))
+        .when(kind == 1, F.concat(F.lit("//cdn.example/y"), ds))
+        .when(kind == 2, F.concat(F.lit("/root/z"), ds))
+        .when(kind == 3, F.concat(F.lit("../up/w"), ds))
+        .otherwise(F.concat(F.lit("?page="), ds))
+    )
+    rows = d.select("doc_id", kind.cast("long").alias("kind"),
+                    base.alias("base"), href.alias("href"))
+    return rows.select(
+        "doc_id", "kind",
+        absolutize("base", "href").alias("resolved"),
+    ).orderBy("doc_id")
+
+
+Q114_SQL = r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 5 AS kind,
+         'https://h' || (doc_id % 20) || '.example' AS origin
+  FROM documents
+)
+SELECT doc_id, kind::BIGINT AS kind,
+       CASE kind
+         WHEN 0 THEN 'http://other.example/x' || doc_id
+         WHEN 1 THEN 'https://cdn.example/y' || doc_id
+         WHEN 2 THEN origin || '/root/z' || doc_id
+         WHEN 3 THEN origin || '/a/up/w' || doc_id
+         ELSE origin || '/a/b/page' || doc_id || '.html?page=' || doc_id
+       END AS resolved
+FROM d ORDER BY doc_id
+"""
+
+
+def q115_crawl_directives(spark, sf_dir):
+    """Page-level crawl directives (``crawl_directives``) under the
+    driver oracle — meta-robots noindex/nofollow (the page-side half
+    of the robots gate; a compliant pipeline honors robots.txt AND
+    the meta tag) and meta-refresh redirects (delay + target, the
+    HTML-only redirect q76's chain resolution consumes).  Four
+    synthesis kinds: clean page, noindex-only, "none" (= noindex +
+    nofollow per the robots spec? no — 'noindex, nofollow' spelled
+    out; token matching must not fire on substrings like
+    'nofollowup'), and a meta-refresh page.  Oracle closed-form.
+    Scale: pure Project."""
+    from .operators.html_extract import crawl_directives
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    kind = doc % 4
+    html = (
+        F.when(kind == 0, F.concat(
+            F.lit('<html><head><meta name="robots" '
+                  'content="index, nofollowup"></head><body>p'),
+            ds, F.lit("</body></html>")))
+        .when(kind == 1, F.concat(
+            F.lit('<html><head><meta name="robots" '
+                  'content="noindex"></head><body>p'), ds,
+            F.lit("</body></html>")))
+        .when(kind == 2, F.concat(
+            F.lit('<html><head><meta name="robots" '
+                  'content="noindex, nofollow"></head><body>p'), ds,
+            F.lit("</body></html>")))
+        .otherwise(F.concat(
+            F.lit('<html><head><meta http-equiv="refresh" '
+                  'content="5; url=https://t.example/p'), ds,
+            F.lit('"></head><body></body></html>')))
+    )
+    pages = d.select("doc_id", kind.cast("long").alias("kind"),
+                     html.alias("html"))
+    m = crawl_directives("html")
+    return pages.select(
+        "doc_id", "kind",
+        m["noindex"].alias("noindex"),
+        m["nofollow"].alias("nofollow"),
+        m["refresh_seconds"].alias("refresh_seconds"),
+        m["refresh_url"].alias("refresh_url"),
+    ).orderBy("doc_id")
+
+
+Q115_SQL = r"""
+SELECT doc_id, (doc_id % 4)::BIGINT AS kind,
+       doc_id % 4 = 1 OR doc_id % 4 = 2 AS noindex,
+       doc_id % 4 = 2 AS nofollow,
+       CASE WHEN doc_id % 4 = 3 THEN 5 END::BIGINT AS refresh_seconds,
+       CASE WHEN doc_id % 4 = 3
+            THEN 'https://t.example/p' || doc_id END AS refresh_url
+FROM documents ORDER BY doc_id
+"""
+
+
+def q116_entity_decode(spark, sf_dir):
+    """HTML character-reference decoding (``decode_entities``) under
+    the driver oracle — the &eacute;/&#233;/&#x2019; layer between
+    raw markup and clean training text.  Four synthesis kinds:
+    decimal numeric (BMP accent), hex numeric ABOVE the mod-256 range
+    (&#x2019; — proves real Unicode decode, not chr(n%256)), named
+    refs incl. an UNKNOWN one that must survive literally, and a
+    hostile out-of-range ref (&#1114112;, beyond U+10FFFF) that must
+    pass through instead of crashing Spark 4's strict UTF-32 decode.
+    Expression-only (tokenize + conv/unhex/decode-UTF-32 + named
+    CASE).  Oracle closed-form.  Scale: pure Project."""
+    from .operators.html_extract import decode_entities
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    kind = doc % 4
+    text = (
+        F.when(kind == 0, F.concat(F.lit("caf&#233; au lait "), ds))
+        .when(kind == 1, F.concat(F.lit("it&#x2019;s here "), ds))
+        .when(kind == 2, F.concat(
+            F.lit("&eacute;t&eacute; &amp; &bogus; more "), ds))
+        .otherwise(F.concat(F.lit("bad &#1114112; ref "), ds))
+    )
+    rows = d.select("doc_id", kind.cast("long").alias("kind"),
+                    text.alias("text"))
+    return rows.select(
+        "doc_id", "kind", decode_entities("text").alias("decoded")
+    ).orderBy("doc_id")
+
+
+Q116_SQL = r"""
+SELECT doc_id, (doc_id % 4)::BIGINT AS kind,
+       CASE doc_id % 4
+         WHEN 0 THEN 'café au lait ' || doc_id
+         WHEN 1 THEN 'it’s here ' || doc_id
+         WHEN 2 THEN 'été & &bogus; more ' || doc_id
+         ELSE 'bad &#1114112; ref ' || doc_id
+       END AS decoded
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -6138,6 +6294,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q111_iban_detection": q111_iban_detection,
     "q112_idn_hosts": q112_idn_hosts,
     "q113_percent_normalize": q113_percent_normalize,
+    "q114_outlink_absolutize": q114_outlink_absolutize,
+    "q115_crawl_directives": q115_crawl_directives,
+    "q116_entity_decode": q116_entity_decode,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -6244,6 +6403,9 @@ ORACLES: dict[str, str] = {
     "q111_iban_detection": Q111_SQL,
     "q112_idn_hosts": Q112_SQL,
     "q113_percent_normalize": Q113_SQL,
+    "q114_outlink_absolutize": Q114_SQL,
+    "q115_crawl_directives": Q115_SQL,
+    "q116_entity_decode": Q116_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -342,3 +342,70 @@ def test_idn_decode_and_percent_normalize(spark):
     assert got[0].n == "https://x/A%2F~"
     assert got[1].d == "plain.com"
     assert got[1].n == "/100%25%x%"
+
+
+def test_absolutize_reference_resolution(spark):
+    from hoover_snoop2_spark.functions.urls import absolutize
+
+    base = "https://h.example/a/b/page.html"
+    rows = [
+        Row(b=base, h="http://other/x"),
+        Row(b=base, h="//cdn.example/y"),
+        Row(b=base, h="/root/z"),
+        Row(b=base, h="sib.html"),
+        Row(b=base, h="../up/w"),
+        Row(b=base, h="./same/v"),
+        Row(b=base, h="?q=1"),
+        Row(b=base, h="#frag-only"),
+        Row(b="https://h.example", h="rel"),   # origin-only base
+    ]
+    got = [
+        r.r for r in spark.createDataFrame(rows)
+        .select(absolutize("b", "h").alias("r")).collect()
+    ]
+    assert got == [
+        "http://other/x",
+        "https://cdn.example/y",
+        "https://h.example/root/z",
+        "https://h.example/a/b/sib.html",
+        "https://h.example/a/up/w",
+        "https://h.example/a/b/same/v",
+        "https://h.example/a/b/page.html?q=1",
+        "https://h.example/a/b/page.html",
+        "https://h.example/rel",
+    ]
+
+
+def test_crawl_directives_tokens_and_refresh(spark):
+    from hoover_snoop2_spark.operators.html_extract import crawl_directives
+
+    rows = [
+        Row(html='<meta name="robots" content="index, nofollowup">'),
+        Row(html='<meta name="robots" content="NOINDEX, NOFOLLOW">'),
+        Row(html='<meta http-equiv="refresh" content="0; url=https://t/x">'),
+    ]
+    m = crawl_directives("html")
+    got = spark.createDataFrame(rows).select(
+        m["noindex"].alias("ni"), m["nofollow"].alias("nf"),
+        m["refresh_seconds"].alias("rs"), m["refresh_url"].alias("ru"),
+    ).collect()
+    assert (got[0].ni, got[0].nf) == (False, False)  # substring must not fire
+    assert (got[1].ni, got[1].nf) == (True, True)    # case-insensitive
+    assert (got[2].rs, got[2].ru) == (0, "https://t/x")
+
+
+def test_decode_entities_numeric_named_hostile(spark):
+    from hoover_snoop2_spark.operators.html_extract import decode_entities
+
+    rows = [
+        Row(t="caf&#233; &amp; cr&egrave;me"),
+        Row(t="it&#x2019;s &#x1F600; wide"),      # astral plane too
+        Row(t="keep &bogus; and &#1114112; and bare & alone"),
+    ]
+    got = [
+        r.d for r in spark.createDataFrame(rows)
+        .select(decode_entities("t").alias("d")).collect()
+    ]
+    assert got[0] == "café & crème"
+    assert got[1] == "it’s 😀 wide"
+    assert got[2] == "keep &bogus; and &#1114112; and bare & alone"

@@ -86,6 +86,9 @@ AUDITED = [
     "q111_iban_detection",
     "q112_idn_hosts",
     "q113_percent_normalize",
+    "q114_outlink_absolutize",
+    "q115_crawl_directives",
+    "q116_entity_decode",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -268,6 +271,18 @@ CHECKS = {
     "q113_percent_normalize": ["Project", "!HashAggregate",
                                "!CartesianProduct", "!BroadcastHashJoin",
                                "!ArrowEvalPython"],
+    # RFC 3986 resolver is regexps + CASE + bounded dot passes
+    "q114_outlink_absolutize": ["Project", "!HashAggregate",
+                                "!CartesianProduct", "!BroadcastHashJoin",
+                                "!ArrowEvalPython"],
+    # meta robots/refresh pulls in one Project
+    "q115_crawl_directives": ["Project", "!HashAggregate",
+                              "!CartesianProduct", "!BroadcastHashJoin",
+                              "!ArrowEvalPython"],
+    # tokenize + conv/unhex/decode-UTF-32 + named CASE, all JVM
+    "q116_entity_decode": ["Project", "!HashAggregate",
+                           "!CartesianProduct", "!BroadcastHashJoin",
+                           "!ArrowEvalPython"],
 }
 
 NOTES = {
