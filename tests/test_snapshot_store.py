@@ -165,3 +165,31 @@ def test_compact_rewrites_small_files(spark, tmp_path):
     deleted = store.expire("t", keep_last=1)
     assert len(deleted) == 4
     assert sorted(r.v for r in store.read(spark, "t").collect()) == before
+
+
+def test_merge_upsert_copy_on_write(spark, store):
+    """MERGE INTO semantics: matched keys replaced, unmatched inserted,
+    older snapshots untouched (snapshot isolation), empty-table merge
+    degenerates to a plain write."""
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(10)], "k long, val string"
+    )
+    v1 = store.merge(spark, base, "t", ["k"])     # empty table: plain write
+    upd = spark.createDataFrame(
+        [(3, "NEW3"), (7, "NEW7"), (100, "v100")], "k long, val string"
+    )
+    v2 = store.merge(spark, upd, "t", ["k"])
+    got = {r.k: r.val for r in store.read(spark, "t").collect()}
+    assert len(got) == 11
+    assert got[3] == "NEW3" and got[7] == "NEW7" and got[100] == "v100"
+    assert got[0] == "v0"                          # untouched survivor
+    # time travel: v1 still shows the pre-merge values
+    old = {r.k: r.val for r in store.read(spark, "t", v1).collect()}
+    assert old[3] == "v3" and 100 not in old
+    assert v2 > v1
+    # schema drift is rejected, not silently unioned
+    bad = spark.createDataFrame([(1, 2.0)], "k long, other double")
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.merge(spark, bad, "t", ["k"])
