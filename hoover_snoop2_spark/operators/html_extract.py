@@ -661,3 +661,36 @@ def decode_entities(col) -> F.Column:
         )
 
     return F.array_join(F.transform(toks, fix), "")
+
+
+def html_to_markdown(html_col) -> F.Column:
+    """Structure-preserving HTML→Markdown for a constrained subset
+    (h1-h3, p, li, a, strong/b, em/i) — modern training pipelines
+    increasingly keep document STRUCTURE as markdown instead of the
+    flat text ``html_to_text`` emits, so headings and links survive
+    into the training corpus.  A fixed JVM ``regexp_replace`` chain:
+    inline marks first (links → ``[text](href)``, bold, italics),
+    then block elements to their markdown forms, then any leftover
+    tag is stripped and blank runs collapse.  Zero Python; pages with
+    markup outside the subset degrade to plain text rather than
+    erroring (the leftover-tag strip)."""
+    c = F.col(html_col) if isinstance(html_col, str) else html_col
+    r = F.regexp_replace
+    out = c
+    # inline
+    out = r(out, r'(?is)<a\s+href="([^"]*)"[^>]*>(.*?)</a>', r"[$2]($1)")
+    out = r(out, r"(?is)<(?:b|strong)>(.*?)</(?:b|strong)>", r"**$1**")
+    out = r(out, r"(?is)<(?:i|em)>(.*?)</(?:i|em)>", r"*$1*")
+    # blocks
+    out = r(out, r"(?is)<h1[^>]*>(.*?)</h1>", "\n\n# $1\n\n")
+    out = r(out, r"(?is)<h2[^>]*>(.*?)</h2>", "\n\n## $1\n\n")
+    out = r(out, r"(?is)<h3[^>]*>(.*?)</h3>", "\n\n### $1\n\n")
+    out = r(out, r"(?is)<p[^>]*>(.*?)</p>", "\n\n$1\n\n")
+    out = r(out, r"(?is)<li[^>]*>(.*?)</li>", "\n- $1")
+    out = r(out, r"(?is)</?(?:ul|ol)[^>]*>", "\n")
+    # leftover tags, whitespace discipline
+    out = r(out, r"(?s)<[^>]+>", "")
+    out = r(out, r"[ \t]+\n", "\n")
+    out = r(out, r"\n{3,}", "\n\n")
+    # F.trim strips spaces only — edge newlines need the regexp form
+    return r(out, r"(?s)^\s+|\s+$", "")

@@ -6188,6 +6188,123 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q117_readability(spark, sf_dir):
+    """Flesch reading-ease scoring over the REAL ``documents.text``
+    column under the driver oracle — the classic text-quality signal
+    (Gopher-style gates keep a readability band; this is the exact
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+    formula with the standard vowel-group syllable proxy, min 1 per
+    word).  Unlike the synthesized certifications, BOTH engines here
+    independently implement the whole computation over the same real
+    text — Spark as an ``aggregate`` HOF over one split (no explode,
+    no shuffle), DuckDB via list_transform + regexp — so tokenizer,
+    syllable proxy, guards and rounding are all value-locked.
+    Engine-stable floor rounding on the score (q58 idiom).  Scale:
+    one codegen'd Project; integer sufficient statistics."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"),
+                     lambda w: w != "")
+    n_words = F.size(words)
+    n_sent = F.greatest(
+        F.regexp_count(F.col("text"), F.lit(r"[.!?]+")), F.lit(1)
+    )
+    n_syll = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.greatest(
+            F.regexp_count(F.lower(w), F.lit("[aeiouy]+")), F.lit(1)
+        ),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * n_words.cast("double") / n_sent.cast("double")
+        - F.lit(84.6) * n_syll.cast("double") / n_words.cast("double")
+    )
+    return (
+        d.where(F.length(F.trim("text")) > 0)
+        .select(
+            "doc_id",
+            n_words.cast("long").alias("n_words"),
+            n_sent.cast("long").alias("n_sentences"),
+            n_syll.alias("n_syllables"),
+            (F.floor(score * 10000 + F.lit(0.5)) / 10000).alias("flesch"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q117_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\s+'),
+                     w -> w != '') AS words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sent
+  FROM documents WHERE length(trim(text)) > 0
+), s AS (
+  SELECT doc_id, len(words) AS n_words, n_sent,
+         list_sum(list_transform(words,
+           w -> greatest(len(regexp_extract_all(lower(w), '[aeiouy]+')),
+                         1))) AS n_syll
+  FROM t
+)
+SELECT doc_id, n_words::BIGINT AS n_words, n_sent::BIGINT AS n_sentences,
+       n_syll::BIGINT AS n_syllables,
+       floor((206.835 - 1.015 * n_words / n_sent
+              - 84.6 * n_syll / n_words) * 10000 + 0.5) / 10000
+         AS flesch
+FROM s ORDER BY doc_id
+"""
+
+
+def q118_html_markdown(spark, sf_dir):
+    """HTML→Markdown conversion (``html_to_markdown``) under the
+    driver oracle — structure-preserving extraction for training
+    corpora that keep headings, lists, links and emphasis instead of
+    flat text.  Pages synthesize the constrained subset from doc_id
+    arithmetic (an h1, a bold+linked paragraph, an h2 when doc%2, a
+    3-item list with an italic member); the oracle re-derives the
+    exact markdown closed-form, so every rewrite rule in the chain
+    (inline before block, leftover-tag strip, blank-line discipline)
+    is value-locked.  Scale: a fixed regexp_replace chain in one
+    codegen'd Project."""
+    from .operators.html_extract import html_to_markdown
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    html = F.concat(
+        F.lit("<html><body><h1>Title "), ds, F.lit("</h1>"),
+        F.lit('<p>Intro <b>bold'), ds,
+        F.lit('</b> and <a href="https://x/p'), ds, F.lit('">link'),
+        ds, F.lit("</a>.</p>"),
+        F.when(doc % 2 == 0, F.concat(
+            F.lit("<h2>Section "), ds, F.lit("</h2>"))).otherwise(
+            F.lit("")),
+        F.lit("<ul><li>alpha</li><li><i>beta"), ds,
+        F.lit("</i></li><li>gamma</li></ul></body></html>"),
+    )
+    pages = d.select("doc_id", html.alias("html"))
+    return pages.select(
+        "doc_id", html_to_markdown("html").alias("markdown")
+    ).orderBy("doc_id")
+
+
+Q118_SQL = r"""
+SELECT doc_id,
+       '# Title ' || doc_id || chr(10) || chr(10)
+       || 'Intro **bold' || doc_id || '** and [link' || doc_id
+       || '](https://x/p' || doc_id || ').'
+       || CASE WHEN doc_id % 2 = 0
+               THEN chr(10) || chr(10) || '## Section ' || doc_id
+               ELSE '' END
+       || chr(10) || chr(10)
+       || '- alpha' || chr(10)
+       || '- *beta' || doc_id || '*' || chr(10)
+       || '- gamma' AS markdown
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -6297,6 +6414,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q114_outlink_absolutize": q114_outlink_absolutize,
     "q115_crawl_directives": q115_crawl_directives,
     "q116_entity_decode": q116_entity_decode,
+    "q117_readability": q117_readability,
+    "q118_html_markdown": q118_html_markdown,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -6406,6 +6525,8 @@ ORACLES: dict[str, str] = {
     "q114_outlink_absolutize": Q114_SQL,
     "q115_crawl_directives": Q115_SQL,
     "q116_entity_decode": Q116_SQL,
+    "q117_readability": Q117_SQL,
+    "q118_html_markdown": Q118_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -409,3 +409,24 @@ def test_decode_entities_numeric_named_hostile(spark):
     assert got[0] == "café & crème"
     assert got[1] == "it’s 😀 wide"
     assert got[2] == "keep &bogus; and &#1114112; and bare & alone"
+
+
+def test_html_to_markdown_subset(spark):
+    from hoover_snoop2_spark.operators.html_extract import html_to_markdown
+
+    rows = [
+        Row(html=(
+            "<html><body><h1>T</h1><p>Hi <strong>x</strong> and "
+            '<a href="https://a/b">lnk</a>.</p>'
+            "<ul><li>one</li><li><em>two</em></li></ul>"
+            "<table><tr><td>dropped-tag content kept</td></tr></table>"
+            "</body></html>"
+        )),
+    ]
+    got = spark.createDataFrame(rows).select(
+        html_to_markdown("html").alias("md")
+    ).collect()[0].md
+    assert got == (
+        "# T\n\nHi **x** and [lnk](https://a/b).\n\n"
+        "- one\n- *two*\ndropped-tag content kept"
+    )

@@ -89,6 +89,8 @@ AUDITED = [
     "q114_outlink_absolutize",
     "q115_crawl_directives",
     "q116_entity_decode",
+    "q117_readability",
+    "q118_html_markdown",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -281,6 +283,14 @@ CHECKS = {
                               "!ArrowEvalPython"],
     # tokenize + conv/unhex/decode-UTF-32 + named CASE, all JVM
     "q116_entity_decode": ["Project", "!HashAggregate",
+                           "!CartesianProduct", "!BroadcastHashJoin",
+                           "!ArrowEvalPython"],
+    # Flesch = aggregate HOF over one split: no explode, no shuffle
+    "q117_readability": ["Project", "!HashAggregate", "!Generate",
+                         "!CartesianProduct", "!BroadcastHashJoin",
+                         "!ArrowEvalPython"],
+    # fixed regexp_replace chain in one Project
+    "q118_html_markdown": ["Project", "!HashAggregate",
                            "!CartesianProduct", "!BroadcastHashJoin",
                            "!ArrowEvalPython"],
 }
