@@ -6305,6 +6305,331 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q119_bigram_lm(spark, sf_dir):
+    """Add-one-smoothed bigram language-model scoring over the REAL
+    ``documents.text`` corpus — the LM quality prior CCNet (Wenzek et
+    al. 2020) applies with KenLM, reduced to a form both engines
+    compute bit-identically: train bigram counts ``c(w1,w2)`` and
+    history counts ``c(w1)`` on the corpus, then score each document
+    by its mean smoothed inverse probability
+    ``(c(w1)+V)/(c(w1,w2)+1)`` (monotone in perplexity for a fixed
+    doc; no transcendentals, so no libm drift).  Each per-bigram term
+    is ONE correctly-rounded IEEE division of exact integers, then
+    quantized to integer micro-units BEFORE the per-doc sum — the sum
+    is a BIGINT reduction, order-free, immune to the q50/q58 float
+    ULP trap.  Scale: tokenize + zip_with bigrams stay in codegen;
+    two count aggregates shuffle on (bigram) and (w1); the instance →
+    counts joins are vocabulary-sized on the build side (AQE
+    broadcasts them); V is a 1-row broadcast scalar.  No Window, no
+    cross join over data."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    inst = d.select(
+        "doc_id", F.explode(bigrams).alias("bg")
+    ).select(
+        "doc_id", "bg", F.split(F.col("bg"), " ").getItem(0).alias("w1")
+    )
+    c12 = inst.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = inst.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = d.select(F.explode(words).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        inst.join(c12, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                (F.col("c1") + F.col("v")).cast("double")
+                / (F.col("c12") + 1).cast("double")
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("inv_p_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("inv_p_micro").alias("inv_prob_sum_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "inv_prob_sum_micro",
+            (
+                F.floor(
+                    F.col("inv_prob_sum_micro").cast("double")
+                    / F.col("n_bigrams").cast("double")
+                    / 100.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("mean_inv_prob"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q119_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), inst0 AS (
+  SELECT doc_id,
+         unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS bg
+  FROM w
+), inst AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM inst0
+), c12 AS (
+  SELECT bg, COUNT(*) AS c12 FROM inst GROUP BY bg
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM inst GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT word) AS v
+  FROM (SELECT unnest(ws) AS word FROM w)
+), scored AS (
+  SELECT i.doc_id,
+         CAST(floor((c1.c1 + vocab.v)::DOUBLE / (c12.c12 + 1)::DOUBLE
+                    * 1000000.0 + 0.5) AS BIGINT) AS inv_p_micro
+  FROM inst i
+  JOIN c12 USING (bg)
+  JOIN c1 USING (w1)
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(inv_p_micro) AS BIGINT) AS inv_prob_sum_micro,
+       floor(CAST(SUM(inv_p_micro) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             / 100.0 + 0.5) / 10000.0 AS mean_inv_prob
+FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q120_winnowing(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm) over the REAL ``documents.text``
+    column: word 3-gram hashes, window w=4, select each window's
+    minimum hash with the RIGHTMOST-position tie-break, emit the
+    distinct selected (hash, pos) fingerprints per document.  This is
+    the position-robust near-dup fingerprint family q19's rolling
+    hash does not cover (winnowing guarantees any match of length
+    >= w+k-1 shares a fingerprint).  Everything is integer: word ids
+    come from a deterministic vocabulary ranking (the q73 idiom), the
+    gram hash is a 3-term linear form mod 999983, and the min+tie
+    rule is encoded as ``min(h*100000 + (99999-pos))`` so one BIGINT
+    window-min yields both the hash and the rightmost position —
+    bit-exact on both engines, no floats anywhere.  (The 1e5 position
+    radix bounds docs at 99,999 grams; at corpus scale raise the
+    radix with the same 2^63 headroom argument.)  Scale: one
+    vocabulary broadcast join, then a single partition-by-doc window
+    pass — dedup and window share the (doc_id) exchange; the
+    vocabulary ranking Window runs over the vocab, never the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    w_win = 4
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "word"),
+    )
+    vocab = (
+        words.select("word")
+        .distinct()
+        .select(
+            "word",
+            F.row_number()
+            .over(Window.orderBy("word"))
+            .cast("long")
+            .alias("wid"),
+        )
+    )
+    ids = words.join(F.broadcast(vocab), "word").select(
+        "doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "wid"
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        ids.select(
+            "doc_id",
+            "pos",
+            "wid",
+            F.lead("wid", 1).over(wdoc).alias("wid2"),
+            F.lead("wid", 2).over(wdoc).alias("wid3"),
+        )
+        .where(F.col("wid3").isNotNull())
+        .select(
+            "doc_id",
+            "pos",
+            (
+                (
+                    F.col("wid") * 8191
+                    + F.col("wid2") * 131071
+                    + F.col("wid3") * 524287
+                )
+                % 999983
+            ).alias("h"),
+        )
+    )
+    wfrm = (
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w_win - 1)
+    )
+    wall = Window.partitionBy("doc_id")
+    enc = F.col("h") * 100000 + (F.lit(99999) - F.col("pos"))
+    sel = grams.select(
+        "doc_id",
+        "pos",
+        F.min(enc).over(wfrm).alias("wmin"),
+        F.count("*").over(wall).alias("m"),
+    )
+    return (
+        sel.where(
+            F.col("pos") <= F.greatest(F.col("m") - (w_win - 1), F.lit(1))
+        )
+        .select(
+            "doc_id",
+            F.expr("wmin div 100000").alias("fp_hash"),
+            (F.lit(99999) - F.col("wmin") % 100000).alias("fp_pos"),
+        )
+        .distinct()
+        .orderBy("doc_id", "fp_pos")
+    )
+
+
+Q120_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), words AS (
+  SELECT doc_id,
+         unnest(ws) AS word,
+         unnest(range(1, len(ws) + 1)) AS pos
+  FROM w
+), vocab AS (
+  SELECT word, ROW_NUMBER() OVER (ORDER BY word) AS wid
+  FROM (SELECT DISTINCT word FROM words)
+), ids AS (
+  SELECT wo.doc_id, wo.pos, v.wid
+  FROM words wo JOIN vocab v USING (word)
+), grams AS (
+  SELECT doc_id, pos,
+         (wid * 8191
+          + lead(wid, 1) OVER dw * 131071
+          + lead(wid, 2) OVER dw * 524287) % 999983 AS h
+  FROM ids
+  WINDOW dw AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lead(wid, 2) OVER dw IS NOT NULL
+), sel AS (
+  SELECT doc_id, pos,
+         min(h * 100000 + (99999 - pos)) OVER (
+           PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM grams
+)
+SELECT DISTINCT doc_id,
+       wmin // 100000 AS fp_hash,
+       99999 - wmin % 100000 AS fp_pos
+FROM sel
+WHERE pos <= greatest(m - 3, 1)
+ORDER BY doc_id, fp_pos
+"""
+
+
+def q121_collocations(spark, sf_dir):
+    """Collocation mining over the REAL corpus — the PMI-class signal
+    (Church & Hanks 1990) phrase-aware tokenizers and n-gram merge
+    rules are built from, with the log dropped so both engines stay
+    bit-exact: ``lift = N·c(w1,w2) / (c(w1)·c(w2))`` (PMI = ln lift,
+    a monotone map, so the ranking is identical).  Numerator and
+    denominator are exact BIGINT products (< 2^53, so the double
+    casts are exact), the division is one correctly-rounded IEEE op,
+    and the result takes the engine-stable floor rounding.  Output:
+    the 100 most frequent bigrams with support >= 5, ordered by
+    (count desc, bigram) — fully deterministic.  Scale: two
+    vocabulary-sized count tables broadcast against the bigram count
+    table; the only corpus-sized shuffle is the bigram groupBy, and
+    the top-k is a TakeOrdered, not a global sort."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    inst = d.select(F.explode(bigrams).alias("bg")).select(
+        "bg",
+        F.split(F.col("bg"), " ").getItem(0).alias("w1"),
+        F.split(F.col("bg"), " ").getItem(1).alias("w2"),
+    )
+    c12 = inst.groupBy("bg", "w1", "w2").agg(F.count("*").alias("n_pair"))
+    c1 = inst.groupBy("w1").agg(F.count("*").alias("n_left"))
+    c2 = inst.groupBy("w2").agg(F.count("*").alias("n_right"))
+    tot = inst.agg(F.count("*").alias("n_total"))
+    return (
+        c12.where(F.col("n_pair") >= 5)
+        .join(F.broadcast(c1), "w1")
+        .join(F.broadcast(c2), "w2")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bg",
+            "n_pair",
+            "n_left",
+            "n_right",
+            (
+                F.floor(
+                    (F.col("n_total") * F.col("n_pair")).cast("double")
+                    / (F.col("n_left") * F.col("n_right")).cast("double")
+                    * 10000
+                    + 0.5
+                )
+                / 10000
+            ).alias("lift"),
+        )
+        .orderBy(F.col("n_pair").desc(), "bg")
+        .limit(100)
+    )
+
+
+Q121_SQL = r"""
+WITH w AS (
+  SELECT string_split(text, ' ') AS ws FROM documents
+), inst0 AS (
+  SELECT unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS bg
+  FROM w
+), inst AS (
+  SELECT bg,
+         string_split(bg, ' ')[1] AS w1,
+         string_split(bg, ' ')[2] AS w2
+  FROM inst0
+), c12 AS (
+  SELECT bg, w1, w2, COUNT(*) AS n_pair FROM inst GROUP BY bg, w1, w2
+), c1 AS (
+  SELECT w1, COUNT(*) AS n_left FROM inst GROUP BY w1
+), c2 AS (
+  SELECT w2, COUNT(*) AS n_right FROM inst GROUP BY w2
+), tot AS (
+  SELECT COUNT(*) AS n_total FROM inst
+)
+SELECT bg,
+       CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(n_left AS BIGINT) AS n_left,
+       CAST(n_right AS BIGINT) AS n_right,
+       floor((tot.n_total * c12.n_pair)::DOUBLE
+             / (c1.n_left * c2.n_right)::DOUBLE * 10000 + 0.5) / 10000
+         AS lift
+FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN tot
+WHERE n_pair >= 5
+ORDER BY n_pair DESC, bg
+LIMIT 100
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -6416,6 +6741,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q116_entity_decode": q116_entity_decode,
     "q117_readability": q117_readability,
     "q118_html_markdown": q118_html_markdown,
+    "q119_bigram_lm": q119_bigram_lm,
+    "q120_winnowing": q120_winnowing,
+    "q121_collocations": q121_collocations,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -6527,6 +6855,9 @@ ORACLES: dict[str, str] = {
     "q116_entity_decode": Q116_SQL,
     "q117_readability": Q117_SQL,
     "q118_html_markdown": Q118_SQL,
+    "q119_bigram_lm": Q119_SQL,
+    "q120_winnowing": Q120_SQL,
+    "q121_collocations": Q121_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

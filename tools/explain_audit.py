@@ -91,6 +91,9 @@ AUDITED = [
     "q116_entity_decode",
     "q117_readability",
     "q118_html_markdown",
+    "q119_bigram_lm",
+    "q120_winnowing",
+    "q121_collocations",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -293,6 +296,17 @@ CHECKS = {
     "q118_html_markdown": ["Project", "!HashAggregate",
                            "!CartesianProduct", "!BroadcastHashJoin",
                            "!ArrowEvalPython"],
+    # count aggregates + per-instance joins; V is a 1-row broadcast
+    # (BroadcastNestedLoopJoin over 1 row is the intended scalar join)
+    "q119_bigram_lm": ["HashAggregate", "!CartesianProduct", "!Window",
+                       "!ArrowEvalPython"],
+    # vocab ids broadcast; dedup + window share the doc_id exchange
+    "q120_winnowing": ["Window", "BroadcastHashJoin", "HashAggregate",
+                       "!CartesianProduct", "!ArrowEvalPython"],
+    # top-k must be TakeOrdered, never a global Sort
+    "q121_collocations": ["HashAggregate", "BroadcastHashJoin",
+                          "TakeOrdered", "!CartesianProduct", "!Window",
+                          "!ArrowEvalPython"],
 }
 
 NOTES = {
