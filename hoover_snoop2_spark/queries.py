@@ -6630,6 +6630,220 @@ LIMIT 100
 """
 
 
+def q122_recrawl_schedule(spark, sf_dir):
+    """Recrawl scheduling from capture history — the crawl-ops decision
+    the frontier (q61) and capture-dedup (q62) feed: per URL, how often
+    does the content actually change, and which revisit band does that
+    earn (hourly / daily / weekly / unknown)?  Captures come from the
+    events log (url = event_id mod 997, change = the capture's
+    event_type differing from the previous capture's — the same
+    "content fingerprint changed" predicate a real crawler computes
+    over digests).  All-integer: epoch seconds truncate identically on
+    both engines (the q57 idiom), the change rate is an integer
+    milli-ratio via floor division, and the band is a CASE over it.
+    Scale: ONE exchange — the lag window and the groupBy share the
+    (url_id) partitioning, so the window's sort is reused by the
+    aggregate; no joins, no floats."""
+    e = _t(spark, sf_dir, "events")
+    caps = e.select(
+        (F.col("event_id") % 997).alias("url_id"),
+        F.col("ts").cast("timestamp").cast("long").alias("ts_s"),
+        "event_type",
+        "event_id",
+    )
+    w = Window.partitionBy("url_id").orderBy("ts_s", "event_id")
+    prev = F.lag("event_type").over(w)
+    marked = caps.select(
+        "url_id",
+        "ts_s",
+        F.when(prev.isNotNull() & (F.col("event_type") != prev), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("changed"),
+    )
+    agg = marked.groupBy("url_id").agg(
+        F.count("*").alias("n_captures"),
+        F.sum("changed").alias("n_changes"),
+        F.expr("(max(ts_s) - min(ts_s)) div 3600").alias("span_hours"),
+    )
+    rate = F.when(F.col("n_captures") < 2, F.lit(0).cast("long")).otherwise(
+        F.expr("(n_changes * 1000) div (n_captures - 1)")
+    )
+    return (
+        agg.select(
+            "url_id",
+            "n_captures",
+            "n_changes",
+            "span_hours",
+            rate.alias("change_rate_milli"),
+        )
+        .withColumn(
+            "revisit",
+            F.when(F.col("n_captures") < 2, F.lit("unknown"))
+            .when(F.col("change_rate_milli") >= 500, F.lit("hourly"))
+            .when(F.col("change_rate_milli") >= 100, F.lit("daily"))
+            .otherwise(F.lit("weekly")),
+        )
+        .orderBy("url_id")
+    )
+
+
+Q122_SQL = r"""
+WITH caps AS (
+  SELECT event_id % 997 AS url_id,
+         floor(epoch(ts))::BIGINT AS ts_s,
+         event_type, event_id
+  FROM events
+), marked AS (
+  SELECT url_id, ts_s,
+         CASE WHEN lag(event_type) OVER w IS NOT NULL
+                   AND event_type != lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS changed
+  FROM caps WINDOW w AS (PARTITION BY url_id ORDER BY ts_s, event_id)
+), agg AS (
+  SELECT url_id,
+         CAST(COUNT(*) AS BIGINT) AS n_captures,
+         CAST(SUM(changed) AS BIGINT) AS n_changes,
+         (MAX(ts_s) - MIN(ts_s)) // 3600 AS span_hours
+  FROM marked GROUP BY url_id
+), rated AS (
+  SELECT url_id, n_captures, n_changes, span_hours,
+         CASE WHEN n_captures < 2 THEN 0
+              ELSE (n_changes * 1000) // (n_captures - 1) END
+           AS change_rate_milli
+  FROM agg
+)
+SELECT url_id, n_captures, n_changes, span_hours, change_rate_milli,
+       CASE WHEN n_captures < 2 THEN 'unknown'
+            WHEN change_rate_milli >= 500 THEN 'hourly'
+            WHEN change_rate_milli >= 100 THEN 'daily'
+            ELSE 'weekly' END AS revisit
+FROM rated ORDER BY url_id
+"""
+
+
+def q123_cocitation(spark, sf_dir):
+    """Host co-citation similarity (Small 1973, the SEO/web-graph
+    classic): two hosts are related when the same sources link to
+    both — Jaccard over each pair's distinct citing-source sets.
+    Links synthesize from doc_id arithmetic (like q51) over 97 source
+    and 89 destination hosts.  The quadratic step is the per-source
+    pair explode, so it is GATED: sources with more than 64 distinct
+    outlink hosts are dropped by a semi-join BEFORE the self-join
+    (the house skew rule — a mega-hub source would otherwise
+    contribute O(d²) pairs; at corpus scale this cap is what keeps
+    the stage bounded, and dropping hubs is also the right signal
+    call: a source citing everything relates nothing).  Jaccard is an
+    integer milli-ratio: co*1000 // (deg_a + deg_b - co).  Top 50 by
+    (co desc, pair) via TakeOrdered."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    links = (
+        d.select(
+            (F.col("doc_id") % 97).alias("src"),
+            F.array(
+                (F.col("doc_id") * 5) % 89, (F.col("doc_id") + 13) % 89
+            ).alias("dsts"),
+        )
+        .select("src", F.explode("dsts").alias("dst"))
+        .distinct()
+    )
+    fanout = links.groupBy("src").agg(
+        F.count("*").alias("n_dsts")
+    )
+    ok_src = fanout.where(F.col("n_dsts") <= 64).select("src")
+    gated = links.join(ok_src, "src", "left_semi")
+    deg = gated.groupBy("dst").agg(F.count("*").alias("deg"))
+    a = gated.select("src", F.col("dst").alias("host_a"))
+    b = gated.select("src", F.col("dst").alias("host_b"))
+    pairs = (
+        a.join(b, "src")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").alias("co_citations"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(deg.select(F.col("dst").alias("host_a"),
+                                   F.col("deg").alias("deg_a"))),
+            "host_a",
+        )
+        .join(
+            F.broadcast(deg.select(F.col("dst").alias("host_b"),
+                                   F.col("deg").alias("deg_b"))),
+            "host_b",
+        )
+        .select(
+            "host_a",
+            "host_b",
+            "co_citations",
+            "deg_a",
+            "deg_b",
+            F.expr(
+                "(co_citations * 1000) div (deg_a + deg_b - co_citations)"
+            ).alias("jaccard_milli"),
+        )
+        .orderBy(F.col("co_citations").desc(), "host_a", "host_b")
+        .limit(50)
+    )
+
+
+Q123_SQL = r"""
+WITH links AS (
+  SELECT DISTINCT doc_id % 97 AS src, dst
+  FROM (
+    SELECT doc_id, unnest([(doc_id * 5) % 89, (doc_id + 13) % 89]) AS dst
+    FROM documents
+  )
+), ok_src AS (
+  SELECT src FROM links GROUP BY src HAVING COUNT(*) <= 64
+), gated AS (
+  SELECT l.* FROM links l SEMI JOIN ok_src USING (src)
+), deg AS (
+  SELECT dst, COUNT(*) AS deg FROM gated GROUP BY dst
+), pairs AS (
+  SELECT a.dst AS host_a, b.dst AS host_b, COUNT(*) AS co_citations
+  FROM gated a JOIN gated b USING (src)
+  WHERE a.dst < b.dst
+  GROUP BY a.dst, b.dst
+)
+SELECT host_a, host_b,
+       CAST(co_citations AS BIGINT) AS co_citations,
+       CAST(da.deg AS BIGINT) AS deg_a,
+       CAST(db.deg AS BIGINT) AS deg_b,
+       (co_citations * 1000) // (da.deg + db.deg - co_citations)
+         AS jaccard_milli
+FROM pairs
+JOIN deg da ON da.dst = host_a
+JOIN deg db ON db.dst = host_b
+ORDER BY co_citations DESC, host_a, host_b
+LIMIT 50
+"""
+
+
+def q124_bpe_merges(spark, sf_dir):
+    """BPE tokenizer-merge training (Sennrich 2016) over the real
+    corpus — 8 merge rounds on ``documents.text``, returned as the
+    learned merge table.  Iterative and therefore NOT SQL-expressible
+    (rows-only driver row, like the streaming and ANN families); the
+    algorithm is pinned in test_bpe.py against an independent pure-
+    Python reference implementation on both a hand corpus and the real
+    sf0.001 table.  Scale: one corpus pass (word counts), then every
+    round is vocab-sized — see operators/bpe.py."""
+    from .operators.bpe import learn_bpe
+
+    d = _t(spark, sf_dir, "documents")
+    merges = learn_bpe(d, "text", n_merges=8)
+    rows = [
+        (i + 1, left, right, left + right, cnt)
+        for i, (left, right, cnt) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "merge_rank long, left string, right string, "
+        "merged string, pair_count long",
+    ).orderBy("merge_rank")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -6744,6 +6958,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q119_bigram_lm": q119_bigram_lm,
     "q120_winnowing": q120_winnowing,
     "q121_collocations": q121_collocations,
+    "q122_recrawl_schedule": q122_recrawl_schedule,
+    "q123_cocitation": q123_cocitation,
+    "q124_bpe_merges": q124_bpe_merges,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -6858,6 +7075,8 @@ ORACLES: dict[str, str] = {
     "q119_bigram_lm": Q119_SQL,
     "q120_winnowing": Q120_SQL,
     "q121_collocations": Q121_SQL,
+    "q122_recrawl_schedule": Q122_SQL,
+    "q123_cocitation": Q123_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

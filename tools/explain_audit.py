@@ -94,6 +94,8 @@ AUDITED = [
     "q119_bigram_lm",
     "q120_winnowing",
     "q121_collocations",
+    "q122_recrawl_schedule",
+    "q123_cocitation",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -307,6 +309,14 @@ CHECKS = {
     "q121_collocations": ["HashAggregate", "BroadcastHashJoin",
                           "TakeOrdered", "!CartesianProduct", "!Window",
                           "!ArrowEvalPython"],
+    # lag window and groupBy share the url_id exchange; no joins
+    "q122_recrawl_schedule": ["Window", "HashAggregate", "!SortMergeJoin",
+                              "!BroadcastHashJoin", "!CartesianProduct",
+                              "!ArrowEvalPython"],
+    # hub cap is a semi-join BEFORE the pair self-join; top-k TakeOrdered
+    "q123_cocitation": ["LeftSemi", "HashAggregate", "TakeOrdered",
+                        "!CartesianProduct", "!Window",
+                        "!ArrowEvalPython"],
 }
 
 NOTES = {
