@@ -6844,6 +6844,299 @@ def q124_bpe_merges(spark, sf_dir):
     ).orderBy("merge_rank")
 
 
+def q125_bitext_pairs(spark, sf_dir):
+    """Web-bitext URL-pair mining — the harvesting step parallel-corpus
+    pipelines (ParaCrawl/WMT) run before any alignment model: find URL
+    pairs that differ ONLY by a language path segment
+    (``/en/page7`` ↔ ``/fr/page7`` on the same host) and emit them as
+    translation-candidate document pairs.  URLs synthesize from doc_id
+    arithmetic (host = id mod 23, lang = en/fr/de by id mod 3, slug =
+    id div 3 — so every slug has exactly one page per language and the
+    oracle is closed-form).  The op itself is real: regexp-extract
+    (host, lang, slug), then join the English side to the non-English
+    side on (host, slug) — one equi-join shuffle on the pair key, no
+    self-cartesian (the join key INCLUDES slug, so a mega-host cannot
+    explode).  Scale: both sides are corpus-sized projections; the
+    join shuffles each once on (host, slug)."""
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id")
+        # every 11th page is missing, so some slugs lack their English
+        # side (or a translation) — pairing must survive partial sites
+        .where(F.col("doc_id") % 11 != 0)
+    )
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("fr"), F.lit("de")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    url = F.concat(
+        F.lit("https://site"),
+        F.expr("(doc_id div 3) % 23").cast("string"),
+        F.lit(".example/"),
+        lang,
+        F.lit("/page"),
+        F.expr("doc_id div 3").cast("string"),
+    )
+    pages = d.select("doc_id", url.alias("url")).select(
+        "doc_id",
+        F.regexp_extract("url", r"https://site(\d+)\.example", 1)
+        .cast("long")
+        .alias("host"),
+        F.regexp_extract("url", r"\.example/([a-z]{2})/", 1).alias("lang"),
+        F.regexp_extract("url", r"/page(\d+)$", 1).cast("long").alias("slug"),
+    )
+    en = pages.where(F.col("lang") == "en").select(
+        "host", "slug", F.col("doc_id").alias("doc_en")
+    )
+    xx = pages.where(F.col("lang") != "en").select(
+        "host",
+        "slug",
+        F.col("lang").alias("lang_b"),
+        F.col("doc_id").alias("doc_b"),
+    )
+    return (
+        en.join(xx, ["host", "slug"])
+        .select("host", "slug", "doc_en", "lang_b", "doc_b")
+        .orderBy("host", "slug", "lang_b")
+    )
+
+
+Q125_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         (doc_id // 3) % 23 AS host,
+         ['en', 'fr', 'de'][(doc_id % 3 + 1)::INT] AS lang,
+         doc_id // 3 AS slug
+  FROM documents
+  WHERE doc_id % 11 != 0
+)
+SELECT e.host AS host, e.slug AS slug, e.doc_id AS doc_en,
+       x.lang AS lang_b, x.doc_id AS doc_b
+FROM pages e JOIN pages x ON e.host = x.host AND e.slug = x.slug
+WHERE e.lang = 'en' AND x.lang != 'en'
+ORDER BY e.host, e.slug, x.lang
+"""
+
+
+def q126_publication_date(spark, sf_dir):
+    """Publication-date extraction with source precedence — the
+    trafilatura-style date signal training pipelines keep for
+    freshness weighting and dedup tie-breaks.  Three real extractors
+    run over synthesized pages (meta ``article:published_time``, a
+    ``<time datetime>`` element, a ``/YYYY/MM/`` URL path segment —
+    which sources each page carries depends on doc_id mod 4, so the
+    oracle is closed-form) and coalesce by the published precedence
+    meta > time > url; pages with no source report 'undated'.  All
+    JVM regexps in one Project — the standard scan-shaped metadata
+    pass."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    ds = doc.cast("string")
+    month = F.lpad((doc % 12 + 1).cast("string"), 2, "0")
+    day = F.lpad((doc % 28 + 1).cast("string"), 2, "0")
+    meta_date = F.concat(F.lit("2023-"), month, F.lit("-"), day)
+    time_date = F.concat(F.lit("2024-"), month, F.lit("-"), day)
+    url_date = F.concat(F.lit("2025/"), month)
+    kind = doc % 4
+    html = F.concat(
+        F.when(
+            kind == 0,
+            F.concat(
+                F.lit('<meta property="article:published_time" content="'),
+                meta_date,
+                F.lit('T08:00:00Z"><time datetime="'),
+                time_date,
+                F.lit('">x</time>'),
+            ),
+        )
+        .when(
+            kind == 1,
+            F.concat(
+                F.lit('<time datetime="'), time_date, F.lit('">x</time>')
+            ),
+        )
+        .otherwise(F.lit("<p>no inline date</p>")),
+        F.lit("<p>body "),
+        ds,
+        F.lit("</p>"),
+    )
+    url = F.when(
+        kind == 2,
+        F.concat(
+            F.lit("https://x.example/"), url_date, F.lit("/post"), ds
+        ),
+    ).otherwise(F.concat(F.lit("https://x.example/post"), ds))
+    pages = d.select("doc_id", html.alias("html"), url.alias("url"))
+    meta = F.regexp_extract(
+        "html",
+        r'property="article:published_time" content="(\d{4}-\d{2}-\d{2})',
+        1,
+    )
+    tm = F.regexp_extract("html", r'<time datetime="(\d{4}-\d{2}-\d{2})', 1)
+    up = F.regexp_extract("url", r"/(\d{4})/(\d{2})/", 1)
+    um = F.regexp_extract("url", r"/(\d{4})/(\d{2})/", 2)
+    nn = lambda c: F.when(c != "", c)  # noqa: E731
+    return pages.select(
+        "doc_id",
+        F.coalesce(
+            nn(meta),
+            nn(tm),
+            F.when(up != "", F.concat(up, F.lit("-"), um, F.lit("-01"))),
+            F.lit("undated"),
+        ).alias("pub_date"),
+        F.when(meta != "", F.lit("meta"))
+        .when(tm != "", F.lit("time"))
+        .when(up != "", F.lit("url"))
+        .otherwise(F.lit("none"))
+        .alias("date_source"),
+    ).orderBy("doc_id")
+
+
+Q126_SQL = r"""
+SELECT doc_id,
+       CASE doc_id % 4
+         WHEN 0 THEN '2023-' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')
+                     || '-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+         WHEN 1 THEN '2024-' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')
+                     || '-' || lpad((doc_id % 28 + 1)::VARCHAR, 2, '0')
+         WHEN 2 THEN '2025-' || lpad((doc_id % 12 + 1)::VARCHAR, 2, '0')
+                     || '-01'
+         ELSE 'undated'
+       END AS pub_date,
+       CASE doc_id % 4
+         WHEN 0 THEN 'meta' WHEN 1 THEN 'time' WHEN 2 THEN 'url'
+         ELSE 'none'
+       END AS date_source
+FROM documents ORDER BY doc_id
+"""
+
+
+def q127_sequence_packing(spark, sf_dir):
+    """Token-window sequence packing — the step that turns cleaned
+    documents into fixed-length training windows (2048 tokens, docs
+    concatenated in corpus order, long docs split across windows):
+    emit (window_id, doc_id, tok_start, tok_end) spans.  Unlike q14's
+    single-task running sum, the prefix sum here is the REAL
+    distributed two-phase form: per-bucket local cumsums run in
+    parallel (window partitioned by doc_id div 256), bucket offsets
+    are a bucket-count-sized second window, and a broadcast join adds
+    them back — the textbook scalable prefix sum, and the oracle's
+    plain global cumsum proves the decomposition exact.  Window
+    membership then explodes via sequence(first_w, last_w) — a doc
+    spanning k windows emits k rows with clamped [start, end) token
+    offsets.  All integers."""
+    W = 2048
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("doc_id div 256").alias("bucket"),
+        F.size(
+            F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+        )
+        .cast("long")
+        .alias("n_tokens"),
+    ).where(F.col("n_tokens") > 0)
+    wloc = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    local = toks.withColumn("local_cum", F.sum("n_tokens").over(wloc))
+    btot = toks.groupBy("bucket").agg(F.sum("n_tokens").alias("btoks"))
+    woff = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = btot.select(
+        "bucket",
+        F.coalesce(F.sum("btoks").over(woff), F.lit(0)).alias("offset"),
+    )
+    cum = (
+        local.join(F.broadcast(offs), "bucket")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("local_cum") + F.col("offset")).alias("cum"),
+        )
+        .withColumn("start", F.col("cum") - F.col("n_tokens"))
+    )
+    spans = cum.select(
+        "doc_id",
+        "n_tokens",
+        "start",
+        "cum",
+        F.explode(
+            F.sequence(
+                F.expr(f"start div {W}"), F.expr(f"(cum - 1) div {W}")
+            )
+        ).alias("window_id"),
+    )
+    return spans.select(
+        "window_id",
+        "doc_id",
+        F.greatest(F.col("start"), F.col("window_id") * W).alias(
+            "tok_start"
+        ),
+        F.least(F.col("cum"), (F.col("window_id") + 1) * W).alias(
+            "tok_end"
+        ),
+    ).orderBy("window_id", "doc_id")
+
+
+Q127_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         w -> w != ''))::BIGINT AS n_tokens
+  FROM documents
+), cums AS (
+  SELECT doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum
+  FROM toks WHERE n_tokens > 0
+), spans AS (
+  SELECT doc_id, n_tokens, cum, cum - n_tokens AS start,
+         unnest(range((cum - n_tokens) // 2048, (cum - 1) // 2048 + 1))
+           AS window_id
+  FROM cums
+)
+SELECT window_id, doc_id,
+       greatest(start, window_id * 2048) AS tok_start,
+       least(cum, (window_id + 1) * 2048) AS tok_end
+FROM spans ORDER BY window_id, doc_id
+"""
+
+
+def q128_host_cardinality_sketch(spark, sf_dir):
+    """Per-host distinct-URL cardinality via HyperLogLog++
+    (``approx_count_distinct``) next to the exact count — the sketch a
+    100-TB crawl ledger uses where exact distinct would shuffle every
+    URL (the HLL buffer is a few KB per host and merges map-side, so
+    the shuffle carries sketches, not URLs).  Approximate by nature →
+    rows-only at the driver; test_sketches.py pins the relative error
+    against the exact count (HLL++ rsd 5% default) on every host, and
+    the exact column here keeps the comparison honest at any sf."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    pages = d.select(
+        (F.col("doc_id") % 53).alias("host"),
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 53).cast("string"),
+            F.lit(".example/p"),
+            F.col("doc_id").cast("string"),
+        ).alias("url"),
+    )
+    return (
+        pages.groupBy("host")
+        .agg(
+            F.count("*").alias("n_pages"),
+            F.approx_count_distinct("url").alias("n_urls_approx"),
+            F.countDistinct("url").alias("n_urls_exact"),
+        )
+        .orderBy("host")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -6961,6 +7254,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q122_recrawl_schedule": q122_recrawl_schedule,
     "q123_cocitation": q123_cocitation,
     "q124_bpe_merges": q124_bpe_merges,
+    "q125_bitext_pairs": q125_bitext_pairs,
+    "q126_publication_date": q126_publication_date,
+    "q127_sequence_packing": q127_sequence_packing,
+    "q128_host_cardinality_sketch": q128_host_cardinality_sketch,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -7077,6 +7374,9 @@ ORACLES: dict[str, str] = {
     "q121_collocations": Q121_SQL,
     "q122_recrawl_schedule": Q122_SQL,
     "q123_cocitation": Q123_SQL,
+    "q125_bitext_pairs": Q125_SQL,
+    "q126_publication_date": Q126_SQL,
+    "q127_sequence_packing": Q127_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -96,6 +96,10 @@ AUDITED = [
     "q121_collocations",
     "q122_recrawl_schedule",
     "q123_cocitation",
+    "q125_bitext_pairs",
+    "q126_publication_date",
+    "q127_sequence_packing",
+    "q128_host_cardinality_sketch",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -317,6 +321,21 @@ CHECKS = {
     "q123_cocitation": ["LeftSemi", "HashAggregate", "TakeOrdered",
                         "!CartesianProduct", "!Window",
                         "!ArrowEvalPython"],
+    # pair key includes slug: an equi-join, never a host-only explode
+    "q125_bitext_pairs": ["!CartesianProduct", "!BroadcastNestedLoopJoin",
+                          "!Window", "!ArrowEvalPython"],
+    # three regexps + coalesce in one Project
+    "q126_publication_date": ["Project", "!HashAggregate",
+                              "!CartesianProduct", "!ArrowEvalPython"],
+    # two-phase prefix sum: bucketed window + tiny offset window +
+    # broadcast join; the explode is the only Generate
+    "q127_sequence_packing": ["Window", "BroadcastHashJoin", "Generate",
+                              "!CartesianProduct", "!SortMergeJoin",
+                              "!ArrowEvalPython"],
+    # HLL sketch merges map-side inside the same HashAggregate
+    "q128_host_cardinality_sketch": ["HashAggregate", "!Window",
+                                     "!CartesianProduct",
+                                     "!ArrowEvalPython"],
 }
 
 NOTES = {
