@@ -7137,6 +7137,231 @@ def q128_host_cardinality_sketch(spark, sf_dir):
     )
 
 
+def q129_quality_mixing(spark, sf_dir):
+    """Quality-stratified corpus mixing — the data-mixing step that
+    hits a target band composition (keep 90% of high-quality docs,
+    50% of mid, 20% of low) with DETERMINISTIC per-doc sampling, so
+    reruns and engines agree and the mix is reproducible from ids
+    alone.  Bands come from n_chars cut-points; the keep decision is
+    a Knuth multiplicative hash ``(doc_id * 2654435761) % 1000``
+    against the band's permille rate — integer, seedless,
+    engine-identical (the q46 deterministic-sampling idiom, here with
+    per-band rates).  Output: per-band totals, kept counts, and the
+    achieved permille — the report a mixing job publishes next to
+    the corpus it emits.  Scale: one scan, one 3-row groupBy; the
+    keep filter pushes into the scan."""
+    d = _t(spark, sf_dir, "documents")
+    band = (
+        F.when(F.col("n_chars") >= 400, F.lit("high"))
+        .when(F.col("n_chars") >= 250, F.lit("mid"))
+        .otherwise(F.lit("low"))
+    )
+    rate = (
+        F.when(F.col("band") == "high", F.lit(900))
+        .when(F.col("band") == "mid", F.lit(500))
+        .otherwise(F.lit(200))
+    )
+    h = (F.col("doc_id") * F.lit(2654435761)) % 1000
+    return (
+        d.select("doc_id", band.alias("band"))
+        .withColumn("kept", (h < rate).cast("long"))
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum("kept").alias("n_kept"),
+        )
+        .select(
+            "band",
+            "n_total",
+            "n_kept",
+            F.expr("(n_kept * 1000) div n_total").alias("achieved_permille"),
+        )
+        .orderBy("band")
+    )
+
+
+Q129_SQL = r"""
+WITH banded AS (
+  SELECT doc_id,
+         CASE WHEN n_chars >= 400 THEN 'high'
+              WHEN n_chars >= 250 THEN 'mid'
+              ELSE 'low' END AS band
+  FROM documents
+), marked AS (
+  SELECT band,
+         CASE WHEN (doc_id * 2654435761) % 1000 <
+                   CASE band WHEN 'high' THEN 900
+                             WHEN 'mid' THEN 500 ELSE 200 END
+              THEN 1 ELSE 0 END AS kept
+  FROM banded
+)
+SELECT band,
+       CAST(COUNT(*) AS BIGINT) AS n_total,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       (SUM(kept) * 1000) // COUNT(*) AS achieved_permille
+FROM marked GROUP BY band ORDER BY band
+"""
+
+
+def q130_token_budget_selection(spark, sf_dir):
+    """Data selection under a token budget — rank documents by a
+    quality score and take the best until the training budget (10k
+    tokens — ~40% of the sf0.01 corpus, so the cut actually fires) is spent; long-tail selection pipelines (quality-classifier
+    top-p, DSIR top-k) all reduce to this cumsum-and-cut.  The score
+    is the integer type-token-ratio permille (distinct/total tokens —
+    a real lexical-diversity signal, and all-integer so both engines
+    rank identically); ties break on doc_id.  The exact running sum
+    needs a global order (single-task window — q14's documented
+    trade; the two-phase decomposition q127 implements applies
+    unchanged when the ranked corpus no longer fits one task).
+    Output: the selected docs with their cumulative budget position."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.col("text"), r"\s+"), lambda w: w != ""
+    )
+    scored = d.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_tokens"),
+        F.expr(
+            "(size(array_distinct(filter(split(text, '\\\\s+'),"
+            " w -> w != ''))) * 1000)"
+        ).alias("_dist_k"),
+    ).where(F.col("n_tokens") > 0)
+    scored = scored.select(
+        "doc_id",
+        "n_tokens",
+        F.expr("_dist_k div n_tokens").alias("ttr_permille"),
+    )
+    w = Window.orderBy(
+        F.col("ttr_permille").desc(), F.col("doc_id")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        scored.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= 10000)
+        .select("doc_id", "n_tokens", "ttr_permille", "cum_tokens")
+        .orderBy("cum_tokens")
+    )
+
+
+Q130_SQL = r"""
+WITH scored AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         w -> w != ''))::BIGINT AS n_tokens,
+         (len(list_distinct(list_filter(string_split_regex(text, '\s+'),
+                                        w -> w != ''))) * 1000) AS dist_k
+  FROM documents
+), ranked AS (
+  SELECT doc_id, n_tokens, dist_k // n_tokens AS ttr_permille
+  FROM scored WHERE n_tokens > 0
+), cums AS (
+  SELECT doc_id, n_tokens, ttr_permille,
+         CAST(SUM(n_tokens) OVER (ORDER BY ttr_permille DESC, doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM ranked
+)
+SELECT doc_id, n_tokens, ttr_permille, cum_tokens
+FROM cums WHERE cum_tokens <= 10000 ORDER BY cum_tokens
+"""
+
+
+def q131_leakage_safe_splits(spark, sf_dir):
+    """Contamination-safe train/val/test assignment — the split must
+    hash the DOMAIN, not the document, or near-duplicate pages of one
+    site straddle the split and the eval leaks (the classic web-corpus
+    mistake).  Domains synthesize as doc_id mod 211; the assignment is
+    a multiplicative hash of the domain id against 800/900 permille
+    cut-points.  By construction every domain lands in exactly one
+    split — test_mixing_splits.py proves the leakage property AND
+    demonstrates that doc-level hashing WOULD straddle.  Output: per
+    split, domain and doc counts.  Scale: one scan + a 3-row
+    aggregate; countDistinct(domain) is vocabulary-sized."""
+    d = _t(spark, sf_dir, "documents")
+    dom = (F.col("doc_id") % 211).alias("domain_id")
+    h = (F.col("domain_id") * F.lit(40503)) % 1000
+    split = (
+        F.when(h < 800, F.lit("train"))
+        .when(h < 900, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select("doc_id", dom)
+        .withColumn("split", split)
+        .groupBy("split")
+        .agg(
+            F.countDistinct("domain_id").alias("n_domains"),
+            F.count("*").alias("n_docs"),
+        )
+        .orderBy("split")
+    )
+
+
+Q131_SQL = r"""
+WITH assigned AS (
+  SELECT doc_id, doc_id % 211 AS domain_id,
+         CASE WHEN (doc_id % 211) * 40503 % 1000 < 800 THEN 'train'
+              WHEN (doc_id % 211) * 40503 % 1000 < 900 THEN 'val'
+              ELSE 'test' END AS split
+  FROM documents
+)
+SELECT split,
+       CAST(COUNT(DISTINCT domain_id) AS BIGINT) AS n_domains,
+       CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
+def q132_dup_family_weights(spark, sf_dir):
+    """Duplicate-family downweighting — instead of dropping duplicates,
+    many pipelines keep them at weight 1/sqrt(family_size) so common
+    pages still contribute without dominating (the repetition-
+    discounting idiom).  Families are exact-dup groups over the q16
+    normalized fingerprint; the weight is ``floor(1e6/sqrt(n)+0.5)``
+    in integer micro-units — IEEE sqrt is correctly rounded on BOTH
+    engines (unlike ln/exp), so the values are bit-identical.  Scale:
+    one shuffle on fp shared by the family-size window; no joins."""
+    d = _t(spark, sf_dir, "documents")
+    fp = F.md5(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    )
+    wfam = Window.partitionBy("fp")
+    return (
+        d.select("doc_id", fp.alias("fp"))
+        .withColumn("family_size", F.count("*").over(wfam))
+        .select(
+            "doc_id",
+            "fp",
+            "family_size",
+            F.floor(
+                F.lit(1000000.0)
+                / F.sqrt(F.col("family_size").cast("double"))
+                + 0.5
+            )
+            .cast("long")
+            .alias("weight_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q132_SQL = r"""
+WITH fam AS (
+  SELECT doc_id,
+         md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+), sized AS (
+  SELECT doc_id, fp,
+         CAST(COUNT(*) OVER (PARTITION BY fp) AS BIGINT) AS family_size
+  FROM fam
+)
+SELECT doc_id, fp, family_size,
+       CAST(floor(1000000.0 / sqrt(family_size::DOUBLE) + 0.5) AS BIGINT)
+         AS weight_micro
+FROM sized ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -7258,6 +7483,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q126_publication_date": q126_publication_date,
     "q127_sequence_packing": q127_sequence_packing,
     "q128_host_cardinality_sketch": q128_host_cardinality_sketch,
+    "q129_quality_mixing": q129_quality_mixing,
+    "q130_token_budget_selection": q130_token_budget_selection,
+    "q131_leakage_safe_splits": q131_leakage_safe_splits,
+    "q132_dup_family_weights": q132_dup_family_weights,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -7377,6 +7606,10 @@ ORACLES: dict[str, str] = {
     "q125_bitext_pairs": Q125_SQL,
     "q126_publication_date": Q126_SQL,
     "q127_sequence_packing": Q127_SQL,
+    "q129_quality_mixing": Q129_SQL,
+    "q130_token_budget_selection": Q130_SQL,
+    "q131_leakage_safe_splits": Q131_SQL,
+    "q132_dup_family_weights": Q132_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

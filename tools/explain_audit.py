@@ -100,6 +100,10 @@ AUDITED = [
     "q126_publication_date",
     "q127_sequence_packing",
     "q128_host_cardinality_sketch",
+    "q129_quality_mixing",
+    "q130_token_budget_selection",
+    "q131_leakage_safe_splits",
+    "q132_dup_family_weights",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -336,6 +340,20 @@ CHECKS = {
     "q128_host_cardinality_sketch": ["HashAggregate", "!Window",
                                      "!CartesianProduct",
                                      "!ArrowEvalPython"],
+    # one scan, 3-row aggregate; no window, no joins
+    "q129_quality_mixing": ["HashAggregate", "!Window", "!SortMergeJoin",
+                            "!CartesianProduct", "!ArrowEvalPython"],
+    # global running sum: the q14 trade, documented
+    "q130_token_budget_selection": ["Window", "!SortMergeJoin",
+                                    "!CartesianProduct",
+                                    "!ArrowEvalPython"],
+    # one scan + 3-row aggregate
+    "q131_leakage_safe_splits": ["HashAggregate", "!Window",
+                                 "!CartesianProduct", "!ArrowEvalPython"],
+    # family size = count over the fp window; no joins
+    "q132_dup_family_weights": ["Window", "!SortMergeJoin",
+                                "!BroadcastHashJoin", "!CartesianProduct",
+                                "!ArrowEvalPython"],
 }
 
 NOTES = {
