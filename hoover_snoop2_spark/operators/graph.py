@@ -311,6 +311,101 @@ def pagerank(
     )
 
 
+def hits(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 8,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, hub, auth) HITS (Kleinberg) over a directed edge list —
+    the hub/authority companion to :func:`pagerank` crawl pipelines use
+    to separate link directories (hubs) from linked-to content
+    (authorities).
+
+    Power iteration on A^T A, run UNNORMALIZED over integer scores with
+    one L1 normalization at the end: per-round normalization only
+    rescales the vector, so the final direction is identical in exact
+    math — and keeping rounds in BIGINT makes every intermediate sum
+    associative/commutative-exact (no FP gather-order drift at all; the
+    single final division is one correctly-rounded IEEE op per node,
+    which is what makes the DuckDB oracle bit-exact).  Production note:
+    at web scale (or iters large enough that scores approach 2^53)
+    switch to per-round float normalization — same two shuffles per
+    half-step, same direction, just not integer-exact.
+
+    Each half-step is one join (edges × scores) + one groupBy — the
+    same two-shuffle round shape as pagerank, with the same mandatory
+    per-round lineage truncation.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct()
+
+    _cp = None
+    if checkpoint_dir is not None:
+        from ..plans.checkpoint import CheckpointStore
+
+        _cp = CheckpointStore(checkpoint_dir)
+
+    def _pin(df: DataFrame, name: str) -> DataFrame:
+        if _cp is not None:
+            return _cp.write(df, name)
+        return df.localCheckpoint(eager=True)
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    nodes = _pin(nodes, "hits_nodes")
+
+    hub = nodes.select("node", F.lit(1).cast("long").alias("score"))
+    auth = nodes.select("node", F.lit(0).cast("long").alias("score"))
+    for it in range(iters):
+        # auth_v = sum of hub over in-edges (u, v)
+        auth = _pin(
+            nodes.join(
+                e.join(hub, e["src"] == hub["node"])
+                .select("dst", "score")
+                .groupBy("dst")
+                .agg(F.sum("score").alias("g")),
+                nodes["node"] == F.col("dst"),
+                "left",
+            ).select("node", F.coalesce("g", F.lit(0)).alias("score")),
+            f"hits_auth_{it}",
+        )
+        # hub_u = sum of auth over out-edges (u, v)
+        hub = _pin(
+            nodes.join(
+                e.join(auth, e["dst"] == auth["node"])
+                .select("src", "score")
+                .groupBy("src")
+                .agg(F.sum("score").alias("g")),
+                nodes["node"] == F.col("src"),
+                "left",
+            ).select("node", F.coalesce("g", F.lit(0)).alias("score")),
+            f"hits_hub_{it}",
+        )
+    totals = hub.agg(F.sum("score")).first()[0], auth.agg(F.sum("score")).first()[0]
+    h_total = float(totals[0] or 1)
+    a_total = float(totals[1] or 1)
+
+    def _norm(col, total):
+        d = col.cast("double") / F.lit(total)
+        return F.floor(d * 1000000 + F.lit(0.5)) / 1000000
+
+    return (
+        hub.select("node", F.col("score").alias("h"))
+        .join(auth.select("node", F.col("score").alias("a")), "node")
+        .select(
+            "node",
+            _norm(F.col("h"), h_total).alias("hub"),
+            _norm(F.col("a"), a_total).alias("auth"),
+        )
+    )
+
+
 def resolve_roots(
     df: DataFrame,
     id_col: str = "id",

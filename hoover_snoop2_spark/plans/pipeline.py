@@ -98,9 +98,17 @@ def run_extraction(
     # because every consumer pays a full-row deserialize.
     user_dir = checkpoint_dir is not None
     if checkpoint_dir is None:
+        import atexit
+        import shutil
         import tempfile
 
         checkpoint_dir = tempfile.mkdtemp(prefix="snoop_spark_ckpt_")
+        # ephemeral dirs are OURS to reap: the returned DataFrame reads
+        # these parquet snapshots lazily, so deletion must wait until
+        # interpreter exit — without this, every bench/test leg leaks
+        # ~180 MB and a long session eventually fills /tmp (measured:
+        # a full bench died on ENOSPC behind ~80 GB of stale legs)
+        atexit.register(shutil.rmtree, checkpoint_dir, ignore_errors=True)
     cp = CheckpointStore(checkpoint_dir)
 
     work = pages.select(

@@ -7362,6 +7362,328 @@ FROM sized ORDER BY doc_id
 """
 
 
+def q133_image_alt_pairs(spark, sf_dir):
+    """Image–alt-text pair mining — the LAION/CC-style multimodal
+    harvesting step: pull ``<img src alt>`` pairs out of page HTML,
+    absolutize the src against the page host, drop decorative/junk alts
+    (empty or under 3 words), and dedup per image URL with
+    first-capture precedence (q62's rule).  HTML synthesizes from
+    doc_id arithmetic (kind = id mod 4: descriptive alt / longer
+    descriptive alt / 1-word junk / no image; every image-bearing page
+    also carries a decorative empty-alt img that the word-count gate
+    must drop), so the oracle is closed-form.  Image ids repeat mod 28
+    (a multiple of the 7-host cycle, so colliding docs share host AND
+    kind class) — URL groups carry ~9 candidates each and the arg-min
+    genuinely matters.  All JVM regexps; one groupBy shuffle on the image URL —
+    the scan-shaped pass a 100-TB image-text corpus build runs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    kind = doc % 4
+    img = F.concat(
+        F.lit('<img src="/img'),
+        (doc % 28).cast("string"),
+        F.lit('.jpg" alt="'),
+        F.when(kind == 0, F.concat(F.lit("photo of item number "), doc.cast("string")))
+        .when(
+            kind == 1,
+            F.concat(
+                F.lit("picture of product "), doc.cast("string"), F.lit(" detail view")
+            ),
+        )
+        .otherwise(F.lit("image")),
+        F.lit('">'),
+    )
+    html = F.concat(
+        F.lit("<html><body>"),
+        F.when(kind != 3, F.concat(img, F.lit('<img src="/decor.png" alt="">')))
+        .otherwise(F.lit("<p>text only</p>")),
+        F.lit("</body></html>"),
+    )
+    tags = d.select(
+        "doc_id",
+        (doc % 7).alias("host"),
+        F.explode(
+            F.regexp_extract_all(
+                html, F.lit(r'<img src="[^"]*" alt="[^"]*"'), F.lit(0)
+            )
+        ).alias("tag"),
+    )
+    pairs = tags.select(
+        "doc_id",
+        "host",
+        F.regexp_extract("tag", r'src="([^"]*)"', 1).alias("src"),
+        F.regexp_extract("tag", r'alt="([^"]*)"', 1).alias("alt"),
+    ).where(
+        F.col("src").rlike(r"\.(jpg|png)$")
+        & (F.size(F.filter(F.split("alt", " "), lambda w: w != "")) >= 3)
+    )
+    absolutized = pairs.select(
+        "doc_id",
+        "alt",
+        F.concat(
+            F.lit("https://site"),
+            F.col("host").cast("string"),
+            F.lit(".example"),
+            F.col("src"),
+        ).alias("image_url"),
+    )
+    return (
+        absolutized.groupBy("image_url")
+        .agg(
+            F.min("doc_id").alias("first_doc"),
+            F.min_by("alt", "doc_id").alias("alt"),
+            F.count("*").alias("n_candidates"),
+        )
+        .orderBy("image_url")
+    )
+
+
+Q133_SQL = r"""
+WITH pages AS (
+  SELECT doc_id, doc_id % 7 AS host, doc_id % 4 AS kind,
+         CASE WHEN doc_id % 4 = 0
+                THEN 'photo of item number ' || CAST(doc_id AS VARCHAR)
+              WHEN doc_id % 4 = 1
+                THEN 'picture of product ' || CAST(doc_id AS VARCHAR)
+                     || ' detail view'
+              ELSE 'image' END AS alt,
+         '/img' || CAST(doc_id % 28 AS VARCHAR) || '.jpg' AS src
+  FROM documents
+), kept AS (
+  SELECT doc_id, alt,
+         'https://site' || CAST(host AS VARCHAR) || '.example' || src
+           AS image_url
+  FROM pages
+  WHERE kind != 3
+    AND regexp_matches(src, '\.(jpg|png)$')
+    AND len(list_filter(string_split(alt, ' '), w -> w != '')) >= 3
+)
+SELECT image_url, min(doc_id) AS first_doc,
+       arg_min(alt, doc_id) AS alt, count(*)::BIGINT AS n_candidates
+FROM kept GROUP BY image_url ORDER BY image_url
+"""
+
+
+def q134_quality_classifier(spark, sf_dir):
+    """Hashed-linear quality-classifier inference — the fastText /
+    FineWeb-Edu-classifier dataflow shape: tokenize, feature-hash each
+    token into a fixed bucket table, sum the bucket weights, threshold
+    into keep/drop.  The weight table here is synthetic-deterministic
+    (a Knuth-multiplicative map of the bucket id — no trained model
+    ships in this sandbox) but the dataflow is the production one, and
+    because bucket/weight are closed-form integer expressions the
+    whole classifier runs as ONE aggregate HOF inside the scan
+    projection: zero shuffles, zero UDFs, all-integer (bit-exact
+    oracle).  A real model swaps the weight expression for a broadcast
+    map lookup — same plan shape."""
+    d = _t(spark, sf_dir, "documents")
+    score = F.expr(
+        """
+        aggregate(
+          filter(split(lower(text), '[^a-z]+'), w -> w != ''),
+          0L,
+          (acc, w) -> acc +
+            (((((length(w) * 31 + ascii(w)) % 64) * 2654435761L) % 1000)
+             - 500)
+        )
+        """
+    )
+    n_tok = F.expr(
+        "size(filter(split(lower(text), '[^a-z]+'), w -> w != ''))"
+    ).cast("long")
+    return (
+        d.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            score.alias("score"),
+        )
+        .withColumn(
+            "verdict",
+            F.when(F.col("score") > 0, F.lit("keep")).otherwise(F.lit("drop")),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q134_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     w -> w != '') AS ws
+  FROM documents
+)
+SELECT doc_id,
+       len(ws)::BIGINT AS n_tokens,
+       COALESCE(list_sum(list_transform(ws,
+         w -> (((((length(w) * 31 + ascii(w)) % 64) * 2654435761) % 1000)
+               - 500))), 0)::BIGINT AS score,
+       CASE WHEN COALESCE(list_sum(list_transform(ws,
+         w -> (((((length(w) * 31 + ascii(w)) % 64) * 2654435761) % 1000)
+               - 500))), 0) > 0 THEN 'keep' ELSE 'drop' END AS verdict
+FROM toks ORDER BY doc_id
+"""
+
+
+def q135_host_hits(spark, sf_dir):
+    """HITS hubs/authorities over the q51 host graph — the
+    link-directory-vs-content split crawl schedulers use next to
+    PageRank.  Runs unnormalized in BIGINT (integer gathers are
+    gather-order-exact; per-round normalization only rescales — see
+    operators/graph.hits) with one final L1 division per node, so the
+    only FP op in the whole query is one correctly-rounded IEEE
+    division — which is what lets a 7-node DuckDB recursive CTE
+    running the identical 8 rounds certify it value-exact, same
+    pattern as q52's PageRank oracle."""
+    from .operators.graph import hits
+
+    edges = _host_edges(spark, sf_dir).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return hits(edges, iters=8).orderBy("node")
+
+
+def _q135_sql() -> str:
+    """Recursive-CTE HITS oracle: state carries (h0..h6, a0..a6); each
+    step gathers auth' from hub over in-edges, then hub' from auth'
+    over out-edges — all BIGINT, so engine arithmetic is exact; the
+    final normalization mirrors the Spark side's single division."""
+    n = 7
+
+    def gather_in(v: int) -> str:  # auth_v = sum of hub over (u -> v)
+        return " + ".join(
+            f"(CASE WHEN (SELECT count(*) FROM e135 WHERE src = {u}"
+            f" AND dst = {v}) > 0 THEN h{u} ELSE 0 END)"
+            for u in range(n)
+        )
+
+    def gather_out(u: int) -> str:  # hub_u = sum of auth' over (u -> v)
+        return " + ".join(
+            f"(CASE WHEN (SELECT count(*) FROM e135 WHERE src = {u}"
+            f" AND dst = {v}) > 0 THEN a{v}n ELSE 0 END)"
+            for v in range(n)
+        )
+
+    a_cols = ", ".join(f"({gather_in(v)}) AS a{v}n" for v in range(n))
+    h_cols = ", ".join(f"({gather_out(u)}) AS h{u}" for u in range(n))
+    an_cols = ", ".join(f"a{v}n" for v in range(n))
+    state_cols = ", ".join(
+        [f"h{u}" for u in range(n)] + [f"a{v}" for v in range(n)]
+    )
+    init = ", ".join(["1::BIGINT"] * n + ["0::BIGINT"] * n)
+    h_sum = " + ".join(f"h{u}" for u in range(n))
+    a_sum = " + ".join(f"a{v}" for v in range(n))
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT {v}::BIGINT AS node,"
+        f" floor((h{v}::DOUBLE / ({h_sum})::DOUBLE) * 1000000 + 0.5)"
+        f" / 1000000 AS hub,"
+        f" floor((a{v}::DOUBLE / ({a_sum})::DOUBLE) * 1000000 + 0.5)"
+        f" / 1000000 AS auth"
+        f" FROM hs WHERE it = 8"
+        for v in range(n)
+    )
+    return f"""
+WITH RECURSIVE e135 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 7 AS src, (doc_id * 3) % 7 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id % 7, (doc_id + 1) % 7 FROM documents
+  ) WHERE src != dst
+), hs(it, {state_cols}) AS (
+  SELECT 0, {init}
+  UNION ALL
+  SELECT it + 1, {h_cols}, {an_cols} FROM (
+    SELECT it, {a_cols} FROM hs WHERE it < 8
+  )
+)
+SELECT node, hub, auth FROM ({unpivot}) ORDER BY node
+"""
+
+
+def q136_bitext_alignment(spark, sf_dir):
+    """Length-ratio alignment scoring of the q125 bitext candidates —
+    the Gale–Church signal parallel-corpus pipelines apply before any
+    alignment model: a translation pair whose token counts diverge
+    wildly is noise.  Joins the candidate pairs back to the REAL
+    document texts (both sides shuffle once on doc_id), scores
+    ``|len_a − len_b| · 1000 div (len_a + len_b)`` in exact integer
+    permille, and verdicts at 250‰.  All-integer, value-exact."""
+    pairs = q125_bitext_pairs(spark, sf_dir)
+    lens = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr("size(filter(split(text, '\\\\s+'), w -> w != ''))")
+        .cast("long")
+        .alias("n_tok"),
+    )
+    scored = (
+        pairs.join(
+            lens.select(
+                F.col("doc_id").alias("doc_en"), F.col("n_tok").alias("n_en")
+            ),
+            "doc_en",
+        )
+        .join(
+            lens.select(
+                F.col("doc_id").alias("doc_b"), F.col("n_tok").alias("n_b")
+            ),
+            "doc_b",
+        )
+        .where(F.col("n_en") + F.col("n_b") > 0)
+        .select(
+            "host",
+            "slug",
+            "doc_en",
+            "lang_b",
+            "doc_b",
+            "n_en",
+            "n_b",
+            F.expr("abs(n_en - n_b) * 1000 div (n_en + n_b)").alias(
+                "penalty_permille"
+            ),
+        )
+    )
+    return scored.withColumn(
+        "verdict",
+        F.when(F.col("penalty_permille") <= 250, F.lit("aligned")).otherwise(
+            F.lit("length_mismatch")
+        ),
+    ).orderBy("host", "slug", "lang_b")
+
+
+Q136_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         (doc_id // 3) % 23 AS host,
+         ['en', 'fr', 'de'][(doc_id % 3 + 1)::INT] AS lang,
+         doc_id // 3 AS slug
+  FROM documents
+  WHERE doc_id % 11 != 0
+), pairs AS (
+  SELECT e.host AS host, e.slug AS slug, e.doc_id AS doc_en,
+         x.lang AS lang_b, x.doc_id AS doc_b
+  FROM pages e JOIN pages x ON e.host = x.host AND e.slug = x.slug
+  WHERE e.lang = 'en' AND x.lang != 'en'
+), lens AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\s+'),
+                         w -> w != ''))::BIGINT AS n_tok
+  FROM documents
+), scored AS (
+  SELECT p.host, p.slug, p.doc_en, p.lang_b, p.doc_b,
+         a.n_tok AS n_en, b.n_tok AS n_b,
+         abs(a.n_tok - b.n_tok) * 1000 // (a.n_tok + b.n_tok)
+           AS penalty_permille
+  FROM pairs p
+  JOIN lens a ON a.doc_id = p.doc_en
+  JOIN lens b ON b.doc_id = p.doc_b
+  WHERE a.n_tok + b.n_tok > 0
+)
+SELECT host, slug, doc_en, lang_b, doc_b, n_en, n_b, penalty_permille,
+       CASE WHEN penalty_permille <= 250 THEN 'aligned'
+            ELSE 'length_mismatch' END AS verdict
+FROM scored ORDER BY host, slug, lang_b
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -7487,6 +7809,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q130_token_budget_selection": q130_token_budget_selection,
     "q131_leakage_safe_splits": q131_leakage_safe_splits,
     "q132_dup_family_weights": q132_dup_family_weights,
+    "q133_image_alt_pairs": q133_image_alt_pairs,
+    "q134_quality_classifier": q134_quality_classifier,
+    "q135_host_hits": q135_host_hits,
+    "q136_bitext_alignment": q136_bitext_alignment,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -7610,6 +7936,10 @@ ORACLES: dict[str, str] = {
     "q130_token_budget_selection": Q130_SQL,
     "q131_leakage_safe_splits": Q131_SQL,
     "q132_dup_family_weights": Q132_SQL,
+    "q133_image_alt_pairs": Q133_SQL,
+    "q134_quality_classifier": Q134_SQL,
+    "q135_host_hits": _q135_sql(),
+    "q136_bitext_alignment": Q136_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

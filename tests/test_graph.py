@@ -189,3 +189,42 @@ def test_pagerank_empty_edges(spark):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert pagerank(df, iters=2).count() == 0
+
+
+def test_hits_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from hoover_snoop2_spark.operators.graph import hits
+
+    # a hub (4 links out to everything) and an authority (everyone -> 2)
+    edges = [(4, 0), (4, 1), (4, 2), (4, 3), (0, 2), (1, 2), (3, 2), (2, 0)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: (r["hub"], r["auth"]) for r in hits(df, iters=8).collect()}
+
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    A = np.zeros((n, n), dtype=np.int64)
+    for s, d in edges:
+        A[idx[s], idx[d]] = 1
+    h = np.ones(n, dtype=np.int64)
+    a = np.zeros(n, dtype=np.int64)
+    for _ in range(8):
+        a = A.T @ h
+        h = A @ a
+    hn, an = h / h.sum(), a / a.sum()
+    for v in nodes:
+        assert abs(got[v][0] - hn[idx[v]]) < 1e-5, (v, got[v], hn[idx[v]])
+        assert abs(got[v][1] - an[idx[v]]) < 1e-5, (v, got[v], an[idx[v]])
+    # node 4 is the hub, node 2 the authority
+    assert max(got, key=lambda v: got[v][0]) == 4
+    assert max(got, key=lambda v: got[v][1]) == 2
+    assert abs(sum(v[0] for v in got.values()) - 1.0) < 1e-3
+    assert abs(sum(v[1] for v in got.values()) - 1.0) < 1e-3
+
+
+def test_hits_empty_edges(spark):
+    from hoover_snoop2_spark.operators.graph import hits
+
+    df = spark.createDataFrame([], "src long, dst long")
+    assert hits(df, iters=2).count() == 0
