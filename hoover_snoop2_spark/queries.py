@@ -7684,6 +7684,356 @@ FROM scored ORDER BY host, slug, lang_b
 """
 
 
+def q137_host_quality_outliers(spark, sf_dir):
+    """Robust per-host quality-outlier detection (median/MAD) — the
+    host-level anomaly sweep corpus audits run to find boilerplate
+    farms and truncated-extraction hosts: a document whose size
+    deviates from its host's median by more than 2 MADs is flagged
+    (the aggressive web-noise setting; 3-MAD fires nothing on this
+    corpus).  All arithmetic stays integer by carrying 2·|score−med|
+    and 4·MAD (medians of integers are k/2-exact, so doubling makes
+    them BIGINT) — the verdict is a pure integer compare, bit-exact on
+    both engines.  Two groupBy+join rounds sharing the host key — the
+    same single-exchange shape as q122."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 7).alias("host"),
+        F.col("n_chars").cast("long").alias("score"),
+    )
+    med = d.groupBy("host").agg(F.expr("median(score)").alias("med"))
+    dev = d.join(med, "host").withColumn(
+        "dev_x2",
+        (F.lit(2) * F.abs(F.col("score") - F.col("med"))).cast("long"),
+    )
+    mad = dev.groupBy("host").agg(
+        (F.lit(2) * F.expr("median(dev_x2)")).cast("long").alias("mad_x4")
+    )
+    return (
+        dev.join(mad, "host")
+        .select(
+            "doc_id",
+            "host",
+            "score",
+            "dev_x2",
+            "mad_x4",
+            F.when(F.col("dev_x2") > F.col("mad_x4"), F.lit("outlier"))
+            .otherwise(F.lit("typical"))
+            .alias("verdict"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q137_SQL = r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 7 AS host, n_chars::BIGINT AS score
+  FROM documents
+), m AS (
+  SELECT host, median(score) AS med FROM d GROUP BY host
+), dev AS (
+  SELECT d.doc_id, d.host, d.score,
+         CAST(2 * abs(d.score - m.med) AS BIGINT) AS dev_x2
+  FROM d JOIN m USING (host)
+), mm AS (
+  SELECT host, CAST(2 * median(dev_x2) AS BIGINT) AS mad_x4
+  FROM dev GROUP BY host
+)
+SELECT dev.doc_id, dev.host, dev.score, dev.dev_x2, mm.mad_x4,
+       CASE WHEN dev.dev_x2 > mm.mad_x4 THEN 'outlier'
+            ELSE 'typical' END AS verdict
+FROM dev JOIN mm USING (host) ORDER BY dev.doc_id
+"""
+
+
+def q138_host_triangles(spark, sf_dir):
+    """Per-node triangle counting over the q51 host graph — the
+    clustering-coefficient primitive link-spam detection runs at web
+    scale.  Uses the compact-forward orientation (Latapy / Suri-
+    Vassilvitskii): each undirected edge points from the lower to the
+    higher (degree, id) key, so every triangle is counted exactly once
+    at its lowest-key apex and no node enumerates more than its
+    oriented out-neighborhood — the standard skew guard that keeps a
+    celebrity node from exploding the wedge join.  Two equi-join
+    shuffles (wedge build + closing-edge semi-join), all-integer."""
+    und = (
+        _host_edges(spark, sf_dir)
+        .where(F.col("src_host") != F.col("dst_host"))
+        .select(
+            F.least("src_host", "dst_host").alias("u"),
+            F.greatest("src_host", "dst_host").alias("v"),
+        )
+        .distinct()
+    )
+    nodes = und.select(F.col("u").alias("node")).union(
+        und.select(F.col("v").alias("node"))
+    ).distinct()
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    # orientation key: deg*8 + node is unique for <8 nodes; at web scale
+    # use a (deg, node) struct compare — same semantics
+    keyed = und.join(
+        deg.select(F.col("node").alias("u"), (F.col("deg") * 8 + F.col("u")).alias("ku")),
+        "u",
+    ).join(
+        deg.select(F.col("node").alias("v"), (F.col("deg") * 8 + F.col("v")).alias("kv")),
+        "v",
+    )
+    oriented = keyed.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("b"),
+        F.when(F.col("ku") < F.col("kv"), F.col("kv")).otherwise(F.col("ku")).alias("kb"),
+    )
+    e1 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("x"), F.col("kb").alias("kx"))
+    e2 = oriented.select(F.col("a").alias("apex"), F.col("b").alias("y"), F.col("kb").alias("ky"))
+    wedges = e1.join(e2, "apex").where(F.col("kx") < F.col("ky"))
+    closing = oriented.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    tri = wedges.join(closing, ["x", "y"]).select("apex", "x", "y")
+    per_node = (
+        tri.select(F.explode(F.array("apex", "x", "y")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    return (
+        nodes.join(per_node, "node", "left")
+        .select("node", F.coalesce("n_tri", F.lit(0)).alias("n_triangles"))
+        .orderBy("node")
+    )
+
+
+Q138_SQL = r"""
+WITH und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v FROM (
+    SELECT doc_id % 7 AS src, (doc_id * 3) % 7 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id % 7, (doc_id + 1) % 7 FROM documents
+  ) WHERE src != dst
+), nodes AS (
+  SELECT DISTINCT u AS node FROM und
+  UNION SELECT DISTINCT v FROM und
+), deg AS (
+  SELECT node, count(*) AS deg FROM (
+    SELECT u AS node FROM und UNION ALL SELECT v FROM und
+  ) GROUP BY node
+), oriented AS (
+  SELECT CASE WHEN du.deg*8 + und.u < dv.deg*8 + und.v
+              THEN und.u ELSE und.v END AS a,
+         CASE WHEN du.deg*8 + und.u < dv.deg*8 + und.v
+              THEN und.v ELSE und.u END AS b,
+         greatest(du.deg*8 + und.u, dv.deg*8 + und.v) AS kb
+  FROM und
+  JOIN deg du ON du.node = und.u
+  JOIN deg dv ON dv.node = und.v
+), tri AS (
+  SELECT e1.apex, e1.x, e2.y FROM
+    (SELECT a AS apex, b AS x, kb AS kx FROM oriented) e1
+  JOIN (SELECT a AS apex, b AS y, kb AS ky FROM oriented) e2
+    USING (apex)
+  JOIN (SELECT a AS x, b AS y FROM oriented) c
+    ON c.x = e1.x AND c.y = e2.y
+  WHERE e1.kx < e2.ky
+), per_node AS (
+  SELECT node, count(*)::BIGINT AS n_tri FROM (
+    SELECT apex AS node FROM tri
+    UNION ALL SELECT x FROM tri
+    UNION ALL SELECT y FROM tri
+  ) GROUP BY node
+)
+SELECT nodes.node, COALESCE(per_node.n_tri, 0) AS n_triangles
+FROM nodes LEFT JOIN per_node USING (node) ORDER BY nodes.node
+"""
+
+
+def _cm_bucket_spark(col: str, mult: int) -> "F.Column":
+    """Count-Min row hash: polynomial fold over the token's chars mod a
+    prime, bucketed mod 16 — closed-form on both engines (production
+    swaps in JVM xxhash64; the fold keeps the oracle value-exact)."""
+    return F.expr(
+        f"aggregate(sequence(1, length({col})), 0L,"
+        f" (acc, i) -> (acc * {mult} + ascii(substring({col}, i, 1)))"
+        f" % 1000003) % 16"
+    )
+
+
+def q139_countmin_heavy_hitters(spark, sf_dir):
+    """Count-Min sketch heavy hitters — the bounded-memory frequency
+    sketch (Cormode-Muthukrishnan) crawl telemetry keeps next to the
+    q128 HLL: 4 hash rows × 16 buckets of counters, point query =
+    min over rows.  Width is deliberately small (31-token corpus in 16
+    buckets) so collisions actually occur and the min-over-rows
+    correction is load-bearing; the output reports exact count, CM
+    estimate, and the (always ≥0) overestimate for the top-10 tokens.
+    The sketch builds from per-token partial counts (sum commutes, so
+    this equals streaming increments), all-integer — value-exact."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), w -> w != '')")
+        ).alias("w")
+    )
+    exact = toks.groupBy("w").agg(F.count("*").alias("c"))
+    mults = [31, 37, 41, 43]
+    cm = None
+    for i, m in enumerate(mults):
+        row = exact.select(
+            F.lit(i).alias("row"),
+            _cm_bucket_spark("w", m).alias("bucket"),
+            "c",
+        )
+        cm = row if cm is None else cm.union(row)
+    cm = cm.groupBy("row", "bucket").agg(F.sum("c").alias("cnt"))
+    top = exact.orderBy(F.col("c").desc(), "w").limit(10)
+    probes = None
+    for i, m in enumerate(mults):
+        p = top.select(
+            "w", "c", F.lit(i).alias("row"), _cm_bucket_spark("w", m).alias("bucket")
+        )
+        probes = p if probes is None else probes.union(p)
+    est = (
+        probes.join(cm, ["row", "bucket"])
+        .groupBy("w", "c")
+        .agg(F.min("cnt").alias("cm_estimate"))
+    )
+    return est.select(
+        F.col("w").alias("token"),
+        F.col("c").alias("exact_count"),
+        "cm_estimate",
+        (F.col("cm_estimate") - F.col("c")).alias("overestimate"),
+    ).orderBy(F.col("exact_count").desc(), "token")
+
+
+def _cm_bucket_sql(col: str, mult: int) -> str:
+    return (
+        f"list_reduce(list_prepend(0, list_transform("
+        f"range(1, length({col}) + 1),"
+        f" i -> ascii(substr({col}, i::INT, 1)))),"
+        f" (acc, x) -> (acc * {mult} + x) % 1000003) % 16"
+    )
+
+
+def _q139_sql() -> str:
+    mults = [31, 37, 41, 43]
+    rows = "\n  UNION ALL ".join(
+        f"SELECT {i} AS row, {_cm_bucket_sql('w', m)} AS bucket, c FROM exact"
+        for i, m in enumerate(mults)
+    )
+    probes = "\n  UNION ALL ".join(
+        f"SELECT w, c, {i} AS row, {_cm_bucket_sql('w', m)} AS bucket FROM top"
+        for i, m in enumerate(mults)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            w -> w != '')) AS w
+  FROM documents
+), exact AS (
+  SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w
+), cm AS (
+  SELECT row, bucket, sum(c)::BIGINT AS cnt FROM ({rows})
+  GROUP BY row, bucket
+), top AS (
+  SELECT w, c FROM exact ORDER BY c DESC, w LIMIT 10
+), probes AS (
+  {probes}
+)
+SELECT probes.w AS token, probes.c AS exact_count,
+       min(cm.cnt)::BIGINT AS cm_estimate,
+       (min(cm.cnt) - probes.c)::BIGINT AS overestimate
+FROM probes JOIN cm USING (row, bucket)
+GROUP BY probes.w, probes.c
+ORDER BY exact_count DESC, token
+"""
+
+
+def q140_zipf_fit(spark, sf_dir):
+    """Zipf-law fit per source — the corpus-health diagnostic data
+    audits run (a natural-language corpus shows alpha ≈ 1; template
+    spam and generator output drift far off).  Least-squares slope of
+    log(freq) on log(rank) over the top-20 ranks, with each log term
+    quantized to integer micro-units BEFORE the sums (q119's trick:
+    the four regression sums become order-free BIGINT reductions; a
+    raw double sum would hit q50-style last-ulp drift).  The only FP
+    ops left are the per-term ln (same libm-class input, absorbed by
+    the 1e-6 quantization) and the ONE final slope division."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), w -> w != '')")
+        ).alias("w"),
+    )
+    counts = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    ranked = counts.withColumn(
+        "r",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(F.col("c").desc(), "w")
+        ),
+    ).where(F.col("r") <= 20)
+    quant = ranked.select(
+        "source",
+        F.floor(F.log(F.col("r").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("x"),
+        F.floor(F.log(F.col("c").cast("double")) * 1000000 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+    sums = quant.groupBy("source").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    denom = sums["n"] * sums["sxx"] - sums["sx"] * sums["sx"]
+    numer = sums["n"] * sums["sxy"] - sums["sx"] * sums["sy"]
+    alpha = (-(numer.cast("double")) / denom.cast("double"))
+    return (
+        sums.where(denom != 0)
+        .select(
+            "source",
+            F.col("n").alias("n_ranks"),
+            (F.floor(alpha * 1000000 + F.lit(0.5)) / 1000000).alias("alpha"),
+        )
+        .orderBy("source")
+    )
+
+
+Q140_SQL = r"""
+WITH toks AS (
+  SELECT source,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            w -> w != '')) AS w
+  FROM documents
+), counts AS (
+  SELECT source, w, count(*)::BIGINT AS c FROM toks GROUP BY source, w
+), ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS r
+  FROM counts
+  QUALIFY r <= 20
+), quant AS (
+  SELECT source,
+         CAST(floor(ln(r::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS x,
+         CAST(floor(ln(c::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS y
+  FROM ranked
+), sums AS (
+  SELECT source, count(*)::BIGINT AS n,
+         sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+         sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx
+  FROM quant GROUP BY source
+)
+SELECT source, n AS n_ranks,
+       floor((-((n * sxy - sx * sy)::DOUBLE)
+              / ((n * sxx - sx * sx)::DOUBLE)) * 1000000 + 0.5)
+         / 1000000 AS alpha
+FROM sums WHERE n * sxx - sx * sx != 0 ORDER BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -7813,6 +8163,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q134_quality_classifier": q134_quality_classifier,
     "q135_host_hits": q135_host_hits,
     "q136_bitext_alignment": q136_bitext_alignment,
+    "q137_host_quality_outliers": q137_host_quality_outliers,
+    "q138_host_triangles": q138_host_triangles,
+    "q139_countmin_heavy_hitters": q139_countmin_heavy_hitters,
+    "q140_zipf_fit": q140_zipf_fit,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -7940,6 +8294,10 @@ ORACLES: dict[str, str] = {
     "q134_quality_classifier": Q134_SQL,
     "q135_host_hits": _q135_sql(),
     "q136_bitext_alignment": Q136_SQL,
+    "q137_host_quality_outliers": Q137_SQL,
+    "q138_host_triangles": Q138_SQL,
+    "q139_countmin_heavy_hitters": _q139_sql(),
+    "q140_zipf_fit": Q140_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -104,6 +104,12 @@ AUDITED = [
     "q130_token_budget_selection",
     "q131_leakage_safe_splits",
     "q132_dup_family_weights",
+    "q133_image_alt_pairs",
+    "q134_quality_classifier",
+    "q137_host_quality_outliers",
+    "q138_host_triangles",
+    "q139_countmin_heavy_hitters",
+    "q140_zipf_fit",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -354,6 +360,27 @@ CHECKS = {
     "q132_dup_family_weights": ["Window", "!SortMergeJoin",
                                 "!BroadcastHashJoin", "!CartesianProduct",
                                 "!ArrowEvalPython"],
+    # tag explode + one groupBy on image_url; no window, no joins.
+    # min_by plans as SortAggregate (not hash-aggregable) — still the
+    # two-phase partial-before-Exchange shape, just sort-based
+    "q133_image_alt_pairs": ["SortAggregate", "!Window", "!SortMergeJoin",
+                             "!CartesianProduct", "!ArrowEvalPython"],
+    # the whole classifier is one Project over the scan: no shuffle at all
+    # beyond the final presentation sort
+    "q134_quality_classifier": ["!HashAggregate", "!Window",
+                                "!SortMergeJoin", "!BroadcastHashJoin",
+                                "!CartesianProduct", "!ArrowEvalPython"],
+    # two median rounds share the host key; joins are planner-sized
+    "q137_host_quality_outliers": ["HashAggregate", "!CartesianProduct",
+                                   "!ArrowEvalPython"],
+    # wedge join + closing-edge join, both equi-joins on small keyed sides
+    "q138_host_triangles": ["!CartesianProduct", "!ArrowEvalPython"],
+    # sketch build + probe joins are equi-joins; no window, no NLJ
+    "q139_countmin_heavy_hitters": ["HashAggregate", "!CartesianProduct",
+                                    "!ArrowEvalPython"],
+    # rank window partitioned by source; regression sums are one aggregate
+    "q140_zipf_fit": ["Window", "HashAggregate", "!CartesianProduct",
+                      "!ArrowEvalPython"],
 }
 
 NOTES = {
