@@ -140,10 +140,36 @@ class SnapshotStore:
         raise KeyError(f"snapshot v{version} not in history")
 
     def commit(self, df: DataFrame, table: str, mode: str = "append") -> int:
-        """Write a new snapshot; returns its version number."""
+        """Write a new snapshot; returns its version number.
+
+        Schema evolution follows Iceberg's safe subset: an append may ADD
+        columns (older data files simply lack them; reads resolve by name
+        and backfill NULL — Iceberg's add-column semantics), but dropping
+        or retyping an existing column raises, because a parquet-union
+        read cannot express those safely the way Iceberg's column-id
+        metadata can.  An 'overwrite' starts a fresh file list, so any
+        schema is accepted.  Each snapshot records its schema so
+        ``schema(table, version)`` documents the evolution."""
         if mode not in ("append", "overwrite"):
             raise ValueError(mode)
         meta = self._meta(table)
+        new_schema = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+        if mode == "append" and meta["current"]:
+            cur_snap = self._snap(meta, meta["current"])
+            old_schema = cur_snap.get("schema")
+            if old_schema is not None:
+                missing = [c for c in old_schema if c not in new_schema]
+                retyped = [
+                    c
+                    for c, t in old_schema.items()
+                    if c in new_schema and new_schema[c] != t
+                ]
+                if missing or retyped:
+                    raise ValueError(
+                        "append schema evolution only adds columns: "
+                        f"missing={missing} retyped={retyped} "
+                        "(use mode='overwrite' to rewrite the table)"
+                    )
         # allocate past ALL history, never reusing ids — after a rollback
         # the rolled-past versions still exist and stay readable
         version = max(
@@ -175,11 +201,23 @@ class SnapshotStore:
             files = []
         files.append(dirname)
         meta["snapshots"].append(
-            {"version": version, "files": files, "mode": mode}
+            {
+                "version": version,
+                "files": files,
+                "mode": mode,
+                "schema": new_schema,
+            }
         )
         meta["current"] = version
         self._write_meta(table, meta)
         return version
+
+    def schema(self, table: str, version: int | None = None) -> dict:
+        """Column → type of a snapshot (current by default) — the
+        explicit evolution record Iceberg keeps per schema-id."""
+        meta = self._meta(table)
+        v = meta["current"] if version is None else version
+        return dict(self._snap(meta, v).get("schema") or {})
 
     def _resolve(self, table: str, version: int | None) -> list[str]:
         meta = self._meta(table)
@@ -194,7 +232,11 @@ class SnapshotStore:
     def read(
         self, spark: SparkSession, table: str, version: int | None = None
     ) -> DataFrame:
-        return spark.read.parquet(*self._resolve(table, version))
+        # mergeSchema resolves add-column evolution by name: files written
+        # before a column existed yield NULL for it (Iceberg read semantics)
+        return spark.read.option("mergeSchema", "true").parquet(
+            *self._resolve(table, version)
+        )
 
     def incremental(
         self, spark: SparkSession, table: str, since: int

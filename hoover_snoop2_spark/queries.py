@@ -8034,6 +8034,130 @@ FROM sums WHERE n * sxx - sx * sx != 0 ORDER BY source
 """
 
 
+def q141_epoch_shuffle(spark, sf_dir):
+    """Deterministic epoch shuffle — the seeded bijective permutation a
+    training pipeline needs to reshuffle 10^12 examples per epoch
+    WITHOUT materializing random keys (re-runnable, resumable, and two
+    jobs seeing the same epoch agree): a 4-round Feistel network over
+    the 32-bit id space.  Feistel is a bijection by construction
+    whatever the round function (tests pin distinct keys == rows), so
+    sorting by the output key is a full shuffle of the corpus; epoch n
+    just changes the round keys.  All integer bit-mixing — value-exact
+    across engines; at scale the orderBy is one range-partitioned sort
+    and there is nothing else."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    keys = [40503, 31161, 32586, 31765]  # epoch-0 round keys
+    l_col, r_col = (
+        F.expr("(doc_id >> 16) & 65535"),
+        F.expr("doc_id & 65535"),
+    )
+    df = d.select("doc_id", l_col.alias("l"), r_col.alias("r"))
+    for k in keys:
+        df = df.select(
+            "doc_id",
+            F.col("r").alias("l"),
+            F.expr(f"l ^ (((r * 2654435761 + {k}) >> 13) & 65535)").alias(
+                "r"
+            ),
+        )
+    return (
+        df.select(
+            "doc_id", F.expr("(l << 16) | r").alias("shuffle_key")
+        )
+        .orderBy("shuffle_key")
+    )
+
+
+Q141_SQL = r"""
+WITH s0 AS (
+  SELECT doc_id, (doc_id >> 16) & 65535 AS l, doc_id & 65535 AS r
+  FROM documents
+), s1 AS (
+  SELECT doc_id, r AS l,
+         xor(l, ((r * 2654435761 + 40503) >> 13) & 65535) AS r FROM s0
+), s2 AS (
+  SELECT doc_id, r AS l,
+         xor(l, ((r * 2654435761 + 31161) >> 13) & 65535) AS r FROM s1
+), s3 AS (
+  SELECT doc_id, r AS l,
+         xor(l, ((r * 2654435761 + 32586) >> 13) & 65535) AS r FROM s2
+), s4 AS (
+  SELECT doc_id, r AS l,
+         xor(l, ((r * 2654435761 + 31765) >> 13) & 65535) AS r FROM s3
+)
+SELECT doc_id, (l << 16) | r AS shuffle_key
+FROM s4 ORDER BY shuffle_key
+"""
+
+
+def q142_vocab_coverage(spark, sf_dir):
+    """Vocabulary coverage curve — the tokenizer-design question "how
+    many types cover X% of all tokens": rank types by frequency, take
+    the running coverage, and report the smallest vocab size reaching
+    each permille threshold.  The compare is ``cum·1000 ≥ thr·total``
+    so no division ever happens — all-integer, value-exact.  The rank
+    window is a single partition here (tiny type table after the
+    groupBy); at a real 10^8-type vocab it becomes q127's two-phase
+    prefix sum, unchanged semantics."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), w -> w != '')")
+        ).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    ranked = counts.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.col("c").desc(), "w"))
+        .alias("rank"),
+    ).withColumn(
+        "cum", F.sum("c").over(Window.orderBy("rank"))
+    )
+    total = counts.agg(F.sum("c").alias("total"))
+    thresholds = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in (500, 750, 900, 950, 990)])
+        ).alias("threshold_permille")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(thresholds))
+        .where(F.col("cum") * 1000 >= F.col("threshold_permille") * F.col("total"))
+        .groupBy("threshold_permille")
+        .agg(
+            F.min("rank").cast("long").alias("vocab_size"),
+            F.min_by("cum", "rank").alias("covered_tokens"),
+        )
+        .orderBy("threshold_permille")
+    )
+
+
+Q142_SQL = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                            w -> w != '')) AS w
+  FROM documents
+), counts AS (
+  SELECT w, count(*)::BIGINT AS c FROM toks GROUP BY w
+), ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w) AS rank,
+         CAST(sum(c) OVER (ORDER BY c DESC, w
+           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM counts
+), thr AS (
+  SELECT unnest([500, 750, 900, 950, 990]) AS threshold_permille
+)
+SELECT thr.threshold_permille,
+       min(ranked.rank)::BIGINT AS vocab_size,
+       arg_min(ranked.cum, ranked.rank)::BIGINT AS covered_tokens
+FROM ranked, thr, (SELECT sum(c)::BIGINT AS total FROM counts) t
+WHERE ranked.cum * 1000 >= thr.threshold_permille * t.total
+GROUP BY thr.threshold_permille
+ORDER BY thr.threshold_permille
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -8167,6 +8291,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q138_host_triangles": q138_host_triangles,
     "q139_countmin_heavy_hitters": q139_countmin_heavy_hitters,
     "q140_zipf_fit": q140_zipf_fit,
+    "q141_epoch_shuffle": q141_epoch_shuffle,
+    "q142_vocab_coverage": q142_vocab_coverage,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -8298,6 +8424,8 @@ ORACLES: dict[str, str] = {
     "q138_host_triangles": Q138_SQL,
     "q139_countmin_heavy_hitters": _q139_sql(),
     "q140_zipf_fit": Q140_SQL,
+    "q141_epoch_shuffle": Q141_SQL,
+    "q142_vocab_coverage": Q142_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

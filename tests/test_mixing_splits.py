@@ -118,3 +118,29 @@ def test_dup_family_weight_exact(spark):
     # singletons carry full weight
     singles = [r for r in rows if r["family_size"] == 1]
     assert singles and all(r["weight_micro"] == 1000000 for r in singles)
+
+
+def test_epoch_shuffle_is_a_bijection(spark):
+    """Feistel permutation: distinct output keys == input rows over a
+    dense id range (the bijection is the whole contract — q141)."""
+    from pyspark.sql import functions as F
+
+    n = 100_000
+    d = spark.range(n).select(F.col("id").alias("doc_id"))
+    df = d.select(
+        "doc_id",
+        F.expr("(doc_id >> 16) & 65535").alias("l"),
+        F.expr("doc_id & 65535").alias("r"),
+    )
+    for k in (40503, 31161, 32586, 31765):
+        df = df.select(
+            "doc_id",
+            F.col("r").alias("l"),
+            F.expr(f"l ^ (((r * 2654435761 + {k}) >> 13) & 65535)").alias("r"),
+        )
+    keys = df.select(F.expr("(l << 16) | r").alias("k"))
+    assert keys.distinct().count() == n
+    # keys leave the input order: the permuted position of the first ids
+    # is scattered (no prefix stays sorted)
+    head = [r["k"] for r in keys.limit(16).collect()]
+    assert head != sorted(head)

@@ -193,3 +193,37 @@ def test_merge_upsert_copy_on_write(spark, store):
 
     with pytest.raises(ValueError):
         store.merge(spark, bad, "t", ["k"])
+
+
+def test_schema_evolution_add_column_null_backfill(spark, store):
+    from pyspark.sql import functions as F
+
+    store.commit(spark.range(0, 3), "t")
+    v2 = store.commit(
+        spark.range(3, 5).withColumn("lang", F.lit("en")), "t"
+    )
+    cur = store.read(spark, "t")
+    assert set(cur.columns) == {"id", "lang"}
+    rows = {r["id"]: r["lang"] for r in cur.collect()}
+    # pre-evolution files backfill NULL (Iceberg add-column semantics)
+    assert rows[0] is None and rows[4] == "en"
+    # time travel to v1 shows the old schema only
+    assert store.read(spark, "t", version=1).columns == ["id"]
+    assert store.schema("t") == {"id": "bigint", "lang": "string"}
+    assert store.schema("t", version=1) == {"id": "bigint"}
+    assert v2 == 2
+
+
+def test_schema_evolution_rejects_drop_and_retype(spark, store):
+    from pyspark.sql import functions as F
+
+    store.commit(spark.range(0, 3).withColumn("lang", F.lit("en")), "t")
+    with pytest.raises(ValueError, match="missing=\\['lang'\\]"):
+        store.commit(spark.range(3, 5), "t")
+    with pytest.raises(ValueError, match="retyped=\\['lang'\\]"):
+        store.commit(
+            spark.range(3, 5).withColumn("lang", F.lit(7)), "t"
+        )
+    # overwrite accepts any schema (fresh file list)
+    store.commit(spark.range(9, 10), "t", mode="overwrite")
+    assert store.schema("t") == {"id": "bigint"}

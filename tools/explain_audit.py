@@ -110,6 +110,8 @@ AUDITED = [
     "q138_host_triangles",
     "q139_countmin_heavy_hitters",
     "q140_zipf_fit",
+    "q141_epoch_shuffle",
+    "q142_vocab_coverage",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -381,6 +383,15 @@ CHECKS = {
     # rank window partitioned by source; regression sums are one aggregate
     "q140_zipf_fit": ["Window", "HashAggregate", "!CartesianProduct",
                       "!ArrowEvalPython"],
+    # pure bit-mixing projections + one range-partitioned sort: no joins,
+    # no windows, no aggregates — the cheapest possible full shuffle
+    "q141_epoch_shuffle": ["!HashAggregate", "!Window", "!SortMergeJoin",
+                           "!BroadcastHashJoin", "!CartesianProduct",
+                           "!ArrowEvalPython"],
+    # type table is post-groupBy tiny: broadcast joins for total and
+    # thresholds (explicitly hinted), single-partition rank window
+    "q142_vocab_coverage": ["Window", "HashAggregate", "BroadcastNestedLoopJoin",
+                            "!SortMergeJoin", "!ArrowEvalPython"],
 }
 
 NOTES = {
