@@ -90,3 +90,32 @@ def iban_mod97_valid(col) -> F.Column:
     return F.when(c.isNull() | (F.length(c) == 0), F.lit(None)).otherwise(
         rem == 1
     )
+
+
+CARD_RE = r"\b\d{16}\b"
+
+
+def luhn_valid(col) -> F.Column:
+    """Luhn (ISO/IEC 7812) checksum validation as a pure JVM expression
+    — the payment-card counterpart of :func:`iban_mod97_valid`: the
+    q40-class regexps only find 16-digit *shapes* (order ids, tracking
+    numbers); this confirms an actual card number.  Doubles every
+    second digit from the right (subtracting 9 past 9) and sums with
+    an ``aggregate`` higher-order function — O(len) per row, no
+    Python.  NULL for NULL/empty input; ``true`` iff the total is
+    divisible by 10."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
+
+    def step(acc, i):
+        d = F.ascii(F.substring(c, i, 1)) - 48
+        doubled = F.when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)
+        use = F.when((n - i) % 2 == 1, doubled).otherwise(d)
+        return acc + use
+
+    total = F.aggregate(
+        F.sequence(F.lit(1), n), F.lit(0).cast("long"), step
+    )
+    return F.when(c.isNull() | (n == 0), F.lit(None)).otherwise(
+        total % 10 == 0
+    )

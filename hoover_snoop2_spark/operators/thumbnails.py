@@ -147,3 +147,108 @@ def generate_thumbnails(
     surface, thumbnails.py:366-377)."""
     src = df.select("sha3_256", df[data_col].alias("data"))
     return src.mapInPandas(thumbnail_map_in_pandas(sizes), schema=THUMB_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# PDF preview — native layout raster
+#
+# Reference parity: ``snoop.data.analyzers.pdf_preview`` POSTs the blob to
+# an external pdf-preview service and stores the returned first-page PNG
+# (pdf_preview.py; gated on mime == application/pdf and the same size cap).
+# The service (and any full glyph rasterizer) is absent in this sandbox, so
+# instead of a stub this renders a REAL first-page layout preview from the
+# span geometry the native PDF parser already extracts: each text span
+# becomes a filled box at its (x, y) with height = its Tf font size and
+# width = 0.5 em per glyph (the classic average-advance approximation) —
+# the kind of layout thumbnail a search UI shows for hit context.  The
+# output is deterministic (integer box arithmetic + the in-repo PNG
+# encoder), so tests can assert the exact dark-pixel area from the span
+# table independently.
+
+PDF_PREVIEW_WIDTH = 200
+
+PDF_PREVIEW_SCHEMA = (
+    "sha3_256 string, preview binary, width int, height int, n_spans int, "
+    "status string, broken_reason string"
+)
+
+
+def render_pdf_preview(
+    data: bytes, width: int = PDF_PREVIEW_WIDTH
+) -> tuple[bytes, int, int, int]:
+    """PDF bytes → (first-page layout PNG, width, height, n_spans).
+
+    Page geometry comes from the first /MediaBox (default US Letter);
+    PDF origin is bottom-left, raster origin top-left.  Raises PdfBroken
+    exactly like the text path (same filter-skip rules)."""
+    import re
+
+    import numpy as np
+
+    from .pdf_spans import extract_pdf_page_spans
+
+    spans = [s for s in extract_pdf_page_spans(data) if s["page"] == 1]
+    m = re.search(
+        rb"/MediaBox\s*\[\s*([\d.+-]+)\s+([\d.+-]+)\s+([\d.+-]+)"
+        rb"\s+([\d.+-]+)", data,
+    )
+    x0, y0, pw, ph = 0.0, 0.0, 612.0, 792.0
+    if m:
+        x0, y0, x1, y1 = (float(g) for g in m.groups())
+        pw, ph = x1 - x0, y1 - y0
+    if pw <= 0 or ph <= 0:
+        pw, ph = 612.0, 792.0
+    scale = width / pw
+    height = max(1, int(ph * scale + 0.5))
+    img = np.full((height, width, 3), 255, np.uint8)
+    for s in spans:
+        size = s["size"] or 10.0
+        left = int((s["x"] - x0) * scale + 0.5)
+        top = int((ph - (s["y"] - y0) - size) * scale + 0.5)
+        right = min(width, left + max(1, int(0.5 * size * len(s["text"]) * scale + 0.5)))
+        bottom = min(height, top + max(1, int(size * scale + 0.5)))
+        left, top = max(0, left), max(0, top)
+        if left < right and top < bottom:
+            img[top:bottom, left:right] = (64, 64, 64)
+    return png_encode(img), width, height, len(spans)
+
+
+def pdf_preview_map_in_pandas(width: int = PDF_PREVIEW_WIDTH):
+    from .pdf_spans import PdfBroken
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for sha, data in zip(pdf["sha3_256"], pdf["data"]):
+                data = bytes(data)[:THUMBNAIL_TRUNCATE_FILE_SIZE]
+                try:
+                    png, w, h, n = render_pdf_preview(data, width)
+                    rows.append({"sha3_256": sha, "preview": png,
+                                 "width": w, "height": h, "n_spans": n,
+                                 "status": "success",
+                                 "broken_reason": None})
+                except PdfBroken as e:
+                    rows.append({"sha3_256": sha, "preview": None,
+                                 "width": None, "height": None,
+                                 "n_spans": None, "status": "broken",
+                                 "broken_reason": e.reason})
+            yield pd.DataFrame(
+                rows,
+                columns=["sha3_256", "preview", "width", "height",
+                         "n_spans", "status", "broken_reason"],
+            )
+
+    return fn
+
+
+def generate_pdf_previews(
+    df: DataFrame, data_col: str = "data", width: int = PDF_PREVIEW_WIDTH
+) -> DataFrame:
+    """(sha3_256, pdf bytes) → one first-page layout-preview row per blob.
+
+    Embarrassingly parallel like thumbnails; callers repartition by size
+    class the same way (blob bytes never shuffle on the common path)."""
+    src = df.select("sha3_256", df[data_col].alias("data"))
+    return src.mapInPandas(
+        pdf_preview_map_in_pandas(width), schema=PDF_PREVIEW_SCHEMA
+    )

@@ -8158,6 +8158,126 @@ ORDER BY thr.threshold_permille
 """
 
 
+def q143_card_detection(spark, sf_dir):
+    """PII payment-card detection with REAL Luhn verification — the
+    q111 pattern applied to ISO/IEC 7812: q40's regexps find 16-digit
+    *shapes* (order ids, tracking numbers — huge false-positive rate);
+    ``entities.luhn_valid`` CONFIRMS them with the double-every-second-
+    digit checksum as a JVM aggregate HOF.  Docs synthesize cards whose
+    check digit comes from the actual Luhn arithmetic (kind 0), corrupt
+    it (kind 1 — shape matches, checksum fails), or carry no candidate
+    (kind 2).  Pure Project over the scan."""
+    from .operators.entities import CARD_RE, luhn_valid
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id")
+    kind = doc % 3
+    payload = F.concat(
+        F.lit("4"),
+        F.lpad(((doc * 7919) % 100_000_000_000_000).cast("string"), 14, "0"),
+    )
+    # payload digit i (1-based, full card length 16) doubles when i is odd
+    s = F.expr(
+        "aggregate(sequence(1, 15), 0L, (acc, i) -> acc + ("
+        "  CASE WHEN i % 2 = 1 THEN"
+        "    CASE WHEN (ascii(substring(_p, i, 1)) - 48) * 2 > 9"
+        "         THEN (ascii(substring(_p, i, 1)) - 48) * 2 - 9"
+        "         ELSE (ascii(substring(_p, i, 1)) - 48) * 2 END"
+        "  ELSE ascii(substring(_p, i, 1)) - 48 END))"
+    )
+    withp = d.withColumn("_p", payload).withColumn(
+        "_c", (F.lit(10) - s % 10) % 10
+    )
+    card_ok = F.concat(F.col("_p"), F.col("_c").cast("string"))
+    card_bad = F.concat(F.col("_p"), ((F.col("_c") + 1) % 10).cast("string"))
+    text = (
+        F.when(kind == 0, F.concat(F.lit("charge card "), card_ok, F.lit(" now")))
+        .when(kind == 1, F.concat(F.lit("charge card "), card_bad, F.lit(" now")))
+        .otherwise(F.concat(F.lit("order number "), (doc * 31 + 7).cast("string")))
+    )
+    rows = withp.select(
+        "doc_id", kind.cast("long").alias("kind"), text.alias("text")
+    )
+    cand = F.nullif(F.regexp_extract("text", CARD_RE, 0), F.lit(""))
+    return rows.select(
+        "doc_id",
+        "kind",
+        cand.alias("card"),
+        luhn_valid(cand).alias("valid"),
+    ).orderBy("doc_id")
+
+
+Q143_SQL = r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 3 AS kind,
+         '4' || lpad(((doc_id * 7919) % 100000000000000)::VARCHAR, 14, '0')
+           AS p
+  FROM documents
+), s AS (
+  SELECT doc_id, kind, p,
+         list_sum(list_transform(range(1, 16), i -> CASE
+           WHEN i % 2 = 1 THEN CASE
+             WHEN (ascii(substr(p, i::INT, 1)) - 48) * 2 > 9
+             THEN (ascii(substr(p, i::INT, 1)) - 48) * 2 - 9
+             ELSE (ascii(substr(p, i::INT, 1)) - 48) * 2 END
+           ELSE ascii(substr(p, i::INT, 1)) - 48 END))::BIGINT AS luhn_sum
+  FROM d
+), t AS (
+  SELECT doc_id, kind,
+         CASE WHEN kind = 0
+                THEN 'charge card ' || p || ((10 - luhn_sum % 10) % 10)::VARCHAR || ' now'
+              WHEN kind = 1
+                THEN 'charge card ' || p
+                     || (((10 - luhn_sum % 10) % 10 + 1) % 10)::VARCHAR || ' now'
+              ELSE 'order number ' || (doc_id * 31 + 7)::VARCHAR END AS text
+  FROM s
+), cand AS (
+  SELECT doc_id, kind,
+         nullif(regexp_extract(text, '\b\d{16}\b', 0), '') AS card
+  FROM t
+)
+SELECT doc_id, kind, card,
+       CASE WHEN card IS NULL OR length(card) = 0 THEN NULL
+            ELSE (list_sum(list_transform(range(1, length(card) + 1), i -> CASE
+              WHEN (length(card) - i) % 2 = 1 THEN CASE
+                WHEN (ascii(substr(card, i::INT, 1)) - 48) * 2 > 9
+                THEN (ascii(substr(card, i::INT, 1)) - 48) * 2 - 9
+                ELSE (ascii(substr(card, i::INT, 1)) - 48) * 2 END
+              ELSE ascii(substr(card, i::INT, 1)) - 48 END)) % 10 = 0)
+       END AS valid
+FROM cand ORDER BY doc_id
+"""
+
+
+def q144_pdf_previews(spark, sf_dir):
+    """First-page PDF layout previews rendered natively (rows-only, like
+    q35/q38 — the span parser is not SQL-expressible): each corpus PDF
+    becomes one PNG preview row whose geometry/metadata are pinned by
+    `test_pdf_previews.py` against the span table (exact dark-pixel area
+    parity).  Upgrades the reference's external pdf-preview service call
+    (pdf_preview.py) to an in-engine mapInPandas stage — blob-parallel,
+    no shuffle."""
+    from .corpus import render_pdf
+    from .operators.thumbnails import generate_pdf_previews
+
+    rows = [
+        (f"pdf-{i:02d}", render_pdf(i, "en")[0]) for i in range(0, 60, 3)
+    ]
+    df = spark.createDataFrame(rows, "sha3_256 string, data binary")
+    return (
+        generate_pdf_previews(df)
+        .select(
+            "sha3_256",
+            "width",
+            "height",
+            "n_spans",
+            "status",
+            F.length("preview").alias("preview_bytes"),
+        )
+        .orderBy("sha3_256")
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -8293,6 +8413,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q140_zipf_fit": q140_zipf_fit,
     "q141_epoch_shuffle": q141_epoch_shuffle,
     "q142_vocab_coverage": q142_vocab_coverage,
+    "q143_card_detection": q143_card_detection,
+    "q144_pdf_previews": q144_pdf_previews,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -8426,6 +8548,7 @@ ORACLES: dict[str, str] = {
     "q140_zipf_fit": Q140_SQL,
     "q141_epoch_shuffle": Q141_SQL,
     "q142_vocab_coverage": Q142_SQL,
+    "q143_card_detection": Q143_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
