@@ -311,6 +311,116 @@ def pagerank(
     )
 
 
+def trustrank(
+    edges: DataFrame,
+    seeds: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 10,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, trust) TrustRank (Gyöngyi, Garcia-Molina & Pedersen,
+    "Combating Web Spam with TrustRank", VLDB 2004): personalized
+    PageRank whose teleport vector is uniform over a hand-vetted
+    trusted seed set instead of over all nodes — the spam-demotion
+    prior crawl schedulers run next to vanilla :func:`pagerank` (trust
+    flows OUT of the seeds along links and decays with distance, so
+    link-farm islands unreachable from any seed converge to 0).
+
+    Same power iteration as :func:`pagerank` with two changes: trust
+    starts AT the seed distribution, and both the (1-d) teleport and
+    the per-round dangling mass return to the SEEDS rather than
+    uniformly.  Same two shuffles per round (join on src, groupBy
+    dst), same mandatory per-round lineage truncation; the dangling
+    scalar is the only per-round collect.  FP operation order matches
+    the q146 recursive-CTE oracle term for term: the per-node update is
+    ``((1-d) + d*dangling) * v + d*gathered`` so both engines perform
+    the identical IEEE sequence; Spark's gather-order nondeterminism is
+    absorbed by the final 1e-6 floor rounding (the q58 idiom)."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+    _cp = None
+    if checkpoint_dir is not None:
+        from ..plans.checkpoint import CheckpointStore
+
+        _cp = CheckpointStore(checkpoint_dir)
+
+    def _pin(df: DataFrame, name: str) -> DataFrame:
+        if _cp is not None:
+            return _cp.write(df, name)
+        return df.localCheckpoint(eager=True)
+
+    spark = edges.sparkSession
+    if not seeds:
+        raise ValueError("trustrank needs a non-empty seed set")
+    seed_df = spark.createDataFrame(
+        [(int(s),) for s in sorted(set(seeds))], "node long"
+    ).select("node", F.lit(1.0 / len(set(seeds))).alias("v"))
+
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .union(seed_df.select("node"))
+        .distinct()
+    )
+    nodes = _pin(
+        nodes.join(seed_df, "node", "left").select(
+            "node", F.coalesce("v", F.lit(0.0)).alias("v")
+        ),
+        "tr_nodes",
+    )
+    degrees = _pin(
+        e.groupBy("src").agg(F.count("*").alias("deg")), "tr_degrees"
+    )
+
+    trust = nodes.select("node", "v", F.col("v").alias("trust"))
+    for it in range(iters):
+        with_deg = trust.join(
+            degrees, trust["node"] == degrees["src"], "left"
+        ).select("node", "v", "trust", "deg")
+        dangling = (
+            with_deg.where(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("trust"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            e.join(
+                with_deg.where(F.col("deg").isNotNull()),
+                e["src"] == with_deg["node"],
+            )
+            .select("dst", (F.col("trust") / F.col("deg")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("gathered"))
+        )
+        coef = (1.0 - damping) + damping * dangling
+        trust = _pin(
+            nodes.join(contribs, nodes["node"] == contribs["dst"], "left")
+            .select(
+                "node",
+                "v",
+                (
+                    F.lit(coef) * F.col("v")
+                    + F.lit(damping) * F.coalesce("gathered", F.lit(0.0))
+                ).alias("trust"),
+            ),
+            f"tr_round_{it}",
+        )
+    return trust.select(
+        "node",
+        (F.floor(F.col("trust") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "trust"
+        ),
+    )
+
+
 def hits(
     edges: DataFrame,
     src: str = "src",

@@ -8278,6 +8278,351 @@ def q144_pdf_previews(spark, sf_dir):
     )
 
 
+def q145_url_history(spark, sf_dir):
+    """SCD-2 url version history — the Iceberg-table bookkeeping a
+    recrawl pipeline keeps per url (the warehouse "slowly changing
+    dimension type 2" pattern): consecutive captures whose content
+    fingerprint is unchanged collapse into ONE version row carrying
+    valid_from / valid_to / is_current, so point-in-time queries ("what
+    did this url say last March") become a range predicate instead of a
+    scan over every capture.  Extends q65's two-snapshot delta to full
+    history.  Captures synthesize deterministically: doc d gets
+    1 + d%4 captures 9 days apart, and capture k>0 changes content iff
+    (d*31+k)%3 == 0; version id = running count of changes (one window
+    over the capture sequence), then a groupBy collapses runs and a
+    second window assigns valid_to = next version's valid_from.  Two
+    windows + one groupBy, all sharing the doc_id partitioning — AQE
+    plans a single Exchange."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    caps = d.select(
+        "doc_id", F.explode(F.expr("sequence(0, doc_id % 4)")).alias("k")
+    )
+    chg = F.when(
+        (F.col("k") > 0) & ((F.col("doc_id") * 31 + F.col("k")) % 3 == 0),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    w = Window.partitionBy("doc_id").orderBy("k")
+    vers = caps.select(
+        "doc_id",
+        F.sum(chg).over(w).alias("version"),
+        F.date_add(
+            F.to_date(F.lit("2026-01-01")), (F.col("k") * 9).cast("int")
+        ).alias("cap_date"),
+    )
+    scd = vers.groupBy("doc_id", "version").agg(
+        F.min("cap_date").alias("vf"), F.count("*").alias("n_captures")
+    )
+    w2 = Window.partitionBy("doc_id").orderBy("version")
+    return (
+        scd.select(
+            "doc_id",
+            "version",
+            F.date_format("vf", "yyyy-MM-dd").alias("valid_from"),
+            "n_captures",
+            F.date_format(F.lead("vf").over(w2), "yyyy-MM-dd").alias(
+                "valid_to"
+            ),
+            F.lead("vf").over(w2).isNull().alias("is_current"),
+        )
+        .orderBy("doc_id", "version")
+    )
+
+
+Q145_SQL = r"""
+WITH caps AS (
+  SELECT doc_id, unnest(range(0, doc_id % 4 + 1)) AS k FROM documents
+), v AS (
+  SELECT doc_id,
+         sum(CASE WHEN k > 0 AND (doc_id * 31 + k) % 3 = 0
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY k)::BIGINT AS version,
+         DATE '2026-01-01' + (k * 9)::INT AS cap_date
+  FROM caps
+), scd AS (
+  SELECT doc_id, version, min(cap_date) AS vf,
+         count(*)::BIGINT AS n_captures
+  FROM v GROUP BY doc_id, version
+)
+SELECT doc_id, version, strftime(vf, '%Y-%m-%d') AS valid_from, n_captures,
+       strftime(lead(vf) OVER (PARTITION BY doc_id ORDER BY version),
+                '%Y-%m-%d') AS valid_to,
+       (lead(vf) OVER (PARTITION BY doc_id ORDER BY version) IS NULL)
+         AS is_current
+FROM scd ORDER BY doc_id, version
+"""
+
+
+def q146_trustrank(spark, sf_dir):
+    """TrustRank over the q51 host graph with hosts {0, 1} as the
+    vetted seed set (operators/graph.trustrank — personalized PageRank
+    whose teleport AND dangling mass return to the seeds, VLDB 2004).
+    The spam-demotion complement of q52: hosts far from any seed decay
+    toward 0 trust however many inlinks they farm.  Certified exactly
+    like q52 — the 7-node graph lets a DuckDB recursive CTE run the
+    identical 10 power rounds with the identical FP operation order
+    (((1-d) + d*dangling) * v + d*gathered), the 1e-6 floor absorbing
+    gather-order ULPs."""
+    from .operators.graph import trustrank
+
+    edges = _host_edges(spark, sf_dir).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return trustrank(edges, seeds=[0, 1], iters=10).orderBy("node")
+
+
+def _q146_sql() -> str:
+    """Recursive-CTE TrustRank oracle (q52's generator with a seed
+    teleport vector): v = 0.5 for seed hosts {0,1}, 0 otherwise."""
+    n = 7
+    seeds = {0: "0.5", 1: "0.5"}
+
+    def v_of(u: int) -> str:
+        return seeds.get(u, "0.0")
+
+    def nxt(v: int) -> str:
+        dang = " + ".join(
+            f"(CASE WHEN (SELECT count(*) FROM e146 WHERE src = {u}) = 0"
+            f" THEN r{u} ELSE 0.0 END)"
+            for u in range(n)
+        )
+        gathered = " + ".join(
+            f"(CASE WHEN (SELECT count(*) FROM e146 WHERE src = {u}"
+            f" AND dst = {v}) > 0"
+            f" THEN r{u} / (SELECT count(*) FROM e146 WHERE src = {u})"
+            f" ELSE 0.0 END)"
+            for u in range(n)
+        )
+        return (
+            f"((1.0 - 0.85) + 0.85 * ({dang})) * {v_of(v)}"
+            f" + 0.85 * ({gathered})"
+        )
+
+    cols = ", ".join(f"({nxt(v)}) AS r{v}" for v in range(n))
+    state = ", ".join(f"r{v}" for v in range(n))
+    init = ", ".join(f"{v_of(v)}::DOUBLE" for v in range(n))
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT {v}::BIGINT AS node,"
+        f" floor(r{v} * 1000000 + 0.5) / 1000000 AS trust"
+        f" FROM tr WHERE it = 10"
+        for v in range(n)
+    )
+    return f"""
+WITH RECURSIVE e146 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 7 AS src, (doc_id * 3) % 7 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id % 7, (doc_id + 1) % 7 FROM documents
+  ) WHERE src != dst
+), tr(it, {state}) AS (
+  SELECT 0, {init}
+  UNION ALL
+  SELECT it + 1, {cols} FROM tr WHERE it < 10
+)
+SELECT node, trust FROM ({unpivot}) ORDER BY node
+"""
+
+
+def q147_crawl_traps(spark, sf_dir):
+    """Crawl-trap detection — the frontier hygiene check every crawler
+    runs (calendar pages, session-id params, faceted-search explosions
+    mint unbounded URL spaces over a tiny content set): per host,
+    compare the DISTINCT URL count against the DISTINCT content-
+    fingerprint count; a host minting ≥3 urls per content is trapped
+    and gets its frontier budget cut.  URLs synthesize with host 2 as
+    the trap (every doc's url carries a unique session param but the
+    path — and content — repeats mod 15); detection then works ONLY
+    from the url strings and fingerprints: JVM regexps parse host /
+    path / query, two count-distincts aggregate per host, and the
+    trap score is an all-integer permille (floor-div — no FP
+    anywhere).  One shuffle (groupBy host)."""
+    from .functions.quality import fingerprint
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.col("doc_id") % 7
+    trap = h == 2
+    url = F.when(
+        trap,
+        F.concat(
+            F.lit("https://site2.example/p/"),
+            (F.col("doc_id") % 15).cast("string"),
+            F.lit("?session="),
+            F.col("doc_id").cast("string"),
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit("https://site"),
+            h.cast("string"),
+            F.lit(".example/p/"),
+            F.col("doc_id").cast("string"),
+        )
+    )
+    content = F.when(
+        trap,
+        F.concat(F.lit("trap page "), (F.col("doc_id") % 15).cast("string")),
+    ).otherwise(F.col("text"))
+    pages = d.select(url.alias("url"), fingerprint(content).alias("fp"))
+    parsed = pages.select(
+        F.regexp_extract("url", r"^https://([^/]+)/", 1).alias("host"),
+        F.col("url"),
+        (F.instr(F.col("url"), "?") > 0).cast("int").alias("has_param"),
+        "fp",
+    )
+    agg = parsed.groupBy("host").agg(
+        F.countDistinct("url").alias("n_urls"),
+        F.countDistinct("fp").alias("n_contents"),
+        F.sum("has_param").alias("n_param_urls"),
+    )
+    return agg.select(
+        "host",
+        "n_urls",
+        "n_contents",
+        F.expr("(n_urls * 1000) div n_contents").alias("dup_permille"),
+        F.expr("(n_param_urls * 1000) div n_urls").alias("param_permille"),
+        F.expr("(n_urls * 1000) div n_contents >= 3000").alias("trapped"),
+    ).orderBy("host")
+
+
+Q147_SQL = r"""
+WITH pages AS (
+  SELECT CASE WHEN doc_id % 7 = 2
+              THEN 'https://site2.example/p/' || (doc_id % 15)::VARCHAR
+                   || '?session=' || doc_id::VARCHAR
+              ELSE 'https://site' || (doc_id % 7)::VARCHAR
+                   || '.example/p/' || doc_id::VARCHAR END AS url,
+         md5(regexp_replace(lower(trim(
+           CASE WHEN doc_id % 7 = 2
+                THEN 'trap page ' || (doc_id % 15)::VARCHAR
+                ELSE text END)), '\s+', ' ', 'g')) AS fp
+  FROM documents
+), parsed AS (
+  SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host, url,
+         CASE WHEN position('?' IN url) > 0 THEN 1 ELSE 0 END AS has_param,
+         fp
+  FROM pages
+), agg AS (
+  SELECT host, count(DISTINCT url)::BIGINT AS n_urls,
+         count(DISTINCT fp)::BIGINT AS n_contents,
+         sum(has_param)::BIGINT AS n_param_urls
+  FROM parsed GROUP BY host
+)
+SELECT host, n_urls, n_contents,
+       ((n_urls * 1000) // n_contents)::BIGINT AS dup_permille,
+       ((n_param_urls * 1000) // n_urls)::BIGINT AS param_permille,
+       ((n_urls * 1000) // n_contents >= 3000) AS trapped
+FROM agg ORDER BY host
+"""
+
+
+def _feistel_expr(k: str, xor: str) -> str:
+    """Inline 4-round Feistel (q141's network, same round keys) over a
+    32-bit key expression — emitted as one scalar expression so it can
+    live inside a higher-order-function lambda.  ``xor`` is the engine
+    spelling: ``^`` for Spark SQL, ``xor`` for DuckDB (where ``^`` is
+    exponentiation).  Spark additionally needs the function forms
+    shiftright/shiftleft: the ``>>``/``<<`` operator tokens fail to
+    parse inside a struct(...) argument list (verified on 4.1)."""
+    spark = xor != "xor"
+
+    def shr(x: str, n: int) -> str:
+        return f"shiftright({x}, {n})" if spark else f"(({x}) >> {n})"
+
+    def shl(x: str, n: int) -> str:
+        return f"shiftleft({x}, {n})" if spark else f"(({x}) << {n})"
+
+    left, right = f"({shr(k, 16)} & 65535)", f"(({k}) & 65535)"
+    for key in (40503, 31161, 32586, 31765):
+        fr = f"({shr(f'(({right}) * 2654435761 + {key})', 13)} & 65535)"
+        mixed = (
+            f"(({left}) ^ {fr})" if spark else f"xor(({left}), {fr})"
+        )
+        left, right = right, mixed
+    return f"({shl(left, 16)} | ({right}))"
+
+
+def q148_rendezvous_sharding(spark, sf_dir):
+    """Rendezvous (highest-random-weight) shard assignment — how a
+    100-TB corpus pins documents to N storage/processing shards so that
+    resizing moves only the mathematically minimal document set
+    (Thaler & Ravishankar 1996; the consistent-hashing alternative
+    memcached/Riak popularized).  Each doc scores all 16 shards with a
+    per-(doc, shard) polynomial hash and takes the argmax — computed
+    IN-ROW as a transform + array_max over a 16-struct array: no
+    explode, no extra shuffle, the whole assignment is a projection
+    over the scan.  The query then re-assigns against 15 shards
+    (shard 15 decommissioned) and certifies the HRW contract per
+    shard: a doc moves iff its 16-shard argmax WAS the removed shard
+    — `stable` must be true for all rows (the all-integer proof the
+    q141 Feistel shuffle gives for epochs, applied to placement)."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+
+    # The per-(doc, shard) weight is the q141 4-round Feistel over the
+    # 32-bit key doc_id*16 + s — REAL bit mixing.  A polynomial string
+    # hash cannot do HRW: for a fixed doc the weights across shards
+    # form an arithmetic progression mod the prime (constant step
+    # 31^len), so the argmax collapses onto two shards (measured).
+    # The stride stays 16 in the shrunk variant — HRW requires the
+    # SAME weight function, just maxed over the surviving shard set.
+    def argmax_shard(n_shards: int) -> F.Column:
+        w = _feistel_expr("(doc_id * 16 + s)", "^")
+        return F.expr(
+            f"array_max(transform(sequence(0, {n_shards - 1}), s -> "
+            f"struct({w} as w, s as s))).s"
+        ).cast("long")
+
+    assigned = d.select(
+        "doc_id",
+        argmax_shard(16).alias("shard"),
+        argmax_shard(15).alias("shard_after_shrink"),
+    )
+    per_shard = assigned.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (F.col("shard") != F.col("shard_after_shrink")).cast("long")
+        ).alias("n_remapped"),
+    )
+    return per_shard.select(
+        "shard",
+        "n_docs",
+        "n_remapped",
+        (
+            F.col("n_remapped")
+            == F.when(F.col("shard") == 15, F.col("n_docs")).otherwise(
+                F.lit(0)
+            )
+        ).alias("stable"),
+    ).orderBy("shard")
+
+
+def _q148_hrw_sql(n_shards: int) -> str:
+    """DuckDB argmax over the per-shard Feistel weights: lexicographic
+    list compare makes list_sort(...)[-1] the (weight, shard) max, same
+    tie-break as Spark's struct array_max."""
+    w = _feistel_expr("(doc_id * 16 + s)", "xor")
+    return (
+        f"list_sort(list_transform(range(0, {n_shards}),"
+        f" s -> [{w}, s]))[-1][2]"
+    )
+
+
+def _q148_sql() -> str:
+    return f"""
+WITH assigned AS (
+  SELECT doc_id,
+         {_q148_hrw_sql(16)}::BIGINT AS shard,
+         {_q148_hrw_sql(15)}::BIGINT AS shard_after_shrink
+  FROM documents
+), per_shard AS (
+  SELECT shard, count(*)::BIGINT AS n_docs,
+         sum(CASE WHEN shard != shard_after_shrink THEN 1 ELSE 0 END)::BIGINT
+           AS n_remapped
+  FROM assigned GROUP BY shard
+)
+SELECT shard, n_docs, n_remapped,
+       (n_remapped = CASE WHEN shard = 15 THEN n_docs ELSE 0 END) AS stable
+FROM per_shard ORDER BY shard
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -8415,6 +8760,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q142_vocab_coverage": q142_vocab_coverage,
     "q143_card_detection": q143_card_detection,
     "q144_pdf_previews": q144_pdf_previews,
+    "q145_url_history": q145_url_history,
+    "q146_trustrank": q146_trustrank,
+    "q147_crawl_traps": q147_crawl_traps,
+    "q148_rendezvous_sharding": q148_rendezvous_sharding,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -8549,6 +8898,10 @@ ORACLES: dict[str, str] = {
     "q141_epoch_shuffle": Q141_SQL,
     "q142_vocab_coverage": Q142_SQL,
     "q143_card_detection": Q143_SQL,
+    "q145_url_history": Q145_SQL,
+    "q146_trustrank": _q146_sql(),
+    "q147_crawl_traps": Q147_SQL,
+    "q148_rendezvous_sharding": _q148_sql(),
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -228,3 +228,53 @@ def test_hits_empty_edges(spark):
 
     df = spark.createDataFrame([], "src long, dst long")
     assert hits(df, iters=2).count() == 0
+
+
+def test_trustrank_matches_numpy_power_iteration(spark):
+    import numpy as np
+
+    from hoover_snoop2_spark.operators.graph import trustrank
+
+    # seeds {0,1}; node 5 is a link-farm island unreachable from seeds
+    edges = [(0, 1), (0, 2), (1, 2), (2, 0), (4, 0), (1, 3), (5, 4), (6, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    seeds = [0, 1]
+    got = {
+        r["node"]: r["trust"]
+        for r in trustrank(df, seeds=seeds, iters=12).collect()
+    }
+
+    nodes = sorted({v for e in edges for v in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    M = np.zeros((n, n))
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    for s, ds in out.items():
+        for d in ds:
+            M[idx[d], idx[s]] = 1.0 / len(ds)
+    v = np.zeros(n)
+    for s in seeds:
+        v[idx[s]] = 1.0 / len(seeds)
+    t = v.copy()
+    damping = 0.85
+    for _ in range(12):
+        dangling = sum(t[idx[u]] for u in nodes if u not in out)
+        t = ((1 - damping) + damping * dangling) * v + damping * (M @ t)
+    for u in nodes:
+        assert abs(got[u] - t[idx[u]]) < 1e-4, (u, got[u], t[idx[u]])
+    # trust is conserved (teleport + dangling both return to seeds)
+    assert abs(sum(got.values()) - 1.0) < 1e-3
+    # the island pair (5,6) is unreachable from any seed -> ~zero trust
+    assert got[5] < 1e-6 and got[6] < 1e-6
+    # node 4 only receives from the island, so it decays too
+    assert got[4] < 1e-6
+
+
+def test_trustrank_requires_seeds(spark):
+    from hoover_snoop2_spark.operators.graph import trustrank
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        trustrank(df, seeds=[], iters=1)
