@@ -8623,6 +8623,330 @@ FROM per_shard ORDER BY shard
 """
 
 
+def q149_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (FastCDC-style gear hash, Xia et al.
+    ATC 2016 / LBFS rolling-hash lineage) — the storage-side dedup
+    primitive: chunk boundaries depend on CONTENT, not offsets, so an
+    insertion early in a document only re-chunks its neighborhood and
+    every downstream chunk fingerprint stays stable (fixed-size
+    blocks would all shift).  Gear update h' = (2h + gear(byte)) mod
+    2^32 ages bytes out after 32 shifts — no window-removal state, so
+    the whole chunker is ONE aggregate HOF fold per document carrying
+    [h, size, ends...] in a BIGINT array: boundary when the low 6 bits
+    of h' clear and the chunk has ≥16 bytes, hard cap 128.  Zero UDFs,
+    zero shuffles for the chunking itself (pure projection); chunk
+    fingerprints are md5 over the substring so the dedup join key is
+    engine-exact."""
+    d = _t(spark, sf_dir, "documents")
+    gear = "(ascii(substring(text, i, 1)) * 2654435761) % 4294967296"
+    h2 = f"((element_at(acc, 1) * 2 + {gear}) % 4294967296)"
+    bnd = (
+        f"(({h2} % 64) = 0 AND element_at(acc, 2) + 1 >= 16)"
+        " OR element_at(acc, 2) + 1 >= 128"
+    )
+    fold = f"""
+    aggregate(
+      sequence(1, length(text)),
+      array(0L, 0L),
+      (acc, i) -> CASE WHEN {bnd}
+        THEN concat(array(0L, 0L), slice(acc, 3, size(acc) - 2),
+                    array(cast(i as bigint)))
+        ELSE concat(array({h2}, element_at(acc, 2) + 1),
+                    slice(acc, 3, size(acc) - 2)) END,
+      acc -> slice(acc, 3, size(acc) - 2)
+    )"""
+    withe = d.select("doc_id", "text", F.expr(fold).alias("ends"))
+    ends2 = F.expr(
+        "CASE WHEN size(ends) > 0 AND element_at(ends, -1) = length(text)"
+        " THEN ends ELSE concat(ends, array(cast(length(text) as bigint)))"
+        " END"
+    )
+    ex = withe.select(
+        "doc_id", "text", ends2.alias("ends2")
+    ).select(
+        "doc_id",
+        "text",
+        "ends2",
+        F.posexplode("ends2").alias("chunk_idx", "chunk_end"),
+    )
+    start = F.expr(
+        "CASE WHEN chunk_idx = 0 THEN 0L"
+        " ELSE element_at(ends2, chunk_idx) END"
+    )
+    return (
+        ex.select(
+            "doc_id",
+            "chunk_idx",
+            start.alias("start"),
+            (F.col("chunk_end") - start).alias("chunk_len"),
+            F.md5(
+                F.expr(
+                    "substring(text, cast(CASE WHEN chunk_idx = 0 THEN 0L"
+                    " ELSE element_at(ends2, chunk_idx) END as int) + 1,"
+                    " cast(chunk_end - CASE WHEN chunk_idx = 0 THEN 0L"
+                    " ELSE element_at(ends2, chunk_idx) END as int))"
+                )
+            ).alias("chunk_md5"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+Q149_SQL = r"""
+WITH folded AS (
+  SELECT doc_id, text,
+    list_reduce(
+      list_prepend([0::BIGINT, 0::BIGINT],
+        list_transform(range(1, length(text) + 1),
+          i -> [ascii(substr(text, i::INT, 1))::BIGINT, i::BIGINT])),
+      (acc, x) -> CASE WHEN
+          ((((acc[1] * 2 + (x[1] * 2654435761) % 4294967296)
+             % 4294967296) % 64) = 0 AND acc[2] + 1 >= 16)
+          OR acc[2] + 1 >= 128
+        THEN list_concat([0::BIGINT, 0::BIGINT],
+                         list_append(acc[3:], x[2]))
+        ELSE list_concat([(acc[1] * 2 + (x[1] * 2654435761) % 4294967296)
+                            % 4294967296, acc[2] + 1], acc[3:]) END
+    )[3:] AS ends
+  FROM documents
+), capped AS (
+  SELECT doc_id, text,
+         CASE WHEN len(ends) > 0 AND ends[-1] = length(text) THEN ends
+              ELSE list_append(ends, length(text)::BIGINT) END AS ends2
+  FROM folded
+), ex AS (
+  SELECT doc_id, text, ends2,
+         unnest(range(0, len(ends2)))::BIGINT AS chunk_idx,
+         unnest(ends2) AS chunk_end
+  FROM capped
+)
+SELECT doc_id, chunk_idx,
+       CASE WHEN chunk_idx = 0 THEN 0 ELSE ends2[chunk_idx::INT] END::BIGINT
+         AS start,
+       (chunk_end - CASE WHEN chunk_idx = 0 THEN 0
+                         ELSE ends2[chunk_idx::INT] END)::BIGINT AS chunk_len,
+       md5(substr(text,
+         (CASE WHEN chunk_idx = 0 THEN 0
+               ELSE ends2[chunk_idx::INT] END + 1)::INT,
+         (chunk_end - CASE WHEN chunk_idx = 0 THEN 0
+                           ELSE ends2[chunk_idx::INT] END)::INT)) AS chunk_md5
+FROM ex ORDER BY doc_id, chunk_idx
+"""
+
+
+def q150_mergeable_minhash(spark, sf_dir):
+    """Mergeable minhash signatures — the distributed-aggregation
+    contract every sketch in a 1000-executor pipeline must honor:
+    because min commutes and associates, per-DOCUMENT signatures
+    roll up to the per-HOST (set-union) signature by elementwise min
+    — no re-scan of the raw shingles.  The query certifies exactly
+    that: `direct` computes each host's 4-row signature straight from
+    its shingle union, `merged` min-combines the per-doc signatures,
+    and `mergeable` asserts they agree row by row (the same property
+    the q128 HLL relies on for register-max).  Shingles are word
+    3-grams; hash rows reuse q139's polynomial fold so the oracle is
+    value-exact.  Map-side partial aggregation does the heavy
+    lifting: both paths are two-phase min-aggs, no joins until the
+    28-row compare."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.col("doc_id") % 7).alias("host"),
+        "doc_id",
+        F.expr(
+            "filter(split(lower(text), '[^a-z]+'), w -> w != '')"
+        ).alias("t"),
+    )
+    sh = toks.select(
+        "host",
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, greatest(size(t) - 2, 0)),"
+                " i -> concat(element_at(t, i), ' ',"
+                " element_at(t, i + 1), ' ', element_at(t, i + 2)))"
+            )
+        ).alias("shingle"),
+    )
+    mults = [31, 37, 41, 43]
+    rows = None
+    for j, m in enumerate(mults):
+        r = sh.select(
+            "host",
+            "doc_id",
+            F.lit(j).alias("j"),
+            F.expr(
+                f"aggregate(sequence(1, length(shingle)), 0L,"
+                f" (acc, i) -> (acc * {m} +"
+                f" ascii(substring(shingle, i, 1))) % 1000003)"
+            ).alias("h"),
+        )
+        rows = r if rows is None else rows.union(r)
+    direct = rows.groupBy("host", "j").agg(F.min("h").alias("direct_min"))
+    per_doc = rows.groupBy("host", "doc_id", "j").agg(
+        F.min("h").alias("doc_min")
+    )
+    merged = per_doc.groupBy("host", "j").agg(
+        F.min("doc_min").alias("merged_min")
+    )
+    return (
+        direct.join(merged, ["host", "j"])
+        .select(
+            "host",
+            "j",
+            "direct_min",
+            "merged_min",
+            (F.col("direct_min") == F.col("merged_min")).alias("mergeable"),
+        )
+        .orderBy("host", "j")
+    )
+
+
+def _q150_sql() -> str:
+    mults = [31, 37, 41, 43]
+
+    def fold(m: int) -> str:
+        return (
+            f"list_reduce(list_prepend(0::BIGINT, list_transform("
+            f"range(1, length(shingle) + 1),"
+            f" i -> ascii(substr(shingle, i::INT, 1))::BIGINT)),"
+            f" (acc, x) -> (acc * {m} + x) % 1000003)"
+        )
+
+    rows = "\n  UNION ALL ".join(
+        f"SELECT host, doc_id, {j} AS j, {fold(m)} AS h FROM sh"
+        for j, m in enumerate(mults)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id % 7 AS host, doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                     w -> w != '') AS t
+  FROM documents
+), sh AS (
+  SELECT host, doc_id,
+         unnest(list_transform(range(1, greatest(len(t) - 2, 0) + 1),
+           i -> t[i::INT] || ' ' || t[(i + 1)::INT] || ' '
+                || t[(i + 2)::INT])) AS shingle
+  FROM toks
+), rows_ AS (
+  {rows}
+), direct AS (
+  SELECT host, j, min(h)::BIGINT AS direct_min FROM rows_ GROUP BY host, j
+), per_doc AS (
+  SELECT host, doc_id, j, min(h) AS doc_min FROM rows_
+  GROUP BY host, doc_id, j
+), merged AS (
+  SELECT host, j, min(doc_min)::BIGINT AS merged_min FROM per_doc
+  GROUP BY host, j
+)
+SELECT host, j, direct_min, merged_min,
+       (direct_min = merged_min) AS mergeable
+FROM direct JOIN merged USING (host, j)
+ORDER BY host, j
+"""
+
+
+def q151_texttiling(spark, sf_dir):
+    """TextTiling topic segmentation (Hearst, CL 1997) over the
+    document word stream — the subtopic-boundary pass chunking
+    pipelines run so a training example doesn't straddle a topic
+    shift: tokens group into 10-token pseudo-sentences (Hearst's
+    fixed-size blocks — the corpus carries no punctuation), each gap
+    scores the Jaccard similarity of the two 2-block windows around
+    it, and a boundary fires at STRICT local minima below 500
+    permille.  Set algebra stays in JVM array functions
+    (array_union/array_intersect on per-block distinct-token arrays);
+    the score is an all-integer permille so local-min comparisons are
+    exact.  Two windows over the same (doc_id, block) ordering — one
+    Exchange."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), w -> w != '')")
+        ).alias("pos", "w"),
+    )
+    blocks = (
+        toks.groupBy("doc_id", (F.col("pos") / 10).cast("long").alias("b"))
+        .agg(F.array_sort(F.collect_set("w")).alias("ws"))
+    )
+    wspec = Window.partitionBy("doc_id").orderBy("b")
+    gaps = blocks.select(
+        "doc_id",
+        "b",
+        F.array_union(
+            F.coalesce(F.lag("ws").over(wspec), F.array()), F.col("ws")
+        ).alias("left_ws"),
+        F.array_union(
+            F.lead("ws").over(wspec),
+            F.coalesce(F.lead("ws", 2).over(wspec), F.array()),
+        ).alias("right_ws"),
+    ).where(F.col("right_ws").isNotNull())
+    scored = gaps.select(
+        "doc_id",
+        F.col("b").alias("gap"),
+        F.expr(
+            "(size(array_intersect(left_ws, right_ws)) * 1000)"
+            " div size(array_union(left_ws, right_ws))"
+        ).alias("score"),
+    )
+    wg = Window.partitionBy("doc_id").orderBy("gap")
+    return scored.select(
+        "doc_id",
+        "gap",
+        "score",
+        (
+            (F.col("score") < 500)
+            & (F.col("score") < F.coalesce(F.lag("score").over(wg), F.lit(1001)))
+            & (F.col("score") < F.coalesce(F.lead("score").over(wg), F.lit(1001)))
+        ).alias("is_boundary"),
+    ).orderBy("doc_id", "gap")
+
+
+Q151_SQL = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(range(0, len(t)))::BIGINT AS pos,
+         unnest(t) AS w
+  FROM (
+    SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                       w -> w != '') AS t
+    FROM documents
+  )
+), blocks AS (
+  SELECT doc_id, pos // 10 AS b,
+         list_sort(list_distinct(list(w))) AS ws
+  FROM toks GROUP BY doc_id, pos // 10
+), gaps AS (
+  SELECT doc_id, b,
+         list_distinct(list_concat(
+           coalesce(lag(ws) OVER (PARTITION BY doc_id ORDER BY b), []),
+           ws)) AS left_ws,
+         CASE WHEN lead(ws) OVER (PARTITION BY doc_id ORDER BY b) IS NULL
+              THEN NULL
+              ELSE list_distinct(list_concat(
+                lead(ws) OVER (PARTITION BY doc_id ORDER BY b),
+                coalesce(lead(ws, 2) OVER (PARTITION BY doc_id ORDER BY b),
+                         []))) END AS right_ws
+  FROM blocks
+), scored AS (
+  SELECT doc_id, b AS gap,
+         ((len(list_intersect(left_ws, right_ws)) * 1000)
+          // len(list_distinct(list_concat(left_ws, right_ws))))::BIGINT
+           AS score
+  FROM gaps WHERE right_ws IS NOT NULL
+)
+SELECT doc_id, gap, score,
+       (score < 500
+        AND score < coalesce(lag(score)
+              OVER (PARTITION BY doc_id ORDER BY gap), 1001)
+        AND score < coalesce(lead(score)
+              OVER (PARTITION BY doc_id ORDER BY gap), 1001)) AS is_boundary
+FROM scored ORDER BY doc_id, gap
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -8764,6 +9088,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q146_trustrank": q146_trustrank,
     "q147_crawl_traps": q147_crawl_traps,
     "q148_rendezvous_sharding": q148_rendezvous_sharding,
+    "q149_cdc_chunks": q149_cdc_chunks,
+    "q150_mergeable_minhash": q150_mergeable_minhash,
+    "q151_texttiling": q151_texttiling,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -8902,6 +9229,9 @@ ORACLES: dict[str, str] = {
     "q146_trustrank": _q146_sql(),
     "q147_crawl_traps": Q147_SQL,
     "q148_rendezvous_sharding": _q148_sql(),
+    "q149_cdc_chunks": Q149_SQL,
+    "q150_mergeable_minhash": _q150_sql(),
+    "q151_texttiling": Q151_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
