@@ -8947,6 +8947,308 @@ FROM scored ORDER BY doc_id, gap
 """
 
 
+_Q152_BLOCKLIST = [
+    # (term, category, per-doc hit threshold for a page verdict)
+    ("spark", "brand", 2),
+    ("slow", "quality", 2),
+    ("hash", "crypto", 1),
+    ("merge", "crypto", 3),
+    ("window", "ui", 3),
+]
+
+
+def q152_blocklist_filter(spark, sf_dir):
+    """UT1-style blocklist page filtering — the category-blocklist gate
+    (adult/gambling/malware lists in production; neutral stand-in terms
+    here) that C4/RefinedWeb-class pipelines run before quality
+    scoring: count whole-word hits per (doc, term) with ONE combined
+    alternation regexp (a single JVM scan per document, not one pass
+    per term — the flat-list equivalent of Aho-Corasick), roll hits up
+    per category, and block the page when any category crosses its
+    threshold.  The blocklist joins as a broadcast dimension;
+    per-category thresholds ride along in the same tiny dim table, so
+    the corpus side is one scan + one groupBy."""
+    terms = sorted({t for t, _, _ in _Q152_BLOCKLIST})
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    dim = spark.createDataFrame(
+        _Q152_BLOCKLIST, "term string, category string, threshold int"
+    )
+    d = _t(spark, sf_dir, "documents")
+    # pattern rides as a lit column: an F.expr string literal would eat
+    # the \b word anchors (SQL escape -> backspace)
+    hits = d.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit(pat), F.lit(1))
+        ).alias("term"),
+    )
+    per_term = hits.groupBy("doc_id", "term").agg(
+        F.count("*").alias("n_hits")
+    )
+    per_cat = (
+        per_term.join(F.broadcast(dim), "term")
+        .groupBy("doc_id", "category")
+        .agg(
+            F.sum("n_hits").alias("cat_hits"),
+            F.min("threshold").alias("threshold"),
+        )
+    )
+    verdict = per_cat.groupBy("doc_id").agg(
+        F.max(
+            F.when(F.col("cat_hits") >= F.col("threshold"), 1).otherwise(0)
+        ).alias("blocked_i"),
+        F.sum("cat_hits").alias("total_hits"),
+    )
+    return (
+        d.select("doc_id")
+        .join(verdict, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("total_hits", F.lit(0)).alias("total_hits"),
+            (F.coalesce("blocked_i", F.lit(0)) == 1).alias("blocked"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _q152_sql() -> str:
+    terms = sorted({t for t, _, _ in _Q152_BLOCKLIST})
+    pat = r"\b(" + "|".join(terms) + r")\b"
+    dim = "\n  UNION ALL ".join(
+        f"SELECT '{t}' AS term, '{c}' AS category, {th} AS threshold"
+        for t, c, th in _Q152_BLOCKLIST
+    )
+    return f"""
+WITH dim AS (
+  {dim}
+), hits AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '{pat}', 1)) AS term
+  FROM documents
+), per_term AS (
+  SELECT doc_id, term, count(*)::BIGINT AS n_hits
+  FROM hits GROUP BY doc_id, term
+), per_cat AS (
+  SELECT doc_id, category, sum(n_hits)::BIGINT AS cat_hits,
+         min(threshold) AS threshold
+  FROM per_term JOIN dim USING (term)
+  GROUP BY doc_id, category
+), verdict AS (
+  SELECT doc_id,
+         max(CASE WHEN cat_hits >= threshold THEN 1 ELSE 0 END) AS blocked_i,
+         sum(cat_hits)::BIGINT AS total_hits
+  FROM per_cat GROUP BY doc_id
+)
+SELECT d.doc_id, coalesce(v.total_hits, 0)::BIGINT AS total_hits,
+       (coalesce(v.blocked_i, 0) = 1) AS blocked
+FROM documents d LEFT JOIN verdict v USING (doc_id)
+ORDER BY doc_id
+"""
+
+
+def q153_source_kl_drift(spark, sf_dir):
+    """Per-source distribution drift — KL(source ‖ corpus) over unigram
+    distributions, the drift monitor a continuously-ingesting pipeline
+    alarms on (a source whose token distribution walks away from the
+    corpus is a template change, a spam takeover, or an encoding bug).
+    Add-1 smoothing over the shared vocabulary; every ln is quantized
+    to integer micro-nats BEFORE the per-source sum (q140's idiom —
+    the sum becomes an order-free BIGINT reduction) and the final
+    per-token normalization is an integer floor-div.  Two shuffles
+    (token counts, source rollup); the corpus-total side is a
+    broadcast scalar row."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), w -> w != '')")
+        ).alias("w"),
+    )
+    sc = toks.groupBy("source", "w").agg(F.count("*").alias("c_s"))
+    cc = toks.groupBy("w").agg(F.count("*").alias("c_g"))
+    vocab_n = cc.agg(
+        F.count("*").alias("v"), F.sum("c_g").alias("n_g")
+    )
+    stot = sc.groupBy("source").agg(F.sum("c_s").alias("n_s"))
+    # smoothed: p = (c_s+1)/(n_s+V), q = (c_g+1)/(n_g+V); KL term =
+    # (c_s+1) * (L(c_s+1) - L(n_s+V) - L(c_g+1) + L(n_g+V)) micro-nats,
+    # normalized by (n_s+V) at the very end (integer floor-div)
+
+    def L(col) -> F.Column:
+        return F.floor(
+            F.log(col.cast("double")) * 1000000 + F.lit(0.5)
+        ).cast("long")
+
+    joined = (
+        sc.join(cc, "w")
+        .join(F.broadcast(stot), "source")
+        .join(F.broadcast(vocab_n))
+    )
+    term = (
+        (F.col("c_s") + 1)
+        * (
+            L(F.col("c_s") + 1)
+            - L(F.col("n_s") + F.col("v"))
+            - L(F.col("c_g") + 1)
+            + L(F.col("n_g") + F.col("v"))
+        )
+    )
+    out = joined.groupBy("source", "n_s", "v").agg(
+        F.sum(term).alias("kl_num")
+    )
+    return out.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        F.expr("kl_num div (n_s + v)").alias("kl_micro_per_token"),
+    ).orderBy("source")
+
+
+Q153_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(
+           string_split_regex(lower(text), '[^a-z]+'), w -> w != '')) AS w
+  FROM documents
+), sc AS (
+  SELECT source, w, count(*)::BIGINT AS c_s FROM toks GROUP BY source, w
+), cc AS (
+  SELECT w, count(*)::BIGINT AS c_g FROM toks GROUP BY w
+), vn AS (
+  SELECT count(*)::BIGINT AS v, sum(c_g)::BIGINT AS n_g FROM cc
+), stot AS (
+  SELECT source, sum(c_s)::BIGINT AS n_s FROM sc GROUP BY source
+), terms AS (
+  SELECT sc.source, stot.n_s, vn.v,
+         (sc.c_s + 1)
+         * (floor(ln((sc.c_s + 1)::DOUBLE) * 1000000 + 0.5)::BIGINT
+            - floor(ln((stot.n_s + vn.v)::DOUBLE) * 1000000 + 0.5)::BIGINT
+            - floor(ln((cc.c_g + 1)::DOUBLE) * 1000000 + 0.5)::BIGINT
+            + floor(ln((vn.n_g + vn.v)::DOUBLE) * 1000000 + 0.5)::BIGINT)
+           AS term
+  FROM sc JOIN cc USING (w) JOIN stot USING (source) CROSS JOIN vn
+)
+SELECT source, n_s AS n_tokens,
+       (sum(term) // (n_s + v))::BIGINT AS kl_micro_per_token
+FROM terms GROUP BY source, n_s, v ORDER BY source
+"""
+
+
+def q154_alpha_sampling(spark, sf_dir):
+    """α-smoothed multilingual sampling budgets (the mC4 / XLM-R
+    temperature trick, α = 1/2): low-resource languages upsample
+    relative to their natural share via q_l ∝ p_l^α, flattening the
+    head without inverting the order.  α = 1/2 is the certifiable
+    instance — sqrt is IEEE correctly-rounded (unlike pow), so
+    quantizing each √n_l to integer micro-units makes the whole
+    allocation exact integers end to end: budget_l = B·s_l div Σs
+    with B = 100k examples.  The output also reports the realized
+    upsampling factor vs the natural share (permille).  One groupBy;
+    the Σs side is a broadcast scalar."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    s = F.floor(
+        F.sqrt(F.col("n_docs").cast("double")) * 1000000 + F.lit(0.5)
+    ).cast("long")
+    wc = counts.select("lang", "n_docs", s.alias("s_micro"))
+    tot = wc.agg(
+        F.sum("s_micro").alias("s_sum"), F.sum("n_docs").alias("n_tot")
+    )
+    B = 100000
+    return (
+        wc.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            "s_micro",
+            F.expr(f"({B} * s_micro) div s_sum").alias("budget"),
+            F.expr(
+                f"((({B} * s_micro) div s_sum) * n_tot * 1000)"
+                f" div (n_docs * {B})"
+            ).alias("upsample_permille"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q154_SQL = r"""
+WITH counts AS (
+  SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang
+), wc AS (
+  SELECT lang, n_docs,
+         floor(sqrt(n_docs::DOUBLE) * 1000000 + 0.5)::BIGINT AS s_micro
+  FROM counts
+), tot AS (
+  SELECT sum(s_micro)::BIGINT AS s_sum, sum(n_docs)::BIGINT AS n_tot FROM wc
+)
+SELECT lang, n_docs, s_micro,
+       ((100000 * s_micro) // s_sum)::BIGINT AS budget,
+       ((((100000 * s_micro) // s_sum) * n_tot * 1000)
+        // (n_docs * 100000))::BIGINT AS upsample_permille
+FROM wc CROSS JOIN tot ORDER BY lang
+"""
+
+
+def q155_glove_cooccurrence(spark, sf_dir):
+    """GloVe-style distance-weighted co-occurrence counts (Pennington
+    et al. 2014) — the X_ij statistics embedding training aggregates
+    from the corpus: every token pair within a 5-token window
+    contributes 1/d.  Scaling by 60 = lcm(1..5) keeps the weights
+    integer (60, 30, 20, 15, 12), so the corpus-wide sums are exact.
+    The window join is NOT a range join: each token explodes its 5
+    forward offsets and equi-joins back to the token table on
+    (doc_id, pos) — one shuffle each side, AQE-sized.  Pairs are
+    unordered (least/greatest) matching GloVe's symmetric context.
+    Top-50 by weight."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), w -> w != '')")
+        ).alias("pos", "w"),
+    )
+    probes = toks.select(
+        "doc_id",
+        F.col("w").alias("w1"),
+        F.explode(
+            F.expr(
+                "transform(sequence(1, 5),"
+                " k -> struct(pos + k as p2, cast(60 div k as bigint) as wt))"
+            )
+        ).alias("o"),
+    ).select("doc_id", "w1", F.col("o.p2").alias("pos"), F.col("o.wt").alias("wt"))
+    pairs = probes.join(toks, ["doc_id", "pos"]).select(
+        F.least("w1", "w").alias("a"),
+        F.greatest("w1", "w").alias("b"),
+        "wt",
+    )
+    return (
+        pairs.groupBy("a", "b")
+        .agg(F.sum("wt").alias("weight_x60"))
+        .orderBy(F.col("weight_x60").desc(), "a", "b")
+        .limit(50)
+    )
+
+
+Q155_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(range(0, len(t)))::BIGINT AS pos, unnest(t) AS w
+  FROM (
+    SELECT doc_id, list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                               w -> w != '') AS t
+    FROM documents
+  )
+), probes AS (
+  SELECT doc_id, w AS w1, pos + k AS pos2, (60 // k)::BIGINT AS wt
+  FROM toks, unnest(range(1, 6)) AS u(k)
+), pairs AS (
+  SELECT least(p.w1, t.w) AS a, greatest(p.w1, t.w) AS b, p.wt
+  FROM probes p JOIN toks t ON p.doc_id = t.doc_id AND p.pos2 = t.pos
+)
+SELECT a, b, sum(wt)::BIGINT AS weight_x60
+FROM pairs GROUP BY a, b
+ORDER BY weight_x60 DESC, a, b LIMIT 50
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -9091,6 +9393,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q149_cdc_chunks": q149_cdc_chunks,
     "q150_mergeable_minhash": q150_mergeable_minhash,
     "q151_texttiling": q151_texttiling,
+    "q152_blocklist_filter": q152_blocklist_filter,
+    "q153_source_kl_drift": q153_source_kl_drift,
+    "q154_alpha_sampling": q154_alpha_sampling,
+    "q155_glove_cooccurrence": q155_glove_cooccurrence,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -9232,6 +9538,10 @@ ORACLES: dict[str, str] = {
     "q149_cdc_chunks": Q149_SQL,
     "q150_mergeable_minhash": _q150_sql(),
     "q151_texttiling": Q151_SQL,
+    "q152_blocklist_filter": _q152_sql(),
+    "q153_source_kl_drift": Q153_SQL,
+    "q154_alpha_sampling": Q154_SQL,
+    "q155_glove_cooccurrence": Q155_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
