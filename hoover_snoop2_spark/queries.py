@@ -9249,6 +9249,266 @@ ORDER BY weight_x60 DESC, a, b LIMIT 50
 """
 
 
+def q156_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership sketch (Bloom 1970) — the third
+    mergeable sketch next to q128's HLL and q139's Count-Min, and the
+    one shuffle-pruning joins are built on (Spark's own runtime bloom
+    join filter, Iceberg's bloom column metrics): corpus tokens set k=3
+    bit positions in an m=256-bit array (positions from q139's
+    polynomial folds so the oracle replays them); the filter itself is
+    built as ONE bit_or aggregation over four BIGINT words — the
+    map-side-combinable form.  Probes then certify the contract: every
+    present token hits (zero false negatives, asserted as a column) and
+    the deliberately-absent probe set measures the actual FP rate at
+    this density.  All-integer."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), w -> w != '')")
+        ).alias("w")
+    ).distinct()
+    mults = [31, 37, 41]
+
+    def bitpos(col: str, m: int) -> str:
+        return (
+            f"aggregate(sequence(1, length({col})), 0L,"
+            f" (acc, i) -> (acc * {m} + ascii(substring({col}, i, 1)))"
+            f" % 1000003) % 256"
+        )
+
+    # 256-bit filter = 4 BIGINT words; word j = bit_or of 1<<(pos-64j)
+    word_cols = []
+    for j in range(4):
+        exprs = []
+        for m in mults:
+            p = bitpos("w", m)
+            exprs.append(
+                f"CASE WHEN ({p}) div 64 = {j}"
+                f" THEN shiftleft(1L, cast(({p}) % 64 as int)) ELSE 0L END"
+            )
+        word_cols.append(F.expr(" | ".join(exprs)).alias(f"w{j}"))
+    words = toks.select(*word_cols)
+    bloom = words.agg(
+        *[F.expr(f"bit_or(w{j})").alias(f"b{j}") for j in range(4)]
+    )
+    # probe set: every 5th corpus token (present) + its reversed form
+    # suffixed '#q' (absent by construction — '#' never tokenizes)
+    probes = (
+        toks.orderBy("w")
+        .select(
+            "w", F.row_number().over(Window.orderBy("w")).alias("rn")
+        )
+        .where(F.col("rn") % 5 == 0)
+        .select(
+            F.col("w").alias("probe"), F.lit(True).alias("expected")
+        )
+        .union(
+            toks.orderBy("w")
+            .select(
+                "w", F.row_number().over(Window.orderBy("w")).alias("rn")
+            )
+            .where(F.col("rn") % 5 == 0)
+            .select(
+                F.concat(F.reverse("w"), F.lit("zq")).alias("probe"),
+                F.lit(False).alias("expected"),
+            )
+        )
+    )
+    checks = []
+    for m in mults:
+        p = bitpos("probe", m)
+        checks.append(
+            f"((CASE ({p}) div 64"
+            " WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"
+            f" >> cast(({p}) % 64 as int)) & 1) = 1"
+        )
+    hit = F.expr(" AND ".join(checks))
+    return (
+        probes.join(F.broadcast(bloom))
+        .select(
+            "probe",
+            "expected",
+            hit.alias("bloom_hit"),
+            (hit & ~F.col("expected")).alias("false_positive"),
+            (~hit & F.col("expected")).alias("false_negative"),
+        )
+        .orderBy("probe")
+    )
+
+
+def _q156_sql() -> str:
+    mults = [31, 37, 41]
+
+    def bitpos(col: str, m: int) -> str:
+        return (
+            f"(list_reduce(list_prepend(0::BIGINT, list_transform("
+            f"range(1, length({col}) + 1),"
+            f" i -> ascii(substr({col}, i::INT, 1))::BIGINT)),"
+            f" (acc, x) -> (acc * {m} + x) % 1000003) % 256)"
+        )
+
+    word = []
+    for j in range(4):
+        parts = " | ".join(
+            f"CASE WHEN {bitpos('w', m)} // 64 = {j}"
+            f" THEN (1::UBIGINT << ({bitpos('w', m)} % 64)::INT)"
+            f" ELSE 0::UBIGINT END"
+            for m in mults
+        )
+        word.append(f"bit_or({parts}) AS b{j}")
+    checks = " AND ".join(
+        f"((CASE {bitpos('probe', m)} // 64"
+        " WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"
+        f" >> ({bitpos('probe', m)} % 64)::INT) & 1) = 1"
+        for m in mults
+    )
+    return f"""
+WITH toks AS (
+  SELECT DISTINCT unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z]+'), w -> w != '')) AS w
+  FROM documents
+), bloom AS (
+  SELECT {', '.join(word)} FROM toks
+), ranked AS (
+  SELECT w, row_number() OVER (ORDER BY w) AS rn FROM toks
+), probes AS (
+  SELECT w AS probe, true AS expected FROM ranked WHERE rn % 5 = 0
+  UNION ALL
+  SELECT reverse(w) || 'zq', false FROM ranked WHERE rn % 5 = 0
+)
+SELECT probe, expected, ({checks}) AS bloom_hit,
+       (({checks}) AND NOT expected) AS false_positive,
+       ((NOT ({checks})) AND expected) AS false_negative
+FROM probes CROSS JOIN bloom ORDER BY probe
+"""
+
+
+def q157_fuzzy_linkage(spark, sf_dir):
+    """Blocked fuzzy record linkage — the entity-resolution join dedup
+    pipelines run on TITLES (near-identical headlines across mirrors
+    that minhash misses at short lengths): candidate pairs block on
+    (length-bucket, first character) so the quadratic edit-distance
+    verify only touches same-block pairs — the classic blocking-key
+    design, a bucket equi-join like the LSH family, never all-pairs —
+    then Levenshtein ≤ 3 confirms (exact integer in both engines).
+    Titles synthesize as the doc's first 5 tokens; mirrored docs
+    (doc_id % 10 == 7) append one extra char, a real ±1-edit pair
+    generator."""
+    d = _t(spark, sf_dir, "documents")
+    base = F.expr(
+        "concat_ws(' ', slice(filter(split(lower(text), '[^a-z]+'),"
+        " w -> w != ''), 1, 5))"
+    )
+    title = F.when(
+        F.col("doc_id") % 10 == 7, F.concat(base, F.lit("x"))
+    ).otherwise(base)
+    t = d.select("doc_id", title.alias("title")).where(
+        F.length("title") > 0
+    )
+    blocked = t.select(
+        "doc_id",
+        "title",
+        (F.length("title") / 4).cast("long").alias("len_bucket"),
+        F.substring("title", 1, 1).alias("c1"),
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.len_bucket") == F.col("b.len_bucket"))
+            & (F.col("a.c1") == F.col("b.c1"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.levenshtein(F.col("a.title"), F.col("b.title")).alias(
+                "edit_dist"
+            ),
+        )
+        .where(F.col("edit_dist") <= 3)
+    )
+    return pairs.orderBy("doc_a", "doc_b")
+
+
+Q157_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 7 THEN base || 'x' ELSE base END AS title
+  FROM (
+    SELECT doc_id,
+           array_to_string(list_filter(
+             string_split_regex(lower(text), '[^a-z]+'),
+             w -> w != '')[1:5], ' ') AS base
+    FROM documents
+  ) WHERE length(base) > 0
+), blocked AS (
+  SELECT doc_id, title, length(title) // 4 AS len_bucket,
+         substr(title, 1, 1) AS c1
+  FROM t
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.title, b.title)::BIGINT AS edit_dist
+FROM blocked a JOIN blocked b
+  ON a.len_bucket = b.len_bucket AND a.c1 = b.c1 AND a.doc_id < b.doc_id
+WHERE levenshtein(a.title, b.title) <= 3
+ORDER BY doc_a, doc_b
+"""
+
+
+def q158_lexical_diversity(spark, sf_dir):
+    """Lexical diversity per source — type-token ratio and hapax-
+    legomenon share, the fastest corpus-health signals next to q140's
+    Zipf fit (template farms and generator spam crater both; natural
+    text keeps hapax share near half its vocabulary).  Two stacked
+    groupBys — (source, token) counts, then the source rollup with
+    conditional sums — both map-side combinable; permille integers
+    throughout."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), w -> w != '')")
+        ).alias("w"),
+    )
+    tc = toks.groupBy("source", "w").agg(F.count("*").alias("c"))
+    return (
+        tc.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_tokens"),
+            F.count("*").alias("n_types"),
+            F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).alias("n_hapax"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_types",
+            "n_hapax",
+            F.expr("(n_types * 1000) div n_tokens").alias("ttr_permille"),
+            F.expr("(n_hapax * 1000) div n_types").alias("hapax_permille"),
+        )
+        .orderBy("source")
+    )
+
+
+Q158_SQL = r"""
+WITH toks AS (
+  SELECT source, unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z]+'), w -> w != '')) AS w
+  FROM documents
+), tc AS (
+  SELECT source, w, count(*)::BIGINT AS c FROM toks GROUP BY source, w
+)
+SELECT source, sum(c)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+       sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n_hapax,
+       ((count(*) * 1000) // sum(c))::BIGINT AS ttr_permille,
+       ((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000) // count(*))::BIGINT
+         AS hapax_permille
+FROM tc GROUP BY source ORDER BY source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -9397,6 +9657,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q153_source_kl_drift": q153_source_kl_drift,
     "q154_alpha_sampling": q154_alpha_sampling,
     "q155_glove_cooccurrence": q155_glove_cooccurrence,
+    "q156_bloom_filter": q156_bloom_filter,
+    "q157_fuzzy_linkage": q157_fuzzy_linkage,
+    "q158_lexical_diversity": q158_lexical_diversity,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -9542,6 +9805,9 @@ ORACLES: dict[str, str] = {
     "q153_source_kl_drift": Q153_SQL,
     "q154_alpha_sampling": Q154_SQL,
     "q155_glove_cooccurrence": Q155_SQL,
+    "q156_bloom_filter": _q156_sql(),
+    "q157_fuzzy_linkage": Q157_SQL,
+    "q158_lexical_diversity": Q158_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
