@@ -112,6 +112,20 @@ AUDITED = [
     "q140_zipf_fit",
     "q141_epoch_shuffle",
     "q142_vocab_coverage",
+    "q143_card_detection",
+    "q145_url_history",
+    "q147_crawl_traps",
+    "q148_rendezvous_sharding",
+    "q149_cdc_chunks",
+    "q150_mergeable_minhash",
+    "q151_texttiling",
+    "q152_blocklist_filter",
+    "q153_source_kl_drift",
+    "q154_alpha_sampling",
+    "q155_glove_cooccurrence",
+    "q156_bloom_filter",
+    "q157_fuzzy_linkage",
+    "q158_lexical_diversity",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -392,9 +406,64 @@ CHECKS = {
     # thresholds (explicitly hinted), single-partition rank window
     "q142_vocab_coverage": ["Window", "HashAggregate", "BroadcastNestedLoopJoin",
                             "!SortMergeJoin", "!ArrowEvalPython"],
+    # regexp candidate + Luhn HOF both live in one Project over the scan
+    "q143_card_detection": ["!HashAggregate", "!Window", "!SortMergeJoin",
+                            "!BroadcastHashJoin", "!CartesianProduct",
+                            "!ArrowEvalPython"],
+    # version window + run-collapse groupBy + valid_to window all share
+    # the doc_id hash partitioning
+    "q145_url_history": ["Window", "HashAggregate", "!SortMergeJoin",
+                         "!CartesianProduct", "!ArrowEvalPython"],
+    # detection is regexp parses + one groupBy with two count-distincts
+    "q147_crawl_traps": ["HashAggregate", "!CartesianProduct",
+                         "!ArrowEvalPython"],
+    # both HRW argmaxes are in-row transform+array_max (no explode):
+    # the only shuffle is the per-shard rollup
+    "q148_rendezvous_sharding": ["HashAggregate", "!Window",
+                                 "!SortMergeJoin", "!BroadcastHashJoin",
+                                 "!CartesianProduct", "!ArrowEvalPython"],
+    # the whole chunker is a fold inside a Project; posexplode emits
+    # chunk rows — no joins, no aggregates, no windows
+    "q149_cdc_chunks": ["!HashAggregate", "!Window", "!SortMergeJoin",
+                        "!BroadcastHashJoin", "!CartesianProduct",
+                        "!ArrowEvalPython"],
+    # direct and merged signatures are stacked two-phase min-aggs;
+    # the 28-row compare join is planner-sized
+    "q150_mergeable_minhash": ["HashAggregate", "!CartesianProduct",
+                               "!ArrowEvalPython"],
+    # block-set groupBy + two windows over the same (doc, block) order
+    "q151_texttiling": ["Window", "HashAggregate", "!CartesianProduct",
+                        "!ArrowEvalPython"],
+    # blocklist dim broadcasts; one alternation-regexp scan per doc
+    "q152_blocklist_filter": ["BroadcastHashJoin", "HashAggregate",
+                              "!CartesianProduct", "!ArrowEvalPython"],
+    # the (v, n_g) scalar row joins conditionless: the BNLJ is a 1-row
+    # broadcast, not a pair enumeration
+    "q153_source_kl_drift": ["HashAggregate", "BroadcastNestedLoopJoin",
+                             "!CartesianProduct", "!ArrowEvalPython"],
+    "q154_alpha_sampling": ["HashAggregate", "BroadcastNestedLoopJoin",
+                            "!ArrowEvalPython"],
+    # 5-offset explode + equi-join back on (doc_id, pos): a window
+    # cooccurrence with NO range join anywhere
+    "q155_glove_cooccurrence": ["HashAggregate", "!CartesianProduct",
+                                "!BroadcastNestedLoopJoin",
+                                "!ArrowEvalPython"],
+    # the 1-row bloom aggregate broadcasts to the probe side (BNLJ of a
+    # scalar); row_number windows build the deterministic probe set
+    "q156_bloom_filter": ["Window", "BroadcastNestedLoopJoin",
+                          "!CartesianProduct", "!ArrowEvalPython"],
+    # blocking keys make the Levenshtein verify a bucket equi-join
+    "q157_fuzzy_linkage": ["!CartesianProduct", "!BroadcastNestedLoopJoin",
+                           "!ArrowEvalPython"],
+    "q158_lexical_diversity": ["HashAggregate", "!CartesianProduct",
+                               "!ArrowEvalPython"],
 }
 
 NOTES = {
+    "q156_bloom_filter": "the unpartitioned row_number window builds the "
+        "deterministic PROBE set over the distinct vocabulary — a bounded "
+        "(type-count) side, not the corpus; the filter build itself is one "
+        "map-side-combinable bit_or aggregate.",
     "q80_bigram_coverage": "the bigram-count score join carries no "
         "broadcast hint: the bigram table grows with the corpus (unlike "
         "q73's vocabulary), so the plan must stay valid as a shuffle join "
