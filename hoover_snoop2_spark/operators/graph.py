@@ -421,6 +421,73 @@ def trustrank(
     )
 
 
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, label) synchronous label-propagation communities (Raghavan
+    et al. 2007, the GraphX/GraphFrames LPA) — the cheap community pass
+    crawl analytics runs between PageRank-style centralities and full
+    clustering: mirror networks and link farms converge onto one label
+    in a handful of rounds.
+
+    DETERMINISTIC variant: every node starts labeled with its own id;
+    each synchronous round every node adopts the most frequent label
+    among its neighbors (graph treated as undirected), ties broken by
+    the SMALLEST label — `min_by(label, (-count, label))`, so rounds
+    are gather-order-free and the q160 recursive-CTE oracle replays
+    them exactly.  Fixed `iters` rounds (no convergence probe —
+    synchronous LPA can 2-cycle on bipartite structures, which a fixed
+    round count sidesteps deterministically).  Per round: one groupBy
+    on (dst, label) + one min_by aggregate — two shuffles, same
+    mandatory lineage truncation as the other iterative operators
+    here.  Isolated nodes (no edges) never appear, matching
+    connected_components' contract."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"),
+            F.col(dst).cast("long").alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    und = e.union(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct()
+
+    _cp = None
+    if checkpoint_dir is not None:
+        from ..plans.checkpoint import CheckpointStore
+
+        _cp = CheckpointStore(checkpoint_dir)
+
+    def _pin(df: DataFrame, name: str) -> DataFrame:
+        if _cp is not None:
+            return _cp.write(df, name)
+        return df.localCheckpoint(eager=True)
+
+    und = _pin(und, "lpa_edges")
+    labels = und.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for it in range(iters):
+        gathered = (
+            und.join(labels, und["a"] == labels["node"])
+            .groupBy(F.col("b").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        labels = _pin(
+            gathered.groupBy("node").agg(
+                F.expr("min_by(label, struct(-cnt, label))").alias("label")
+            ),
+            f"lpa_round_{it}",
+        )
+    return labels
+
+
 def hits(
     edges: DataFrame,
     src: str = "src",

@@ -9509,6 +9509,186 @@ FROM tc GROUP BY source ORDER BY source
 """
 
 
+def q159_microdata(spark, sf_dir):
+    """HTML microdata (schema.org itemscope/itemprop) extraction — the
+    attribute-markup sibling of q100's JSON-LD: structured metadata
+    harvesting pipelines read BOTH encodings because publishers split
+    roughly evenly between them.  Pages synthesize an Article scope
+    in-query; extraction pulls itemtype plus every (itemprop, value)
+    pair with two aligned regexp_extract_all passes (group 1 = names,
+    group 2 = values) zipped positionally — one JVM scan, one explode,
+    no UDFs."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    html = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Article">'
+              '<span itemprop="headline">h'),
+        F.col("doc_id").cast("string"),
+        F.lit('</span><span itemprop="author">a'),
+        (F.col("doc_id") % 13).cast("string"),
+        F.lit('</span><span itemprop="datePublished">2026-0'),
+        (F.col("doc_id") % 9 + 1).cast("string"),
+        F.lit("-01</span></div>"),
+    )
+    pat = r'itemprop="([^"]+)">([^<]*)<'
+    rows = d.select(
+        "doc_id",
+        F.regexp_extract(html, r'itemtype="([^"]+)"', 1).alias("itemtype"),
+        F.arrays_zip(
+            F.regexp_extract_all(html, F.lit(pat), F.lit(1)),
+            F.regexp_extract_all(html, F.lit(pat), F.lit(2)),
+        ).alias("kv"),
+    )
+    ex = rows.select(
+        "doc_id", "itemtype", F.explode("kv").alias("p")
+    )
+    return ex.select(
+        "doc_id",
+        "itemtype",
+        F.col("p.0").alias("prop"),
+        F.col("p.1").alias("value"),
+    ).orderBy("doc_id", "prop")
+
+
+Q159_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         '<div itemscope itemtype="https://schema.org/Article">'
+         || '<span itemprop="headline">h' || doc_id::VARCHAR
+         || '</span><span itemprop="author">a' || (doc_id % 13)::VARCHAR
+         || '</span><span itemprop="datePublished">2026-0'
+         || (doc_id % 9 + 1)::VARCHAR || '-01</span></div>' AS html
+  FROM documents
+)
+SELECT doc_id,
+       regexp_extract(html, 'itemtype="([^"]+)"', 1) AS itemtype,
+       unnest(regexp_extract_all(html, 'itemprop="([^"]+)">([^<]*)<', 1))
+         AS prop,
+       unnest(regexp_extract_all(html, 'itemprop="([^"]+)">([^<]*)<', 2))
+         AS value
+FROM pages ORDER BY doc_id, prop
+"""
+
+
+def q160_lpa_communities(spark, sf_dir):
+    """Label-propagation communities over the q51 host graph
+    (operators/graph.label_propagation — the GraphX LPA shape made
+    DETERMINISTIC: most-frequent neighbor label, ties to the smallest,
+    4 synchronous rounds).  The community pass between centralities
+    (q52/q135/q146) and full dup-family clustering (q42): mirror
+    networks collapse onto one label without computing components.
+    The 7-node graph lets a recursive CTE replay the identical rounds
+    — each step re-derives every node's neighbor-label histogram and
+    takes the same (-count, label) argmin, so the oracle is
+    value-exact with zero FP anywhere."""
+    from .operators.graph import label_propagation
+
+    edges = _host_edges(spark, sf_dir).select(
+        F.col("src_host").alias("src"), F.col("dst_host").alias("dst")
+    )
+    return label_propagation(edges, iters=4).orderBy("node")
+
+
+def _q160_sql() -> str:
+    n = 7
+
+    def nxt(v: int) -> str:
+        cands = ", ".join(
+            "[-("
+            + " + ".join(
+                f"(CASE WHEN (SELECT count(*) FROM e160 WHERE a = {u}"
+                f" AND b = {v}) > 0 AND l{u} = {c} THEN 1 ELSE 0 END)"
+                for u in range(n)
+            )
+            + f"), {c}]"
+            for c in range(n)
+        )
+        return f"list_sort([{cands}])[1][2]"
+
+    cols = ", ".join(f"({nxt(v)})::BIGINT AS l{v}" for v in range(n))
+    state = ", ".join(f"l{v}" for v in range(n))
+    init = ", ".join(f"{v}::BIGINT" for v in range(n))
+    unpivot = "\n  UNION ALL ".join(
+        f"SELECT {v}::BIGINT AS node, l{v} AS label FROM st WHERE it = 4"
+        for v in range(n)
+    )
+    return f"""
+WITH RECURSIVE e0 AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT doc_id % 7 AS src, (doc_id * 3) % 7 AS dst FROM documents
+    UNION ALL
+    SELECT doc_id % 7, (doc_id + 1) % 7 FROM documents
+  ) WHERE src != dst
+), e160 AS (
+  SELECT src AS a, dst AS b FROM e0
+  UNION
+  SELECT dst, src FROM e0
+), st(it, {state}) AS (
+  SELECT 0, {init}
+  UNION ALL
+  SELECT it + 1, {cols} FROM st WHERE it < 4
+)
+SELECT node, label FROM ({unpivot}) ORDER BY node
+"""
+
+
+def q161_merkle_manifest(spark, sf_dir):
+    """Per-shard Merkle integrity manifest — how a 100-TB corpus
+    certifies replicas and incremental copies without re-shipping
+    bytes (Iceberg keeps per-file content digests; a two-level Merkle
+    root extends that to one corpus-wide fingerprint): leaf = md5 of
+    each document, shard root = md5 over the shard's leaves in doc_id
+    order, corpus root = md5 over shard roots in shard order.  Any
+    flipped byte anywhere changes exactly one shard root AND the
+    corpus root, and shard roots compare independently so a diverging
+    replica localizes to shards without a full diff.  One groupBy
+    per level; the deterministic ordering comes from array_sort over
+    (doc_id, leaf) structs — no Window anywhere."""
+    d = _t(spark, sf_dir, "documents")
+    leaves = d.select(
+        (F.col("doc_id") % 16).alias("shard"),
+        "doc_id",
+        F.md5("text").alias("leaf"),
+    )
+    shards = leaves.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(doc_id, leaf))), x -> x.leaf), '')"
+            )
+        ).alias("shard_root"),
+    )
+    root = shards.agg(
+        F.md5(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(shard, shard_root))), x -> x.shard_root), '')"
+            )
+        ).alias("corpus_root")
+    )
+    return (
+        shards.join(F.broadcast(root))
+        .select("shard", "n_docs", "shard_root", "corpus_root")
+        .orderBy("shard")
+    )
+
+
+Q161_SQL = r"""
+WITH leaves AS (
+  SELECT doc_id % 16 AS shard, doc_id, md5(text) AS leaf FROM documents
+), shards AS (
+  SELECT shard, count(*)::BIGINT AS n_docs,
+         md5(string_agg(leaf, '' ORDER BY doc_id)) AS shard_root
+  FROM leaves GROUP BY shard
+), root AS (
+  SELECT md5(string_agg(shard_root, '' ORDER BY shard)) AS corpus_root
+  FROM shards
+)
+SELECT shard, n_docs, shard_root, corpus_root
+FROM shards CROSS JOIN root ORDER BY shard
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -9660,6 +9840,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q156_bloom_filter": q156_bloom_filter,
     "q157_fuzzy_linkage": q157_fuzzy_linkage,
     "q158_lexical_diversity": q158_lexical_diversity,
+    "q159_microdata": q159_microdata,
+    "q160_lpa_communities": q160_lpa_communities,
+    "q161_merkle_manifest": q161_merkle_manifest,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -9808,6 +9991,9 @@ ORACLES: dict[str, str] = {
     "q156_bloom_filter": _q156_sql(),
     "q157_fuzzy_linkage": Q157_SQL,
     "q158_lexical_diversity": Q158_SQL,
+    "q159_microdata": Q159_SQL,
+    "q160_lpa_communities": _q160_sql(),
+    "q161_merkle_manifest": Q161_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -278,3 +278,34 @@ def test_trustrank_requires_seeds(spark):
     df = spark.createDataFrame([(0, 1)], "src long, dst long")
     with pytest.raises(ValueError):
         trustrank(df, seeds=[], iters=1)
+
+
+def test_label_propagation_two_communities(spark):
+    from hoover_snoop2_spark.operators.graph import label_propagation
+
+    # two triangles bridged by one edge: LPA must keep them as two
+    # communities labeled by each triangle's smallest node id
+    edges = [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(df, iters=4).collect()
+    }
+    assert got[0] == got[1] == got[2] == 0
+    assert got[3] == got[4] == got[5]
+    assert got[3] != 0
+
+
+def test_label_propagation_deterministic_ties(spark):
+    from hoover_snoop2_spark.operators.graph import label_propagation
+
+    # a 2-path: node 1 sees labels {0, 2} with equal counts -> the
+    # smallest-label tie-break must pick 0, every run
+    edges = [(0, 1), (1, 2)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for _ in range(2):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, iters=3).collect()
+        }
+        assert got[1] == 0
