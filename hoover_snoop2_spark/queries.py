@@ -9689,6 +9689,206 @@ FROM shards CROSS JOIN root ORDER BY shard
 """
 
 
+def q162_jl_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss random-projection audit — the distance-
+    preservation check run before committing an embedding corpus to a
+    cheaper dimensionality (Achlioptas 2003 ±1 projections): project
+    64-dim vectors to 16 dims with a DETERMINISTIC sign matrix (the
+    q141 Feistel's low bit at key dim*16+j — re-runnable, no stored
+    matrix), then report the squared-distance distortion
+    d16²/(16·d64²) for a fixed probe-pair set.  Also a cross-engine
+    determinism certificate for FP array kernels: aggregate/zip_with
+    fold arrays LEFT-TO-RIGHT in both engines, so every IEEE add/mul
+    sequence is identical and even the doubles hash-match without
+    quantization tricks (the final permille floor is presentation,
+    not a tolerance)."""
+    e = _t(spark, sf_dir, "embeddings")
+    sign = (
+        "(1.0D - 2.0D * cast(("
+        + _feistel_expr("((d - 1) * 16 + j)", "^")
+        + " & 1) as double))"
+    )
+
+    def proj(col: str) -> str:
+        return (
+            "transform(sequence(0, 15), j -> "
+            "aggregate(sequence(1, 64), cast(0.0 as double), "
+            f"(acc, d) -> acc + {sign} * cast(element_at({col}, d)"
+            " as double)))"
+        )
+
+    a = e.where(F.col("vec_id") % 5 == 0).select(
+        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("xa")
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("xb")
+    )
+    pairs = a.join(b, a["vec_a"] + 1 == b["vec_b"]).select(
+        "vec_a",
+        "vec_b",
+        F.expr(
+            "aggregate(zip_with(xa, xb, (p, q) ->"
+            " (cast(p as double) - cast(q as double))"
+            " * (cast(p as double) - cast(q as double))),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        ).alias("d64sq"),
+        F.expr(
+            "aggregate(zip_with("
+            + proj("xa")
+            + ", "
+            + proj("xb")
+            + ", (p, q) -> (p - q) * (p - q)),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        ).alias("d16sq"),
+    )
+    return pairs.select(
+        "vec_a",
+        "vec_b",
+        (F.floor(F.col("d64sq") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "d64sq"
+        ),
+        (F.floor(F.col("d16sq") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "d16sq"
+        ),
+        F.floor(
+            F.lit(1000.0) * F.col("d16sq") / (F.lit(16.0) * F.col("d64sq"))
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("distortion_permille"),
+    ).orderBy("vec_a")
+
+
+def _q162_sql() -> str:
+    sign = (
+        "(1.0 - 2.0 * ("
+        + _feistel_expr("((d - 1) * 16 + j)", "xor")
+        + " & 1)::DOUBLE)"
+    )
+
+    def proj(col: str) -> str:
+        return (
+            "list_transform(range(0, 16), j -> "
+            "list_reduce(list_prepend(0.0::DOUBLE, "
+            "list_transform(range(1, 65), "
+            f"d -> {sign} * {col}[d::INT]::DOUBLE)), "
+            "(acc, x) -> acc + x))"
+        )
+
+    return f"""
+WITH a AS (
+  SELECT vec_id AS vec_a, embedding AS xa FROM embeddings
+  WHERE vec_id % 5 = 0
+), b AS (
+  SELECT vec_id AS vec_b, embedding AS xb FROM embeddings
+), pairs AS (
+  SELECT vec_a, vec_b,
+    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+      d -> (xa[d::INT]::DOUBLE - xb[d::INT]::DOUBLE)
+           * (xa[d::INT]::DOUBLE - xb[d::INT]::DOUBLE))),
+      (acc, x) -> acc + x) AS d64sq,
+    list_reduce(list_prepend(0.0::DOUBLE,
+      list_transform(range(1, 17), i ->
+        ({proj('xa')}[i::INT] - {proj('xb')}[i::INT])
+        * ({proj('xa')}[i::INT] - {proj('xb')}[i::INT]))),
+      (acc, x) -> acc + x) AS d16sq
+  FROM a JOIN b ON vec_a + 1 = vec_b
+)
+SELECT vec_a, vec_b,
+       floor(d64sq * 1000000 + 0.5) / 1000000 AS d64sq,
+       floor(d16sq * 1000000 + 0.5) / 1000000 AS d16sq,
+       floor(1000.0 * d16sq / (16.0 * d64sq) + 0.5)::BIGINT
+         AS distortion_permille
+FROM pairs ORDER BY vec_a
+"""
+
+
+_Q163_MERGES = [
+    ("t", "a"), ("ta", "b"), ("tab", "l"), ("tabl", "e"),
+    ("s", "c"), ("sc", "a"), ("sca", "n"), ("v", "a"), ("va", "l"),
+    ("r", "o"), ("ro", "w"), ("e", "r"),
+]
+
+
+def q163_bpe_fertility(spark, sf_dir):
+    """Tokenizer fertility per language — subwords/word and
+    chars/subword under a FIXED BPE merge table, the tokenizer-eval
+    every multilingual pipeline reports before committing a vocab
+    (q124 trains merges; this applies them and measures).  BPE
+    application is SQL-expressible once the merge list is fixed: word
+    → space-joined characters, then one replace() per merge IN RANK
+    ORDER (the classic folded-replace encoding of the merge loop) —
+    all JVM string ops, and the oracle replays the identical replace
+    chain.  The production segmenter (operators/bpe.segment_words)
+    computes the same segmentation via HOF folds; the replace-chain
+    form here is what makes the value-exact oracle possible."""
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        "lang",
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), w -> w != '')")
+        ).alias("w"),
+    )
+    spaced = (
+        "array_join(transform(sequence(1, length(w)),"
+        " i -> substring(w, i, 1)), ' ')"
+    )
+    seg = spaced
+    for left, right in _Q163_MERGES:
+        seg = f"replace({seg}, '{left} {right}', '{left}{right}')"
+    segs = words.select(
+        "lang",
+        "w",
+        F.expr(f"size(split({seg}, ' '))").alias("n_sub"),
+    )
+    return (
+        segs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_words"),
+            F.sum("n_sub").alias("n_subwords"),
+            F.sum(F.length("w")).alias("n_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_subwords",
+            F.expr("(n_subwords * 1000) div n_words").alias(
+                "fertility_permille"
+            ),
+            F.expr("(n_chars * 1000) div n_subwords").alias(
+                "chars_per_subword_permille"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+def _q163_sql() -> str:
+    spaced = (
+        "array_to_string(list_transform(range(1, length(w) + 1),"
+        " i -> substr(w, i::INT, 1)), ' ')"
+    )
+    seg = spaced
+    for left, right in _Q163_MERGES:
+        seg = f"replace({seg}, '{left} {right}', '{left}{right}')"
+    return f"""
+WITH words AS (
+  SELECT lang, unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z]+'), w -> w != '')) AS w
+  FROM documents
+), segs AS (
+  SELECT lang, w, len(string_split({seg}, ' '))::BIGINT AS n_sub
+  FROM words
+)
+SELECT lang, count(*)::BIGINT AS n_words,
+       sum(n_sub)::BIGINT AS n_subwords,
+       ((sum(n_sub) * 1000) // count(*))::BIGINT AS fertility_permille,
+       ((sum(length(w)) * 1000) // sum(n_sub))::BIGINT
+         AS chars_per_subword_permille
+FROM segs GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -9843,6 +10043,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q159_microdata": q159_microdata,
     "q160_lpa_communities": q160_lpa_communities,
     "q161_merkle_manifest": q161_merkle_manifest,
+    "q162_jl_projection": q162_jl_projection,
+    "q163_bpe_fertility": q163_bpe_fertility,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -9994,6 +10196,8 @@ ORACLES: dict[str, str] = {
     "q159_microdata": Q159_SQL,
     "q160_lpa_communities": _q160_sql(),
     "q161_merkle_manifest": Q161_SQL,
+    "q162_jl_projection": _q162_sql(),
+    "q163_bpe_fertility": _q163_sql(),
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
