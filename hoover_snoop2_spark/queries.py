@@ -9889,6 +9889,250 @@ FROM segs GROUP BY lang ORDER BY lang
 """
 
 
+def q164_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of a lexical and a vector retrieval run
+    (Cormack et al. 2009 — the hybrid-search combiner every
+    BM25+embedding stack ships): run A ranks documents by query-term
+    frequency, run B by cosine to a query vector (doc_id ↔ vec_id),
+    and RRF fuses with Σ 1/(60+rank).  The reciprocal weights are
+    micro-quantized (floor(1e9/(60+r)) — integers, so the fusion sum
+    is order-free) and ranks come from row_number over (score DESC,
+    id), fully deterministic.  Each run is one ranking window; the
+    fusion is a full-outer join on doc + one ordered limit."""
+    d = _t(spark, sf_dir, "documents")
+    e = _t(spark, sf_dir, "embeddings")
+    tf = d.select(
+        "doc_id",
+        (
+            F.expr("size(filter(split(lower(text), '[^a-z]+'), w -> w = 'table'))")
+            + F.expr("size(filter(split(lower(text), '[^a-z]+'), w -> w = 'scan'))")
+        ).alias("tf"),
+    )
+    ra = tf.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("tf").desc(), "doc_id"))
+        .alias("rank_lex"),
+    )
+    qv = e.where(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv")
+    )
+    dots = (
+        e.join(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            F.expr(
+                "aggregate(zip_with(embedding, qv, (p, q) ->"
+                " cast(p as double) * cast(q as double)),"
+                " cast(0.0 as double), (acc, x) -> acc + x)"
+            ).alias("dot"),
+        )
+    )
+    rb = dots.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.col("dot").desc(), "doc_id"))
+        .alias("rank_vec"),
+    )
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_vec",
+        (
+            F.expr("floor(1000000000 / (60 + rank_lex))")
+            + F.expr("floor(1000000000 / (60 + rank_vec))")
+        )
+        .cast("long")
+        .alias("rrf_nano"),
+    )
+    return fused.orderBy(F.col("rrf_nano").desc(), "doc_id").limit(20)
+
+
+Q164_SQL = r"""
+WITH tf AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         w -> w = 'table'))
+         + len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           w -> w = 'scan')) AS tf
+  FROM documents
+), ra AS (
+  SELECT doc_id, row_number() OVER (ORDER BY tf DESC, doc_id) AS rank_lex
+  FROM tf
+), qv AS (
+  SELECT embedding AS qv FROM embeddings WHERE vec_id = 0
+), dots AS (
+  SELECT vec_id AS doc_id,
+         list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+           d -> embedding[d::INT]::DOUBLE * qv[d::INT]::DOUBLE)),
+           (acc, x) -> acc + x) AS dot
+  FROM embeddings CROSS JOIN qv
+), rb AS (
+  SELECT doc_id, row_number() OVER (ORDER BY dot DESC, doc_id) AS rank_vec
+  FROM dots
+)
+SELECT doc_id, rank_lex, rank_vec,
+       (floor(1000000000 / (60 + rank_lex))
+        + floor(1000000000 / (60 + rank_vec)))::BIGINT AS rrf_nano
+FROM ra FULL OUTER JOIN rb USING (doc_id)
+ORDER BY rrf_nano DESC, doc_id LIMIT 20
+"""
+
+
+def q165_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training — pairs that
+    COLLIDE in the LSH bucket (look similar to the index) but fall
+    below the similarity threshold (aren't): exactly the negatives
+    that teach an embedding model the most (DPR/SimCSE mining).  This
+    is also the repo's first ORACLE-CERTIFIED sign-projection LSH:
+    the q26/q32 family is rows-only, but with Feistel ±1 projection
+    vectors and left-to-right array folds (the q162 determinism
+    certificate) the 8-bit bucket code AND the exact cosine replay
+    value-exact in SQL.  One groupBy-free bucket equi self-join —
+    never all-pairs."""
+    e = _t(spark, sf_dir, "embeddings")
+
+    def sign(j: str) -> str:
+        return (
+            "(1.0D - 2.0D * cast(("
+            + _feistel_expr(f"(({j}) * 64 + d)", "^")
+            + " & 1) as double))"
+        )
+
+    code = F.expr(
+        "aggregate(transform(sequence(0, 7), j -> CASE WHEN "
+        "aggregate(sequence(1, 64), cast(0.0 as double), "
+        f"(acc, d) -> acc + {sign('j')} * cast(element_at(embedding, d)"
+        " as double)) >= 0.0"
+        " THEN shiftleft(1L, cast(j as int)) ELSE 0L END),"
+        " 0L, (acc, x) -> acc + x)"
+    )
+    norm = F.expr(
+        "aggregate(transform(sequence(1, 64), d ->"
+        " cast(element_at(embedding, d) as double)"
+        " * cast(element_at(embedding, d) as double)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    v = e.select(
+        "vec_id", "embedding", code.alias("code"), norm.alias("nsq")
+    )
+    a = v.alias("a")
+    b = v.alias("b")
+    cos = F.expr(
+        "aggregate(zip_with(a.embedding, b.embedding, (p, q) ->"
+        " cast(p as double) * cast(q as double)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+        " / sqrt(a.nsq * b.nsq)"
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.code") == F.col("b.code"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.code").alias("code"),
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            cos.alias("cosraw"),
+        )
+        .where(F.col("cosraw") < 0.7)
+    )
+    return pairs.select(
+        "code",
+        "vec_a",
+        "vec_b",
+        (F.floor(F.col("cosraw") * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "cosine"
+        ),
+    ).orderBy("vec_a", "vec_b")
+
+
+def _q165_sql() -> str:
+    sign = (
+        "(1.0 - 2.0 * ("
+        + _feistel_expr("((j) * 64 + d)", "xor")
+        + " & 1)::DOUBLE)"
+    )
+    return f"""
+WITH v AS (
+  SELECT vec_id, embedding,
+    list_reduce(list_prepend(0::BIGINT, list_transform(range(0, 8),
+      j -> CASE WHEN
+        list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+          d -> {sign} * embedding[d::INT]::DOUBLE)),
+          (acc, x) -> acc + x) >= 0.0
+      THEN (1::BIGINT << j::INT) ELSE 0::BIGINT END)),
+      (acc, x) -> acc + x) AS code,
+    list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+      d -> embedding[d::INT]::DOUBLE * embedding[d::INT]::DOUBLE)),
+      (acc, x) -> acc + x) AS nsq
+  FROM embeddings
+)
+SELECT a.code AS code, a.vec_id AS vec_a, b.vec_id AS vec_b,
+       floor((list_reduce(list_prepend(0.0::DOUBLE,
+         list_transform(range(1, 65),
+           d -> a.embedding[d::INT]::DOUBLE * b.embedding[d::INT]::DOUBLE)),
+         (acc, x) -> acc + x) / sqrt(a.nsq * b.nsq)) * 1000000 + 0.5)
+         / 1000000 AS cosine
+FROM v a JOIN v b ON a.code = b.code AND a.vec_id < b.vec_id
+WHERE (list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, 65),
+    d -> a.embedding[d::INT]::DOUBLE * b.embedding[d::INT]::DOUBLE)),
+    (acc, x) -> acc + x) / sqrt(a.nsq * b.nsq)) < 0.7
+ORDER BY vec_a, vec_b
+"""
+
+
+def q166_decayed_reputation(spark, sf_dir):
+    """Time-decayed host reputation — the exponentially-decayed event
+    score crawl schedulers keep per host (recent errors matter, last
+    month's don't), with half-life = 1 day over the events table.
+    Choosing base-2 decay makes it EXACT: weight = 2^(30 - age_days)
+    is a BIGINT power (the observation window is 30 days), so the
+    decayed sums are pure integers scaled by 2^30 — the same
+    trick as q141's Feistel (pick the parameterization the engines
+    compute exactly).  Errors subtract, purchases add double; one
+    groupBy, map-side combinable."""
+    ev = _t(spark, sf_dir, "events")
+    age = F.datediff(F.lit("2024-01-31").cast("date"), F.col("ts").cast("date"))
+    w = F.expr(
+        "shiftleft(1L, cast(30 - datediff(cast('2024-01-31' as date),"
+        " cast(ts as date)) as int))"
+    )
+    signed = (
+        F.when(F.col("event_type") == "error", -w)
+        .when(F.col("event_type") == "purchase", 2 * w)
+        .otherwise(w)
+    )
+    return (
+        ev.select((F.col("user_id") % 50).alias("entity"), signed.alias("sw"), age.alias("age"))
+        .groupBy("entity")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("sw").alias("decayed_score_x2p30"),
+            F.min("age").alias("freshest_age_days"),
+        )
+        .orderBy("entity")
+    )
+
+
+Q166_SQL = r"""
+SELECT user_id % 50 AS entity, count(*)::BIGINT AS n_events,
+       sum(CASE WHEN event_type = 'error'
+                THEN -(1::BIGINT << (30 - datediff('day', ts::DATE,
+                                                   DATE '2024-01-31'))::INT)
+                WHEN event_type = 'purchase'
+                THEN 2 * (1::BIGINT << (30 - datediff('day', ts::DATE,
+                                                      DATE '2024-01-31'))::INT)
+                ELSE (1::BIGINT << (30 - datediff('day', ts::DATE,
+                                                  DATE '2024-01-31'))::INT)
+           END)::BIGINT AS decayed_score_x2p30,
+       min(datediff('day', ts::DATE, DATE '2024-01-31'))::BIGINT
+         AS freshest_age_days
+FROM events GROUP BY user_id % 50 ORDER BY entity
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -10045,6 +10289,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q161_merkle_manifest": q161_merkle_manifest,
     "q162_jl_projection": q162_jl_projection,
     "q163_bpe_fertility": q163_bpe_fertility,
+    "q164_rrf_fusion": q164_rrf_fusion,
+    "q165_hard_negatives": q165_hard_negatives,
+    "q166_decayed_reputation": q166_decayed_reputation,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -10198,6 +10445,9 @@ ORACLES: dict[str, str] = {
     "q161_merkle_manifest": Q161_SQL,
     "q162_jl_projection": _q162_sql(),
     "q163_bpe_fertility": _q163_sql(),
+    "q164_rrf_fusion": Q164_SQL,
+    "q165_hard_negatives": _q165_sql(),
+    "q166_decayed_reputation": Q166_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
