@@ -10133,6 +10133,215 @@ FROM events GROUP BY user_id % 50 ORDER BY entity
 """
 
 
+def q167_event_funnel(spark, sf_dir):
+    """Ordered funnel analysis — the view → click → signup → purchase
+    conversion ladder crawl-telemetry and product pipelines both run:
+    a user advances a stage only with a LATER-timestamped event of the
+    next type (strictly ordered, the windowed-funnel semantics).
+    Computed as chained min-timestamp aggregates per user — stage k's
+    earliest qualifying time = min ts of type k AFTER stage k-1's time
+    — which is one conditional-agg pass per stage over the same
+    user partitioning, then a corpus rollup of stage reach counts.
+    Ties broken by event_id; all timestamp/integer compares."""
+    ev = _t(spark, sf_dir, "events")
+    stages = ["view", "click", "signup", "purchase"]
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.col("ts"))
+        ).alias("t0")
+    )
+    cur = per_user
+    for i, st in enumerate(stages[1:], start=1):
+        nxt = (
+            ev.join(cur, "user_id")
+            .where(
+                (F.col("event_type") == st)
+                & F.col(f"t{i-1}").isNotNull()
+                & (F.col("ts") > F.col(f"t{i-1}"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(f"t{i}"))
+        )
+        cur = cur.join(nxt, "user_id", "left")
+    reach = cur.select(
+        F.count("*").alias("n_users"),
+        *[
+            F.sum(
+                F.when(F.col(f"t{i}").isNotNull(), 1).otherwise(0)
+            ).alias(f"reach_{i}")
+            for i in range(4)
+        ],
+    )
+    rows = []
+    for i, st in enumerate(stages):
+        rows.append(
+            reach.select(
+                F.lit(i).cast("long").alias("stage_idx"),
+                F.lit(st).alias("stage"),
+                F.col(f"reach_{i}").alias("n_reached"),
+                F.expr(
+                    f"(reach_{i} * 1000) div reach_0"
+                ).alias("conversion_permille"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.union(r)
+    return out.orderBy("stage_idx")
+
+
+Q167_SQL = r"""
+WITH t0 AS (
+  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t0
+  FROM events GROUP BY user_id
+), t1 AS (
+  SELECT e.user_id, min(ts) AS t1
+  FROM events e JOIN t0 USING (user_id)
+  WHERE event_type = 'click' AND t0 IS NOT NULL AND ts > t0
+  GROUP BY e.user_id
+), t2 AS (
+  SELECT e.user_id, min(ts) AS t2
+  FROM events e JOIN t1 USING (user_id)
+  WHERE event_type = 'signup' AND ts > t1
+  GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, min(ts) AS t3
+  FROM events e JOIN t2 USING (user_id)
+  WHERE event_type = 'purchase' AND ts > t2
+  GROUP BY e.user_id
+), reach AS (
+  SELECT count(*)::BIGINT AS n_users,
+         sum(CASE WHEN t0.t0 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS r0,
+         sum(CASE WHEN t1.t1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS r1,
+         sum(CASE WHEN t2.t2 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS r2,
+         sum(CASE WHEN t3.t3 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS r3
+  FROM t0 LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+          LEFT JOIN t3 USING (user_id)
+)
+SELECT 0::BIGINT AS stage_idx, 'view' AS stage, r0 AS n_reached,
+       ((r0 * 1000) // r0)::BIGINT AS conversion_permille FROM reach
+UNION ALL
+SELECT 1, 'click', r1, ((r1 * 1000) // r0)::BIGINT FROM reach
+UNION ALL
+SELECT 2, 'signup', r2, ((r2 * 1000) // r0)::BIGINT FROM reach
+UNION ALL
+SELECT 3, 'purchase', r3, ((r3 * 1000) // r0)::BIGINT FROM reach
+ORDER BY stage_idx
+"""
+
+
+def q168_retention_cohorts(spark, sf_dir):
+    """Weekly retention-cohort matrix — the activity-retention triangle
+    every telemetry stack reports (cohort = week of a user's first
+    event; cell (cohort, offset) = how many of that cohort were active
+    offset weeks later).  Two groupBys: per-user first week (min), then
+    the distinct (cohort, user, week) activity rollup; retention is a
+    permille of the cohort size.  All integer — week numbers are epoch
+    floor-divisions, no date formatting involved."""
+    ev = _t(spark, sf_dir, "events")
+    week = (
+        F.floor(
+            F.unix_timestamp(F.col("ts").cast("timestamp")) / (7 * 86400)
+        )
+    ).cast("long")
+    acts = ev.select("user_id", week.alias("week")).distinct()
+    first = acts.groupBy("user_id").agg(F.min("week").alias("cohort"))
+    joined = acts.join(first, "user_id").select(
+        "user_id",
+        "cohort",
+        (F.col("week") - F.col("cohort")).alias("week_offset"),
+    )
+    sizes = first.groupBy("cohort").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    cells = joined.groupBy("cohort", "week_offset").agg(
+        F.countDistinct("user_id").alias("n_active")
+    )
+    return (
+        cells.join(sizes, "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            "cohort_size",
+            "n_active",
+            F.expr("(n_active * 1000) div cohort_size").alias(
+                "retention_permille"
+            ),
+        )
+        .orderBy("cohort", "week_offset")
+    )
+
+
+Q168_SQL = r"""
+WITH acts AS (
+  SELECT DISTINCT user_id,
+         (epoch(ts)::BIGINT // (7 * 86400))::BIGINT AS week
+  FROM events
+), first AS (
+  SELECT user_id, min(week) AS cohort FROM acts GROUP BY user_id
+), joined AS (
+  SELECT a.user_id, f.cohort, a.week - f.cohort AS week_offset
+  FROM acts a JOIN first f USING (user_id)
+), sizes AS (
+  SELECT cohort, count(DISTINCT user_id)::BIGINT AS cohort_size
+  FROM first GROUP BY cohort
+), cells AS (
+  SELECT cohort, week_offset, count(DISTINCT user_id)::BIGINT AS n_active
+  FROM joined GROUP BY cohort, week_offset
+)
+SELECT cohort, week_offset, cohort_size, n_active,
+       ((n_active * 1000) // cohort_size)::BIGINT AS retention_permille
+FROM cells JOIN sizes USING (cohort)
+ORDER BY cohort, week_offset
+"""
+
+
+def q169_event_transitions(spark, sf_dir):
+    """First-order event-transition matrix — the Markov-chain telemetry
+    view (what follows what, per user, in timestamp order) that feeds
+    both anomaly detection (impossible transitions) and session
+    modeling.  One lead() window over (user, ts, event_id) builds the
+    bigram stream; two groupBys produce counts and row-normalized
+    permille probabilities (integer floor-div).  The (ts, event_id)
+    order key makes simultaneous events deterministic."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bi = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = bi.groupBy("src", "dst").agg(F.count("*").alias("n"))
+    totals = counts.groupBy("src").agg(F.sum("n").alias("n_src"))
+    return (
+        counts.join(totals, "src")
+        .select(
+            "src",
+            "dst",
+            "n",
+            F.expr("(n * 1000) div n_src").alias("p_permille"),
+        )
+        .orderBy("src", "dst")
+    )
+
+
+Q169_SQL = r"""
+WITH bi AS (
+  SELECT event_type AS src,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS dst
+  FROM events
+), counts AS (
+  SELECT src, dst, count(*)::BIGINT AS n
+  FROM bi WHERE dst IS NOT NULL GROUP BY src, dst
+), totals AS (
+  SELECT src, sum(n)::BIGINT AS n_src FROM counts GROUP BY src
+)
+SELECT src, dst, n, ((n * 1000) // n_src)::BIGINT AS p_permille
+FROM counts JOIN totals USING (src)
+ORDER BY src, dst
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -10292,6 +10501,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q164_rrf_fusion": q164_rrf_fusion,
     "q165_hard_negatives": q165_hard_negatives,
     "q166_decayed_reputation": q166_decayed_reputation,
+    "q167_event_funnel": q167_event_funnel,
+    "q168_retention_cohorts": q168_retention_cohorts,
+    "q169_event_transitions": q169_event_transitions,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -10448,6 +10660,9 @@ ORACLES: dict[str, str] = {
     "q164_rrf_fusion": Q164_SQL,
     "q165_hard_negatives": _q165_sql(),
     "q166_decayed_reputation": Q166_SQL,
+    "q167_event_funnel": Q167_SQL,
+    "q168_retention_cohorts": Q168_SQL,
+    "q169_event_transitions": Q169_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
