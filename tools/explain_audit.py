@@ -126,6 +126,16 @@ AUDITED = [
     "q156_bloom_filter",
     "q157_fuzzy_linkage",
     "q158_lexical_diversity",
+    "q159_microdata",
+    "q161_merkle_manifest",
+    "q162_jl_projection",
+    "q163_bpe_fertility",
+    "q164_rrf_fusion",
+    "q165_hard_negatives",
+    "q166_decayed_reputation",
+    "q167_event_funnel",
+    "q168_retention_cohorts",
+    "q169_event_transitions",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -457,6 +467,39 @@ CHECKS = {
                            "!ArrowEvalPython"],
     "q158_lexical_diversity": ["HashAggregate", "!CartesianProduct",
                                "!ArrowEvalPython"],
+    # aligned regexp passes + zip + explode: one Project + Generate
+    "q159_microdata": ["!HashAggregate", "!Window", "!SortMergeJoin",
+                       "!BroadcastHashJoin", "!CartesianProduct",
+                       "!ArrowEvalPython"],
+    # per-shard roots then the 1-row corpus root broadcast back (BNLJ
+    # of a scalar); ordering via array_sort, never a Window
+    "q161_merkle_manifest": ["HashAggregate", "BroadcastNestedLoopJoin",
+                             "!Window", "!CartesianProduct",
+                             "!ArrowEvalPython"],
+    # the whole projection + distance pipeline is array folds inside a
+    # Project; the pair join is an equi-join on vec_a+1 = vec_b
+    "q162_jl_projection": ["!CartesianProduct", "!ArrowEvalPython",
+                           "!Window"],
+    "q163_bpe_fertility": ["HashAggregate", "!CartesianProduct",
+                           "!ArrowEvalPython", "!Window"],
+    # two ranking windows + a full-outer fuse join
+    "q164_rrf_fusion": ["Window", "!CartesianProduct",
+                        "!ArrowEvalPython"],
+    # LSH bucket self-join is a code equi-join — never all-pairs
+    "q165_hard_negatives": ["!CartesianProduct",
+                            "!BroadcastNestedLoopJoin",
+                            "!ArrowEvalPython", "!Window"],
+    "q166_decayed_reputation": ["HashAggregate", "!Window",
+                                "!SortMergeJoin", "!BroadcastHashJoin",
+                                "!CartesianProduct", "!ArrowEvalPython"],
+    # stage-gated min-ts chain: conditional aggregates + user equi-joins,
+    # no per-user sort anywhere
+    "q167_event_funnel": ["HashAggregate", "!CartesianProduct",
+                          "!ArrowEvalPython", "!Window"],
+    "q168_retention_cohorts": ["HashAggregate", "!CartesianProduct",
+                               "!ArrowEvalPython", "!Window"],
+    "q169_event_transitions": ["Window", "HashAggregate",
+                               "!CartesianProduct", "!ArrowEvalPython"],
 }
 
 NOTES = {
