@@ -10342,6 +10342,441 @@ ORDER BY src, dst
 """
 
 
+def q170_histogram_quantiles(spark, sf_dir):
+    """Mergeable histogram quantile sketch — the fixed-width 64-bucket
+    approximation (BigQuery APPROX_QUANTILES / Spark's own
+    approx_percentile lineage) next to q60's exact percentiles: bucket
+    counts merge across shards by plain addition, and a quantile query
+    is one cumulative scan.  For p ∈ {500, 900, 990}‰ the query
+    reports the sketch's [bucket_lo, bucket_hi] answer AND the exact
+    rank-statistic, with `within_bounds` certifying the sketch's
+    error contract (the exact value must land inside its bucket).
+    All-integer: bucket ids, bounds, and the q142 cum*1000 ≥ p*total
+    compare."""
+    d = _t(spark, sf_dir, "documents")
+    stats = d.agg(
+        F.min("n_chars").alias("mn"),
+        F.max("n_chars").alias("mx"),
+        F.count("*").alias("n"),
+    )
+    withb = d.join(F.broadcast(stats)).select(
+        "n_chars",
+        "mn",
+        "mx",
+        "n",
+        F.expr("((n_chars - mn) * 64) div (mx - mn + 1)").alias("b"),
+    )
+    hist = withb.groupBy("b", "mn", "mx", "n").agg(
+        F.count("*").alias("cnt")
+    )
+    wcum = Window.partitionBy(F.lit(1)).orderBy("b")
+    cum = hist.select(
+        "b", "mn", "mx", "n", F.sum("cnt").over(wcum).alias("cum")
+    )
+    # exact rank statistic: the ceil(p*n/1000)-th smallest (ties carry
+    # equal values, so the statistic is deterministic)
+    exact = d.select("n_chars").orderBy("n_chars").select(
+        "n_chars",
+        F.row_number().over(Window.orderBy("n_chars")).alias("rn"),
+    )
+    out = None
+    for p in (500, 900, 990):
+        bucket = (
+            cum.where(F.col("cum") * 1000 >= F.lit(p) * F.col("n"))
+            .orderBy("b")
+            .limit(1)
+            .select(
+                F.lit(p).cast("long").alias("p_permille"),
+                F.expr("mn + (b * (mx - mn + 1)) div 64").alias("approx_lo"),
+                F.expr(
+                    "mn + ((b + 1) * (mx - mn + 1)) div 64 - 1"
+                ).alias("approx_hi"),
+                "n",
+            )
+        )
+        ex = (
+            exact.crossJoin(F.broadcast(stats.select("n")))
+            .where(F.col("rn") == F.expr(f"({p} * n + 999) div 1000"))
+            .select(F.col("n_chars").alias("exact_value"))
+        )
+        row = bucket.join(ex).select(
+            "p_permille",
+            "approx_lo",
+            "approx_hi",
+            "exact_value",
+            (
+                (F.col("exact_value") >= F.col("approx_lo"))
+                & (F.col("exact_value") <= F.col("approx_hi"))
+            ).alias("within_bounds"),
+        )
+        out = row if out is None else out.union(row)
+    return out.orderBy("p_permille")
+
+
+Q170_SQL = r"""
+WITH stats AS (
+  SELECT min(n_chars) AS mn, max(n_chars) AS mx, count(*)::BIGINT AS n
+  FROM documents
+), hist AS (
+  SELECT ((n_chars - mn) * 64) // (mx - mn + 1) AS b, mn, mx, n,
+         count(*)::BIGINT AS cnt
+  FROM documents CROSS JOIN stats
+  GROUP BY 1, mn, mx, n
+), cum AS (
+  SELECT b, mn, mx, n, sum(cnt) OVER (ORDER BY b) AS cum FROM hist
+), exact AS (
+  SELECT n_chars, row_number() OVER (ORDER BY n_chars) AS rn
+  FROM documents
+), ps AS (
+  SELECT unnest([500, 900, 990])::BIGINT AS p_permille
+), bucket AS (
+  SELECT p_permille,
+         min(b) AS b,
+         any_value(mn) AS mn, any_value(mx) AS mx, any_value(n) AS n
+  FROM ps JOIN cum ON cum.cum * 1000 >= p_permille * cum.n
+  GROUP BY p_permille
+)
+SELECT p_permille,
+       (mn + (b * (mx - mn + 1)) // 64)::BIGINT AS approx_lo,
+       (mn + ((b + 1) * (mx - mn + 1)) // 64 - 1)::BIGINT AS approx_hi,
+       e.n_chars AS exact_value,
+       (e.n_chars >= mn + (b * (mx - mn + 1)) // 64
+        AND e.n_chars <= mn + ((b + 1) * (mx - mn + 1)) // 64 - 1)
+         AS within_bounds
+FROM bucket JOIN exact e ON e.rn = (p_permille * n + 999) // 1000
+ORDER BY p_permille
+"""
+
+
+def q171_front_coding(spark, sf_dir):
+    """Front-coded term dictionary sizing — the shared-prefix delta
+    encoding every search index's term dictionary uses (Lucene block
+    tree, FST prefixes): sort the vocabulary, store each type as
+    (shared-prefix length, suffix).  Common-prefix length is a
+    sequential HOF fold that stops growing at the first mismatch
+    (acc advances only while acc == i-1), and the per-first-letter
+    rollup reports raw vs coded bytes and the permille saved — the
+    sizing question answered before committing a dictionary layout.
+    One sort-window (lag) + one groupBy."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = d.select(
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), w -> w != '')")
+        ).alias("w")
+    ).distinct()
+    wv = Window.orderBy("w")
+    pairs = vocab.select(
+        "w", F.lag("w").over(wv).alias("prev")
+    )
+    # stateless form: prefix equality is monotone in i, so the shared
+    # length = COUNT of i with matching i-char prefixes (a stateful
+    # first-mismatch fold hit a DuckDB vectorizer nondeterminism with
+    # lambda captures — NOTES.md)
+    plen = F.expr(
+        "CASE WHEN prev IS NULL THEN 0L ELSE "
+        "cast(size(filter(sequence(1,"
+        " cast(least(length(w), length(prev)) as int)),"
+        " i -> substring(w, 1, i) = substring(prev, 1, i))) as long) END"
+    )
+    coded = pairs.select(
+        F.substring("w", 1, 1).alias("letter"),
+        F.length("w").cast("long").alias("raw_len"),
+        plen.alias("prefix_len"),
+    )
+    return (
+        coded.groupBy("letter")
+        .agg(
+            F.count("*").alias("n_types"),
+            F.sum("raw_len").alias("raw_bytes"),
+            # coded = 1 length byte + the unshared suffix
+            F.sum(F.col("raw_len") - F.col("prefix_len") + 1).alias(
+                "coded_bytes"
+            ),
+        )
+        .select(
+            "letter",
+            "n_types",
+            "raw_bytes",
+            "coded_bytes",
+            F.expr(
+                "((raw_bytes - coded_bytes) * 1000) div raw_bytes"
+            ).alias("saved_permille"),
+        )
+        .orderBy("letter")
+    )
+
+
+Q171_SQL = r"""
+WITH vocab AS (
+  SELECT DISTINCT unnest(list_filter(
+    string_split_regex(lower(text), '[^a-z]+'), w -> w != '')) AS w
+  FROM documents
+), pairs AS (
+  SELECT w, lag(w) OVER (ORDER BY w) AS prev FROM vocab
+), coded AS (
+  SELECT substr(w, 1, 1) AS letter, length(w)::BIGINT AS raw_len,
+         CASE WHEN prev IS NULL THEN 0::BIGINT ELSE
+           len(list_filter(range(1, least(length(w), length(prev)) + 1),
+             i -> substr(w, 1, i::INT) = substr(prev, 1, i::INT)))::BIGINT
+           END AS prefix_len
+  FROM pairs
+)
+SELECT letter, count(*)::BIGINT AS n_types,
+       sum(raw_len)::BIGINT AS raw_bytes,
+       sum(raw_len - prefix_len + 1)::BIGINT AS coded_bytes,
+       (((sum(raw_len) - sum(raw_len - prefix_len + 1)) * 1000)
+        // sum(raw_len))::BIGINT AS saved_permille
+FROM coded GROUP BY letter ORDER BY letter
+"""
+
+
+def q172_host_gini(spark, sf_dir):
+    """Gini coefficient of per-source corpus mass — the skew diagnostic
+    a partition planner reads before choosing bucketing/salting (a
+    Gini near 0 means uniform hosts and plain hash partitioning is
+    fine; near 1 means a mega-host and the q59 salting path is
+    mandatory).  Exact integer arithmetic end to end via the
+    rank-weighted form G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over
+    ascending-sorted source masses, reported as a floor-div permille
+    per language."""
+    d = _t(spark, sf_dir, "documents")
+    m = d.groupBy("lang", "source").agg(F.sum("n_chars").alias("x"))
+    wr = Window.partitionBy("lang").orderBy("x", "source")
+    ranked = m.select(
+        "lang", "x", F.row_number().over(wr).alias("i")
+    )
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sources"),
+            F.sum("x").alias("total_chars"),
+            F.sum(F.col("i") * F.col("x")).alias("iws"),
+        )
+        .select(
+            "lang",
+            "n_sources",
+            "total_chars",
+            F.expr(
+                "((2 * iws - (n_sources + 1) * total_chars) * 1000)"
+                " div (n_sources * total_chars)"
+            ).alias("gini_permille"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q172_SQL = r"""
+WITH m AS (
+  SELECT lang, source, sum(n_chars)::BIGINT AS x
+  FROM documents GROUP BY lang, source
+), ranked AS (
+  SELECT lang, x,
+         row_number() OVER (PARTITION BY lang ORDER BY x, source) AS i
+  FROM m
+)
+SELECT lang, count(*)::BIGINT AS n_sources,
+       sum(x)::BIGINT AS total_chars,
+       (((2 * sum(i * x) - (count(*) + 1) * sum(x)) * 1000)
+        // (count(*) * sum(x)))::BIGINT AS gini_permille
+FROM ranked GROUP BY lang ORDER BY lang
+"""
+
+
+def q173_error_spikes(spark, sf_dir):
+    """Day-over-day error-rate spike detection — the trailing-baseline
+    alert crawl operations run on fetch telemetry: a day alerts when
+    its error permille exceeds 1.5× the mean of the prior 3 days.
+    The trailing mean stays integer by cross-multiplying (rate ·
+    3-day-total vs 1.5 · trailing-errors · day-total — no division
+    until the final permille); one groupBy + one framed window."""
+    ev = _t(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("errs"),
+        )
+    )
+    wf = Window.orderBy("day").rowsBetween(-3, -1)
+    trailed = daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n",
+        "errs",
+        F.expr("(errs * 1000) div n").alias("rate_permille"),
+        F.sum("errs").over(wf).alias("t_errs"),
+        F.sum("n").over(wf).alias("t_n"),
+    )
+    return trailed.select(
+        "day",
+        "n",
+        "errs",
+        "rate_permille",
+        F.expr(
+            "CASE WHEN t_errs IS NULL OR t_errs = 0 THEN NULL"
+            " ELSE (2 * errs * t_n > 3 * t_errs * n) END"
+        ).alias("spike"),
+    ).orderBy("day")
+
+
+Q173_SQL = r"""
+WITH daily AS (
+  SELECT ts::DATE AS day, count(*)::BIGINT AS n,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT
+           AS errs
+  FROM events GROUP BY ts::DATE
+), trailed AS (
+  SELECT strftime(day, '%Y-%m-%d') AS day, n, errs,
+         ((errs * 1000) // n)::BIGINT AS rate_permille,
+         sum(errs) OVER (ORDER BY day
+                         ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS t_errs,
+         sum(n) OVER (ORDER BY day
+                      ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING) AS t_n
+  FROM daily
+)
+SELECT day, n, errs, rate_permille,
+       CASE WHEN t_errs IS NULL OR t_errs = 0 THEN NULL
+            ELSE (2 * errs * t_n > 3 * t_errs * n) END AS spike
+FROM trailed ORDER BY day
+"""
+
+
+def q174_compaction_bins(spark, sf_dir):
+    """Compaction bin-packing planner — the small-file rewrite grouping
+    an Iceberg `rewrite_data_files` pass computes before launching
+    merge tasks: first-fit-decreasing over per-source file sizes with
+    a 4000-byte target bin (documents stand in as files, n_chars as
+    size).  FFD is inherently sequential PER GROUP, so it runs as one
+    HOF fold over each source's size-sorted file list — the planner
+    state (per-bin remaining capacity) lives in the fold accumulator,
+    and sources plan in parallel (the real layout: compaction plans
+    per partition, partitions in parallel).  Output: per-source bin
+    count + fill utilisation, all integers."""
+    d = _t(spark, sf_dir, "documents")
+    cap = 4000
+    files = d.groupBy("source").agg(
+        F.expr("sort_array(collect_list(n_chars), false)").alias("fs")
+    )
+    # fold: acc = array of bin FILL levels; place each file into the
+    # first bin whose fill + size <= cap, else open a new bin.  Equal
+    # sizes are interchangeable, so the size-only sort is deterministic
+    # for every output column.
+    fold = f"""
+    aggregate(
+      fs,
+      array(cast(0 as bigint)),
+      (acc, s) -> CASE
+        WHEN exists(acc, b -> b + s <= {cap}) THEN
+          transform(acc, (b, i) -> CASE
+            WHEN b + s <= {cap} AND i = array_position(
+              transform(acc, bb -> CASE WHEN bb + s <= {cap}
+                                        THEN 1 ELSE 0 END), 1) - 1
+            THEN b + s ELSE b END)
+        ELSE concat(acc, array(s)) END
+    )"""
+    planned = files.select(
+        "source",
+        F.size("fs").cast("long").alias("n_files"),
+        F.expr(fold).alias("bins"),
+    )
+    return planned.select(
+        "source",
+        "n_files",
+        F.size("bins").cast("long").alias("n_bins"),
+        F.expr("aggregate(bins, 0L, (a, b) -> a + b)").alias("total_bytes"),
+        F.expr(
+            f"(aggregate(bins, 0L, (a, b) -> a + b) * 1000)"
+            f" div (size(bins) * {cap})"
+        ).alias("fill_permille"),
+    ).orderBy("source")
+
+
+Q174_SQL = r"""
+WITH files AS (
+  SELECT source, list_sort(list(n_chars), 'DESC') AS sizes
+  FROM documents GROUP BY source
+), planned AS (
+  SELECT source, len(sizes)::BIGINT AS n_files,
+    list_reduce(list_prepend([0::BIGINT], list_transform(sizes, s -> [s])),
+      (acc, x) -> CASE
+        WHEN len(list_filter(acc, b -> b + x[1] <= 4000)) > 0 THEN
+          list_transform(acc, (b, i) -> CASE
+            WHEN b + x[1] <= 4000 AND i = list_position(
+              list_transform(acc, bb -> CASE WHEN bb + x[1] <= 4000
+                                             THEN 1 ELSE 0 END), 1)
+            THEN b + x[1] ELSE b END)
+        ELSE list_append(acc, x[1]) END
+    ) AS bins
+  FROM files
+)
+SELECT source, n_files, len(bins)::BIGINT AS n_bins,
+       list_sum(bins)::BIGINT AS total_bytes,
+       ((list_sum(bins) * 1000) // (len(bins) * 4000))::BIGINT
+         AS fill_permille
+FROM planned ORDER BY source
+"""
+
+
+def q175_fetch_schedule(spark, sf_dir):
+    """Per-host fetch-schedule materialization — turning a politeness
+    budget (crawl-delay seconds per host) plus a ranked URL queue into
+    concrete fetch timestamps: slot k of host h fires at
+    t0 + k·delay(h).  One rank window per host + pure timestamp
+    arithmetic; the schedule horizon (makespan) per host rolls up in
+    the same pass.  This is the q61 frontier's missing last step —
+    from priorities to a wall-clock plan a fetcher fleet can obey.
+    Delays synthesize per host (1 + h % 5 seconds); integers and
+    date arithmetic only."""
+    d = _t(spark, sf_dir, "documents")
+    q = d.select((F.col("doc_id") % 7).alias("host"), "doc_id")
+    wq = Window.partitionBy("host").orderBy("doc_id")
+    sched = q.select(
+        "host",
+        "doc_id",
+        (F.row_number().over(wq) - 1).alias("slot"),
+    )
+    delay = (F.col("host") + 1 + F.col("host") % 5).cast("long")
+    withts = sched.select(
+        "host",
+        "doc_id",
+        "slot",
+        (F.col("slot") * delay).alias("offset_s"),
+    )
+    per_host = withts.groupBy("host").agg(
+        F.count("*").alias("n_urls"),
+        F.max("offset_s").alias("makespan_s"),
+    )
+    return (
+        withts.join(per_host, "host")
+        .where(F.col("slot") < 3)
+        .select("host", "slot", "doc_id", "offset_s", "n_urls", "makespan_s")
+        .orderBy("host", "slot")
+    )
+
+
+Q175_SQL = r"""
+WITH sched AS (
+  SELECT doc_id % 7 AS host, doc_id,
+         row_number() OVER (PARTITION BY doc_id % 7 ORDER BY doc_id) - 1
+           AS slot
+  FROM documents
+), withts AS (
+  SELECT host, doc_id, slot,
+         slot * (host + 1 + host % 5) AS offset_s
+  FROM sched
+), per_host AS (
+  SELECT host, count(*)::BIGINT AS n_urls, max(offset_s)::BIGINT
+           AS makespan_s
+  FROM withts GROUP BY host
+)
+SELECT host, slot::BIGINT AS slot, doc_id, offset_s::BIGINT AS offset_s,
+       n_urls, makespan_s
+FROM withts JOIN per_host USING (host)
+WHERE slot < 3 ORDER BY host, slot
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -10504,6 +10939,12 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q167_event_funnel": q167_event_funnel,
     "q168_retention_cohorts": q168_retention_cohorts,
     "q169_event_transitions": q169_event_transitions,
+    "q170_histogram_quantiles": q170_histogram_quantiles,
+    "q171_front_coding": q171_front_coding,
+    "q172_host_gini": q172_host_gini,
+    "q173_error_spikes": q173_error_spikes,
+    "q174_compaction_bins": q174_compaction_bins,
+    "q175_fetch_schedule": q175_fetch_schedule,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -10663,6 +11104,12 @@ ORACLES: dict[str, str] = {
     "q167_event_funnel": Q167_SQL,
     "q168_retention_cohorts": Q168_SQL,
     "q169_event_transitions": Q169_SQL,
+    "q170_histogram_quantiles": Q170_SQL,
+    "q171_front_coding": Q171_SQL,
+    "q172_host_gini": Q172_SQL,
+    "q173_error_spikes": Q173_SQL,
+    "q174_compaction_bins": Q174_SQL,
+    "q175_fetch_schedule": Q175_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
