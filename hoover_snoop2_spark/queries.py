@@ -10777,6 +10777,122 @@ WHERE slot < 3 ORDER BY host, slot
 """
 
 
+def q176_rollup_sets(spark, sf_dir):
+    """ROLLUP grouping sets — the stock multi-granularity aggregate
+    (lang × source → per-lang subtotal → grand total in ONE pass,
+    Spark `.rollup()` = Catalyst Expand + single HashAggregate
+    instead of three jobs + union).  grouping() flags disambiguate the
+    NULL-as-subtotal rows from genuine NULLs — reported as explicit
+    level columns so the oracle's GROUP BY ROLLUP output matches
+    byte for byte."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.rollup("lang", "source")
+        .agg(
+            # grouping() flags must be produced INSIDE the grouping-sets
+            # aggregate (they read the internal grouping id)
+            F.grouping("lang").cast("long").alias("g_lang"),
+            F.grouping("source").cast("long").alias("g_source"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "g_lang",
+            "g_source",
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("g_lang", "g_source", "lang", "source")
+    )
+
+
+Q176_SQL = r"""
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       grouping(lang)::BIGINT AS g_lang,
+       grouping(source)::BIGINT AS g_source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY ROLLUP (lang, source)
+ORDER BY g_lang, g_source, lang, source
+"""
+
+
+def q177_pivot(spark, sf_dir):
+    """PIVOT — the wide-format reshape (per-source row, one column per
+    language) reporting layers ask of the engine: Spark `.pivot()`
+    with an EXPLICIT value list, which is the scale-safe form (an
+    unlisted pivot scans the data twice to discover values and cannot
+    be planned statically).  The oracle spells the same reshape as
+    conditional aggregation — which is also exactly what Catalyst
+    lowers pivot to (one pass, map-side combinable)."""
+    d = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    wide = (
+        d.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+    )
+    return wide.select(
+        "source",
+        *[
+            F.coalesce(F.col(lg), F.lit(0)).cast("long").alias(f"n_{lg}")
+            for lg in langs
+        ],
+    ).orderBy("source")
+
+
+Q177_SQL = r"""
+SELECT source,
+       sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de,
+       sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+       sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es,
+       sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
+       sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n_zh
+FROM documents GROUP BY source ORDER BY source
+"""
+
+
+def q178_rank_family(spark, sf_dir):
+    """The remaining ranking-window family in one query — ntile
+    (equi-populated quartiles per language, the stratified-binning
+    primitive), percent_rank ((rank-1)/(n-1), an exact rational of
+    two integers so the IEEE division is identical across engines —
+    no quantization needed), and cume_dist — over document lengths.
+    One Exchange: all three share the (lang | n_chars, doc_id)
+    window.  Emits every 25th doc to keep the certified surface
+    readable."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return (
+        d.select(
+            "lang",
+            "doc_id",
+            "n_chars",
+            F.ntile(4).over(w).cast("long").alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+        .where(F.col("doc_id") % 25 == 0)
+        .orderBy("lang", "n_chars", "doc_id")
+    )
+
+
+Q178_SQL = r"""
+SELECT lang, doc_id, n_chars,
+       ntile(4) OVER w::BIGINT AS quartile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM documents
+WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+QUALIFY doc_id % 25 = 0
+ORDER BY lang, n_chars, doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -10945,6 +11061,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q173_error_spikes": q173_error_spikes,
     "q174_compaction_bins": q174_compaction_bins,
     "q175_fetch_schedule": q175_fetch_schedule,
+    "q176_rollup_sets": q176_rollup_sets,
+    "q177_pivot": q177_pivot,
+    "q178_rank_family": q178_rank_family,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -11110,6 +11229,9 @@ ORACLES: dict[str, str] = {
     "q173_error_spikes": Q173_SQL,
     "q174_compaction_bins": Q174_SQL,
     "q175_fetch_schedule": Q175_SQL,
+    "q176_rollup_sets": Q176_SQL,
+    "q177_pivot": Q177_SQL,
+    "q178_rank_family": Q178_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
