@@ -136,6 +136,15 @@ AUDITED = [
     "q167_event_funnel",
     "q168_retention_cohorts",
     "q169_event_transitions",
+    "q170_histogram_quantiles",
+    "q171_front_coding",
+    "q172_host_gini",
+    "q173_error_spikes",
+    "q174_compaction_bins",
+    "q175_fetch_schedule",
+    "q176_rollup_sets",
+    "q177_pivot",
+    "q178_rank_family",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -500,6 +509,35 @@ CHECKS = {
                                "!ArrowEvalPython", "!Window"],
     "q169_event_transitions": ["Window", "HashAggregate",
                                "!CartesianProduct", "!ArrowEvalPython"],
+    # histogram + cum window + three tiny limit probes; exact statistic
+    # rides on one global row_number over the 64-bucket side
+    "q170_histogram_quantiles": ["Window", "HashAggregate",
+                                 "!CartesianProduct", "!ArrowEvalPython"],
+    # vocabulary lag window + letter rollup; prefix count is a stateless
+    # HOF inside the Project
+    "q171_front_coding": ["Window", "HashAggregate", "!CartesianProduct",
+                          "!ArrowEvalPython"],
+    "q172_host_gini": ["Window", "HashAggregate", "!CartesianProduct",
+                       "!ArrowEvalPython"],
+    "q173_error_spikes": ["Window", "HashAggregate", "!CartesianProduct",
+                          "!ArrowEvalPython"],
+    # FFD fold runs per source inside one aggregate projection — the
+    # plan is collect_list + Project, no joins
+    "q174_compaction_bins": ["HashAggregate", "!SortMergeJoin",
+                             "!BroadcastHashJoin", "!CartesianProduct",
+                             "!ArrowEvalPython", "!Window"],
+    "q175_fetch_schedule": ["Window", "HashAggregate",
+                            "!CartesianProduct", "!ArrowEvalPython"],
+    # ROLLUP = Expand + ONE HashAggregate (not three jobs + union)
+    "q176_rollup_sets": ["Expand", "HashAggregate", "!SortMergeJoin",
+                         "!CartesianProduct", "!ArrowEvalPython",
+                         "!Window"],
+    # pivot lowers to conditional aggregation: one pass, no join
+    "q177_pivot": ["HashAggregate", "!SortMergeJoin",
+                   "!BroadcastHashJoin", "!CartesianProduct",
+                   "!ArrowEvalPython", "!Window"],
+    "q178_rank_family": ["Window", "!HashAggregate", "!CartesianProduct",
+                         "!ArrowEvalPython"],
 }
 
 NOTES = {
