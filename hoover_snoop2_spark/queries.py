@@ -10893,6 +10893,245 @@ ORDER BY lang, n_chars, doc_id
 """
 
 
+def q179_negative_sampling(spark, sf_dir):
+    """word2vec negative-sampling table (Mikolov et al. 2013) — the
+    unigram^0.75 noise distribution every skip-gram/contrastive text
+    trainer materializes: raising counts to the 3/4 power flattens the
+    head so frequent words aren't drawn proportionally.  x^(3/4) is
+    computed as sqrt(x · sqrt(x)) — two correctly-rounded sqrts and a
+    multiply, so it is IEEE-exact cross-engine where pow() is not
+    (the q154 α=1/2 lesson extended); the weights then quantize to
+    micro-units and the cumulative table is pure integers.  Top-20
+    tokens with sampling probability and cumulative bound (the
+    inversion-sampling lookup row)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(
+            F.expr("filter(split(lower(text), '[^a-z]+'), w -> w != '')")
+        ).alias("w")
+    )
+    counts = toks.groupBy("w").agg(F.count("*").alias("c"))
+    pw = F.floor(
+        F.sqrt(F.col("c") * F.sqrt(F.col("c").cast("double")))
+        * 1000000
+        + F.lit(0.5)
+    ).cast("long")
+    weighted = counts.select("w", "c", pw.alias("w34_micro"))
+    tot = weighted.agg(F.sum("w34_micro").alias("tot"))
+    wcum = Window.orderBy(F.col("w34_micro").desc(), "w")
+    return (
+        weighted.join(F.broadcast(tot))
+        .select(
+            "w",
+            "c",
+            "w34_micro",
+            F.expr("(w34_micro * 1000000) div tot").alias("p_micro"),
+            F.sum("w34_micro").over(wcum).alias("cum_micro"),
+        )
+        .orderBy(F.col("w34_micro").desc(), "w")
+        .limit(20)
+    )
+
+
+Q179_SQL = r"""
+WITH counts AS (
+  SELECT w, count(*)::BIGINT AS c
+  FROM (SELECT unnest(list_filter(
+          string_split_regex(lower(text), '[^a-z]+'), w -> w != '')) AS w
+        FROM documents)
+  GROUP BY w
+), weighted AS (
+  SELECT w, c,
+         floor(sqrt(c * sqrt(c::DOUBLE)) * 1000000 + 0.5)::BIGINT
+           AS w34_micro
+  FROM counts
+), tot AS (
+  SELECT sum(w34_micro)::BIGINT AS tot FROM weighted
+)
+SELECT w, c, w34_micro,
+       ((w34_micro * 1000000) // tot)::BIGINT AS p_micro,
+       sum(w34_micro) OVER (ORDER BY w34_micro DESC, w)::BIGINT
+         AS cum_micro
+FROM weighted CROSS JOIN tot
+ORDER BY w34_micro DESC, w LIMIT 20
+"""
+
+
+def q180_retrieval_metrics(spark, sf_dir):
+    """Retrieval evaluation — MRR and NDCG@10, the metrics that close
+    the loop on the ranking stack (q88 BM25, q164 RRF produce runs;
+    this scores them): 10 synthetic queries, qrels = docs with
+    doc_id % 50 == q are relevant to query q, run = docs ranked by
+    (tf of the query's probe word, doc_id).  1/rank and 1/log2(rank+1)
+    quantize to micro-units per hit BEFORE summing (the q140/q153
+    discipline), so MRR and DCG are order-free integer sums; IDCG
+    divides out as one final floor-div permille.  One ranking window
+    + one rollup."""
+    d = _t(spark, sf_dir, "documents")
+    queries = spark.range(10).select(F.col("id").alias("q"))
+    scored = d.crossJoin(F.broadcast(queries)).select(
+        "q",
+        "doc_id",
+        ((F.col("doc_id") % 50) == F.col("q")).alias("rel"),
+        F.expr(
+            "size(filter(split(lower(text), '[^a-z]+'), w -> w = 'scan'))"
+            " * 31 + " + _feistel_expr("(doc_id * 7 + q)", "^") + " % 29"
+        ).alias("score"),
+    )
+    wr = Window.partitionBy("q").orderBy(F.col("score").desc(), "doc_id")
+    ranked = scored.select(
+        "q", "rel", F.row_number().over(wr).alias("rank")
+    ).where(F.col("rank") <= 10)
+    mrr_term = F.when(
+        F.col("rel"), F.expr("floor(1000000 / rank)")
+    ).otherwise(F.lit(0))
+    dcg_term = F.when(
+        F.col("rel"),
+        F.floor(F.lit(1000000.0) / F.log2(F.col("rank") + 1) + F.lit(0.5)),
+    ).otherwise(F.lit(0))
+    per_q = ranked.groupBy("q").agg(
+        F.sum(F.col("rel").cast("long")).alias("n_rel_at10"),
+        F.max(mrr_term).alias("rr_micro"),
+        F.sum(dcg_term).alias("dcg_micro"),
+    )
+    # ideal DCG for k hits = sum of the first k discount terms
+    idcg = (
+        ranked.select("rank")
+        .distinct()
+        .select(
+            "rank",
+            F.floor(
+                F.lit(1000000.0) / F.log2(F.col("rank") + 1) + F.lit(0.5)
+            ).alias("disc"),
+        )
+    )
+    widcg = Window.orderBy("rank")
+    idcg_cum = idcg.select(
+        F.col("rank").alias("n_rel_at10"),
+        F.sum("disc").over(widcg).alias("idcg_micro"),
+    )
+    return (
+        per_q.join(idcg_cum, "n_rel_at10", "left")
+        .select(
+            "q",
+            "n_rel_at10",
+            "rr_micro",
+            "dcg_micro",
+            F.expr(
+                "CASE WHEN n_rel_at10 = 0 THEN 0L"
+                " ELSE (dcg_micro * 1000) div idcg_micro END"
+            ).alias("ndcg_permille"),
+        )
+        .orderBy("q")
+    )
+
+
+_Q180_SQL_TEMPLATE = r"""
+WITH queries AS (
+  SELECT unnest(range(0, 10))::BIGINT AS q
+), scored AS (
+  SELECT q, doc_id, (doc_id % 50 = q) AS rel,
+         len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                         w -> w = 'scan')) * 31
+         + __FEISTEL__ % 29 AS score
+  FROM documents CROSS JOIN queries
+), ranked AS (
+  SELECT q, rel,
+         row_number() OVER (PARTITION BY q ORDER BY score DESC, doc_id)
+           AS rank
+  FROM scored QUALIFY rank <= 10
+), per_q AS (
+  SELECT q, sum(CASE WHEN rel THEN 1 ELSE 0 END)::BIGINT AS n_rel_at10,
+         max(CASE WHEN rel THEN floor(1000000 / rank)::BIGINT
+                  ELSE 0 END)::BIGINT AS rr_micro,
+         sum(CASE WHEN rel
+                  THEN floor(1000000.0 / log2(rank + 1) + 0.5)::BIGINT
+                  ELSE 0 END)::BIGINT AS dcg_micro
+  FROM ranked GROUP BY q
+), idcg AS (
+  SELECT rank AS n_rel_at10,
+         sum(floor(1000000.0 / log2(rank + 1) + 0.5)::BIGINT)
+           OVER (ORDER BY rank)::BIGINT AS idcg_micro
+  FROM (SELECT DISTINCT rank FROM ranked)
+)
+SELECT q, n_rel_at10, rr_micro, dcg_micro,
+       CASE WHEN n_rel_at10 = 0 THEN 0
+            ELSE (dcg_micro * 1000) // idcg_micro END::BIGINT
+         AS ndcg_permille
+FROM per_q LEFT JOIN idcg USING (n_rel_at10)
+ORDER BY q
+"""
+
+Q180_SQL = _Q180_SQL_TEMPLATE.replace(
+    "__FEISTEL__", _feistel_expr("(doc_id * 7 + q)", "xor")
+)
+
+
+def q181_classifier_eval(spark, sf_dir):
+    """Classifier evaluation — the per-class precision / recall / F1
+    table that closes the loop on q134's hashed quality classifier:
+    predicted class = a deterministic score threshold over text
+    features, gold class = the stored lang-is-en bit as a stand-in
+    label.  Confusion counts are one groupBy; P/R/F1 are permille
+    integers (F1 via the cross-multiplied 2PR/(P+R) form, floor-div
+    only at the end).  The eval every quality-filter deployment
+    reports before a threshold goes to production."""
+    d = _t(spark, sf_dir, "documents")
+    pred = (
+        F.expr(
+            "size(filter(split(lower(text), '[^a-z]+'), w -> w = 'the'))"
+        )
+        > 0
+    )
+    gold = F.col("lang") == "en"
+    cm = d.select(
+        pred.alias("pred"), gold.alias("gold")
+    ).groupBy().agg(
+        F.sum(F.when(F.col("pred") & F.col("gold"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("pred") & ~F.col("gold"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(~F.col("pred") & F.col("gold"), 1).otherwise(0)).alias("fn"),
+        F.sum(F.when(~F.col("pred") & ~F.col("gold"), 1).otherwise(0)).alias("tn"),
+    )
+    return cm.select(
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.expr("(tp * 1000) div (tp + fp)").alias("precision_permille"),
+        F.expr("(tp * 1000) div (tp + fn)").alias("recall_permille"),
+        F.expr(
+            "(2 * tp * 1000) div (2 * tp + fp + fn)"
+        ).alias("f1_permille"),
+        F.expr(
+            "((tp + tn) * 1000) div (tp + fp + fn + tn)"
+        ).alias("accuracy_permille"),
+    )
+
+
+Q181_SQL = r"""
+WITH cm AS (
+  SELECT
+    sum(CASE WHEN pred AND gold THEN 1 ELSE 0 END)::BIGINT AS tp,
+    sum(CASE WHEN pred AND NOT gold THEN 1 ELSE 0 END)::BIGINT AS fp,
+    sum(CASE WHEN NOT pred AND gold THEN 1 ELSE 0 END)::BIGINT AS fn,
+    sum(CASE WHEN NOT pred AND NOT gold THEN 1 ELSE 0 END)::BIGINT AS tn
+  FROM (
+    SELECT len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+                           w -> w = 'the')) > 0 AS pred,
+           lang = 'en' AS gold
+    FROM documents
+  )
+)
+SELECT tp, fp, fn, tn,
+       ((tp * 1000) // (tp + fp))::BIGINT AS precision_permille,
+       ((tp * 1000) // (tp + fn))::BIGINT AS recall_permille,
+       ((2 * tp * 1000) // (2 * tp + fp + fn))::BIGINT AS f1_permille,
+       (((tp + tn) * 1000) // (tp + fp + fn + tn))::BIGINT
+         AS accuracy_permille
+FROM cm
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -11064,6 +11303,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q176_rollup_sets": q176_rollup_sets,
     "q177_pivot": q177_pivot,
     "q178_rank_family": q178_rank_family,
+    "q179_negative_sampling": q179_negative_sampling,
+    "q180_retrieval_metrics": q180_retrieval_metrics,
+    "q181_classifier_eval": q181_classifier_eval,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -11232,6 +11474,9 @@ ORACLES: dict[str, str] = {
     "q176_rollup_sets": Q176_SQL,
     "q177_pivot": Q177_SQL,
     "q178_rank_family": Q178_SQL,
+    "q179_negative_sampling": Q179_SQL,
+    "q180_retrieval_metrics": Q180_SQL,
+    "q181_classifier_eval": Q181_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
