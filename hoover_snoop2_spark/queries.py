@@ -10275,7 +10275,7 @@ def q168_retention_cohorts(spark, sf_dir):
 Q168_SQL = r"""
 WITH acts AS (
   SELECT DISTINCT user_id,
-         (epoch(ts)::BIGINT // (7 * 86400))::BIGINT AS week
+         (floor(epoch(ts))::BIGINT // (7 * 86400))::BIGINT AS week
   FROM events
 ), first AS (
   SELECT user_id, min(week) AS cohort FROM acts GROUP BY user_id
@@ -11132,6 +11132,213 @@ FROM cm
 """
 
 
+def q182_json_props(spark, sf_dir):
+    """Semi-structured JSON property extraction — the events table's
+    `props` column is a JSON blob (the universal telemetry escape
+    hatch); production queries path-extract INSIDE the scan so
+    Catalyst can prune and codegen (get_json_object is JVM-side —
+    never a Python json.loads UDF).  Per event type: k-value sum,
+    integer-permille mean, and the count crossing a threshold — the
+    typed-aggregation a JSON column eventually earns before being
+    promoted to a real column."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    typed = ev.select("event_type", k.alias("k"))
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").alias("k_sum"),
+            F.sum(F.when(F.col("k") > 50, 1).otherwise(0)).alias(
+                "n_over_50"
+            ),
+        )
+        .select(
+            "event_type",
+            "n",
+            "k_sum",
+            F.expr("(k_sum * 1000) div n").alias("k_mean_permille"),
+            "n_over_50",
+        )
+        .orderBy("event_type")
+    )
+
+
+Q182_SQL = r"""
+WITH typed AS (
+  SELECT event_type, json_extract_string(props, '$.k')::BIGINT AS k
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n, sum(k)::BIGINT AS k_sum,
+       ((sum(k) * 1000) // count(*))::BIGINT AS k_mean_permille,
+       sum(CASE WHEN k > 50 THEN 1 ELSE 0 END)::BIGINT AS n_over_50
+FROM typed GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q183_lateness_audit(spark, sf_dir):
+    """Event-time lateness accounting — the batch replay of the
+    watermark question every Structured Streaming deployment answers
+    before picking `withWatermark`: with event time = ts, an event is
+    DROPPED at watermark W if the running max event-time seen before
+    it (in ARRIVAL order) already exceeds its own ts by more than W.
+    One running-max window over arrival order, then a per-day rollup
+    of would-drop counts at 1/10/60-minute watermarks — the lateness
+    histogram that sizes the state-retention tradeoff (streaming/
+    extract_stream.py applies the chosen W for real).  The corpus
+    generator emits events already time-ordered, so arrival order
+    adds a small Feistel-keyed displacement (0-6 positions) to
+    event_id — LOCAL jitter, the deterministic stand-in for network
+    reordering (without jitter the audit is vacuously 0; a full
+    permutation would be the other degenerate extreme — everything
+    late by days)."""
+    ev = _t(spark, sf_dir, "events")
+    arrival = "(event_id + " + _feistel_expr("event_id", "^") + " % 7)"
+    wa = (
+        Window.orderBy(F.expr(arrival), F.col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lat = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        (
+            F.unix_timestamp(F.max("ts").over(wa))
+            - F.unix_timestamp("ts")
+        ).alias("late_s"),
+    ).select(
+        "day", F.coalesce(F.greatest("late_s", F.lit(0)), F.lit(0)).alias("late_s")
+    )
+    return (
+        lat.groupBy(F.date_format("day", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("late_s") > 60, 1).otherwise(0)).alias(
+                "drop_1m"
+            ),
+            F.sum(F.when(F.col("late_s") > 600, 1).otherwise(0)).alias(
+                "drop_10m"
+            ),
+            F.sum(F.when(F.col("late_s") > 3600, 1).otherwise(0)).alias(
+                "drop_60m"
+            ),
+        )
+        .orderBy("day")
+    )
+
+
+_Q183_SQL_TEMPLATE = r"""
+WITH lat AS (
+  SELECT ts::DATE AS day,
+         greatest(coalesce(floor(epoch(max(ts) OVER (ORDER BY __ARRIVAL__,
+             event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)))::BIGINT
+           - floor(epoch(ts))::BIGINT, 0), 0) AS late_s
+  FROM events
+)
+SELECT strftime(day, '%Y-%m-%d') AS day, count(*)::BIGINT AS n,
+       sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END)::BIGINT AS drop_1m,
+       sum(CASE WHEN late_s > 600 THEN 1 ELSE 0 END)::BIGINT AS drop_10m,
+       sum(CASE WHEN late_s > 3600 THEN 1 ELSE 0 END)::BIGINT AS drop_60m
+FROM lat GROUP BY day ORDER BY day
+"""
+
+Q183_SQL = _Q183_SQL_TEMPLATE.replace(
+    "__ARRIVAL__",
+    "(event_id + " + _feistel_expr("event_id", "xor") + " % 7)",
+)
+
+
+def q184_incremental_view(spark, sf_dir):
+    """Incremental view maintenance — the delta-merge contract behind
+    every materialized aggregate (and behind SnapshotStore's
+    incremental reads): base aggregate + delta aggregate merged by
+    key must equal the full recomputation.  Base = events with
+    event_id % 10 != 0, delta = the rest; the merge is a full-outer
+    coalesce-sum — and the `consistent` column CERTIFIES the algebra
+    per key (counts and integer JSON-k sums are commutative monoids,
+    which is exactly why the merge is legal).  The same proof shape
+    as q150's mergeable minhash, applied to additive aggregates."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    typed = ev.select(
+        "event_type", "event_id", k.alias("k")
+    )
+
+    def agg(df):
+        return df.groupBy("event_type").agg(
+            F.count("*").alias("n"), F.sum("k").alias("k_sum")
+        )
+
+    base = agg(typed.where(F.col("event_id") % 10 != 0)).select(
+        "event_type",
+        F.col("n").alias("b_n"),
+        F.col("k_sum").alias("b_k"),
+    )
+    delta = agg(typed.where(F.col("event_id") % 10 == 0)).select(
+        "event_type",
+        F.col("n").alias("d_n"),
+        F.col("k_sum").alias("d_k"),
+    )
+    full = agg(typed).select(
+        "event_type",
+        F.col("n").alias("f_n"),
+        F.col("k_sum").alias("f_k"),
+    )
+    merged = (
+        base.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            (
+                F.coalesce("b_n", F.lit(0)) + F.coalesce("d_n", F.lit(0))
+            ).alias("m_n"),
+            (
+                F.coalesce("b_k", F.lit(0)) + F.coalesce("d_k", F.lit(0))
+            ).alias("m_k"),
+        )
+    )
+    return (
+        merged.join(full, "event_type")
+        .select(
+            "event_type",
+            "m_n",
+            "f_n",
+            "m_k",
+            "f_k",
+            (
+                (F.col("m_n") == F.col("f_n"))
+                & (F.col("m_k") == F.col("f_k"))
+            ).alias("consistent"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q184_SQL = r"""
+WITH typed AS (
+  SELECT event_type, event_id,
+         json_extract_string(props, '$.k')::BIGINT AS k
+  FROM events
+), base AS (
+  SELECT event_type, count(*)::BIGINT AS b_n, sum(k)::BIGINT AS b_k
+  FROM typed WHERE event_id % 10 != 0 GROUP BY event_type
+), delta AS (
+  SELECT event_type, count(*)::BIGINT AS d_n, sum(k)::BIGINT AS d_k
+  FROM typed WHERE event_id % 10 = 0 GROUP BY event_type
+), fullv AS (
+  SELECT event_type, count(*)::BIGINT AS f_n, sum(k)::BIGINT AS f_k
+  FROM typed GROUP BY event_type
+), merged AS (
+  SELECT event_type,
+         (coalesce(b_n, 0) + coalesce(d_n, 0))::BIGINT AS m_n,
+         (coalesce(b_k, 0) + coalesce(d_k, 0))::BIGINT AS m_k
+  FROM base FULL OUTER JOIN delta USING (event_type)
+)
+SELECT event_type, m_n, f_n, m_k, f_k,
+       (m_n = f_n AND m_k = f_k) AS consistent
+FROM merged JOIN fullv USING (event_type)
+ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -11306,6 +11513,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q179_negative_sampling": q179_negative_sampling,
     "q180_retrieval_metrics": q180_retrieval_metrics,
     "q181_classifier_eval": q181_classifier_eval,
+    "q182_json_props": q182_json_props,
+    "q183_lateness_audit": q183_lateness_audit,
+    "q184_incremental_view": q184_incremental_view,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -11477,6 +11687,9 @@ ORACLES: dict[str, str] = {
     "q179_negative_sampling": Q179_SQL,
     "q180_retrieval_metrics": Q180_SQL,
     "q181_classifier_eval": Q181_SQL,
+    "q182_json_props": Q182_SQL,
+    "q183_lateness_audit": Q183_SQL,
+    "q184_incremental_view": Q184_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
