@@ -145,6 +145,12 @@ AUDITED = [
     "q176_rollup_sets",
     "q177_pivot",
     "q178_rank_family",
+    "q179_negative_sampling",
+    "q180_retrieval_metrics",
+    "q181_classifier_eval",
+    "q182_json_props",
+    "q183_lateness_audit",
+    "q184_incremental_view",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -538,6 +544,22 @@ CHECKS = {
                    "!ArrowEvalPython", "!Window"],
     "q178_rank_family": ["Window", "!HashAggregate", "!CartesianProduct",
                          "!ArrowEvalPython"],
+    "q179_negative_sampling": ["Window", "HashAggregate",
+                               "!CartesianProduct", "!ArrowEvalPython"],
+    # the 10-query fan-out is a deliberate broadcast of a 10-row side
+    "q180_retrieval_metrics": ["Window", "HashAggregate",
+                               "BroadcastNestedLoopJoin",
+                               "!ArrowEvalPython"],
+    "q181_classifier_eval": ["HashAggregate", "!Window",
+                             "!SortMergeJoin", "!BroadcastHashJoin",
+                             "!CartesianProduct", "!ArrowEvalPython"],
+    # JSON path extraction stays inside the scan projection
+    "q182_json_props": ["HashAggregate", "!Window", "!SortMergeJoin",
+                        "!CartesianProduct", "!ArrowEvalPython"],
+    "q183_lateness_audit": ["Window", "HashAggregate",
+                            "!CartesianProduct", "!ArrowEvalPython"],
+    "q184_incremental_view": ["HashAggregate", "!CartesianProduct",
+                              "!ArrowEvalPython", "!Window"],
 }
 
 NOTES = {
