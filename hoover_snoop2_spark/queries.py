@@ -11339,6 +11339,172 @@ ORDER BY event_type
 """
 
 
+def q185_cube_sets(spark, sf_dir):
+    """CUBE grouping sets — the full 2^n-granularity companion to q176's
+    ROLLUP: (lang, source), (lang), (source), () in ONE pass.  Spark
+    `.cube()` lowers to a single Expand + HashAggregate — at 100 TB
+    that is one shuffle instead of four union'd jobs, and the Expand
+    rows combine map-side.  grouping() flags disambiguate subtotal
+    NULLs from data NULLs exactly as in q176; the (source)-only level
+    is the one ROLLUP cannot produce."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.cube("lang", "source")
+        .agg(
+            F.grouping("lang").cast("long").alias("g_lang"),
+            F.grouping("source").cast("long").alias("g_source"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "g_lang",
+            "g_source",
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("g_lang", "g_source", "lang", "source")
+    )
+
+
+Q185_SQL = r"""
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       grouping(lang)::BIGINT AS g_lang,
+       grouping(source)::BIGINT AS g_source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY CUBE (lang, source)
+ORDER BY g_lang, g_source, lang, source
+"""
+
+
+def q186_unpivot(spark, sf_dir):
+    """UNPIVOT (melt) — the inverse reshape of q177: a wide per-source
+    language matrix back to long (source, lang, n_docs) rows.  Spark
+    `DataFrame.unpivot` is a zero-shuffle Expand (each input row fans
+    out to k rows map-side), so the only exchange in the plan is the
+    one the wide aggregate already needed — the reshape itself is
+    free at any scale.  The oracle spells the same contract as the
+    ANSI UNION-ALL lowering, which is exactly what the Expand node
+    computes."""
+    d = _t(spark, sf_dir, "documents")
+    langs = ["de", "en", "es", "fr", "zh"]
+    wide = (
+        d.groupBy("source")
+        .pivot("lang", langs)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "source",
+            *[
+                F.coalesce(F.col(lg), F.lit(0))
+                .cast("long")
+                .alias(f"n_{lg}")
+                for lg in langs
+            ],
+        )
+    )
+    long = wide.unpivot(
+        ids=["source"],
+        values=[f"n_{lg}" for lg in langs],
+        variableColumnName="metric",
+        valueColumnName="n_docs",
+    )
+    return long.select(
+        "source",
+        F.substring("metric", 3, 2).alias("lang"),
+        "n_docs",
+    ).orderBy("source", "lang")
+
+
+Q186_SQL = r"""
+WITH wide AS (
+  SELECT source,
+         sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+         sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es,
+         sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END)::BIGINT AS n_fr,
+         sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END)::BIGINT AS n_zh
+  FROM documents GROUP BY source
+)
+SELECT source, lang, n_docs FROM (
+  SELECT source, 'de' AS lang, n_de AS n_docs FROM wide
+  UNION ALL SELECT source, 'en', n_en FROM wide
+  UNION ALL SELECT source, 'es', n_es FROM wide
+  UNION ALL SELECT source, 'fr', n_fr FROM wide
+  UNION ALL SELECT source, 'zh', n_zh FROM wide
+)
+ORDER BY source, lang
+"""
+
+
+def q187_window_frames(spark, sf_dir):
+    """Explicit window frames — the two frame families every telemetry
+    engine needs, in one pass over one Exchange: a ROWS BETWEEN 2
+    PRECEDING moving sum (physical row frame) and a RANGE BETWEEN
+    3600 PRECEDING time frame (logical range over epoch seconds, the
+    batch spelling of a sliding one-hour window).  Both windows share
+    PARTITION BY user_id ORDER BY ..., so Catalyst plans a single
+    sort + a single Window node.  Values are micro-quantized to
+    integers BEFORE the frame sums (the q180 idiom) so the running
+    aggregates are cross-engine exact — a raw double moving sum would
+    drift on summation order."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.where(F.col("user_id") % 20 == 0).select(
+        "user_id",
+        "event_id",
+        F.floor(F.unix_timestamp("ts")).cast("long").alias("epoch_s"),
+        F.floor(F.col("value") * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("value_u"),
+    )
+    w_rows = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s", "event_id")
+        .rowsBetween(-2, 0)
+    )
+    w_range = (
+        Window.partitionBy("user_id")
+        .orderBy("epoch_s")
+        .rangeBetween(-3600, 0)
+    )
+    return base.select(
+        "user_id",
+        "event_id",
+        "epoch_s",
+        F.sum("value_u").over(w_rows).alias("moving3_u"),
+        F.sum("value_u").over(w_range).alias("hour_sum_u"),
+        F.count("*").over(w_range).alias("hour_n"),
+    ).orderBy("user_id", "epoch_s", "event_id")
+
+
+Q187_SQL = r"""
+WITH base AS (
+  SELECT user_id, event_id,
+         floor(epoch(ts))::BIGINT AS epoch_s,
+         floor(value * 1e6 + 0.5)::BIGINT AS value_u
+  FROM events WHERE user_id % 20 = 0
+)
+SELECT user_id, event_id, epoch_s,
+       sum(value_u) OVER (
+         PARTITION BY user_id ORDER BY epoch_s, event_id
+         ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+       )::BIGINT AS moving3_u,
+       sum(value_u) OVER (
+         PARTITION BY user_id ORDER BY epoch_s
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+       )::BIGINT AS hour_sum_u,
+       count(*) OVER (
+         PARTITION BY user_id ORDER BY epoch_s
+         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+       )::BIGINT AS hour_n
+FROM base
+ORDER BY user_id, epoch_s, event_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -11516,6 +11682,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q182_json_props": q182_json_props,
     "q183_lateness_audit": q183_lateness_audit,
     "q184_incremental_view": q184_incremental_view,
+    "q185_cube_sets": q185_cube_sets,
+    "q186_unpivot": q186_unpivot,
+    "q187_window_frames": q187_window_frames,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -11690,6 +11859,9 @@ ORACLES: dict[str, str] = {
     "q182_json_props": Q182_SQL,
     "q183_lateness_audit": Q183_SQL,
     "q184_incremental_view": Q184_SQL,
+    "q185_cube_sets": Q185_SQL,
+    "q186_unpivot": Q186_SQL,
+    "q187_window_frames": Q187_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
