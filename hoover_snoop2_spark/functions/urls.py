@@ -210,3 +210,49 @@ def absolutize(base_col, href_col, dot_iters: int = 3) -> F.Column:
             resolved, r"/[^/.?][^/?]*/\.\./", "/"
         )
     return resolved
+
+
+def surt_key(col) -> F.Column:
+    """SURT (Sort-friendly URI Reordering Transform) key — the canonical
+    url form web archives sort and range-scan by (Wayback/OpenWayback
+    CDX convention; the reference keys captures by plain url, which
+    cannot prefix-scan a domain).  Reversing the host labels puts every
+    page of ``example.com`` — and every subdomain — into one
+    lexicographic run, so a 100-TB CDX sorted by SURT answers
+    "everything under this registrable domain" with a range scan
+    instead of a full shuffle.
+
+    Rules (the common canonicalized-SURT subset, all pure column exprs
+    in one Project — composes with ``canonicalize_url``):
+
+    - fragment stripped; scheme dropped entirely;
+    - host lowercased, default ports (:80/:443) stripped, leading
+      ``www.`` removed, labels reversed and comma-joined, ``)`` closes
+      the host;
+    - path lowercased (Wayback canonicalizer semantics; empty → ``/``);
+    - tracking params dropped, the rest codepoint-sorted.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    no_frag = F.regexp_replace(c, r"#.*$", "")
+    after = F.regexp_replace(no_frag, r"^[A-Za-z][A-Za-z0-9+.-]*://", "")
+    hostport = F.lower(F.regexp_extract(after, r"^([^/?]*)", 1))
+    host = F.regexp_replace(hostport, r":(80|443)$", "")
+    host = F.regexp_replace(host, r"^www\.", "")
+    rev_host = F.array_join(F.reverse(F.split(host, r"\.")), ",")
+    pathq = F.lower(F.regexp_replace(after, r"^[^/?]*", ""))
+    path = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    query = F.regexp_replace(pathq, r"^[^?]*\??", "")
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda p: (p != "") & ~p.rlike(TRACKING_PARAM_RE),
+    )
+    sorted_q = F.array_join(F.array_sort(kept), "&")
+    return F.concat(
+        rev_host,
+        F.lit(")"),
+        path,
+        F.when(sorted_q == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), sorted_q)
+        ),
+    )

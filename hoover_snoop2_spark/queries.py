@@ -11505,6 +11505,362 @@ ORDER BY user_id, epoch_s, event_id
 """
 
 
+def _cos_expr(xa: str, xb: str) -> str:
+    """Cross-engine-exact cosine between two float-array columns: dot
+    and norms as LEFT-TO-RIGHT HOF folds (IEEE-identical in Spark and
+    DuckDB — the q162 certificate), then two correctly-rounded sqrts
+    and one division.  Every op in the tree is correctly rounded, so
+    the double is bit-equal across engines with no quantization."""
+
+    def dot(u: str, v: str) -> str:
+        return (
+            f"aggregate(zip_with({u}, {v}, (p, q) ->"
+            " cast(p as double) * cast(q as double)),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+
+    return (
+        f"{dot(xa, xb)} / (sqrt({dot(xa, xa)}) * sqrt({dot(xb, xb)}))"
+    )
+
+
+def _cos_sql(xa: str, xb: str) -> str:
+    """DuckDB spelling of :func:`_cos_expr` — same fold order, same
+    rounding points (list_reduce folds left-to-right like aggregate)."""
+
+    def dot(u: str, v: str) -> str:
+        return (
+            "list_reduce(list_prepend(0.0::DOUBLE,"
+            " list_transform(range(1, 65), d ->"
+            f" {u}[d::INT]::DOUBLE * {v}[d::INT]::DOUBLE)),"
+            " (acc, x) -> acc + x)"
+        )
+
+    return (
+        f"{dot(xa, xb)} / (sqrt({dot(xa, xa)}) * sqrt({dot(xb, xb)}))"
+    )
+
+
+def q188_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) — semantic dedup by clustering then
+    INTRA-CLUSTER cosine pruning, the curation step that removes
+    paraphrase-level duplicates exact/minhash dedup cannot see.  The
+    paper's recipe verbatim: partition the corpus into k clusters, and
+    only compare pairs INSIDE a cluster (cost k·(n/k)² instead of n²);
+    within a cluster, every vector whose cosine to a lower-id member
+    exceeds τ is dropped, keeping one representative per semantic
+    group.  Clustering here is one spherical assignment step against k
+    fixed seed vectors (vec_id < 8 — deterministic, so the oracle can
+    replay it; production swaps in the q28 sampled-k-means centroids,
+    same plan shape).  Scale: seeds broadcast (k rows); assignment is
+    a map-side argmax; the pairwise stage shuffles once on cluster id
+    and its cost is bounded by the max cluster size — the same
+    degenerate-bucket cap as minhash applies if a cluster degenerates.
+    Cosines are bit-exact cross-engine (left-to-right folds +
+    correctly-rounded sqrt/div), so the argmax and the τ comparison
+    cannot straddle engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    seeds = (
+        e.where(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("seed_id"),
+            F.col("embedding").alias("sv"),
+        )
+    )
+    scored = e.crossJoin(F.broadcast(seeds)).select(
+        "vec_id",
+        "seed_id",
+        F.expr(_cos_expr("embedding", "sv")).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos").desc(), F.col("seed_id").asc()
+    )
+    assign = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("seed_id").alias("cluster"))
+    )
+    members = assign.join(
+        e.select("vec_id", "embedding"), "vec_id"
+    )
+    a = members.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("va"),
+        F.col("embedding").alias("xa"),
+    )
+    b = members.select(
+        F.col("cluster"),
+        F.col("vec_id").alias("vb"),
+        F.col("embedding").alias("xb"),
+    )
+    dups = (
+        a.join(b, "cluster")
+        .where(F.col("va") < F.col("vb"))
+        .where(F.expr(_cos_expr("xa", "xb")) > 0.38)
+        .select("vb")
+        .distinct()
+    )
+    return (
+        assign.join(dups, assign["vec_id"] == dups["vb"], "left_anti")
+        .select("vec_id", "cluster", F.lit(True).alias("keep"))
+        .unionByName(
+            assign.join(dups, assign["vec_id"] == dups["vb"], "left_semi")
+            .select("vec_id", "cluster", F.lit(False).alias("keep"))
+        )
+        .orderBy("vec_id")
+    )
+
+
+Q188_SQL = rf"""
+WITH seeds AS (
+  SELECT vec_id AS seed_id, embedding AS sv FROM embeddings
+  WHERE vec_id < 8
+), scored AS (
+  SELECT e.vec_id, s.seed_id,
+         {_cos_sql('e.embedding', 's.sv')} AS cos
+  FROM embeddings e CROSS JOIN seeds s
+), assign AS (
+  SELECT vec_id, seed_id AS cluster FROM (
+    SELECT vec_id, seed_id,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY cos DESC, seed_id ASC) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), members AS (
+  SELECT a.vec_id, a.cluster, e.embedding
+  FROM assign a JOIN embeddings e USING (vec_id)
+), dups AS (
+  SELECT DISTINCT b.vec_id AS vb
+  FROM members a JOIN members b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.embedding', 'b.embedding')} > 0.38
+)
+SELECT vec_id, cluster, (vb IS NULL) AS keep
+FROM assign LEFT JOIN dups ON vec_id = vb
+ORDER BY vec_id
+"""
+
+
+def q189_surt_keys(spark, sf_dir):
+    """SURT keys — the Sort-friendly URI Reordering Transform every web
+    archive sorts its CDX index by (reference keys captures by plain
+    url; a SURT-sorted 100-TB index answers "everything under this
+    domain, subdomains included" with a lexicographic RANGE SCAN
+    instead of a host-extraction shuffle).  One Project of JVM string
+    ops (functions/urls.surt_key): fragment strip, scheme drop, host
+    lowercase + default-port strip + www-strip + label reversal, path
+    lowercase, tracking-param drop + codepoint param sort.  Messy urls
+    are synthesized deterministically so the oracle replays the exact
+    transform; the per-host group count proves the reversed keys
+    cluster domains the way the index needs."""
+    from .functions.urls import surt_key
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit("HTTP://WWW.News"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit(".Example.ORG"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit(":80")).otherwise(
+            F.lit("")
+        ),
+        F.lit("/Section/Item"),
+        F.col("doc_id").cast("string"),
+        F.lit("?z=26&utm_campaign=x&a=1"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit("&m="), (F.col("doc_id") % 5).cast("string")),
+        ).otherwise(F.lit("")),
+        F.lit("#frag"),
+    )
+    keyed = d.select(
+        "doc_id", messy.alias("url"), surt_key(messy).alias("surt")
+    )
+    per_host = keyed.select(
+        F.regexp_extract("surt", r"^([^)]*)", 1).alias("host_key")
+    ).groupBy("host_key").agg(F.count("*").alias("n_pages"))
+    return (
+        keyed.join(
+            per_host,
+            F.regexp_extract(keyed["surt"], r"^([^)]*)", 1)
+            == per_host["host_key"],
+        )
+        .select("doc_id", "url", "surt", "host_key", "n_pages")
+        .orderBy("doc_id")
+    )
+
+
+Q189_SQL = r"""
+WITH m AS (
+  SELECT doc_id,
+         'HTTP://WWW.News' || CAST(doc_id % 40 AS VARCHAR)
+           || '.Example.ORG'
+           || CASE WHEN doc_id % 4 = 0 THEN ':80' ELSE '' END
+           || '/Section/Item' || CAST(doc_id AS VARCHAR)
+           || '?z=26&utm_campaign=x&a=1'
+           || CASE WHEN doc_id % 3 = 0
+                   THEN '&m=' || CAST(doc_id % 5 AS VARCHAR)
+                   ELSE '' END
+           || '#frag' AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(url, '#.*$', ''),
+                        '^[A-Za-z][A-Za-z0-9+.-]*://', '') AS after
+  FROM m
+), hostsplit AS (
+  SELECT doc_id, url, after,
+         regexp_replace(regexp_replace(
+             lower(regexp_extract(after, '^([^/?]*)', 1)),
+             ':(80|443)$', ''), '^www\.', '') AS host,
+         lower(regexp_replace(after, '^[^/?]*', '')) AS pathq
+  FROM parts
+), keyed AS (
+  SELECT doc_id, url,
+         array_to_string(list_reverse(string_split(host, '.')), ',')
+           || ')'
+           || CASE WHEN regexp_extract(pathq, '^([^?]*)', 1) = ''
+                   THEN '/' ELSE regexp_extract(pathq, '^([^?]*)', 1) END
+           || CASE WHEN q = '' THEN '' ELSE '?' || q END AS surt
+  FROM (
+    SELECT doc_id, url, host, pathq,
+           array_to_string(list_sort(list_filter(
+             string_split(regexp_replace(pathq, '^[^?]*\??', ''), '&'),
+             p -> p != ''
+                  AND NOT regexp_matches(p,
+                        '^(utm_[^=]*|fbclid|gclid|ref)='))),
+             '&') AS q
+    FROM hostsplit
+  )
+), per_host AS (
+  SELECT regexp_extract(surt, '^([^)]*)', 1) AS host_key,
+         count(*)::BIGINT AS n_pages
+  FROM keyed GROUP BY 1
+)
+SELECT doc_id, url, surt, host_key, n_pages
+FROM keyed JOIN per_host
+  ON regexp_extract(surt, '^([^)]*)', 1) = host_key
+ORDER BY doc_id
+"""
+
+
+def q190_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail bucketing (Wenzek et al. 2020) — the
+    per-LANGUAGE perplexity terciles Common-Crawl curation splits a
+    corpus into before sampling mostly-head for training.  Reuses the
+    q119 bigram-LM score (integer micro-unit sum — order-free, no
+    libm), reduces it to one BIGINT floor-div score per doc, then
+    ntile(3) per language over the total order (score, doc_id) — ANSI
+    tile semantics, identical in both engines.  Scale: the LM counts
+    shuffle on bigram/w1 exactly as q119; the tercile Window shuffles
+    once on lang; the report is a per-(lang, bucket) aggregate.
+    Lower score = more-fluent-than-corpus-average = head."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n - 1),
+        F.slice(words, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    inst = d.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", "bg", F.split(F.col("bg"), " ").getItem(0).alias("w1")
+    )
+    c12 = inst.groupBy("bg").agg(F.count("*").alias("c12"))
+    c1 = inst.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = d.select(F.explode(words).alias("w")).agg(
+        F.countDistinct("w").alias("v")
+    )
+    scored = (
+        inst.join(c12, "bg")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(
+                (F.col("c1") + F.col("v")).cast("double")
+                / (F.col("c12") + 1).cast("double")
+                * 1000000.0
+                + 0.5
+            )
+            .cast("long")
+            .alias("inv_p_micro"),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.sum("inv_p_micro").alias("s_micro"),
+        )
+        .select(
+            "doc_id",
+            F.expr("s_micro DIV n_bigrams").alias("score"),
+        )
+    )
+    tiled = scored.join(
+        d.select("doc_id", "lang"), "doc_id"
+    ).select(
+        "lang",
+        "score",
+        F.ntile(3)
+        .over(
+            Window.partitionBy("lang").orderBy("score", "doc_id")
+        )
+        .alias("tile"),
+    )
+    return (
+        tiled.groupBy(
+            "lang",
+            F.element_at(
+                F.array(F.lit("head"), F.lit("middle"), F.lit("tail")),
+                F.col("tile"),
+            ).alias("bucket"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+Q190_SQL = r"""
+WITH w AS (
+  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+), inst0 AS (
+  SELECT doc_id,
+         unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS bg
+  FROM w
+), inst AS (
+  SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM inst0
+), c12 AS (
+  SELECT bg, COUNT(*) AS c12 FROM inst GROUP BY bg
+), c1 AS (
+  SELECT w1, COUNT(*) AS c1 FROM inst GROUP BY w1
+), vocab AS (
+  SELECT COUNT(DISTINCT word) AS v
+  FROM (SELECT unnest(ws) AS word FROM w)
+), scored AS (
+  SELECT doc_id, SUM(inv_p_micro) // COUNT(*) AS score FROM (
+    SELECT i.doc_id,
+           CAST(floor((c1.c1 + vocab.v)::DOUBLE / (c12.c12 + 1)::DOUBLE
+                      * 1000000.0 + 0.5) AS BIGINT) AS inv_p_micro
+    FROM inst i JOIN c12 USING (bg) JOIN c1 USING (w1) CROSS JOIN vocab
+  ) GROUP BY doc_id
+), tiled AS (
+  SELECT d.lang, s.score,
+         ntile(3) OVER (PARTITION BY d.lang
+                        ORDER BY s.score, s.doc_id) AS tile
+  FROM scored s JOIN documents d USING (doc_id)
+)
+SELECT lang,
+       (['head', 'middle', 'tail'])[tile] AS bucket,
+       count(*)::BIGINT AS n_docs,
+       min(score)::BIGINT AS min_score,
+       max(score)::BIGINT AS max_score
+FROM tiled GROUP BY lang, tile ORDER BY lang, bucket
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -11685,6 +12041,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q185_cube_sets": q185_cube_sets,
     "q186_unpivot": q186_unpivot,
     "q187_window_frames": q187_window_frames,
+    "q188_semdedup": q188_semdedup,
+    "q189_surt_keys": q189_surt_keys,
+    "q190_ccnet_buckets": q190_ccnet_buckets,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -11862,6 +12221,9 @@ ORACLES: dict[str, str] = {
     "q185_cube_sets": Q185_SQL,
     "q186_unpivot": Q186_SQL,
     "q187_window_frames": Q187_SQL,
+    "q188_semdedup": Q188_SQL,
+    "q189_surt_keys": Q189_SQL,
+    "q190_ccnet_buckets": Q190_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
