@@ -649,3 +649,204 @@ def resolve_roots(
     return r.select(
         "id", F.col("r").alias("root"), F.col("d").cast("long").alias("depth")
     )
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 12,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, deg, converged) k-core decomposition by iterative peeling
+    (Seidman 1983; the Batagelj-Zaveršnik peel expressed as synchronous
+    rounds) — the density filter crawl analytics runs to separate the
+    organically-linked core of a host graph from its fringe (link-spam
+    detection and graph-sampling both start from the k-core, because a
+    spam farm must BUY core membership: every member needs k real
+    edges that survive everyone else's peeling).
+
+    Synchronous rounds: compute undirected degrees, drop every node
+    with deg < k, keep only edges with BOTH endpoints surviving,
+    repeat.  Each round is one groupBy (degree) + two semi-joins (edge
+    filter) — shuffles on node id only, edge payloads two longs, the
+    same mandatory per-round lineage truncation as the other iterative
+    operators here.  A peel can cascade (removing the fringe drops a
+    neighbor under k), so a fixed `rounds` budget carries a
+    CONVERGENCE CERTIFICATE instead of a hidden truncation: the edge
+    set shrinks monotonically, so `converged` = (edge count unchanged
+    over the last round) proves the fixpoint was reached — the q184
+    certificate idiom applied to an iterative operator.  The returned
+    `deg` is the degree INSIDE the final subgraph (the core's own
+    degrees, ≥ k whenever converged)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+
+    _cp = None
+    if checkpoint_dir is not None:
+        from ..plans.checkpoint import CheckpointStore
+
+        _cp = CheckpointStore(checkpoint_dir)
+
+    def _pin(d: DataFrame, name: str) -> DataFrame:
+        if _cp is not None:
+            return _cp.write(d, name)
+        return d.localCheckpoint(eager=True)
+
+    e = _pin(e, "kcore_edges")
+    prev = e
+    for it in range(rounds):
+        und = e.select(F.col("lo").alias("node")).unionAll(
+            e.select(F.col("hi").alias("node"))
+        )
+        keep = (
+            und.groupBy("node")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select("node")
+        )
+        prev = e
+        e = _pin(
+            e.join(keep, e["lo"] == keep["node"], "left_semi").join(
+                keep, e["hi"] == keep["node"], "left_semi"
+            ),
+            f"kcore_round_{it}",
+        )
+    # monotone edge set: equal counts over the last round <=> fixpoint
+    flag = (
+        prev.agg(F.count("*").alias("n_prev"))
+        .crossJoin(e.agg(F.count("*").alias("n_cur")))
+        .select((F.col("n_prev") == F.col("n_cur")).alias("converged"))
+    )
+    und = e.select(F.col("lo").alias("node")).unionAll(
+        e.select(F.col("hi").alias("node"))
+    )
+    return (
+        und.groupBy("node")
+        .agg(F.count("*").alias("deg"))
+        .crossJoin(F.broadcast(flag))
+    )
+
+
+def bowtie(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    doubling_rounds: int = 6,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """(node, scc_id, scc_size, cls) web bow-tie decomposition (Broder
+    et al., "Graph structure in the Web", WWW 2000): CORE = the largest
+    strongly connected component, IN = reaches the core, OUT =
+    reachable from it, OTHER = tendrils and disconnected islands.  The
+    first structural question asked of any crawl's host graph — it
+    tells you which seeds can ever discover which content.
+
+    Reachability by DOUBLING (reach ∪ reach∘reach per round), so
+    `doubling_rounds` rounds cover paths up to 2^rounds — O(log
+    diameter) shuffles instead of the diameter-many of naive BFS; each
+    round is one self-join + distinct on (u, v) pairs.  SCC id =
+    smallest mutually-reachable node; the core pick (max size, min id)
+    is a one-row broadcast, never a collect.  Pair-closure
+    materialization is O(n·reach) — right for host-level graphs (10^6
+    hosts); page-level SCC at 10^12 nodes would switch to the
+    label-forwarding variant, same round structure."""
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("u"),
+            F.col(dst).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+    _cp = None
+    if checkpoint_dir is not None:
+        from ..plans.checkpoint import CheckpointStore
+
+        _cp = CheckpointStore(checkpoint_dir)
+
+    def _pin(d: DataFrame, name: str) -> DataFrame:
+        if _cp is not None:
+            return _cp.write(d, name)
+        return d.localCheckpoint(eager=True)
+
+    reach = _pin(e, "bowtie_base")
+    for it in range(doubling_rounds):
+        hop = reach.select(
+            F.col("u").alias("m"), F.col("v").alias("w")
+        )
+        reach = _pin(
+            reach.unionAll(
+                reach.join(hop, reach["v"] == hop["m"]).select(
+                    "u", F.col("w").alias("v")
+                )
+            ).distinct(),
+            f"bowtie_round_{it}",
+        )
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+    )
+    # reflexive closure so scc_id(u) always includes u itself
+    reach_star = reach.unionAll(
+        nodes.select(F.col("node").alias("u"), F.col("node").alias("v"))
+    ).distinct()
+    back = reach_star.select(
+        F.col("v").alias("bu"), F.col("u").alias("bv")
+    )
+    mutual = reach_star.join(
+        back,
+        (reach_star["u"] == back["bu"]) & (reach_star["v"] == back["bv"]),
+        "left_semi",
+    )
+    scc = mutual.groupBy("u").agg(F.min("v").alias("scc_id")).select(
+        F.col("u").alias("node"), "scc_id"
+    )
+    sizes = scc.groupBy("scc_id").agg(F.count("*").alias("scc_size"))
+    core = F.broadcast(
+        sizes.orderBy(F.col("scc_size").desc(), F.col("scc_id").asc())
+        .limit(1)
+        .select(F.col("scc_id").alias("core_id"))
+    )
+    core_nodes = scc.crossJoin(core).where(
+        F.col("scc_id") == F.col("core_id")
+    ).select(F.col("node").alias("cn"))
+    to_core = reach.join(
+        core_nodes, reach["v"] == core_nodes["cn"], "left_semi"
+    ).select(F.col("u").alias("node")).distinct()
+    from_core = reach.join(
+        core_nodes, reach["u"] == core_nodes["cn"], "left_semi"
+    ).select(F.col("v").alias("node")).distinct()
+    labeled = (
+        scc.join(sizes, "scc_id")
+        .crossJoin(core)
+        .join(
+            to_core.select(F.col("node"), F.lit(1).alias("t")),
+            "node",
+            "left",
+        )
+        .join(
+            from_core.select(F.col("node"), F.lit(1).alias("f")),
+            "node",
+            "left",
+        )
+    )
+    return labeled.select(
+        "node",
+        "scc_id",
+        "scc_size",
+        F.when(F.col("scc_id") == F.col("core_id"), F.lit("CORE"))
+        .when(F.col("t").isNotNull(), F.lit("IN"))
+        .when(F.col("f").isNotNull(), F.lit("OUT"))
+        .otherwise(F.lit("OTHER"))
+        .alias("cls"),
+    )

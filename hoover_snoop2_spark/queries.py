@@ -11861,6 +11861,266 @@ FROM tiled GROUP BY lang, tile ORDER BY lang, bucket
 """
 
 
+def q191_kcore(spark, sf_dir):
+    """k-core decomposition of a host graph (Seidman 1983) — the
+    density filter that separates the organically-linked core from
+    fringe and spam (operators/graph.kcore; link farms must buy k
+    REAL surviving edges per member to enter the core).  Iterative
+    synchronous peeling — degree groupBy + two semi-joins per round,
+    per-round lineage truncation — with a CONVERGENCE CERTIFICATE:
+    the edge set shrinks monotonically, so equal edge counts over the
+    final round prove the fixpoint (q184's certificate idiom on an
+    iterative operator).  Edges are Feistel-derived (deterministic,
+    engine-neutral — never engine hash()), and the oracle replays the
+    identical 12 unrolled peel rounds as a CTE chain."""
+    from .operators.graph import kcore
+
+    d = _t(spark, sf_dir, "documents")
+    fa = _feistel_expr("(doc_id * 2)", "^")
+    fb = _feistel_expr("(doc_id * 2 + 1)", "^")
+    edges = d.select(
+        F.expr(f"{fa} % 211").alias("src"),
+        F.expr(f"{fb} % 211").alias("dst"),
+    )
+    return kcore(edges, k=3, rounds=12).orderBy("node")
+
+
+def _q191_sql() -> str:
+    # Every e{r} references e{r-1} three times (FROM + two IN
+    # subqueries); DuckDB inlines non-materialized CTEs, so without
+    # MATERIALIZED the unrolled 12-round chain expands to 3^12 scans
+    # of documents.parquet and dies on fd exhaustion.  MATERIALIZED
+    # pins each peel round to exactly one evaluation — the same shape
+    # as the Spark side's per-round checkpoint.
+    fa = _feistel_expr("(doc_id * 2)", "xor")
+    fb = _feistel_expr("(doc_id * 2 + 1)", "xor")
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+  SELECT DISTINCT least(a, b) AS lo, greatest(a, b) AS hi FROM (
+    SELECT {fa} % 211 AS a, {fb} % 211 AS b FROM documents
+  ) WHERE a != b
+)"""
+    ]
+    for r in range(1, 13):
+        p = r - 1
+        ctes.append(
+            f"""k{r} AS MATERIALIZED (
+  SELECT node FROM (
+    SELECT lo AS node FROM e{p} UNION ALL SELECT hi FROM e{p}
+  ) GROUP BY node HAVING count(*) >= 3
+)"""
+        )
+        ctes.append(
+            f"""e{r} AS MATERIALIZED (
+  SELECT lo, hi FROM e{p}
+  WHERE lo IN (SELECT node FROM k{r}) AND hi IN (SELECT node FROM k{r})
+)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + """
+SELECT node, count(*)::BIGINT AS deg,
+       (SELECT count(*) FROM e11) = (SELECT count(*) FROM e12)
+         AS converged
+FROM (SELECT lo AS node FROM e12 UNION ALL SELECT hi FROM e12)
+GROUP BY node ORDER BY node
+"""
+    )
+
+
+Q191_SQL = _q191_sql()
+
+
+def q192_wilson_hosts(spark, sf_dir):
+    """Wilson-lower-bound host ranking — ranking hosts by RAW quality
+    keep-rate lets a 3-doc host with 3 keeps outrank a 400-doc host at
+    97%, so crawl prioritization ranks by the Wilson score interval's
+    lower bound instead (the classic sort-by-confidence fix; z =
+    1.96).  One groupBy for (n, successes) per host, then a pure
+    column expression — every op in the Wilson tree (mult/div/sub/
+    sqrt) is correctly rounded IEEE, and the oracle mirrors the exact
+    parenthesization, so the doubles are BIT-EQUAL cross-engine and
+    even the rank comparisons cannot diverge (the q162/q188
+    certificate extended to scalar statistics)."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.groupBy((F.col("doc_id") % 23).alias("host"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("n_chars").between(600, 20000), F.lit(1)
+                ).otherwise(F.lit(0))
+            ).alias("s"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    p = F.col("s").cast("double") / nd
+    zz = F.lit(1.96) * F.lit(1.96)
+    wilson = (
+        p
+        + zz / (F.lit(2.0) * nd)
+        - F.lit(1.96)
+        * F.sqrt((p * (F.lit(1.0) - p) + zz / (F.lit(4.0) * nd)) / nd)
+    ) / (F.lit(1.0) + zz / nd)
+    scored = per.select(
+        "host",
+        "n",
+        "s",
+        p.alias("p_hat"),
+        wilson.alias("wilson_lb"),
+    )
+    return scored.select(
+        "*",
+        F.row_number()
+        .over(Window.orderBy(F.col("wilson_lb").desc(), F.col("host")))
+        .alias("rank"),
+    ).orderBy("rank")
+
+
+Q192_SQL = r"""
+WITH per AS (
+  SELECT doc_id % 23 AS host, count(*)::BIGINT AS n,
+         sum(CASE WHEN n_chars BETWEEN 600 AND 20000
+                  THEN 1 ELSE 0 END)::BIGINT AS s
+  FROM documents GROUP BY 1
+), scored AS (
+  SELECT host, n, s,
+         s::DOUBLE / n::DOUBLE AS p_hat,
+         (s::DOUBLE / n::DOUBLE
+          + (1.96::DOUBLE * 1.96::DOUBLE) / (2.0::DOUBLE * n::DOUBLE)
+          - 1.96::DOUBLE * sqrt(((s::DOUBLE / n::DOUBLE)
+                         * (1.0::DOUBLE - s::DOUBLE / n::DOUBLE)
+                         + (1.96::DOUBLE * 1.96::DOUBLE)
+                           / (4.0::DOUBLE * n::DOUBLE))
+                        / n::DOUBLE))
+         / (1.0::DOUBLE + (1.96::DOUBLE * 1.96::DOUBLE) / n::DOUBLE)
+           AS wilson_lb
+  FROM per
+)
+SELECT host, n, s, p_hat, wilson_lb,
+       row_number() OVER (ORDER BY wilson_lb DESC, host)::INT AS rank
+FROM scored ORDER BY rank
+"""
+
+
+def q193_bowtie(spark, sf_dir):
+    """Web bow-tie decomposition (Broder et al., WWW 2000) — CORE =
+    largest SCC, IN reaches it, OUT is reachable from it, OTHER =
+    tendrils and islands; the first structural question asked of any
+    crawl's host graph (which seeds can ever discover which content).
+    operators/graph.bowtie computes reachability by DOUBLING — O(log
+    diameter) self-join rounds, per-round lineage truncation — then
+    SCC id = min mutually-reachable node and a one-row broadcast core
+    pick.  The synthetic host graph has the full anatomy (a 20-node
+    core ring+chords, acyclic IN/OUT chains, an island ring, IN
+    tendrils); the oracle computes the SAME closure as a recursive
+    CTE — fixpoint equals fixpoint, so the mechanics may differ while
+    every (node, scc, class) row matches exactly."""
+    from .operators.graph import bowtie
+
+    d = _t(spark, sf_dir, "documents")
+    s = F.col("doc_id") % 20
+    parts = [
+        d.select((s + 20).alias("u"), ((s + 1) % 20 + 20).alias("v")),
+        d.where(F.col("doc_id") % 3 == 0).select(
+            (s + 20).alias("u"), ((s + 7) % 20 + 20).alias("v")
+        ),
+        d.select(s.alias("u"), ((s * 3) % 20 + 20).alias("v")),
+        d.where((F.col("doc_id") % 4 == 0) & (s < 19)).select(
+            s.alias("u"), (s + 1).alias("v")
+        ),
+        d.select((s + 20).alias("u"), ((s * 7) % 20 + 40).alias("v")),
+        d.where((F.col("doc_id") % 6 == 0) & (s < 19)).select(
+            (s + 40).alias("u"), (s + 41).alias("v")
+        ),
+        d.where(F.col("doc_id") % 13 == 0).select(
+            (F.col("doc_id") % 5 + 60).alias("u"),
+            ((F.col("doc_id") + 1) % 5 + 60).alias("v"),
+        ),
+        d.where(F.col("doc_id") % 9 == 0).select(
+            s.alias("u"), (F.col("doc_id") % 5 + 70).alias("v")
+        ),
+    ]
+    edges = parts[0]
+    for pdf in parts[1:]:
+        edges = edges.unionByName(pdf)
+    return bowtie(
+        edges.select(
+            F.col("u").cast("long").alias("src"),
+            F.col("v").cast("long").alias("dst"),
+        ),
+        doubling_rounds=4,
+    ).orderBy("node")
+
+
+Q193_SQL = r"""
+WITH RECURSIVE raw AS (
+  SELECT 20 + doc_id % 20 AS u, 20 + (doc_id % 20 + 1) % 20 AS v
+  FROM documents
+  UNION ALL
+  SELECT 20 + doc_id % 20, 20 + (doc_id % 20 + 7) % 20
+  FROM documents WHERE doc_id % 3 = 0
+  UNION ALL
+  SELECT doc_id % 20, 20 + (doc_id % 20 * 3) % 20 FROM documents
+  UNION ALL
+  SELECT doc_id % 20, doc_id % 20 + 1
+  FROM documents WHERE doc_id % 4 = 0 AND doc_id % 20 < 19
+  UNION ALL
+  SELECT 20 + doc_id % 20, 40 + (doc_id % 20 * 7) % 20 FROM documents
+  UNION ALL
+  SELECT 40 + doc_id % 20, 41 + doc_id % 20
+  FROM documents WHERE doc_id % 6 = 0 AND doc_id % 20 < 19
+  UNION ALL
+  SELECT 60 + doc_id % 5, 60 + (doc_id + 1) % 5
+  FROM documents WHERE doc_id % 13 = 0
+  UNION ALL
+  SELECT doc_id % 20, 70 + doc_id % 5
+  FROM documents WHERE doc_id % 9 = 0
+), edges AS (
+  SELECT DISTINCT u::BIGINT AS u, v::BIGINT AS v FROM raw WHERE u != v
+), nodes AS (
+  SELECT DISTINCT u AS node FROM edges
+  UNION SELECT DISTINCT v FROM edges
+), reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+), reach_star AS (
+  SELECT u, v FROM reach UNION SELECT node, node FROM nodes
+), mutual AS (
+  SELECT a.u, a.v FROM reach_star a
+  JOIN reach_star b ON a.u = b.v AND a.v = b.u
+), scc AS (
+  SELECT u AS node, min(v) AS scc_id FROM mutual GROUP BY u
+), sizes AS (
+  SELECT scc_id, count(*)::BIGINT AS scc_size FROM scc GROUP BY scc_id
+), core AS (
+  SELECT scc_id AS core_id FROM sizes
+  ORDER BY scc_size DESC, scc_id ASC LIMIT 1
+), core_nodes AS (
+  SELECT node FROM scc, core WHERE scc_id = core_id
+), to_core AS (
+  SELECT DISTINCT r.u AS node
+  FROM reach r JOIN core_nodes c ON r.v = c.node
+), from_core AS (
+  SELECT DISTINCT r.v AS node
+  FROM reach r JOIN core_nodes c ON r.u = c.node
+)
+SELECT s.node, s.scc_id, z.scc_size,
+       CASE WHEN s.scc_id = (SELECT core_id FROM core) THEN 'CORE'
+            WHEN t.node IS NOT NULL THEN 'IN'
+            WHEN f.node IS NOT NULL THEN 'OUT'
+            ELSE 'OTHER' END AS cls
+FROM scc s
+JOIN sizes z USING (scc_id)
+LEFT JOIN to_core t ON s.node = t.node
+LEFT JOIN from_core f ON s.node = f.node
+ORDER BY s.node
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -12044,6 +12304,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q188_semdedup": q188_semdedup,
     "q189_surt_keys": q189_surt_keys,
     "q190_ccnet_buckets": q190_ccnet_buckets,
+    "q191_kcore": q191_kcore,
+    "q192_wilson_hosts": q192_wilson_hosts,
+    "q193_bowtie": q193_bowtie,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -12224,6 +12487,9 @@ ORACLES: dict[str, str] = {
     "q188_semdedup": Q188_SQL,
     "q189_surt_keys": Q189_SQL,
     "q190_ccnet_buckets": Q190_SQL,
+    "q191_kcore": Q191_SQL,
+    "q192_wilson_hosts": Q192_SQL,
+    "q193_bowtie": Q193_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -309,3 +309,161 @@ def test_label_propagation_deterministic_ties(spark):
             for r in label_propagation(df, iters=3).collect()
         }
         assert got[1] == 0
+
+
+def _peel_kcore(edges, k):
+    """Brute-force Batagelj-Zaveršnik peel: repeatedly drop nodes with
+    undirected degree < k; returns {node: final_degree}."""
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        drop = {v for v, d in deg.items() if d < k}
+        if not drop:
+            return deg
+        es = {e for e in es if e[0] not in drop and e[1] not in drop}
+
+
+def test_kcore_matches_bruteforce_peel_on_random_graphs(spark):
+    import random
+
+    from hoover_snoop2_spark.operators.graph import kcore
+
+    rng = random.Random(20260818)
+    for trial in range(5):
+        n = rng.randint(4, 40)
+        m = rng.randint(n, 3 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        k = rng.randint(2, 4)
+        expect = _peel_kcore(edges, k)
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        rows = kcore(df, k=k, rounds=12).collect()
+        got = {r["node"]: r["deg"] for r in rows}
+        assert got == expect, f"trial {trial}: k={k} edges={edges}"
+        assert all(r["converged"] for r in rows)
+
+
+def test_kcore_cascade_needs_multiple_rounds(spark):
+    from hoover_snoop2_spark.operators.graph import kcore
+
+    # triangle {0,1,2} + a pendant chain 2-3-4: peeling 4 drops 3 next
+    # round (cascade), the triangle survives k=2
+    edges = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = kcore(df, k=2, rounds=8).collect()
+    got = {r["node"]: r["deg"] for r in rows}
+    assert got == {0: 2, 1: 2, 2: 2}
+    assert all(r["converged"] for r in rows)
+
+
+def test_kcore_unconverged_certificate(spark):
+    from hoover_snoop2_spark.operators.graph import kcore
+
+    # a 12-node pendant chain into a triangle cascades one node per
+    # round; rounds=2 cannot reach the fixpoint -> converged=False
+    edges = [(0, 1), (1, 2), (0, 2)] + [(i, i + 1) for i in range(2, 13)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    rows = kcore(df, k=2, rounds=2).collect()
+    assert rows and not any(r["converged"] for r in rows)
+
+
+def test_kcore_empty_core(spark):
+    from hoover_snoop2_spark.operators.graph import kcore
+
+    # a tree has no 2-core at all
+    edges = [(0, 1), (1, 2), (1, 3), (3, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    assert kcore(df, k=2, rounds=8).count() == 0
+
+
+def _py_bowtie(edges):
+    """Brute-force bow-tie: transitive closure by Floyd-Warshall-ish
+    BFS, SCC = mutual reachability, classes per Broder et al."""
+    nodes = sorted({v for e in edges for v in e if e[0] != e[1]})
+    adj = {v: set() for v in nodes}
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+    reach = {}
+    for s in nodes:
+        seen, stack = set(), [s]
+        while stack:
+            u = stack.pop()
+            for w in adj[u]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        reach[s] = seen
+    scc = {
+        v: min(
+            [v]
+            + [w for w in nodes if w in reach[v] and v in reach[w]]
+        )
+        for v in nodes
+    }
+    sizes = {}
+    for v in nodes:
+        sizes[scc[v]] = sizes.get(scc[v], 0) + 1
+    core_id = min(
+        sizes, key=lambda c: (-sizes[c], c)
+    )
+    core_nodes = {v for v in nodes if scc[v] == core_id}
+    out = {}
+    for v in nodes:
+        if scc[v] == core_id:
+            cls = "CORE"
+        elif reach[v] & core_nodes:
+            cls = "IN"
+        elif any(v in reach[c] for c in core_nodes):
+            cls = "OUT"
+        else:
+            cls = "OTHER"
+        out[v] = (scc[v], sizes[scc[v]], cls)
+    return out
+
+
+def test_bowtie_matches_bruteforce_on_random_digraphs(spark):
+    import random
+
+    from hoover_snoop2_spark.operators.graph import bowtie
+
+    rng = random.Random(20260818)
+    for trial in range(4):
+        n = rng.randint(5, 24)
+        m = rng.randint(n, 3 * n)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [e for e in edges if e[0] != e[1]]
+        if not edges:
+            continue
+        expect = _py_bowtie(edges)
+
+        df = spark.createDataFrame(edges, "src long, dst long")
+        got = {
+            r["node"]: (r["scc_id"], r["scc_size"], r["cls"])
+            for r in bowtie(df, doubling_rounds=6).collect()
+        }
+        assert got == expect, f"trial {trial}: edges={edges}"
+
+
+def test_bowtie_textbook_anatomy(spark):
+    from hoover_snoop2_spark.operators.graph import bowtie
+
+    # core ring {10,11,12}, IN chain 1->2->10, OUT chain 12->20->21,
+    # island pair {30,31}
+    edges = [
+        (10, 11), (11, 12), (12, 10),
+        (1, 2), (2, 10),
+        (12, 20), (20, 21),
+        (30, 31), (31, 30),
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["cls"] for r in bowtie(df, doubling_rounds=5).collect()}
+    assert got == {
+        10: "CORE", 11: "CORE", 12: "CORE",
+        1: "IN", 2: "IN",
+        20: "OUT", 21: "OUT",
+        30: "OTHER", 31: "OTHER",
+    }
