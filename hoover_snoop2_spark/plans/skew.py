@@ -153,3 +153,50 @@ def repartition_by_size_class(
         .repartition(max(n * 4, 16), F.xxhash64(F.col(key)))
     )
     return light.unionByName(heavy).drop("_sz")
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key: str,
+    salt_from: str,
+    hot_keys: list,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Hot-key-salted equi-join: the join twin of q59's salted
+    aggregation.  When one fact key holds a constant fraction of the
+    table (the empty-host bucket, the "unknown" language, the one CDN
+    domain), a plain shuffle join sends that entire key to ONE reducer
+    and the stage runs at single-task speed no matter the cluster size.
+    AQE's skew-join split handles sort-merge cases; this is the explicit
+    form that also works under bucketed layouts and in static plans.
+
+    Mechanics: fact rows on a hot key get a deterministic salt
+    ``xxhash64(salt_from) % buckets`` (cold keys salt 0); the dim side
+    REPLICATES each hot row ``buckets`` times via explode(sequence) so
+    every (key, salt) pair still finds its match.  The join key becomes
+    (key, salt) — the hot key now spreads over ``buckets`` reducers.
+    Replication cost is |hot dim rows| x buckets, negligible for a dim
+    table.  Results are exactly a plain join's (q197's oracle IS the
+    plain join)."""
+    hot = F.col(key).isin(*[F.lit(k) for k in hot_keys])
+    f = fact.withColumn(
+        "_sjsalt",
+        F.when(
+            hot, F.pmod(F.xxhash64(F.col(salt_from)), F.lit(buckets))
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+    # explode must be the top-level expression (no nesting inside cast)
+    d = dim.withColumn(
+        "_sjsalt",
+        F.explode(
+            F.when(
+                hot,
+                F.sequence(F.lit(0), F.lit(buckets - 1)),
+            ).otherwise(F.array(F.lit(0)))
+        ),
+    ).withColumn("_sjsalt", F.col("_sjsalt").cast("int"))
+    return f.join(d, [key, "_sjsalt"], how).drop("_sjsalt")

@@ -12121,6 +12121,274 @@ ORDER BY s.node
 """
 
 
+def q194_char_entropy(spark, sf_dir):
+    """Character-unigram Shannon entropy per document — the classic
+    two-sided quality gate (too LOW = repetition/spam, a page of
+    "aaaa…" compresses to nothing; too HIGH = binary junk or base64
+    smuggled into text/plain).  The reference gates binary-vs-text by
+    decode success (analyzers/text.py can_read_text); entropy is the
+    graded version a training pipeline actually thresholds on.
+
+    Shape: explode to (doc, char), count, then one agg per doc — both
+    shuffles key on doc_id and the first carries at most |alphabet|
+    rows per doc after map-side combine, so the stage is corpus-sized,
+    never char-sized, at 100 TB.  Each term (c/n)*log2(n/c) is
+    quantized to MICRO-BITS before the integer sum (q180's idiom:
+    quantize per-term, sum integers) so the result is a BIGINT that
+    hash-matches cross-engine with no float serialization at all."""
+    d = _t(spark, sf_dir, "documents").where(F.length("text") > 0)
+    chars = d.select(
+        "doc_id",
+        F.length("text").alias("n"),
+        F.explode(F.split("text", "")).alias("ch"),
+    )
+    counts = chars.groupBy("doc_id", "n", "ch").agg(
+        F.count("*").alias("c")
+    )
+    term = F.floor(
+        (F.col("c") / F.col("n"))
+        * F.log2(F.col("n") / F.col("c"))
+        * 1000000
+        + F.lit(0.5)
+    )
+    return (
+        counts.groupBy("doc_id", "n")
+        .agg(
+            F.count("*").alias("distinct_chars"),
+            F.sum(term).cast("long").alias("entropy_ubits"),
+        )
+        .select(
+            "doc_id",
+            "n",
+            "distinct_chars",
+            "entropy_ubits",
+            F.when(F.col("entropy_ubits") < 2000000, F.lit("low"))
+            .when(F.col("entropy_ubits") > 5500000, F.lit("high"))
+            .otherwise(F.lit("ok"))
+            .alias("gate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q194_SQL = r"""
+WITH chars AS (
+  SELECT doc_id, length(text) AS n, unnest(string_split(text, '')) AS ch
+  FROM documents WHERE length(text) > 0
+), counts AS (
+  SELECT doc_id, n, ch, count(*) AS c FROM chars GROUP BY doc_id, n, ch
+)
+SELECT doc_id, n, count(*)::BIGINT AS distinct_chars,
+       sum(floor((c::DOUBLE / n::DOUBLE)
+                 * log2(n::DOUBLE / c::DOUBLE) * 1000000 + 0.5))::BIGINT
+         AS entropy_ubits,
+       CASE WHEN sum(floor((c::DOUBLE / n::DOUBLE)
+                 * log2(n::DOUBLE / c::DOUBLE) * 1000000 + 0.5)) < 2000000
+              THEN 'low'
+            WHEN sum(floor((c::DOUBLE / n::DOUBLE)
+                 * log2(n::DOUBLE / c::DOUBLE) * 1000000 + 0.5)) > 5500000
+              THEN 'high'
+            ELSE 'ok' END AS gate
+FROM counts GROUP BY doc_id, n ORDER BY doc_id
+"""
+
+
+def q195_bucketed_join(spark, sf_dir):
+    """Shuffle-free co-located join via bucketed storage
+    (plans/bucketing.py): documents and embeddings are persisted
+    ``bucketBy(8, key) sortBy(key)``, then joined on doc_id = vec_id.
+    At 100 TB this is THE join strategy for any key joined repeatedly:
+    the shuffle is paid once at write time, and every later
+    SortMergeJoin between co-bucketed tables has NO Exchange and NO
+    Sort on either side (tests/test_bucketing.py asserts both on the
+    physical plan with broadcast disabled) — the managed-table twin of
+    the Iceberg bucket(n, key) ingest the extraction pipeline declares.
+    Bucketing must never CHANGE results, so the oracle is the same join
+    over the raw parquet — strict equality IS the layout's correctness
+    contract."""
+    from .plans.bucketing import cobucketed_join
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.size("embedding").alias("dim")
+    )
+    j = cobucketed_join(d, e, "doc_id", "vec_id", buckets=8)
+    return j.select(
+        "doc_id", "lang", "n_chars", "label", "dim"
+    ).orderBy("doc_id")
+
+
+Q195_SQL = """
+SELECT d.doc_id, d.lang, d.n_chars, e.label,
+       len(e.embedding)::INT AS dim
+FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+ORDER BY d.doc_id
+"""
+
+
+def q196_zorder_layout(spark, sf_dir):
+    """Z-order layout audit with a data-skipping CERTIFICATE
+    (plans/layout.py): interleave host (doc_id mod 199, 8-bit) and
+    size-class (n_chars/16 clamped to 8-bit) into a Morton code, bin
+    into 32 'files' by z-range, and emit each file's min/max extents —
+    exactly the parquet/Iceberg footer stats a scan prunes on.  The
+    SAME rows are also binned under the naive single-column layout
+    (sorted by size only), and each bin carries hit_xbox = does this
+    file's host-extent overlap the probe box host IN [64, 79].  The
+    certified result shows why Iceberg's zorder rewrite exists: under
+    'z' only a few of 32 files are hit, under 'linear' every file's
+    host extent spans the domain so NOTHING is skippable.  All integer
+    bit-math (parallel-prefix spread), so the audit is oracle-exact —
+    the layout claim is a query result, not a config flag."""
+    from .plans.layout import zvalue8
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.pmod(F.col("doc_id"), F.lit(199)).cast("int").alias("x"),
+        F.least(
+            F.floor(F.col("n_chars") / 16).cast("int"), F.lit(255)
+        ).alias("y"),
+        "doc_id",
+    )
+    z = d.withColumn("zv", zvalue8(F.col("x"), F.col("y")))
+    zbins = z.withColumn("bin", F.shiftright(F.col("zv"), 11))
+    lin = d.withColumn(
+        "rn",
+        F.row_number().over(Window.orderBy("y", "doc_id")),
+    )
+    total = d.count()
+    # DIV, not floor(double /): integer division is exact on both
+    # engines; a double quotient a hair under k can round UP to k and
+    # floor() then disagrees with the oracle's `//`
+    lbins = lin.withColumn(
+        "bin",
+        F.least(
+            F.expr(f"CAST(((rn - 1) * 32) DIV {total} AS INT)"),
+            F.lit(31),
+        ),
+    )
+
+    def extents(df, layout):
+        return df.groupBy("bin").agg(
+            F.count("*").alias("n_rows"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        ).select(
+            F.lit(layout).alias("layout"),
+            F.col("bin").cast("int").alias("bin"),
+            "n_rows",
+            "min_x",
+            "max_x",
+            "min_y",
+            "max_y",
+            ((F.col("max_x") >= 64) & (F.col("min_x") <= 79)).alias(
+                "hit_xbox"
+            ),
+        )
+
+    return (
+        extents(zbins, "z")
+        .unionByName(extents(lbins, "linear"))
+        .orderBy("layout", "bin")
+    )
+
+
+def _q196_sql() -> str:
+    from .plans.layout import zvalue8_sql
+
+    zv = zvalue8_sql("x", "y")
+    return f"""
+WITH pts AS (
+  SELECT (doc_id % 199)::INT AS x,
+         least((n_chars // 16), 255)::INT AS y, doc_id
+  FROM documents
+), zb AS (
+  SELECT x, y, (({zv}) >> 11)::INT AS bin FROM pts
+), lb AS (
+  SELECT x, y,
+         least(((row_number() OVER (ORDER BY y, doc_id) - 1) * 32)
+               // (SELECT count(*) FROM pts), 31)::INT AS bin
+  FROM pts
+), ext AS (
+  SELECT 'z' AS layout, bin, count(*)::BIGINT AS n_rows,
+         min(x) AS min_x, max(x) AS max_x,
+         min(y) AS min_y, max(y) AS max_y
+  FROM zb GROUP BY bin
+  UNION ALL
+  SELECT 'linear', bin, count(*)::BIGINT,
+         min(x), max(x), min(y), max(y)
+  FROM lb GROUP BY bin
+)
+SELECT layout, bin, n_rows, min_x, max_x, min_y, max_y,
+       (max_x >= 64 AND min_x <= 79) AS hit_xbox
+FROM ext ORDER BY layout, bin
+"""
+
+
+Q196_SQL = _q196_sql()
+
+
+def q197_salted_skew_join(spark, sf_dir):
+    """Hot-key-salted equi-join (plans/skew.salted_join — the join twin
+    of q59's salted aggregation).  The fact side is documents keyed so
+    ~75% of rows share key 7 (the real-world 'unknown host' / CDN-domain
+    hot key); a plain shuffle join sends that entire key to one reducer
+    and the stage runs single-task no matter the cluster.  salted_join
+    spreads the hot key over 16 salt buckets (deterministic
+    xxhash64(doc_id) salt) and replicates only the hot DIM rows 16x via
+    explode(sequence) — |hot dim| x 16 extra rows, nothing for a dim
+    table.  The oracle is the PLAIN join + aggregate: salting must be
+    invisible in results, visible only in the plan (the test asserts
+    the join keys include the salt column)."""
+    from .plans.skew import salted_join
+
+    d = _t(spark, sf_dir, "documents")
+    fact = d.select(
+        "doc_id",
+        F.when(F.pmod("doc_id", F.lit(4)) != 0, F.lit(7))
+        .otherwise(F.pmod("doc_id", F.lit(101)))
+        .cast("long")
+        .alias("k"),
+        "n_chars",
+    )
+    dim = (
+        d.select(F.pmod("doc_id", F.lit(101)).cast("long").alias("k"))
+        .distinct()
+        .withColumn("weight", F.col("k") * 31 % 97)
+    )
+    joined = salted_join(
+        fact, dim, key="k", salt_from="doc_id", hot_keys=[7], buckets=16
+    )
+    return (
+        joined.groupBy("k", "weight")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("k")
+    )
+
+
+Q197_SQL = """
+WITH fact AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 4 != 0 THEN 7
+              ELSE doc_id % 101 END::BIGINT AS k,
+         n_chars
+  FROM documents
+), dim AS (
+  SELECT DISTINCT (doc_id % 101)::BIGINT AS k FROM documents
+), dimw AS (
+  SELECT k, (k * 31) % 97 AS weight FROM dim
+)
+SELECT f.k, d.weight, count(*)::BIGINT AS n_docs,
+       sum(f.n_chars)::BIGINT AS sum_chars
+FROM fact f JOIN dimw d ON f.k = d.k
+GROUP BY f.k, d.weight ORDER BY f.k
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -12307,6 +12575,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q191_kcore": q191_kcore,
     "q192_wilson_hosts": q192_wilson_hosts,
     "q193_bowtie": q193_bowtie,
+    "q194_char_entropy": q194_char_entropy,
+    "q195_bucketed_join": q195_bucketed_join,
+    "q196_zorder_layout": q196_zorder_layout,
+    "q197_salted_skew_join": q197_salted_skew_join,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -12490,6 +12762,10 @@ ORACLES: dict[str, str] = {
     "q191_kcore": Q191_SQL,
     "q192_wilson_hosts": Q192_SQL,
     "q193_bowtie": Q193_SQL,
+    "q194_char_entropy": Q194_SQL,
+    "q195_bucketed_join": Q195_SQL,
+    "q196_zorder_layout": Q196_SQL,
+    "q197_salted_skew_join": Q197_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -55,3 +55,52 @@ def test_pipeline_with_heavy_blobs_unchanged_output(spark, tmp_path):
     assert len(got) == 52
     assert got["http://big/a"].strip() == big_text.strip()
     assert got["http://small/7"] == "doc 7"
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Hot-key-salted join must be result-identical to the plain join,
+    for inner and left joins, including hot keys missing from the dim."""
+    from hoover_snoop2_spark.plans.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, 7 if i % 4 else i % 11, i * 3) for i in range(400)],
+        "rid long, k long, v long",
+    )
+    dim = spark.createDataFrame(
+        [(k, k * 10) for k in range(0, 11, 2)] + [(7, 70)],
+        "k long, w long",
+    )
+
+    for how in ("inner", "left"):
+        got = (
+            salted_join(fact, dim, "k", "rid", hot_keys=[7, 99], how=how)
+            .orderBy("rid")
+            .collect()
+        )
+        want = fact.join(dim, "k", how).orderBy("rid").collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want)), how
+
+
+def test_salted_join_spreads_hot_key_and_salts_plan(spark):
+    """The join condition must include the salt column, and hot-key fact
+    rows must carry more than one distinct salt value."""
+    from hoover_snoop2_spark.plans.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, 7, 1) for i in range(200)], "rid long, k long, v long"
+    )
+    dim = spark.createDataFrame([(7, 70)], "k long, w long")
+    out = salted_join(fact, dim, "k", "rid", hot_keys=[7], buckets=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "_sjsalt" in plan
+    assert out.count() == 200
+
+    from hoover_snoop2_spark.plans import skew as _skew
+    from pyspark.sql import functions as F2
+
+    salted_fact = fact.withColumn(
+        "_sjsalt",
+        F2.pmod(F2.xxhash64(F2.col("rid")), F2.lit(8)).cast("int"),
+    )
+    n_salts = salted_fact.select("_sjsalt").distinct().count()
+    assert n_salts > 4  # 200 hot rows spread over 8 buckets
