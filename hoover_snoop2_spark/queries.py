@@ -11552,37 +11552,68 @@ def q188_semdedup(spark, sf_dir):
     group.  Clustering here is one spherical assignment step against k
     fixed seed vectors (vec_id < 8 — deterministic, so the oracle can
     replay it; production swaps in the q28 sampled-k-means centroids,
-    same plan shape).  Scale: seeds broadcast (k rows); assignment is
-    a map-side argmax; the pairwise stage shuffles once on cluster id
-    and its cost is bounded by the max cluster size — the same
-    degenerate-bucket cap as minhash applies if a cluster degenerates.
-    Cosines are bit-exact cross-engine (left-to-right folds +
-    correctly-rounded sqrt/div), so the argmax and the τ comparison
-    cannot straddle engines."""
+    same plan shape).  Scale: the k seeds are COLLECTED to the driver
+    (k rows — the same driver-appropriate scalar as k-means centroids)
+    and injected as literal vectors, so assignment is an in-row
+    array_max argmax over k cosine structs: a pure projection of the
+    scan, no broadcast, no window, no shuffle of n·k rows (an earlier
+    broadcast-crossJoin + row_number shape lost to this — it shuffled
+    n·k rows to rank what a map-side max resolves).  The pairwise
+    stage shuffles once on cluster id and its cost is bounded by the
+    max cluster size — the same degenerate-bucket cap as minhash
+    applies if a cluster degenerates.  Seed norms are pre-folded in
+    Python — the identical left-to-right IEEE fold, so cosines stay
+    bit-exact cross-engine and the argmax and τ comparison cannot
+    straddle engines."""
     e = _t(spark, sf_dir, "embeddings")
-    seeds = (
-        e.where(F.col("vec_id") < 8)
-        .select(
-            F.col("vec_id").alias("seed_id"),
-            F.col("embedding").alias("sv"),
+    seed_rows = sorted(
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in e.where(F.col("vec_id") < 8)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+
+    def _dlit(x: float) -> str:
+        # 17-sig-digit scientific literal: always parsed as DOUBLE by
+        # Spark (plain decimals parse as DECIMAL) and round-trips the
+        # exact bits
+        return f"{x:.17e}".upper()
+
+    def _fold_dot(u: list, v: list) -> float:
+        # the same left-to-right IEEE fold as _cos_expr's aggregate()
+        acc = 0.0
+        for p, q in zip(u, v):
+            acc = acc + p * q
+        return acc
+
+    ee = (
+        "aggregate(zip_with(embedding, embedding, (p, q) ->"
+        " cast(p as double) * cast(q as double)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)"
+    )
+    cands = []
+    for sid, sv in seed_rows:
+        import math
+
+        lits = ", ".join(_dlit(x) for x in sv)
+        es = (
+            f"aggregate(zip_with(embedding, array({lits}), (p, q) ->"
+            " cast(p as double) * cast(q as double)),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
         )
-    )
-    scored = e.crossJoin(F.broadcast(seeds)).select(
+        norm = _dlit(math.sqrt(_fold_dot(sv, sv)))
+        cands.append(
+            f"struct(({es}) / (sqrt({ee}) * {norm}) AS cos,"
+            f" {-sid} AS nid)"
+        )
+    assign = e.select(
         "vec_id",
-        "seed_id",
-        F.expr(_cos_expr("embedding", "sv")).alias("cos"),
+        F.expr(
+            f"cast(-(array_max(array({', '.join(cands)})).nid) as bigint)"
+        ).alias("cluster"),
+        "embedding",
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos").desc(), F.col("seed_id").asc()
-    )
-    assign = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("vec_id", F.col("seed_id").alias("cluster"))
-    )
-    members = assign.join(
-        e.select("vec_id", "embedding"), "vec_id"
-    )
+    members = assign
     a = members.select(
         F.col("cluster"),
         F.col("vec_id").alias("va"),

@@ -151,6 +151,19 @@ AUDITED = [
     "q182_json_props",
     "q183_lateness_audit",
     "q184_incremental_view",
+    "q185_cube_sets",
+    "q186_unpivot",
+    "q187_window_frames",
+    "q188_semdedup",
+    "q189_surt_keys",
+    "q190_ccnet_buckets",
+    "q191_kcore",
+    "q192_wilson_hosts",
+    "q193_bowtie",
+    "q194_char_entropy",
+    "q195_bucketed_join",
+    "q196_zorder_layout",
+    "q197_salted_skew_join",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -560,9 +573,48 @@ CHECKS = {
                             "!CartesianProduct", "!ArrowEvalPython"],
     "q184_incremental_view": ["HashAggregate", "!CartesianProduct",
                               "!ArrowEvalPython", "!Window"],
+    # one Expand feeding ONE HashAggregate: CUBE is not 4 separate scans
+    "q185_cube_sets": ["Expand", "HashAggregate", "!Window",
+                       "!CartesianProduct", "!ArrowEvalPython"],
+    # UNPIVOT is a generator projection, not a union of per-column scans
+    "q186_unpivot": ["!Union", "!CartesianProduct", "!ArrowEvalPython"],
+    "q187_window_frames": ["Window", "!CartesianProduct",
+                           "!ArrowEvalPython"],
+    # SemDeDup: in-row literal-seed argmax assignment (no window, no
+    # broadcast), intra-cluster pairwise as an equi-join only
+    "q188_semdedup": ["!CartesianProduct", "!BroadcastNestedLoopJoin",
+                      "!Window", "SortMergeJoin"],
+    "q189_surt_keys": ["!SortMergeJoin", "!CartesianProduct",
+                       "!ArrowEvalPython"],
+    "q190_ccnet_buckets": ["HashAggregate", "!CartesianProduct",
+                           "!ArrowEvalPython"],
+    # iterative peel: per-round lineage truncation leaves scans of the
+    # checkpoint, not a 12-deep join tree
+    "q191_kcore": ["HashAggregate", "!CartesianProduct"],
+    "q192_wilson_hosts": ["HashAggregate", "Window",
+                          "!CartesianProduct", "!ArrowEvalPython"],
+    "q193_bowtie": ["!ArrowEvalPython"],
+    # entropy: two aggregates keyed on doc_id, all-JVM expressions
+    "q194_char_entropy": ["Generate", "HashAggregate", "!Window",
+                          "!CartesianProduct", "!ArrowEvalPython"],
+    # bucketed scan satisfies the join distribution: no Exchange between
+    # the scans and the join (the orderBy adds the only exchange)
+    "q195_bucketed_join": ["!CartesianProduct", "!ArrowEvalPython"],
+    "q196_zorder_layout": ["HashAggregate", "!CartesianProduct",
+                           "!ArrowEvalPython"],
+    # the salt column is a live join key: hot key spread over reducers
+    "q197_salted_skew_join": ["_sjsalt", "!CartesianProduct",
+                              "!BroadcastNestedLoopJoin",
+                              "!ArrowEvalPython"],
 }
 
 NOTES = {
+    "q195_bucketed_join": "at sf0.01 Catalyst correctly prefers a "
+        "broadcast join over the bucketed scan (dim fits; the scan shows "
+        "'Bucketed: false (disabled by query planner)') — the shuffle-free "
+        "co-bucketed SortMergeJoin (no Exchange, no Sort) is pinned in "
+        "tests/test_bucketing.py with broadcast disabled, which is the "
+        "regime that matters at 100 TB.",
     "q156_bloom_filter": "the unpartitioned row_number window builds the "
         "deterministic PROBE set over the distinct vocabulary — a bounded "
         "(type-count) side, not the corpus; the filter build itself is one "
