@@ -12420,6 +12420,275 @@ GROUP BY f.k, d.weight ORDER BY f.k
 """
 
 
+def q198_mirror_hosts(spark, sf_dir):
+    """Mirror-host detection — CDNs, scrapers, and literal mirrors
+    serve near-identical content under different hostnames; a crawl
+    that doesn't collapse them trains on the same text dozens of
+    times and wastes fetch budget forever.  Host-level content
+    profiles: each host's set of DISTINCT word 3-grams across its
+    documents, with a stop-gram cap (grams on > 8 of the 23 hosts
+    carry no mirror signal and would fan the self-join toward
+    hosts² — the same degenerate-bucket cap as minhash/simhash,
+    applied at the host tier).  Shared-gram counts come from ONE
+    equi self-join on the gram; overlap = shared·1000 DIV
+    min(|A|,|B|) is all-integer, so the ranking is exact
+    cross-engine.  Scale: gram explosion is corpus-sized; everything
+    after the first distinct is host-cardinality-sized (23² max) —
+    the plan's heavy side collapses before any pairwise work."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            F.pmod("doc_id", F.lit(23)).cast("int").alias("h"),
+            F.split("text", " ").alias("w"),
+        )
+        .where(F.size("w") >= 3)
+        .select(
+            "h",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    rare = grams.join(
+        grams.groupBy("g")
+        .agg(F.count("*").alias("nh"))
+        .where(F.col("nh") <= 8)
+        .select("g"),
+        "g",
+        "left_semi",
+    )
+    sizes = rare.groupBy("h").agg(F.count("*").alias("sz"))
+    b = rare.select(F.col("h").alias("hb"), "g")
+    pairs = (
+        rare.join(b, "g")
+        .where(F.col("h") < F.col("hb"))
+        .groupBy(F.col("h").alias("ha"), "hb")
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        pairs.join(sizes.select(F.col("h").alias("ha"), F.col("sz").alias("na")), "ha")
+        .join(sizes.select(F.col("h").alias("hb"), F.col("sz").alias("nb")), "hb")
+        .where(F.col("shared") >= 5)
+        .select(
+            "ha",
+            "hb",
+            "shared",
+            "na",
+            "nb",
+            F.expr("CAST(shared * 1000 DIV least(na, nb) AS BIGINT)").alias(
+                "overlap_permille"
+            ),
+        )
+        .orderBy("ha", "hb")
+    )
+
+
+Q198_SQL = """
+WITH grams AS (
+  SELECT DISTINCT h, g FROM (
+    SELECT (doc_id % 23)::INT AS h,
+           unnest([array_to_string(w[i:i+2], ' ')
+                   FOR i IN range(1, len(w) - 1)]) AS g
+    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+  )
+), rare AS (
+  SELECT h, g FROM grams
+  WHERE g IN (SELECT g FROM grams GROUP BY g HAVING count(*) <= 8)
+), sizes AS (
+  SELECT h, count(*)::BIGINT AS sz FROM rare GROUP BY h
+), pairs AS (
+  SELECT a.h AS ha, b.h AS hb, count(*)::BIGINT AS shared
+  FROM rare a JOIN rare b ON a.g = b.g AND a.h < b.h
+  GROUP BY a.h, b.h
+)
+SELECT p.ha, p.hb, p.shared, sa.sz AS na, sb.sz AS nb,
+       (p.shared * 1000 // least(sa.sz, sb.sz))::BIGINT
+         AS overlap_permille
+FROM pairs p
+JOIN sizes sa ON sa.h = p.ha
+JOIN sizes sb ON sb.h = p.hb
+WHERE p.shared >= 5
+ORDER BY p.ha, p.hb
+"""
+
+
+def q199_dup_ngram_spectrum(spark, sf_dir):
+    """Duplicate-n-gram spectrum — the corpus-level diagnostic
+    (Gopher/RefinedWeb report it per dataset) that tells you BEFORE
+    training how much of the token stream is repeated phrasing: for
+    n = 1..4, what fraction of all n-gram occurrences belong to a
+    gram seen more than once.  A spectrum that stays near 1000‰ out
+    to n=4 means templated/boilerplate text survived the upstream
+    filters; natural corpora decay fast in n.  Per-doc grams for all
+    four n are built IN-ROW (filter over the n list guards short
+    docs — never sequence(1, 0), which Spark evaluates as a
+    DESCENDING [1,0]); one explode, one (n, gram) aggregate with
+    map-side combine, then a 4-row summary.  dup fraction is
+    integer permille (DIV), so the spectrum is exact cross-engine."""
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(filter(array(1, 2, 3, 4),"
+                " n -> size(split(text, ' ')) >= n),"
+                " n -> transform(sequence(1, size(split(text, ' ')) - n + 1),"
+                " i -> struct(n AS n,"
+                " concat_ws(' ', slice(split(text, ' '), i, n)) AS g))))"
+            )
+        ).alias("ng")
+    ).select(F.col("ng.n").alias("n"), F.col("ng.g").alias("g"))
+    counts = grams.groupBy("n", "g").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("n")
+        .agg(
+            F.sum("c").alias("total_grams"),
+            F.count("*").alias("distinct_grams"),
+            F.sum(F.when(F.col("c") >= 2, 1).otherwise(0)).alias(
+                "dup_gram_types"
+            ),
+            F.sum(F.when(F.col("c") >= 2, F.col("c")).otherwise(0)).alias(
+                "dup_gram_occurrences"
+            ),
+        )
+        .select(
+            "n",
+            "total_grams",
+            "distinct_grams",
+            "dup_gram_types",
+            "dup_gram_occurrences",
+            F.expr(
+                "CAST(dup_gram_occurrences * 1000 DIV total_grams AS BIGINT)"
+            ).alias("dup_permille"),
+        )
+        .orderBy("n")
+    )
+
+
+Q199_SQL = """
+WITH ns AS (
+  SELECT unnest([1, 2, 3, 4]) AS n
+), grams AS (
+  SELECT n, unnest([array_to_string(w[i:i+n-1], ' ')
+                    FOR i IN range(1, len(w) - n + 2)]) AS g
+  FROM (SELECT string_split(text, ' ') AS w FROM documents), ns
+  WHERE len(w) >= n
+), counts AS (
+  SELECT n, g, count(*) AS c FROM grams GROUP BY n, g
+)
+SELECT n,
+       sum(c)::BIGINT AS total_grams,
+       count(*)::BIGINT AS distinct_grams,
+       sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END)::BIGINT AS dup_gram_types,
+       sum(CASE WHEN c >= 2 THEN c ELSE 0 END)::BIGINT
+         AS dup_gram_occurrences,
+       (sum(CASE WHEN c >= 2 THEN c ELSE 0 END) * 1000 // sum(c))::BIGINT
+         AS dup_permille
+FROM counts GROUP BY n ORDER BY n
+"""
+
+
+def q200_weighted_sample(spark, sf_dir):
+    """Weighted sampling without replacement, Efraimidis-Spirakis
+    (2006): each row draws u ∈ (0,1] and the k rows with the largest
+    u^(1/w) are the sample — the ONLY known single-pass, fully
+    parallel way to sample by weight without replacement (a
+    training-mix builder uses it to oversample high-quality docs
+    without ever ranking twice).  Engine-neutral randomness: u =
+    (feistel(doc_id) % 2^20 + 1) / 2^20 — numerator and power-of-two
+    denominator make u EXACT in double; the sort key ln(u)/w
+    (monotone in u^(1/w)) is quantized to pico-units and tie-broken
+    by doc_id, so the per-language top-5 is deterministic
+    cross-engine.  One window per lang — the same single-shuffle
+    shape as q15; at 100 TB the window swaps for the q45 counts
+    semi-join, same keys."""
+    fe = _feistel_expr("doc_id", "^")
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.expr(
+            f"CAST(floor(ln((({fe} % 1048576) + 1) / 1048576.0e0)"
+            " / n_chars * 1000000000000 + 0.5) AS BIGINT)"
+        ).alias("key_pico"),
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("key_pico").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("lang", "rank", "doc_id", "n_chars", "key_pico")
+        .orderBy("lang", "rank")
+    )
+
+
+def _q200_sql() -> str:
+    fe = _feistel_expr("doc_id", "xor")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, lang, n_chars,
+         floor(ln((({fe} % 1048576) + 1) / 1048576.0)
+               / n_chars * 1000000000000 + 0.5)::BIGINT AS key_pico
+  FROM documents
+), ranked AS (
+  SELECT lang, doc_id, n_chars, key_pico,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY key_pico DESC, doc_id ASC)::INT
+           AS rank
+  FROM keyed
+)
+SELECT lang, rank, doc_id, n_chars, key_pico
+FROM ranked WHERE rank <= 5 ORDER BY lang, rank
+"""
+
+
+Q200_SQL = _q200_sql()
+
+
+def q201_partition_pruning(spark, sf_dir):
+    """Partition-pruning certificate: the corpus is rewritten
+    partitionBy(lang) — the Hive/Iceberg identity-partition layout a
+    language-sliced training pipeline uses — and the per-language
+    aggregate then reads ONLY the matching directory: the formatted
+    plan shows the lang predicate under PartitionFilters (not
+    PushedFilters — it prunes directories before any file is opened),
+    which is the difference between scanning 1/5th and 5/5ths of
+    100 TB.  tools/explain_audit.py pins PartitionFilters in the
+    plan; the oracle is the same aggregate over the unpartitioned
+    table — the layout must be invisible in results (q195's contract,
+    for partitioning)."""
+    import tempfile as _tf
+
+    tmp = _tf.mkdtemp(prefix="part_demo_")
+    d = _t(spark, sf_dir, "documents")
+    d.write.mode("overwrite").partitionBy("lang").parquet(tmp)
+    p = spark.read.parquet(tmp)
+    return (
+        p.where(F.col("lang").isin("en", "zh"))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("lang")
+    )
+
+
+Q201_SQL = """
+SELECT lang, count(*)::BIGINT AS n_docs, sum(n_chars)::BIGINT AS sum_chars,
+       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+FROM documents WHERE lang IN ('en', 'zh')
+GROUP BY lang ORDER BY lang
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -12610,6 +12879,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q195_bucketed_join": q195_bucketed_join,
     "q196_zorder_layout": q196_zorder_layout,
     "q197_salted_skew_join": q197_salted_skew_join,
+    "q198_mirror_hosts": q198_mirror_hosts,
+    "q199_dup_ngram_spectrum": q199_dup_ngram_spectrum,
+    "q200_weighted_sample": q200_weighted_sample,
+    "q201_partition_pruning": q201_partition_pruning,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -12797,6 +13070,10 @@ ORACLES: dict[str, str] = {
     "q195_bucketed_join": Q195_SQL,
     "q196_zorder_layout": Q196_SQL,
     "q197_salted_skew_join": Q197_SQL,
+    "q198_mirror_hosts": Q198_SQL,
+    "q199_dup_ngram_spectrum": Q199_SQL,
+    "q200_weighted_sample": Q200_SQL,
+    "q201_partition_pruning": Q201_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -164,6 +164,10 @@ AUDITED = [
     "q195_bucketed_join",
     "q196_zorder_layout",
     "q197_salted_skew_join",
+    "q198_mirror_hosts",
+    "q199_dup_ngram_spectrum",
+    "q200_weighted_sample",
+    "q201_partition_pruning",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -606,6 +610,17 @@ CHECKS = {
     "q197_salted_skew_join": ["_sjsalt", "!CartesianProduct",
                               "!BroadcastNestedLoopJoin",
                               "!ArrowEvalPython"],
+    # all pairwise work happens AFTER the distinct collapses to host
+    # cardinality; the gram self-join is equi, never nested-loop
+    "q198_mirror_hosts": ["HashAggregate", "!CartesianProduct",
+                          "!BroadcastNestedLoopJoin", "!ArrowEvalPython"],
+    "q199_dup_ngram_spectrum": ["Generate", "HashAggregate", "!Window",
+                                "!CartesianProduct", "!ArrowEvalPython"],
+    "q200_weighted_sample": ["WindowGroupLimit", "!CartesianProduct",
+                             "!ArrowEvalPython"],
+    # the point of the query: the lang predicate prunes DIRECTORIES
+    "q201_partition_pruning": ["PartitionFilters: [lang", "IN (en,zh)",
+                               "!CartesianProduct", "!ArrowEvalPython"],
 }
 
 NOTES = {
