@@ -12689,6 +12689,344 @@ GROUP BY lang ORDER BY lang
 """
 
 
+def q202_kmv_setops(spark, sf_dir):
+    """KMV (k-minimum-values) sketch with SET OPERATIONS — the fourth
+    mergeable sketch in the catalog (HLL q128 counts, Count-Min q139
+    frequencies, Bloom q156 membership) and the only one that
+    estimates INTERSECTIONS: cross-language gram-set overlap without
+    ever joining the full sets (Beyer et al. 2007; DataSketches theta
+    is the production form).  Per language, the k=64 smallest 40-bit
+    hashes of its distinct word 3-grams (top-k via WindowGroupLimit —
+    partial limits run map-side); sketches then pair up in a
+    |langs|²-bounded cross join (5x5 rows — sketch algebra is
+    driver-tiny by design).  Union estimate (k-1)·M DIV kth-min and
+    sketch Jaccard are pure integer array HOFs; the EXACT union and
+    Jaccard ride along as the error contract (q170's
+    exactness-certificate idiom), and when the merged sketch holds
+    < k values the estimate IS exact (the KMV degenerate rule,
+    encoded as a CASE)."""
+    d = _t(spark, sf_dir, "documents")
+    grams = (
+        d.select(
+            "lang",
+            F.split("text", " ").alias("w"),
+        )
+        .where(F.size("w") >= 3)
+        .select(
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(w) - 2),"
+                    " i -> concat_ws(' ', w[i-1], w[i], w[i+1]))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    hashed = grams.select(
+        "lang",
+        F.conv(F.substring(F.md5("g"), 1, 10), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    wk = Window.partitionBy("lang").orderBy("h")
+    sk = (
+        hashed.withColumn("rn", F.row_number().over(wk))
+        .where(F.col("rn") <= 64)
+        .groupBy("lang")
+        .agg(F.sort_array(F.collect_list("h")).alias("sk"))
+    )
+    exact_n = grams.groupBy("lang").agg(F.count("*").alias("n"))
+    ga = grams.select(F.col("lang").alias("la"), "g")
+    gb = grams.select(F.col("lang").alias("lb"), "g")
+    inter = (
+        ga.join(gb, "g")
+        .where(F.col("la") < F.col("lb"))
+        .groupBy("la", "lb")
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sk.select(F.col("lang").alias("la"), F.col("sk").alias("sa"))
+    sb = sk.select(F.col("lang").alias("lb"), F.col("sk").alias("sb"))
+    pairs = (
+        sa.crossJoin(sb)
+        .where(F.col("la") < F.col("lb"))
+        .withColumn(
+            "u",
+            F.expr("slice(array_sort(array_distinct(concat(sa, sb))), 1, 64)"),
+        )
+        .withColumn(
+            "union_est",
+            F.expr(
+                "CASE WHEN size(u) < 64 THEN CAST(size(u) AS BIGINT)"
+                " ELSE 63 * 1099511627776 DIV element_at(u, 64) END"
+            ),
+        )
+        .withColumn(
+            "inter_sk",
+            F.expr(
+                "size(filter(u, v -> array_contains(sa, v)"
+                " AND array_contains(sb, v)))"
+            ),
+        )
+        .withColumn(
+            "jacc_est_permille",
+            F.expr("CAST(inter_sk * 1000 DIV size(u) AS BIGINT)"),
+        )
+    )
+    na = exact_n.select(F.col("lang").alias("la"), F.col("n").alias("na"))
+    nb = exact_n.select(F.col("lang").alias("lb"), F.col("n").alias("nb"))
+    return (
+        pairs.join(inter, ["la", "lb"])
+        .join(na, "la")
+        .join(nb, "lb")
+        .select(
+            "la",
+            "lb",
+            "na",
+            "nb",
+            (F.col("na") + F.col("nb") - F.col("inter")).alias(
+                "union_exact"
+            ),
+            "union_est",
+            F.expr(
+                "CAST(inter * 1000 DIV (na + nb - inter) AS BIGINT)"
+            ).alias("jacc_exact_permille"),
+            "jacc_est_permille",
+        )
+        .orderBy("la", "lb")
+    )
+
+
+Q202_SQL = """
+WITH grams AS (
+  SELECT DISTINCT lang, g FROM (
+    SELECT lang, unnest([array_to_string(w[i:i+2], ' ')
+                         FOR i IN range(1, len(w) - 1)]) AS g
+    FROM (SELECT lang, string_split(text, ' ') AS w FROM documents)
+    WHERE len(w) >= 3
+  )
+), hashed AS (
+  SELECT DISTINCT lang,
+         ('0x' || substr(md5(g), 1, 10))::BIGINT AS h
+  FROM grams
+), ranked AS (
+  SELECT lang, h,
+         row_number() OVER (PARTITION BY lang ORDER BY h) AS rn
+  FROM hashed
+), sk AS (
+  SELECT lang, list(h ORDER BY h) AS sk FROM ranked
+  WHERE rn <= 64 GROUP BY lang
+), exact_n AS (
+  SELECT lang, count(*)::BIGINT AS n FROM grams GROUP BY lang
+), inter AS (
+  SELECT a.lang AS la, b.lang AS lb, count(*)::BIGINT AS inter
+  FROM grams a JOIN grams b ON a.g = b.g AND a.lang < b.lang
+  GROUP BY a.lang, b.lang
+), pairs AS (
+  SELECT a.lang AS la, b.lang AS lb,
+         list_sort(list_distinct(list_concat(a.sk, b.sk)))[1:64] AS u,
+         a.sk AS sa, b.sk AS sb
+  FROM sk a JOIN sk b ON a.lang < b.lang
+), est AS (
+  SELECT la, lb,
+         CASE WHEN len(u) < 64 THEN len(u)::BIGINT
+              ELSE 63 * 1099511627776 // u[64] END AS union_est,
+         len(list_filter(u, v -> list_contains(sa, v)
+                         AND list_contains(sb, v))) AS inter_sk,
+         len(u) AS usz
+  FROM pairs
+)
+SELECT e.la, e.lb, x.n AS na, y.n AS nb,
+       (x.n + y.n - i.inter)::BIGINT AS union_exact,
+       e.union_est,
+       (i.inter * 1000 // (x.n + y.n - i.inter))::BIGINT
+         AS jacc_exact_permille,
+       (e.inter_sk * 1000 // e.usz)::BIGINT AS jacc_est_permille
+FROM est e
+JOIN inter i ON i.la = e.la AND i.lb = e.lb
+JOIN exact_n x ON x.lang = e.la
+JOIN exact_n y ON y.lang = e.lb
+ORDER BY e.la, e.lb
+"""
+
+
+def q203_pareto_skyline(spark, sf_dir):
+    """Pareto skyline (Börzsönyi et al. 2001) — multi-objective doc
+    selection: keep documents no other document dominates on BOTH
+    length (n_chars, proxy for content) and a quality score; the
+    frontier a training-mix curator inspects before picking
+    per-quality sampling weights (q129/q154 consume exactly this
+    trade-off).  The classic 2-D skyline needs no pairwise dominance
+    join at all: collapse to one max-y per x (a map-side-combinable
+    aggregate), then a single running-max window over x DESC — a
+    point survives iff its y strictly exceeds every y at larger x.
+    One shuffle + one window over the per-x table (already collapsed
+    to |distinct x| rows), versus the naive quadratic anti-join.
+    Quality is Feistel-derived (engine-neutral), everything integer."""
+    fe = _feistel_expr("doc_id", "^")
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("x"),
+        F.expr(f"{fe} % 1000").alias("y"),
+    )
+    per_x = d.groupBy("x").agg(F.max("y").alias("y"))
+    w = (
+        Window.orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_x.withColumn("best_above", F.max("y").over(w))
+        .where(
+            F.col("best_above").isNull()
+            | (F.col("y") > F.col("best_above"))
+        )
+        .select("x", "y")
+        .orderBy(F.col("x").desc())
+    )
+
+
+def _q203_sql() -> str:
+    fe = _feistel_expr("doc_id", "xor")
+    return f"""
+WITH pts AS (
+  SELECT n_chars AS x, max({fe} % 1000) AS y
+  FROM documents GROUP BY n_chars
+), sky AS (
+  SELECT x, y,
+         max(y) OVER (ORDER BY x DESC
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS best_above
+  FROM pts
+)
+SELECT x, y FROM sky
+WHERE best_above IS NULL OR y > best_above
+ORDER BY x DESC
+"""
+
+
+Q203_SQL = _q203_sql()
+
+
+def q204_bloom_join(spark, sf_dir):
+    """Explicit Bloom-filter join reduction — what
+    spark.sql.optimizer.runtime.bloomFilter does when thresholds
+    allow, built by hand so it works under static plans and streams:
+    the dim side's keys (a deterministic half of the 20 sources)
+    build a 256-bit / 3-hash filter as ONE bit_or aggregate (q156's
+    mergeable form); the one-row filter broadcasts onto the fact scan
+    and the in-row probe rejects most non-member rows BEFORE the
+    shuffle — at 100 TB this is the difference between shuffling the
+    whole fact table and shuffling only (members + the measured FP
+    band).  The output is the per-source audit: member ⇒ bloom_pass
+    (zero false negatives, the Bloom contract) and any bloom_pass ∧
+    ¬member rows are the actual FP cost at this density.  Exact
+    membership still comes from the real semi-join — the filter only
+    prunes, never decides."""
+    d = _t(spark, sf_dir, "documents")
+    dim = (
+        d.select("source")
+        .distinct()
+        .where(
+            F.expr(
+                "CAST(conv(substring(md5(source), 1, 2), 16, 10)"
+                " AS BIGINT) % 2 = 0"
+            )
+        )
+    )
+    mults = [31, 37, 41]
+
+    def bitpos(col: str, m: int) -> str:
+        return (
+            f"aggregate(sequence(1, length({col})), 0L,"
+            f" (acc, i) -> (acc * {m} + ascii(substring({col}, i, 1)))"
+            f" % 1000003) % 256"
+        )
+
+    word_cols = []
+    for j in range(4):
+        exprs = []
+        for m in mults:
+            p = bitpos("source", m)
+            exprs.append(
+                f"CASE WHEN ({p}) div 64 = {j}"
+                f" THEN shiftleft(1L, cast(({p}) % 64 as int)) ELSE 0L END"
+            )
+        word_cols.append(F.expr(" | ".join(exprs)).alias(f"w{j}"))
+    bloom = dim.select(*word_cols).agg(
+        *[F.expr(f"bit_or(w{j})").alias(f"b{j}") for j in range(4)]
+    )
+    # shiftright(), not >>: the operator token fails to parse in
+    # Spark SQL expression contexts (same trap as _feistel_expr)
+    probe = " AND ".join(
+        f"(shiftright(element_at(array(b0, b1, b2, b3),"
+        f" cast(({bitpos('source', m)}) div 64 as int) + 1),"
+        f" cast(({bitpos('source', m)}) % 64 as int)) & 1) = 1"
+        for m in mults
+    )
+    fact = d.crossJoin(F.broadcast(bloom)).withColumn(
+        "bloom_pass", F.expr(probe)
+    )
+    member = dim.select(F.col("source").alias("msrc"))
+    return (
+        fact.groupBy("source", "bloom_pass")
+        .agg(F.count("*").alias("n_rows"))
+        .join(member, F.col("source") == F.col("msrc"), "left")
+        .select(
+            "source",
+            "n_rows",
+            "bloom_pass",
+            F.col("msrc").isNotNull().alias("member"),
+        )
+        .orderBy("source")
+    )
+
+
+def _q204_sql() -> str:
+    mults = [31, 37, 41]
+
+    def bitpos(col: str, m: int) -> str:
+        return (
+            f"(list_reduce(list_prepend(0::BIGINT, list_transform("
+            f"range(1, length({col}) + 1),"
+            f" i -> ascii(substr({col}, i::INT, 1))::BIGINT)),"
+            f" (acc, x) -> (acc * {m} + x) % 1000003) % 256)"
+        )
+
+    word = []
+    for j in range(4):
+        parts = " | ".join(
+            f"CASE WHEN {bitpos('source', m)} // 64 = {j}"
+            f" THEN (1::UBIGINT << ({bitpos('source', m)} % 64)::INT)"
+            f" ELSE 0::UBIGINT END"
+            for m in mults
+        )
+        word.append(f"bit_or({parts}) AS b{j}")
+    probe = " AND ".join(
+        f"((CASE {bitpos('source', m)} // 64"
+        " WHEN 0 THEN b0 WHEN 1 THEN b1 WHEN 2 THEN b2 ELSE b3 END"
+        f" >> ({bitpos('source', m)} % 64)::INT) & 1) = 1"
+        for m in mults
+    )
+    return f"""
+WITH dim AS (
+  SELECT DISTINCT source FROM documents
+  WHERE ('0x' || substr(md5(source), 1, 2))::BIGINT % 2 = 0
+), bloom AS (
+  SELECT {', '.join(word)} FROM dim
+), fact AS (
+  SELECT d.source, ({probe}) AS bloom_pass
+  FROM documents d CROSS JOIN bloom
+)
+SELECT f.source, count(*)::BIGINT AS n_rows, f.bloom_pass,
+       (m.source IS NOT NULL) AS member
+FROM fact f LEFT JOIN dim m ON f.source = m.source
+GROUP BY f.source, f.bloom_pass, m.source
+ORDER BY f.source
+"""
+
+
+Q204_SQL = _q204_sql()
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -12883,6 +13221,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q199_dup_ngram_spectrum": q199_dup_ngram_spectrum,
     "q200_weighted_sample": q200_weighted_sample,
     "q201_partition_pruning": q201_partition_pruning,
+    "q202_kmv_setops": q202_kmv_setops,
+    "q203_pareto_skyline": q203_pareto_skyline,
+    "q204_bloom_join": q204_bloom_join,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -13074,6 +13415,9 @@ ORACLES: dict[str, str] = {
     "q199_dup_ngram_spectrum": Q199_SQL,
     "q200_weighted_sample": Q200_SQL,
     "q201_partition_pruning": Q201_SQL,
+    "q202_kmv_setops": Q202_SQL,
+    "q203_pareto_skyline": Q203_SQL,
+    "q204_bloom_join": Q204_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -168,6 +168,9 @@ AUDITED = [
     "q199_dup_ngram_spectrum",
     "q200_weighted_sample",
     "q201_partition_pruning",
+    "q202_kmv_setops",
+    "q203_pareto_skyline",
+    "q204_bloom_join",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -621,6 +624,15 @@ CHECKS = {
     # the point of the query: the lang predicate prunes DIRECTORIES
     "q201_partition_pruning": ["PartitionFilters: [lang", "IN (en,zh)",
                                "!CartesianProduct", "!ArrowEvalPython"],
+    # sketch algebra cross join is |langs|^2-bounded BY DESIGN; the
+    # corpus-sized work (gram dedup, top-k) happens before it
+    "q202_kmv_setops": ["WindowGroupLimit", "!ArrowEvalPython"],
+    "q203_pareto_skyline": ["HashAggregate", "Window",
+                            "!CartesianProduct", "!SortMergeJoin",
+                            "!ArrowEvalPython"],
+    # one-row bloom broadcast; the probe is an in-row expression
+    "q204_bloom_join": ["BroadcastNestedLoopJoin", "bit_or",
+                        "!ArrowEvalPython"],
 }
 
 NOTES = {
