@@ -13027,6 +13027,69 @@ ORDER BY f.source
 Q204_SQL = _q204_sql()
 
 
+def q205_variant_props(spark, sf_dir):
+    """VARIANT semi-structured processing (Spark 4's binary-encoded
+    JSON type, the open-source twin of the Parquet/Iceberg variant
+    shredding spec): parse_json ONCE per row, then bind MANY typed
+    extractions against the parsed value — at 100 TB this replaces
+    q182's re-parse-per-path get_json_object with one decode and
+    O(paths) cheap binary probes, and when the table is stored as
+    variant the probes push into the scan.  The audit columns certify
+    the contract: schema_of_variant is uniform across the corpus
+    (n_schemas = 1 — the column has silently earned a real schema,
+    q182's 'promotion' criterion made checkable), and a probe for an
+    absent path is NULL, never an error (try_variant_get).  The
+    oracle replays the same semantics over DuckDB's JSON reader —
+    value equality across two independent semi-structured engines."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("v")
+    )
+    typed = v.select(
+        "event_type",
+        F.try_variant_get(F.col("v"), "$.k", "bigint").alias("k"),
+        F.try_variant_get(F.col("v"), "$.missing", "bigint").alias(
+            "miss"
+        ),
+        F.schema_of_variant(F.col("v")).alias("vschema"),
+    )
+    return (
+        typed.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.countDistinct("vschema").alias("n_schemas"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+            F.sum(F.when(F.col("k") % 2 == 1, 1).otherwise(0)).alias(
+                "n_odd"
+            ),
+            F.sum(
+                F.when(F.col("miss").isNull(), 1).otherwise(0)
+            ).alias("n_missing_null"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q205_SQL = r"""
+WITH typed AS (
+  SELECT event_type,
+         json_extract(props, '$.k')::BIGINT AS k,
+         json_extract(props, '$.missing') AS miss,
+         json_structure(props)::VARCHAR AS vschema
+  FROM events
+)
+SELECT event_type, count(*)::BIGINT AS n,
+       count(DISTINCT vschema)::BIGINT AS n_schemas,
+       min(k) AS k_min, max(k) AS k_max, sum(k)::BIGINT AS k_sum,
+       sum(CASE WHEN k % 2 = 1 THEN 1 ELSE 0 END)::BIGINT AS n_odd,
+       sum(CASE WHEN miss IS NULL THEN 1 ELSE 0 END)::BIGINT
+         AS n_missing_null
+FROM typed GROUP BY event_type ORDER BY event_type
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -13224,6 +13287,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q202_kmv_setops": q202_kmv_setops,
     "q203_pareto_skyline": q203_pareto_skyline,
     "q204_bloom_join": q204_bloom_join,
+    "q205_variant_props": q205_variant_props,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -13418,6 +13482,7 @@ ORACLES: dict[str, str] = {
     "q202_kmv_setops": Q202_SQL,
     "q203_pareto_skyline": Q203_SQL,
     "q204_bloom_join": Q204_SQL,
+    "q205_variant_props": Q205_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

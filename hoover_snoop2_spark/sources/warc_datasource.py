@@ -1,0 +1,150 @@
+"""Spark 4 Python Data Source for WARC archives: ``spark.read.format("warc")``.
+
+The binaryFile + mapInPandas readers in :mod:`.warc` parallelize at FILE
+granularity — right for Common Crawl's ~1 GiB segment files, wrong for
+one giant archive.  Spark 4's Python Data Source API
+(pyspark.sql.datasource) lets this source own its PARTITIONING: with a
+CDX index (``option("cdx", <parquet dir>)``, as written by
+:func:`.warc.index_warc`) the reader splits one WARC into
+``numPartitions`` record-range slices, each executor range-reading only
+its byte spans — a single archive fans out across the cluster, and
+records the index filtered away are never read, let alone inflated.
+Without an index it degrades to one partition per file (binaryFile
+parity).
+
+Registration is explicit and per-session::
+
+    from hoover_snoop2_spark.sources.warc_datasource import WarcDataSource
+    spark.dataSource.register(WarcDataSource)
+    df = (spark.read.format("warc")
+          .option("path", "/data/*.warc.gz")
+          .option("cdx", "/data/cdx")          # optional
+          .option("numPartitions", "64")        # with cdx
+          .load())
+
+Record parsing is shared verbatim with :mod:`.warc`
+(parse_warc_records), so rows are identical to ``read_warc`` — pinned
+by tests/test_warc_datasource.py.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import io
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+from .warc import WARC_PAGES_SCHEMA, _local_path, parse_warc_records
+
+
+class _WholeFile(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _CdxSlice(InputPartition):
+    def __init__(self, spans: list[tuple[str, int, int]]):
+        # [(warc_file, offset, length)] — gzip-member (or raw-record)
+        # byte spans from the CDX index
+        self.spans = spans
+
+
+class WarcReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source requires option('path', ...)")
+        self.cdx = options.get("cdx")
+        self.num_partitions = int(options.get("numPartitions", "8"))
+
+    def partitions(self):  # driver-side
+        if self.cdx:
+            import pyarrow.parquet as pq
+
+            files = []
+            cdx_path = _local_path(self.cdx)
+            if os.path.isdir(cdx_path):
+                files = sorted(
+                    _glob.glob(os.path.join(cdx_path, "*.parquet"))
+                )
+            else:
+                files = sorted(_glob.glob(cdx_path))
+            spans: list[tuple[str, int, int]] = []
+            for f in files:
+                t = pq.read_table(
+                    f, columns=["warc_file", "offset", "length"]
+                )
+                spans.extend(
+                    zip(
+                        t.column("warc_file").to_pylist(),
+                        t.column("offset").to_pylist(),
+                        t.column("length").to_pylist(),
+                    )
+                )
+            # contiguous slices keep each partition's reads sequential
+            # within a file (object-store range GETs coalesce); sort by
+            # (file, offset) then chop into numPartitions runs
+            spans.sort(key=lambda s: (s[0], s[1]))
+            n = max(1, min(self.num_partitions, len(spans)))
+            per = -(-len(spans) // n)
+            return [
+                _CdxSlice(spans[i : i + per])
+                for i in range(0, len(spans), per)
+            ]
+        paths = sorted(_glob.glob(_local_path(self.path)))
+        if not paths:
+            raise FileNotFoundError(self.path)
+        return [_WholeFile(p) for p in paths]
+
+    def read(self, partition) -> Iterator[tuple]:
+        if isinstance(partition, _WholeFile):
+            with open(partition.path, "rb") as fh:
+                raw = fh.read()
+            yield from self._rows(raw, partition.path)
+            return
+        handles: dict[str, io.BufferedReader] = {}
+        try:
+            for warc_file, offset, length in partition.spans:
+                fname = _local_path(warc_file)
+                fh = handles.get(fname)
+                if fh is None:
+                    fh = handles[fname] = open(fname, "rb")
+                fh.seek(int(offset))
+                member = fh.read(int(length))
+                if member[:2] == b"\x1f\x8b":
+                    member = gzip.decompress(member)
+                yield from self._rows(member, warc_file)
+        finally:
+            for fh in handles.values():
+                fh.close()
+
+    @staticmethod
+    def _rows(raw: bytes, warc_file: str) -> Iterator[tuple]:
+        for rec in parse_warc_records(raw, warc_file):
+            yield (
+                rec["url"],
+                rec["warc_ts"],
+                rec["html"],
+                rec["content_type"],
+                rec["http_status"],
+                rec["warc_file"],
+            )
+
+
+class WarcDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self) -> str:
+        return WARC_PAGES_SCHEMA
+
+    def reader(self, schema) -> WarcReader:
+        return WarcReader(self.options)
