@@ -171,6 +171,7 @@ AUDITED = [
     "q202_kmv_setops",
     "q203_pareto_skyline",
     "q204_bloom_join",
+    "q205_variant_props",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -633,6 +634,9 @@ CHECKS = {
     # one-row bloom broadcast; the probe is an in-row expression
     "q204_bloom_join": ["BroadcastNestedLoopJoin", "bit_or",
                         "!ArrowEvalPython"],
+    # variant parse/probe is all JVM expression work
+    "q205_variant_props": ["HashAggregate", "!ArrowEvalPython",
+                           "!CartesianProduct"],
 }
 
 NOTES = {
