@@ -61,7 +61,7 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 14
+CORPUS_VERSION = 15
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
@@ -607,6 +607,104 @@ def render_odp(doc_id: int, lang: str) -> tuple[bytes, str]:
     return data, _golden_from_paragraphs(goldens)
 
 
+def _ics_fold(line: str, width: int = 70) -> str:
+    """RFC 5545 §3.1 folding: break every ``width`` chars, continuation
+    lines start with one space."""
+    parts = [line[i : i + width] for i in range(0, len(line), width)] or [""]
+    return "\r\n ".join(parts)
+
+
+def render_ics(doc_id: int, lang: str) -> tuple[bytes, str]:
+    """Deterministic iCalendar file + expected extracted text: two
+    VEVENTs with a folded SUMMARY (exercises §3.1 unfolding), escaped
+    commas in DESCRIPTION (§3.3.11 TEXT), CN'd mailto ORGANIZER/ATTENDEE
+    and UTC DATE-TIMEs (calendar_extract renders Y-M-DTH:M:SZ); CREATED/
+    LAST-MODIFIED feed the digest's date_created/date_modified."""
+    rng = _rng(doc_id, 31)
+    cal = f"Calendar {doc_id}"
+    raw = [
+        "BEGIN:VCALENDAR",
+        "VERSION:2.0",
+        "PRODID:-//synthetic//corpus//EN",
+        f"X-WR-CALNAME:{cal}",
+    ]
+    blocks = [f"Calendar: {cal}"]
+    y, mo, d = 2020 + doc_id % 5, 1 + doc_id % 12, 1 + doc_id % 27
+    created, modified = office_dates_of(doc_id)
+    for i in range(2):
+        summary = _sentence(rng, lang)
+        loc = f"Room {doc_id % 50}-{i}"
+        n_org = (doc_id + i) % 23
+        n_att = (doc_id + i + 7) % 23
+        start = f"{y:04d}{mo:02d}{d:02d}T{9 + i:02d}0000Z"
+        end = f"{y:04d}{mo:02d}{d:02d}T{10 + i:02d}3000Z"
+        desc_head = _sentence(rng, lang)
+        raw += [
+            "BEGIN:VEVENT",
+            f"UID:{doc_id}-{i}@corpus.example",
+            f"DTSTAMP:{start}",
+            f"CREATED:{created.replace('-', '').replace(':', '')}",
+            f"LAST-MODIFIED:{modified.replace('-', '').replace(':', '')}",
+            _ics_fold(f"SUMMARY:{summary}"),
+            f"DTSTART:{start}",
+            f"DTEND:{end}",
+            f"LOCATION:{loc}",
+            f"ORGANIZER;CN=Person {n_org}:mailto:person{n_org}@example.com",
+            f"ATTENDEE;CN=Person {n_att};ROLE=REQ-PARTICIPANT:"
+            f"mailto:person{n_att}@example.com",
+            _ics_fold(f"DESCRIPTION:{desc_head} Agenda: one\\, two\\, three."),
+            "END:VEVENT",
+        ]
+        blocks += [
+            f"Summary: {summary}",
+            f"Dtstart: {y:04d}-{mo:02d}-{d:02d}T{9 + i:02d}:00:00Z",
+            f"Dtend: {y:04d}-{mo:02d}-{d:02d}T{10 + i:02d}:30:00Z",
+            f"Location: {loc}",
+            f"Organizer: Person {n_org} <person{n_org}@example.com>",
+            f"Attendee: Person {n_att} <person{n_att}@example.com>",
+            f"Description: {desc_head} Agenda: one, two, three.",
+        ]
+    raw.append("END:VCALENDAR")
+    data = "\r\n".join(raw).encode("utf-8") + b"\r\n"
+    return data, _golden_from_paragraphs(blocks)
+
+
+def render_vcf(doc_id: int, lang: str) -> tuple[bytes, str]:
+    """Deterministic vCard file + expected extracted text: a 3.0 card
+    with compound N/ORG/ADR values (components join with a space) and a
+    legacy 2.1-style QUOTED-PRINTABLE NOTE with a soft line break —
+    the two grammar quirks calendar_extract must stitch and decode."""
+    n = doc_id % 23
+    unit = ["R&D", "Sales", "Ops"][doc_id % 3]
+    note_head = f"Caf=C3=A9 notes for doc {doc_id} part one "
+    raw = [
+        "BEGIN:VCARD",
+        "VERSION:3.0",
+        f"FN:Person {n}",
+        f"N:Last{n};First{n};;;",
+        f"ORG:Acme {doc_id % 10};{unit}",
+        f"TITLE:Engineer {doc_id % 5}",
+        f"EMAIL;TYPE=WORK:person{n}@example.com",
+        f"TEL;TYPE=CELL:+1-555-{doc_id % 10000:04d}",
+        "ADR;TYPE=HOME:;;12 Main St;Springfield;;12345;US",
+        f"NOTE;ENCODING=QUOTED-PRINTABLE:{note_head}=",
+        "part two.",
+        "END:VCARD",
+    ]
+    blocks = [
+        f"Name: Person {n}",
+        f"Structured name: Last{n} First{n}",
+        f"Organization: Acme {doc_id % 10} {unit}",
+        f"Title: Engineer {doc_id % 5}",
+        f"Email (work): person{n}@example.com",
+        f"Phone (cell): +1-555-{doc_id % 10000:04d}",
+        "Address (home): 12 Main St Springfield 12345 US",
+        f"Note: Café notes for doc {doc_id} part one part two.",
+    ]
+    data = "\r\n".join(raw).encode("utf-8") + b"\r\n"
+    return data, _golden_from_paragraphs(blocks)
+
+
 def render_epub(doc_id: int, lang: str) -> tuple[bytes, str]:
     """EPUB (OCF/OPF zip): container.xml → OPF manifest/spine → xhtml
     chapters; golden is the chapters' paragraph text in spine order
@@ -837,10 +935,22 @@ def build_doc(doc_id: int) -> dict:
             ]
         golden = _golden_from_paragraphs(golden_paras)
     elif cat == "plain-text":
-        paras = paragraphs_of(doc_id, lang, 3)
-        raw = "\n\n".join(paras)
-        html = raw.encode("utf-8")
-        golden = _golden_from_paragraphs(paras)
+        # the line-oriented text family cycles by doc_id: plain text /
+        # iCalendar / vCard (the reference Tika-extracts text/calendar
+        # and text/x-vcard, _tika_mime_types.py:1350,1469-1470)
+        txt_kind = doc_id % 4
+        if txt_kind == 1:
+            html, golden = render_ics(doc_id, lang)
+            ext = "ics"
+        elif txt_kind == 2:
+            html, golden = render_vcf(doc_id, lang)
+            ext = "vcf"
+        else:
+            paras = paragraphs_of(doc_id, lang, 3)
+            raw = "\n\n".join(paras)
+            html = raw.encode("utf-8")
+            golden = _golden_from_paragraphs(paras)
+        url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
     elif cat == "eml":
         html, golden, atts = render_eml(doc_id, lang)
         children = [(name, g) for name, _, g in atts]

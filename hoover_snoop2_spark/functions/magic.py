@@ -186,6 +186,16 @@ def sniff_bytes(data: bytes | None) -> tuple[str, str]:
         else:
             mime_type = "application/octet-stream"
 
+    # calendar / contact text formats — both Tika-accepted in the
+    # reference (_tika_mime_types.py:1350,1469-1470); the mandatory
+    # BEGIN: first content line is the magic
+    if mime_type == "text/plain":
+        head = data[:64].lstrip(b"\xef\xbb\xbf \t\r\n").upper()
+        if head.startswith(b"BEGIN:VCALENDAR"):
+            return "text/calendar", encoding
+        if head.startswith(b"BEGIN:VCARD"):
+            return "text/x-vcard", encoding
+
     # email overrides — applied when base detection says text or nothing
     # (magic.py:91-103)
     should_check_email = mime_type.startswith("text/") or not mime_type

@@ -146,6 +146,21 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
         elif mime_type == "text/html":
             digest["text"] = html_to_text(data)
 
+        elif mime_type == "text/calendar":
+            # native iCalendar reader (the reference Tika-extracts
+            # text/calendar, _tika_mime_types.py:1350)
+            from .calendar_extract import ics_dates, ics_to_text
+
+            digest["text"] = normalize_text(ics_to_text(data)) or ""
+            created, modified = ics_dates(data)
+            digest["date_created"] = created
+            digest["date_modified"] = modified
+
+        elif mime_type == "text/x-vcard":
+            from .calendar_extract import vcf_to_text
+
+            digest["text"] = normalize_text(vcf_to_text(data)) or ""
+
         elif mime_type == "text/plain":
             # csv sniff may correct the mime (is_table, archives.py:123-141);
             # sniff ONCE and thread the dialect through info + explode

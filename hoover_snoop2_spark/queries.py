@@ -13090,6 +13090,319 @@ FROM typed GROUP BY event_type ORDER BY event_type
 """
 
 
+def q206_dedup_agreement(spark, sf_dir):
+    """Cross-method dedup agreement — before trusting ANY near-dup
+    detector at 100 TB you calibrate the detectors against each
+    other: over the same deterministic candidate pairs (doc i vs
+    i+250, q27's rule), does lexical similarity (token-SET Jaccard
+    ≥ 0.5 — unigram sets, the scale where unrelated docs still vary)
+    agree with semantic similarity (embedding cosine ≥ 0)?
+    Per language: the 2x2 agreement matrix and Cohen's kappa —
+    computed ENTIRELY in integers by cross-multiplying the kappa
+    ratio (1000·(N·agree − chance) DIV (N² − chance)), so the
+    calibration sheet is exact cross-engine.  Jaccard compares as an
+    integer cross-multiplication (|∩|·2 ≥ |∪|, never a float
+    ratio); the cosine threshold compare is bit-exact (q188's
+    certificate).  One equi-join per method, one aggregate — the
+    audit costs no more than the detectors themselves."""
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id",
+        "lang",
+        F.array_distinct(F.split(F.trim("text"), r"\s+")).alias("sh"),
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang"),
+        F.col("sh").alias("sh_a"),
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    pairs = a.join(b, F.col("id_a") + 250 == F.col("id_b"))
+    e = _t(spark, sf_dir, "embeddings")
+    ea = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("xa"))
+    eb = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("xb"))
+    scored = (
+        pairs.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "lang",
+            (
+                F.size(F.array_intersect("sh_a", "sh_b")) * 2
+                >= F.size(F.array_union("sh_a", "sh_b"))
+            ).alias("jac_dup"),
+            (F.expr(_cos_expr("xa", "xb")) >= F.lit(0.0)).alias(
+                "cos_dup"
+            ),
+        )
+    )
+    agg = scored.groupBy("lang").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            F.when(F.col("jac_dup") & F.col("cos_dup"), 1).otherwise(0)
+        ).alias("n_both"),
+        F.sum(
+            F.when(F.col("jac_dup") & ~F.col("cos_dup"), 1).otherwise(0)
+        ).alias("only_jac"),
+        F.sum(
+            F.when(~F.col("jac_dup") & F.col("cos_dup"), 1).otherwise(0)
+        ).alias("only_cos"),
+        F.sum(
+            F.when(~F.col("jac_dup") & ~F.col("cos_dup"), 1).otherwise(0)
+        ).alias("neither"),
+    )
+    chance = (
+        "(n_both + only_jac) * (n_both + only_cos)"
+        " + (only_cos + neither) * (only_jac + neither)"
+    )
+    return agg.select(
+        "lang",
+        "n_pairs",
+        "n_both",
+        "only_jac",
+        "only_cos",
+        "neither",
+        F.expr(
+            f"CASE WHEN n_pairs * n_pairs = {chance} THEN 1000"
+            f" ELSE CAST(1000 * (n_pairs * (n_both + neither) - ({chance}))"
+            f" DIV (n_pairs * n_pairs - ({chance})) AS BIGINT) END"
+        ).alias("kappa_permille"),
+    ).orderBy("lang")
+
+
+def _q206_sql() -> str:
+    cos = _cos_sql("ea.embedding", "eb.embedding")
+    chance = (
+        "((n_both + only_jac) * (n_both + only_cos)"
+        " + (only_cos + neither) * (only_jac + neither))"
+    )
+    return rf"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id, lang, list_distinct(w) AS sh FROM t
+), pairs AS (
+  SELECT a.lang,
+         (len(list_intersect(a.sh, b.sh)) * 2 >=
+          len(list_distinct(list_concat(a.sh, b.sh)))) AS jac_dup,
+         ({cos} >= 0.0) AS cos_dup
+  FROM sh a
+  JOIN sh b ON a.doc_id + 250 = b.doc_id
+  JOIN embeddings ea ON ea.vec_id = a.doc_id
+  JOIN embeddings eb ON eb.vec_id = b.doc_id
+), agg AS (
+  SELECT lang, count(*)::BIGINT AS n_pairs,
+         sum(CASE WHEN jac_dup AND cos_dup THEN 1 ELSE 0 END)::BIGINT
+           AS n_both,
+         sum(CASE WHEN jac_dup AND NOT cos_dup THEN 1 ELSE 0 END)::BIGINT
+           AS only_jac,
+         sum(CASE WHEN NOT jac_dup AND cos_dup THEN 1 ELSE 0 END)::BIGINT
+           AS only_cos,
+         sum(CASE WHEN NOT jac_dup AND NOT cos_dup THEN 1 ELSE 0 END)::BIGINT
+           AS neither
+  FROM pairs GROUP BY lang
+)
+SELECT lang, n_pairs, n_both, only_jac, only_cos, neither,
+       CASE WHEN n_pairs * n_pairs = {chance} THEN 1000
+            ELSE (1000 * (n_pairs * (n_both + neither) - {chance}))
+                 // (n_pairs * n_pairs - {chance})
+            END::BIGINT AS kappa_permille
+FROM agg ORDER BY lang
+"""
+
+
+Q206_SQL = _q206_sql()
+
+
+def q207_sq8_ann(spark, sf_dir):
+    """Scalar-quantized (SQ8) ANN — the memory-side member of the ANN
+    family (LSH q32 prunes candidates, IVF q28 prunes lists, PQ q47
+    compresses to codes; SQ8 is FAISS's other compression: one byte
+    per dimension, 4x smaller than float32, scored with an INTEGER
+    dot product that SIMD loves).  Per-dimension min/max train the
+    quantizer: collected to the driver (128 scalars — the k-means-
+    centroid pattern) and injected as literals, so quantization is a
+    pure projection; the oracle recomputes the same min/max in a CTE
+    and the floor((x−mn)·255/(mx−mn)) grid lands on identical
+    doubles (three correctly-rounded ops, q188's certificate).
+    Queries = vec_id < 10 (q21's rule), top-10 by integer score with
+    doc-id tiebreak, and each hit carries in_exact_top10 — the recall
+    certificate against the EXACT cosine ranking, so the
+    quality-vs-memory trade is a query result, not a claim."""
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    stats = (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+
+    def _dlit(x: float) -> str:
+        return f"{float(x):.17e}".upper()
+
+    mns = ", ".join(_dlit(r["mn"]) for r in stats)
+    mxs = ", ".join(_dlit(r["mx"]) for r in stats)
+    qexpr = (
+        f"transform(embedding, (x, i) -> CASE"
+        f" WHEN element_at(array({mxs}), i + 1)"
+        f" = element_at(array({mns}), i + 1) THEN 0L"
+        f" ELSE CAST(least(255.0e0, greatest(0.0e0,"
+        f" floor((cast(x as double) - element_at(array({mns}), i + 1))"
+        f" * 255.0e0 / (element_at(array({mxs}), i + 1)"
+        f" - element_at(array({mns}), i + 1))))) AS BIGINT) END)"
+    )
+    quant = e.select("vec_id", F.expr(qexpr).alias("q"), "embedding")
+    queries = quant.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("embedding").alias("qe"),
+    )
+    cand = quant.where(F.col("vec_id") >= 10)
+    scored = cand.crossJoin(F.broadcast(queries)).select(
+        "query_id",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(q, qq, (p, s) -> p * s), 0L,"
+            " (acc, v) -> acc + v)"
+        ).alias("score"),
+        F.expr(_cos_expr("embedding", "qe")).alias("cos"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    we = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("vec_id").asc()
+    )
+    exact = scored.select(
+        "query_id",
+        "vec_id",
+        "score",
+        (F.row_number().over(we) <= 10).alias("in_exact_top10"),
+    )
+    ranked = exact.select(
+        "query_id",
+        "vec_id",
+        "score",
+        F.row_number().over(wq).alias("rank"),
+        "in_exact_top10",
+    )
+    return ranked.where(F.col("rank") <= 10).orderBy(
+        "query_id", "rank"
+    )
+
+
+def _q207_sql() -> str:
+    cos = _cos_sql("c.embedding", "c.qe")
+    return f"""
+WITH stats AS (
+  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+  FROM (
+    SELECT i AS pos, min(embedding[i]::DOUBLE) AS mn,
+           max(embedding[i]::DOUBLE) AS mx
+    FROM embeddings,
+         (SELECT unnest(range(1, 65)) AS i)
+    GROUP BY i
+  )
+), quant AS (
+  SELECT vec_id, embedding,
+         [CASE WHEN s.mxs[i] = s.mns[i] THEN 0
+               ELSE least(255.0, greatest(0.0,
+                    floor((embedding[i]::DOUBLE - s.mns[i]) * 255.0
+                          / (s.mxs[i] - s.mns[i]))))::BIGINT END
+          FOR i IN range(1, 65)] AS q
+  FROM embeddings, stats s
+), queries AS (
+  SELECT vec_id AS query_id, q AS qq, embedding AS qe
+  FROM quant WHERE vec_id < 10
+), scored AS (
+  SELECT c.query_id, c.vec_id, c.score, {cos} AS cos
+  FROM (
+    SELECT qs.query_id, cd.vec_id,
+           list_reduce(list_prepend(0::BIGINT,
+             [cd.q[i] * qs.qq[i] FOR i IN range(1, 65)]),
+             (acc, v) -> acc + v) AS score,
+           cd.embedding, qs.qe
+    FROM quant cd, queries qs WHERE cd.vec_id >= 10
+  ) c
+), ranked AS (
+  SELECT query_id, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC)::INT AS rank,
+         (row_number() OVER (PARTITION BY query_id
+                             ORDER BY cos DESC, vec_id ASC) <= 10)
+           AS in_exact_top10
+  FROM scored
+)
+SELECT query_id, vec_id, score, rank, in_exact_top10
+FROM ranked WHERE rank <= 10 ORDER BY query_id, rank
+"""
+
+
+Q207_SQL = _q207_sql()
+
+
+def q208_token_burstiness(spark, sf_dir):
+    """Token burstiness (variance-to-mean ratio of per-document
+    counts, Church & Gale 1995) — the statistic that separates
+    CONTENT words (bursty: absent from most docs, dense where they
+    appear) from FUNCTION words and template noise (Poisson-ish,
+    VMR ≈ 1 at equal mean): the feature behind stop-list induction
+    and spam-template detection that document frequency alone can't
+    provide.  Over ALL N docs (zeros included — the standard form):
+    VMR = (N·Σc² − (Σc)²) / (N·Σc), emitted as integer permille via
+    one cross-multiplied DIV — no float anywhere.  Two aggregates,
+    both keyed on bounded-cardinality keys (doc×type, then type) with
+    map-side combine; the stats table is vocabulary-sized no matter
+    the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    per = (
+        d.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+    )
+    return (
+        per.groupBy("tok")
+        .agg(
+            F.sum("c").alias("tot"),
+            F.count("*").alias("n_docs_with"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+        )
+        .where(F.col("tot") >= 50)
+        .select(
+            "tok",
+            "tot",
+            "n_docs_with",
+            F.expr(
+                f"CAST((({n_docs} * ss - tot * tot) * 1000)"
+                f" DIV ({n_docs} * tot) AS BIGINT)"
+            ).alias("vmr_permille"),
+        )
+        .orderBy(F.col("vmr_permille").desc(), F.col("tok").asc())
+    )
+
+
+Q208_SQL = """
+WITH per AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+), cnt AS (
+  SELECT doc_id, tok, count(*) AS c FROM per GROUP BY doc_id, tok
+), n AS (
+  SELECT count(*) AS nd FROM documents
+)
+SELECT tok, sum(c)::BIGINT AS tot, count(*)::BIGINT AS n_docs_with,
+       (((SELECT nd FROM n) * sum(c * c) - sum(c) * sum(c)) * 1000
+        // ((SELECT nd FROM n) * sum(c)))::BIGINT AS vmr_permille
+FROM cnt GROUP BY tok HAVING sum(c) >= 50
+ORDER BY vmr_permille DESC, tok ASC
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -13288,6 +13601,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q203_pareto_skyline": q203_pareto_skyline,
     "q204_bloom_join": q204_bloom_join,
     "q205_variant_props": q205_variant_props,
+    "q206_dedup_agreement": q206_dedup_agreement,
+    "q207_sq8_ann": q207_sq8_ann,
+    "q208_token_burstiness": q208_token_burstiness,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -13483,6 +13799,9 @@ ORACLES: dict[str, str] = {
     "q203_pareto_skyline": Q203_SQL,
     "q204_bloom_join": Q204_SQL,
     "q205_variant_props": Q205_SQL,
+    "q206_dedup_agreement": Q206_SQL,
+    "q207_sq8_ann": Q207_SQL,
+    "q208_token_burstiness": Q208_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

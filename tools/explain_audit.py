@@ -3,7 +3,11 @@
 parquet scan, dimension joins broadcast, aggregations keep partial/final
 split, whole-stage codegen spans the relational operators).
 
-Usage: python tools/explain_audit.py [sf_dir]
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+
+With query names the audit replans ONLY those queries (console verdicts;
+PLANS.md untouched).  With no names it sweeps the whole AUDITED list and
+rewrites PLANS.md.
 """
 
 from __future__ import annotations
@@ -172,6 +176,9 @@ AUDITED = [
     "q203_pareto_skyline",
     "q204_bloom_join",
     "q205_variant_props",
+    "q206_dedup_agreement",
+    "q207_sq8_ann",
+    "q208_token_burstiness",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -637,6 +644,14 @@ CHECKS = {
     # variant parse/probe is all JVM expression work
     "q205_variant_props": ["HashAggregate", "!ArrowEvalPython",
                            "!CartesianProduct"],
+    # both detectors join on the same deterministic pair key
+    "q206_dedup_agreement": ["HashAggregate", "!CartesianProduct",
+                             "!ArrowEvalPython"],
+    # 10-row query side broadcast; integer dot is a JVM fold
+    "q207_sq8_ann": ["BroadcastNestedLoopJoin", "WindowGroupLimit",
+                     "!CartesianProduct", "!ArrowEvalPython"],
+    "q208_token_burstiness": ["Generate", "HashAggregate", "!Window",
+                              "!CartesianProduct", "!ArrowEvalPython"],
 }
 
 NOTES = {
@@ -791,13 +806,15 @@ NOTES = {
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
     from hoover_snoop2_spark.queries import QUERIES
     from hoover_snoop2_spark.session import get_spark
 
     spark = get_spark(master="local[8]", shuffle_partitions=8)
     out = ["# PLANS — formatted physical plans for headline queries",
            "", f"sf_dir: `{sf_dir}` (written by tools/explain_audit.py)", ""]
-    for name in AUDITED:
+    audited = [n for n in AUDITED if n in only] if only else AUDITED
+    for name in audited:
         df = QUERIES[name](spark, sf_dir)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -816,8 +833,9 @@ def main() -> None:
                 *([f"", f"_{note}_"] if note else []), "",
                 "```", plan.strip()[:4000], "```", ""]
         print(name, "|", "; ".join(verdicts))
-    with open("PLANS.md", "w") as f:
-        f.write("\n".join(out) + "\n")
+    if not only:
+        with open("PLANS.md", "w") as f:
+            f.write("\n".join(out) + "\n")
     spark.stop()
 
 
