@@ -16,7 +16,7 @@ import re
 
 import pandas as pd
 from pyspark.sql import functions as F
-from pyspark.sql.types import StringType
+from pyspark.sql.types import ArrayType, StringType
 
 #: reference entities.py:100 — language detection reads at most 1 MB
 LANG_DETECT_MAX_BYTES = 1 * 2**20
@@ -75,3 +75,43 @@ def detect_language(text: str | None) -> str | None:
 @F.pandas_udf(StringType())
 def detect_language_udf(s: pd.Series) -> pd.Series:
     return s.map(detect_language)
+
+
+#: q209 code-switching — tokens per detection window and per-doc token budget
+WINDOW_TOKENS = 16
+WINDOW_MAX_TOKENS = 1200
+
+
+def detect_language_windows(
+    text: str | None, window: int = WINDOW_TOKENS
+) -> list[str | None]:
+    """Per-window language verdicts over the first WINDOW_MAX_TOKENS
+    tokens: the same stopword-bitmask argmax as :func:`detect_language`,
+    scored independently per fixed-size token window (the standard
+    code-switching / language-mixing detector shape).  The signal
+    threshold is the integer form ``20*hits >= window_len`` (equivalent
+    to ``hits/len >= 0.05``) so the SQL oracle replicates it without
+    float division.  No-signal windows yield None; empty text yields []."""
+    if not text:
+        return []
+    tokens = text[: WINDOW_MAX_TOKENS * 12].lower().translate(_STRIP).split()
+    tokens = tokens[:WINDOW_MAX_TOKENS]
+    out: list[str | None] = []
+    get = _WORD_MASK.get
+    for s in range(0, len(tokens), window):
+        wtoks = tokens[s : s + window]
+        counts = [0] * len(_LANGS_ORDER)
+        for t in wtoks:
+            m = get(t, 0)
+            while m:
+                i = (m & -m).bit_length() - 1
+                counts[i] += 1
+                m &= m - 1
+        best = max(range(len(counts)), key=counts.__getitem__)
+        out.append(_LANGS_ORDER[best] if 20 * counts[best] >= len(wtoks) else None)
+    return out
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def detect_language_windows_udf(s: pd.Series) -> pd.Series:
+    return s.map(detect_language_windows)

@@ -13403,6 +13403,133 @@ ORDER BY vmr_permille DESC, tok ASC
 """
 
 
+def q209_code_switching(spark, sf_dir):
+    """Window-level language mixing (code-switching detection) — the
+    per-document signal a multilingual training pipeline needs that a
+    single whole-document language verdict (q33) cannot give: a page
+    that is half English half German gets ONE langid label but fails
+    monolingual-corpus selection.  Runs the q33 stopword-argmax
+    detector independently per 16-token window (functions/langid.py
+    detect_language_windows, Arrow-batched), then aggregates the
+    per-window verdict sequence entirely JVM-side with array HOFs:
+    distinct detected languages, adjacent-window switch count (over
+    the non-null verdict subsequence), first/last verdict.  One UDF
+    column, no explode, no shuffle until the final presentation sort —
+    at 100 TB this is a map-only pass over the text column."""
+    from .functions.langid import detect_language_windows_udf
+
+    d = _t(spark, sf_dir, "documents")
+    wl = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled"),
+        detect_language_windows_udf(F.col("text")).alias("wl"),
+    ).withColumn("nn", F.expr("filter(wl, x -> x IS NOT NULL)"))
+    return wl.select(
+        "doc_id",
+        "labeled",
+        F.size("wl").cast("long").alias("n_windows"),
+        F.size("nn").cast("long").alias("n_lang_windows"),
+        F.size(F.array_distinct("nn")).cast("long").alias("n_langs"),
+        F.expr(
+            "CASE WHEN size(nn) < 2 THEN 0L ELSE size(filter(zip_with("
+            "slice(nn, 1, size(nn) - 1), slice(nn, 2, size(nn) - 1),"
+            " (a, b) -> a <> b), x -> x)) END"
+        ).cast("long").alias("switches"),
+        F.expr("CASE WHEN size(nn) > 0 THEN element_at(nn, 1) END").alias(
+            "first_lang"
+        ),
+        F.expr("CASE WHEN size(nn) > 0 THEN element_at(nn, -1) END").alias(
+            "last_lang"
+        ),
+    ).orderBy("doc_id")
+
+
+def _q209_sql() -> str:
+    """DuckDB replica of the windowed detector: same tokenizer prefix
+    (WINDOW_MAX_TOKENS*12 chars, punctuation translate, 1200-token cap)
+    as _q33_sql, windows materialized via parallel unnest of a range()
+    list and per-window list_slice (DuckDB has no WITH ORDINALITY),
+    argmax with the identical count-desc/priority-asc tiebreak, and the
+    integer 20*hits >= window_len threshold — no float anywhere."""
+    from .functions.langid import (
+        _LANGS_ORDER,
+        _STOPWORDS,
+        WINDOW_MAX_TOKENS,
+        WINDOW_TOKENS,
+    )
+
+    values = ",".join(
+        f"('{lang}',{pri},'{w}')"
+        for pri, lang in enumerate(_LANGS_ORDER)
+        for w in sorted(_STOPWORDS[lang])
+    )
+    punct = ".,;:!?\"'()[]«»„“”’".replace("'", "''")
+    w = WINDOW_TOKENS
+    return f"""
+WITH sw(slang, pri, word) AS (VALUES {values}),
+tok AS (
+  SELECT doc_id, lang AS labeled,
+         list_slice(
+           list_filter(
+             string_split_regex(
+               translate(substr(lower(text), 1, {WINDOW_MAX_TOKENS * 12}),
+                         '{punct}', ''),
+               '\\s+'),
+             x -> x <> ''),
+           1, {WINDOW_MAX_TOKENS}) AS toks
+  FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         unnest(range(0, (coalesce(len(toks), 0) + {w - 1}) // {w})) AS win,
+         unnest(list_transform(
+           range(0, (coalesce(len(toks), 0) + {w - 1}) // {w}),
+           i -> list_slice(toks, i * {w} + 1, i * {w} + {w}))) AS wtoks
+  FROM tok
+),
+flat AS (SELECT doc_id, win, unnest(wtoks) AS t, len(wtoks) AS wn FROM wins),
+hits AS (
+  SELECT f.doc_id, f.win, s.slang, s.pri, count(*) AS c, any_value(f.wn) AS wn
+  FROM flat f JOIN sw s ON f.t = s.word
+  GROUP BY f.doc_id, f.win, s.slang, s.pri
+),
+best AS (
+  SELECT doc_id, win, slang, c, wn,
+         row_number() OVER (PARTITION BY doc_id, win
+                            ORDER BY c DESC, pri ASC) AS rk
+  FROM hits
+),
+wdet AS (
+  SELECT doc_id, win, slang AS wlang
+  FROM best WHERE rk = 1 AND 20 * c >= wn
+),
+seq AS (
+  SELECT doc_id, wlang,
+         lag(wlang) OVER (PARTITION BY doc_id ORDER BY win) AS prev,
+         row_number() OVER (PARTITION BY doc_id ORDER BY win) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM wdet
+),
+agg AS (
+  SELECT doc_id, count(*) AS n_lang_windows,
+         count(DISTINCT wlang) AS n_langs,
+         sum(CASE WHEN prev IS NOT NULL AND wlang <> prev
+                  THEN 1 ELSE 0 END) AS switches,
+         max(CASE WHEN rn = 1 THEN wlang END) AS first_lang,
+         max(CASE WHEN rn = m THEN wlang END) AS last_lang
+  FROM seq GROUP BY doc_id
+)
+SELECT t.doc_id, t.labeled,
+       ((coalesce(len(t.toks), 0) + {w - 1}) // {w})::BIGINT AS n_windows,
+       coalesce(a.n_lang_windows, 0)::BIGINT AS n_lang_windows,
+       coalesce(a.n_langs, 0)::BIGINT AS n_langs,
+       coalesce(a.switches, 0)::BIGINT AS switches,
+       a.first_lang, a.last_lang
+FROM tok t LEFT JOIN agg a USING (doc_id)
+ORDER BY t.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -13604,6 +13731,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q206_dedup_agreement": q206_dedup_agreement,
     "q207_sq8_ann": q207_sq8_ann,
     "q208_token_burstiness": q208_token_burstiness,
+    "q209_code_switching": q209_code_switching,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -13802,6 +13930,7 @@ ORACLES: dict[str, str] = {
     "q206_dedup_agreement": Q206_SQL,
     "q207_sq8_ann": Q207_SQL,
     "q208_token_burstiness": Q208_SQL,
+    "q209_code_switching": _q209_sql(),
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

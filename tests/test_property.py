@@ -253,3 +253,35 @@ def test_bcj2_decode_total(main, call, jump, rc):
         assert isinstance(out, bytes)
     except SevenZipBroken:
         pass
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(max_size=2048))
+def test_langid_windows_total(text):
+    """q209 kernel: total over arbitrary text, each verdict a known
+    language or None, and window count matches the token count."""
+    from hoover_snoop2_spark.functions.langid import (
+        _LANGS_ORDER,
+        WINDOW_MAX_TOKENS,
+        WINDOW_TOKENS,
+        detect_language_windows,
+    )
+
+    out = detect_language_windows(text)
+    assert all(v is None or v in _LANGS_ORDER for v in out)
+    if text:
+        toks = text[: WINDOW_MAX_TOKENS * 12].lower().translate(
+            str.maketrans("", "", ".,;:!?\"'()[]«»„“”’")
+        ).split()[:WINDOW_MAX_TOKENS]
+        assert len(out) == (len(toks) + WINDOW_TOKENS - 1) // WINDOW_TOKENS
+    else:
+        assert out == []
+
+
+def test_langid_windows_mixed_text():
+    """A half-English half-German text yields both verdicts in order."""
+    from hoover_snoop2_spark.functions.langid import detect_language_windows
+
+    text = "the and of to in is that it was for " * 4 + "der die und in den von zu das mit sich " * 4
+    out = detect_language_windows(text)
+    assert out[0] == "en" and out[-1] == "de"
