@@ -850,3 +850,70 @@ def bowtie(
         .otherwise(F.lit("OTHER"))
         .alias("cls"),
     )
+
+
+def bfs_hops(
+    edges: DataFrame,
+    seeds: list[int],
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 64,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Minimum hop count from a seed set — parallel BFS by frontier
+    expansion (the crawl-depth question: how many link hops from the
+    seed list does each host sit, i.e. which crawl round would first
+    discover it).  The reference has no graph layer at all (walk/
+    unarchive recursion in tasks.py is tree-shaped); this is the
+    companion of :func:`bowtie` reachability, returning *distances*
+    rather than reachability classes.
+
+    Per round: one equi-join of the current frontier (shrinking) with
+    the edge set + one anti-join against the visited set — both shuffle
+    on node id, frontier rows are a single long.  Rounds = graph
+    diameter, each round's result pinned (CheckpointStore / eager
+    localCheckpoint) so the logical plan stays O(1) deep.  The per-round
+    driver scalar is the frontier count (same discipline as pagerank's
+    dangling-mass scalar).  Unreached nodes are simply absent — callers
+    left-join and read NULL as unreachable.
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).where(F.col("src") != F.col("dst")).distinct()
+
+    _cp = None
+    if checkpoint_dir is not None:
+        from ..plans.checkpoint import CheckpointStore
+
+        _cp = CheckpointStore(checkpoint_dir)
+
+    def _pin(df: DataFrame, name: str) -> DataFrame:
+        if _cp is not None:
+            return _cp.write(df, name)
+        return df.localCheckpoint(eager=True)
+
+    spark = edges.sparkSession
+    e = _pin(e, "bfs_edges")
+    frontier = _pin(
+        spark.createDataFrame(
+            [(int(s),) for s in sorted(set(seeds))], "node long"
+        ),
+        "bfs_seed",
+    )
+    visited = frontier.select("node", F.lit(0).cast("long").alias("hop"))
+    visited = _pin(visited, "bfs_hop_0")
+    for r in range(1, max_rounds + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .select("node", F.lit(r).cast("long").alias("hop"))
+        )
+        nxt = _pin(nxt, f"bfs_hop_{r}")
+        if nxt.isEmpty():
+            break
+        visited = _pin(visited.union(nxt), f"bfs_visited_{r}")
+        frontier = nxt.select("node")
+    return visited

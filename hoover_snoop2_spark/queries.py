@@ -13530,6 +13530,293 @@ ORDER BY t.doc_id
 """
 
 
+def q210_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary growth curve — cumulative distinct token
+    types vs cumulative tokens, sampled every 50 docs in doc_id order.
+    This is the corpus-planning instrument q140 (Zipf) and q142 (vocab
+    coverage) don't give: "is the next shard of data still contributing
+    new vocabulary, or has type growth flattened?" — the empirical basis
+    for V = K·n^beta crawl-budget extrapolation.
+
+    Scale shape: NO per-doc window and NO sort of the corpus.  The whole
+    curve derives from token *first occurrence*: one explode + one
+    groupBy(token).min(doc_id) (map-side combinable), then the per-bucket
+    histogram of first occurrences is checkpoint-count-sized, and the
+    cumulative sums are windows over ~n_docs/50 rows.  Token counts per
+    bucket come from a size(filter(split(...))) JVM expression — the
+    corpus text is read once and never shuffled."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.expr("doc_id div 50").alias("bucket"),
+        F.expr(
+            "filter(split(trim(lower(coalesce(text, ''))), '\\\\s+'),"
+            " x -> x <> '')"
+        ).alias("toks"),
+    )
+    per_bucket = toks.groupBy("bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size("toks")).alias("n_toks"),
+    )
+    new_types = (
+        toks.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.min("doc_id").alias("first_doc"))
+        .groupBy(F.expr("first_doc div 50").alias("bucket"))
+        .agg(F.count("*").alias("new_types"))
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        per_bucket.join(new_types, "bucket", "left")
+        .select(
+            "bucket",
+            F.sum("n_docs").over(w).cast("long").alias("docs_cum"),
+            F.sum("n_toks").over(w).cast("long").alias("tokens_cum"),
+            F.coalesce("new_types", F.lit(0)).cast("long").alias("new_types"),
+            F.sum(F.coalesce("new_types", F.lit(0)))
+            .over(w)
+            .cast("long")
+            .alias("types_cum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q210_SQL = r"""
+WITH tok AS (
+  SELECT doc_id, doc_id // 50 AS bucket,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                                        '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+pb AS (
+  SELECT bucket, count(*) AS n_docs, sum(len(toks)) AS n_toks
+  FROM tok GROUP BY bucket
+),
+firsts AS (
+  SELECT t, min(doc_id) AS first_doc
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tok) GROUP BY t
+),
+nt AS (
+  SELECT first_doc // 50 AS bucket, count(*) AS new_types
+  FROM firsts GROUP BY 1
+)
+SELECT pb.bucket,
+       sum(pb.n_docs) OVER (ORDER BY pb.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS docs_cum,
+       sum(pb.n_toks) OVER (ORDER BY pb.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS tokens_cum,
+       coalesce(nt.new_types, 0)::BIGINT AS new_types,
+       sum(coalesce(nt.new_types, 0)) OVER (ORDER BY pb.bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT
+         AS types_cum
+FROM pb LEFT JOIN nt USING (bucket)
+ORDER BY bucket
+"""
+
+
+def q211_bfs_hops(spark, sf_dir):
+    """Crawl-depth BFS — minimum link-hop distance of every host from
+    the seed list, i.e. which crawl round first discovers each host.
+    Completes the graph suite's distance axis (q52 rank, q191 cores,
+    q193 reachability classes): a frontier-expansion parallel BFS
+    (operators/graph.bfs_hops) whose per-round cost is one frontier⋈edge
+    equi-join + one anti-join against the visited set, rounds = graph
+    diameter, lineage pinned per round.  The deterministic host graph is
+    two affine outlink rules over hosts 0..89 (hosts 90..96 exist but
+    are never linked — they must surface as hop -1 / undiscovered).
+    Oracle: DuckDB recursive CTE computing the identical min-hop
+    fixpoint with a hop bound as the cycle guard."""
+    from .operators.graph import bfs_hops
+
+    d = _t(spark, sf_dir, "documents")
+    src = (F.col("doc_id") % 90).cast("long")
+    edges = (
+        d.select(src.alias("src"), ((src * 3 + 1) % 90).alias("dst"))
+        .union(d.select(src.alias("src"), ((src * 7 + 2) % 90).alias("dst")))
+        .distinct()
+    )
+    hops = bfs_hops(edges, seeds=[0])
+    nodes = d.select((F.col("doc_id") % 97).cast("long").alias("node")).distinct()
+    return (
+        nodes.join(hops, "node", "left")
+        .select(
+            "node",
+            F.coalesce("hop", F.lit(-1)).cast("long").alias("hop"),
+        )
+        .orderBy("node")
+    )
+
+
+Q211_SQL = """
+WITH RECURSIVE e AS (
+  SELECT DISTINCT doc_id % 90 AS src, ((doc_id % 90) * 3 + 1) % 90 AS dst
+  FROM documents
+  UNION
+  SELECT DISTINCT doc_id % 90 AS src, ((doc_id % 90) * 7 + 2) % 90 AS dst
+  FROM documents
+),
+r(node, hop) AS (
+  SELECT 0, 0
+  UNION
+  SELECT e.dst, r.hop + 1 FROM r JOIN e ON e.src = r.node WHERE r.hop < 95
+),
+mh AS (SELECT node, min(hop) AS hop FROM r GROUP BY node),
+n AS (SELECT DISTINCT doc_id % 97 AS node FROM documents)
+SELECT n.node::BIGINT AS node, coalesce(mh.hop, -1)::BIGINT AS hop
+FROM n LEFT JOIN mh USING (node)
+ORDER BY n.node
+"""
+
+
+def q212_ngram_precision_eval(spark, sf_dir):
+    """Generation-eval n-gram overlap — BLEU's clipped modified 1-/2-gram
+    precision per (candidate, reference) pair, completing the eval triad
+    with q180 (retrieval MRR/NDCG) and q181 (classifier P/R/F1).  Pairs
+    are deterministic: even doc_id is the candidate, doc_id+1 its
+    reference.  Clipping is the BLEU rule: each distinct n-gram credits
+    min(count_in_candidate, count_in_reference).  Precisions are permille
+    integers via one final integer DIV — no float anywhere, so the hash
+    is engine-stable by construction.
+
+    Scale shape: n-gram build is JVM transform/filter HOFs (no Python),
+    one corpus-sized explode, one groupBy(pair, n, gram) with map-side
+    combine, then a checkpoint-sized rollup.  Pairs whose sides are both
+    empty still row out (left join from the pair list with zero
+    coalesce); 2-gram precision is NULL when the candidate has no
+    bigrams (undefined, per BLEU)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.expr("doc_id div 2").alias("pair_id"),
+        (F.col("doc_id") % 2 == 0).alias("is_cand"),
+        F.expr(
+            "filter(split(trim(lower(coalesce(text, ''))), '\\\\s+'),"
+            " x -> x <> '')"
+        ).alias("toks"),
+    )
+    pairs = toks.groupBy("pair_id").agg(F.count("*").alias("c")).filter(
+        F.col("c") == 2
+    ).select("pair_id")
+    toks = toks.join(F.broadcast(pairs), "pair_id")
+    uni = toks.select(
+        "pair_id", "is_cand", F.lit(1).alias("n"),
+        F.explode("toks").alias("gram"),
+    )
+    bi = toks.select(
+        "pair_id", "is_cand", F.lit(2).alias("n"),
+        F.explode(
+            F.expr(
+                "filter(transform(toks, (x, i) -> CASE WHEN i < size(toks) - 1"
+                " THEN concat(x, ' ', element_at(toks, i + 2)) END),"
+                " g -> g IS NOT NULL)"
+            )
+        ).alias("gram"),
+    )
+    per_gram = uni.unionByName(bi).groupBy("pair_id", "n", "gram").agg(
+        F.sum(F.when(F.col("is_cand"), 1).otherwise(0)).alias("cc"),
+        F.sum(F.when(~F.col("is_cand"), 1).otherwise(0)).alias("cr"),
+    )
+    per_n = per_gram.groupBy("pair_id", "n").agg(
+        F.sum(F.least("cc", "cr")).alias("clipped"),
+        F.sum("cc").alias("cand_total"),
+        F.sum("cr").alias("ref_total"),
+    )
+    rolled = per_n.groupBy("pair_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("n") == 1, F.col("cand_total"))), F.lit(0)
+        ).alias("cand_len"),
+        F.coalesce(
+            F.max(F.when(F.col("n") == 1, F.col("ref_total"))), F.lit(0)
+        ).alias("ref_len"),
+        F.coalesce(
+            F.max(F.when(F.col("n") == 1, F.col("clipped"))), F.lit(0)
+        ).alias("clipped1"),
+        F.coalesce(
+            F.max(F.when(F.col("n") == 2, F.col("cand_total"))), F.lit(0)
+        ).alias("cand_bigrams"),
+        F.coalesce(
+            F.max(F.when(F.col("n") == 2, F.col("clipped"))), F.lit(0)
+        ).alias("clipped2"),
+    )
+    return (
+        pairs.join(rolled, "pair_id", "left")
+        .select(
+            "pair_id",
+            F.coalesce("cand_len", F.lit(0)).cast("long").alias("cand_len"),
+            F.coalesce("ref_len", F.lit(0)).cast("long").alias("ref_len"),
+            F.coalesce("clipped1", F.lit(0)).cast("long").alias("clipped1"),
+            F.coalesce("clipped2", F.lit(0)).cast("long").alias("clipped2"),
+            F.expr(
+                "CASE WHEN coalesce(cand_len, 0) > 0"
+                " THEN clipped1 * 1000 div cand_len END"
+            ).cast("long").alias("p1_permille"),
+            F.expr(
+                "CASE WHEN coalesce(cand_bigrams, 0) > 0"
+                " THEN clipped2 * 1000 div cand_bigrams END"
+            ).cast("long").alias("p2_permille"),
+        )
+        .orderBy("pair_id")
+    )
+
+
+Q212_SQL = r"""
+WITH tok AS (
+  SELECT doc_id // 2 AS pair_id, doc_id % 2 = 0 AS is_cand,
+         list_filter(string_split_regex(trim(lower(coalesce(text, ''))),
+                                        '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+),
+pairs AS (SELECT pair_id FROM tok GROUP BY pair_id HAVING count(*) = 2),
+tp AS (SELECT tok.* FROM tok JOIN pairs USING (pair_id)),
+grams AS (
+  SELECT pair_id, is_cand, 1 AS n, unnest(toks) AS gram FROM tp
+  UNION ALL
+  SELECT pair_id, is_cand, 2 AS n,
+         unnest(list_transform(range(1, len(toks)),
+                               i -> toks[i] || ' ' || toks[i + 1])) AS gram
+  FROM tp
+),
+per_gram AS (
+  SELECT pair_id, n, gram,
+         sum(CASE WHEN is_cand THEN 1 ELSE 0 END) AS cc,
+         sum(CASE WHEN is_cand THEN 0 ELSE 1 END) AS cr
+  FROM grams GROUP BY pair_id, n, gram
+),
+per_n AS (
+  SELECT pair_id, n, sum(least(cc, cr)) AS clipped,
+         sum(cc) AS cand_total, sum(cr) AS ref_total
+  FROM per_gram GROUP BY pair_id, n
+),
+rolled AS (
+  SELECT pair_id,
+         coalesce(max(CASE WHEN n = 1 THEN cand_total END), 0) AS cand_len,
+         coalesce(max(CASE WHEN n = 1 THEN ref_total END), 0) AS ref_len,
+         coalesce(max(CASE WHEN n = 1 THEN clipped END), 0) AS clipped1,
+         coalesce(max(CASE WHEN n = 2 THEN cand_total END), 0)
+           AS cand_bigrams,
+         coalesce(max(CASE WHEN n = 2 THEN clipped END), 0) AS clipped2
+  FROM per_n GROUP BY pair_id
+)
+SELECT p.pair_id,
+       coalesce(r.cand_len, 0)::BIGINT AS cand_len,
+       coalesce(r.ref_len, 0)::BIGINT AS ref_len,
+       coalesce(r.clipped1, 0)::BIGINT AS clipped1,
+       coalesce(r.clipped2, 0)::BIGINT AS clipped2,
+       (CASE WHEN coalesce(r.cand_len, 0) > 0
+             THEN r.clipped1 * 1000 // r.cand_len END)::BIGINT
+         AS p1_permille,
+       (CASE WHEN coalesce(r.cand_bigrams, 0) > 0
+             THEN r.clipped2 * 1000 // r.cand_bigrams END)::BIGINT
+         AS p2_permille
+FROM pairs p LEFT JOIN rolled r USING (pair_id)
+ORDER BY p.pair_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -13732,6 +14019,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q207_sq8_ann": q207_sq8_ann,
     "q208_token_burstiness": q208_token_burstiness,
     "q209_code_switching": q209_code_switching,
+    "q210_heaps_law": q210_heaps_law,
+    "q211_bfs_hops": q211_bfs_hops,
+    "q212_ngram_precision_eval": q212_ngram_precision_eval,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -13931,6 +14221,9 @@ ORACLES: dict[str, str] = {
     "q207_sq8_ann": Q207_SQL,
     "q208_token_burstiness": Q208_SQL,
     "q209_code_switching": _q209_sql(),
+    "q210_heaps_law": Q210_SQL,
+    "q211_bfs_hops": Q211_SQL,
+    "q212_ngram_precision_eval": Q212_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

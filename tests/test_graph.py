@@ -467,3 +467,26 @@ def test_bowtie_textbook_anatomy(spark):
         20: "OUT", 21: "OUT",
         30: "OTHER", 31: "OTHER",
     }
+
+
+def test_bfs_hops_chain_branch_and_unreachable(spark):
+    from hoover_snoop2_spark.operators.graph import bfs_hops
+
+    # 0 -> 1 -> 2 -> 3, 0 -> 4, 5 -> 0 (5 unreachable FROM seed),
+    # 6 <-> 7 an island, plus a back edge 3 -> 1 (cycle must not loop)
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (0, 4), (5, 0), (6, 7), (7, 6), (3, 1)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds=[0]).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 1}
+
+
+def test_bfs_hops_multi_seed_takes_min(spark):
+    from hoover_snoop2_spark.operators.graph import bfs_hops
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (9, 3)], "src long, dst long"
+    )
+    got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds=[0, 9]).collect()}
+    assert got == {0: 0, 9: 0, 1: 1, 2: 2, 3: 1}

@@ -179,6 +179,10 @@ AUDITED = [
     "q206_dedup_agreement",
     "q207_sq8_ann",
     "q208_token_burstiness",
+    "q209_code_switching",
+    "q210_heaps_law",
+    "q211_bfs_hops",
+    "q212_ngram_precision_eval",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -652,9 +656,27 @@ CHECKS = {
                      "!CartesianProduct", "!ArrowEvalPython"],
     "q208_token_burstiness": ["Generate", "HashAggregate", "!Window",
                               "!CartesianProduct", "!ArrowEvalPython"],
+    # one Arrow UDF column, array HOF aggregation, no explode anywhere
+    "q209_code_switching": ["ArrowEvalPython", "!Generate",
+                            "!HashAggregate", "!CartesianProduct"],
+    "q210_heaps_law": ["Generate", "HashAggregate", "Window",
+                       "!CartesianProduct", "!ArrowEvalPython"],
+    # captured plan is the final nodes⋈hops assignment join only — the
+    # per-round frontier joins are pinned behind localCheckpoint
+    "q211_bfs_hops": ["!CartesianProduct", "!ArrowEvalPython", "!Window"],
+    "q212_ngram_precision_eval": ["Generate", "HashAggregate", "!Window",
+                                  "!CartesianProduct", "!ArrowEvalPython"],
 }
 
 NOTES = {
+    "q210_heaps_law": "the cumulative-sum Window is unpartitioned by "
+        "design but its input is checkpoint-count-sized (n_docs/50 rows "
+        "after the aggregates) — the corpus-sized work is the explode + "
+        "groupBy(token).min(doc_id), which has map-side combine.",
+    "q211_bfs_hops": "per-round BFS frontier joins are materialized "
+        "behind localCheckpoint/CheckpointStore (same convention as the "
+        "q42 CC rounds), so only the final unreachable-marking left join "
+        "appears in the captured plan.",
     "q195_bucketed_join": "at sf0.01 Catalyst correctly prefers a "
         "broadcast join over the bucketed scan (dim fits; the scan shows "
         "'Bucketed: false (disabled by query planner)') — the shuffle-free "
