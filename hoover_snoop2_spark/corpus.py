@@ -61,7 +61,7 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 15
+CORPUS_VERSION = 16
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
@@ -876,6 +876,91 @@ def render_targz(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
     return buf.getvalue(), children
 
 
+def _text_members(
+    doc_id: int, lang: str, salt: int, prefix: str
+) -> tuple[list[tuple[str, bytes]], list[tuple[str, str]]]:
+    rng = _rng(doc_id, salt)
+    members, children = [], []
+    for i in range(rng.randint(2, 4)):
+        body = " ".join(_sentence(rng, lang) for _ in range(2))
+        members.append((f"{prefix}{i}.txt", body.encode("utf-8")))
+        children.append((f"{prefix}{i}.txt", _golden_from_paragraphs([body])))
+    return members, children
+
+
+def render_cpio(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
+    """cpio cycling the three dialects (newc/odc/old-binary) — the
+    reference 7z-extracts .cpio (archives.py accepted extensions)."""
+    from .operators.unix_archives import build_cpio
+
+    members, children = _text_members(doc_id, lang, 23, "files/entry")
+    fmt = ("newc", "odc", "bin")[doc_id % 3]
+    return build_cpio(members, fmt), children
+
+
+def render_deb(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
+    """Debian package shape: ar(debian-binary, control.tar.gz,
+    data.tar.gz) — the nested tars are containers the pipeline recurses
+    into on the next round."""
+    from .operators.unix_archives import build_ar
+
+    def _tgz(pairs):
+        buf = io.BytesIO()
+        with tarfile.open(fileobj=buf, mode="w:gz") as tf:
+            for name, data in pairs:
+                info = tarfile.TarInfo(name)
+                info.size = len(data)
+                info.mtime = 1704067200
+                tf.addfile(info, io.BytesIO(data))
+        return buf.getvalue()
+
+    rng = _rng(doc_id, 24)
+    # colon-free on purpose: a "Package: x" line sniffs as a ':'-delimited
+    # CSV (faithful to the reference, whose CSV_DELIMITER_LIST includes
+    # ':') and would table-explode instead of extracting as text
+    control = f"Package demo{doc_id} Version 1.{doc_id % 10}"
+    body = " ".join(_sentence(rng, lang) for _ in range(2))
+    data = build_ar([
+        ("debian-binary", b"2.0"),
+        ("control.tar.gz", _tgz([("control", control.encode("utf-8"))])),
+        ("data.tar.gz", _tgz([("usr/doc/readme.txt", body.encode("utf-8"))])),
+    ])
+    children = [
+        ("debian-binary", _golden_from_paragraphs(["2.0"])),
+        ("control.tar.gz", ""),
+        ("control.tar.gz//control", _golden_from_paragraphs([control])),
+        ("data.tar.gz", ""),
+        ("data.tar.gz//usr/doc/readme.txt", _golden_from_paragraphs([body])),
+    ]
+    return data, children
+
+
+def render_rpm(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
+    """RPM with a compressed-cpio payload; the payload compressor cycles
+    gzip/xz/bzip2 (sniffed from the payload magic, as in production)."""
+    from .operators.unix_archives import build_rpm
+
+    members, children = _text_members(doc_id, lang, 25, "usr/share/note")
+    comp = ("gzip", "xz", "bzip2")[doc_id % 3]
+    return build_rpm(members, comp), children
+
+
+def render_tarz(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
+    """tar.Z — compress(1) LZW over a tar; the .Z dispatch recurses into
+    the tar inline, like .tar.gz."""
+    from .operators.unix_archives import compress_z
+
+    members, children = _text_members(doc_id, lang, 26, "old/part")
+    buf = io.BytesIO()
+    with tarfile.open(fileobj=buf, mode="w") as tf:
+        for name, data in members:
+            info = tarfile.TarInfo(name)
+            info.size = len(data)
+            info.mtime = 1704067200
+            tf.addfile(info, io.BytesIO(data))
+    return compress_z(buf.getvalue()), children
+
+
 # ---------------------------------------------------------------------------
 # per-doc assembly
 # ---------------------------------------------------------------------------
@@ -968,9 +1053,27 @@ def build_doc(doc_id: int) -> dict:
         children = kids
         golden = ""
     elif cat == "targz":
-        html, kids = render_targz(doc_id, lang)
+        # Unix-container family cycles by doc_id: tar.gz plus the four
+        # formats the reference 7z-extracts (archives.py:41-55) that
+        # operators/unix_archives reads natively
+        arc_kind = doc_id % 5
+        if arc_kind == 1:
+            html, kids = render_cpio(doc_id, lang)
+            ext = "cpio"
+        elif arc_kind == 2:
+            html, kids = render_deb(doc_id, lang)
+            ext = "deb"
+        elif arc_kind == 3:
+            html, kids = render_rpm(doc_id, lang)
+            ext = "rpm"
+        elif arc_kind == 4:
+            html, kids = render_tarz(doc_id, lang)
+            ext = "tar.Z"
+        else:
+            html, kids = render_targz(doc_id, lang)
         children = kids
         golden = ""
+        url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
     elif cat == "pdf-minimal":
         html, golden, children = render_pdf(doc_id, lang)
     elif cat == "docx":
@@ -1142,7 +1245,7 @@ def golden_rows(doc: dict) -> list[dict]:
                 "text": child_golden,
                 "lang": doc["lang"],
                 "category": doc["category"] + "-child",
-                "is_container": name.endswith(".zip"),
+                "is_container": name.endswith((".zip", ".tar.gz")),
                 "parent_url": doc["url"],
                 "date_created": None,
                 "date_modified": None,

@@ -52,6 +52,15 @@ _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "application/x-ole-storage"),
     (0, b"!BDN", "application/x-hoover-pst"),  # PST magic
     (0, b"SQLite format 3\x00", "application/vnd.sqlite3"),
+    # classic Unix containers — all 7z-accepted in the reference
+    # (archives.py:41-55), unpacked natively by operators/unix_archives
+    (0, b"070701", "application/x-cpio"),  # cpio newc
+    (0, b"070702", "application/x-cpio"),  # cpio newc+crc
+    (0, b"070707", "application/x-cpio"),  # cpio odc (ASCII octal)
+    (0, b"\xc7\x71", "application/x-cpio"),  # cpio old binary (LE)
+    (0, b"!<arch>\n", "application/x-archive"),  # ar / .deb / .a
+    (0, b"\xed\xab\xee\xdb", "application/x-rpm"),
+    (0, b"\x1f\x9d", "application/x-compress"),  # compress(1) .Z
     (0, b"\x7fELF", "application/x-executable"),
     (0, b"MZ", "application/x-dosexec"),
 ]

@@ -40,6 +40,10 @@ UNPACK_MIME_TYPES = frozenset(
         "application/x-hoover-pst",
         "application/x-7z-compressed",
         "application/x-rar",
+        "application/x-cpio",
+        "application/x-archive",
+        "application/x-rpm",
+        "application/x-compress",
     }
 )
 
@@ -209,6 +213,39 @@ def unpack_bytes(data: bytes, mime_type: str) -> list[tuple[str, bytes]]:
             ][:MAX_CHILDREN]
         except RarBroken as e:
             raise UnpackBroken(e.reason) from e
+    if mime_type in (
+        "application/x-cpio",
+        "application/x-archive",
+        "application/x-rpm",
+        "application/x-compress",
+    ):
+        # classic Unix containers (reference: 7z-accepted extensions,
+        # archives.py:41-55) — native parsers, no subprocess
+        from .unix_archives import (
+            UnixArchiveBroken,
+            decompress_z,
+            unpack_ar,
+            unpack_cpio,
+            unpack_rpm,
+        )
+
+        try:
+            if mime_type == "application/x-cpio":
+                pairs = unpack_cpio(data)
+            elif mime_type == "application/x-archive":
+                pairs = unpack_ar(data)
+            elif mime_type == "application/x-rpm":
+                pairs = unpack_rpm(data, MAX_CHILD_BYTES)
+            else:  # .Z stream: decompress; recurse into tar like .gz
+                inner = decompress_z(data, MAX_CHILD_BYTES)
+                if inner[257 : 257 + 5] == b"ustar":
+                    return _unpack_tar(inner)
+                return [("data", inner)]
+        except UnixArchiveBroken as e:
+            raise UnpackBroken(e.reason) from e
+        return [
+            (n, b) for n, b in pairs if len(b) <= MAX_CHILD_BYTES
+        ][:MAX_CHILDREN]
     if mime_type in BROKEN_ARCHIVE_MIME_TYPES:
         raise UnpackBroken("archive_tool_missing")
     return []

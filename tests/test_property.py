@@ -285,3 +285,50 @@ def test_langid_windows_mixed_text():
     text = "the and of to in is that it was for " * 4 + "der die und in den von zu das mit sich " * 4
     out = detect_language_windows(text)
     assert out[0] == "en" and out[-1] == "de"
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.binary(max_size=4096), st.integers(min_value=9, max_value=16))
+def test_z_lzw_roundtrip(raw, maxbits):
+    """compress(1) LZW codec: decompress_z(compress_z(x)) == x for all
+    byte strings, at every legal maxbits (exercises width changes, the
+    8-code group padding, and KwKwK)."""
+    from hoover_snoop2_spark.operators.unix_archives import (
+        compress_z,
+        decompress_z,
+    )
+
+    assert decompress_z(compress_z(raw, maxbits=maxbits)) == raw
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(
+                st.characters(
+                    min_codepoint=33, max_codepoint=126, exclude_characters="/"
+                ),
+                min_size=1,
+                max_size=40,
+            ),
+            st.binary(max_size=512),
+        ),
+        max_size=6,
+    )
+)
+def test_cpio_ar_roundtrip_fuzz(members):
+    """cpio (all dialects) and ar round-trip arbitrary member names/bodies
+    (ar long names route through the GNU name table)."""
+    from hoover_snoop2_spark.operators.unix_archives import (
+        build_ar,
+        build_cpio,
+        unpack_ar,
+        unpack_cpio,
+    )
+
+    # unique names: archives keep duplicates, dicts in assertions don't
+    members = [(f"{i}_{n}", b) for i, (n, b) in enumerate(members)]
+    for fmt in ("newc", "odc", "bin"):
+        assert unpack_cpio(build_cpio(members, fmt)) == members
+    assert unpack_ar(build_ar(members)) == members
