@@ -917,3 +917,92 @@ def bfs_hops(
         visited = _pin(visited.union(nxt), f"bfs_visited_{r}")
         frontier = nxt.select("node")
     return visited
+
+
+def deterministic_walks(
+    edges: DataFrame,
+    seeds: DataFrame,
+    length: int = 8,
+    salt: str = "walks-v1",
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """DeepWalk-style walk corpus, derandomized: one walk per seed node,
+    each step choosing the out-neighbor with the MINIMUM
+    ``md5(salt|walk_id|step|neighbor)`` digest.  Graph-embedding
+    training data (DeepWalk, node2vec) is random-walk sentences; a
+    distributed pipeline wants those walks *reproducible* across
+    retries, executors, and engines — a seeded RNG is not (Spark task
+    retry re-rolls it), a content-keyed hash argmin is.  The reference
+    has no graph layer (its only traversal is the tree-shaped
+    walk/unarchive recursion, snoop/data/tasks.py) — this extends the
+    graph suite (q52/q146/q160/q211) with the sampling axis.
+
+    Per step: one equi-join of the frontier (|seeds| rows, shrinking
+    only at sinks) against the edge set, then a per-walk ``min_by`` —
+    an aggregation with map-side partial combine, so the shuffle
+    payload per walk is one (hash, node) pair per partition, not the
+    full out-degree fan-out.  ``length`` rounds total, lineage pinned
+    per round (CheckpointStore when given, eager localCheckpoint
+    otherwise).  Walks hitting a sink node simply end early (absent
+    rows), matching how walk corpora truncate at dangling pages.
+
+    Output: (walk_id, step, node) with step 0 = the seed itself.
+    The hash input is pure ASCII built from cast-to-string longs, so
+    any engine reproduces the corpus bit-exactly (the q213 oracle
+    replays it in DuckDB via the closed-form edge rules).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("src"),
+        F.col(dst).cast("long").alias("dst"),
+    ).distinct()
+
+    _cp = None
+    if checkpoint_dir is not None:
+        from ..plans.checkpoint import CheckpointStore
+
+        _cp = CheckpointStore(checkpoint_dir)
+
+    def _pin(df: DataFrame, name: str) -> DataFrame:
+        if _cp is not None:
+            return _cp.write(df, name)
+        return df.localCheckpoint(eager=True)
+
+    e = _pin(e, "walk_edges")
+    frontier = seeds.select(
+        F.col(seeds.columns[0]).cast("long").alias("walk_id")
+    ).distinct().withColumn("node", F.col("walk_id"))
+    frontier = _pin(frontier, "walk_seed")
+    rows = frontier.select(
+        "walk_id", F.lit(0).cast("long").alias("step"), "node"
+    )
+    out = _pin(rows, "walk_step_0")
+    result = out
+    for r in range(1, length + 1):
+        nxt = (
+            frontier.join(e, frontier["node"] == e["src"])
+            .groupBy("walk_id")
+            .agg(
+                F.min_by(
+                    "dst",
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(salt),
+                            F.col("walk_id").cast("string"),
+                            F.lit(str(r)),
+                            F.col("dst").cast("string"),
+                        )
+                    ),
+                ).alias("node")
+            )
+        )
+        nxt = _pin(nxt, f"walk_step_{r}")
+        if nxt.isEmpty():
+            break
+        result = result.union(
+            nxt.select("walk_id", F.lit(r).cast("long").alias("step"), "node")
+        )
+        frontier = nxt
+    return result

@@ -200,3 +200,46 @@ def salted_join(
         ),
     ).withColumn("_sjsalt", F.col("_sjsalt").cast("int"))
     return f.join(d, [key, "_sjsalt"], how).drop("_sjsalt")
+
+
+def hybrid_skew_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    hot_threshold: int = 10_000,
+) -> DataFrame:
+    """Hot/cold hybrid join — the third skew strategy next to
+    :func:`salted_join` (salt + replicate) and AQE's skew split: fact
+    keys above ``hot_threshold`` rows join against a BROADCAST slice of
+    the dimension (hot fact rows never shuffle at all), everything else
+    takes the normal shuffle join.  This is the "differential" /
+    partial-broadcast join: when 1% of keys hold 50% of rows, salting
+    still shuffles those rows ``buckets``-ways, while broadcasting the
+    (tiny) hot slice of the dim moves only the dim bytes and leaves the
+    heavy fact rows where they are — the right trade whenever the hot
+    dim slice fits in memory even though the whole dim does not.
+
+    Mechanics: one count aggregate finds the hot keys (driver never
+    sees them — the hot-key set stays a broadcast DataFrame); fact
+    splits by broadcast semi/anti join (zero shuffles); the hot branch
+    is `fact_hot ⋈ broadcast(dim_hot)`, the cold branch a plain
+    shuffle join hinted MERGE so the split is visible in the plan; the
+    union is by name.  Results are exactly a plain inner join's — the
+    q214 oracle IS the plain join.
+    """
+    counts = fact.groupBy(fact_key).count()
+    hot = counts.filter(F.col("count") >= hot_threshold).select(fact_key)
+    hot_b = F.broadcast(hot)
+    fact_hot = fact.join(hot_b, fact_key, "left_semi")
+    fact_cold = fact.join(hot_b, fact_key, "left_anti")
+    dim_hot = dim.join(
+        hot_b.withColumnRenamed(fact_key, dim_key), dim_key, "left_semi"
+    )
+    joined_hot = fact_hot.join(
+        F.broadcast(dim_hot), fact_hot[fact_key] == dim_hot[dim_key]
+    )
+    joined_cold = fact_cold.hint("merge").join(
+        dim, fact_cold[fact_key] == dim[dim_key]
+    )
+    return joined_hot.unionByName(joined_cold)

@@ -13817,6 +13817,307 @@ ORDER BY p.pair_id
 """
 
 
+def q213_deterministic_walks(spark, sf_dir):
+    """DeepWalk walk-corpus generation, derandomized — one 8-step walk
+    per host over q211's deterministic host graph, each step picking the
+    out-neighbor with the minimum md5(salt|walk_id|step|neighbor).
+    Graph-embedding training data is random-walk sentences; at pipeline
+    scale the walks must be REPRODUCIBLE across task retries and engines,
+    which a seeded RNG is not and a content-keyed hash argmin is.  Spark
+    side is the generic operator (graph.deterministic_walks: per-step
+    frontier⋈edges + min_by partial aggregate, lineage pinned per round);
+    the oracle replays the identical hash tournament in a DuckDB
+    recursive CTE using the synthetic graph's closed-form out-neighbors
+    ((3n+1)%90, (7n+2)%90) — no aggregate in the recursive term, which
+    DuckDB (like PostgreSQL) disallows.  md5 hex is lowercase ASCII in
+    both engines, so the lexicographic argmin is engine-exact."""
+    from .operators.graph import deterministic_walks
+
+    d = _t(spark, sf_dir, "documents")
+    src = (F.col("doc_id") % 90).cast("long")
+    edges = (
+        d.select(src.alias("src"), ((src * 3 + 1) % 90).alias("dst"))
+        .union(d.select(src.alias("src"), ((src * 7 + 2) % 90).alias("dst")))
+        .distinct()
+    )
+    seeds = d.select(src.alias("walk_id")).distinct()
+    return (
+        deterministic_walks(edges, seeds, length=8)
+        .select(
+            F.col("walk_id").cast("long").alias("walk_id"),
+            F.col("step").cast("long").alias("step"),
+            F.col("node").cast("long").alias("node"),
+        )
+        .orderBy("walk_id", "step")
+    )
+
+
+Q213_SQL = """
+WITH RECURSIVE w(walk_id, step, node) AS (
+  SELECT DISTINCT doc_id % 90, 0, doc_id % 90 FROM documents
+  UNION ALL
+  SELECT walk_id, step + 1,
+         CASE WHEN md5('walks-v1|' || CAST(walk_id AS VARCHAR) || '|'
+                       || CAST(step + 1 AS VARCHAR) || '|'
+                       || CAST((node * 3 + 1) % 90 AS VARCHAR))
+                <= md5('walks-v1|' || CAST(walk_id AS VARCHAR) || '|'
+                       || CAST(step + 1 AS VARCHAR) || '|'
+                       || CAST((node * 7 + 2) % 90 AS VARCHAR))
+              THEN (node * 3 + 1) % 90 ELSE (node * 7 + 2) % 90 END
+  FROM w WHERE step < 8
+)
+SELECT walk_id::BIGINT AS walk_id, step::BIGINT AS step, node::BIGINT AS node
+FROM w ORDER BY walk_id, step
+"""
+
+
+def q214_hybrid_skew_join(spark, sf_dir):
+    """Hot/cold hybrid skew join (plans/skew.hybrid_skew_join) — the
+    third explicit skew strategy next to q59's salted aggregation and
+    q197's salted join: fact keys above a count threshold join against
+    a BROADCAST slice of the dimension (their rows never shuffle),
+    cold keys take the plain shuffle join, branches union.  The skew is
+    synthesized: ~40% of orders collapse onto customer key 1.  The
+    strategy changes the PLAN, never the RESULT, so the oracle is the
+    plain inner join with the same aggregation; integer-only output
+    keeps the hash engine-stable (orderkey checksum, no double sums)."""
+    from .plans.skew import hybrid_skew_join
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    fact = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 < 4, F.lit(1))
+        .otherwise(F.col("o_orderkey") % 150 + 1)
+        .cast("long")
+        .alias("cust_id"),
+    )
+    dim = c.select(
+        F.col("c_custkey").cast("long").alias("c_custkey"), "c_mktsegment"
+    )
+    joined = hybrid_skew_join(
+        fact, dim, "cust_id", "c_custkey", hot_threshold=1000
+    )
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum("o_orderkey").cast("long").alias("key_checksum"),
+            F.countDistinct("cust_id").cast("long").alias("n_custs"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q214_SQL = """
+WITH fact AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 10 < 4 THEN 1
+              ELSE o_orderkey % 150 + 1 END AS cust_id
+  FROM orders
+)
+SELECT c.c_mktsegment,
+       count(*)::BIGINT AS n_orders,
+       sum(f.o_orderkey)::BIGINT AS key_checksum,
+       count(DISTINCT f.cust_id)::BIGINT AS n_custs
+FROM fact f JOIN customer c ON f.cust_id = c.c_custkey
+GROUP BY c.c_mktsegment
+ORDER BY c.c_mktsegment
+"""
+
+
+def q215_pii_pseudonymize(spark, sf_dir):
+    """Consistent PII pseudonymization — the joinability-preserving
+    upgrade of q40's destructive masking: every email maps to a keyed
+    token ``pii_`` + md5(salt|lower(email))[:12], so the SAME identity
+    yields the SAME token everywhere and record linkage still works
+    across corpus halves WITHOUT any raw PII surviving.  Deterministic
+    identities are injected in-query (37 'person' ids shared across
+    docs + 101 rarer 'user' ids); the corpus splits into halves A/B by
+    doc_id parity and the output proves linkage through the pseudonym:
+    per token, distinct docs on each side.  All-JVM (regexp_extract_all
+    + md5); the token is integer/hex-only so the hash is engine-stable."""
+    d = _t(spark, sf_dir, "documents")
+    emails = d.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "regexp_extract_all("
+                "  concat(text, ' Reach person', cast(doc_id % 37 as string),"
+                "         '@example.org and user',"
+                "         cast(doc_id % 101 as string), '@mail.net.'),"
+                "  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\\\.[A-Za-z]{2,}', 0)"
+            )
+        ).alias("email"),
+    )
+    tokens = emails.select(
+        "doc_id",
+        F.concat(
+            F.lit("pii_"),
+            F.substring(
+                F.md5(F.concat(F.lit("corpus-v1|"), F.lower("email"))), 1, 12
+            ),
+        ).alias("token"),
+    )
+    return (
+        tokens.groupBy("token")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("doc_id") % 2 == 0, F.col("doc_id"))
+            ).cast("long").alias("docs_a"),
+            F.countDistinct(
+                F.when(F.col("doc_id") % 2 == 1, F.col("doc_id"))
+            ).cast("long").alias("docs_b"),
+            F.count("*").cast("long").alias("mentions"),
+        )
+        .orderBy("token")
+    )
+
+
+Q215_SQL = r"""
+WITH synth AS (
+  SELECT doc_id,
+         text || ' Reach person' || CAST(doc_id % 37 AS VARCHAR)
+              || '@example.org and user' || CAST(doc_id % 101 AS VARCHAR)
+              || '@mail.net.' AS t
+  FROM documents
+), emails AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(
+           t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS email
+  FROM synth
+), tokens AS (
+  SELECT doc_id,
+         'pii_' || substr(md5('corpus-v1|' || lower(email)), 1, 12) AS token
+  FROM emails
+)
+SELECT token,
+       count(DISTINCT CASE WHEN doc_id % 2 = 0 THEN doc_id END)::BIGINT
+         AS docs_a,
+       count(DISTINCT CASE WHEN doc_id % 2 = 1 THEN doc_id END)::BIGINT
+         AS docs_b,
+       count(*)::BIGINT AS mentions
+FROM tokens GROUP BY token ORDER BY token
+"""
+
+
+def q216_dedup_yield_curve(spark, sf_dir):
+    """Dedup threshold tuning — corpus yield as a function of the
+    Jaccard cutoff, the sweep a data engineer runs BEFORE committing to
+    a near-dup threshold: for each cutoff, how many duplicate pairs
+    fire, how many docs a keep-lowest-id rule would drop, and how many
+    survive.  One pass computes every threshold simultaneously (the
+    pair set is built once; the sweep is an explode over cutoffs).
+    Pair generation is the scalable shape: distinct word-5-gram
+    shingles via JVM HOFs, candidate pairs from a shingle equi-self-
+    join with a < b (never all-pairs), intersection = matched shingle
+    count, union by inclusion-exclusion; Jaccard in integer permille
+    (1000*inter div union) so the oracle hashes exactly.  Survivors =
+    total - count(distinct higher doc of a firing pair) — the
+    deterministic keep-first rule, no iteration needed."""
+    from .operators.dedup import shingles_col
+
+    d = _t(spark, sf_dir, "documents")
+
+    s = d.select(
+        "doc_id", F.array_distinct(shingles_col("text", k=5)).alias("sh")
+    )
+    sizes = s.select("doc_id", F.size("sh").alias("n_sh"))
+    flat = s.select("doc_id", F.explode("sh").alias("g"))
+    a = flat.withColumnsRenamed({"doc_id": "id_a", "g": "g"})
+    b = flat.withColumnsRenamed({"doc_id": "id_b", "g": "g"})
+    pairs = (
+        a.join(b, "g")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "id_a", "n_sh": "na"}), "id_a"
+        )
+        .join(
+            sizes.withColumnsRenamed({"doc_id": "id_b", "n_sh": "nb"}), "id_b"
+        )
+        .select(
+            "id_a", "id_b",
+            F.expr("inter * 1000 div (na + nb - inter)").alias("jacc_pm"),
+        )
+    )
+    thresholds = F.array(*[F.lit(t) for t in (300, 450, 600, 750, 900)])
+    swept = pairs.select(
+        "id_a", "id_b", "jacc_pm",
+        F.explode(thresholds).alias("threshold_pm"),
+    ).filter(F.col("jacc_pm") >= F.col("threshold_pm"))
+    total = d.agg(F.count("*").alias("n_docs"))
+    per_t = (
+        swept.groupBy("threshold_pm")
+        .agg(
+            F.count("*").cast("long").alias("dup_pairs"),
+            F.countDistinct("id_b").cast("long").alias("docs_dropped"),
+        )
+    )
+    all_t = d.sparkSession.range(1).select(
+        F.explode(thresholds).alias("threshold_pm")
+    )
+    return (
+        all_t.join(per_t, "threshold_pm", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("threshold_pm").cast("long").alias("threshold_pm"),
+            F.coalesce("dup_pairs", F.lit(0)).cast("long").alias("dup_pairs"),
+            F.coalesce("docs_dropped", F.lit(0)).cast("long")
+            .alias("docs_dropped"),
+            (F.col("n_docs") - F.coalesce("docs_dropped", F.lit(0)))
+            .cast("long").alias("docs_kept"),
+        )
+        .orderBy("threshold_pm")
+    )
+
+
+Q216_SQL = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(
+           CASE WHEN len(w) < 5 THEN [array_to_string(w, ' ')]
+                ELSE list_transform(range(1, len(w) - 3),
+                                    i -> array_to_string(w[i:i+4], ' '))
+           END) AS sh
+  FROM t
+), sizes AS (
+  SELECT doc_id, len(sh) AS n_sh FROM s
+), flat AS (
+  SELECT doc_id, unnest(sh) AS g FROM s
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM flat a JOIN flat b ON a.g = b.g AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), scored AS (
+  SELECT id_a, id_b,
+         inter * 1000 // (sa.n_sh + sb.n_sh - inter) AS jacc_pm
+  FROM pairs
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+), thresholds AS (
+  SELECT unnest([300, 450, 600, 750, 900]) AS threshold_pm
+), per_t AS (
+  SELECT threshold_pm,
+         count(*) AS dup_pairs,
+         count(DISTINCT id_b) AS docs_dropped
+  FROM thresholds JOIN scored ON jacc_pm >= threshold_pm
+  GROUP BY threshold_pm
+)
+SELECT t.threshold_pm::BIGINT AS threshold_pm,
+       coalesce(p.dup_pairs, 0)::BIGINT AS dup_pairs,
+       coalesce(p.docs_dropped, 0)::BIGINT AS docs_dropped,
+       ((SELECT count(*) FROM documents) - coalesce(p.docs_dropped, 0))::BIGINT
+         AS docs_kept
+FROM thresholds t LEFT JOIN per_t p USING (threshold_pm)
+ORDER BY t.threshold_pm
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -14022,6 +14323,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q210_heaps_law": q210_heaps_law,
     "q211_bfs_hops": q211_bfs_hops,
     "q212_ngram_precision_eval": q212_ngram_precision_eval,
+    "q213_deterministic_walks": q213_deterministic_walks,
+    "q214_hybrid_skew_join": q214_hybrid_skew_join,
+    "q215_pii_pseudonymize": q215_pii_pseudonymize,
+    "q216_dedup_yield_curve": q216_dedup_yield_curve,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -14224,6 +14529,10 @@ ORACLES: dict[str, str] = {
     "q210_heaps_law": Q210_SQL,
     "q211_bfs_hops": Q211_SQL,
     "q212_ngram_precision_eval": Q212_SQL,
+    "q213_deterministic_walks": Q213_SQL,
+    "q214_hybrid_skew_join": Q214_SQL,
+    "q215_pii_pseudonymize": Q215_SQL,
+    "q216_dedup_yield_curve": Q216_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

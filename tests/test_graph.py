@@ -490,3 +490,44 @@ def test_bfs_hops_multi_seed_takes_min(spark):
     )
     got = {r["node"]: r["hop"] for r in bfs_hops(edges, seeds=[0, 9]).collect()}
     assert got == {0: 0, 9: 0, 1: 1, 2: 2, 3: 1}
+
+
+def test_deterministic_walks_tiny_graph_matches_hand_md5(spark):
+    """Each step must pick the out-neighbor with the smallest
+    md5(salt|walk_id|step|neighbor) — verified against hashlib."""
+    import hashlib
+
+    from hoover_snoop2_spark.operators.graph import deterministic_walks
+
+    edges = spark.createDataFrame(
+        [(0, 1), (0, 2), (1, 0), (1, 2), (2, 0), (2, 1)],
+        "src long, dst long",
+    )
+    seeds = spark.createDataFrame([(0,), (1,), (2,)], "walk_id long")
+    out = deterministic_walks(edges, seeds, length=4, salt="t")
+    got = {
+        (r["walk_id"], r["step"]): r["node"] for r in out.collect()
+    }
+    nbrs = {0: [1, 2], 1: [0, 2], 2: [0, 1]}
+    for wid in (0, 1, 2):
+        cur = wid
+        assert got[(wid, 0)] == wid
+        for step in range(1, 5):
+            cur = min(
+                nbrs[cur],
+                key=lambda n: hashlib.md5(
+                    f"t|{wid}|{step}|{n}".encode()
+                ).hexdigest(),
+            )
+            assert got[(wid, step)] == cur
+
+
+def test_deterministic_walks_reproducible_and_sink_truncates(spark):
+    from hoover_snoop2_spark.operators.graph import deterministic_walks
+
+    # 0 -> 1 -> 2 (sink): the walk from 0 must stop at step 2
+    edges = spark.createDataFrame([(0, 1), (1, 2)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "walk_id long")
+    a = sorted(map(tuple, deterministic_walks(edges, seeds, 8).collect()))
+    b = sorted(map(tuple, deterministic_walks(edges, seeds, 8).collect()))
+    assert a == b == [(0, 0, 0), (0, 1, 1), (0, 2, 2)]

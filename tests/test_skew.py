@@ -104,3 +104,38 @@ def test_salted_join_spreads_hot_key_and_salts_plan(spark):
     )
     n_salts = salted_fact.select("_sjsalt").distinct().count()
     assert n_salts > 4  # 200 hot rows spread over 8 buckets
+
+
+def test_hybrid_skew_join_matches_plain_join_and_splits_plan(spark):
+    """Result identical to a plain inner join; the physical plan must
+    contain BOTH a broadcast hash join (hot branch) and a sort-merge
+    join (cold branch)."""
+    from pyspark.sql import functions as F2
+
+    from hoover_snoop2_spark.plans.skew import hybrid_skew_join
+
+    # key 1 hot (300 rows), keys 2..21 cold (5 rows each); dim covers
+    # 1..21 plus an unmatched 99
+    fact = spark.createDataFrame(
+        [(i, 1) for i in range(300)]
+        + [(1000 + 20 * j + k, 2 + k) for j in range(5) for k in range(20)],
+        "rid long, k long",
+    )
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in list(range(1, 22)) + [99]], "dk long, name string"
+    )
+    out = hybrid_skew_join(fact, dim, "k", "dk", hot_threshold=100)
+    plain = fact.join(dim, fact["k"] == dim["dk"])
+    assert (
+        sorted(map(tuple, out.select("rid", "k", "name").collect()))
+        == sorted(map(tuple, plain.select("rid", "k", "name").collect()))
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" in plan
+
+    # hot slice really is just the hot key
+    counts = fact.groupBy("k").count()
+    assert [
+        r["k"] for r in counts.filter(F2.col("count") >= 100).collect()
+    ] == [1]

@@ -183,6 +183,10 @@ AUDITED = [
     "q210_heaps_law",
     "q211_bfs_hops",
     "q212_ngram_precision_eval",
+    "q213_deterministic_walks",
+    "q214_hybrid_skew_join",
+    "q215_pii_pseudonymize",
+    "q216_dedup_yield_curve",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -666,9 +670,28 @@ CHECKS = {
     "q211_bfs_hops": ["!CartesianProduct", "!ArrowEvalPython", "!Window"],
     "q212_ngram_precision_eval": ["Generate", "HashAggregate", "!Window",
                                   "!CartesianProduct", "!ArrowEvalPython"],
+    # per-step walk joins are pinned behind localCheckpoint (q211
+    # convention); the captured plan is the union of the pinned steps
+    "q213_deterministic_walks": ["!CartesianProduct", "!ArrowEvalPython",
+                                 "!Window"],
+    # the audit's point: BOTH strategies in one plan — hot branch
+    # broadcast, cold branch sort-merge
+    "q214_hybrid_skew_join": ["BroadcastHashJoin", "SortMergeJoin",
+                              "HashAggregate", "!CartesianProduct",
+                              "!ArrowEvalPython"],
+    "q215_pii_pseudonymize": ["Generate", "HashAggregate",
+                              "!CartesianProduct", "!ArrowEvalPython"],
+    "q216_dedup_yield_curve": ["Generate", "HashAggregate",
+                               "!CartesianProduct", "!ArrowEvalPython"],
 }
 
 NOTES = {
+    "q216_dedup_yield_curve": "the one BroadcastNestedLoopJoin is the "
+        "1-row total-docs scalar join (q21 convention); the pair "
+        "generation itself is a shingle equi-self-join — never all-pairs.",
+    "q213_deterministic_walks": "per-step frontier joins are pinned "
+        "behind localCheckpoint/CheckpointStore; the captured plan is "
+        "the union of pinned step outputs plus the final sort.",
     "q210_heaps_law": "the cumulative-sum Window is unpartitioned by "
         "design but its input is checkpoint-count-sized (n_docs/50 rows "
         "after the aggregates) — the corpus-sized work is the explode + "
