@@ -81,3 +81,95 @@ def stateful_dedup_counts(stream_df, key_col: str = "host"):
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithState (Spark 4 stateful v2): streaming first-seen dedup
+# ---------------------------------------------------------------------------
+
+FIRST_SEEN_OUTPUT = "fp string, url string, n_dupes long"
+
+
+def _first_seen_processor(ttl_ms):
+    """Build the StatefulProcessor class lazily — pyspark's streaming
+    submodule import is deferred so batch-only sessions never pay it."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class FirstSeenProcessor(StatefulProcessor):
+        """Per-fingerprint ValueState: (first_url, dupes_seen).  A row
+        whose fingerprint has live state is a duplicate (counted, not
+        emitted); the first row per fingerprint is emitted with the
+        running duplicate count at that point (0).  Within one
+        micro-batch, the deterministic representative is the MINIMUM
+        url, so retries and engines agree."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._seen = handle.getValueState(
+                "seen",
+                "first_url string, dupes long",
+                ttlDurationMs=ttl_ms,
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            urls = []
+            for pdf in rows:
+                urls.extend(pdf["url"].tolist())
+            if not urls:
+                return iter(())
+            if self._seen.exists():
+                first_url, dupes = self._seen.get()
+                self._seen.update((first_url, dupes + len(urls)))
+                return iter(())
+            rep = min(urls)
+            self._seen.update((rep, len(urls) - 1))
+            return iter(
+                [pd.DataFrame([{
+                    "fp": key[0],
+                    "url": rep,
+                    "n_dupes": len(urls) - 1,
+                }])]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return FirstSeenProcessor()
+
+
+def first_seen_stream(stream_df, fp_col: str = "fp", url_col: str = "url",
+                      ttl_ms: int | None = None):
+    """Streaming first-occurrence dedup via ``transformWithStateInPandas``
+    (the Spark 4 arbitrary-state v2 API) — the engine-native upgrade of
+    ``dropDuplicates`` for long-running ingest: per-fingerprint typed
+    ValueState with an optional TTL, so the dedup window is bounded by
+    STATE EXPIRY instead of unbounded memory (the v1
+    ``applyInPandasWithState`` operator above has to cap its own state
+    by hand; v2 TTL state is swept by the store itself).  The reference
+    dedups forever against the Blob PK (models.py:102-113) — batch
+    semantics; a streaming ingest at 100 TB needs expiring state or the
+    store grows with the corpus.
+
+    Scale notes: state lives in the per-executor RocksDB state store
+    (enable ``RocksDBStateStoreProvider`` — changelog checkpointing
+    keeps commits incremental); keys shuffle once on the fingerprint;
+    output is append-mode (first occurrences only), so downstream sinks
+    see an insert-only stream.  TTL is processing-time based, matching
+    a crawl's "re-accept after N days" recrawl rule.
+    """
+    from pyspark.sql import functions as F
+
+    src = stream_df.select(
+        F.col(fp_col).cast("string").alias("fp"),
+        F.col(url_col).cast("string").alias("url"),
+    )
+    return src.groupBy("fp").transformWithStateInPandas(
+        statefulProcessor=_first_seen_processor(ttl_ms),
+        outputStructType=FIRST_SEEN_OUTPUT,
+        outputMode="Append",
+        timeMode="ProcessingTime",
+    )

@@ -3,6 +3,7 @@ micro-batches (the admin stats-matrix bookkeeping as grouped state)."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -47,3 +48,133 @@ def test_stateful_dedup_counts(spark, tmp_path):
     assert final["h3"] == (1, 1, True)
     # updates were emitted per micro-batch, not only at the end
     assert got.filter(F.col("key") == "h1").count() >= 2
+
+
+def _has_protobuf() -> bool:
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+@pytest.mark.skipif(
+    not _has_protobuf(),
+    reason="transformWithState needs the protobuf python package "
+    "(state-server wire protocol); absent in this container",
+)
+def test_transform_with_state_first_seen(spark, tmp_path):
+    """transformWithStateInPandas (stateful v2): only the first
+    occurrence of each fingerprint is emitted across micro-batches;
+    later duplicates update state silently."""
+    from hoover_snoop2_spark.streaming.stateful import first_seen_stream
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "fp string, url string"
+    # batch 1: f1 twice (min url b), f2 once
+    spark.createDataFrame(
+        [("f1", "u/b"), ("f1", "u/c"), ("f2", "u/a")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    # batch 2: f1 again (dup, silent), f3 new
+    spark.createDataFrame(
+        [("f1", "u/a"), ("f3", "u/z")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    old = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        out = first_seen_stream(stream)
+        q = (
+            out.writeStream.outputMode("append")
+            .format("memory")
+            .queryName("first_seen")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        got = {
+            r["fp"]: (r["url"], r["n_dupes"])
+            for r in spark.sql("SELECT * FROM first_seen").collect()
+        }
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", old
+            )
+    # exactly one row per fingerprint, first batch's min url wins
+    assert got == {"f1": ("u/b", 1), "f2": ("u/a", 0), "f3": ("u/z", 0)}
+
+
+def test_first_seen_processor_logic_without_spark():
+    """The v2 processor's per-key logic, driven directly with a fake
+    handle/state — runs even where the protobuf wire protocol (and thus
+    the real transformWithState operator) is unavailable."""
+    import pandas as pd
+
+    from hoover_snoop2_spark.streaming.stateful import _first_seen_processor
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.states = {}
+
+        def getValueState(self, name, schema, ttlDurationMs=None):
+            self.states[name] = FakeValueState()
+            self.ttl = ttlDurationMs
+            return self.states[name]
+
+    proc = _first_seen_processor(ttl_ms=86_400_000)
+    h = FakeHandle()
+    proc.init(h)
+    assert h.ttl == 86_400_000
+
+    # batch 1: two urls for f1 → emit min url with 1 dupe
+    out = list(
+        proc.handleInputRows(
+            ("f1",), iter([pd.DataFrame({"url": ["u/c", "u/b"]})]), None
+        )
+    )
+    assert len(out) == 1
+    row = out[0].iloc[0]
+    assert (row["fp"], row["url"], row["n_dupes"]) == ("f1", "u/b", 1)
+
+    # batch 2: f1 again → silent, state dupes incremented
+    out2 = list(
+        proc.handleInputRows(
+            ("f1",), iter([pd.DataFrame({"url": ["u/a"]})]), None
+        )
+    )
+    assert out2 == []
+    assert h.states["seen"].get() == ("u/b", 2)
+
+    # empty batch: no emit, no state change
+    out3 = list(proc.handleInputRows(("f1",), iter([]), None))
+    assert out3 == []
+    assert h.states["seen"].get() == ("u/b", 2)
+    proc.close()
