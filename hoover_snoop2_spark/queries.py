@@ -14118,6 +14118,231 @@ ORDER BY t.threshold_pm
 """
 
 
+def q217_quote_attribution(spark, sf_dir):
+    """Cross-document quote attribution — who quotes whom: quoted spans
+    ("...") are extracted from each page and linked to the documents
+    that CONTAIN that span verbatim, yielding the citation/quotation
+    graph news and provenance pipelines mine.  Deterministic quotes are
+    injected in-query (doc i quotes the first 8 words of doc i-3).
+
+    The scalable shape is the point: a containment join (quote ⊂ text)
+    is a non-equi predicate that would plan as a cartesian product, so
+    the quote's leading word-8-gram becomes an EQUI key against the
+    corpus's 8-gram shingle index (one explode + one hash join), and
+    the exact `instr` containment check runs only on the bucketed
+    candidates — the same index-then-verify discipline as the LSH
+    dedup family (q30).  A quote also matches duplicates of its true
+    source; those extra edges are the quote graph's honest answer, not
+    noise.  All-string/integer output, engine-stable."""
+    from .operators.dedup import shingles_col
+
+    d = _t(spark, sf_dir, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    first8 = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(words, 1, 8)).alias("f8"),
+    )
+    synth = (
+        d.select(F.col("doc_id").alias("quoting_id"), "text")
+        .join(
+            first8.withColumnRenamed("doc_id", "src8_id"),
+            F.col("src8_id") == F.col("quoting_id") - 3,
+        )
+        .select(
+            "quoting_id",
+            F.concat(
+                F.col("text"), F.lit(' He said "'), F.col("f8"), F.lit('".')
+            ).alias("t"),
+        )
+    )
+    quotes = synth.select(
+        "quoting_id",
+        F.explode(
+            F.regexp_extract_all("t", F.lit(r'"([^"]{10,200})"'), 1)
+        ).alias("quote"),
+    )
+    qkeyed = quotes.select(
+        "quoting_id",
+        "quote",
+        F.concat_ws(
+            " ", F.slice(F.split(F.trim(F.col("quote")), r"\s+"), 1, 8)
+        ).alias("g"),
+    )
+    idx = d.select(
+        F.col("doc_id").alias("src_id"),
+        F.explode(
+            F.array_distinct(shingles_col("text", k=8))
+        ).alias("g"),
+    )
+    hits = (
+        qkeyed.join(idx, "g")
+        .filter(F.col("src_id") != F.col("quoting_id"))
+        .join(
+            d.select(F.col("doc_id").alias("src_id"), F.col("text").alias("src_text")),
+            "src_id",
+        )
+        .filter(F.instr("src_text", F.col("quote")) > 0)
+    )
+    return (
+        hits.groupBy("quoting_id", "src_id")
+        .agg(F.count("*").cast("long").alias("n_quotes"))
+        .orderBy("quoting_id", "src_id")
+    )
+
+
+Q217_SQL = r"""
+WITH w AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\s+') AS wl
+  FROM documents
+), first8 AS (
+  SELECT doc_id, array_to_string(wl[1:8], ' ') AS f8 FROM w
+), synth AS (
+  SELECT q.doc_id AS quoting_id,
+         q.text || ' He said "' || s.f8 || '".' AS t
+  FROM documents q JOIN first8 s ON s.doc_id = q.doc_id - 3
+), quotes AS (
+  SELECT quoting_id,
+         unnest(regexp_extract_all(t, '"([^"]{10,200})"', 1)) AS quote
+  FROM synth
+), qk AS (
+  SELECT quoting_id, quote,
+         array_to_string(
+           (regexp_split_to_array(trim(quote), '\s+'))[1:8], ' ') AS g
+  FROM quotes
+), idx AS (
+  SELECT doc_id AS src_id,
+         unnest(list_distinct(
+           CASE WHEN len(wl) < 8 THEN [array_to_string(wl, ' ')]
+                ELSE list_transform(range(1, len(wl) - 6),
+                                    i -> array_to_string(wl[i:i+7], ' '))
+           END)) AS g
+  FROM w
+), hits AS (
+  SELECT q.quoting_id, i.src_id, q.quote
+  FROM qk q JOIN idx i USING (g)
+  WHERE i.src_id <> q.quoting_id
+)
+SELECT h.quoting_id, h.src_id, count(*)::BIGINT AS n_quotes
+FROM hits h JOIN documents d ON d.doc_id = h.src_id
+WHERE position(h.quote IN d.text) > 0
+GROUP BY h.quoting_id, h.src_id
+ORDER BY h.quoting_id, h.src_id
+"""
+
+
+def q218_filtered_ann(spark, sf_dir):
+    """Filtered vector search — top-5 neighbors restricted to the
+    query's OWN label, the production ANN pattern (metadata predicate +
+    vector score: "similar docs in the same language / collection /
+    tenant").  The plan is the point, in contrast to q207's deliberate
+    broadcast cross join: here the filter attribute becomes the JOIN
+    KEY, so candidate scoring is a label-keyed HASH join — the
+    predicate prunes BEFORE any score is computed, and the audit
+    asserts no cross or nested-loop join exists.  At 100 TB the same
+    shape holds with (label, lsh_bucket) composite keys.  Scoring is
+    q207's SQ8 integer dot product (driver-trained per-dim min/max as
+    literals), so every value is integer/boolean and the oracle hashes
+    exactly."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    stats = (
+        e.select(F.posexplode("embedding").alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+
+    def _dlit(x: float) -> str:
+        return f"{float(x):.17e}".upper()
+
+    mns = ", ".join(_dlit(r["mn"]) for r in stats)
+    mxs = ", ".join(_dlit(r["mx"]) for r in stats)
+    qexpr = (
+        f"transform(embedding, (x, i) -> CASE"
+        f" WHEN element_at(array({mxs}), i + 1)"
+        f" = element_at(array({mns}), i + 1) THEN 0L"
+        f" ELSE CAST(least(255.0e0, greatest(0.0e0,"
+        f" floor((cast(x as double) - element_at(array({mns}), i + 1))"
+        f" * 255.0e0 / (element_at(array({mxs}), i + 1)"
+        f" - element_at(array({mns}), i + 1))))) AS BIGINT) END)"
+    )
+    quant = e.select("vec_id", "label", F.expr(qexpr).alias("q"))
+    queries = quant.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("qlabel"),
+        F.col("q").alias("qq"),
+    )
+    cand = quant.where(F.col("vec_id") >= 10)
+    scored = cand.join(
+        queries, cand["label"] == queries["qlabel"]
+    ).select(
+        "query_id",
+        "label",
+        "vec_id",
+        F.expr(
+            "aggregate(zip_with(q, qq, (p, s) -> p * s), 0L,"
+            " (acc, v) -> acc + v)"
+        ).alias("score"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(wq))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            F.col("label").cast("long").alias("label"),
+            "vec_id",
+            "score",
+            F.col("rank").cast("long").alias("rank"),
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+Q218_SQL = """
+WITH stats AS (
+  SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+  FROM (
+    SELECT i AS pos, min(embedding[i]::DOUBLE) AS mn,
+           max(embedding[i]::DOUBLE) AS mx
+    FROM embeddings,
+         (SELECT unnest(range(1, 65)) AS i)
+    GROUP BY i
+  )
+), quant AS (
+  SELECT vec_id, label,
+         [CASE WHEN s.mxs[i] = s.mns[i] THEN 0
+               ELSE least(255.0, greatest(0.0,
+                    floor((embedding[i]::DOUBLE - s.mns[i]) * 255.0
+                          / (s.mxs[i] - s.mns[i]))))::BIGINT END
+          FOR i IN range(1, 65)] AS q
+  FROM embeddings, stats s
+), queries AS (
+  SELECT vec_id AS query_id, label AS qlabel, q AS qq
+  FROM quant WHERE vec_id < 10
+), scored AS (
+  SELECT qs.query_id, cd.label, cd.vec_id,
+         list_reduce(list_prepend(0::BIGINT,
+           [cd.q[i] * qs.qq[i] FOR i IN range(1, 65)]),
+           (acc, v) -> acc + v) AS score
+  FROM quant cd JOIN queries qs ON cd.label = qs.qlabel
+  WHERE cd.vec_id >= 10
+), ranked AS (
+  SELECT query_id, label, vec_id, score,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, label::BIGINT AS label, vec_id, score,
+       rank::BIGINT AS rank
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -14327,6 +14552,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q214_hybrid_skew_join": q214_hybrid_skew_join,
     "q215_pii_pseudonymize": q215_pii_pseudonymize,
     "q216_dedup_yield_curve": q216_dedup_yield_curve,
+    "q217_quote_attribution": q217_quote_attribution,
+    "q218_filtered_ann": q218_filtered_ann,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -14533,6 +14760,8 @@ ORACLES: dict[str, str] = {
     "q214_hybrid_skew_join": Q214_SQL,
     "q215_pii_pseudonymize": Q215_SQL,
     "q216_dedup_yield_curve": Q216_SQL,
+    "q217_quote_attribution": Q217_SQL,
+    "q218_filtered_ann": Q218_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

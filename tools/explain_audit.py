@@ -187,6 +187,8 @@ AUDITED = [
     "q214_hybrid_skew_join",
     "q215_pii_pseudonymize",
     "q216_dedup_yield_curve",
+    "q217_quote_attribution",
+    "q218_filtered_ann",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -683,6 +685,16 @@ CHECKS = {
                               "!CartesianProduct", "!ArrowEvalPython"],
     "q216_dedup_yield_curve": ["Generate", "HashAggregate",
                                "!CartesianProduct", "!ArrowEvalPython"],
+    # the audit's point: the containment join is keyed by the quote's
+    # leading 8-gram — equi hash join + verify, never a cartesian
+    "q217_quote_attribution": ["Generate", "HashAggregate",
+                               "!CartesianProduct",
+                               "!BroadcastNestedLoopJoin",
+                               "!ArrowEvalPython"],
+    # contrast with q207: the label predicate becomes the join key, so
+    # scoring is a hash join — no cross/nested-loop join anywhere
+    "q218_filtered_ann": ["WindowGroupLimit", "!CartesianProduct",
+                          "!BroadcastNestedLoopJoin", "!ArrowEvalPython"],
 }
 
 NOTES = {
