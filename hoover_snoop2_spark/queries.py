@@ -14343,6 +14343,115 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q219_mixed_script_spoof(spark, sf_dir):
+    """Mixed-script confusable detection — tokens mixing Latin and
+    Cyrillic letters inside ONE word ('pаypal' with U+0430) are the
+    classic homoglyph-spoof signal (IDN phishing, SEO cloaking,
+    adversarial SEO text) that a trust-and-safety gate runs before
+    training on web text; single-script Cyrillic words are fine and
+    must NOT flag.  Spoofed tokens are injected deterministically
+    (doc_id%7 → 'pаypal.com', doc_id%11 → 'sеcurе-login', both with
+    Cyrillic vowels), mixed-script = one token matching BOTH [A-Za-z]
+    and [а-яА-ЯёЁ] — pure JVM rlike filters over an exploded token
+    column, one groupBy(doc_id) with map-side combine.  Flagged token
+    lists are sorted and pipe-joined (binary UTF-8 collation in both
+    engines, q23's array-stringify convention)."""
+    d = _t(spark, sf_dir, "documents")
+    synth = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(" pаypal.com"))
+        .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0, F.lit(" sеcurе-login"))
+        .otherwise(F.lit("")),
+    )
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(synth), r"\s+")).alias("tok")
+    )
+    mixed = toks.filter(
+        F.col("tok").rlike("[A-Za-z]")
+        & F.col("tok").rlike("[а-яА-ЯёЁ]")
+    )
+    return (
+        mixed.groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_mixed"),
+            F.array_join(
+                F.sort_array(F.collect_set("tok")), "|"
+            ).alias("spoof_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q219_SQL = r"""
+WITH synth AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' p' || chr(1072) || 'ypal.com' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' s' || chr(1077) || 'cur' || chr(1077) || '-login'
+                   ELSE '' END AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(t), '\s+')) AS tok
+  FROM synth
+), mixed AS (
+  SELECT doc_id, tok FROM toks
+  WHERE regexp_matches(tok, '[A-Za-z]')
+    AND regexp_matches(tok, '[' || chr(1072) || '-' || chr(1103)
+                        || chr(1040) || '-' || chr(1071)
+                        || chr(1105) || chr(1025) || ']')
+)
+SELECT doc_id, count(*)::BIGINT AS n_mixed,
+       array_to_string(list_sort(list_distinct(list(tok))), '|')
+         AS spoof_tokens
+FROM mixed GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q220_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS ((lang), (source)) — the OLAP shape
+    neither q176's ROLLUP nor q185's CUBE can express: two independent
+    marginals, NO combined level and NO grand total, in ONE pass (one
+    Expand + one shuffle instead of two union'd jobs — at 100 TB the
+    corpus scans once).  Uses the DataFrame-native ``groupingSets``
+    API (Spark 4); grouping() flags disambiguate the set each row
+    belongs to, exactly as in the rollup/cube siblings."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupingSets([["lang"], ["source"]], "lang", "source")
+        .agg(
+            F.grouping("lang").cast("long").alias("g_lang"),
+            F.grouping("source").cast("long").alias("g_source"),
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "g_lang",
+            "g_source",
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("g_lang", "g_source", "lang", "source")
+    )
+
+
+Q220_SQL = r"""
+SELECT coalesce(lang, '<all>') AS lang,
+       coalesce(source, '<all>') AS source,
+       grouping(lang)::BIGINT AS g_lang,
+       grouping(source)::BIGINT AS g_source,
+       count(*)::BIGINT AS n_docs,
+       sum(n_chars)::BIGINT AS total_chars
+FROM documents
+GROUP BY GROUPING SETS ((lang), (source))
+ORDER BY g_lang, g_source, lang, source
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -14554,6 +14663,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q216_dedup_yield_curve": q216_dedup_yield_curve,
     "q217_quote_attribution": q217_quote_attribution,
     "q218_filtered_ann": q218_filtered_ann,
+    "q219_mixed_script_spoof": q219_mixed_script_spoof,
+    "q220_grouping_sets": q220_grouping_sets,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -14762,6 +14873,8 @@ ORACLES: dict[str, str] = {
     "q216_dedup_yield_curve": Q216_SQL,
     "q217_quote_attribution": Q217_SQL,
     "q218_filtered_ann": Q218_SQL,
+    "q219_mixed_script_spoof": Q219_SQL,
+    "q220_grouping_sets": Q220_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

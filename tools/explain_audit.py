@@ -189,6 +189,8 @@ AUDITED = [
     "q216_dedup_yield_curve",
     "q217_quote_attribution",
     "q218_filtered_ann",
+    "q219_mixed_script_spoof",
+    "q220_grouping_sets",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -695,6 +697,11 @@ CHECKS = {
     # scoring is a hash join — no cross/nested-loop join anywhere
     "q218_filtered_ann": ["WindowGroupLimit", "!CartesianProduct",
                           "!BroadcastNestedLoopJoin", "!ArrowEvalPython"],
+    "q219_mixed_script_spoof": ["Generate", "HashAggregate",
+                                "!CartesianProduct", "!ArrowEvalPython"],
+    # one Expand + one aggregate — two marginals in a single corpus scan
+    "q220_grouping_sets": ["Expand", "HashAggregate", "!Generate",
+                           "!CartesianProduct", "!ArrowEvalPython"],
 }
 
 NOTES = {
