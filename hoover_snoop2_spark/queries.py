@@ -14452,6 +14452,166 @@ ORDER BY g_lang, g_source, lang, source
 """
 
 
+def q221_link_nepotism(spark, sf_dir):
+    """Per-host outlink nepotism and diversity — the link-spam signals
+    TrustRank-era search engines gate on: self-link ratio (nepotistic
+    hosts link mostly to themselves) and outlink-target entropy (spam
+    farms concentrate on few targets; organic hosts spread).  Over the
+    q51 host graph: one groupBy(src, dst) for the distribution, one
+    groupBy(src) rollup; the entropy sum uses q194's micro-bits idiom
+    (quantize each (c/n)·log2(n/c) term to an integer BEFORE summing)
+    so the BIGINT result hash-matches cross-engine."""
+    edges = _host_edges(spark, sf_dir)
+    dist = edges.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("c")
+    )
+    tot = dist.groupBy("src_host").agg(
+        F.sum("c").alias("n"),
+        F.sum(
+            F.when(F.col("dst_host") == F.col("src_host"), F.col("c"))
+            .otherwise(F.lit(0))
+        ).alias("n_self"),
+        F.count("*").alias("distinct_targets"),
+    )
+    term = F.floor(
+        (F.col("c") / F.col("n"))
+        * F.log2(F.col("n") / F.col("c"))
+        * 1000000
+        + F.lit(0.5)
+    )
+    ent = (
+        dist.join(tot.select("src_host", "n"), "src_host")
+        .groupBy("src_host")
+        .agg(F.sum(term).cast("long").alias("entropy_ubits"))
+    )
+    return (
+        tot.join(ent, "src_host")
+        .select(
+            "src_host",
+            F.col("n").cast("long").alias("n_outlinks"),
+            F.col("n_self").cast("long").alias("n_self"),
+            F.expr("n_self * 1000 div n").cast("long")
+            .alias("self_permille"),
+            F.col("distinct_targets").cast("long")
+            .alias("distinct_targets"),
+            "entropy_ubits",
+        )
+        .orderBy("src_host")
+    )
+
+
+Q221_SQL = r"""
+WITH h AS (
+  SELECT doc_id, doc_id % 7 AS src_host,
+         '<html><body><a href="https://site'
+           || CAST((doc_id * 3) % 7 AS VARCHAR)
+           || '.example/a">x</a> text <a href="https://site'
+           || CAST((doc_id + 1) % 7 AS VARCHAR)
+           || '.example/b">y</a></body></html>' AS html
+  FROM documents
+), l AS (
+  SELECT src_host,
+         CAST(unnest(regexp_extract_all(
+           html, 'href="https://site(\d+)\.example', 1)) AS BIGINT) AS dst
+  FROM h
+), dist AS (
+  SELECT src_host, dst, count(*) AS c FROM l GROUP BY src_host, dst
+), tot AS (
+  SELECT src_host, sum(c) AS n,
+         sum(CASE WHEN dst = src_host THEN c ELSE 0 END) AS n_self,
+         count(*) AS distinct_targets
+  FROM dist GROUP BY src_host
+), ent AS (
+  SELECT d.src_host,
+         sum(floor((d.c::DOUBLE / t.n) * log2(t.n::DOUBLE / d.c)
+                   * 1000000 + 0.5))::BIGINT AS entropy_ubits
+  FROM dist d JOIN tot t USING (src_host) GROUP BY d.src_host
+)
+SELECT t.src_host, t.n::BIGINT AS n_outlinks, t.n_self::BIGINT AS n_self,
+       (t.n_self * 1000 // t.n)::BIGINT AS self_permille,
+       t.distinct_targets::BIGINT AS distinct_targets,
+       e.entropy_ubits
+FROM tot t JOIN ent e USING (src_host)
+ORDER BY t.src_host
+"""
+
+
+def q222_shard_skew_planner(spark, sf_dir):
+    """Shard-layout planning — BEFORE committing a corpus to N
+    hash-shards, audit the byte load each shard would receive and the
+    imbalance factor (max/mean), the number that decides whether the
+    shard key needs salting.  The shard is a content-keyed hash of the
+    synthesized host (first two md5 hex bytes via ascii(), an
+    engine-portable 16-bit integer — xxhash64 exists only in Spark),
+    so the SAME assignment is computable anywhere the data lands.
+    One groupBy(shard) with map-side combine; the imbalance rollup is
+    a 32-row aggregate."""
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("site"), (F.col("doc_id") % 97).cast("string"),
+        F.lit(".example"),
+    )
+    md5h = F.md5(host)
+    shard = (
+        F.ascii(F.substring(md5h, 1, 1)) * 256
+        + F.ascii(F.substring(md5h, 2, 1))
+    ) % 32
+    per = d.select(
+        shard.cast("long").alias("shard"),
+        F.col("n_chars").alias("bytes"),
+    ).groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("bytes").cast("long").alias("total_bytes"),
+    )
+    stats = per.agg(
+        F.max("total_bytes").alias("mx"),
+        F.sum("total_bytes").alias("tot"),
+        F.count("*").alias("n_shards"),
+    )
+    return (
+        per.crossJoin(F.broadcast(stats))
+        .select(
+            "shard",
+            "n_docs",
+            "total_bytes",
+            F.expr("total_bytes * n_shards * 1000 div tot")
+            .cast("long")
+            .alias("load_permille_of_mean"),
+            F.expr("mx * n_shards * 1000 div tot")
+            .cast("long")
+            .alias("imbalance_permille"),
+        )
+        .orderBy("shard")
+    )
+
+
+Q222_SQL = r"""
+WITH s AS (
+  SELECT (ascii(substr(md5('site' || CAST(doc_id % 97 AS VARCHAR)
+                           || '.example'), 1, 1)) * 256
+          + ascii(substr(md5('site' || CAST(doc_id % 97 AS VARCHAR)
+                             || '.example'), 2, 1))) % 32 AS shard,
+         n_chars AS bytes
+  FROM documents
+), per AS (
+  SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_docs,
+         sum(bytes)::BIGINT AS total_bytes
+  FROM s GROUP BY shard
+), stats AS (
+  SELECT max(total_bytes) AS mx, sum(total_bytes) AS tot,
+         count(*) AS n_shards
+  FROM per
+)
+SELECT p.shard, p.n_docs, p.total_bytes,
+       (p.total_bytes * st.n_shards * 1000 // st.tot)::BIGINT
+         AS load_permille_of_mean,
+       (st.mx * st.n_shards * 1000 // st.tot)::BIGINT
+         AS imbalance_permille
+FROM per p, stats st
+ORDER BY p.shard
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -14665,6 +14825,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q218_filtered_ann": q218_filtered_ann,
     "q219_mixed_script_spoof": q219_mixed_script_spoof,
     "q220_grouping_sets": q220_grouping_sets,
+    "q221_link_nepotism": q221_link_nepotism,
+    "q222_shard_skew_planner": q222_shard_skew_planner,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -14875,6 +15037,8 @@ ORACLES: dict[str, str] = {
     "q218_filtered_ann": Q218_SQL,
     "q219_mixed_script_spoof": Q219_SQL,
     "q220_grouping_sets": Q220_SQL,
+    "q221_link_nepotism": Q221_SQL,
+    "q222_shard_skew_planner": Q222_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -191,6 +191,8 @@ AUDITED = [
     "q218_filtered_ann",
     "q219_mixed_script_spoof",
     "q220_grouping_sets",
+    "q221_link_nepotism",
+    "q222_shard_skew_planner",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -702,6 +704,11 @@ CHECKS = {
     # one Expand + one aggregate — two marginals in a single corpus scan
     "q220_grouping_sets": ["Expand", "HashAggregate", "!Generate",
                            "!CartesianProduct", "!ArrowEvalPython"],
+    "q221_link_nepotism": ["Generate", "HashAggregate", "!Window",
+                           "!CartesianProduct", "!ArrowEvalPython"],
+    # the BNLJ is the 1-row stats scalar join (q21/q216 convention)
+    "q222_shard_skew_planner": ["HashAggregate", "!Generate", "!Window",
+                                "!CartesianProduct", "!ArrowEvalPython"],
 }
 
 NOTES = {
