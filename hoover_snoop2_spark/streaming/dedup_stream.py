@@ -97,3 +97,31 @@ def stream_near_dups(
             F.round("jaccard", 4).alias("jaccard"),
         )
     )
+
+
+def watermarked_exact_dedup(
+    stream_df: DataFrame,
+    fp_col: str = "fp",
+    ts_col: str = "ts",
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Exact streaming dedup with BOUNDED state —
+    ``dropDuplicatesWithinWatermark``: a fingerprint seen once
+    suppresses all duplicates arriving within the watermark window,
+    and the engine evicts its state once the event-time watermark
+    passes (plain streaming ``dropDuplicates`` keys state forever and
+    OOMs a long-running ingest).  This is the built-in sibling of
+    ``stateful.first_seen_stream`` (typed TTL state): watermark-bounded
+    when duplicates cluster in event time — a crawl frontier re-seeing
+    a url within the same fetch wave — TTL-bounded when the recrawl
+    rule is wall-clock.  The reference's forever-dedup against the
+    Blob PK (models.py:102-113) is what the watermark makes safe at
+    stream scale.
+
+    Single shuffle on the fingerprint; append output mode; downstream
+    sees an insert-only stream of first occurrences.
+    """
+    return (
+        stream_df.withWatermark(ts_col, delay)
+        .dropDuplicatesWithinWatermark([fp_col])
+    )

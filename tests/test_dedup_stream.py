@@ -83,3 +83,56 @@ def test_stream_plan_has_no_stream_stream_join(spark, tmp_path):
     # exactly ONE streaming leaf: a second one would mean the stream was
     # projected twice and self-joined (stateful, unbounded)
     assert plan.count("StreamingRelation") == 1
+
+
+def test_watermarked_exact_dedup_bounded_state(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the watermark
+    window collapse to the first occurrence; output stays append-only."""
+    import os
+
+    from pyspark.sql import functions as F2
+
+    from hoover_snoop2_spark.streaming.dedup_stream import (
+        watermarked_exact_dedup,
+    )
+
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    schema = "fp string, url string, ts timestamp"
+    rows1 = [
+        ("a", "u1", "2024-01-01 10:00:00"),
+        ("a", "u2", "2024-01-01 10:00:05"),
+        ("b", "u3", "2024-01-01 10:00:10"),
+    ]
+    rows2 = [
+        ("a", "u4", "2024-01-01 10:01:00"),  # dup within watermark
+        ("c", "u5", "2024-01-01 10:01:30"),
+    ]
+    for batch in (rows1, rows2):
+        spark.createDataFrame(batch, "fp string, url string, ts string").select(
+            "fp", "url", F2.to_timestamp("ts").alias("ts")
+        ).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = watermarked_exact_dedup(stream, delay="10 minutes")
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dedup")
+        .option("checkpointLocation", str(tmp_path / "ckpt_wm"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        (r["fp"], r["url"])
+        for r in spark.sql("SELECT fp, url FROM wm_dedup").collect()
+    )
+    # one row per fingerprint — the first seen; a's u2/u4 suppressed
+    assert [fp for fp, _ in got] == ["a", "b", "c"]
+    assert ("a", "u1") in got or ("a", "u2") in got  # first batch wins
+    assert ("a", "u4") not in got

@@ -70,3 +70,29 @@ def test_email_header_in_digest_and_sink(spark, digests):
     es = to_es_documents(digests)
     row = es.filter(F.col("content-type") == "message/rfc822").first()
     assert row["email-header"] and row["email-header-key"]
+
+
+def test_mhtml_saved_page_extracts_html_body():
+    """MHTML (.mht saved web page) is MIME multipart/related — it must
+    route through the rfc822 path and surface the html part's text,
+    with the page title as the subject."""
+    from hoover_snoop2_spark.operators.analyze import analyze_blob
+
+    mht = (
+        b"From: <Saved by WebBrowser>\r\n"
+        b"Subject: Test Page\r\n"
+        b"Date: Mon, 01 Jan 2024 00:00:00 +0000\r\n"
+        b"MIME-Version: 1.0\r\n"
+        b'Content-Type: multipart/related; boundary="--bnd"\r\n\r\n'
+        b"----bnd\r\n"
+        b"Content-Type: text/html; charset=utf-8\r\n"
+        b"Content-Location: https://example.org/page\r\n\r\n"
+        b"<html><body><p>Saved page body text.</p></body></html>\r\n"
+        b"----bnd--\r\n"
+    )
+    rows = analyze_blob("k", mht)
+    digest = [r for r in rows if r["kind"] == "digest"][0]
+    assert digest["mime_type"] == "message/rfc822"
+    assert digest["text"] == "Saved page body text."
+    assert digest["subject"] == "Test Page"
+    assert digest["status"] == "success"
