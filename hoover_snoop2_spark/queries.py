@@ -14612,6 +14612,164 @@ ORDER BY p.shard
 """
 
 
+def q223_hits(spark, sf_dir):
+    """HITS hubs/authorities (Kleinberg) over a synthesized 101-host web
+    graph — the link-directory-vs-content separation that complements
+    q52's PageRank (reference keeps only flat per-doc link rows;
+    hub/authority structure is the crawl-prioritization upgrade).
+    Unlike q52 (rows-only, FP power iteration) this one is DRIVER
+    value-exact: :func:`operators.graph.hits` runs all 8 rounds
+    UNNORMALIZED in BIGINT — per-round normalization only rescales, so
+    integer rounds give the identical direction with zero FP drift —
+    and performs ONE final L1 division + micro-grid floor per node,
+    which DuckDB reproduces bit-exactly via an unrolled 8-step CTE
+    chain.  Scale: each half-step is one edges×scores join + one
+    groupBy (two shuffles/round) with mandatory per-round lineage
+    truncation; the graph is host-level (~10^8 rows at web scale, not
+    10^12), the same shape Common Crawl's published host graph takes."""
+    from .operators.graph import hits
+
+    d = _t(spark, sf_dir, "documents")
+    s = (F.col("doc_id") % 101).cast("long")
+    e1 = d.select(s.alias("src"), ((s * 3 + 1) % 101).alias("dst"))
+    e2 = d.select(s.alias("src"), ((s * 7 + 3) % 101).alias("dst"))
+    e3 = d.where(F.col("doc_id") % 4 == 0).select(
+        s.alias("src"), ((s * s + 5) % 101).alias("dst")
+    )
+    edges = e1.union(e2).union(e3)
+    return (
+        hits(edges, iters=8)
+        .select("node", "hub", "auth")
+        .orderBy("node")
+    )
+
+
+def _hits_oracle_steps(iters: int) -> str:
+    out = []
+    for i in range(iters):
+        out.append(f"""
+, a{i + 1} AS (
+  SELECT n.node, coalesce(g.s, 0) AS score
+  FROM hnodes n LEFT JOIN (
+    SELECT e.dst AS node, sum(h.score) AS s
+    FROM hedges e JOIN h{i} h ON h.node = e.src GROUP BY e.dst
+  ) g USING (node)
+), h{i + 1} AS (
+  SELECT n.node, coalesce(g.s, 0) AS score
+  FROM hnodes n LEFT JOIN (
+    SELECT e.src AS node, sum(a.score) AS s
+    FROM hedges e JOIN a{i + 1} a ON a.node = e.dst GROUP BY e.src
+  ) g USING (node)
+)""")
+    return "".join(out)
+
+
+Q223_SQL = (
+    r"""
+WITH src AS (
+  SELECT DISTINCT CAST(doc_id % 101 AS BIGINT) AS s,
+         doc_id % 4 = 0 AS quad
+  FROM documents
+), cand AS (
+  SELECT s AS src, (s * 3 + 1) % 101 AS dst FROM src
+  UNION
+  SELECT s, (s * 7 + 3) % 101 FROM src
+  UNION
+  SELECT s, (s * s + 5) % 101 FROM src WHERE quad
+), hedges AS (
+  SELECT DISTINCT src, dst FROM cand WHERE src != dst
+), hnodes AS (
+  SELECT src AS node FROM hedges UNION SELECT dst FROM hedges
+), h0 AS (
+  SELECT node, 1::BIGINT AS score FROM hnodes
+)"""
+    + _hits_oracle_steps(8)
+    + r"""
+, tot AS (
+  SELECT (SELECT sum(score) FROM h8) AS ht,
+         (SELECT sum(score) FROM a8) AS at
+)
+SELECT h.node,
+       floor(h.score::DOUBLE / greatest(t.ht, 1)::DOUBLE * 1000000 + 0.5)
+         / 1000000 AS hub,
+       floor(a.score::DOUBLE / greatest(t.at, 1)::DOUBLE * 1000000 + 0.5)
+         / 1000000 AS auth
+FROM h8 h JOIN a8 a USING (node), tot t
+ORDER BY h.node
+"""
+)
+
+
+def q224_wet_export(spark, sf_dir):
+    """WET conversion-record framing (Common Crawl ships extracted text
+    as ``*.warc.wet.gz`` conversion records; `sources/warc.py`
+    `build_wet_record`/`write_wet` are the distributed sink).  This
+    query certifies the record FRAMING cross-engine: per document it
+    renders the exact WARC/1.0 header block + UTF-8 body + CRLF CRLF
+    trailer that the sink writes — every byte except the
+    ``WARC-Record-ID`` line, whose UUIDv5 needs sha1 (absent in the
+    oracle engine) and stays pinned in pytest
+    (``test_warc.py::test_q224_record_matches_build_wet_record``).
+    Content-Length is the OCTET length of the UTF-8 body, the field
+    that makes records independently seekable.  Scale: one codegen'd
+    Project over the corpus — the sink itself is shuffle-free
+    (one gzip-member stream per partition)."""
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 7).cast("string"),
+        F.lit(".example/p/"), F.col("doc_id").cast("string"),
+    )
+    ts = F.expr(
+        "timestampadd(SECOND, doc_id, TIMESTAMP_NTZ '2024-01-01 00:00:00')"
+    )
+    date = F.date_format(ts, "yyyy-MM-dd'T'HH:mm:ss'Z'")
+    body = F.coalesce(F.col("text"), F.lit(""))
+    clen = F.octet_length(body)
+    crlf = F.lit("\r\n")
+    record = F.concat(
+        F.lit("WARC/1.0"), crlf,
+        F.lit("WARC-Type: conversion"), crlf,
+        F.lit("WARC-Target-URI: "), url, crlf,
+        F.lit("WARC-Date: "), date, crlf,
+        F.lit("Content-Type: text/plain"), crlf,
+        F.lit("Content-Length: "), clen.cast("string"), crlf,
+        crlf, body, crlf, crlf,
+    )
+    return d.select(
+        "doc_id",
+        url.alias("url"),
+        date.alias("warc_date"),
+        clen.cast("long").alias("content_length"),
+        record.alias("record"),
+    ).orderBy("doc_id")
+
+
+Q224_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         strftime(TIMESTAMP '2024-01-01 00:00:00'
+                  + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+         coalesce(text, '') AS body
+  FROM documents
+), c AS (
+  SELECT doc_id, url, warc_date, body,
+         strlen(body) AS clen, chr(13) || chr(10) AS crlf
+  FROM t
+)
+SELECT doc_id, url, warc_date, clen::BIGINT AS content_length,
+       'WARC/1.0' || crlf
+       || 'WARC-Type: conversion' || crlf
+       || 'WARC-Target-URI: ' || url || crlf
+       || 'WARC-Date: ' || warc_date || crlf
+       || 'Content-Type: text/plain' || crlf
+       || 'Content-Length: ' || CAST(clen AS VARCHAR) || crlf
+       || crlf || body || crlf || crlf AS record
+FROM c ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -14827,6 +14985,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q220_grouping_sets": q220_grouping_sets,
     "q221_link_nepotism": q221_link_nepotism,
     "q222_shard_skew_planner": q222_shard_skew_planner,
+    "q223_hits": q223_hits,
+    "q224_wet_export": q224_wet_export,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -15039,6 +15199,8 @@ ORACLES: dict[str, str] = {
     "q220_grouping_sets": Q220_SQL,
     "q221_link_nepotism": Q221_SQL,
     "q222_shard_skew_planner": Q222_SQL,
+    "q223_hits": Q223_SQL,
+    "q224_wet_export": Q224_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -8,6 +8,8 @@ from datetime import datetime, timezone
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import SF_DIR
+
 from hoover_snoop2_spark.sources.warc import (
     WarcError,
     parse_warc_records,
@@ -316,3 +318,33 @@ def test_wet_record_deterministic_and_parseable():
     # response records are NOT conversion records — filtered out
     from hoover_snoop2_spark.sources.warc import parse_warc_records
     assert list(parse_warc_records(a)) == []
+
+
+def test_q224_record_matches_build_wet_record(spark):
+    """q224's SQL-rendered framing is byte-identical to the sink's
+    `build_wet_record` output for every row, except the
+    WARC-Record-ID line (UUIDv5 needs sha1, absent in the oracle
+    engine) — the one header the query deliberately omits."""
+    from hoover_snoop2_spark.queries import QUERIES
+    from hoover_snoop2_spark.sources.warc import build_wet_record
+
+    rows = QUERIES["q224_wet_export"](spark, SF_DIR).limit(50).collect()
+    assert rows
+    for r in rows:
+        ts = datetime.strptime(r.warc_date, "%Y-%m-%dT%H:%M:%SZ")
+        real = build_wet_record(r.url, ts, None).decode("utf-8")
+        # drop the record-id line from the sink's header block; body is
+        # compared via content_length (query text col vs sink's bytes)
+        real_lines = [
+            ln for ln in real.split("\r\n")
+            if not ln.startswith("WARC-Record-ID:")
+        ]
+        got_head = r.record.split("\r\n\r\n", 1)[0].split("\r\n")
+        exp_head = "\r\n".join(real_lines).split("\r\n\r\n", 1)[0].split("\r\n")
+        # content-length differs (query uses the doc's text, sink got None)
+        got_head = [h for h in got_head if not h.startswith("Content-Length:")]
+        exp_head = [h for h in exp_head if not h.startswith("Content-Length:")]
+        assert got_head == exp_head
+        body = r.record.split("\r\n\r\n", 1)[1]
+        assert body.endswith("\r\n\r\n")
+        assert len(body[:-4].encode("utf-8")) == r.content_length

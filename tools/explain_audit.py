@@ -193,6 +193,8 @@ AUDITED = [
     "q220_grouping_sets",
     "q221_link_nepotism",
     "q222_shard_skew_planner",
+    "q223_hits",
+    "q224_wet_export",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -709,6 +711,16 @@ CHECKS = {
     # the BNLJ is the 1-row stats scalar join (q21/q216 convention)
     "q222_shard_skew_planner": ["HashAggregate", "!Generate", "!Window",
                                 "!CartesianProduct", "!ArrowEvalPython"],
+    # 8 integer power-iteration rounds ran EAGERLY behind mandatory
+    # per-round lineage truncation, so the final plan is just the
+    # hub⋈auth equi-join + the L1-normalize Project — the per-round
+    # HashAggregates are invisible here by design (same as q52)
+    "q223_hits": ["!CartesianProduct", "!BroadcastNestedLoopJoin",
+                  "!ArrowEvalPython"],
+    # pure codegen'd Project over the corpus scan — no join, no agg
+    "q224_wet_export": ["!HashAggregate", "!CartesianProduct",
+                        "!SortMergeJoin", "!BroadcastHashJoin",
+                        "!ArrowEvalPython"],
 }
 
 NOTES = {
