@@ -14770,6 +14770,59 @@ FROM c ORDER BY doc_id
 """
 
 
+def q225_recursive_thread_paths(spark, sf_dir):
+    """Materialized thread paths via Spark 4's NATIVE ``WITH
+    RECURSIVE`` — the breadcrumb string ("root/…/doc") a mail or forum
+    UI renders per message, which pure closed-form queries (q102's
+    root+depth) cannot produce because the path accumulates along the
+    chain.  Both engines run the same recursive shape: anchor = chain
+    roots (doc_id % 8 = 0, the q102 forest), recursive step joins the
+    static messages table against the growing CTE on parent = prior
+    doc_id, concatenating the id onto the path.  This certifies the
+    recursive-CTE execution surface itself cross-engine — every other
+    iterative op in this repo (resolve_roots, bfs_hops, pagerank,
+    connected components) drives iteration from the driver loop with
+    per-round lineage truncation; here Spark's UnionLoop operator owns
+    the fixpoint.  Scale notes: recursion depth is the chain length
+    (≤ 7 here; ``spark.sql.cteRecursionLevelLimit`` defaults to 100),
+    each level one equi-join shuffle of the frontier against the
+    static side — same per-round cost as the driver-loop form, so
+    prefer pointer doubling (O(log depth) rounds, resolve_roots) when
+    chains are deep and paths aren't needed."""
+    d = _t(spark, sf_dir, "documents")
+    d.select("doc_id").createOrReplaceTempView("q225_docs")
+    return spark.sql("""
+WITH RECURSIVE chain AS (
+  SELECT doc_id, doc_id AS root, 0 AS depth,
+         CAST(doc_id AS STRING) AS path
+  FROM q225_docs WHERE doc_id % 8 = 0
+  UNION ALL
+  SELECT d.doc_id, c.root, c.depth + 1,
+         CONCAT(c.path, '/', CAST(d.doc_id AS STRING))
+  FROM q225_docs d JOIN chain c
+    ON d.doc_id % 8 <> 0 AND d.doc_id - 1 = c.doc_id
+)
+SELECT doc_id, root, CAST(depth AS BIGINT) AS depth, path
+FROM chain ORDER BY doc_id
+""")
+
+
+Q225_SQL = r"""
+WITH RECURSIVE chain AS (
+  SELECT doc_id, doc_id AS root, 0 AS depth,
+         CAST(doc_id AS VARCHAR) AS path
+  FROM documents WHERE doc_id % 8 = 0
+  UNION ALL
+  SELECT d.doc_id, c.root, c.depth + 1,
+         CONCAT(c.path, '/', CAST(d.doc_id AS VARCHAR))
+  FROM documents d JOIN chain c
+    ON d.doc_id % 8 <> 0 AND d.doc_id - 1 = c.doc_id
+)
+SELECT doc_id, root, CAST(depth AS BIGINT) AS depth, path
+FROM chain ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -14987,6 +15040,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q222_shard_skew_planner": q222_shard_skew_planner,
     "q223_hits": q223_hits,
     "q224_wet_export": q224_wet_export,
+    "q225_recursive_thread_paths": q225_recursive_thread_paths,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -15201,6 +15255,7 @@ ORACLES: dict[str, str] = {
     "q222_shard_skew_planner": Q222_SQL,
     "q223_hits": Q223_SQL,
     "q224_wet_export": Q224_SQL,
+    "q225_recursive_thread_paths": Q225_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -38,6 +38,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
 )
 
@@ -138,6 +139,62 @@ class WarcReader(DataSourceReader):
             )
 
 
+class WarcStreamReader(DataSourceStreamReader):
+    """Continuous ingest of a growing crawl-drop directory:
+    ``spark.readStream.format("warc")``.
+
+    Offset model: ``{"last": <path>}`` — the lexicographically largest
+    file already ingested.  Each microbatch covers every file that
+    sorts strictly after ``start['last']`` up to ``end['last']``, one
+    task per file (the batch reader's file granularity).  The contract
+    this rests on is the one crawl drops already satisfy: segment
+    names are monotonic (Common Crawl's timestamp-prefixed
+    ``CC-MAIN-...-NNNNN`` names), so "new" == "sorts after the
+    watermark".  A file that lands BELOW the watermark is never read —
+    late renames are not supported, same as Spark's own FileStreamSource
+    without ``latestFirst``.  Exactly-once comes from the engine: the
+    (start, end] file range is replayed identically after a restart
+    because both offsets live in the checkpoint, and this reader keeps
+    no state the checkpoint doesn't carry."""
+
+    def __init__(self, options: dict):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc stream requires option('path', ...)")
+        # max files per microbatch — bounds batch latency while a
+        # backlog drains (maxFilesPerTrigger parity)
+        self.max_files = int(options.get("maxFilesPerTrigger", "0"))
+        self._last = ""
+
+    def _files(self) -> list[str]:
+        return sorted(_glob.glob(_local_path(self.path)))
+
+    def initialOffset(self) -> dict:
+        return {"last": ""}
+
+    def latestOffset(self) -> dict:
+        new = [f for f in self._files() if f > self._last]
+        if new:
+            cut = new[: self.max_files] if self.max_files else new
+            self._last = cut[-1]
+        return {"last": self._last}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = start.get("last", ""), end.get("last", "")
+        return [
+            _WholeFile(f) for f in self._files() if lo < f <= hi
+        ]
+
+    def read(self, partition) -> Iterator[tuple]:
+        with open(partition.path, "rb") as fh:
+            raw = fh.read()
+        yield from WarcReader._rows(raw, partition.path)
+
+    def commit(self, end: dict) -> None:
+        # the checkpoint owns progress; nothing to clean up here
+        pass
+
+
 class WarcDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -148,3 +205,6 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema) -> WarcReader:
         return WarcReader(self.options)
+
+    def streamReader(self, schema) -> WarcStreamReader:
+        return WarcStreamReader(self.options)

@@ -531,3 +531,25 @@ def test_deterministic_walks_reproducible_and_sink_truncates(spark):
     a = sorted(map(tuple, deterministic_walks(edges, seeds, 8).collect()))
     b = sorted(map(tuple, deterministic_walks(edges, seeds, 8).collect()))
     assert a == b == [(0, 0, 0), (0, 1, 1), (0, 2, 2)]
+
+
+def test_recursive_cte_thread_paths_closed_form(spark):
+    """q225 (Spark-native WITH RECURSIVE) against the closed form: for
+    the doc%8 forest, root = doc - doc%8, depth = doc%8 and the path is
+    the full root..doc run — plus the plan proof that Spark's recursive
+    UnionLoop (not a driver loop) executes the fixpoint."""
+    from tests.conftest import SF_DIR
+
+    from hoover_snoop2_spark.queries import QUERIES
+
+    df = QUERIES["q225_recursive_thread_paths"](spark, SF_DIR)
+    rows = df.collect()
+    ids = {r.doc_id for r in rows}
+    assert rows and len(ids) == len(rows)  # every doc exactly once
+    for r in rows:
+        root = r.doc_id - r.doc_id % 8
+        assert r.root == root
+        assert r.depth == r.doc_id % 8
+        assert r.path == "/".join(str(i) for i in range(root, r.doc_id + 1))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "UnionLoop" in plan or "Recursion" in plan

@@ -94,3 +94,75 @@ def test_warc_format_cdx_index_pushdown(spark, tmp_path):
     assert len(rows) == 1
     assert bytes(rows[0]["html"]) == BODY_B
     assert rows[0]["http_status"] == 301
+
+
+def test_warc_stream_incremental_file_pickup(spark, tmp_path):
+    """readStream.format('warc'): files present at start land in the
+    first batch; a segment dropped mid-stream lands exactly once in a
+    later batch; the watermark file is never re-read."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for i in range(2):
+        (drop / f"seg-{i:05d}.warc.gz").write_bytes(
+            b"".join(gzip.compress(r) for r in _build_records())
+        )
+
+    _register(spark)
+    q = (
+        spark.readStream.format("warc")
+        .option("path", str(drop / "*.warc.gz"))
+        .load()
+        .writeStream.format("memory")
+        .queryName("warc_stream_t")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        n1 = spark.sql("select count(*) c from warc_stream_t").first().c
+        assert n1 == 4  # 2 files x 2 response records
+
+        (drop / "seg-00002.warc.gz").write_bytes(
+            b"".join(gzip.compress(r) for r in _build_records())
+        )
+        q.processAllAvailable()
+        got = spark.sql(
+            "select warc_file, count(*) c from warc_stream_t group by 1"
+        ).collect()
+        assert sum(r.c for r in got) == 6
+        assert len(got) == 3 and all(r.c == 2 for r in got)
+    finally:
+        q.stop()
+
+
+def test_warc_stream_max_files_per_trigger(spark, tmp_path):
+    """maxFilesPerTrigger bounds each microbatch; the backlog drains
+    across batches with no file lost or duplicated."""
+    drop = tmp_path / "drop2"
+    drop.mkdir()
+    for i in range(5):
+        (drop / f"seg-{i:05d}.warc.gz").write_bytes(
+            b"".join(gzip.compress(r) for r in _build_records())
+        )
+
+    _register(spark)
+    q = (
+        spark.readStream.format("warc")
+        .option("path", str(drop / "*.warc.gz"))
+        .option("maxFilesPerTrigger", "2")
+        .load()
+        .writeStream.format("memory")
+        .queryName("warc_stream_mft")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        rows = spark.sql(
+            "select warc_file, count(*) c from warc_stream_mft group by 1"
+        ).collect()
+        assert len(rows) == 5 and all(r.c == 2 for r in rows)
+        # 5 files at <=2/batch -> at least 3 microbatches
+        assert len(q.recentProgress) >= 3
+    finally:
+        q.stop()

@@ -195,6 +195,7 @@ AUDITED = [
     "q222_shard_skew_planner",
     "q223_hits",
     "q224_wet_export",
+    "q225_recursive_thread_paths",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -721,6 +722,10 @@ CHECKS = {
     "q224_wet_export": ["!HashAggregate", "!CartesianProduct",
                         "!SortMergeJoin", "!BroadcastHashJoin",
                         "!ArrowEvalPython"],
+    # Spark 4 native recursive CTE: the UnionLoop operator owns the
+    # fixpoint (no driver loop); per level one frontier⋈static join
+    "q225_recursive_thread_paths": ["UnionLoop", "!CartesianProduct",
+                                    "!ArrowEvalPython"],
 }
 
 NOTES = {
