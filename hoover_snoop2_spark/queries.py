@@ -14823,6 +14823,116 @@ FROM chain ORDER BY doc_id
 """
 
 
+def q226_fineweb_filters(spark, sf_dir):
+    """FineWeb's three added line-structure filters (Penedo et al.
+    2024 §3.6 — the gates that, beyond C4 (q85) and Gopher (q72),
+    produced the quality step-change in that ablation): a page is
+    dropped when (1) the fraction of lines ending in punctuation is
+    ≤ 0.12, (2) the fraction of characters sitting in duplicated
+    lines is ≥ 0.10 (occurrences beyond the first), or (3) the
+    fraction of lines shorter than 30 chars is ≥ 0.67.  Pages are
+    synthesized from doc_id arithmetic (q85 idiom) with controlled
+    line lengths, punctuation endings, and injected duplicate lines.
+    Every ratio test is an INTEGER cross-multiplied comparison
+    (``punct*100 > n*12``), so the booleans are bit-stable across
+    engines — no float division anywhere.  Shape: explode →
+    two-level keyed aggregation ((doc, line) then doc), both with
+    map-side partial aggregation; at 100 TB the (doc, line) key is
+    near-unique so the first aggregate does most work map-side."""
+    d = _t(spark, sf_dir, "documents")
+    lines = F.expr(
+        "transform(sequence(1, doc_id % 5 + 4), i ->"
+        " repeat('w', CAST((doc_id * 7 + i * 3) % 40 + 5 AS INT))"
+        " || (CASE WHEN (doc_id + i) % 3 <> 0 AND doc_id % 11 <> 0"
+        " THEN '.' ELSE '' END))"
+    )
+    dup1 = F.expr(
+        "CASE WHEN doc_id % 3 = 0 THEN slice(l, 1, 1)"
+        " ELSE array() END"
+    )
+    dup2 = F.expr(
+        "CASE WHEN doc_id % 7 = 0 THEN slice(l, 1, 2)"
+        " ELSE array() END"
+    )
+    pages = d.select("doc_id", lines.alias("l")).select(
+        "doc_id", F.concat("l", dup1, dup2).alias("l")
+    )
+    per_line = (
+        pages.select("doc_id", F.explode("l").alias("line"))
+        .groupBy("doc_id", "line")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            "doc_id",
+            "cnt",
+            F.length("line").alias("ln"),
+            F.col("line").endswith(".").cast("long").alias("is_punct"),
+            (F.length("line") < 30).cast("long").alias("is_short"),
+        )
+    )
+    agg = per_line.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_lines"),
+        F.sum(F.col("cnt") * F.col("is_punct")).alias("punct_lines"),
+        F.sum(F.col("cnt") * F.col("is_short")).alias("short_lines"),
+        F.sum(F.col("cnt") * F.col("ln")).alias("total_chars"),
+        F.sum((F.col("cnt") - 1) * F.col("ln")).alias("dup_chars"),
+    )
+    keep_punct = F.col("punct_lines") * 100 > F.col("n_lines") * 12
+    keep_dup = F.col("dup_chars") * 10 < F.col("total_chars")
+    keep_short = F.col("short_lines") * 100 < F.col("n_lines") * 67
+    return agg.select(
+        "doc_id",
+        "n_lines",
+        "punct_lines",
+        "short_lines",
+        "total_chars",
+        "dup_chars",
+        keep_punct.alias("keep_punct"),
+        keep_dup.alias("keep_dupline"),
+        keep_short.alias("keep_short"),
+        (keep_punct & keep_dup & keep_short).alias("pass_fineweb"),
+    ).orderBy("doc_id")
+
+
+Q226_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         list_transform(range(1, doc_id % 5 + 5),
+           i -> repeat('w', (doc_id * 7 + i * 3) % 40 + 5)
+                || CASE WHEN (doc_id + i) % 3 <> 0 AND doc_id % 11 <> 0
+                        THEN '.' ELSE '' END)
+           AS l0
+  FROM documents
+), withdup AS (
+  SELECT doc_id,
+         l0 || (CASE WHEN doc_id % 3 = 0 THEN l0[1:1] ELSE [] END)
+            || (CASE WHEN doc_id % 7 = 0 THEN l0[1:2] ELSE [] END) AS l
+  FROM pages
+), per_line AS (
+  SELECT doc_id, line, COUNT(*) AS cnt, strlen(line) AS ln,
+         CASE WHEN line LIKE '%.' THEN 1 ELSE 0 END AS is_punct,
+         CASE WHEN strlen(line) < 30 THEN 1 ELSE 0 END AS is_short
+  FROM withdup, unnest(l) AS t(line)
+  GROUP BY doc_id, line
+), agg AS (
+  SELECT doc_id,
+         SUM(cnt)::BIGINT AS n_lines,
+         SUM(cnt * is_punct)::BIGINT AS punct_lines,
+         SUM(cnt * is_short)::BIGINT AS short_lines,
+         SUM(cnt * ln)::BIGINT AS total_chars,
+         SUM((cnt - 1) * ln)::BIGINT AS dup_chars
+  FROM per_line GROUP BY doc_id
+)
+SELECT doc_id, n_lines, punct_lines, short_lines, total_chars, dup_chars,
+       punct_lines * 100 > n_lines * 12 AS keep_punct,
+       dup_chars * 10 < total_chars AS keep_dupline,
+       short_lines * 100 < n_lines * 67 AS keep_short,
+       (punct_lines * 100 > n_lines * 12
+        AND dup_chars * 10 < total_chars
+        AND short_lines * 100 < n_lines * 67) AS pass_fineweb
+FROM agg ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -15041,6 +15151,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q223_hits": q223_hits,
     "q224_wet_export": q224_wet_export,
     "q225_recursive_thread_paths": q225_recursive_thread_paths,
+    "q226_fineweb_filters": q226_fineweb_filters,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -15256,6 +15367,7 @@ ORACLES: dict[str, str] = {
     "q223_hits": Q223_SQL,
     "q224_wet_export": Q224_SQL,
     "q225_recursive_thread_paths": Q225_SQL,
+    "q226_fineweb_filters": Q226_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

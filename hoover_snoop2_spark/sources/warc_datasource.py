@@ -104,39 +104,78 @@ class WarcReader(DataSourceReader):
             raise FileNotFoundError(self.path)
         return [_WholeFile(p) for p in paths]
 
-    def read(self, partition) -> Iterator[tuple]:
+    def read(self, partition):
         if isinstance(partition, _WholeFile):
             with open(partition.path, "rb") as fh:
                 raw = fh.read()
-            yield from self._rows(raw, partition.path)
-            return
-        handles: dict[str, io.BufferedReader] = {}
-        try:
-            for warc_file, offset, length in partition.spans:
-                fname = _local_path(warc_file)
-                fh = handles.get(fname)
-                if fh is None:
-                    fh = handles[fname] = open(fname, "rb")
-                fh.seek(int(offset))
-                member = fh.read(int(length))
-                if member[:2] == b"\x1f\x8b":
-                    member = gzip.decompress(member)
-                yield from self._rows(member, warc_file)
-        finally:
-            for fh in handles.values():
-                fh.close()
-
-    @staticmethod
-    def _rows(raw: bytes, warc_file: str) -> Iterator[tuple]:
-        for rec in parse_warc_records(raw, warc_file):
-            yield (
-                rec["url"],
-                rec["warc_ts"],
-                rec["html"],
-                rec["content_type"],
-                rec["http_status"],
-                rec["warc_file"],
+            yield from _record_batches(
+                parse_warc_records(raw, partition.path)
             )
+            return
+
+        def recs() -> Iterator[dict]:
+            handles: dict[str, io.BufferedReader] = {}
+            try:
+                for warc_file, offset, length in partition.spans:
+                    fname = _local_path(warc_file)
+                    fh = handles.get(fname)
+                    if fh is None:
+                        fh = handles[fname] = open(fname, "rb")
+                    fh.seek(int(offset))
+                    member = fh.read(int(length))
+                    if member[:2] == b"\x1f\x8b":
+                        member = gzip.decompress(member)
+                    yield from parse_warc_records(member, warc_file)
+            finally:
+                for fh in handles.values():
+                    fh.close()
+
+        yield from _record_batches(recs())
+
+
+#: rows per Arrow RecordBatch handed back to the JVM — large enough to
+#: amortize the per-batch IPC overhead, small enough that a batch of
+#: megabyte-scale html blobs doesn't balloon executor memory
+_ARROW_BATCH_ROWS = 256
+
+
+def _record_batches(recs: Iterator[dict]):
+    """Pack parsed WARC records into Arrow RecordBatches — the
+    vectorized return path of the Python Data Source API (one Arrow IPC
+    transfer per batch instead of pickling every row), keeping the
+    source aligned with the no-per-row-Python rule the rest of the
+    pipeline follows."""
+    import pyarrow as pa
+
+    schema = pa.schema(
+        [
+            ("url", pa.string()),
+            ("warc_ts", pa.timestamp("us")),
+            ("html", pa.binary()),
+            ("content_type", pa.string()),
+            ("http_status", pa.int32()),
+            ("warc_file", pa.string()),
+        ]
+    )
+    cols: list[list] = [[], [], [], [], [], []]
+    for rec in recs:
+        cols[0].append(rec["url"])
+        cols[1].append(rec["warc_ts"])
+        cols[2].append(rec["html"])
+        cols[3].append(rec["content_type"])
+        cols[4].append(rec["http_status"])
+        cols[5].append(rec["warc_file"])
+        if len(cols[0]) >= _ARROW_BATCH_ROWS:
+            yield pa.record_batch(
+                [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+                schema=schema,
+            )
+            cols = [[], [], [], [], [], []]
+    if cols[0]:
+        yield pa.record_batch(
+            [pa.array(c, type=f.type) for c, f in zip(cols, schema)],
+            schema=schema,
+        )
 
 
 class WarcStreamReader(DataSourceStreamReader):
@@ -185,10 +224,10 @@ class WarcStreamReader(DataSourceStreamReader):
             _WholeFile(f) for f in self._files() if lo < f <= hi
         ]
 
-    def read(self, partition) -> Iterator[tuple]:
+    def read(self, partition):
         with open(partition.path, "rb") as fh:
             raw = fh.read()
-        yield from WarcReader._rows(raw, partition.path)
+        yield from _record_batches(parse_warc_records(raw, partition.path))
 
     def commit(self, end: dict) -> None:
         # the checkpoint owns progress; nothing to clean up here

@@ -204,3 +204,19 @@ def test_c4_line_clean_rules(spark):
         others = {"drop_badword", "drop_lorem", "drop_brace"} - {flag}
         assert not any(out[i][o] for o in others)
     assert out[5]["n_kept"] == 2 and not out[5]["pass_overall"]
+
+
+def test_fineweb_gates_each_discriminate(spark):
+    """q226: all three FineWeb line-structure gates must actually fire
+    on the synthetic pages (a gate that never rejects is untested)."""
+    from hoover_snoop2_spark.queries import QUERIES
+
+    df = QUERIES["q226_fineweb_filters"](spark, SF_DIR)
+    agg = df.agg(
+        F.sum((~F.col("keep_punct")).cast("int")).alias("p"),
+        F.sum((~F.col("keep_dupline")).cast("int")).alias("d"),
+        F.sum((~F.col("keep_short")).cast("int")).alias("s"),
+        F.sum(F.col("pass_fineweb").cast("int")).alias("kept"),
+    ).first()
+    assert agg.p > 0 and agg.d > 0 and agg.s > 0
+    assert 0 < agg.kept < df.count()

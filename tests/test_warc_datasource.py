@@ -33,7 +33,8 @@ def test_warc_format_whole_file_matches_read_warc(spark, tmp_path):
 
     def key(rows):
         return sorted(
-            (r["url"], r["http_status"], bytes(r["html"])) for r in rows
+            (r["url"], r["warc_ts"], r["http_status"], bytes(r["html"]))
+            for r in rows
         )
 
     assert key(via_ds.collect()) == key(want.collect())

@@ -196,6 +196,7 @@ AUDITED = [
     "q223_hits",
     "q224_wet_export",
     "q225_recursive_thread_paths",
+    "q226_fineweb_filters",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -726,6 +727,9 @@ CHECKS = {
     # fixpoint (no driver loop); per level one frontier⋈static join
     "q225_recursive_thread_paths": ["UnionLoop", "!CartesianProduct",
                                     "!ArrowEvalPython"],
+    # explode + two keyed aggregates, both with map-side partials
+    "q226_fineweb_filters": ["Generate", "HashAggregate", "!Window",
+                             "!CartesianProduct", "!ArrowEvalPython"],
 }
 
 NOTES = {
