@@ -14933,6 +14933,155 @@ FROM agg ORDER BY doc_id
 """
 
 
+def q227_k_anonymity(spark, sf_dir):
+    """k-anonymity audit over quasi-identifiers (Sweeney 2002) — the
+    release-governance check a training-data pipeline runs before
+    publishing per-document metadata: any combination of
+    quasi-identifiers shared by fewer than k documents re-identifies
+    its members, so the class must be suppressed or generalized.
+    Quasi-identifiers here: (lang, host, size_band) with n_chars
+    generalized to width-100 bands — generalization IS the
+    k-anonymity lever (a finer key like adding ``source`` pushes
+    every class under k and suppresses the whole corpus; the audit
+    is what tells you that before release).
+    Output: one row per equivalence class with its k and a suppress
+    flag (k < 5), plus each class's share of the corpus in basis
+    points (integer arithmetic — engine-exact).  Scale: one keyed
+    aggregate with map-side partials; the 1-row total joins back as a
+    broadcast (q21/q216 scalar convention)."""
+    d = _t(spark, sf_dir, "documents")
+    cls = d.select(
+        "lang",
+        (F.col("doc_id") % 3).cast("long").alias("host"),
+        (F.col("n_chars") - F.col("n_chars") % 100).alias("size_band"),
+    )
+    agg = cls.groupBy("lang", "host", "size_band").agg(
+        F.count("*").alias("k")
+    )
+    total = agg.agg(F.sum("k").alias("n_total"))
+    return (
+        agg.join(F.broadcast(total))
+        .select(
+            "lang",
+            "host",
+            "size_band",
+            "k",
+            (F.col("k") < 5).alias("suppress"),
+            # integer div, not float: cast-of-double rounds in one
+            # engine and truncates in the other (q50/q58 ULP family)
+            ((F.col("k") * 10000 - (F.col("k") * 10000) % F.col("n_total"))
+             / F.col("n_total")).cast("long").alias("share_bp"),
+        )
+        .orderBy("lang", "host", "size_band")
+    )
+
+
+Q227_SQL = r"""
+WITH cls AS (
+  SELECT lang,
+         CAST(doc_id % 3 AS BIGINT) AS host,
+         n_chars - n_chars % 100 AS size_band
+  FROM documents
+), agg AS (
+  SELECT lang, host, size_band, COUNT(*)::BIGINT AS k
+  FROM cls GROUP BY 1, 2, 3
+), tot AS (
+  SELECT SUM(k) AS n_total FROM agg
+)
+SELECT lang, host, size_band, k,
+       k < 5 AS suppress,
+       CAST((k * 10000 - (k * 10000) % n_total) / n_total AS BIGINT)
+         AS share_bp
+FROM agg, tot
+ORDER BY lang, host, size_band
+"""
+
+
+def q228_license_signals(spark, sf_dir):
+    """License-statement detection — the provenance gate a web-corpus
+    pipeline applies before training use: Creative Commons markers
+    and all-rights-reserved footers decide whether a page is
+    train-allowed (CC0/BY/BY-SA), restricted (BY-NC non-commercial),
+    or reserved.  Footers are synthesized onto the corpus text from
+    doc_id residues (five kinds incl. no-footer), detection runs as
+    JVM regexps over the combined text — deliberately NOT over the
+    residue, so the oracle certifies the regexp semantics, not the
+    synthesis.  share-alike and attribution flags derive from the
+    detected family.  Scale: pure Project, predicates codegen'd; at
+    corpus scale this is a scan-bound single pass."""
+    d = _t(spark, sf_dir, "documents")
+    doc = F.col("doc_id")
+    footer = (
+        F.when(doc % 9 == 0, F.lit(" Licensed under CC BY-SA 4.0."))
+        .when(doc % 9 == 1, F.lit(" (c) 2024 Example Corp. All rights reserved."))
+        .when(doc % 9 == 2, F.lit(" Released as CC0 public domain."))
+        .when(doc % 9 == 3, F.lit(" Licensed under CC BY-NC 4.0."))
+        .when(doc % 9 == 4, F.lit(" Licensed under CC BY 4.0."))
+        .otherwise(F.lit(""))
+    )
+    page = F.concat(F.coalesce(F.col("text"), F.lit("")), footer)
+    lic = (
+        F.when(page.rlike("CC BY-SA [0-9.]+"), F.lit("cc-by-sa"))
+        .when(page.rlike("CC BY-NC [0-9.]+"), F.lit("cc-by-nc"))
+        .when(page.rlike("CC BY [0-9.]+"), F.lit("cc-by"))
+        .when(page.rlike("CC0"), F.lit("cc0"))
+        .when(
+            page.rlike("[Aa]ll rights reserved"), F.lit("all-rights-reserved")
+        )
+        .otherwise(F.lit("none"))
+    )
+    return (
+        d.select("doc_id", lic.alias("license"))
+        .select(
+            "doc_id",
+            "license",
+            F.col("license")
+            .isin("cc0", "cc-by", "cc-by-sa")
+            .alias("train_allowed"),
+            (F.col("license") == "cc-by-sa").alias("share_alike"),
+            F.col("license")
+            .isin("cc-by", "cc-by-sa", "cc-by-nc")
+            .alias("attribution_required"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q228_SQL = r"""
+WITH pages AS (
+  SELECT doc_id,
+         COALESCE(text, '') ||
+         CASE doc_id % 9
+           WHEN 0 THEN ' Licensed under CC BY-SA 4.0.'
+           WHEN 1 THEN ' (c) 2024 Example Corp. All rights reserved.'
+           WHEN 2 THEN ' Released as CC0 public domain.'
+           WHEN 3 THEN ' Licensed under CC BY-NC 4.0.'
+           WHEN 4 THEN ' Licensed under CC BY 4.0.'
+           ELSE ''
+         END AS page
+  FROM documents
+), det AS (
+  SELECT doc_id,
+         CASE
+           WHEN regexp_matches(page, 'CC BY-SA [0-9.]+') THEN 'cc-by-sa'
+           WHEN regexp_matches(page, 'CC BY-NC [0-9.]+') THEN 'cc-by-nc'
+           WHEN regexp_matches(page, 'CC BY [0-9.]+') THEN 'cc-by'
+           WHEN regexp_matches(page, 'CC0') THEN 'cc0'
+           WHEN regexp_matches(page, '[Aa]ll rights reserved')
+             THEN 'all-rights-reserved'
+           ELSE 'none'
+         END AS license
+  FROM pages
+)
+SELECT doc_id, license,
+       license IN ('cc0', 'cc-by', 'cc-by-sa') AS train_allowed,
+       license = 'cc-by-sa' AS share_alike,
+       license IN ('cc-by', 'cc-by-sa', 'cc-by-nc')
+         AS attribution_required
+FROM det ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -15152,6 +15301,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q224_wet_export": q224_wet_export,
     "q225_recursive_thread_paths": q225_recursive_thread_paths,
     "q226_fineweb_filters": q226_fineweb_filters,
+    "q227_k_anonymity": q227_k_anonymity,
+    "q228_license_signals": q228_license_signals,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -15368,6 +15519,8 @@ ORACLES: dict[str, str] = {
     "q224_wet_export": Q224_SQL,
     "q225_recursive_thread_paths": Q225_SQL,
     "q226_fineweb_filters": Q226_SQL,
+    "q227_k_anonymity": Q227_SQL,
+    "q228_license_signals": Q228_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

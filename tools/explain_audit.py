@@ -197,6 +197,8 @@ AUDITED = [
     "q224_wet_export",
     "q225_recursive_thread_paths",
     "q226_fineweb_filters",
+    "q227_k_anonymity",
+    "q228_license_signals",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -730,6 +732,13 @@ CHECKS = {
     # explode + two keyed aggregates, both with map-side partials
     "q226_fineweb_filters": ["Generate", "HashAggregate", "!Window",
                              "!CartesianProduct", "!ArrowEvalPython"],
+    # keyed aggregate + broadcast 1-row total (BNLJ scalar convention)
+    "q227_k_anonymity": ["HashAggregate", "BroadcastNestedLoopJoin",
+                         "!SortMergeJoin", "!ArrowEvalPython"],
+    # license regexps are a pure codegen'd Project over the scan
+    "q228_license_signals": ["!HashAggregate", "!CartesianProduct",
+                             "!SortMergeJoin", "!BroadcastHashJoin",
+                             "!ArrowEvalPython"],
 }
 
 NOTES = {
