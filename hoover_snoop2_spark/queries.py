@@ -15082,6 +15082,98 @@ FROM det ORDER BY doc_id
 """
 
 
+def q229_yield_funnel(spark, sf_dir):
+    """Pipeline yield funnel — the accounting every corpus build
+    publishes (e.g. the C4/FineWeb data cards): docs and chars
+    surviving each gate (fetched → lang gate → length gate →
+    fingerprint dedup) with per-stage retention in basis points.
+    Dedup keys on the 20-char text prefix (a prefix-fingerprint
+    proxy; full-hash dedup is q16 — the funnel needs a key that
+    actually collides on this corpus, where every full text is
+    unique), keeping each group's longest doc.  All counts are
+    conditional sums in ONE scan; only the dedup stage adds a
+    ``groupBy(key)`` (the q16 single-shuffle shape) whose 1-row
+    result joins back broadcast.  Stage rows come from ``stack()``
+    on the combined 1-row metrics — no union of re-scans, the trap
+    that makes naive funnels cost one corpus pass per stage.
+    retained_bp divides via subtract-the-modulus (engine-stable,
+    q227 idiom)."""
+    d = _t(spark, sf_dir, "documents")
+    pass2 = F.col("lang") == "en"
+    pass3 = pass2 & F.col("n_chars").between(100, 500)
+    agg = d.agg(
+        F.count("*").alias("d1"),
+        F.sum("n_chars").alias("c1"),
+        F.sum(pass2.cast("long")).alias("d2"),
+        F.sum(F.when(pass2, F.col("n_chars")).otherwise(0)).alias("c2"),
+        F.sum(pass3.cast("long")).alias("d3"),
+        F.sum(F.when(pass3, F.col("n_chars")).otherwise(0)).alias("c3"),
+    )
+    dedup = (
+        d.where(pass3)
+        .groupBy(F.substring("text", 1, 20).alias("fp"))
+        .agg(F.max("n_chars").alias("nc"))
+        .agg(
+            F.count("*").alias("d4"),
+            F.coalesce(F.sum("nc"), F.lit(0)).alias("c4"),
+        )
+    )
+    one = agg.join(F.broadcast(dedup))
+    stacked = one.selectExpr(
+        "stack(4, 1, 'fetched', d1, c1,"
+        " 2, 'lang_gate', d2, c2,"
+        " 3, 'length_gate', d3, c3,"
+        " 4, 'exact_dedup', d4, c4) AS (stage_ord, stage, docs, chars)",
+        "d1",
+    )
+    return stacked.select(
+        "stage_ord",
+        "stage",
+        "docs",
+        "chars",
+        ((F.col("docs") * 10000 - (F.col("docs") * 10000) % F.col("d1"))
+         / F.col("d1")).cast("long").alias("retained_bp"),
+    ).orderBy("stage_ord")
+
+
+Q229_SQL = r"""
+WITH agg AS (
+  SELECT COUNT(*)::BIGINT AS d1,
+         SUM(n_chars)::BIGINT AS c1,
+         SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)::BIGINT AS d2,
+         SUM(CASE WHEN lang = 'en' THEN n_chars ELSE 0 END)::BIGINT AS c2,
+         SUM(CASE WHEN lang = 'en' AND n_chars BETWEEN 100 AND 500
+                  THEN 1 ELSE 0 END)::BIGINT AS d3,
+         SUM(CASE WHEN lang = 'en' AND n_chars BETWEEN 100 AND 500
+                  THEN n_chars ELSE 0 END)::BIGINT AS c3
+  FROM documents
+), ded AS (
+  SELECT COUNT(*)::BIGINT AS d4,
+         COALESCE(SUM(nc), 0)::BIGINT AS c4
+  FROM (
+    SELECT MAX(n_chars) AS nc FROM documents
+    WHERE lang = 'en' AND n_chars BETWEEN 100 AND 500
+    GROUP BY substr(text, 1, 20)
+  )
+), one AS (
+  SELECT * FROM agg, ded
+), stages AS (
+  SELECT 1 AS stage_ord, 'fetched' AS stage, d1 AS docs, c1 AS chars,
+         d1 FROM one
+  UNION ALL
+  SELECT 2, 'lang_gate', d2, c2, d1 FROM one
+  UNION ALL
+  SELECT 3, 'length_gate', d3, c3, d1 FROM one
+  UNION ALL
+  SELECT 4, 'exact_dedup', d4, c4, d1 FROM one
+)
+SELECT CAST(stage_ord AS INT) AS stage_ord, stage, docs, chars,
+       CAST((docs * 10000 - (docs * 10000) % d1) / d1 AS BIGINT)
+         AS retained_bp
+FROM stages ORDER BY stage_ord
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -15303,6 +15395,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q226_fineweb_filters": q226_fineweb_filters,
     "q227_k_anonymity": q227_k_anonymity,
     "q228_license_signals": q228_license_signals,
+    "q229_yield_funnel": q229_yield_funnel,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -15521,6 +15614,7 @@ ORACLES: dict[str, str] = {
     "q226_fineweb_filters": Q226_SQL,
     "q227_k_anonymity": Q227_SQL,
     "q228_license_signals": Q228_SQL,
+    "q229_yield_funnel": Q229_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

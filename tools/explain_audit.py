@@ -199,6 +199,7 @@ AUDITED = [
     "q226_fineweb_filters",
     "q227_k_anonymity",
     "q228_license_signals",
+    "q229_yield_funnel",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -739,6 +740,11 @@ CHECKS = {
     "q228_license_signals": ["!HashAggregate", "!CartesianProduct",
                              "!SortMergeJoin", "!BroadcastHashJoin",
                              "!ArrowEvalPython"],
+    # one conditional-sum scan + one dedup groupBy + stack() Generate;
+    # the BNLJ is the two 1-row aggregates joining (scalar convention)
+    "q229_yield_funnel": ["HashAggregate", "Generate",
+                          "!SortMergeJoin", "!CartesianProduct",
+                          "!ArrowEvalPython"],
 }
 
 NOTES = {
