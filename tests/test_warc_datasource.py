@@ -2,6 +2,7 @@
 spark.read.format('warc') with CDX-driven record-range partitioning."""
 
 import gzip
+import os
 
 from pyspark.sql import functions as F
 
@@ -167,3 +168,52 @@ def test_warc_stream_max_files_per_trigger(spark, tmp_path):
         assert len(q.recentProgress) >= 3
     finally:
         q.stop()
+
+
+def test_warc_stream_restart_from_checkpoint(spark, tmp_path):
+    """Stop the stream, drop a new segment, restart on the SAME
+    checkpoint: the reader is rebuilt with no memory of its own, so
+    progress must come entirely from the checkpointed offsets — the
+    old file is not re-read, the new one lands exactly once.  File
+    sink (memory sink refuses checkpoint recovery)."""
+    drop = tmp_path / "drop3"
+    drop.mkdir()
+    out = str(tmp_path / "restart_out")
+    (drop / "seg-00000.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in _build_records())
+    )
+    _register(spark)
+
+    def start():
+        return (
+            spark.readStream.format("warc")
+            .option("path", str(drop / "*.warc.gz"))
+            .load()
+            .select("url", "http_status", "warc_file")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt3"))
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    (drop / "seg-00001.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in _build_records())
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = (
+        spark.read.parquet(out)
+        .groupBy("warc_file")
+        .count()
+        .collect()
+    )
+    got = {os.path.basename(r.warc_file): r["count"] for r in rows}
+    assert got == {"seg-00000.warc.gz": 2, "seg-00001.warc.gz": 2}
