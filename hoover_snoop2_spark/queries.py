@@ -15174,6 +15174,94 @@ FROM stages ORDER BY stage_ord
 """
 
 
+def q230_modularity(spark, sf_dir):
+    """Newman modularity of a community assignment, integer-exact —
+    the quality score that tells a crawl whether its host clustering
+    (mirror groups q198, LPA q160, dup families q42) actually beats
+    chance.  Q = Σ_c (e_c/m − (d_c/2m)²) is float; scaling by 4m²
+    gives ``q_contrib_4m2 = 4m·e_c − d_c²`` per community — every
+    term a BIGINT, so both engines agree bit-for-bit and the global
+    Q is Σ contrib / 4m² for anyone who wants the float (the q194
+    quantize-then-integer-sum idiom taken to its no-float limit).
+    Graph: the q51-family deterministic host graph, undirected via
+    least/greatest canonicalization; communities = host % 4.  Scale:
+    degree and per-community sums are map-side-combinable aggregates;
+    the 1-row m joins broadcast — no all-pairs anything."""
+    d = _t(spark, sf_dir, "documents")
+    s = (F.col("doc_id") % 90).cast("long")
+    dirred = (
+        d.select(s.alias("a"), ((s * 3 + 1) % 90).alias("b"))
+        .union(d.select(s.alias("a"), ((s * 7 + 2) % 90).alias("b")))
+        .where(F.col("a") != F.col("b"))
+    )
+    e = dirred.select(
+        F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+    ).distinct()
+    deg = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    m = e.agg(F.count("*").alias("m"))
+    dc = deg.groupBy((F.col("node") % 4).alias("community")).agg(
+        F.sum("deg").alias("d_c"), F.count("*").alias("n_nodes")
+    )
+    ec = (
+        e.where(F.col("u") % 4 == F.col("v") % 4)
+        .groupBy((F.col("u") % 4).alias("community"))
+        .agg(F.count("*").alias("e_c"))
+    )
+    return (
+        dc.join(ec, "community", "left")
+        .join(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            "d_c",
+            F.coalesce("e_c", F.lit(0)).alias("e_c"),
+            (
+                4 * F.col("m") * F.coalesce("e_c", F.lit(0))
+                - F.col("d_c") * F.col("d_c")
+            ).alias("q_contrib_4m2"),
+        )
+        .orderBy("community")
+    )
+
+
+Q230_SQL = r"""
+WITH src AS (
+  SELECT DISTINCT CAST(doc_id % 90 AS BIGINT) AS s FROM documents
+), dir AS (
+  SELECT s AS a, (s * 3 + 1) % 90 AS b FROM src
+  UNION
+  SELECT s, (s * 7 + 2) % 90 FROM src
+), e AS (
+  SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+  FROM dir WHERE a <> b
+), deg AS (
+  SELECT node, COUNT(*)::BIGINT AS deg FROM (
+    SELECT u AS node FROM e UNION ALL SELECT v FROM e
+  ) GROUP BY node
+), m AS (
+  SELECT COUNT(*)::BIGINT AS m FROM e
+), dc AS (
+  SELECT node % 4 AS community, SUM(deg)::BIGINT AS d_c,
+         COUNT(*)::BIGINT AS n_nodes
+  FROM deg GROUP BY node % 4
+), ec AS (
+  SELECT u % 4 AS community, COUNT(*)::BIGINT AS e_c
+  FROM e WHERE u % 4 = v % 4 GROUP BY u % 4
+)
+SELECT dc.community, dc.n_nodes, dc.d_c,
+       COALESCE(ec.e_c, 0)::BIGINT AS e_c,
+       (4 * m.m * COALESCE(ec.e_c, 0) - dc.d_c * dc.d_c)::BIGINT
+         AS q_contrib_4m2
+FROM dc LEFT JOIN ec USING (community), m
+ORDER BY dc.community
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -15396,6 +15484,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q227_k_anonymity": q227_k_anonymity,
     "q228_license_signals": q228_license_signals,
     "q229_yield_funnel": q229_yield_funnel,
+    "q230_modularity": q230_modularity,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -15615,6 +15704,7 @@ ORACLES: dict[str, str] = {
     "q227_k_anonymity": Q227_SQL,
     "q228_license_signals": Q228_SQL,
     "q229_yield_funnel": Q229_SQL,
+    "q230_modularity": Q230_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -200,6 +200,7 @@ AUDITED = [
     "q227_k_anonymity",
     "q228_license_signals",
     "q229_yield_funnel",
+    "q230_modularity",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -745,6 +746,10 @@ CHECKS = {
     "q229_yield_funnel": ["HashAggregate", "Generate",
                           "!SortMergeJoin", "!CartesianProduct",
                           "!ArrowEvalPython"],
+    # map-side-combinable degree/community aggregates; the BNLJ is the
+    # broadcast 1-row edge-count m (scalar convention)
+    "q230_modularity": ["HashAggregate", "!CartesianProduct",
+                        "!ArrowEvalPython"],
 }
 
 NOTES = {
