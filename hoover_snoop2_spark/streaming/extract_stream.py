@@ -100,24 +100,42 @@ def start_extract_stream(
     spark: SparkSession,
     src_dir: str,
     out_dir: str,
-    schema,
+    schema=None,
     available_now: bool = True,
     max_files_per_trigger: int = 8,
     wet_dir: str | None = None,
+    source_format: str = "parquet",
 ):
     """readStream(pages dir) → foreachBatch(incremental pipeline).
 
     ``available_now=True`` drains existing files and stops — the test /
     backfill mode; production would trigger on processingTime.
     ``wet_dir`` additionally lands each epoch's delta as WET files.
+    ``source_format='warc'`` reads raw crawl drops through the warc
+    streaming data source instead of parquet pages — the full
+    crawl-to-corpus loop (WARC in → digests + WET out) with no batch
+    staging step; ``schema`` is ignored (the source owns it) and the
+    rows project onto the pages contract via ``to_pages``.
     """
     extractor = StreamingExtractor(spark, out_dir, wet_dir=wet_dir)
-    stream = (
-        spark.readStream.format("parquet")
-        .schema(schema)
-        .option("maxFilesPerTrigger", str(max_files_per_trigger))
-        .load(src_dir)
-    )
+    if source_format == "warc":
+        from ..sources.warc import to_pages
+        from ..sources.warc_datasource import WarcDataSource
+
+        spark.dataSource.register(WarcDataSource)
+        stream = to_pages(
+            spark.readStream.format("warc")
+            .option("path", src_dir)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .load()
+        )
+    else:
+        stream = (
+            spark.readStream.format("parquet")
+            .schema(schema)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .load(src_dir)
+        )
     writer = stream.writeStream.foreachBatch(extractor.process_batch)
     if available_now:
         q = writer.trigger(availableNow=True).start()

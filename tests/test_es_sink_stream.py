@@ -151,3 +151,54 @@ def test_streaming_wet_sink(spark, tmp_path):
         ).count()
         == 0
     )
+
+
+def test_streaming_extraction_from_warc_source(spark, tmp_path):
+    """The full crawl-to-corpus loop with NO batch staging: raw WARC
+    drops stream in through the warc data source, foreachBatch runs the
+    incremental pipeline, digests + WET records land per epoch — and
+    the result is row-identical to the batch path over the same files."""
+    import gzip
+
+    from hoover_snoop2_spark.plans.pipeline import run_extraction
+    from hoover_snoop2_spark.sources.warc import (
+        read_warc,
+        read_wet,
+        to_pages,
+    )
+    from hoover_snoop2_spark.streaming.extract_stream import (
+        start_extract_stream,
+    )
+    from test_warc import _build_records
+
+    drop = tmp_path / "warc_drop"
+    drop.mkdir()
+    for i in range(2):
+        (drop / f"seg-{i:05d}.warc.gz").write_bytes(
+            b"".join(gzip.compress(r) for r in _build_records())
+        )
+
+    out = str(tmp_path / "digests_out")
+    wet = str(tmp_path / "wet_out")
+    q = start_extract_stream(
+        spark,
+        str(drop / "*.warc.gz"),
+        out,
+        source_format="warc",
+        max_files_per_trigger=1,
+        wet_dir=wet,
+    )
+    q.awaitTermination()
+
+    got = spark.read.parquet(out)
+    batch, _ = run_extraction(
+        spark,
+        to_pages(read_warc(spark, str(drop / "*.warc.gz"))),
+        checkpoint_dir=str(tmp_path / "ckpt_batch"),
+    )
+    want = {(r.url, r.text) for r in batch.select("url", "text").collect()}
+    have = {(r.url, r.text) for r in got.select("url", "text").collect()}
+    assert want == have and want
+    # WET side: one conversion record per url, readable back
+    wet_back = read_wet(spark, wet + "/epoch=*/*.warc.wet.gz")
+    assert wet_back.count() == got.select("url").distinct().count()
