@@ -200,10 +200,13 @@ class WarcStreamReader(DataSourceStreamReader):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("warc stream requires option('path', ...)")
-        # max files per microbatch — bounds batch latency while a
-        # backlog drains (maxFilesPerTrigger parity)
+        # max files per microbatch while the stream is live — bounds
+        # batch latency as a backlog drains (maxFilesPerTrigger
+        # parity).  Does NOT bound the first batch after a (re)start:
+        # see the latestOffset invariant.
         self.max_files = int(options.get("maxFilesPerTrigger", "0"))
         self._last = ""
+        self._anchored = False
 
     def _files(self) -> list[str]:
         return sorted(_glob.glob(_local_path(self.path)))
@@ -212,7 +215,24 @@ class WarcStreamReader(DataSourceStreamReader):
         return {"last": ""}
 
     def latestOffset(self) -> dict:
-        new = [f for f in self._files() if f > self._last]
+        # CORRECTNESS INVARIANT: the returned offset must never sort
+        # below an offset the engine already checkpointed, or the next
+        # batch's (start, end] range walks BACK over processed files
+        # and re-emits them.  The reader's in-process watermark dies
+        # with the process, and the engine calls latestOffset BEFORE
+        # initialOffset even on a fresh query (measured; the protocol
+        # gives the reader no way to see the checkpointed offset here) —
+        # so the FIRST call of a reader's lifetime must catch up to the
+        # global max in one batch.  maxFilesPerTrigger chunking applies
+        # from the second call on, once the watermark is anchored.
+        files = self._files()
+        if not files:
+            return {"last": self._last}
+        if not self._anchored:
+            self._anchored = True
+            self._last = max(self._last, files[-1])
+            return {"last": self._last}
+        new = [f for f in files if f > self._last]
         if new:
             cut = new[: self.max_files] if self.max_files else new
             self._last = cut[-1]
@@ -220,6 +240,9 @@ class WarcStreamReader(DataSourceStreamReader):
 
     def partitions(self, start: dict, end: dict):
         lo, hi = start.get("last", ""), end.get("last", "")
+        # keep the in-process watermark at least at the engine's —
+        # defense in depth against any offset the log knows and we don't
+        self._last = max(self._last, hi)
         return [
             _WholeFile(f) for f in self._files() if lo < f <= hi
         ]
@@ -230,8 +253,8 @@ class WarcStreamReader(DataSourceStreamReader):
         yield from _record_batches(parse_warc_records(raw, partition.path))
 
     def commit(self, end: dict) -> None:
-        # the checkpoint owns progress; nothing to clean up here
-        pass
+        # the engine's committed offset is durable truth; track it
+        self._last = max(self._last, end.get("last", ""))
 
 
 class WarcDataSource(DataSource):

@@ -112,6 +112,14 @@ def _publish(path: str, prefix: str, messages) -> None:
         n_records += m.n_records
         n_bytes += m.n_bytes
         part += 1
+    # a replayed streaming batch may stage FEWER partitions than the
+    # original commit (upstream repartition between runs); finals from
+    # the stale commit that the new manifest no longer names must go,
+    # or glob-based readers double-count what manifest readers don't see
+    keep = {f["path"] for f in files}
+    for old in _glob.glob(os.path.join(path, f"{prefix}part-*.warc.wet.gz")):
+        if old not in keep:
+            os.remove(old)
     mdir = os.path.join(path, "_manifests")
     os.makedirs(mdir, exist_ok=True)
     mpath = os.path.join(mdir, f"{prefix.rstrip('-') or 'job'}.json")

@@ -138,14 +138,15 @@ def test_warc_stream_incremental_file_pickup(spark, tmp_path):
 
 
 def test_warc_stream_max_files_per_trigger(spark, tmp_path):
-    """maxFilesPerTrigger bounds each microbatch; the backlog drains
-    across batches with no file lost or duplicated."""
+    """maxFilesPerTrigger bounds each LIVE microbatch (the first batch
+    of a reader's lifetime is the unbounded catch-up — see the
+    latestOffset invariant); a mid-stream backlog drains across
+    batches with no file lost or duplicated."""
     drop = tmp_path / "drop2"
     drop.mkdir()
-    for i in range(5):
-        (drop / f"seg-{i:05d}.warc.gz").write_bytes(
-            b"".join(gzip.compress(r) for r in _build_records())
-        )
+    (drop / "seg-00000.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in _build_records())
+    )
 
     _register(spark)
     q = (
@@ -160,11 +161,16 @@ def test_warc_stream_max_files_per_trigger(spark, tmp_path):
     )
     try:
         q.processAllAvailable()
+        for i in range(1, 5):  # 4-file backlog lands while running
+            (drop / f"seg-{i:05d}.warc.gz").write_bytes(
+                b"".join(gzip.compress(r) for r in _build_records())
+            )
+        q.processAllAvailable()
         rows = spark.sql(
             "select warc_file, count(*) c from warc_stream_mft group by 1"
         ).collect()
         assert len(rows) == 5 and all(r.c == 2 for r in rows)
-        # 5 files at <=2/batch -> at least 3 microbatches
+        # 1 catch-up batch + 4 live files at <=2/batch -> >= 3 batches
         assert len(q.recentProgress) >= 3
     finally:
         q.stop()
@@ -217,3 +223,50 @@ def test_warc_stream_restart_from_checkpoint(spark, tmp_path):
     )
     got = {os.path.basename(r.warc_file): r["count"] for r in rows}
     assert got == {"seg-00000.warc.gz": 2, "seg-00001.warc.gz": 2}
+
+
+def test_warc_stream_restart_with_max_files_no_duplicates(spark, tmp_path):
+    """Regression: maxFilesPerTrigger + restart.  A rebuilt reader's
+    in-process watermark is empty, so a naive chunked latestOffset
+    would return the first K files — BEHIND the checkpointed offset —
+    poisoning the offset log and re-emitting processed files in the
+    following batch.  The reader must instead catch up to the global
+    max on its first post-restart call."""
+    drop = tmp_path / "drop4"
+    drop.mkdir()
+    out = str(tmp_path / "mft_restart_out")
+    for i in range(4):
+        (drop / f"seg-{i:05d}.warc.gz").write_bytes(
+            b"".join(gzip.compress(r) for r in _build_records())
+        )
+    _register(spark)
+
+    def start():
+        return (
+            spark.readStream.format("warc")
+            .option("path", str(drop / "*.warc.gz"))
+            .option("maxFilesPerTrigger", "2")
+            .load()
+            .select("url", "http_status", "warc_file")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / "ckpt4"))
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    (drop / "seg-00004.warc.gz").write_bytes(
+        b"".join(gzip.compress(r) for r in _build_records())
+    )
+    q = start()
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    rows = spark.read.parquet(out).groupBy("warc_file").count().collect()
+    got = {os.path.basename(r.warc_file): r["count"] for r in rows}
+    assert got == {f"seg-{i:05d}.warc.gz": 2 for i in range(5)}
