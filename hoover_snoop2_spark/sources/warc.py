@@ -83,6 +83,27 @@ def _parse_headers(block: bytes) -> dict[str, str]:
     return headers
 
 
+def _decode_content(body: bytes, content_encoding: str) -> bytes:
+    """Inflate an HTTP Content-Encoding'd body (RFC 9110 §8.4.1:
+    gzip/x-gzip, deflate — both zlib-wrapped and the raw-deflate form
+    broken servers send).  Same safety contract as :func:`_dechunk`:
+    any decode failure (or an encoding we can't do, e.g. br without a
+    brotli lib) returns the original bytes — a wrong guess must never
+    lose payload."""
+    enc = content_encoding.strip().lower()
+    try:
+        if enc in ("gzip", "x-gzip"):
+            return gzip.decompress(body)
+        if enc == "deflate":
+            try:
+                return zlib.decompress(body)
+            except zlib.error:  # raw deflate, no zlib header
+                return zlib.decompress(body, -15)
+    except Exception:
+        return body
+    return body
+
+
 def _dechunk(body: bytes) -> bytes:
     """Decode an HTTP/1.1 chunked transfer coding (RFC 9112 §7.1).  On any
     framing violation the original bytes come back unchanged — a wrong
@@ -201,6 +222,14 @@ def parse_warc_records(
                 # body must be de-chunked or the html is framing-polluted
                 if "chunked" in http_headers.get("transfer-encoding", "").lower():
                     html = _dechunk(html)
+                # same goes for Content-Encoding: the stored body is the
+                # compressed wire payload, useless to every downstream
+                # extractor until inflated (transfer coding first, then
+                # content coding — the reverse of how the server applied
+                # them, RFC 9110 §8.4)
+                html = _decode_content(
+                    html, http_headers.get("content-encoding", "")
+                )
         yield {
             "url": url,
             "warc_ts": ts,

@@ -348,3 +348,36 @@ def test_q224_record_matches_build_wet_record(spark):
         body = r.record.split("\r\n\r\n", 1)[1]
         assert body.endswith("\r\n\r\n")
         assert len(body[:-4].encode("utf-8")) == r.content_length
+
+
+def test_content_encoding_gzip_and_deflate_inflated():
+    """Bodies stored with HTTP Content-Encoding (the wire payload, as
+    crawlers record it) are inflated: gzip, zlib-wrapped deflate, and
+    the raw-deflate form broken servers send; an unknown coding (br
+    without a lib) and corrupt bytes pass through unchanged."""
+    import zlib as _zlib
+
+    def resp(body: bytes, enc: str) -> bytes:
+        return (
+            f"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n"
+            f"Content-Encoding: {enc}\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n"
+        ).encode() + body
+
+    page = b"<html><body><p>compressed page</p></body></html>"
+    cases = [
+        ("https://e.example/gz", resp(gzip.compress(page), "gzip"), page),
+        ("https://e.example/df",
+         resp(_zlib.compress(page), "deflate"), page),
+        ("https://e.example/raw", resp((lambda co: co.compress(page)
+         + co.flush())(_zlib.compressobj(wbits=-15)), "deflate"), page),
+        ("https://e.example/br", resp(b"\x0bunknown", "br"), b"\x0bunknown"),
+        ("https://e.example/bad", resp(b"not gzip", "gzip"), b"not gzip"),
+    ]
+    raw = b"".join(
+        _record("response", url, "2026-01-01T00:00:00Z", payload)
+        for url, payload, _ in cases
+    )
+    got = {r["url"]: r["html"] for r in parse_warc_records(raw)}
+    for url, _, want in cases:
+        assert got[url] == want, url
