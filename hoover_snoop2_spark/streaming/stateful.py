@@ -173,3 +173,33 @@ def first_seen_stream(stream_df, fp_col: str = "fp", url_col: str = "url",
         outputMode="Append",
         timeMode="ProcessingTime",
     )
+
+
+def read_group_state(spark, checkpoint_dir: str, batch_id: int | None = None):
+    """Offline introspection of a streaming job's keyed state via
+    Spark's state data source (``spark.read.format("statestore")``) —
+    the ops tool the reference gets from inspecting its Postgres task
+    rows (admin.py task tables) and a Spark pipeline otherwise lacks:
+    which keys are stuck, how big the state is, whether one partition
+    hoards it.  Returns (key, state struct fields..., partition_id)
+    flattened one row per stored key.
+
+    ``batch_id`` time-travels to the state AS OF that micro-batch
+    (default: latest committed) — the state-side analog of the
+    SnapshotStore's digest time travel.  Works against any stateful
+    operator's checkpoint (applyInPandasWithState here); read-only,
+    safe on a live query's checkpoint (state files are immutable per
+    batch)."""
+    r = spark.read.format("statestore")
+    if batch_id is not None:
+        r = r.option("batchId", str(batch_id))
+    df = r.load(checkpoint_dir)
+    key_cols = [
+        f"key.{f.name}" for f in df.schema["key"].dataType.fields
+    ]
+    val = df.schema["value"].dataType.fields[0].name
+    val_cols = [
+        f"value.{val}.{f.name}"
+        for f in df.schema["value"].dataType[val].dataType.fields
+    ]
+    return df.select(*key_cols, *val_cols, "partition_id")

@@ -178,3 +178,53 @@ def test_first_seen_processor_logic_without_spark():
     assert out3 == []
     assert h.states["seen"].get() == ("u/b", 2)
     proc.close()
+
+
+def test_statestore_reader_introspects_group_state(spark, tmp_path):
+    """spark.read.format('statestore') over the dedup-counter
+    checkpoint: every key's live state is queryable offline — the
+    stuck-key / state-skew audit a long-running streaming job needs —
+    and batchId time-travels to an earlier micro-batch's state."""
+    from hoover_snoop2_spark.streaming.stateful import (
+        read_group_state,
+        stateful_dedup_counts,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    schema = "host string, sha3_256 string"
+    spark.createDataFrame(
+        [("h1", "a"), ("h1", "b"), ("h2", "a")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [("h1", "b"), ("h3", "z")], schema
+    ).coalesce(1).write.mode("append").parquet(src)
+
+    ckpt = str(tmp_path / "ckpt_ss")
+    q = (
+        stateful_dedup_counts(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            key_col="host",
+        )
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ss_counts")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    st = read_group_state(spark, ckpt)
+    got = {r.key: (r.total, sorted(r.hashes)) for r in st.collect()}
+    assert got == {
+        "h1": (3, ["a", "b"]),
+        "h2": (1, ["a"]),
+        "h3": (1, ["z"]),
+    }
+    # time travel: after batch 0 only the first file's keys exist
+    early = read_group_state(spark, ckpt, batch_id=0)
+    got0 = {r.key: r.total for r in early.collect()}
+    assert got0 == {"h1": 2, "h2": 1}
