@@ -15262,6 +15262,85 @@ ORDER BY dc.community
 """
 
 
+def q231_robots_sitemaps(spark, sf_dir):
+    """``Sitemap:`` directive extraction from robots.txt (RFC 9309
+    §2.3 + the sitemaps.org protocol: the line is case-insensitive,
+    group-independent, and may repeat) — the discovery channel q74's
+    sitemap ingestion starts from, completing the robots family
+    (q49 meta-robots, q61 crawl-delay, q78 longest-match, q115
+    page directives).  Per host a robots.txt is synthesized with 0-2
+    sitemap lines (one deliberately lowercase, one indented — both
+    must match; 'Sitemap-index:' must NOT, word boundary).  The pull
+    is one JVM ``regexp_extract_all`` per host — order = occurrence
+    order in both engines; the array joins to a pipe string so the
+    driver hash is engine-stable.  Scale: hosts-sized Project, no
+    shuffle but the final sort."""
+    hosts = spark.range(40).select(F.col("id").cast("long").alias("host"))
+    h = F.col("host").cast("string")
+    robots = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.lit("Sitemap-index: https://h"), h,
+        F.lit(".example/NOT-A-DIRECTIVE.xml\n"),
+        F.when(
+            F.col("host") % 3 == 0,
+            F.concat(F.lit("Sitemap: https://h"), h,
+                     F.lit(".example/sitemap.xml\n")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("host") % 5 == 0,
+            F.concat(F.lit("  sitemap: https://h"), h,
+                     F.lit(".example/sitemap-news.xml\n")),
+        ).otherwise(F.lit("")),
+        F.lit("Allow: /\n"),
+    )
+    maps = F.expr(
+        r"regexp_extract_all(robots, '(?im)^\\s*sitemap\\s*:\\s*(\\S+)', 1)"
+    )
+    return (
+        hosts.select("host", robots.alias("robots"))
+        .select(
+            "host",
+            F.array_join(maps, "|").alias("sitemaps"),
+            F.size(maps).cast("long").alias("n_sitemaps"),
+            (F.size(maps) > 0).alias("has_sitemap"),
+        )
+        .orderBy("host")
+    )
+
+
+Q231_SQL = r"""
+WITH hosts AS (
+  SELECT range AS host FROM range(40)
+), pages AS (
+  SELECT host,
+         'User-agent: *' || chr(10) || 'Disallow: /private' || chr(10)
+         || 'Sitemap-index: https://h' || CAST(host AS VARCHAR)
+         || '.example/NOT-A-DIRECTIVE.xml' || chr(10)
+         || CASE WHEN host % 3 = 0
+                 THEN 'Sitemap: https://h' || CAST(host AS VARCHAR)
+                      || '.example/sitemap.xml' || chr(10)
+                 ELSE '' END
+         || CASE WHEN host % 5 = 0
+                 THEN '  sitemap: https://h' || CAST(host AS VARCHAR)
+                      || '.example/sitemap-news.xml' || chr(10)
+                 ELSE '' END
+         || 'Allow: /' || chr(10) AS robots
+  FROM hosts
+), ext AS (
+  SELECT host,
+         regexp_extract_all(robots, '(?m)^\s*[sS]itemap\s*:\s*(\S+)', 1)
+           AS maps
+  FROM pages
+)
+SELECT CAST(host AS BIGINT) AS host,
+       -- duckdb's array_to_string([]) is NULL; spark's array_join is ''
+       COALESCE(array_to_string(maps, '|'), '') AS sitemaps,
+       CAST(len(maps) AS BIGINT) AS n_sitemaps,
+       len(maps) > 0 AS has_sitemap
+FROM ext ORDER BY host
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -15485,6 +15564,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q228_license_signals": q228_license_signals,
     "q229_yield_funnel": q229_yield_funnel,
     "q230_modularity": q230_modularity,
+    "q231_robots_sitemaps": q231_robots_sitemaps,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -15705,6 +15785,7 @@ ORACLES: dict[str, str] = {
     "q228_license_signals": Q228_SQL,
     "q229_yield_funnel": Q229_SQL,
     "q230_modularity": Q230_SQL,
+    "q231_robots_sitemaps": Q231_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

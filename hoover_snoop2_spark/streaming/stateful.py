@@ -189,7 +189,10 @@ def read_group_state(spark, checkpoint_dir: str, batch_id: int | None = None):
     SnapshotStore's digest time travel.  Works against any stateful
     operator's checkpoint (applyInPandasWithState here); read-only,
     safe on a live query's checkpoint (state files are immutable per
-    batch)."""
+    batch).  The companion catalog is
+    ``spark.read.format("state-metadata").load(ckpt)`` — which
+    operators hold state, partition counts, and the reconstructable
+    [minBatchId, maxBatchId] range for the batch_id parameter."""
     r = spark.read.format("statestore")
     if batch_id is not None:
         r = r.option("batchId", str(batch_id))

@@ -228,3 +228,8 @@ def test_statestore_reader_introspects_group_state(spark, tmp_path):
     early = read_group_state(spark, ckpt, batch_id=0)
     got0 = {r.key: r.total for r in early.collect()}
     assert got0 == {"h1": 2, "h2": 1}
+    # the checkpoint's own catalog: which operators hold state, how
+    # many partitions, which batch range is reconstructable
+    md = spark.read.format("state-metadata").load(ckpt).first()
+    assert md.operatorName == "applyInPandasWithState"
+    assert md.minBatchId == 0 and md.maxBatchId == 1

@@ -201,6 +201,7 @@ AUDITED = [
     "q228_license_signals",
     "q229_yield_funnel",
     "q230_modularity",
+    "q231_robots_sitemaps",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -750,6 +751,9 @@ CHECKS = {
     # broadcast 1-row edge-count m (scalar convention)
     "q230_modularity": ["HashAggregate", "!CartesianProduct",
                         "!ArrowEvalPython"],
+    # hosts-sized Project; regexp_extract_all stays JVM-side
+    "q231_robots_sitemaps": ["!HashAggregate", "!CartesianProduct",
+                             "!SortMergeJoin", "!ArrowEvalPython"],
 }
 
 NOTES = {
