@@ -15341,6 +15341,53 @@ FROM ext ORDER BY host
 """
 
 
+def q232_pipe_syntax(spark, sf_dir):
+    """SQL pipe syntax (Spark 4.0's ``|>`` operators, the
+    linear-dataflow SQL form from the SQL:pipe proposal popularized
+    by GoogleSQL) — the same logical plan as a nested
+    SELECT/GROUP BY/HAVING, but each stage reads top-to-bottom like
+    the DataFrame chain the rest of this repo writes.  This certifies
+    the SURFACE: WHERE → EXTEND (computed column) → AGGREGATE …
+    GROUP BY → WHERE-as-HAVING → ORDER BY compile to the identical
+    Catalyst plan the classic form produces, value-exact against a
+    classic-SQL DuckDB oracle (DuckDB has no pipe syntax — which is
+    the point: same relation, two notations).  All-integer outputs."""
+    d = _t(spark, sf_dir, "documents")
+    d.createOrReplaceTempView("q232_docs")
+    return spark.sql("""
+FROM q232_docs
+|> WHERE n_chars >= 100
+|> EXTEND n_chars - n_chars % 100 AS band
+|> AGGREGATE COUNT(*) AS n_docs, SUM(n_chars) AS chars
+   GROUP BY lang, band
+|> WHERE n_docs >= 2
+|> EXTEND chars - chars % n_docs AS chars_floor
+|> ORDER BY lang, band
+""").select(
+        "lang", "band",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("chars").cast("long").alias("chars"),
+        F.col("chars_floor").cast("long").alias("chars_floor"),
+    )
+
+
+Q232_SQL = r"""
+SELECT lang, band,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(chars AS BIGINT) AS chars,
+       CAST(chars - chars % n_docs AS BIGINT) AS chars_floor
+FROM (
+  SELECT lang, n_chars - n_chars % 100 AS band,
+         COUNT(*) AS n_docs, SUM(n_chars) AS chars
+  FROM documents
+  WHERE n_chars >= 100
+  GROUP BY lang, n_chars - n_chars % 100
+)
+WHERE n_docs >= 2
+ORDER BY lang, band
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -15565,6 +15612,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q229_yield_funnel": q229_yield_funnel,
     "q230_modularity": q230_modularity,
     "q231_robots_sitemaps": q231_robots_sitemaps,
+    "q232_pipe_syntax": q232_pipe_syntax,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -15786,6 +15834,7 @@ ORACLES: dict[str, str] = {
     "q229_yield_funnel": Q229_SQL,
     "q230_modularity": Q230_SQL,
     "q231_robots_sitemaps": Q231_SQL,
+    "q232_pipe_syntax": Q232_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

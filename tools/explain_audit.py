@@ -202,6 +202,7 @@ AUDITED = [
     "q229_yield_funnel",
     "q230_modularity",
     "q231_robots_sitemaps",
+    "q232_pipe_syntax",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -754,6 +755,10 @@ CHECKS = {
     # hosts-sized Project; regexp_extract_all stays JVM-side
     "q231_robots_sitemaps": ["!HashAggregate", "!CartesianProduct",
                              "!SortMergeJoin", "!ArrowEvalPython"],
+    # pipe syntax compiles to the same plan the classic form gives:
+    # one partial/final aggregate, filter pushed to the scan
+    "q232_pipe_syntax": ["HashAggregate", "!Window", "!Generate",
+                         "!CartesianProduct", "!ArrowEvalPython"],
 }
 
 NOTES = {
