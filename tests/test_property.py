@@ -332,3 +332,44 @@ def test_cpio_ar_roundtrip_fuzz(members):
     for fmt in ("newc", "odc", "bin"):
         assert unpack_cpio(build_cpio(members, fmt)) == members
     assert unpack_ar(build_ar(members)) == members
+
+
+@given(st.binary(max_size=4096))
+@settings(max_examples=60, deadline=None)
+def test_content_encoding_gzip_roundtrip(data):
+    """gzip/deflate/raw-deflate wire bodies inflate back to the exact
+    original bytes; the decoder is total over arbitrary payloads."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from hoover_snoop2_spark.sources.warc import _decode_content
+
+    assert _decode_content(_gzip.compress(data), "gzip") == data
+    assert _decode_content(_zlib.compress(data), "deflate") == data
+    co = _zlib.compressobj(wbits=-15)
+    assert _decode_content(co.compress(data) + co.flush(), "deflate") == data
+
+
+@given(st.binary(max_size=2048), st.sampled_from(
+    ["gzip", "deflate", "br", "zstd", "identity", ""]))
+@settings(max_examples=60, deadline=None)
+def test_content_encoding_never_loses_payload(data, enc):
+    """Arbitrary (usually invalid) bytes under any declared coding
+    either decode or pass through unchanged — never raise, never
+    return something that is neither."""
+    import gzip as _gzip
+    import zlib as _zlib
+
+    from hoover_snoop2_spark.sources.warc import _decode_content
+
+    out = _decode_content(data, enc)
+    if out != data:
+        # it decoded: re-encoding must reproduce the input form
+        assert enc in ("gzip", "x-gzip", "deflate")
+        if enc in ("gzip", "x-gzip"):
+            assert _gzip.decompress(data) == out
+        else:
+            try:
+                assert _zlib.decompress(data) == out
+            except _zlib.error:
+                assert _zlib.decompress(data, -15) == out
