@@ -373,3 +373,38 @@ def test_content_encoding_never_loses_payload(data, enc):
                 assert _zlib.decompress(data) == out
             except _zlib.error:
                 assert _zlib.decompress(data, -15) == out
+
+
+@given(
+    st.text(max_size=512),
+    st.text(
+        alphabet=st.sampled_from(
+            "abcdefghijklmnopqrstuvwxyz0123456789-._~"
+        ),
+        min_size=1,
+        max_size=80,
+    ),
+)
+@settings(max_examples=60, deadline=None)
+def test_wet_record_roundtrips_arbitrary_text(text, urlpart):
+    """build_wet_record → parse_wet_records is identity on the text for
+    ANY content — including text embedding CRLF CRLF and forged
+    'WARC/1.0' headers — because the reader trusts Content-Length
+    framing, not delimiters.  Record pairs concatenate cleanly."""
+    from datetime import datetime
+
+    from hoover_snoop2_spark.sources.warc import (
+        build_wet_record,
+        parse_wet_records,
+    )
+
+    evil = text + "\r\n\r\nWARC/1.0\r\nWARC-Type: conversion\r\n"
+    url = "https://fuzz.example/" + urlpart
+    recs = (
+        build_wet_record(url, datetime(2026, 1, 1), text)
+        + build_wet_record(url + "/2", datetime(2026, 1, 2), evil)
+    )
+    got = list(parse_wet_records(recs))
+    assert [r["url"] for r in got] == [url, url + "/2"]
+    assert got[0]["text"] == text
+    assert got[1]["text"] == evil
