@@ -408,3 +408,57 @@ def test_wet_record_roundtrips_arbitrary_text(text, urlpart):
     assert [r["url"] for r in got] == [url, url + "/2"]
     assert got[0]["text"] == text
     assert got[1]["text"] == evil
+
+
+@given(
+    st.lists(
+        st.sampled_from(["add", "batch", "restart"]),
+        min_size=1,
+        max_size=40,
+    ),
+    st.integers(min_value=0, max_value=3),
+)
+@settings(max_examples=120, deadline=None)
+def test_warc_stream_offset_protocol_exactly_once(ops, max_files):
+    """Model-based check of the stream reader's offset protocol under
+    the ENGINE's real call order (latestOffset before any anchor, then
+    partitions(start,end), then commit(end)) across arbitrary
+    interleavings of file arrivals, microbatches, and restarts: every
+    file is read exactly once, and offsets never move backward —
+    the invariant the maxFilesPerTrigger+restart regression violated."""
+    from hoover_snoop2_spark.sources.warc_datasource import WarcStreamReader
+
+    files: list[str] = []
+
+    class R(WarcStreamReader):
+        def __init__(self):
+            super().__init__(
+                {"path": "/nonexistent/*",
+                 "maxFilesPerTrigger": str(max_files)}
+            )
+
+        def _files(self):
+            return sorted(files)
+
+    reader = R()
+    start = {"last": ""}  # engine-checkpointed offset
+    seen: list[str] = []
+    n = 0
+    for op in ops + ["batch", "batch", "batch"]:  # drain at the end
+        if op == "add":
+            files.append(f"seg-{n:05d}")
+            n += 1
+        elif op == "restart":
+            reader = R()  # in-process watermark lost; checkpoint kept
+        else:
+            end = reader.latestOffset()
+            assert end["last"] >= start["last"], "offset moved backward"
+            batch = [p.path for p in reader.partitions(start, end)]
+            seen.extend(batch)
+            if max_files:
+                # live chunking bound (first-anchor batch is exempt)
+                assert len(batch) <= max(max_files, len(files))
+            start = end
+            reader.commit(end)
+    assert sorted(seen) == sorted(files), "lost or duplicated files"
+    assert len(seen) == len(set(seen))
