@@ -111,3 +111,46 @@ def test_wet_stream_sink_exactly_once_per_batch(spark, tmp_path):
     names = {os.path.basename(f["path"]) for f in man["files"]}
     assert all(n.startswith("batch-") for n in names)
     assert len({n.split("-part-")[0] for n in names}) >= 2
+
+
+def test_publish_replay_is_idempotent_and_prunes_stale(tmp_path):
+    """Pure-unit check of the two-phase commit's driver half: replaying
+    a batch with FEWER staged partitions (upstream repartition between
+    runs) rewrites the manifest, reuses the final names, and prunes the
+    stale extra final — glob readers and manifest readers agree."""
+    import glob
+    import json
+    import os
+
+    from hoover_snoop2_spark.sources.wet_datasource import (
+        WetCommit,
+        _publish,
+    )
+
+    out = str(tmp_path / "pub")
+    staging = os.path.join(out, "_staging")
+    os.makedirs(staging)
+
+    def stage(name: str, payload: bytes) -> WetCommit:
+        p = os.path.join(staging, name)
+        with open(p, "wb") as f:
+            f.write(payload)
+        return WetCommit(p, 1, len(payload))
+
+    # original commit: 3 partitions
+    _publish(out, "batch-00007-", [
+        stage("a", b"A"), None, stage("b", b"B"), stage("c", b"C"),
+    ])
+    finals = sorted(glob.glob(os.path.join(out, "batch-00007-part-*")))
+    assert len(finals) == 3 and os.listdir(staging) == []
+
+    # replay with 2 partitions (and new staged content)
+    _publish(out, "batch-00007-", [stage("d", b"DD"), stage("e", b"E")])
+    finals = sorted(glob.glob(os.path.join(out, "batch-00007-part-*")))
+    assert len(finals) == 2  # stale part-00002 pruned
+    man = json.load(open(os.path.join(out, "_manifests",
+                                      "batch-00007.json")))
+    assert man["n_records"] == 2 and man["n_bytes"] == 3
+    assert sorted(f["path"] for f in man["files"]) == finals
+    assert open(finals[0], "rb").read() == b"DD"
+    assert open(finals[1], "rb").read() == b"E"
