@@ -15388,6 +15388,105 @@ ORDER BY lang, band
 """
 
 
+def q233_linkrot_lifetable(spark, sf_dir):
+    """Censored link-rot life table — the survival-analysis shape the
+    cohort queries (q168 retention, q122 recrawl) don't cover: a url
+    leaves the at-risk set either by DYING (first error capture) or by
+    CENSORING (observation simply ends), and conflating the two
+    overstates rot.  Per age-in-days a: at_risk(a) = urls still under
+    observation at age a, deaths(a) = urls whose first error landed at
+    age a, hazard_per_10k = integer-exact conditional failure rate —
+    the table a recrawl scheduler turns into freshness budgets.
+    Scale: one groupBy(url) over the capture log, then everything is
+    histogram-sized — exit-age counts joined to a 30-row age spine
+    (the >= join is 30×30, broadcast); no per-age corpus scan, no
+    Window over the corpus."""
+    e = _t(spark, sf_dir, "events")
+    day = F.col("ts").cast("date")
+    per_url = e.groupBy(F.col("user_id").alias("url_id")).agg(
+        F.min(day).alias("birth"),
+        F.max(day).alias("last_seen"),
+        F.min(F.when(F.col("event_type") == "error", day)).alias(
+            "first_err"
+        ),
+    )
+    spans = per_url.select(
+        F.datediff("first_err", "birth").alias("age_death"),
+        F.datediff(
+            F.coalesce("first_err", "last_seen"), F.col("birth")
+        ).alias("exit_age"),
+    )
+    exits = spans.groupBy("exit_age").agg(F.count("*").alias("n_exit"))
+    deaths = (
+        spans.where(F.col("age_death").isNotNull())
+        .groupBy(F.col("age_death").alias("age_days"))
+        .agg(F.count("*").alias("deaths"))
+    )
+    ages = spark.range(30).select(F.col("id").cast("long").alias("age_days"))
+    at_risk = (
+        ages.join(
+            F.broadcast(exits), F.col("exit_age") >= F.col("age_days"), "left"
+        )
+        .groupBy("age_days")
+        .agg(F.coalesce(F.sum("n_exit"), F.lit(0)).alias("at_risk"))
+    )
+    d = F.col("deaths")
+    r = F.greatest(F.col("at_risk"), F.lit(1))
+    return (
+        at_risk.join(F.broadcast(deaths), "age_days", "left")
+        .select(
+            "age_days",
+            "at_risk",
+            F.coalesce("deaths", F.lit(0)).alias("deaths"),
+        )
+        .select(
+            "age_days",
+            "at_risk",
+            "deaths",
+            ((d * 10000 - (d * 10000) % r) / r)
+            .cast("long")
+            .alias("hazard_per_10k"),
+        )
+        .orderBy("age_days")
+    )
+
+
+Q233_SQL = r"""
+WITH per_url AS (
+  SELECT user_id AS url_id,
+         MIN(CAST(ts AS DATE)) AS birth,
+         MAX(CAST(ts AS DATE)) AS last_seen,
+         MIN(CASE WHEN event_type = 'error' THEN CAST(ts AS DATE) END)
+           AS first_err
+  FROM events GROUP BY user_id
+), spans AS (
+  SELECT datediff('day', birth, first_err) AS age_death,
+         datediff('day', birth,
+                  COALESCE(first_err, last_seen)) AS exit_age
+  FROM per_url
+), exits AS (
+  SELECT exit_age, COUNT(*)::BIGINT AS n_exit FROM spans GROUP BY exit_age
+), deaths AS (
+  SELECT age_death AS age_days, COUNT(*)::BIGINT AS deaths
+  FROM spans WHERE age_death IS NOT NULL GROUP BY age_death
+), ages AS (
+  SELECT range AS age_days FROM range(0, 30)
+), at_risk AS (
+  SELECT a.age_days, COALESCE(SUM(x.n_exit), 0)::BIGINT AS at_risk
+  FROM ages a LEFT JOIN exits x ON x.exit_age >= a.age_days
+  GROUP BY a.age_days
+)
+SELECT CAST(r.age_days AS BIGINT) AS age_days, r.at_risk,
+       COALESCE(d.deaths, 0)::BIGINT AS deaths,
+       CAST((COALESCE(d.deaths, 0) * 10000
+             - (COALESCE(d.deaths, 0) * 10000)
+               % GREATEST(r.at_risk, 1))
+            / GREATEST(r.at_risk, 1) AS BIGINT) AS hazard_per_10k
+FROM at_risk r LEFT JOIN deaths d USING (age_days)
+ORDER BY age_days
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -15613,6 +15712,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q230_modularity": q230_modularity,
     "q231_robots_sitemaps": q231_robots_sitemaps,
     "q232_pipe_syntax": q232_pipe_syntax,
+    "q233_linkrot_lifetable": q233_linkrot_lifetable,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -15835,6 +15935,7 @@ ORACLES: dict[str, str] = {
     "q230_modularity": Q230_SQL,
     "q231_robots_sitemaps": Q231_SQL,
     "q232_pipe_syntax": Q232_SQL,
+    "q233_linkrot_lifetable": Q233_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

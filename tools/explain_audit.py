@@ -203,6 +203,7 @@ AUDITED = [
     "q230_modularity",
     "q231_robots_sitemaps",
     "q232_pipe_syntax",
+    "q233_linkrot_lifetable",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -759,6 +760,11 @@ CHECKS = {
     # one partial/final aggregate, filter pushed to the scan
     "q232_pipe_syntax": ["HashAggregate", "!Window", "!Generate",
                          "!CartesianProduct", "!ArrowEvalPython"],
+    # one corpus groupBy(url); everything after is histogram-sized —
+    # the >= age-spine join is the broadcast NLJ of two tiny sides
+    "q233_linkrot_lifetable": ["HashAggregate", "!Window",
+                               "!CartesianProduct", "!SortMergeJoin",
+                               "!ArrowEvalPython"],
 }
 
 NOTES = {
