@@ -15487,6 +15487,98 @@ ORDER BY age_days
 """
 
 
+def q234_mime_mismatch_audit(spark, sf_dir):
+    """Declared-vs-sniffed MIME audit — the server's Content-Type lies
+    constantly (misconfigured servers, polyglot files, binary served
+    as text), which is exactly why the pipeline trusts
+    ``magic.sniff_bytes`` over headers (reference magic.py does the
+    same).  This query puts the REAL sniffer kernel (the Arrow
+    ``sniff_udf`` the extraction pipeline runs) under the driver's
+    value-exact gate: payloads with known signatures (PDF, PNG, gzip,
+    html, plain text) are synthesized from doc_id residues, the Spark
+    side SNIFFS them, and the oracle recomputes the expected type
+    closed-form from the residue — any sniffer regression breaks the
+    hash.  ``binary_as_text`` flags the worst class (binary payload
+    behind a text/* header: feeding it to a text extractor pollutes
+    the corpus).  Scale: one Arrow-batched pass, corpus-sized, no
+    shuffle before the sort."""
+    from .functions.magic import sniff_udf
+
+    d = _t(spark, sf_dir, "documents")
+    r = F.col("doc_id") % 5
+    declared = (
+        F.when(r == 0, F.lit("text/html"))
+        .when(r == 1, F.lit("image/png"))
+        .when(r == 2, F.lit("text/html"))
+        .when(r == 3, F.lit("application/pdf"))
+        .otherwise(F.lit("text/plain"))
+    )
+    payload = (
+        F.when(r == 0, F.encode(F.lit("%PDF-1.4\n1 0 obj\n"), "utf-8"))
+        .when(
+            r == 1,
+            F.concat(
+                F.expr("X'89504E470D0A1A0A'"),
+                F.encode(F.lit("fakechunk"), "utf-8"),
+            ),
+        )
+        .when(
+            r == 2,
+            F.encode(F.lit("<html><body>ok page</body></html>"), "utf-8"),
+        )
+        .when(r == 3, F.encode(F.lit("just words, no markup."), "utf-8"))
+        .otherwise(
+            F.concat(
+                F.expr("X'1F8B08'"), F.encode(F.lit("xxxx"), "utf-8")
+            )
+        )
+    )
+    sniffed = sniff_udf(payload)["mime_type"]
+    return (
+        d.select("doc_id", declared.alias("declared"), sniffed.alias("sniffed"))
+        .select(
+            "doc_id",
+            "declared",
+            "sniffed",
+            (F.col("declared") != F.col("sniffed")).alias("mismatch"),
+            (
+                F.col("declared").startswith("text/")
+                & ~F.col("sniffed").startswith("text/")
+            ).alias("binary_as_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q234_SQL = r"""
+WITH t AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 0 THEN 'text/html'
+           WHEN 1 THEN 'image/png'
+           WHEN 2 THEN 'text/html'
+           WHEN 3 THEN 'application/pdf'
+           ELSE 'text/plain'
+         END AS declared,
+         -- ground truth the synthesis guarantees; the Spark side must
+         -- REDISCOVER it with the real sniffer kernel
+         CASE doc_id % 5
+           WHEN 0 THEN 'application/pdf'
+           WHEN 1 THEN 'image/png'
+           WHEN 2 THEN 'text/html'
+           WHEN 3 THEN 'text/plain'
+           ELSE 'application/gzip'
+         END AS sniffed
+  FROM documents
+)
+SELECT doc_id, declared, sniffed,
+       declared <> sniffed AS mismatch,
+       (declared LIKE 'text/%' AND sniffed NOT LIKE 'text/%')
+         AS binary_as_text
+FROM t ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -15713,6 +15805,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q231_robots_sitemaps": q231_robots_sitemaps,
     "q232_pipe_syntax": q232_pipe_syntax,
     "q233_linkrot_lifetable": q233_linkrot_lifetable,
+    "q234_mime_mismatch_audit": q234_mime_mismatch_audit,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -15936,6 +16029,7 @@ ORACLES: dict[str, str] = {
     "q231_robots_sitemaps": Q231_SQL,
     "q232_pipe_syntax": Q232_SQL,
     "q233_linkrot_lifetable": Q233_SQL,
+    "q234_mime_mismatch_audit": Q234_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -204,6 +204,7 @@ AUDITED = [
     "q231_robots_sitemaps",
     "q232_pipe_syntax",
     "q233_linkrot_lifetable",
+    "q234_mime_mismatch_audit",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -765,6 +766,10 @@ CHECKS = {
     "q233_linkrot_lifetable": ["HashAggregate", "!Window",
                                "!CartesianProduct", "!SortMergeJoin",
                                "!ArrowEvalPython"],
+    # the Arrow sniffer kernel IS the subject here — ArrowEvalPython
+    # required; everything around it stays a codegen'd Project
+    "q234_mime_mismatch_audit": ["ArrowEvalPython", "!HashAggregate",
+                                 "!CartesianProduct", "!SortMergeJoin"],
 }
 
 NOTES = {
