@@ -15579,6 +15579,75 @@ FROM t ORDER BY doc_id
 """
 
 
+def q235_encoding_ladder_audit(spark, sf_dir):
+    """Encoding-detection certification — q234's sibling for the OTHER
+    half of the sniffer: ``detect_mime_encoding``'s ladder (BOMs →
+    NUL-means-binary → ascii → utf-8 validate → latin-1 fallback) is
+    what decides whether bytes become text at all, and a regression
+    here silently garbles or drops documents.  Six residue-keyed
+    payloads cover every rung (utf-8 BOM, utf-16 BOM, pure ascii,
+    valid multi-byte utf-8, a bare 0xE9 that utf-8 rejects but
+    latin-1 accepts, and NUL-bearing binary); the Spark side runs the
+    REAL Arrow sniffer and the oracle recomputes the rung closed-form.
+    Scale: one Arrow-batched pass, no shuffle before the sort."""
+    from .functions.magic import sniff_udf
+
+    d = _t(spark, sf_dir, "documents")
+    r = F.col("doc_id") % 6
+    payload = (
+        F.when(
+            r == 0,
+            F.concat(F.expr("X'EFBBBF'"), F.encode(F.lit("bom text"), "utf-8")),
+        )
+        .when(
+            r == 1,
+            F.concat(F.expr("X'FFFE'"), F.encode(F.lit("u"), "utf-16le")),
+        )
+        .when(r == 2, F.encode(F.lit("plain ascii text."), "utf-8"))
+        .when(r == 3, F.encode(F.lit("café 通 text"), "utf-8"))
+        .when(
+            r == 4,
+            F.concat(
+                F.encode(F.lit("caf"), "utf-8"),
+                F.expr("X'E9'"),
+                F.encode(F.lit(" text"), "utf-8"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.encode(F.lit("bin"), "utf-8"),
+                F.expr("X'00'"),
+                F.encode(F.lit("ary"), "utf-8"),
+            )
+        )
+    )
+    enc = sniff_udf(payload)["mime_encoding"]
+    return (
+        d.select("doc_id", enc.alias("encoding"))
+        .select(
+            "doc_id",
+            "encoding",
+            (F.col("encoding") != "binary").alias("is_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q235_SQL = r"""
+SELECT doc_id,
+       CASE doc_id % 6
+         WHEN 0 THEN 'utf-8'
+         WHEN 1 THEN 'utf-16'
+         WHEN 2 THEN 'us-ascii'
+         WHEN 3 THEN 'utf-8'
+         WHEN 4 THEN 'iso-8859-1'
+         ELSE 'binary'
+       END AS encoding,
+       doc_id % 6 <> 5 AS is_text
+FROM documents ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -15806,6 +15875,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q232_pipe_syntax": q232_pipe_syntax,
     "q233_linkrot_lifetable": q233_linkrot_lifetable,
     "q234_mime_mismatch_audit": q234_mime_mismatch_audit,
+    "q235_encoding_ladder_audit": q235_encoding_ladder_audit,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -16030,6 +16100,7 @@ ORACLES: dict[str, str] = {
     "q232_pipe_syntax": Q232_SQL,
     "q233_linkrot_lifetable": Q233_SQL,
     "q234_mime_mismatch_audit": Q234_SQL,
+    "q235_encoding_ladder_audit": Q235_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

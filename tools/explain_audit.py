@@ -205,6 +205,7 @@ AUDITED = [
     "q232_pipe_syntax",
     "q233_linkrot_lifetable",
     "q234_mime_mismatch_audit",
+    "q235_encoding_ladder_audit",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -770,6 +771,9 @@ CHECKS = {
     # required; everything around it stays a codegen'd Project
     "q234_mime_mismatch_audit": ["ArrowEvalPython", "!HashAggregate",
                                  "!CartesianProduct", "!SortMergeJoin"],
+    # q234's sibling — the encoding rung of the same Arrow kernel
+    "q235_encoding_ladder_audit": ["ArrowEvalPython", "!HashAggregate",
+                                   "!CartesianProduct", "!SortMergeJoin"],
 }
 
 NOTES = {
