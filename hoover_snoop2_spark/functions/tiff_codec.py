@@ -9,14 +9,19 @@ already walks TIFF IFDs for metadata — this module decodes pixels.
 
 Decoder coverage: II/MM byte orders, IFD0 only (thumbnail semantics —
 subsequent IFDs are usually reduced previews), chunky planar config,
-compression 1 (none) and 32773 (PackBits), photometric 0/1 (gray,
-incl. WhiteIsZero inversion), 2 (RGB, extra sample composited over
-white) and 3 (palette via ColorMap), 8-bit samples, multi-strip
-images.  Planar configuration 2, tiles, LZW/JPEG-in-TIFF and other
+compression 1 (none), 5 (LZW, TIFF 6.0 §13: MSB-first codes with the
+de-facto "early change" width bump at 511/1023/2047 that libtiff and
+every mainstream writer use) and 32773 (PackBits), horizontal
+differencing Predictor 2 (§14), tiled layout (§15: TileWidth/Length/
+Offsets/ByteCounts, right/bottom tile padding cropped), photometric
+0/1 (gray, incl. WhiteIsZero inversion), 2 (RGB, extra sample
+composited over white) and 3 (palette via ColorMap), 8-bit samples,
+multi-strip images.  Planar configuration 2, JPEG-in-TIFF and other
 bit depths surface ``tiff_*_unsupported`` reasons.
 
 Encoder (fixtures): chunky 8-bit RGB, single or multi strip,
-uncompressed or PackBits, either byte order.
+uncompressed, PackBits, or LZW (+ optional Predictor 2, optional
+tiled layout), either byte order.
 """
 
 from __future__ import annotations
@@ -92,6 +97,116 @@ def _unpackbits(src: bytes, expect: int) -> bytes:
     return bytes(out[:expect])
 
 
+_LZW_CLEAR = 256
+_LZW_EOI = 257
+
+
+def _lzw_decode(src: bytes, expect: int) -> bytes:
+    """TIFF-flavor LZW (TIFF 6.0 §13): MSB-first bit packing, 9→12-bit
+    codes, ClearCode=256 / EOI=257, and the early width change (the
+    decoder widens when the NEXT code to be assigned would be
+    ``(1 << width) - 1`` — i.e. at table sizes 511/1023/2047, one code
+    earlier than GIF's LSB-first variant)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    acc = 0
+    nbits = 0
+    prev: bytes | None = None
+    i = 0
+    n = len(src)
+    while len(out) < expect:
+        while nbits < width:
+            if i >= n:
+                raise TiffError("tiff_truncated")
+            acc = (acc << 8) | src[i]
+            nbits += 8
+            i += 1
+        code = (acc >> (nbits - width)) & ((1 << width) - 1)
+        nbits -= width
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            del table[258:]
+            width = 9
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise TiffError("tiff_lzw_bad_code")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+        prev = entry
+        # early change: widen when the next assignable code would not
+        # fit, leaving one slack slot exactly as §13's sample code does
+        if len(table) >= (1 << width) - 1 and width < 12:
+            width += 1
+    if len(out) < expect:
+        raise TiffError("tiff_truncated")
+    return bytes(out[:expect])
+
+
+def _lzw_encode(raw: bytes) -> bytes:
+    """Matching §13 writer (fixtures): emits Clear, strings, EOI with
+    the early width change, resetting the table when it fills."""
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    width = 9
+    d: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(_LZW_CLEAR, width)
+    s = b""
+    for b in raw:
+        t = s + bytes([b])
+        if t in d:
+            s = t
+            continue
+        emit(d[s], width)
+        d[t] = next_code
+        next_code += 1
+        # the decoder's table lags the writer's by exactly one entry
+        # (it reconstructs add #j while reading code #j+1), so the
+        # writer widens one add LATER than the decoder's (1<<w)-1 rule:
+        # at next_code == 1<<w the decoder has (1<<w)-1 entries and has
+        # just widened — the next emitted code must use the new width
+        if next_code >= (1 << width):
+            if width < 12:
+                width += 1
+            else:
+                emit(_LZW_CLEAR, width)
+                d = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+        s = bytes([b])
+    if s:
+        emit(d[s], width)
+    emit(_LZW_EOI, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _undo_predictor2(px: np.ndarray) -> np.ndarray:
+    """Horizontal differencing Predictor=2 (§14): each sample stores
+    the delta to its left neighbour; cumsum per row (mod 256) undoes
+    it."""
+    return np.cumsum(px, axis=1, dtype=np.uint8)
+
+
 def tiff_decode(data: bytes) -> np.ndarray:
     """Decode IFD0 to (h, w, 3) uint8 RGB."""
     if data[:4] == b"II*\x00":
@@ -113,8 +228,11 @@ def tiff_decode(data: bytes) -> np.ndarray:
     if width * height > MAX_PIXELS:
         raise TiffError("tiff_too_large")
     compression = one(259, 1)
-    if compression not in (1, 32773):
+    if compression not in (1, 5, 32773):
         raise TiffError(f"tiff_compression_unsupported:{compression}")
+    predictor = one(317, 1)
+    if predictor not in (1, 2):
+        raise TiffError(f"tiff_predictor_unsupported:{predictor}")
     photometric = one(262, 1)
     spp = one(277, 1)
     if spp not in (1, 2, 3, 4):
@@ -126,36 +244,74 @@ def tiff_decode(data: bytes) -> np.ndarray:
         raise TiffError("tiff_bits_unsupported")
     if one(284, 1) != 1:
         raise TiffError("tiff_planar_unsupported")
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets:
-        raise TiffError("tiff_missing_strips")
-    rows_per_strip = one(278, height)
-    if not counts:
-        if len(offsets) != 1:
-            raise TiffError("tiff_missing_strips")
-        counts = (width * height * spp,)
 
-    row_bytes = width * spp
-    raw = bytearray()
-    rows_left = height
-    for off, cnt in zip(offsets, counts):
-        strip = data[off : off + cnt]
-        if len(strip) < cnt:
-            raise TiffError("tiff_truncated")
-        strip_rows = min(rows_per_strip, rows_left)
-        expect = strip_rows * row_bytes
+    def inflate(chunk: bytes, expect: int) -> bytes:
         if compression == 32773:
-            raw += _unpackbits(strip, expect)
-        else:
-            if len(strip) < expect:
+            return _unpackbits(chunk, expect)
+        if compression == 5:
+            return _lzw_decode(chunk, expect)
+        if len(chunk) < expect:
+            raise TiffError("tiff_truncated")
+        return chunk[:expect]
+
+    tile_w = one(322)
+    if tile_w:
+        # §15 tiled layout: every tile is a full tile_w×tile_l block
+        # (edge tiles padded by the writer); stitch then crop
+        tile_l = one(323)
+        t_offsets = tags.get(324)
+        t_counts = tags.get(325)
+        if not tile_l or not t_offsets or not t_counts:
+            raise TiffError("tiff_missing_tiles")
+        across = (width + tile_w - 1) // tile_w
+        down = (height + tile_l - 1) // tile_l
+        if len(t_offsets) < across * down:
+            raise TiffError("tiff_missing_tiles")
+        if tile_w * tile_l * across * down > 4 * MAX_PIXELS:
+            raise TiffError("tiff_too_large")
+        full = np.zeros((down * tile_l, across * tile_w, spp), np.uint8)
+        t_expect = tile_w * tile_l * spp
+        for t in range(across * down):
+            chunk = data[t_offsets[t] : t_offsets[t] + t_counts[t]]
+            if len(chunk) < t_counts[t]:
                 raise TiffError("tiff_truncated")
-            raw += strip[:expect]
-        rows_left -= strip_rows
-    if len(raw) < height * row_bytes:
-        raise TiffError("tiff_truncated")
-    px = np.frombuffer(bytes(raw[: height * row_bytes]), dtype=np.uint8)
-    px = px.reshape(height, width, spp)
+            tile = np.frombuffer(inflate(chunk, t_expect), np.uint8)
+            tile = tile.reshape(tile_l, tile_w, spp)
+            if predictor == 2:
+                tile = _undo_predictor2(tile)
+            r, c = divmod(t, across)
+            full[
+                r * tile_l : (r + 1) * tile_l,
+                c * tile_w : (c + 1) * tile_w,
+            ] = tile
+        px = full[:height, :width]
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets:
+            raise TiffError("tiff_missing_strips")
+        rows_per_strip = one(278, height)
+        if not counts:
+            if len(offsets) != 1:
+                raise TiffError("tiff_missing_strips")
+            counts = (width * height * spp,)
+
+        row_bytes = width * spp
+        raw = bytearray()
+        rows_left = height
+        for off, cnt in zip(offsets, counts):
+            strip = data[off : off + cnt]
+            if len(strip) < cnt:
+                raise TiffError("tiff_truncated")
+            strip_rows = min(rows_per_strip, rows_left)
+            raw += inflate(strip, strip_rows * row_bytes)
+            rows_left -= strip_rows
+        if len(raw) < height * row_bytes:
+            raise TiffError("tiff_truncated")
+        px = np.frombuffer(bytes(raw[: height * row_bytes]), dtype=np.uint8)
+        px = px.reshape(height, width, spp)
+        if predictor == 2:
+            px = _undo_predictor2(px)
 
     if photometric in (0, 1):
         g = px[:, :, 0]
@@ -205,19 +361,52 @@ def _packbits(row: bytes) -> bytes:
     return bytes(out)
 
 
+def _apply_predictor2(block: np.ndarray) -> bytes:
+    """Forward horizontal differencing for the fixture writer."""
+    d = block.astype(np.int16)
+    d[:, 1:] -= block[:, :-1].astype(np.int16)
+    return (d & 0xFF).astype(np.uint8).tobytes()
+
+
 def tiff_encode(rgb: np.ndarray, order: str = "<", packbits: bool = False,
-                rows_per_strip: int | None = None) -> bytes:
-    """Chunky 8-bit RGB writer for fixtures."""
+                rows_per_strip: int | None = None, lzw: bool = False,
+                predictor: int = 1,
+                tile: tuple[int, int] | None = None) -> bytes:
+    """Chunky 8-bit RGB writer for fixtures (strips or tiles;
+    uncompressed / PackBits / LZW; optional Predictor 2)."""
     rgb = np.asarray(rgb, dtype=np.uint8)
     h, w = rgb.shape[:2]
-    rps = rows_per_strip or h
-    strips = []
-    for y0 in range(0, h, rps):
-        body = rgb[y0 : y0 + rps].tobytes()
-        strips.append(_packbits(body) if packbits else body)
 
+    def body_bytes(block: np.ndarray) -> bytes:
+        raw = (
+            _apply_predictor2(block) if predictor == 2 else block.tobytes()
+        )
+        if lzw:
+            return _lzw_encode(raw)
+        return _packbits(raw) if packbits else raw
+
+    tiled = tile is not None
+    if tiled:
+        tw, tl = tile
+        if tw % 16 or tl % 16:
+            raise ValueError("tile dims must be multiples of 16 (§15)")
+        strips = []
+        for y0 in range(0, h, tl):
+            for x0 in range(0, w, tw):
+                block = np.zeros((tl, tw, 3), np.uint8)
+                part = rgb[y0 : y0 + tl, x0 : x0 + tw]
+                block[: part.shape[0], : part.shape[1]] = part
+                strips.append(body_bytes(block))
+        rps = tl
+    else:
+        rps = rows_per_strip or h
+        strips = [
+            body_bytes(rgb[y0 : y0 + rps]) for y0 in range(0, h, rps)
+        ]
+
+    compression = 5 if lzw else (32773 if packbits else 1)
     magic = b"II*\x00" if order == "<" else b"MM\x00*"
-    n_tags = 9
+    n_tags = 9 + (1 if predictor == 2 else 0) + (1 if tiled else 0)
     ifd_off = 8
     data_off = ifd_off + 2 + 12 * n_tags + 4
     # strip offsets/counts arrays (if >1 strip they spill after IFD)
@@ -249,12 +438,21 @@ def tiff_encode(rgb: np.ndarray, order: str = "<", packbits: bool = False,
         tag(256, 4, [w])
         tag(257, 4, [h])
         tag(258, 3, [8, 8, 8])
-        tag(259, 3, [32773 if packbits else 1])
+        tag(259, 3, [compression])
         tag(262, 3, [2])
-        tag(273, 4, offsets_vals)
+        if not tiled:
+            tag(273, 4, offsets_vals)
         tag(277, 3, [3])
-        tag(278, 4, [rps])
-        tag(279, 4, counts)
+        if not tiled:
+            tag(278, 4, [rps])
+            tag(279, 4, counts)
+        if predictor == 2:
+            tag(317, 3, [2])
+        if tiled:
+            tag(322, 4, [tw])
+            tag(323, 4, [tl])
+            tag(324, 4, offsets_vals)
+            tag(325, 4, counts)
         return entries
 
     build(placeholder)

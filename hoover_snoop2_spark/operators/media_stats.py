@@ -426,10 +426,15 @@ def synth_bmp_map_in_pandas():
 
 
 def synth_tiff_map_in_pandas():
-    """(doc_id) → deterministic baseline TIFF; odd ids use PackBits,
-    ids % 3 == 0 big-endian, multi-strip throughout — q68's oracle
-    certifies the whole matrix from ``R=(7y+x)%256, G=(R+128)%256,
-    B=(3R)%256``."""
+    """(doc_id) → deterministic TIFF across the codec's full decode
+    matrix; ``doc_id % 5`` picks the compression/layout — 0 raw strips,
+    1 PackBits, 2 LZW, 3 LZW + horizontal-differencing Predictor 2,
+    4 LZW over 16×16 tiles — and ids % 3 == 0 are big-endian.  The
+    decoded pixels are identical in every leg, so q68's closed-form
+    oracle (``R=(7y+x)%256, G=(R+128)%256, B=(3R)%256``) certifies
+    each variant without a SQL change: a wrong LZW code width, missed
+    predictor cumsum, or tile-stitch offset shifts a channel sum and
+    hash-fails."""
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from ..functions.tiff_codec import tiff_encode
@@ -446,12 +451,16 @@ def synth_tiff_map_in_pandas():
                 rgb = np.stack(
                     [r, (r + 128) % 256, (r * 3) % 256], axis=2
                 ).astype(np.uint8)
+                variant = d % 5
                 shas.append(str(d))
                 blobs.append(
                     tiff_encode(
                         rgb,
                         order=">" if d % 3 == 0 else "<",
-                        packbits=d % 2 == 1,
+                        packbits=variant == 1,
+                        lzw=variant in (2, 3, 4),
+                        predictor=2 if variant == 3 else 1,
+                        tile=(16, 16) if variant == 4 else None,
                         rows_per_strip=max(1, h // 3),
                     )
                 )

@@ -75,12 +75,12 @@ def test_broken_reasons():
     good = tiff_encode(_pattern(6, 4))
     with pytest.raises(TiffError, match="tiff_truncated"):
         tiff_decode(good[:-10])
-    lzw = bytearray(good)
-    # flip the compression tag value (259) to 5 = LZW
+    jpg = bytearray(good)
+    # flip the compression tag value (259) to 7 = JPEG-in-TIFF
     i = good.find(struct.pack("<HH", 259, 3))
-    lzw[i + 8] = 5
+    jpg[i + 8] = 7
     with pytest.raises(TiffError, match="tiff_compression_unsupported"):
-        tiff_decode(bytes(lzw))
+        tiff_decode(bytes(jpg))
     bomb = bytearray(good)
     i = good.find(struct.pack("<HH", 256, 4))
     bomb[i + 8 : i + 12] = struct.pack("<I", 70000)
@@ -129,3 +129,100 @@ def test_raster_dispatch_and_operators(spark):
     stats = image_stats(df).collect()[0]
     sums = rgb.astype(np.int64).sum(axis=(0, 1))
     assert (stats.sum_r, stats.sum_g, stats.sum_b) == tuple(int(s) for s in sums)
+
+
+# ---- LZW / Predictor 2 / tiles (r4 continuation) ----
+
+def test_lzw_kernel_roundtrip_and_early_change():
+    from hoover_snoop2_spark.functions.tiff_codec import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    # highly compressible: exercises long matches
+    raw = b"abcabcabcabc" * 50 + b"\x00" * 300
+    assert _lzw_decode(_lzw_encode(raw), len(raw)) == raw
+    # incompressible noise big enough to push the code width through
+    # 9 -> 10 -> 11 -> 12 bits and force a table reset (> 4094 codes)
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, 9000, dtype=np.uint8).tobytes()
+    assert _lzw_decode(_lzw_encode(noise), len(noise)) == noise
+
+
+def test_lzw_spec_example():
+    # TIFF 6.0 §13 walks the string "7 7 7 8 8 7 7 6 6": verify our
+    # decoder against the codes its sample encoder would emit
+    from hoover_snoop2_spark.functions.tiff_codec import (
+        _lzw_decode,
+        _lzw_encode,
+    )
+
+    raw = bytes([7, 7, 7, 8, 8, 7, 7, 6, 6])
+    enc = _lzw_encode(raw)
+    # expected code sequence: Clear(256), 7, 258(=7,7), 8, 8, 258, 6, 6, EOI
+    def codes(buf):
+        acc = nbits = 0
+        width = 9
+        out = []
+        table_len = 258
+        for byte in buf:
+            acc = (acc << 8) | byte
+            nbits += 8
+            while nbits >= width:
+                c = (acc >> (nbits - width)) & ((1 << width) - 1)
+                nbits -= width
+                out.append(c)
+                if c == 257:
+                    return out
+        return out
+
+    assert codes(enc) == [256, 7, 258, 8, 8, 258, 6, 6, 257]
+    assert _lzw_decode(enc, len(raw)) == raw
+
+
+@pytest.mark.parametrize("order", ["<", ">"])
+@pytest.mark.parametrize("predictor", [1, 2])
+@pytest.mark.parametrize("rps", [None, 4])
+def test_lzw_roundtrip_matrix(order, predictor, rps):
+    rgb = _pattern(33, 21)
+    out = tiff_decode(
+        tiff_encode(rgb, order=order, lzw=True, predictor=predictor,
+                    rows_per_strip=rps)
+    )
+    assert np.array_equal(out, rgb)
+
+
+@pytest.mark.parametrize("lzw", [False, True])
+@pytest.mark.parametrize("predictor", [1, 2])
+def test_tiled_roundtrip(lzw, predictor):
+    # 40x25 image over 16x16 tiles: 3x2 grid with right+bottom padding
+    rgb = _pattern(40, 25)
+    out = tiff_decode(
+        tiff_encode(rgb, lzw=lzw, predictor=predictor, tile=(16, 16))
+    )
+    assert np.array_equal(out, rgb)
+
+
+def test_predictor2_streak_compresses_better():
+    # a smooth gradient is LZW's worst case raw but trivial after
+    # horizontal differencing — the reason Predictor 2 exists
+    grad = np.tile(np.arange(200, dtype=np.uint8)[None, :, None], (8, 1, 3))
+    plain = tiff_encode(grad, lzw=True, predictor=1)
+    pred = tiff_encode(grad, lzw=True, predictor=2)
+    assert len(pred) < len(plain)
+    assert np.array_equal(tiff_decode(pred), grad)
+
+
+def test_lzw_broken_reasons():
+    rgb = _pattern(9, 5)
+    enc = bytearray(tiff_encode(rgb, lzw=True))
+    # truncate the strip data
+    with pytest.raises(TiffError, match="tiff_truncated"):
+        tiff_decode(bytes(enc[:-10]))
+    # predictor 3 (floating point) must surface unsupported, not garbage
+    bad = tiff_encode(rgb, lzw=True, predictor=2).replace(
+        struct.pack("<HHI", 317, 3, 1) + struct.pack("<HH", 2, 0),
+        struct.pack("<HHI", 317, 3, 1) + struct.pack("<HH", 3, 0),
+    )
+    with pytest.raises(TiffError, match="tiff_predictor_unsupported"):
+        tiff_decode(bad)
