@@ -11,12 +11,16 @@ ships JPEGs to ImageMagick / an HTTP classifier
 Decoder coverage:
 
 - baseline and extended sequential Huffman DCT (SOF0/SOF1), 8-bit
+- progressive Huffman DCT (SOF2, Annex G): spectral selection +
+  successive approximation, DC/AC first and refinement scans, EOB
+  runs, interleaved DC scans, per-scan restart intervals; a complete
+  scan set with a missing EOI still renders (browser semantics)
 - grayscale and 3-component YCbCr; sampling factors 1 or 2 per axis
   (4:4:4, 4:2:2, 4:4:0, 4:2:0), nearest-neighbor chroma upsampling
 - multiple DQT/DHT segments, 16-bit quantization entries, restart
   markers (DRI/RSTn), 0xFF00 byte stuffing, trailing-garbage tolerance
-- progressive (SOF2) and arithmetic/lossless/hierarchical SOFs surface
-  honest ``jpeg_*_unsupported`` reasons — never a wrong decode
+- arithmetic/lossless/hierarchical SOFs surface honest
+  ``jpeg_*_unsupported`` reasons — never a wrong decode
 
 JPEG is lossy, so unlike PNG/GIF there is no bit-exact oracle against a
 pixel generator; correctness is pinned by (a) DC-only fixtures whose
@@ -268,6 +272,8 @@ def _decode_impl(data: bytes) -> np.ndarray:
     huff_ac: dict[int, _Huff] = {}
     restart_interval = 0
     frame = None  # (h, w, components)
+    progressive = False
+    prog = None  # _ProgressiveState
     pos = 2
     n = len(data)
     while pos + 4 <= n:
@@ -280,6 +286,8 @@ def _decode_impl(data: bytes) -> np.ndarray:
             pos += 1 if marker == 0xFF else 2
             continue
         if marker == 0xD9:  # EOI
+            if prog is not None:
+                return prog.reconstruct(qt)
             break
         (seglen,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         seg = data[pos + 4 : pos + 2 + seglen]
@@ -313,7 +321,7 @@ def _decode_impl(data: bytes) -> np.ndarray:
                     raise JpegError("jpeg_truncated")
                 (huff_dc if tc == 0 else huff_ac)[th] = _Huff(bits, values)
                 i += 17 + cnt
-        elif marker in (0xC0, 0xC1):  # SOF0/1 baseline/extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # SOF0/1 sequential, SOF2 prog
             prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise JpegError("jpeg_precision_unsupported")
@@ -330,8 +338,7 @@ def _decode_impl(data: bytes) -> np.ndarray:
                 cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
                 comps.append(dict(id=cid, h=hv >> 4, v=hv & 0x0F, tq=tq))
             frame = (fh, fw, comps)
-        elif marker == 0xC2:
-            raise JpegError("jpeg_progressive_unsupported")
+            progressive = marker == 0xC2
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegError("jpeg_sof_unsupported")
@@ -340,11 +347,21 @@ def _decode_impl(data: bytes) -> np.ndarray:
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise JpegError("jpeg_no_frame")
-            return _decode_scan(
-                data, nextpos, seg, frame, qt, huff_dc, huff_ac,
-                restart_interval,
+            if not progressive:
+                return _decode_scan(
+                    data, nextpos, seg, frame, qt, huff_dc, huff_ac,
+                    restart_interval,
+                )
+            if prog is None:
+                prog = _ProgressiveState(frame)
+            nextpos = prog.decode_scan(
+                data, nextpos, seg, huff_dc, huff_ac, restart_interval
             )
         pos = nextpos
+    if prog is not None:
+        # missing EOI but scans were decoded — render what arrived,
+        # like every browser does for a cut-off progressive download
+        return prog.reconstruct(qt)
     raise JpegError("jpeg_no_scan")
 
 
@@ -407,6 +424,12 @@ def _decode_scan(data, pos, seg, frame, qt, huff_dc, huff_ac,
             except _RestartMarker:
                 raise JpegError("jpeg_unexpected_rst")
 
+    return _planes_to_rgb(planes, comps, hmax, vmax, fh, fw)
+
+
+def _planes_to_rgb(planes, comps, hmax, vmax, fh, fw) -> np.ndarray:
+    """Upsample + color-convert decoded component planes (shared by the
+    sequential and progressive paths)."""
     out = []
     for ci, c in enumerate(comps):
         p = planes[ci]
@@ -454,6 +477,254 @@ def _decode_block(br, hdc, hac, preds, ci) -> np.ndarray:
     coef = np.zeros(64, dtype=np.float64)
     coef[_ZIGZAG] = zz  # zz[k] sits at natural position _ZIGZAG[k]
     return coef.reshape(8, 8)
+
+
+# ------------------------------------------------- progressive (Annex G)
+
+
+class _ProgressiveState:
+    """Coefficient accumulator across a progressive JPEG's scans.
+
+    Each component holds an int32 array of shape (block_rows, block_cols,
+    64) in ZIGZAG index order; DC/AC first scans deposit approximated
+    coefficients, refinement scans OR in successive-approximation bits
+    (G.1.2), and :meth:`reconstruct` dequantizes + IDCTs once at the end.
+    Interleaved scans (ns == all components) and single-component scans
+    are supported — the shapes every mainstream encoder emits; other
+    component subsets surface ``jpeg_partial_scan_unsupported``."""
+
+    def __init__(self, frame):
+        fh, fw, comps = frame
+        self.frame = frame
+        self.hmax = max(c["h"] for c in comps)
+        self.vmax = max(c["v"] for c in comps)
+        if not (1 <= self.hmax <= 2 and 1 <= self.vmax <= 2):
+            raise JpegError("jpeg_sampling_unsupported")
+        for c in comps:
+            if c["h"] not in (1, 2) or c["v"] not in (1, 2):
+                raise JpegError("jpeg_sampling_unsupported")
+        self.mcux = (fw + 8 * self.hmax - 1) // (8 * self.hmax)
+        self.mcuy = (fh + 8 * self.vmax - 1) // (8 * self.vmax)
+        self.coef = [
+            np.zeros((self.mcuy * c["v"], self.mcux * c["h"], 64), np.int32)
+            for c in comps
+        ]
+        # non-interleaved scans walk the component's OWN block grid
+        # (ceil of its scaled dims), not the MCU-padded grid (G.1/A.2.2)
+        self.nblocks = []
+        for c in comps:
+            cw = (fw * c["h"] + self.hmax - 1) // self.hmax
+            ch = (fh * c["v"] + self.vmax - 1) // self.vmax
+            self.nblocks.append(((ch + 7) // 8, (cw + 7) // 8))
+        self.eobrun = 0
+
+    def decode_scan(self, data, pos, seg, huff_dc, huff_ac,
+                    restart_interval) -> int:
+        fh, fw, comps = self.frame
+        ns = seg[0]
+        if len(seg) < 4 + 2 * ns:
+            raise JpegError("jpeg_truncated")
+        scomp = []
+        for i in range(ns):
+            cs, tables = seg[1 + 2 * i], seg[2 + 2 * i]
+            ci = next(
+                (j for j, c in enumerate(comps) if c["id"] == cs), None
+            )
+            if ci is None:
+                raise JpegError("jpeg_bad_scan_component")
+            scomp.append((ci, tables >> 4, tables & 0x0F))
+        ss, se, a = seg[1 + 2 * ns], seg[2 + 2 * ns], seg[3 + 2 * ns]
+        ah, al = a >> 4, a & 0x0F
+        if ss > se or se > 63 or al > 13 or ah > 13:
+            raise JpegError("jpeg_bad_scan_params")
+        if ss == 0 and se != 0:
+            # a scan may not mix DC and AC coefficients (G.1.1.1.1)
+            raise JpegError("jpeg_bad_scan_params")
+        if ss > 0 and ns != 1:
+            raise JpegError("jpeg_bad_scan_params")  # AC scans: 1 comp
+        if ss == 0 and ns not in (1, len(comps)):
+            raise JpegError("jpeg_partial_scan_unsupported")
+
+        br = _BitReader(data, pos)
+        self.eobrun = 0
+        try:
+            if ss == 0:
+                self._dc_scan(br, scomp, comps, huff_dc, ah, al,
+                              restart_interval, ns)
+            else:
+                self._ac_scan(br, scomp[0], huff_ac, ss, se, ah, al,
+                              restart_interval)
+        except _RestartMarker:
+            raise JpegError("jpeg_unexpected_rst")
+        return br.pos
+
+    # ---- DC scans (G.2.1): interleaved over MCUs or single-component
+
+    def _dc_scan(self, br, scomp, comps, huff_dc, ah, al,
+                 restart_interval, ns):
+        preds = [0] * len(scomp)
+
+        def one_unit(units):
+            for u, (ci, td, _ta) in enumerate(scomp):
+                for by, bx in units[u]:
+                    blk = self.coef[ci][by, bx]
+                    if ah == 0:
+                        if td not in huff_dc:
+                            raise JpegError("jpeg_missing_dht")
+                        t = huff_dc[td].decode(br)
+                        if t > 15:
+                            raise JpegError("jpeg_bad_dc_size")
+                        preds[u] += _extend(br.bits(t), t) if t else 0
+                        blk[0] = preds[u] << al
+                    else:
+                        # refinement: one raw bit per block (G.1.2.1)
+                        if br.bits(1):
+                            blk[0] |= 1 << al
+
+        count = 0
+        if ns == 1:
+            ci = scomp[0][0]
+            bh, bw = self.nblocks[ci]
+            for by in range(bh):
+                for bx in range(bw):
+                    if restart_interval and count and \
+                            count % restart_interval == 0:
+                        br.align_and_skip_rst()
+                        preds = [0] * len(scomp)
+                    count += 1
+                    one_unit([[(by, bx)]])
+        else:
+            for my in range(self.mcuy):
+                for mx in range(self.mcux):
+                    if restart_interval and count and \
+                            count % restart_interval == 0:
+                        br.align_and_skip_rst()
+                        preds = [0] * len(scomp)
+                    count += 1
+                    units = []
+                    for ci, _, _ in scomp:
+                        c = comps[ci]
+                        units.append([
+                            (my * c["v"] + by, mx * c["h"] + bx)
+                            for by in range(c["v"])
+                            for bx in range(c["h"])
+                        ])
+                    one_unit(units)
+
+    # ---- AC scans (G.2.2): always non-interleaved
+
+    def _ac_scan(self, br, sc, huff_ac, ss, se, ah, al, restart_interval):
+        ci, _, ta = sc
+        if ta not in huff_ac:
+            raise JpegError("jpeg_missing_dht")
+        hac = huff_ac[ta]
+        bh, bw = self.nblocks[ci]
+        count = 0
+        for by in range(bh):
+            for bx in range(bw):
+                if restart_interval and count and \
+                        count % restart_interval == 0:
+                    br.align_and_skip_rst()
+                    self.eobrun = 0
+                count += 1
+                blk = self.coef[ci][by, bx]
+                if ah == 0:
+                    self._ac_first(br, hac, blk, ss, se, al)
+                else:
+                    self._ac_refine(br, hac, blk, ss, se, al)
+
+    def _ac_first(self, br, hac, blk, ss, se, al):
+        if self.eobrun > 0:
+            self.eobrun -= 1
+            return
+        k = ss
+        while k <= se:
+            rs = hac.decode(br)
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                # EOBn: this block ends; r extra bits count FURTHER blocks
+                self.eobrun = (1 << r) - 1
+                if r:
+                    self.eobrun += br.bits(r)
+                return
+            k += r
+            if k > se:
+                raise JpegError("jpeg_bad_ac_index")
+            blk[k] = _extend(br.bits(s), s) << al
+            k += 1
+
+    def _ac_refine(self, br, hac, blk, ss, se, al):
+        # G.1.2.3: correction bits for already-nonzero coefficients are
+        # interleaved with newly-significant ones (the libjpeg-compatible
+        # reading of figure G.7)
+        p1 = 1 << al
+        m1 = -1 << al
+
+        def correct(k):
+            if br.bits(1) and not (blk[k] & p1):
+                blk[k] += p1 if blk[k] >= 0 else m1
+
+        k = ss
+        if self.eobrun == 0:
+            while k <= se:
+                rs = hac.decode(br)
+                r, s = rs >> 4, rs & 0x0F
+                val = 0
+                if s:
+                    if s != 1:
+                        raise JpegError("jpeg_bad_refine_size")
+                    val = p1 if br.bits(1) else m1
+                else:
+                    if r != 15:
+                        # EOBn in a refinement scan INCLUDES this block
+                        self.eobrun = 1 << r
+                        if r:
+                            self.eobrun += br.bits(r)
+                        break
+                while k <= se:
+                    if blk[k] != 0:
+                        correct(k)
+                    else:
+                        if r == 0:
+                            if val:
+                                blk[k] = val
+                            k += 1
+                            break
+                        r -= 1
+                    k += 1
+        if self.eobrun > 0:
+            # inside an EOB run every remaining nonzero coefficient in
+            # the band still receives its correction bit
+            while k <= se:
+                if blk[k] != 0:
+                    correct(k)
+                k += 1
+            self.eobrun -= 1
+
+    # ---- final reconstruction
+
+    def reconstruct(self, qt) -> np.ndarray:
+        fh, fw, comps = self.frame
+        planes = []
+        for ci, c in enumerate(comps):
+            if c["tq"] not in qt:
+                raise JpegError("jpeg_missing_dqt")
+            q = qt[c["tq"]]
+            rows, cols, _ = self.coef[ci].shape
+            plane = np.zeros((rows * 8, cols * 8), np.float64)
+            for by in range(rows):
+                for bx in range(cols):
+                    zz = self.coef[ci][by, bx].astype(np.float64)
+                    coef = np.zeros(64, np.float64)
+                    coef[_ZIGZAG] = zz
+                    plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                        _idct2(coef.reshape(8, 8) * q)
+                    )
+            planes.append(plane)
+        return _planes_to_rgb(planes, comps, self.hmax, self.vmax, fh, fw)
 
 
 # ------------------------------------------------------------------ encode
@@ -634,3 +905,303 @@ def jpeg_encode(rgb: np.ndarray, quant: int = 1, subsample: bool = False,
         + dht(0, 1, _STD_DC_CHR) + dht(1, 1, _STD_AC_CHR)
         + dri + sof + sos + bytes(bw.out) + b"\xff\xd9"
     )
+
+
+# -------------------------------------------- progressive encode (fixtures)
+
+#: uniform-length canonical tables for progressive scans — Annex K's
+#: sequential tables lack the EOBn symbols (r<<4 with r>0, s=0) that
+#: progressive EOB runs need, so fixtures use flat tables instead:
+#: DC = 16 symbols @ 5 bits, AC = all 256 (r,s) symbols @ 9 bits
+#: (255 of them) + 1 @ 10 bits, keeping the all-ones code unused as
+#: C.2 requires.
+_PROG_DC = ([0, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0],
+            list(range(16)))
+_PROG_AC = ([0, 0, 0, 0, 0, 0, 0, 0, 255, 1, 0, 0, 0, 0, 0, 0],
+            list(range(256)))
+
+
+class _ProgScanEnc:
+    """Entropy encoder for one progressive scan (G.1.2), tracking the
+    cross-block EOB run and — in refinement scans — the buffered
+    correction bits that must follow the next emitted symbol."""
+
+    def __init__(self, bw: "_BitWriter", hac: "_HuffEnc"):
+        self.bw = bw
+        self.hac = hac
+        self.eobrun = 0
+        self.corr: list[int] = []
+
+    def _sym(self, s):
+        ln, code = self.hac.codes[s]
+        self.bw.put(ln, code)
+
+    def flush_eobrun(self):
+        if self.eobrun > 0:
+            nbits = self.eobrun.bit_length() - 1
+            if nbits > 14:
+                raise JpegError("jpeg_eobrun_overflow")
+            self._sym(nbits << 4)
+            if nbits:
+                self.bw.put(nbits, self.eobrun & ((1 << nbits) - 1))
+            self.eobrun = 0
+            for b in self.corr:
+                self.bw.put(1, b)
+            self.corr = []
+
+    def ac_first(self, zz, ss, se, al):
+        r = 0
+        any_nz = False
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            mag = (abs(v)) >> al
+            if mag == 0:
+                r += 1
+                continue
+            any_nz = True
+            self.flush_eobrun()
+            while r > 15:
+                self._sym(0xF0)
+                r -= 16
+            t, bitsv = _mag(mag if v > 0 else -mag)
+            self._sym((r << 4) | t)
+            self.bw.put(t, bitsv)
+            r = 0
+        if not any_nz or r > 0:
+            self.eobrun += 1
+            if self.eobrun == 0x7FFF:
+                self.flush_eobrun()
+
+    def ac_refine(self, zz, ss, se, al):
+        p1 = 1 << al
+        absval = [abs(int(zz[k])) >> al for k in range(ss, se + 1)]
+        eob = 0  # band index past the last NEWLY significant coefficient
+        for i, a in enumerate(absval):
+            if a == 1:
+                eob = i + 1
+        r = 0
+        pending: list[int] = []
+        for i, a in enumerate(absval):
+            if a == 0:
+                r += 1
+                continue
+            while r > 15 and i < eob:
+                self.flush_eobrun()
+                self._sym(0xF0)
+                r -= 16
+                for b in pending:
+                    self.bw.put(1, b)
+                pending = []
+            if a > 1:
+                # history bit: coefficient was already significant
+                pending.append(a & 1)
+                continue
+            self.flush_eobrun()
+            self._sym((r << 4) | 1)
+            r = 0
+            self.bw.put(1, 1 if int(zz[ss + i]) >= 0 else 0)
+            for b in pending:
+                self.bw.put(1, b)
+            pending = []
+        if r > 0 or pending:
+            self.eobrun += 1
+            self.corr.extend(pending)
+            # bound the deferred buffers like libjpeg does
+            if self.eobrun == 0x7FFF or len(self.corr) > 937:
+                self.flush_eobrun()
+
+
+def _quantized_blocks(rgb, quant, subsample):
+    """Per-component arrays of zigzag-order quantized coefficients,
+    sharing the sequential encoder's color/pad/FDCT conventions."""
+    rgb = np.asarray(rgb, dtype=np.float64)
+    h, w = rgb.shape[:2]
+    if h == 0 or w == 0:
+        raise JpegError("jpeg_zero_dims")
+    if rgb.ndim == 2 or rgb.shape[2] == 1:
+        plane = rgb if rgb.ndim == 2 else rgb[:, :, 0]
+        planes = [plane - 128.0]
+        factors = [(1, 1)]
+    else:
+        r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b - 128.0
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b
+        if subsample:
+            def ds(p):
+                ph = (p.shape[0] + 1) // 2 * 2
+                pw = (p.shape[1] + 1) // 2 * 2
+                q = np.zeros((ph, pw))
+                q[: p.shape[0], : p.shape[1]] = p
+                if p.shape[0] < ph:
+                    q[p.shape[0]:, : p.shape[1]] = p[-1:, :]
+                if p.shape[1] < pw:
+                    q[:, p.shape[1]:] = q[:, p.shape[1] - 1 : p.shape[1]]
+                return q.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+            planes = [y, ds(cb), ds(cr)]
+            factors = [(2, 2), (1, 1), (1, 1)]
+        else:
+            planes = [y, cb, cr]
+            factors = [(1, 1), (1, 1), (1, 1)]
+
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    qtab = np.full((8, 8), float(quant))
+    comps = []
+    for plane, (fx, fy) in zip(planes, factors):
+        ph, pw = mcuy * fy * 8, mcux * fx * 8
+        padded = np.zeros((ph, pw))
+        padded[: plane.shape[0], : plane.shape[1]] = plane
+        if plane.shape[0] < ph:
+            padded[plane.shape[0]:, : plane.shape[1]] = plane[-1:, :]
+        if plane.shape[1] < pw:
+            padded[:, plane.shape[1]:] = (
+                padded[:, plane.shape[1] - 1 : plane.shape[1]]
+            )
+        rows, cols = ph // 8, pw // 8
+        zz = np.zeros((rows, cols, 64), np.int32)
+        for by in range(rows):
+            for bx in range(cols):
+                blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                q = np.floor(_fdct2(blk) / qtab + 0.5)
+                zz[by, bx] = q.ravel()[_ZIGZAG].astype(np.int32)
+        comps.append(dict(zz=zz, fx=fx, fy=fy))
+    return comps, (h, w), (mcux, mcuy), (hmax, vmax)
+
+
+def jpeg_encode_progressive(rgb: np.ndarray, quant: int = 1,
+                            subsample: bool = False,
+                            scans: list | None = None,
+                            restart_interval: int = 0) -> bytes:
+    """Progressive JFIF writer for fixtures (SOF2 + a spectral-selection
+    / successive-approximation scan script; default script mirrors
+    libjpeg's: approximated DC first, per-component AC bands, then
+    refinement passes down to full precision, so the decode is exactly
+    the sequential encoder's pixels)."""
+    comps, (h, w), (mcux, mcuy), (hmax, vmax) = _quantized_blocks(
+        rgb, quant, subsample
+    )
+    nc = len(comps)
+    if scans is None:
+        if nc == 1:
+            scans = [
+                ((0,), 0, 0, 0, 1), ((0,), 1, 63, 0, 1),
+                ((0,), 1, 63, 1, 0), ((0,), 0, 0, 1, 0),
+            ]
+        else:
+            scans = [
+                ((0, 1, 2), 0, 0, 0, 1),
+                ((0,), 1, 5, 0, 2), ((0,), 6, 63, 0, 2),
+                ((1,), 1, 63, 0, 1), ((2,), 1, 63, 0, 1),
+                ((0,), 1, 63, 2, 1), ((0,), 1, 63, 1, 0),
+                ((0, 1, 2), 0, 0, 1, 0),
+                ((1,), 1, 63, 1, 0), ((2,), 1, 63, 1, 0),
+            ]
+
+    hdc = _HuffEnc(*_PROG_DC)
+    hac = _HuffEnc(*_PROG_AC)
+
+    def seg(marker, payload):
+        return bytes([0xFF, marker]) + struct.pack(
+            ">H", len(payload) + 2
+        ) + payload
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + np.full(64, int(quant), np.uint8)
+               .tobytes())
+    out += seg(0xC4, bytes([0x00] + _PROG_DC[0] + _PROG_DC[1]))
+    out += seg(0xC4, bytes([0x10] + _PROG_AC[0] + _PROG_AC[1]))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    sof = struct.pack(">BHHB", 8, h, w, nc)
+    for i, c in enumerate(comps):
+        sof += bytes([i + 1, (c["fx"] << 4) | c["fy"], 0])
+    out += seg(0xC2, sof)
+
+    for sel, ss, se, ah, al in scans:
+        hdr = bytes([len(sel)])
+        for ci in sel:
+            hdr += bytes([ci + 1, 0x00])
+        hdr += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xDA, hdr)
+        bw = _BitWriter()
+        enc = _ProgScanEnc(bw, hac)
+        preds = [0] * len(sel)
+        rst = 0
+
+        def restart():
+            nonlocal preds, rst
+            enc.flush_eobrun()
+            bw.flush()
+            bw.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            preds = [0] * len(sel)
+
+        if ss == 0:
+            # DC scan: interleaved MCU order (or the single component's
+            # own grid, identical when nc == 1)
+            units = []
+            if len(sel) == 1:
+                ci = sel[0]
+                zz = comps[ci]["zz"]
+                cw = (w * comps[ci]["fx"] + hmax - 1) // hmax
+                ch = (h * comps[ci]["fy"] + vmax - 1) // vmax
+                for by in range((ch + 7) // 8):
+                    for bx in range((cw + 7) // 8):
+                        units.append([(ci, by, bx)])
+            else:
+                for my in range(mcuy):
+                    for mx in range(mcux):
+                        unit = []
+                        for ci in sel:
+                            c = comps[ci]
+                            for by in range(c["fy"]):
+                                for bx in range(c["fx"]):
+                                    unit.append(
+                                        (ci, my * c["fy"] + by,
+                                         mx * c["fx"] + bx)
+                                    )
+                        units.append(unit)
+            for n_u, unit in enumerate(units):
+                if restart_interval and n_u and \
+                        n_u % restart_interval == 0:
+                    restart()
+                for ci, by, bx in unit:
+                    u = sel.index(ci)
+                    v0 = int(comps[ci]["zz"][by, bx, 0])
+                    if ah == 0:
+                        d = (v0 >> al) - preds[u]
+                        preds[u] = v0 >> al
+                        t, bitsv = _mag(d)
+                        ln, code = hdc.codes[t]
+                        bw.put(ln, code)
+                        if t:
+                            bw.put(t, bitsv)
+                    else:
+                        bw.put(1, (v0 >> al) & 1)
+        else:
+            ci = sel[0]
+            zz = comps[ci]["zz"]
+            cw = (w * comps[ci]["fx"] + hmax - 1) // hmax
+            ch = (h * comps[ci]["fy"] + vmax - 1) // vmax
+            n_b = 0
+            for by in range((ch + 7) // 8):
+                for bx in range((cw + 7) // 8):
+                    if restart_interval and n_b and \
+                            n_b % restart_interval == 0:
+                        restart()
+                        enc.eobrun = 0
+                        enc.corr = []
+                    n_b += 1
+                    if ah == 0:
+                        enc.ac_first(zz[by, bx], ss, se, al)
+                    else:
+                        enc.ac_refine(zz[by, bx], ss, se, al)
+        enc.flush_eobrun()
+        bw.flush()
+        out += bytes(bw.out)
+    out += b"\xff\xd9"
+    return bytes(out)

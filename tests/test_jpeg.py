@@ -118,8 +118,11 @@ def test_16bit_dqt_parsed():
 
 def test_unsupported_variants_honest_reasons():
     data = jpeg_encode(_grad(8, 8))
+    # a baseline stream relabeled SOF2 is a MALFORMED progressive file
+    # (a progressive scan may not span ss=0..se=63) — typed error, not
+    # a wrong decode
     prog = data.replace(b"\xff\xc0", b"\xff\xc2", 1)
-    with pytest.raises(JpegError, match="jpeg_progressive_unsupported"):
+    with pytest.raises(JpegError, match="jpeg_bad_scan_params"):
         jpeg_decode(prog)
     arith = data.replace(b"\xff\xc0", b"\xff\xc9", 1)
     with pytest.raises(JpegError, match="jpeg_sof_unsupported"):
@@ -212,3 +215,94 @@ def test_jpeg_tem_marker_tolerated():
     ok = jpeg_encode(np.full((8, 8, 3), 100, dtype=np.uint8))
     out = jpeg_decode(ok[:2] + b"\xff\x01" + ok[2:])
     assert (out == 100).all()
+
+
+# ---- progressive (SOF2, Annex G) — r4 continuation ----
+
+from hoover_snoop2_spark.functions.jpeg_codec import jpeg_encode_progressive
+
+
+@pytest.mark.parametrize("subsample", [False, True])
+@pytest.mark.parametrize("quant", [1, 8])
+def test_progressive_equals_sequential(subsample, quant):
+    # successive approximation refines to al=0, so the decoded pixels
+    # must be BIT-IDENTICAL to the sequential encoding of the same
+    # quantized coefficients — across sampling and quant levels
+    img = _grad(37, 29)
+    seq = jpeg_decode(jpeg_encode(img, quant=quant, subsample=subsample))
+    pro = jpeg_decode(
+        jpeg_encode_progressive(img, quant=quant, subsample=subsample)
+    )
+    assert np.array_equal(seq, pro)
+
+
+def test_progressive_grayscale_exact():
+    gray = (np.add.outer(np.arange(25) * 7, np.arange(31) * 3) % 256).astype(
+        np.uint8
+    )
+    out = jpeg_decode(jpeg_encode_progressive(gray, quant=1))
+    assert out.shape == (25, 31, 3)
+    # quant=1 grayscale is near-lossless; FDCT/IDCT round-trip is exact
+    # here because the pattern's block energy stays well inside range
+    assert np.array_equal(out, np.repeat(gray[:, :, None], 3, axis=2))
+
+
+def test_progressive_restart_markers():
+    img = _grad(37, 29)
+    seq = jpeg_decode(jpeg_encode(img, quant=1))
+    pro = jpeg_decode(
+        jpeg_encode_progressive(img, quant=1, restart_interval=3)
+    )
+    assert np.array_equal(seq, pro)
+
+
+def test_progressive_long_eob_runs():
+    # a flat image makes every AC band empty: the first AC scan is one
+    # giant EOB run covering all blocks (> 2^4 so multi-bit EOBn codes),
+    # and the refinement scans exercise the run-with-correction tail
+    img = np.full((64, 96, 3), 200, np.uint8)
+    seq = jpeg_decode(jpeg_encode(img, quant=1))
+    pro = jpeg_decode(jpeg_encode_progressive(img, quant=1))
+    assert np.array_equal(seq, pro)
+
+
+def test_progressive_custom_scan_script():
+    # odd split points + an extra refinement stage
+    img = _grad(24, 18)
+    scans = [
+        ((0, 1, 2), 0, 0, 0, 2),
+        ((0,), 1, 2, 0, 1), ((0,), 3, 63, 0, 1),
+        ((1,), 1, 63, 0, 0), ((2,), 1, 63, 0, 0),
+        ((0, 1, 2), 0, 0, 2, 1), ((0, 1, 2), 0, 0, 1, 0),
+        ((0,), 1, 2, 1, 0), ((0,), 3, 63, 1, 0),
+    ]
+    seq = jpeg_decode(jpeg_encode(img, quant=1))
+    pro = jpeg_decode(jpeg_encode_progressive(img, quant=1, scans=scans))
+    assert np.array_equal(seq, pro)
+
+
+def test_progressive_truncation_and_partial():
+    img = _grad(37, 29)
+    data = jpeg_encode_progressive(img, quant=1)
+    # cutting into entropy data surfaces a typed error
+    with pytest.raises(JpegError):
+        jpeg_decode(data[: len(data) // 3])
+    # complete scans with the EOI missing still render (browser
+    # semantics for a cut-off progressive download)
+    out = jpeg_decode(data[:-2])
+    assert out.shape == img.shape
+
+
+def test_progressive_fuzz_only_typed_errors():
+    import random
+
+    rng = random.Random(11)
+    base = jpeg_encode_progressive(_grad(16, 12), quant=2)
+    for _ in range(300):
+        buf = bytearray(base)
+        for _ in range(rng.randint(1, 6)):
+            buf[rng.randrange(len(buf))] = rng.randrange(256)
+        try:
+            jpeg_decode(bytes(buf))
+        except JpegError:
+            pass
