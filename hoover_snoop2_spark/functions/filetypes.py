@@ -67,6 +67,11 @@ FILE_TYPES: dict[str, str] = {
     "application/gzip": "archive",
     "application/x-rar": "archive",
     "application/x-xz": "archive",
+    "application/x-cpio": "archive",
+    "application/x-archive": "archive",
+    "application/x-rpm": "archive",
+    "application/x-compress": "archive",
+    "application/zstd": "archive",
 }
 
 #: reference defaultsettings.py:281-288

@@ -61,6 +61,7 @@ _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"!<arch>\n", "application/x-archive"),  # ar / .deb / .a
     (0, b"\xed\xab\xee\xdb", "application/x-rpm"),
     (0, b"\x1f\x9d", "application/x-compress"),  # compress(1) .Z
+    (0, b"\x28\xb5\x2f\xfd", "application/zstd"),  # RFC 8878
     (0, b"\x7fELF", "application/x-executable"),
     (0, b"MZ", "application/x-dosexec"),
 ]

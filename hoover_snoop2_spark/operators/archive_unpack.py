@@ -44,6 +44,7 @@ UNPACK_MIME_TYPES = frozenset(
         "application/x-archive",
         "application/x-rpm",
         "application/x-compress",
+        "application/zstd",
     }
 )
 
@@ -177,6 +178,18 @@ def unpack_bytes(data: bytes, mime_type: str) -> list[tuple[str, bytes]]:
         return _unpack_stream(data, bz2.BZ2File, "data")
     if mime_type == "application/x-xz":
         return _unpack_stream(data, lzma.LZMAFile, "data")
+    if mime_type == "application/zstd":
+        # RFC 8878 stream via the in-repo pure-Python codec; recurses
+        # into tar for the .tar.zst case exactly like .gz/.Z
+        from ..functions.zstd_codec import ZstdError, zstd_decompress
+
+        try:
+            inner = zstd_decompress(data, max_output=MAX_CHILD_BYTES)
+        except ZstdError as e:
+            raise UnpackBroken(str(e)) from e
+        if inner[257 : 257 + 5] == b"ustar":
+            return _unpack_tar(inner)
+        return [("data", inner)]
     if mime_type == "application/mbox":
         return _unpack_mbox(data)
     if mime_type == "application/x-7z-compressed":

@@ -228,10 +228,11 @@ def _rpm_header_end(data: bytes, pos: int, align8: bool) -> int:
 def unpack_rpm(data: bytes, max_bytes: int = 64 * 2**20) -> list[tuple[str, bytes]]:
     """Explode an RPM's payload files.  Layout: 96-byte lead, signature
     header (8-aligned), main header, then the payload — a gzip/xz/lzma/
-    bzip2-compressed cpio whose compressor is sniffed from its own magic
-    (robust across PAYLOADCOMPRESSOR tag values).  zstd payloads are
-    recognized but surface ``rpm_payload_unsupported`` (no zstd codec in
-    the stdlib)."""
+    bzip2/zstd-compressed cpio whose compressor is sniffed from its own
+    magic (robust across PAYLOADCOMPRESSOR tag values); zstd is the
+    Fedora/RHEL9 default and decodes via the in-repo RFC 8878 codec."""
+    from ..functions.zstd_codec import ZstdError, zstd_decompress
+
     if not data.startswith(RPM_LEAD_MAGIC) or len(data) < 96:
         raise UnixArchiveBroken("rpm_bad_magic")
     pos = _rpm_header_end(data, 96, align8=True)
@@ -247,11 +248,13 @@ def unpack_rpm(data: bytes, max_bytes: int = 64 * 2**20) -> list[tuple[str, byte
         elif payload[:3] == b"BZh":
             inner = bz2.decompress(payload)
         elif payload[:4] == b"\x28\xb5\x2f\xfd":
-            raise UnixArchiveBroken("rpm_payload_unsupported")
+            inner = zstd_decompress(payload, max_output=max_bytes)
         elif payload[:6] in (b"070701", b"070702", b"070707"):
             inner = payload  # uncompressed cpio
         else:
             raise UnixArchiveBroken("rpm_payload_unsupported")
+    except ZstdError as e:
+        raise UnixArchiveBroken("rpm_payload_corrupt") from e
     except (OSError, EOFError, lzma.LZMAError, ValueError) as e:
         if isinstance(e, UnixArchiveBroken):
             raise
@@ -535,6 +538,10 @@ def build_rpm(
         payload = lzma.compress(cpio)
     elif compressor == "bzip2":
         payload = bz2.compress(cpio)
+    elif compressor == "zstd":
+        from ..functions.zstd_codec import zstd_compress_store
+
+        payload = zstd_compress_store(cpio)
     elif compressor == "none":
         payload = cpio
     else:

@@ -86,10 +86,11 @@ def _parse_headers(block: bytes) -> dict[str, str]:
 def _decode_content(body: bytes, content_encoding: str) -> bytes:
     """Inflate an HTTP Content-Encoding'd body (RFC 9110 §8.4.1:
     gzip/x-gzip, deflate — both zlib-wrapped and the raw-deflate form
-    broken servers send).  Same safety contract as :func:`_dechunk`:
-    any decode failure (or an encoding we can't do, e.g. br without a
-    brotli lib) returns the original bytes — a wrong guess must never
-    lose payload."""
+    broken servers send — and zstd per RFC 8878 §7.2 via the in-repo
+    codec).  Same safety contract as :func:`_dechunk`: any decode
+    failure (or an encoding we can't do, e.g. br without a brotli lib)
+    returns the original bytes — a wrong guess must never lose
+    payload."""
     enc = content_encoding.strip().lower()
     try:
         if enc in ("gzip", "x-gzip"):
@@ -99,6 +100,10 @@ def _decode_content(body: bytes, content_encoding: str) -> bytes:
                 return zlib.decompress(body)
             except zlib.error:  # raw deflate, no zlib header
                 return zlib.decompress(body, -15)
+        if enc == "zstd":
+            from ..functions.zstd_codec import zstd_decompress
+
+            return zstd_decompress(body)
     except Exception:
         return body
     return body

@@ -444,13 +444,19 @@ def test_warc_stream_offset_protocol_exactly_once(ops, max_files):
     start = {"last": ""}  # engine-checkpointed offset
     seen: list[str] = []
     n = 0
-    for op in ops + ["batch", "batch", "batch"]:  # drain at the end
+    # drain at the end the way the engine does: keep triggering until a
+    # microbatch makes no progress (a fixed drain count under-drains
+    # when maxFilesPerTrigger chunks a long backlog)
+    ops = ops + ["drain"]
+    for op in ops:
         if op == "add":
             files.append(f"seg-{n:05d}")
             n += 1
-        elif op == "restart":
+            continue
+        if op == "restart":
             reader = R()  # in-process watermark lost; checkpoint kept
-        else:
+            continue
+        while True:
             end = reader.latestOffset()
             assert end["last"] >= start["last"], "offset moved backward"
             batch = [p.path for p in reader.partitions(start, end)]
@@ -460,5 +466,7 @@ def test_warc_stream_offset_protocol_exactly_once(ops, max_files):
                 assert len(batch) <= max(max_files, len(files))
             start = end
             reader.commit(end)
+            if op != "drain" or not batch:
+                break
     assert sorted(seen) == sorted(files), "lost or duplicated files"
     assert len(seen) == len(set(seen))

@@ -111,14 +111,17 @@ def test_rpm_payload_compressors(comp):
     assert unpack_bytes(arc, mime) == MEMBERS
 
 
-def test_rpm_zstd_payload_unsupported():
-    arc = build_rpm(MEMBERS, "gzip")
-    # splice a zstd magic where the payload starts
-    idx = arc.index(b"\x1f\x8b")
-    bad = arc[:idx] + b"\x28\xb5\x2f\xfd" + arc[idx + 4:]
+def test_rpm_zstd_payload():
+    # zstd payloads now decode via the in-repo RFC 8878 codec
+    # (Fedora/RHEL9 default compressor); a corrupt zstd stream still
+    # surfaces a typed reason
+    arc = build_rpm(MEMBERS, "zstd")
+    assert unpack_rpm(arc) == MEMBERS
+    idx = arc.index(b"\x28\xb5\x2f\xfd")
+    bad = arc[:idx] + b"\x28\xb5\x2f\xfd\xff\xff\xff"
     with pytest.raises(UnixArchiveBroken) as e:
         unpack_rpm(bad)
-    assert e.value.reason == "rpm_payload_unsupported"
+    assert e.value.reason == "rpm_payload_corrupt"
 
 
 # ---------------------------------------------------------------------------
