@@ -15648,6 +15648,94 @@ FROM documents ORDER BY doc_id
 """
 
 
+def q236_zstd_roundtrip(spark, sf_dir):
+    """zstd codec certification (q234/q235's sibling for the RFC 8878
+    kernel): per document a deterministic payload is synthesized from
+    the doc_id residue — ``byte[i] = (doc_id*31 + i*7) % 256`` of
+    length ``50 + (doc_id % 10)*37``, constant-byte for
+    ``doc_id % 4 == 0`` — framed as a REAL zstd stream by the in-repo
+    writer (RLE blocks for the constant docs, raw otherwise; a
+    skippable frame prefixed for ``% 5 == 0`` docs and a two-frame
+    split for ``% 3 == 0``), then decoded by the REAL
+    :func:`..functions.zstd_codec.zstd_decompress` kernel.  The oracle
+    recomputes length / byte sum / boundary bytes closed-form from
+    ``generate_series`` — any framing, block-type, or windowing
+    regression shifts a sum and hash-fails.  The plan REQUIRES an
+    ArrowEvalPython node: the Python kernel is the subject here, not
+    an accident.  Scale: one Arrow pass, no shuffle before the sort."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .functions.zstd_codec import zstd_compress_store, zstd_decompress
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 50 + (d % 10) * 37
+                if d % 4 == 0:
+                    payload = bytes([d % 251]) * n
+                else:
+                    payload = bytes((d * 31 + i * 7) % 256 for i in range(n))
+                if d % 3 == 0:
+                    frame = zstd_compress_store(
+                        payload[: n // 2]
+                    ) + zstd_compress_store(payload[n // 2 :])
+                else:
+                    frame = zstd_compress_store(payload)
+                if d % 5 == 0:
+                    frame = (
+                        b"\x50\x2a\x4d\x18\x04\x00\x00\x00meta" + frame
+                    )
+                out = zstd_decompress(frame)
+                rows.append(
+                    (d, len(out), sum(out), out[0], out[-1])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_bytes", "byte_sum", "first_byte",
+                    "last_byte",
+                ],
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, n_bytes long, byte_sum long, "
+                   "first_byte long, last_byte long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q236_SQL = r"""
+WITH p AS (
+  SELECT doc_id, 50 + (doc_id % 10) * 37 AS n FROM documents
+),
+-- max n is 50 + 9*37 = 383, so a fixed series joined on i < n sidesteps
+-- DuckDB's no-lateral-parameter limit on generate_series
+g AS (SELECT i FROM generate_series(0, 382) AS t(i)),
+sums AS (
+  SELECT p.doc_id, SUM((p.doc_id * 31 + g.i * 7) % 256) AS s
+  FROM p JOIN g ON g.i < p.n
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id,
+       p.n AS n_bytes,
+       CASE WHEN p.doc_id % 4 = 0 THEN p.n * (p.doc_id % 251)
+            ELSE sums.s END AS byte_sum,
+       CASE WHEN p.doc_id % 4 = 0 THEN p.doc_id % 251
+            ELSE (p.doc_id * 31) % 256 END AS first_byte,
+       CASE WHEN p.doc_id % 4 = 0 THEN p.doc_id % 251
+            ELSE (p.doc_id * 31 + (p.n - 1) * 7) % 256 END AS last_byte
+FROM p JOIN sums ON sums.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -15876,6 +15964,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q233_linkrot_lifetable": q233_linkrot_lifetable,
     "q234_mime_mismatch_audit": q234_mime_mismatch_audit,
     "q235_encoding_ladder_audit": q235_encoding_ladder_audit,
+    "q236_zstd_roundtrip": q236_zstd_roundtrip,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -16101,6 +16190,7 @@ ORACLES: dict[str, str] = {
     "q233_linkrot_lifetable": Q233_SQL,
     "q234_mime_mismatch_audit": Q234_SQL,
     "q235_encoding_ladder_audit": Q235_SQL,
+    "q236_zstd_roundtrip": Q236_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -206,6 +206,7 @@ AUDITED = [
     "q233_linkrot_lifetable",
     "q234_mime_mismatch_audit",
     "q235_encoding_ladder_audit",
+    "q236_zstd_roundtrip",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -774,6 +775,9 @@ CHECKS = {
     # q234's sibling — the encoding rung of the same Arrow kernel
     "q235_encoding_ladder_audit": ["ArrowEvalPython", "!HashAggregate",
                                    "!CartesianProduct", "!SortMergeJoin"],
+    # the RFC 8878 zstd kernel is the subject — mapInPandas required
+    "q236_zstd_roundtrip": ["MapInPandas", "!HashAggregate",
+                            "!CartesianProduct", "!SortMergeJoin"],
 }
 
 NOTES = {
