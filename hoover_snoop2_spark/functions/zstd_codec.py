@@ -608,9 +608,26 @@ def _decode_block(block: bytes, ctx: dict, out: bytearray,
 def zstd_decompress(data: bytes, max_output: int = 1 << 30) -> bytes:
     """Decode one or more concatenated zstd frames to bytes."""
     out = bytearray()
+    for _off, _ln, kind, payload in iter_zstd_frames(data, max_output):
+        if kind == "frame":
+            out += payload
+            if len(out) > max_output:
+                raise ZstdError("zstd_too_large")
+    return bytes(out)
+
+
+def iter_zstd_frames(data: bytes, max_output: int = 1 << 30):
+    """Walk a multi-frame stream, yielding ``(offset, compressed_length,
+    kind, payload)`` per frame — ``kind`` is ``"frame"`` (payload =
+    decoded bytes) or ``"skippable"`` (payload = the frame's raw user
+    content; its magic's low nibble is ``offset`` + 0x50).  The per-frame
+    spans make each frame independently fetchable, which is what the
+    ``.warc.zst`` convention (one zstd frame per record group) relies
+    on — the zstd analogue of the CDX gzip-member contract."""
     pos = 0
     n = len(data)
     while pos < n:
+        frame_start = pos
         if n - pos < 4:
             raise ZstdError("zstd_truncated_frame")
         (magic,) = struct.unpack_from("<I", data, pos)
@@ -618,10 +635,15 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 30) -> bytes:
             if n - pos < 8:
                 raise ZstdError("zstd_truncated_frame")
             (skip,) = struct.unpack_from("<I", data, pos + 4)
+            if n - pos < 8 + skip:
+                raise ZstdError("zstd_truncated_frame")
             pos += 8 + skip
+            yield (frame_start, pos - frame_start, "skippable",
+                   data[frame_start + 8 : pos])
             continue
         if magic != _MAGIC:
             raise ZstdError("not_zstd" if pos == 0 else "zstd_bad_frame")
+        out = bytearray()
         pos += 4
         if pos >= n:
             raise ZstdError("zstd_truncated_frame")
@@ -678,7 +700,7 @@ def zstd_decompress(data: bytes, max_output: int = 1 << 30) -> bytes:
             pos += 4  # consumed, not verified (xxh64 low 32)
             if pos > n:
                 raise ZstdError("zstd_truncated_frame")
-    return bytes(out)
+        yield frame_start, pos - frame_start, "frame", bytes(out)
 
 
 def zstd_compress_store(data: bytes, block_size: int = 65536) -> bytes:

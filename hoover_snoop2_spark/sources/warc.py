@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import struct
 import zlib
 from datetime import datetime, timezone
 from typing import Iterator
@@ -163,6 +164,53 @@ def _gunzip_members(raw: bytes) -> Iterator[tuple[int, int, bytes]]:
         pos = end
 
 
+#: IIPC .warc.zst dictionary frame magic (a skippable frame carrying a
+#: shared compression dictionary; frames that used it can't decode
+#: standalone, so its presence is a typed refusal, not a wrong parse)
+_WARC_ZST_DICT_MAGIC = 0x184D2A5D
+
+
+def _unzstd_members(raw: bytes) -> Iterator[tuple[int, int, bytes]]:
+    """(offset, compressed_length, inflated_bytes) per zstd frame — the
+    ``.warc.zst`` convention compresses record groups as independent
+    frames so spans stay range-fetchable, the zstd analogue of Common
+    Crawl's per-record gzip members."""
+    from ..functions.zstd_codec import ZstdError, iter_zstd_frames
+
+    try:
+        for off, ln, kind, payload in iter_zstd_frames(raw):
+            if kind == "skippable":
+                (magic,) = struct.unpack_from("<I", raw, off)
+                if magic == _WARC_ZST_DICT_MAGIC:
+                    raise WarcError(
+                        "warc.zst dictionary frames unsupported "
+                        "(frames are not standalone-decodable)"
+                    )
+                continue
+            yield off, ln, payload
+    except ZstdError as e:
+        raise WarcError(f"bad zstd frame: {e}") from e
+
+
+def _is_zstd_stream(raw: bytes) -> bool:
+    """zstd data frame OR a leading skippable frame (a .warc.zst may
+    open with its dictionary/metadata skippable frame)."""
+    if len(raw) < 4:
+        return False
+    (magic,) = struct.unpack_from("<I", raw, 0)
+    return magic == 0xFD2FB528 or 0x184D2A50 <= magic <= 0x184D2A5F
+
+
+def _inflate_stream(raw: bytes) -> bytes:
+    """Whole-stream inflate for record parsing: gzip members, zstd
+    frames (.warc.zst), or plain bytes unchanged."""
+    if raw[:2] == b"\x1f\x8b":
+        return b"".join(data for _, _, data in _gunzip_members(raw))
+    if _is_zstd_stream(raw):
+        return b"".join(data for _, _, data in _unzstd_members(raw))
+    return raw
+
+
 def _iter_raw_records(
     raw: bytes, warc_file: str = ""
 ) -> Iterator[tuple[int, int, dict[str, str], bytes]]:
@@ -201,8 +249,7 @@ def parse_warc_records(
     Accepts plain streams, whole-stream gzip, and Common-Crawl-style
     per-record gzip members.
     """
-    if raw[:2] == b"\x1f\x8b":
-        raw = b"".join(data for _, _, data in _gunzip_members(raw))
+    raw = _inflate_stream(raw)
 
     for _start, _end, headers, payload in _iter_raw_records(raw, warc_file):
         if headers.get("warc-type") != "response":
@@ -263,8 +310,7 @@ def parse_warc_revisits(raw: bytes, warc_file: str = "") -> Iterator[dict]:
     digest) instead of the bytes.  Feeding these into the pipeline's
     dedup avoids re-extracting content the crawler already identified as
     unchanged."""
-    if raw[:2] == b"\x1f\x8b":
-        raw = b"".join(data for _, _, data in _gunzip_members(raw))
+    raw = _inflate_stream(raw)
     for _s, _e, headers, _payload in _iter_raw_records(raw, warc_file):
         if headers.get("warc-type") != "revisit":
             continue
@@ -374,6 +420,10 @@ def read_warc_cdx(
                             data = b"".join(
                                 d for _, _, d in _gunzip_members(member)
                             )
+                        elif _is_zstd_stream(member):
+                            data = b"".join(
+                                d for _, _, d in _unzstd_members(member)
+                            )
                         else:
                             data = member
                         last_key, last_data = key, data
@@ -451,6 +501,14 @@ def index_warc(spark: SparkSession, path_glob: str) -> DataFrame:
                     # whole-stream gzip (one member, many records) must
                     # not index every record with the full member span
                     for off, ln, data in _gunzip_members(raw):
+                        for s, e, hdrs, payload in _iter_raw_records(data, path):
+                            entries.append(
+                                _entry(path, off, ln, s, e - s, hdrs, payload)
+                            )
+                elif _is_zstd_stream(raw):
+                    # .warc.zst: frames are the fetchable unit, with
+                    # per-record spans inside each inflated frame
+                    for off, ln, data in _unzstd_members(raw):
                         for s, e, hdrs, payload in _iter_raw_records(data, path):
                             entries.append(
                                 _entry(path, off, ln, s, e - s, hdrs, payload)
@@ -574,8 +632,7 @@ def parse_wet_records(raw: bytes, warc_file: str = "") -> Iterator[dict]:
     """Yield one dict per ``conversion`` record (plain, whole-stream
     gzip, or per-record gzip member streams — same tolerance as
     parse_warc_records)."""
-    if raw[:2] == b"\x1f\x8b":
-        raw = b"".join(data for _, _, data in _gunzip_members(raw))
+    raw = _inflate_stream(raw)
     for _s, _e, headers, payload in _iter_raw_records(raw, warc_file):
         if headers.get("warc-type") != "conversion":
             continue

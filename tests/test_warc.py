@@ -381,3 +381,67 @@ def test_content_encoding_gzip_and_deflate_inflated():
     got = {r["url"]: r["html"] for r in parse_warc_records(raw)}
     for url, _, want in cases:
         assert got[url] == want, url
+
+
+# ---- .warc.zst (IIPC zstd convention) — r4 continuation ----
+
+
+def _zst_frames(records, group=1):
+    from hoover_snoop2_spark.functions.zstd_codec import zstd_compress_store
+
+    out = b""
+    for i in range(0, len(records), group):
+        out += zstd_compress_store(b"".join(records[i : i + group]))
+    return out
+
+
+def test_parse_warc_zst_per_record_frames():
+    recs = _build_records()
+    for group in (1, 2, len(recs)):
+        rows = list(parse_warc_records(_zst_frames(recs, group), "t.warc.zst"))
+        assert [r["url"] for r in rows] == [
+            "https://a.example/x", "https://b.example/y",
+        ]
+        assert rows[0]["html"] == BODY_A
+
+
+def test_parse_warc_zst_leading_skippable_metadata():
+    import struct as _struct
+
+    # a non-dictionary skippable frame (e.g. crawler metadata) is skipped
+    skip = _struct.pack("<II", 0x184D2A50, 4) + b"meta"
+    raw = skip + _zst_frames(_build_records())
+    rows = list(parse_warc_records(raw, "t.warc.zst"))
+    assert len(rows) == 2
+
+
+def test_parse_warc_zst_dictionary_refused():
+    import struct as _struct
+
+    dict_frame = _struct.pack("<II", 0x184D2A5D, 8) + b"dictbyte"
+    raw = dict_frame + _zst_frames(_build_records())
+    with pytest.raises(WarcError, match="dictionary"):
+        list(parse_warc_records(raw, "t.warc.zst"))
+
+
+def test_read_index_cdx_warc_zst(spark, tmp_path):
+    from hoover_snoop2_spark.sources.warc import index_warc
+
+    p = tmp_path / "seg.warc.zst"
+    p.write_bytes(_zst_frames(_build_records(), group=2))
+    df = read_warc(spark, str(p))
+    assert df.count() == 2
+
+    idx = index_warc(spark, str(p))
+    rows = idx.orderBy("rec_offset").collect()
+    # 4 records across 2 frames, each with its own in-frame span
+    assert len(rows) == 4
+    assert {r.warc_type for r in rows} == {
+        "warcinfo", "request", "response",
+    }
+    responses = idx.filter(F.col("warc_type") == "response")
+    pages = read_warc_cdx(spark, responses).orderBy("url").collect()
+    assert [r.url for r in pages] == [
+        "https://a.example/x", "https://b.example/y",
+    ]
+    assert bytes(pages[0].html) == BODY_A
