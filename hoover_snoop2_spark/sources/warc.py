@@ -105,6 +105,14 @@ def _decode_content(body: bytes, content_encoding: str) -> bytes:
             from ..functions.zstd_codec import zstd_decompress
 
             return zstd_decompress(body)
+        if enc == "br":
+            from ..functions.brotli_codec import (
+                brotli_available,
+                brotli_decompress,
+            )
+
+            if brotli_available():
+                return brotli_decompress(body)
     except Exception:
         return body
     return body

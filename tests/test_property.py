@@ -364,15 +364,28 @@ def test_content_encoding_never_loses_payload(data, enc):
 
     out = _decode_content(data, enc)
     if out != data:
-        # it decoded: re-encoding must reproduce the input form
-        assert enc in ("gzip", "x-gzip", "deflate")
+        # it decoded: an independent decode must reproduce the output
+        assert enc in ("gzip", "x-gzip", "deflate", "zstd", "br")
         if enc in ("gzip", "x-gzip"):
             assert _gzip.decompress(data) == out
-        else:
+        elif enc == "deflate":
             try:
                 assert _zlib.decompress(data) == out
             except _zlib.error:
                 assert _zlib.decompress(data, -15) == out
+        elif enc == "zstd":
+            from hoover_snoop2_spark.functions.zstd_codec import (
+                zstd_decompress,
+            )
+
+            assert zstd_decompress(data) == out
+        else:  # br — rare but possible: arbitrary bytes forming a
+            # valid (often empty) brotli stream
+            from hoover_snoop2_spark.functions.brotli_codec import (
+                brotli_decompress,
+            )
+
+            assert brotli_decompress(data) == out
 
 
 @given(

@@ -205,3 +205,32 @@ def test_content_encoding_real_zstd():
 
     body = b"<html>" + b"<p>paragraph</p>" * 500 + b"</html>"
     assert _decode_content(cli_compress(body, 19), "zstd") == body
+
+
+# ------------------------------------------------- brotli (system lib)
+
+
+def test_brotli_roundtrip_and_content_encoding():
+    from hoover_snoop2_spark.functions.brotli_codec import (
+        BrotliError,
+        brotli_available,
+        brotli_compress,
+        brotli_decompress,
+    )
+    from hoover_snoop2_spark.sources.warc import _decode_content
+
+    if not brotli_available():
+        pytest.skip("libbrotlidec not present")
+    body = b"<html>" + b"<p>the same paragraph of text</p>" * 400 + b"</html>"
+    comp = brotli_compress(body)
+    assert len(comp) < len(body) // 4
+    assert brotli_decompress(comp) == body
+    assert _decode_content(comp, "br") == body
+    # garbage under the br label passes through unchanged
+    assert _decode_content(b"\x00junk", "br") == b"\x00junk"
+    with pytest.raises(BrotliError):
+        brotli_decompress(comp[: len(comp) // 2])
+    # output cap guard
+    big = brotli_compress(b"A" * 2_000_000)
+    with pytest.raises(BrotliError, match="corrupt_or_too_large"):
+        brotli_decompress(big, max_output=10_000)
