@@ -15736,6 +15736,93 @@ ORDER BY p.doc_id
 """
 
 
+def q237_progressive_jpeg_roundtrip(spark, sf_dir):
+    """Progressive-JPEG certification under the driver's value-exact
+    gate.  JPEG is lossy, so the oracle trick is FLAT images: a flat
+    block has zero AC energy and quant=1 DC error < 1/16 per plane, so
+    the decoded pixels equal the generator color EXACTLY (the bound
+    1.402/16 + 1/16 < 0.5 survives the YCbCr round-trip; proven by
+    `test_flat_color_roundtrip_exact`).  Each doc synthesizes a flat
+    ``(37d, 59d+91, 17d+180) % 256`` image — grayscale for
+    ``d % 6 == 5`` — encodes it PROGRESSIVELY (SOF2 scan script with
+    successive approximation; 4:2:0 for even ids, restart markers for
+    ``d % 7 == 0``), decodes with the real SOF2 kernel, and emits the
+    exact integer channel sums the SQL recomputes closed-form.  Any
+    regression in DC first/refinement scans, EOB runs, interleave
+    order, or the progressive Huffman tables shifts a sum and
+    hash-fails.  The plan REQUIRES MapInPandas — the codec kernel is
+    the subject.  Scale: one Arrow pass, no shuffle before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        from .functions.jpeg_codec import (
+            jpeg_decode,
+            jpeg_encode_progressive,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 16 + (d % 5) * 9
+                h = 12 + (d % 4) * 11
+                if d % 6 == 5:
+                    v = (d * 43) % 256
+                    img = np.full((h, w), v, np.uint8)
+                else:
+                    img = np.zeros((h, w, 3), np.uint8)
+                    img[:, :, 0] = (d * 37) % 256
+                    img[:, :, 1] = (d * 59 + 91) % 256
+                    img[:, :, 2] = (d * 17 + 180) % 256
+                data = jpeg_encode_progressive(
+                    img,
+                    quant=1,
+                    subsample=(d % 6 != 5 and d % 2 == 0),
+                    restart_interval=3 if d % 7 == 0 else 0,
+                )
+                out = jpeg_decode(data)
+                s = out.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (d, out.shape[1], out.shape[0],
+                     int(s[0]), int(s[1]), int(s[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height",
+                         "sum_r", "sum_g", "sum_b"],
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, width long, height long, "
+                   "sum_r long, sum_g long, sum_b long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q237_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         16 + (doc_id % 5) * 9 AS w,
+         12 + (doc_id % 4) * 11 AS h
+  FROM documents
+)
+SELECT doc_id, w AS width, h AS height,
+       w * h * (CASE WHEN doc_id % 6 = 5 THEN (doc_id * 43) % 256
+                     ELSE (doc_id * 37) % 256 END) AS sum_r,
+       w * h * (CASE WHEN doc_id % 6 = 5 THEN (doc_id * 43) % 256
+                     ELSE (doc_id * 59 + 91) % 256 END) AS sum_g,
+       w * h * (CASE WHEN doc_id % 6 = 5 THEN (doc_id * 43) % 256
+                     ELSE (doc_id * 17 + 180) % 256 END) AS sum_b
+FROM p ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -15965,6 +16052,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q234_mime_mismatch_audit": q234_mime_mismatch_audit,
     "q235_encoding_ladder_audit": q235_encoding_ladder_audit,
     "q236_zstd_roundtrip": q236_zstd_roundtrip,
+    "q237_progressive_jpeg_roundtrip": q237_progressive_jpeg_roundtrip,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -16191,6 +16279,7 @@ ORACLES: dict[str, str] = {
     "q234_mime_mismatch_audit": Q234_SQL,
     "q235_encoding_ladder_audit": Q235_SQL,
     "q236_zstd_roundtrip": Q236_SQL,
+    "q237_progressive_jpeg_roundtrip": Q237_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -207,6 +207,7 @@ AUDITED = [
     "q234_mime_mismatch_audit",
     "q235_encoding_ladder_audit",
     "q236_zstd_roundtrip",
+    "q237_progressive_jpeg_roundtrip",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -778,6 +779,10 @@ CHECKS = {
     # the RFC 8878 zstd kernel is the subject — mapInPandas required
     "q236_zstd_roundtrip": ["MapInPandas", "!HashAggregate",
                             "!CartesianProduct", "!SortMergeJoin"],
+    # the progressive-JPEG codec kernel is the subject
+    "q237_progressive_jpeg_roundtrip": ["MapInPandas", "!HashAggregate",
+                                        "!CartesianProduct",
+                                        "!SortMergeJoin"],
 }
 
 NOTES = {
