@@ -30,6 +30,7 @@ import re
 from collections import defaultdict
 from typing import Any
 
+from ..functions import pgp_codec
 from ..functions.magic import detect_mime_encoding
 from ..functions.textutils import zulu
 from .html_extract import strip_tags
@@ -108,9 +109,23 @@ def dump_part(message: email.message.Message) -> dict[str, Any]:
         payload_bytes = b""
 
     if payload_bytes.lstrip().startswith(b"-----BEGIN PGP MESSAGE-----"):
-        # PGP armor detection (reference pgp.py:13-46 + email.py:134-136);
-        # decryption needs a gpg keyring — out of scope, flag only
+        # PGP armor (reference pgp.py:13-46 + email.py:133-136): decrypt
+        # in place when a keyring is configured — the reference swaps
+        # payload_bytes for the plaintext and lets the normal content-type
+        # handling continue — else flag only (reference with no gpghome).
         rv["pgp"] = True
+        keyring = pgp_codec.default_keyring()
+        if keyring is not None:
+            try:
+                payload_bytes = pgp_codec.decrypt(
+                    payload_bytes, keyring=keyring)["data"]
+            except pgp_codec.PgpError:
+                rv["broken"] = "gpg_decrypt_failed"
+    if rv.get("pgp") and content_type not in ("text/plain", *_HTML_MIME_TYPES):
+        # gpg output of an inline-armored part is plaintext regardless of
+        # the (now-stale) declared type
+        if "broken" not in rv:
+            rv["text"] = _decode_text_part(payload_bytes, None)
     elif content_type == "text/plain":
         rv["text"] = _decode_text_part(payload_bytes, message.get_content_charset())
     elif content_type in _HTML_MIME_TYPES:
