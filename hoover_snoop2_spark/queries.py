@@ -15823,6 +15823,97 @@ FROM p ORDER BY doc_id
 """
 
 
+def q238_pgp_roundtrip(spark, sf_dir):
+    """OpenPGP codec certification (the q236/q237 sibling for the
+    RFC 4880 kernel the email pipeline runs): per document a
+    deterministic plaintext ``byte[i] = (doc_id*13 + i*11) % 256`` of
+    length ``40 + (doc_id % 8) * 29`` is encrypted by the in-repo
+    writer with the doc_id steering every axis the decoder must
+    handle — cipher AES-128/192/256 (``% 3``), compression
+    none/zip/zlib/bzip2 (``% 4``), ASCII armor for even ids, a
+    per-doc passphrase — then decrypted by the REAL
+    :func:`..functions.pgp_codec.decrypt` kernel (S2K key derivation,
+    SEIPD CFB, MDC verification, armor CRC-24).  The oracle recomputes
+    length / byte sum / boundary bytes closed-form — any regression in
+    S2K, CFB, MDC, armor, or the compression unwrap shifts a sum and
+    hash-fails.  The plan REQUIRES a MapInPandas node: the Python
+    kernel is the subject here, not an accident.  Scale: one Arrow
+    pass, no shuffle before the sort."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .functions.pgp_codec import decrypt, encrypt_symmetric
+
+        def det_rng(seed):
+            import hashlib
+            state = {"n": 0}
+
+            def rng(k):
+                out = b""
+                while len(out) < k:
+                    out += hashlib.blake2b(
+                        b"q238:%d:%d" % (seed, state["n"]),
+                        digest_size=32).digest()
+                    state["n"] += 1
+                return out[:k]
+
+            return rng
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 40 + (d % 8) * 29
+                payload = bytes((d * 13 + i * 11) % 256 for i in range(n))
+                pw = "pw-%d" % (d % 5)
+                enc = encrypt_symmetric(
+                    payload, pw,
+                    cipher=7 + d % 3,
+                    compress=d % 4,
+                    armored=(d % 2 == 0),
+                    rng=det_rng(d),
+                )
+                out = decrypt(enc, passphrase=pw)["data"]
+                rows.append((d, len(out), sum(out), out[0], out[-1]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "byte_sum", "first_byte",
+                         "last_byte"],
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, n_bytes long, byte_sum long, "
+                   "first_byte long, last_byte long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q238_SQL = r"""
+WITH p AS (
+  SELECT doc_id, 40 + (doc_id % 8) * 29 AS n FROM documents
+),
+-- max n is 40 + 7*29 = 243: fixed series joined on i < n
+g AS (SELECT i FROM generate_series(0, 242) AS t(i)),
+sums AS (
+  SELECT p.doc_id, SUM((p.doc_id * 13 + g.i * 11) % 256) AS s
+  FROM p JOIN g ON g.i < p.n
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id,
+       p.n AS n_bytes,
+       sums.s AS byte_sum,
+       (p.doc_id * 13) % 256 AS first_byte,
+       (p.doc_id * 13 + (p.n - 1) * 11) % 256 AS last_byte
+FROM p JOIN sums ON sums.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -16053,6 +16144,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q235_encoding_ladder_audit": q235_encoding_ladder_audit,
     "q236_zstd_roundtrip": q236_zstd_roundtrip,
     "q237_progressive_jpeg_roundtrip": q237_progressive_jpeg_roundtrip,
+    "q238_pgp_roundtrip": q238_pgp_roundtrip,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -16280,6 +16372,7 @@ ORACLES: dict[str, str] = {
     "q235_encoding_ladder_audit": Q235_SQL,
     "q236_zstd_roundtrip": Q236_SQL,
     "q237_progressive_jpeg_roundtrip": Q237_SQL,
+    "q238_pgp_roundtrip": Q238_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

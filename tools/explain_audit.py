@@ -208,6 +208,7 @@ AUDITED = [
     "q235_encoding_ladder_audit",
     "q236_zstd_roundtrip",
     "q237_progressive_jpeg_roundtrip",
+    "q238_pgp_roundtrip",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -783,6 +784,9 @@ CHECKS = {
     "q237_progressive_jpeg_roundtrip": ["MapInPandas", "!HashAggregate",
                                         "!CartesianProduct",
                                         "!SortMergeJoin"],
+    # the OpenPGP codec kernel is the subject
+    "q238_pgp_roundtrip": ["MapInPandas", "!HashAggregate",
+                           "!CartesianProduct", "!SortMergeJoin"],
 }
 
 NOTES = {
