@@ -108,24 +108,36 @@ def dump_part(message: email.message.Message) -> dict[str, Any]:
     if payload_bytes is None:
         payload_bytes = b""
 
-    if payload_bytes.lstrip().startswith(b"-----BEGIN PGP MESSAGE-----"):
+    if b"-----BEGIN PGP MESSAGE-----" in payload_bytes:
         # PGP armor (reference pgp.py:13-46 + email.py:133-136): decrypt
         # in place when a keyring is configured — the reference swaps
         # payload_bytes for the plaintext and lets the normal content-type
-        # handling continue — else flag only (reference with no gpghome).
+        # handling continue.  No keyring / wrong key → the reference's
+        # typed broken reasons, and the armor never leaks into `text`.
         rv["pgp"] = True
         keyring = pgp_codec.default_keyring()
-        if keyring is not None:
-            try:
-                payload_bytes = pgp_codec.decrypt(
-                    payload_bytes, keyring=keyring)["data"]
-            except pgp_codec.PgpError:
-                rv["broken"] = "gpg_decrypt_failed"
+        if keyring is None:
+            rv["broken"] = "gpg_not_configured"
+            return rv
+        try:
+            payload_bytes = pgp_codec.decrypt(
+                payload_bytes, keyring=keyring)["data"]
+        except pgp_codec.PgpError:
+            rv["broken"] = "gpg_decrypt_failed"
+            return rv
+        # RFC 3156 PGP/MIME: the octet-stream payload of a
+        # multipart/encrypted decrypts to a full MIME entity —
+        # re-explode it into parts so bodies and attachments inside
+        # encrypted mail surface like plain mail
+        head = payload_bytes[:1024].lower()
+        if head.startswith(b"content-") or b"\ncontent-type:" in head:
+            sub = email.message_from_bytes(payload_bytes)
+            rv["parts"] = [dump_part(sub)]
+            return rv
     if rv.get("pgp") and content_type not in ("text/plain", *_HTML_MIME_TYPES):
         # gpg output of an inline-armored part is plaintext regardless of
         # the (now-stale) declared type
-        if "broken" not in rv:
-            rv["text"] = _decode_text_part(payload_bytes, None)
+        rv["text"] = _decode_text_part(payload_bytes, None)
     elif content_type == "text/plain":
         rv["text"] = _decode_text_part(payload_bytes, message.get_content_charset())
     elif content_type in _HTML_MIME_TYPES:

@@ -335,9 +335,13 @@ def test_email_inline_pgp_without_keyring_flags_only():
     enc = P.encrypt_symmetric(b"opaque\n", PW, armored=True,
                               rng=_det_rng(12))
     P.set_default_keyring(None, None)
-    meta = email_meta(parse_email_bytes(_inline_pgp_eml(enc)))
+    parsed = parse_email_bytes(_inline_pgp_eml(enc))
+    meta = email_meta(parsed)
     assert meta["pgp"] is True
-    assert "opaque" not in meta["text"]
+    assert "opaque" not in meta.get("text", "")
+    # reference's typed reason when no gpghome is mounted (pgp.py:29)
+    assert any(p.get("broken") == "gpg_not_configured"
+               for p in [parsed] + list(parsed.get("parts") or []))
 
 
 def test_email_wrong_key_broken_reason():
@@ -348,5 +352,89 @@ def test_email_wrong_key_broken_reason():
         parsed = parse_email_bytes(_inline_pgp_eml(enc))
         parts = [parsed] + list(parsed.get("parts") or [])
         assert any(p.get("broken") == "gpg_decrypt_failed" for p in parts)
+    finally:
+        P.set_default_keyring(None, None)
+
+
+# ---------------------------------------------------------------------------
+# RFC 3156 PGP/MIME: multipart/encrypted whose octet-stream part decrypts
+# to a full MIME entity — must re-explode into parts (beyond the
+# reference, which only handles inline armor; email.py:133-136)
+# ---------------------------------------------------------------------------
+
+_INNER_MIME = (
+    b"Content-Type: multipart/mixed; boundary=INNER\r\n\r\n"
+    b"--INNER\r\n"
+    b"Content-Type: text/plain; charset=utf-8\r\n\r\n"
+    b"secret body line\r\n"
+    b"--INNER\r\n"
+    b"Content-Type: application/msword\r\n"
+    b"Content-Disposition: attachment; filename=plans.doc\r\n"
+    b"Content-Transfer-Encoding: base64\r\n\r\n"
+    b"0M8R4KGxGuEAAAAAAAAAAA==\r\n"
+    b"--INNER--\r\n"
+)
+
+
+def _pgp_mime_eml(armored: bytes) -> bytes:
+    return (
+        b"From: a@example.org\r\nTo: b@example.org\r\n"
+        b"Subject: sealed\r\nDate: Mon, 1 Jan 2024 00:00:00 +0000\r\n"
+        b"MIME-Version: 1.0\r\n"
+        b"Content-Type: multipart/encrypted;"
+        b' protocol="application/pgp-encrypted"; boundary=OUTER\r\n\r\n'
+        b"--OUTER\r\n"
+        b"Content-Type: application/pgp-encrypted\r\n\r\n"
+        b"Version: 1\r\n"
+        b"--OUTER\r\n"
+        b"Content-Type: application/octet-stream\r\n\r\n"
+        + armored +
+        b"\r\n--OUTER--\r\n"
+    )
+
+
+def test_pgp_mime_reexplodes_parts():
+    from hoover_snoop2_spark.operators.email_parse import (
+        attachments_of, email_meta, parse_email_bytes)
+    enc = P.encrypt_symmetric(_INNER_MIME, PW, armored=True,
+                              rng=_det_rng(21))
+    P.set_default_keyring(None, PW)
+    try:
+        parsed = parse_email_bytes(_pgp_mime_eml(enc))
+        meta = email_meta(parsed)
+        assert meta["pgp"] is True
+        assert "secret body line" in meta["text"]
+        atts = attachments_of(parsed)
+        assert any(name == "plans.doc" and data.startswith(b"\xd0\xcf\x11\xe0")
+                   for name, data in atts)
+    finally:
+        P.set_default_keyring(None, None)
+
+
+def test_pgp_mime_without_keyring_stays_opaque():
+    from hoover_snoop2_spark.operators.email_parse import (
+        attachments_of, email_meta, parse_email_bytes)
+    enc = P.encrypt_symmetric(_INNER_MIME, PW, armored=True,
+                              rng=_det_rng(22))
+    P.set_default_keyring(None, None)
+    parsed = parse_email_bytes(_pgp_mime_eml(enc))
+    meta = email_meta(parsed)
+    assert meta["pgp"] is True
+    assert "secret body line" not in meta.get("text", "")
+    assert not attachments_of(parsed)
+
+
+@needs_gpg
+def test_pgp_mime_gpg_produced(gpghome, rsa_key):
+    from hoover_snoop2_spark.operators.email_parse import (
+        email_meta, parse_email_bytes)
+    enc = _gpg(gpghome, "-r", "snoop@example.org", "--trust-model",
+               "always", "--armor", "--encrypt", "-o", "-",
+               inp=_INNER_MIME)
+    P.set_default_keyring(rsa_key, None)
+    try:
+        meta = email_meta(parse_email_bytes(_pgp_mime_eml(enc)))
+        assert meta["pgp"] is True
+        assert "secret body line" in meta["text"]
     finally:
         P.set_default_keyring(None, None)
