@@ -67,7 +67,9 @@ __all__ = [
     "set_default_keyring",
     "default_keyring",
     "aes_encrypt_block",
+    "aes_decrypt_block",
     "expand_key",
+    "expand_key_dec",
 ]
 
 
@@ -174,6 +176,86 @@ def aes_encrypt_block(rk: list[int], block: bytes) -> bytes:
         ((s0, s1, s2, s3), (s1, s2, s3, s0), (s2, s3, s0, s1), (s3, s0, s1, s2))
     ):
         w = rk[k + i]
+        out[4 * i] = S[a >> 24] ^ (w >> 24) & 255
+        out[4 * i + 1] = S[(b >> 16) & 255] ^ (w >> 16) & 255
+        out[4 * i + 2] = S[(c >> 8) & 255] ^ (w >> 8) & 255
+        out[4 * i + 3] = S[d & 255] ^ w & 255
+    return bytes(out)
+
+
+def _gen_inv_tables():
+    """Equivalent-inverse-cipher tables (FIPS-197 §5.3.5), generated from
+    the forward S-box and GF(2^8) arithmetic like the forward tables —
+    no transcribed constant blocks.  Needed by the CBC consumers (7z AES
+    folders); OpenPGP's CFB mode only ever runs the forward cipher."""
+    inv_sbox = [0] * 256
+    for a, s in enumerate(_SBOX):
+        inv_sbox[s] = a
+
+    def gmul(a):
+        m2 = _xtime(a)
+        m4 = _xtime(m2)
+        m8 = _xtime(m4)
+        return m8 ^ m4 ^ m2, m8 ^ a, m8 ^ m4 ^ a, m8 ^ m2 ^ a  # 14,9,13,11
+
+    td0 = [0] * 256
+    u0 = [0] * 256
+    for a in range(256):
+        e, n9, d, b = gmul(inv_sbox[a])
+        td0[a] = (e << 24) | (n9 << 16) | (d << 8) | b
+        e, n9, d, b = gmul(a)
+        u0[a] = (e << 24) | (n9 << 16) | (d << 8) | b
+    rot = lambda t, n: [((v >> n) | (v << (32 - n))) & 0xFFFFFFFF for v in t]
+    return (inv_sbox, td0, rot(td0, 8), rot(td0, 16), rot(td0, 24),
+            u0, rot(u0, 8), rot(u0, 16), rot(u0, 24))
+
+
+(_INV_SBOX, _TD0, _TD1, _TD2, _TD3,
+ _U0, _U1, _U2, _U3) = _gen_inv_tables()
+
+
+def expand_key_dec(key: bytes) -> list[int]:
+    """Decryption key schedule for the equivalent inverse cipher: the
+    forward schedule reversed per-round, with InvMixColumns applied to
+    the middle-round words."""
+    ek = expand_key(key)
+    rounds = len(ek) // 4 - 1
+    dk = []
+    for r in range(rounds + 1):
+        words = ek[4 * (rounds - r):4 * (rounds - r) + 4]
+        if 0 < r < rounds:
+            words = [
+                _U0[(w >> 24) & 255] ^ _U1[(w >> 16) & 255]
+                ^ _U2[(w >> 8) & 255] ^ _U3[w & 255]
+                for w in words
+            ]
+        dk.extend(words)
+    return dk
+
+
+def aes_decrypt_block(dk: list[int], block: bytes) -> bytes:
+    """Decrypt one 16-byte block with an expand_key_dec schedule."""
+    rounds = len(dk) // 4 - 1
+    s0, s1, s2, s3 = struct.unpack(">4I", block)
+    s0 ^= dk[0]
+    s1 ^= dk[1]
+    s2 ^= dk[2]
+    s3 ^= dk[3]
+    T0, T1, T2, T3 = _TD0, _TD1, _TD2, _TD3
+    k = 4
+    for _ in range(rounds - 1):
+        t0 = T0[s0 >> 24] ^ T1[(s3 >> 16) & 255] ^ T2[(s2 >> 8) & 255] ^ T3[s1 & 255] ^ dk[k]
+        t1 = T0[s1 >> 24] ^ T1[(s0 >> 16) & 255] ^ T2[(s3 >> 8) & 255] ^ T3[s2 & 255] ^ dk[k + 1]
+        t2 = T0[s2 >> 24] ^ T1[(s1 >> 16) & 255] ^ T2[(s0 >> 8) & 255] ^ T3[s3 & 255] ^ dk[k + 2]
+        t3 = T0[s3 >> 24] ^ T1[(s2 >> 16) & 255] ^ T2[(s1 >> 8) & 255] ^ T3[s0 & 255] ^ dk[k + 3]
+        s0, s1, s2, s3 = t0, t1, t2, t3
+        k += 4
+    S = _INV_SBOX
+    out = bytearray(16)
+    for i, (a, b, c, d) in enumerate(
+        ((s0, s3, s2, s1), (s1, s0, s3, s2), (s2, s1, s0, s3), (s3, s2, s1, s0))
+    ):
+        w = dk[k + i]
         out[4 * i] = S[a >> 24] ^ (w >> 24) & 255
         out[4 * i + 1] = S[(b >> 16) & 255] ^ (w >> 16) & 255
         out[4 * i + 2] = S[(c >> 8) & 255] ^ (w >> 8) & 255

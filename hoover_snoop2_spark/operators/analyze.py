@@ -440,16 +440,32 @@ def analyze_tree(
 
 def analyze_map_in_pandas(max_depth: int = 5,
                           inline_max_children: int | None = None,
-                          inline_max_bytes: int | None = None):
+                          inline_max_bytes: int | None = None,
+                          archive_password: str | None = None,
+                          pgp_keydata: bytes | None = None,
+                          pgp_passphrase: str | None = None):
     """mapInPandas body factory over (blob_key, url, parent_url, depth,
     ancestors, html) unique-blob batches.
 
     Emits digest/deferred-child rows in bounded chunks so one giant archive
     cannot pin an unbounded pandas frame in the Python worker.
+
+    ``archive_password`` / ``pgp_keydata`` / ``pgp_passphrase`` ride the
+    closure and are installed as the worker-local defaults INSIDE the
+    Python UDF worker — the driver-side set_* calls never reach the
+    separate pyspark worker processes (the Spark analog of the
+    reference's per-collection gpghome mount, collections.py).
     """
     CHUNK = 256
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # install UNCONDITIONALLY (None included): pyspark reuses worker
+        # processes across jobs, so a previous run's secrets would
+        # otherwise leak into a password-less run
+        from ..functions.archive_crypto import set_archive_password
+        from ..functions.pgp_codec import set_default_keyring
+        set_archive_password(archive_password)
+        set_default_keyring(pgp_keydata, pgp_passphrase)
         for pdf in batches:
             buf: list[dict] = []
             for key, url, parent_url, depth, ancestors, data in zip(

@@ -22,8 +22,10 @@ import bz2
 import gzip
 import io
 import lzma
+import struct
 import tarfile
 import zipfile
+import zlib
 
 from ..functions.magic import sniff_bytes
 from .email_parse import attachments_of, parse_email_bytes
@@ -89,8 +91,52 @@ class UnpackBroken(Exception):
         self.reason = reason
 
 
+def _zip_raw_entry(zf: zipfile.ZipFile, info: zipfile.ZipInfo) -> bytes:
+    """Stored bytes of one entry straight from the local header (zipfile
+    has no public raw access, and refuses method-99 entries outright)."""
+    fp = zf.fp
+    fp.seek(info.header_offset)
+    hdr = fp.read(30)
+    n_name, n_extra = struct.unpack("<HH", hdr[26:30])
+    fp.seek(info.header_offset + 30 + n_name + n_extra)
+    return fp.read(info.compress_size)
+
+
+def _zip_aes_read(zf: zipfile.ZipFile, info: zipfile.ZipInfo,
+                  password: str) -> bytes:
+    """WinZip-AES entry (method 99) → plaintext: strength + the REAL
+    compression method come from the 0x9901 extra field; payload is
+    salt ‖ verifier ‖ ciphertext ‖ HMAC (functions/archive_crypto)."""
+    from ..functions.archive_crypto import winzip_aes_decrypt_entry
+
+    strength = method = None
+    extra, pos = info.extra, 0
+    while pos + 4 <= len(extra):
+        eid, sz = struct.unpack("<HH", extra[pos:pos + 4])
+        if eid == 0x9901 and sz >= 7:
+            _, _, strength, method = struct.unpack(
+                "<H2sBH", extra[pos + 4:pos + 11])
+        pos += 4 + sz
+    if strength is None:
+        raise UnpackBroken("zip_aes_header")
+    comp = winzip_aes_decrypt_entry(
+        _zip_raw_entry(zf, info), password, strength)
+    if method == zipfile.ZIP_STORED:
+        return comp
+    if method == zipfile.ZIP_DEFLATED:
+        return zlib.decompress(comp, -15)
+    if method == zipfile.ZIP_BZIP2:
+        return bz2.decompress(comp)
+    if method == zipfile.ZIP_LZMA:
+        raise UnpackBroken("zip_method_unsupported")
+    raise UnpackBroken("zip_method_unsupported")
+
+
 def _unpack_zip(data: bytes) -> list[tuple[str, bytes]]:
+    from ..functions.archive_crypto import ZipAesError, default_archive_password
+
     out = []
+    password = default_archive_password()
     try:
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
             for info in zf.infolist():
@@ -100,8 +146,28 @@ def _unpack_zip(data: bytes) -> list[tuple[str, bytes]]:
                     break
                 if info.file_size > MAX_CHILD_BYTES:
                     continue
+                if info.flag_bits & 0x1:
+                    # encrypted entry: the reference's no-password 7z
+                    # call breaks here; with a configured worker-local
+                    # password we decrypt (ZipCrypto via stdlib,
+                    # WinZip AES via archive_crypto)
+                    if password is None:
+                        raise UnpackBroken("zip_encrypted")
+                    if info.compress_type == 99:
+                        out.append((info.filename,
+                                    _zip_aes_read(zf, info, password)))
+                    else:
+                        out.append((info.filename,
+                                    zf.read(info, pwd=password.encode())))
+                    continue
                 out.append((info.filename, zf.read(info)))
-    except (zipfile.BadZipFile, RuntimeError, OSError, EOFError) as e:
+    except ZipAesError as e:
+        raise UnpackBroken(e.reason) from e
+    except RuntimeError as e:
+        if "password" in str(e).lower():
+            raise UnpackBroken("zip_bad_password") from e
+        raise UnpackBroken("7z_error") from e
+    except (zipfile.BadZipFile, OSError, EOFError, zlib.error) as e:
         raise UnpackBroken("7z_error") from e  # reference reason string
     return out
 

@@ -18,9 +18,13 @@ this reader parses the container natively and decompresses folders with
   a simple COPY/LZMA coder);
 - EncodedHeader (the usual case: the metadata block is itself an
   LZMA-compressed folder) is decoded through the same path;
-- AES-encrypted folders (chained or not) are ``7z_encrypted``; other
-  multi-coder graphs are ``7z_codec_unsupported`` — never a wrong
-  extraction.
+- AES-256 folders (coder 06F10701, chained with COPY/LZMA or alone, and
+  the encrypted-header variant) decrypt with the worker-local archive
+  password (functions/archive_crypto): iterated-SHA-256 key derivation +
+  CBC per 7zAes.cpp; no password → ``7z_encrypted``, wrong password →
+  ``7z_bad_password`` (member CRCs are verified on extraction, so a
+  wrong key can never yield wrong bytes); other multi-coder graphs are
+  ``7z_codec_unsupported`` — never a wrong extraction.
 
 Multi-file archives use one folder with substream splitting (kSize per
 substream), matching 7z's solid-block layout.
@@ -31,6 +35,7 @@ from __future__ import annotations
 import io
 import lzma
 import struct
+from zlib import crc32 as _crc32
 
 SEVENZIP_MIME = "application/x-7z-compressed"
 
@@ -322,16 +327,39 @@ class _Folder:
         #: CRC defined in UnpackInfo — such single-substream folders are
         #: EXCLUDED from SubStreamsInfo's kCRC digest list (7zFormat.txt)
         self.crc_defined = False
+        self.crc: int | None = None  # UnpackInfo folder digest
+        #: per-substream digests (None where undefined) — verified on
+        #: extraction so a wrong 7z-AES password (or any codec bug) can
+        #: never yield wrong member bytes silently
+        self.substream_crcs: list[int | None] = []
 
     @property
     def num_packed(self) -> int:
         return max(1, len(self.packed_indices))
 
+    @property
+    def output_size(self) -> int:
+        """Size of the folder's final (unbound) output stream.  Coder
+        order in the header is arbitrary — an AES folder is usually
+        [LZMA2, AES], putting the PACKED-side size last — so
+        ``unpack_sizes[-1]`` is not "the folder output" in general."""
+        if not self.unpack_sizes:
+            return 0
+        bound = {o for _, o in self.bind_pairs}
+        n_out = sum(n for _, n in self.coder_io) or len(self.unpack_sizes)
+        for g in range(n_out - 1, -1, -1):
+            if g not in bound and g < len(self.unpack_sizes):
+                return self.unpack_sizes[g]
+        return self.unpack_sizes[-1]
+
     def decode(self, packed_streams: list[bytes]) -> bytes:
         if any(cid == _CODER_AES for cid, _ in self.coders):
-            # encryption beats codec-unsupported as the reported reason,
-            # chained or not
-            raise SevenZipBroken("7z_encrypted")
+            # AES-256 folder (also reached for AES-encrypted headers via
+            # the EncodedHeader folder): decrypt with the worker-local
+            # archive password when configured, else the reference's
+            # broken reason — encryption beats codec-unsupported as the
+            # reported reason, chained or not
+            return self._decode_aes(packed_streams)
         if any(cid == _CODER_BCJ2 for cid, _ in self.coders):
             return self._decode_bcj2_graph(packed_streams)
         packed = packed_streams[0] if packed_streams else b""
@@ -373,6 +401,80 @@ class _Folder:
             return dec.decompress(packed, max_length=size if size else -1)
         except lzma.LZMAError as e:
             raise SevenZipBroken("7z_error") from e
+
+    def _decode_aes(self, packed_streams: list[bytes]) -> bytes:
+        """AES-256 folder decode: derive the key (iterated SHA-256 over
+        salt + UTF-16LE password + counter, 7zAes.cpp), CBC-decrypt the
+        packed stream, strip the AES coder out of the chain, and rerun
+        the ordinary decode on the plaintext.  Supported shape: one AES
+        coder in an all-simple (1-in/1-out) chain whose input is
+        directly packed — exactly what 7z/p7zip/py7zr emit (compression
+        runs before encryption, so AES always sits next to the packed
+        stream)."""
+        from ..functions.archive_crypto import (
+            aes_cbc_decrypt,
+            default_archive_password,
+            sevenzip_aes_key,
+            sevenzip_aes_props,
+        )
+
+        password = default_archive_password()
+        if password is None:
+            raise SevenZipBroken("7z_encrypted")
+        aes_idxs = [j for j, (cid, _) in enumerate(self.coders)
+                    if cid == _CODER_AES]
+        if (len(aes_idxs) != 1
+                or any(nio != (1, 1) for nio in self.coder_io)):
+            raise SevenZipBroken("7z_codec_unsupported")
+        j = aes_idxs[0]
+        # all-simple chain → global stream index i IS coder index i
+        packed_by_in = {g: k for k, g in enumerate(self.packed_indices)}
+        if j not in packed_by_in:
+            raise SevenZipBroken("7z_codec_unsupported")
+        if any(a == j for a, _ in self.bind_pairs):
+            raise SevenZipBroken("7z_codec_unsupported")
+        _, props = self.coders[j]
+        try:
+            cycles, salt, iv = sevenzip_aes_props(props)
+            key = sevenzip_aes_key(password, cycles, salt)
+            plain = aes_cbc_decrypt(key, iv, packed_streams[packed_by_in[j]])
+        except ValueError as e:
+            raise SevenZipBroken("7z_error") from e
+        size = self.unpack_sizes[j] if j < len(self.unpack_sizes) else None
+        if size is not None:
+            plain = plain[:size]
+        if len(self.coders) == 1:
+            return plain  # stored-encrypted: AES output IS the folder output
+        sub = _Folder()
+        sub.coders = [c for i, c in enumerate(self.coders) if i != j]
+        sub.coder_io = [(1, 1)] * len(sub.coders)
+        sizes = [s for i, s in enumerate(self.unpack_sizes) if i != j]
+        sub.bind_pairs = [
+            (a - (a > j), b - (b > j))
+            for a, b in self.bind_pairs
+            if b != j
+        ]
+        # decode() reads the folder's output size from unpack_sizes[-1];
+        # coder order is arbitrary (7z emits [LZMA2, AES] as often as
+        # [AES, LZMA2]), so move the unbound (final) output's size last
+        bound = {b for _, b in sub.bind_pairs}
+        final = next(
+            (i for i in range(len(sub.coders)) if i not in bound),
+            len(sizes) - 1,
+        )
+        if sizes and final != len(sizes) - 1:
+            sizes.append(sizes.pop(final))
+        sub.unpack_sizes = sizes
+        sub.packed_indices = [0]
+        try:
+            return sub.decode([plain])
+        except SevenZipBroken as e:
+            if e.reason == "7z_error":
+                # a wrong password yields garbage that the downstream
+                # decompressor rejects; genuine corruption is
+                # indistinguishable without a MAC (7z AES has none)
+                raise SevenZipBroken("7z_bad_password") from e
+            raise
 
     def _decode_bcj2_graph(self, packed_streams: list[bytes]) -> bytes:
         """Dataflow evaluation for BCJ2 folders (the only complex coder
@@ -532,9 +634,14 @@ def _parse_streams_info(f: io.BytesIO) -> _StreamsInfo:
                         ]
                 elif sub == _K_CRC:
                     defined = _read_bits_or_all(f, len(info.folders))
-                    f.read(4 * sum(defined))
+                    digests = [struct.unpack("<I", f.read(4))[0]
+                               for _ in range(sum(defined))]
+                    di = 0
                     for folder, d in zip(info.folders, defined):
                         folder.crc_defined = bool(d)
+                        if d:
+                            folder.crc = digests[di]
+                            di += 1
                 else:
                     raise SevenZipBroken("7z_error")
         elif prop == _K_SUBSTREAMS_INFO:
@@ -548,7 +655,7 @@ def _parse_streams_info(f: io.BytesIO) -> _StreamsInfo:
                 elif sub == _K_SIZE:
                     for folder, cnt in zip(info.folders, counts):
                         sizes = [_read_number(f) for _ in range(cnt - 1)]
-                        total = folder.unpack_sizes[-1] if folder.unpack_sizes else 0
+                        total = folder.output_size
                         sizes.append(total - sum(sizes))
                         folder.substream_sizes = sizes
                 elif sub == _K_CRC:
@@ -561,13 +668,28 @@ def _parse_streams_info(f: io.BytesIO) -> _StreamsInfo:
                         if cnt != 1 or not folder.crc_defined
                     )
                     defined = _read_bits_or_all(f, n_digests)
-                    f.read(4 * sum(defined))
+                    digests = [struct.unpack("<I", f.read(4))[0]
+                               for _ in range(sum(defined))]
+                    # align digests back onto substreams: folders skipped
+                    # in this list carry their UnpackInfo folder CRC
+                    flat = []
+                    di = 0
+                    for k, d in enumerate(defined):
+                        flat.append(digests[di] if d else None)
+                        di += d
+                    fi = 0
+                    for folder, cnt in zip(info.folders, counts):
+                        if cnt == 1 and folder.crc_defined:
+                            folder.substream_crcs = [folder.crc]
+                        else:
+                            folder.substream_crcs = flat[fi:fi + cnt]
+                            fi += cnt
                 else:
                     raise SevenZipBroken("7z_error")
             for folder, cnt in zip(info.folders, counts):
                 folder.num_unpack_streams = cnt
                 if not folder.substream_sizes:
-                    folder.substream_sizes = list(folder.unpack_sizes[-1:])
+                    folder.substream_sizes = [folder.output_size]
         else:
             raise SevenZipBroken("7z_error")
 
@@ -659,7 +781,7 @@ def unpack_7z(data: bytes, max_bytes: int = 256 * 2**20) -> list[tuple[str, byte
     # silently extract as b''.
     for folder in streams.folders:
         if not folder.substream_sizes:
-            folder.substream_sizes = list(folder.unpack_sizes[-1:])
+            folder.substream_sizes = [folder.output_size]
             folder.num_unpack_streams = 1
     payloads: list[bytes] = []
     pos = 32 + streams.pack_pos
@@ -673,14 +795,26 @@ def unpack_7z(data: bytes, max_bytes: int = 256 * 2**20) -> list[tuple[str, byte
             pack_idx += 1
             folder_packs.append(data[pos : pos + pack_size])
             pos += pack_size
-        if folder.unpack_sizes and folder.unpack_sizes[-1] > budget:
+        if folder.output_size > budget:
             raise SevenZipBroken("archive_too_big")
         blob = folder.decode(folder_packs)
         budget -= len(blob)
         off = 0
-        for size in folder.substream_sizes:
-            payloads.append(blob[off : off + size])
+        for k, size in enumerate(folder.substream_sizes):
+            payload = blob[off : off + size]
             off += size
+            want = (folder.substream_crcs[k]
+                    if k < len(folder.substream_crcs) else
+                    folder.crc if folder.num_unpack_streams == 1 else None)
+            if want is not None and _crc32(payload) != want:
+                # with AES in the chain a digest mismatch means a wrong
+                # password far more often than corruption (7z has no MAC);
+                # either way, never hand out wrong member bytes
+                raise SevenZipBroken(
+                    "7z_bad_password"
+                    if any(cid == _CODER_AES for cid, _ in folder.coders)
+                    else "7z_crc_mismatch")
+            payloads.append(payload)
 
     out: list[tuple[str, bytes]] = []
     stream_i = 0
@@ -725,6 +859,7 @@ def build_7z(
     with_substreams: bool = True,
     unpackinfo_crc: bool = False,
     substreams_crc: bool = False,
+    password: str | None = None,
 ) -> bytes:
     """Deterministic 7z fixture: all members in one solid folder.
 
@@ -793,6 +928,53 @@ def build_7z(
         )
         coder = _lzma2_coder
         chain_coders = [bytes([1 | 0x20]) + _CODER_DELTA + b"\x01\x02"]  # dist-1
+    elif codec in ("aes_copy", "aes_lzma2"):
+        # password-protected folder, the layout 7z emits: compression
+        # (if any) runs FIRST, AES sits next to the packed stream.
+        # Deterministic salt/iv from the content; cycles 13 keeps the
+        # KDF fast for fixtures (real 7z uses 19).
+        from hashlib import blake2b as _b2
+
+        from ..functions.archive_crypto import (
+            aes_cbc_encrypt,
+            sevenzip_aes_key,
+        )
+
+        if password is None:
+            raise ValueError("aes codecs need a password")
+        cycles = 13
+        salt = _b2(b"7zsalt" + blob, digest_size=8).digest()
+        iv = _b2(b"7ziv" + blob, digest_size=8).digest()
+        aes_props = bytes([cycles | 0xC0, 0x77]) + salt + iv
+        aes_coder = (bytes([len(_CODER_AES) | 0x20]) + _CODER_AES
+                     + _write_number(len(aes_props)) + aes_props)
+        key = sevenzip_aes_key(password, cycles, salt)
+        if codec == "aes_lzma2":
+            compressed = lzma.compress(
+                blob, format=lzma.FORMAT_RAW,
+                filters=[{"id": lzma.FILTER_LZMA2, "preset": 1}],
+            )
+            enc = aes_cbc_encrypt(key, iv, compressed)
+            # coder0 = LZMA2, coder1 = AES; LZMA2's input (global in 0)
+            # is bound to AES's output (out 1); AES input (g1) is packed
+            multi = {
+                "pack": [enc],
+                "coders": [_lzma2_coder, aes_coder],
+                "bind_pairs": [(0, 1)],
+                "packed_indices": [1],
+                "unpack_sizes": [len(blob), len(compressed)],
+            }
+        else:
+            enc = aes_cbc_encrypt(key, iv, blob)
+            multi = {
+                "pack": [enc],
+                "coders": [aes_coder],
+                "bind_pairs": [],
+                "packed_indices": [0],
+                "unpack_sizes": [len(blob)],
+            }
+        packed = enc
+        coder = b""  # unused on this path
     else:
         raise ValueError(codec)
 
@@ -820,8 +1002,11 @@ def build_7z(
         for in_idx, out_idx in multi["bind_pairs"]:
             h.write(_write_number(in_idx))
             h.write(_write_number(out_idx))
-        for g in multi["packed_indices"]:
-            h.write(_write_number(g))
+        if len(multi["packed_indices"]) > 1:
+            # a single packed stream's index is implicit (the parser
+            # infers the one unbound input), matching 7zFormat.txt
+            for g in multi["packed_indices"]:
+                h.write(_write_number(g))
         h.write(_write_number(_K_CODERS_UNPACK_SIZE))
         for sz in multi["unpack_sizes"]:
             h.write(_write_number(sz))
@@ -877,12 +1062,15 @@ def build_7z(
     h.write(_write_number(_K_END))  # end Header
 
     header = h.getvalue()
+    # real CRCs (this reader never checks them, but external readers —
+    # bsdtar cross-validating the AES fixtures — refuse zeroed ones)
+    start_hdr = struct.pack("<QQI", len(packed), len(header),
+                            _zlib.crc32(header))
     out = bytearray()
     out += MAGIC
     out += bytes([0, 4])  # version 0.4
-    out += bytes(4)  # StartHeaderCRC (unchecked)
-    out += struct.pack("<QQ", len(packed), len(header))
-    out += bytes(4)  # NextHeaderCRC (unchecked)
+    out += struct.pack("<I", _zlib.crc32(start_hdr))
+    out += start_hdr
     assert len(out) == 32
     out += packed
     out += header

@@ -65,6 +65,9 @@ def run_extraction(
     dedup_strategy: str = "auto",
     include_previous: bool = True,
     broadcast_max_uniques: int = 1_000_000,
+    archive_password: str | None = None,
+    pgp_keydata: bytes | None = None,
+    pgp_passphrase: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """pages(url, warc_ts, html, ...) → (digests, metrics).
 
@@ -285,6 +288,9 @@ def run_extraction(
                     max_depth=max_depth,
                     inline_max_children=inline_max_children,
                     inline_max_bytes=inline_max_bytes,
+                    archive_password=archive_password,
+                    pgp_keydata=pgp_keydata,
+                    pgp_passphrase=pgp_passphrase,
                 )
             ),
             schema=ANALYZE_SCHEMA,
