@@ -47,6 +47,7 @@ __all__ = [
     "aes_cbc_encrypt",
     "winzip_aes_decrypt_entry",
     "winzip_aes_encrypt_entry",
+    "build_winzip_aes_zip",
     "ZipAesError",
 ]
 
@@ -217,3 +218,44 @@ def winzip_aes_encrypt_entry(compressed: bytes, password: str | bytes,
     ct = _aes_ctr(enc_key, compressed)
     auth = hmac.new(mac_key, ct, hashlib.sha1).digest()[:10]
     return salt + check + ct + auth
+
+
+def build_winzip_aes_zip(members: list[tuple[str, bytes]], password: str,
+                         strength: int = 3) -> bytes:
+    """Deterministic WinZip-AES zip fixture (method 99, 0x9901 extra,
+    AE-2 so no plain CRC leaks): salt derived from the member bytes.
+    Cross-validated by libarchive (``bsdtar --passphrase`` reads these)
+    and by :func:`winzip_aes_decrypt_entry` via the zip unpacker."""
+    import zlib
+
+    out = bytearray()
+    central = bytearray()
+    offsets = []
+    extra = struct.pack("<HHH2sBH", 0x9901, 7, 2, b"AE", strength, 8)
+    for name, payload in members:
+        comp_obj = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp = comp_obj.compress(payload) + comp_obj.flush()
+        salt = hashlib.blake2b(b"zipsalt" + payload,
+                               digest_size=_AES_SALTLEN[strength]).digest()
+        enc = winzip_aes_encrypt_entry(comp, password, strength, salt)
+        nb = name.encode("utf-8")
+        offsets.append(len(out))
+        # AE-2: CRC field MUST be 0
+        out += struct.pack("<IHHHHHIIIHH", 0x04034B50, 51, 1, 99, 0, 0x21,
+                           0, len(enc), len(payload), len(nb), len(extra))
+        out += nb + extra + enc
+    for (name, payload), off in zip(members, offsets):
+        nb = name.encode("utf-8")
+        enc_len = None  # recomputed below from the local header
+        comp_obj = zlib.compressobj(6, zlib.DEFLATED, -15)
+        comp = comp_obj.compress(payload) + comp_obj.flush()
+        enc_len = len(comp) + _AES_SALTLEN[strength] + 2 + 10
+        central += struct.pack(
+            "<IHHHHHHIIIHHHHHII", 0x02014B50, 51, 51, 1, 99, 0, 0x21,
+            0, enc_len, len(payload), len(nb), len(extra), 0, 0, 0, 0, off)
+        central += nb + extra
+    cd_off = len(out)
+    out += central
+    out += struct.pack("<IHHHHIIH", 0x06054B50, 0, 0, len(members),
+                       len(members), len(central), cd_off, 0)
+    return bytes(out)

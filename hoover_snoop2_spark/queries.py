@@ -15914,6 +15914,97 @@ ORDER BY p.doc_id
 """
 
 
+def q239_encrypted_archive_roundtrip(spark, sf_dir):
+    """Encrypted-archive certification (q238's sibling for the archive
+    crypto stack): per document a deterministic payload
+    ``byte[i] = (doc_id*17 + i*5) % 256`` of length
+    ``30 + (doc_id % 9) * 23`` is sealed into a REAL password-protected
+    container chosen by residue — 7z AES-256+LZMA2 (``% 3 == 0``),
+    7z AES-256 stored (``% 3 == 1``), or a WinZip-AES zip with strength
+    1/2/3 (``% 3 == 2``) — with a per-doc password, then extracted by
+    the REAL unpack path (worker-local password install → folder-graph
+    AES strip / 0x9901 entry decrypt → member bytes).  Exercises the 7z
+    KDF + CBC + member-CRC verify and the zip PBKDF2 + CTR + HMAC in
+    one driver-gated query; the oracle recomputes length / byte sum /
+    boundary bytes closed-form.  The plan REQUIRES MapInPandas — the
+    crypto kernel is the subject.  Scale: one Arrow pass, no shuffle
+    before the sort."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .functions.archive_crypto import (
+            build_winzip_aes_zip,
+            set_archive_password,
+        )
+        from .operators.archive_unpack import _unpack_zip
+        from .operators.sevenzip_extract import build_7z, unpack_7z
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 30 + (d % 9) * 23
+                payload = bytes((d * 17 + i * 5) % 256 for i in range(n))
+                pw = "apw-%d" % (d % 4)
+                member = [("m.bin", payload)]
+                if d % 3 == 0:
+                    arc = build_7z(member, codec="aes_lzma2",
+                                   substreams_crc=True, password=pw)
+                    set_archive_password(pw)
+                    got = unpack_7z(arc)
+                elif d % 3 == 1:
+                    arc = build_7z(member, codec="aes_copy",
+                                   substreams_crc=True, password=pw)
+                    set_archive_password(pw)
+                    got = unpack_7z(arc)
+                else:
+                    arc = build_winzip_aes_zip(
+                        member, pw, strength=1 + (d % 9) // 3)
+                    set_archive_password(pw)
+                    got = _unpack_zip(arc)
+                set_archive_password(None)
+                (name, out), = got
+                assert name == "m.bin"
+                rows.append((d, len(out), sum(out), out[0], out[-1]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "byte_sum", "first_byte",
+                         "last_byte"],
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, n_bytes long, byte_sum long, "
+                   "first_byte long, last_byte long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q239_SQL = r"""
+WITH p AS (
+  SELECT doc_id, 30 + (doc_id % 9) * 23 AS n FROM documents
+),
+-- max n is 30 + 8*23 = 214: fixed series joined on i < n
+g AS (SELECT i FROM generate_series(0, 213) AS t(i)),
+sums AS (
+  SELECT p.doc_id, SUM((p.doc_id * 17 + g.i * 5) % 256) AS s
+  FROM p JOIN g ON g.i < p.n
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id,
+       p.n AS n_bytes,
+       sums.s AS byte_sum,
+       (p.doc_id * 17) % 256 AS first_byte,
+       (p.doc_id * 17 + (p.n - 1) * 5) % 256 AS last_byte
+FROM p JOIN sums ON sums.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -16145,6 +16236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q236_zstd_roundtrip": q236_zstd_roundtrip,
     "q237_progressive_jpeg_roundtrip": q237_progressive_jpeg_roundtrip,
     "q238_pgp_roundtrip": q238_pgp_roundtrip,
+    "q239_encrypted_archive_roundtrip": q239_encrypted_archive_roundtrip,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -16373,6 +16465,7 @@ ORACLES: dict[str, str] = {
     "q236_zstd_roundtrip": Q236_SQL,
     "q237_progressive_jpeg_roundtrip": Q237_SQL,
     "q238_pgp_roundtrip": Q238_SQL,
+    "q239_encrypted_archive_roundtrip": Q239_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

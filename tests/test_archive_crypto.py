@@ -277,3 +277,24 @@ def test_pipeline_encrypted_archive_without_password_broken(spark, tmp_path):
     assert rows["https://x.example/enc.7z"]["broken_reason"] \
         == "7z_encrypted"
     assert len(rows) == 1  # no children leaked
+
+
+@needs_bsdtar
+@pytest.mark.parametrize("strength", [1, 2, 3])
+def test_winzip_writer_bsdtar_reads(tmp_path, strength):
+    """The in-repo WinZip-AES zip WRITER cross-validated by libarchive:
+    bsdtar must decrypt + extract our fixture byte-exactly."""
+    z = C.build_winzip_aes_zip(MEMBERS, PW, strength=strength)
+    p = tmp_path / "w.zip"
+    p.write_bytes(z)
+    dest = tmp_path / "out"
+    dest.mkdir()
+    r = subprocess.run(
+        ["bsdtar", "--passphrase", PW, "-xf", str(p), "-C", str(dest)],
+        capture_output=True)
+    assert r.returncode == 0, r.stderr
+    for name, payload in MEMBERS:
+        assert (dest / name).read_bytes() == payload
+    # and our own reader agrees
+    C.set_archive_password(PW)
+    assert _unpack_zip(z) == MEMBERS

@@ -209,6 +209,7 @@ AUDITED = [
     "q236_zstd_roundtrip",
     "q237_progressive_jpeg_roundtrip",
     "q238_pgp_roundtrip",
+    "q239_encrypted_archive_roundtrip",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -787,6 +788,10 @@ CHECKS = {
     # the OpenPGP codec kernel is the subject
     "q238_pgp_roundtrip": ["MapInPandas", "!HashAggregate",
                            "!CartesianProduct", "!SortMergeJoin"],
+    # the archive-crypto kernels are the subject
+    "q239_encrypted_archive_roundtrip": ["MapInPandas", "!HashAggregate",
+                                         "!CartesianProduct",
+                                         "!SortMergeJoin"],
 }
 
 NOTES = {
