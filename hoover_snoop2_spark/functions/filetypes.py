@@ -72,6 +72,7 @@ FILE_TYPES: dict[str, str] = {
     "application/x-rpm": "archive",
     "application/x-compress": "archive",
     "application/zstd": "archive",
+    "application/x-lz4": "archive",
 }
 
 #: reference defaultsettings.py:281-288

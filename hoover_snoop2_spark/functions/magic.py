@@ -62,6 +62,8 @@ _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"\xed\xab\xee\xdb", "application/x-rpm"),
     (0, b"\x1f\x9d", "application/x-compress"),  # compress(1) .Z
     (0, b"\x28\xb5\x2f\xfd", "application/zstd"),  # RFC 8878
+    (0, b"\x04\x22\x4d\x18", "application/x-lz4"),  # lz4 frame magic
+    (0, b"\x02\x21\x4c\x18", "application/x-lz4"),  # lz4 legacy (-l)
     (0, b"\x7fELF", "application/x-executable"),
     (0, b"MZ", "application/x-dosexec"),
 ]

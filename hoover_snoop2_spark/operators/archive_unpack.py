@@ -47,6 +47,7 @@ UNPACK_MIME_TYPES = frozenset(
         "application/x-rpm",
         "application/x-compress",
         "application/zstd",
+        "application/x-lz4",
     }
 )
 
@@ -253,6 +254,18 @@ def unpack_bytes(data: bytes, mime_type: str) -> list[tuple[str, bytes]]:
             inner = zstd_decompress(data, max_output=MAX_CHILD_BYTES)
         except ZstdError as e:
             raise UnpackBroken(str(e)) from e
+        if inner[257 : 257 + 5] == b"ustar":
+            return _unpack_tar(inner)
+        return [("data", inner)]
+    if mime_type == "application/x-lz4":
+        # lz4 frame via the in-repo pure-Python codec (CLI-cross-pinned);
+        # recurses into tar for the .tar.lz4 case exactly like .zst
+        from ..functions.lz4_codec import Lz4Error, lz4_decompress
+
+        try:
+            inner = lz4_decompress(data, max_output=MAX_CHILD_BYTES)
+        except Lz4Error as e:
+            raise UnpackBroken(e.reason) from e
         if inner[257 : 257 + 5] == b"ustar":
             return _unpack_tar(inner)
         return [("data", inner)]

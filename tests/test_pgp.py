@@ -438,3 +438,40 @@ def test_pgp_mime_gpg_produced(gpghome, rsa_key):
         assert "secret body line" in meta["text"]
     finally:
         P.set_default_keyring(None, None)
+
+
+@pytest.fixture()
+def signing_home(tmp_path):
+    """Separate gpghome with a sign+encrypt-capable key (the module
+    rsa_key fixture is encrypt-only, matching the keyring contract)."""
+    if not HAVE_GPG:
+        pytest.skip("gpg CLI not installed")
+    home = tmp_path / "gnupg-sign"
+    home.mkdir()
+    home.chmod(0o700)
+    _gpg(str(home), "--passphrase", "", "--quick-gen-key",
+         "Signer <signer@example.org>", "rsa2048", "sign,encrypt", "never")
+    sec = _gpg(str(home), "--passphrase", "", "--export-secret-keys",
+               "signer@example.org")
+    return str(home), sec
+
+
+@needs_gpg
+def test_gpg_sign_encrypt_reaches_literal(signing_home):
+    """gpg --sign --encrypt nests one-pass-signature + literal +
+    signature packets inside the compressed SEIPD payload; the packet
+    walk must skip the signature packets to the literal."""
+    home, sec = signing_home
+    kr = P.load_keyring(sec)
+    enc = _gpg(home, "-r", "signer@example.org", "--trust-model",
+               "always", "--passphrase", "", "--sign", "--encrypt",
+               "-o", "-", inp=MSG)
+    assert P.decrypt(enc, keyring=kr)["data"] == MSG
+
+
+@needs_gpg
+def test_gpg_symmetric_signed(signing_home):
+    home, _ = signing_home
+    enc = _gpg(home, "--passphrase", PW, "--symmetric", "--sign",
+               "--local-user", "signer@example.org", "-o", "-", inp=MSG)
+    assert P.decrypt(enc, passphrase=PW)["data"] == MSG
