@@ -16005,6 +16005,116 @@ ORDER BY p.doc_id
 """
 
 
+def q240_lz4_roundtrip(spark, sf_dir):
+    """LZ4 codec certification (q236's sibling for the lz4 frame
+    kernel): per document a deterministic payload
+    ``byte[i] = (doc_id*23 + i*3) % 256`` of length
+    ``60 + (doc_id % 7) * 41`` — constant-byte for ``% 4 == 0`` docs so
+    real MATCH sequences exercise the block decoder, via a hand-rolled
+    RLE block (token/offset-1 match chain) — framed as a REAL lz4
+    frame by the in-repo writer (block checksums for ``% 3 == 0``, a
+    skippable frame prefixed for ``% 5 == 0``, two-frame split for
+    ``% 2 == 0``), then decoded by the REAL
+    :func:`..functions.lz4_codec.lz4_decompress` kernel with XXH32
+    content verification.  The oracle recomputes length / byte sum /
+    boundary bytes closed-form.  The plan REQUIRES MapInPandas — the
+    codec kernel is the subject.  Scale: one Arrow pass, no shuffle
+    before the sort."""
+    import pandas as pd
+
+    def kernel(batches):
+        import struct as _s
+
+        from .functions.lz4_codec import (
+            lz4_compress_store,
+            lz4_decompress,
+            xxh32,
+        )
+
+        def rle_frame(byte, n):
+            # real compressed block: 4 literals then one offset-1 match
+            # of n-4 (RLE) — exercises token/extension/overlap-copy
+            lits = bytes([byte]) * 4
+            ml = n - 4 - 4  # token match field is len-4
+            token = (4 << 4) | min(ml, 15)
+            block = bytes([token]) + lits + _s.pack("<H", 1)
+            if ml >= 15:
+                rest = ml - 15
+                while rest >= 255:
+                    block += b"\xff"
+                    rest -= 255
+                block += bytes([rest])
+            desc = bytes([0x64, 0x40])  # v01 + indep + content-checksum
+            out = _s.pack("<I", 0x184D2204) + desc
+            out += bytes([(xxh32(desc) >> 8) & 0xFF])
+            out += _s.pack("<I", len(block)) + block
+            out += _s.pack("<I", 0)
+            out += _s.pack("<I", xxh32(bytes([byte]) * n))
+            return out
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 60 + (d % 7) * 41
+                if d % 4 == 0:
+                    payload = bytes([d % 251]) * n
+                    frame = rle_frame(d % 251, n)
+                else:
+                    payload = bytes((d * 23 + i * 3) % 256 for i in range(n))
+                    if d % 2 == 0:
+                        frame = (lz4_compress_store(payload[: n // 2])
+                                 + lz4_compress_store(payload[n // 2:]))
+                    else:
+                        frame = lz4_compress_store(
+                            payload, block_checksums=(d % 3 == 0))
+                if d % 5 == 0:
+                    frame = (b"\x50\x2a\x4d\x18\x04\x00\x00\x00meta"
+                             + frame)
+                out = lz4_decompress(frame)
+                rows.append((d, len(out), sum(out), out[0], out[-1]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "byte_sum", "first_byte",
+                         "last_byte"],
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, n_bytes long, byte_sum long, "
+                   "first_byte long, last_byte long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q240_SQL = r"""
+WITH p AS (
+  SELECT doc_id, 60 + (doc_id % 7) * 41 AS n FROM documents
+),
+-- max n is 60 + 6*41 = 306: fixed series joined on i < n
+g AS (SELECT i FROM generate_series(0, 305) AS t(i)),
+sums AS (
+  SELECT p.doc_id, SUM((p.doc_id * 23 + g.i * 3) % 256) AS s
+  FROM p JOIN g ON g.i < p.n
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id,
+       p.n AS n_bytes,
+       CASE WHEN p.doc_id % 4 = 0 THEN p.n * (p.doc_id % 251)
+            ELSE sums.s END AS byte_sum,
+       CASE WHEN p.doc_id % 4 = 0 THEN p.doc_id % 251
+            ELSE (p.doc_id * 23) % 256 END AS first_byte,
+       CASE WHEN p.doc_id % 4 = 0 THEN p.doc_id % 251
+            ELSE (p.doc_id * 23 + (p.n - 1) * 3) % 256 END AS last_byte
+FROM p JOIN sums ON sums.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -16237,6 +16347,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q237_progressive_jpeg_roundtrip": q237_progressive_jpeg_roundtrip,
     "q238_pgp_roundtrip": q238_pgp_roundtrip,
     "q239_encrypted_archive_roundtrip": q239_encrypted_archive_roundtrip,
+    "q240_lz4_roundtrip": q240_lz4_roundtrip,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -16466,6 +16577,7 @@ ORACLES: dict[str, str] = {
     "q237_progressive_jpeg_roundtrip": Q237_SQL,
     "q238_pgp_roundtrip": Q238_SQL,
     "q239_encrypted_archive_roundtrip": Q239_SQL,
+    "q240_lz4_roundtrip": Q240_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -210,6 +210,7 @@ AUDITED = [
     "q237_progressive_jpeg_roundtrip",
     "q238_pgp_roundtrip",
     "q239_encrypted_archive_roundtrip",
+    "q240_lz4_roundtrip",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -792,6 +793,9 @@ CHECKS = {
     "q239_encrypted_archive_roundtrip": ["MapInPandas", "!HashAggregate",
                                          "!CartesianProduct",
                                          "!SortMergeJoin"],
+    # the lz4 codec kernel is the subject
+    "q240_lz4_roundtrip": ["MapInPandas", "!HashAggregate",
+                           "!CartesianProduct", "!SortMergeJoin"],
 }
 
 NOTES = {
