@@ -24,6 +24,7 @@ FILE_TYPES: dict[str, str] = {
     "application/x-hoover-pst": "email-archive",
     "application/mbox": "email-archive",
     "application/msword": "doc",
+    "application/x-tika-ooxml-protected": "doc",
     "application/vnd.openxmlformats-officedocument.wordprocessingml.document": "doc",
     "application/vnd.openxmlformats-officedocument.wordprocessingml.template": "doc",
     "application/vnd.ms-word.document.macroEnabled.12": "doc",

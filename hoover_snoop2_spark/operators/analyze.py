@@ -116,9 +116,15 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
         # WordDocument stream → legacy .doc, PowerPoint Document → .ppt
         from .doc_extract import is_word_doc
         from .msg_extract import looks_like_msg
+        from .office_crypto import is_encrypted_office
         from .ppt_extract import PPT_MIME, is_ppt
 
-        if looks_like_msg(data):
+        if is_encrypted_office(data):
+            # Agile-encrypted OOXML: CFB with EncryptionInfo +
+            # EncryptedPackage (the reference's Tika accepts the mime,
+            # _tika_mime_types.py:1033)
+            mime_type = "application/x-tika-ooxml-protected"
+        elif looks_like_msg(data):
             mime_type = "application/vnd.ms-outlook"
         elif is_word_doc(data):
             mime_type = "application/msword"
@@ -258,6 +264,26 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
             digest["email_to"] = meta.get("to")
             digest["email_date"] = meta.get("date")
             children = meta.get("attachments", [])
+
+        elif mime_type == "application/x-tika-ooxml-protected":
+            # password-protected OOXML ([MS-OFFCRYPTO] Agile): decrypt
+            # with the worker-local archive password and re-analyze the
+            # inner OOXML zip as a child row (it refines to docx/xlsx/
+            # pptx there); no password → typed broken like the 7z path
+            from ..functions.archive_crypto import default_archive_password
+            from .office_crypto import OfficeCryptoBroken, decrypt_office
+
+            password = default_archive_password()
+            if password is None:
+                digest["status"] = "broken"
+                digest["broken_reason"] = "office_encrypted"
+            else:
+                try:
+                    inner = decrypt_office(data, password)
+                    children = [("package", inner)]
+                except OfficeCryptoBroken as e:
+                    digest["status"] = "broken"
+                    digest["broken_reason"] = e.reason
 
         elif mime_type == "application/msword":
             # legacy Word piece-table text ([MS-DOC] over our CFB reader)
