@@ -6,8 +6,7 @@ pdf-tools/run.sh:5-15) and extracts text per page with pdf.js
 spaces (pdf-tools/extract-text.js:28-42), emitting ``{pageNum, text}``
 records.
 
-This module is a from-scratch parser for *uncompressed* PDFs (no stream
-filters): it tokenizes content streams for the text operators
+This module is a from-scratch parser: it tokenizes content streams for the text operators
 (BT/ET, Td/TD/Tm, Tj/TJ/'), tracks the text cursor, then orders spans into
 reading order — columns detected by x-clustering, top-to-bottom within a
 column — and joins items with single spaces exactly like the reference's
@@ -220,6 +219,33 @@ def _reading_order(spans: list[Span]) -> list[Span]:
     return sorted(spans, key=lambda s: (col_of(s), -s.y, s.x))
 
 
+def _stream_obj_ids(data: bytes, stream_start: int) -> tuple[int, int]:
+    """(object number, generation) of the object owning the stream —
+    needed for per-object decryption keys in encrypted PDFs."""
+    head = data[max(0, stream_start - _DICT_LOOKBACK): stream_start]
+    oi = head.rfind(b" obj")
+    if oi < 0:
+        return 0, 0
+    m = re.search(rb"(\d+)\s+(\d+)\s+obj", head[max(0, oi - 32):oi + 4])
+    return (int(m.group(1)), int(m.group(2))) if m else (0, 0)
+
+
+def _pdf_decryptor(data: bytes):
+    """PdfDecryptor for encrypted documents (None when unencrypted);
+    tries the empty user password (owner-protected docs — what the
+    reference's pdftotext opens transparently) then the worker-local
+    archive password.  Typed failures re-raise as PdfBroken."""
+    if b"/Encrypt" not in data:
+        return None
+    from ..functions.archive_crypto import default_archive_password
+    from .pdf_crypto import PdfCryptoBroken, PdfDecryptor
+
+    try:
+        return PdfDecryptor.from_pdf(data, default_archive_password())
+    except PdfCryptoBroken as e:
+        raise PdfBroken(e.reason)
+
+
 def _maybe_inflate(stream: bytes) -> bytes:
     """FlateDecode streams (the overwhelmingly common filter) inflate with
     stdlib zlib; zlib's magic byte 0x78 gates the attempt so uncompressed
@@ -239,11 +265,19 @@ def extract_pdf_pages(data: bytes) -> list[dict]:
     per-page text joins items with ' ' (pdf.js rule)."""
     if not data.startswith(b"%PDF"):
         raise PdfBroken("pdf_not_pdf")
+    decryptor = _pdf_decryptor(data)
     pages = []
     page_no = 0
     n_unsupported = 0
     for m in _STREAM_RE.finditer(data):
         stream = m.group(1)
+        if decryptor is not None:
+            num, gen = _stream_obj_ids(data, m.start())
+            try:
+                stream = decryptor.decrypt_stream(stream, num, gen)
+            except Exception:
+                n_unsupported += 1
+                continue
         # per-stream filter check: look back at the stream object's dict
         # (`N 0 obj << /Length .. /Filter .. >> stream`); a declared filter
         # other than FlateDecode — or Flate bytes that fail to inflate —
@@ -291,16 +325,27 @@ def pdf_image_children(data: bytes) -> list[tuple[str, bytes]]:
     out: list[tuple[str, bytes]] = []
     if not data.startswith(b"%PDF"):
         return out
+    try:
+        decryptor = _pdf_decryptor(data)
+    except PdfBroken:
+        return out  # text path reports the typed reason; no children
     n = 0
     for m in _STREAM_RE.finditer(data):
         sdict = _stream_dict(data, m.start())
         if b"/Subtype" not in sdict or b"/Image" not in sdict:
             continue
         n += 1
+        stream = m.group(1)
+        if decryptor is not None:
+            try:
+                stream = decryptor.decrypt_stream(
+                    stream, *_stream_obj_ids(data, m.start()))
+            except Exception:
+                continue
         if b"DCTDecode" in sdict:
-            out.append((f"image-{n:03d}.jpg", m.group(1)))
+            out.append((f"image-{n:03d}.jpg", stream))
         elif b"FlateDecode" in sdict or not _FILTER_RE.search(sdict):
-            raw = _maybe_inflate(m.group(1))
+            raw = _maybe_inflate(stream)
             out.append((f"image-{n:03d}.raw", raw))
     return out
 
@@ -357,11 +402,19 @@ def extract_pdf_page_spans(data: bytes) -> list[dict]:
     can run relationally on top instead of inside the parser."""
     if not data.startswith(b"%PDF"):
         raise PdfBroken("pdf_not_pdf")
+    decryptor = _pdf_decryptor(data)
     out = []
     page_no = 0
     n_unsupported = 0
     for m in _STREAM_RE.finditer(data):
         stream = m.group(1)
+        if decryptor is not None:
+            num, gen = _stream_obj_ids(data, m.start())
+            try:
+                stream = decryptor.decrypt_stream(stream, num, gen)
+            except Exception:
+                n_unsupported += 1
+                continue
         sdict = _stream_dict(data, m.start())
         if b"/Subtype" in sdict and b"/Image" in sdict:
             continue
