@@ -16115,6 +16115,102 @@ ORDER BY p.doc_id
 """
 
 
+def q241_encrypted_pdf_extraction(spark, sf_dir):
+    """Encrypted-PDF certification: per document a minimal PDF is built
+    whose page text is closed-form (``tok<(doc_id*7+i)%97>`` for
+    ``i < 3 + doc_id % 4`` tokens, one Tj span each), encrypted with
+    the REAL standard-security-handler writer — R3 RC4 / R4 AESV2 /
+    R6 AESV3 by ``doc_id % 3``, owner-protected (EMPTY user password)
+    for even ids and user-password-locked for odd ids — then extracted
+    by the REAL span pipeline (``pdf_to_text`` → U-entry check → KDF →
+    per-object decrypt → span walk → reading order → ' ' join).  The
+    oracle rebuilds the exact page string in SQL, so any regression in
+    the handler (key derivation, per-object keys, AES padding, R6
+    hardening loop) or the span extractor hash-fails.  The plan
+    REQUIRES MapInPandas.  Scale: one Arrow pass, no shuffle before
+    the sort."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .functions.archive_crypto import set_archive_password
+        from .operators.pdf_crypto import encrypt_pdf
+        from .operators.pdf_spans import pdf_to_text
+
+        def minimal_pdf(d):
+            n_tok = 3 + d % 4
+            text = " ".join("tok%d" % ((d * 7 + i) % 97)
+                            for i in range(n_tok))
+            ops = ["BT", "/F1 12 Tf"]
+            for i, tok in enumerate(text.split()):
+                ops.append("1 0 0 1 72.0 %.1f Tm (%s) Tj"
+                           % (720.0 - 14 * i, tok))
+            ops.append("ET")
+            content = "\n".join(ops).encode()
+            body = (
+                b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+                b"2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 >>\n"
+                b"endobj\n"
+                b"3 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont "
+                b"/Helvetica >>\nendobj\n"
+                b"4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox "
+                b"[0 0 612 792] /Contents 5 0 R /Resources << /Font "
+                b"<< /F1 3 0 R >> >> >>\nendobj\n"
+                b"5 0 obj\n<< /Length " + str(len(content)).encode()
+                + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+            )
+            return (b"%PDF-1.4\n" + body
+                    + b"trailer\n<< /Root 1 0 R >>\n%%EOF\n"), text
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                plain, want = minimal_pdf(d)
+                # R6's Algorithm-2.B loop costs ~0.25 s/hash in pure
+                # Python (spec-fixed 64+ AES-CBC rounds) — sample it
+                # sparsely; R3/R4 cover the bulk
+                if d % 50 == 0:
+                    mode = dict(rev=6, aes=True)
+                else:
+                    mode = (dict(rev=3, aes=False),
+                            dict(rev=4, aes=False),
+                            dict(rev=4, aes=True))[d % 3]
+                user_pw = "" if d % 2 == 0 else "qpw-%d" % (d % 5)
+                enc = encrypt_pdf(plain, user_pw=user_pw,
+                                  owner_pw="own", **mode)
+                set_archive_password(user_pw or None)
+                text, pages, broken = pdf_to_text(enc)
+                set_archive_password(None)
+                rows.append((d, text if broken is None else None,
+                             len(pages), broken))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "text", "n_pages", "broken"])
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, text string, n_pages int, broken string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q241_SQL = r"""
+WITH g AS (SELECT i FROM generate_series(0, 6) AS t(i)),
+txt AS (
+  SELECT d.doc_id,
+         string_agg('tok' || ((d.doc_id * 7 + g.i) % 97), ' '
+                    ORDER BY g.i) AS text
+  FROM documents d JOIN g ON g.i < 3 + d.doc_id % 4
+  GROUP BY d.doc_id
+)
+SELECT doc_id, text, 1 AS n_pages, NULL AS broken
+FROM txt ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -16348,6 +16444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q238_pgp_roundtrip": q238_pgp_roundtrip,
     "q239_encrypted_archive_roundtrip": q239_encrypted_archive_roundtrip,
     "q240_lz4_roundtrip": q240_lz4_roundtrip,
+    "q241_encrypted_pdf_extraction": q241_encrypted_pdf_extraction,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -16578,6 +16675,7 @@ ORACLES: dict[str, str] = {
     "q238_pgp_roundtrip": Q238_SQL,
     "q239_encrypted_archive_roundtrip": Q239_SQL,
     "q240_lz4_roundtrip": Q240_SQL,
+    "q241_encrypted_pdf_extraction": Q241_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

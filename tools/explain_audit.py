@@ -211,6 +211,7 @@ AUDITED = [
     "q238_pgp_roundtrip",
     "q239_encrypted_archive_roundtrip",
     "q240_lz4_roundtrip",
+    "q241_encrypted_pdf_extraction",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -796,6 +797,10 @@ CHECKS = {
     # the lz4 codec kernel is the subject
     "q240_lz4_roundtrip": ["MapInPandas", "!HashAggregate",
                            "!CartesianProduct", "!SortMergeJoin"],
+    # the PDF security handler + span extractor are the subject
+    "q241_encrypted_pdf_extraction": ["MapInPandas", "!HashAggregate",
+                                      "!CartesianProduct",
+                                      "!SortMergeJoin"],
 }
 
 NOTES = {
