@@ -115,9 +115,11 @@ def decrypt_office(data: bytes, password: str) -> bytes:
     if len(info) < 8:
         raise OfficeCryptoBroken("office_crypt_malformed")
     vmajor, vminor = struct.unpack_from("<HH", info, 0)
+    if vminor == 2 and vmajor in (2, 3, 4):
+        # Office-2007 binary "Standard" descriptor (AES-ECB CryptoAPI)
+        return _decrypt_standard(info, st["EncryptedPackage"], password)
     if (vmajor, vminor) != (4, 4):
-        # 2.x/3.x binary "Standard"/"Extensible" descriptors (pre-2010)
-        raise OfficeCryptoBroken("office_crypt_standard_unsupported")
+        raise OfficeCryptoBroken("office_crypt_unsupported")
     try:
         # tolerate sector/NUL padding after the XML (fixture CFBs pad
         # streams past the mini-FAT cutoff; real streams are exact)
@@ -345,6 +347,114 @@ def encrypt_office(package: bytes, password: str, *,
     pkg = struct.pack("<Q", len(package)) + bytes(ct)
 
     # pad streams past the 4096-byte mini cutoff for the simple writer
+    info_p = info + b"\x00" * max(0, 4096 - len(info))
+    pkg_p = pkg if len(pkg) >= 4096 else pkg + b"\x00" * (4096 - len(pkg))
+    return _build_cfb([("EncryptionInfo", info_p),
+                       ("EncryptedPackage", pkg_p)])
+
+
+# ---------------------------------------------------------------------------
+# Standard (binary) encryption — Office 2007, EncryptionInfo v3.2/4.2
+# ([MS-OFFCRYPTO] §2.3.4.5-2.3.4.9: CryptoAPI binary header + verifier,
+# SHA-1 x50000 key derivation, AES-ECB package)
+# ---------------------------------------------------------------------------
+
+_ALG_AES = {0x660E: 16, 0x660F: 24, 0x6610: 32}
+
+
+def _standard_key(password: str, salt: bytes, keylen: int) -> bytes:
+    h = hashlib.sha1(salt + password.encode("utf-16-le")).digest()
+    for i in range(50000):
+        h = hashlib.sha1(struct.pack("<I", i) + h).digest()
+    h = hashlib.sha1(h + struct.pack("<I", 0)).digest()
+    x1 = hashlib.sha1(bytes(0x36 ^ b for b in (h + b"\x00" * 64)[:64]))
+    key = x1.digest()
+    if keylen > 20:
+        x2 = hashlib.sha1(bytes(0x5C ^ b for b in (h + b"\x00" * 64)[:64]))
+        key += x2.digest()
+    return key[:keylen]
+
+
+def _aes_ecb(key: bytes, data: bytes, *, decrypt: bool) -> bytes:
+    from ..functions.pgp_codec import (
+        aes_decrypt_block,
+        aes_encrypt_block,
+        expand_key,
+        expand_key_dec,
+    )
+
+    if len(data) % 16:
+        data += b"\x00" * (16 - len(data) % 16)
+    if decrypt:
+        rk = expand_key_dec(key)
+        f = aes_decrypt_block
+    else:
+        rk = expand_key(key)
+        f = aes_encrypt_block
+    return b"".join(f(rk, data[i:i + 16]) for i in range(0, len(data), 16))
+
+
+def _decrypt_standard(info: bytes, pkg: bytes, password: str) -> bytes:
+    if len(info) < 12:
+        raise OfficeCryptoBroken("office_crypt_malformed")
+    (hdr_size,) = struct.unpack_from("<I", info, 8)
+    hdr = info[12:12 + hdr_size]
+    ver = info[12 + hdr_size:]
+    if len(hdr) < 24 or len(ver) < 4:
+        raise OfficeCryptoBroken("office_crypt_malformed")
+    alg_id, _alg_hash, key_size = struct.unpack_from("<III", hdr, 8)
+    keylen = _ALG_AES.get(alg_id)
+    if keylen is None:
+        # the CryptoAPI RC4 variant (0x6801) keys per 512-byte block
+        # with MD5 — a different machine; refused typed
+        raise OfficeCryptoBroken("office_cipher_unsupported")
+    if key_size and key_size // 8 != keylen:
+        raise OfficeCryptoBroken("office_crypt_malformed")
+    (salt_size,) = struct.unpack_from("<I", ver, 0)
+    if salt_size != 16 or len(ver) < 4 + 16 + 16 + 4 + 32:
+        raise OfficeCryptoBroken("office_crypt_malformed")
+    salt = ver[4:20]
+    enc_verifier = ver[20:36]
+    (vh_size,) = struct.unpack_from("<I", ver, 36)
+    enc_vhash = ver[40:72]
+    key = _standard_key(password, salt, keylen)
+    verifier = _aes_ecb(key, enc_verifier, decrypt=True)
+    vhash = _aes_ecb(key, enc_vhash, decrypt=True)
+    if hashlib.sha1(verifier).digest() != vhash[:min(vh_size, 20)]:
+        raise OfficeCryptoBroken("office_bad_password")
+    if len(pkg) < 8:
+        raise OfficeCryptoBroken("office_crypt_malformed")
+    (total,) = struct.unpack_from("<Q", pkg, 0)
+    ct = pkg[8:8 + ((total + 15) // 16) * 16]
+    if len(ct) < ((total + 15) // 16) * 16:
+        raise OfficeCryptoBroken("office_crypt_malformed")
+    inner = _aes_ecb(key, ct, decrypt=True)[:total]
+    if inner[:2] != b"PK":
+        raise OfficeCryptoBroken("office_bad_password")
+    return inner
+
+
+def encrypt_office_standard(package: bytes, password: str, *,
+                            key_bits: int = 128) -> bytes:
+    """Office-2007-style Standard-encrypted CFB fixture writer."""
+    keylen = key_bits // 8
+    alg_id = {16: 0x660E, 24: 0x660F, 32: 0x6610}[keylen]
+    salt = hashlib.blake2b(b"stds" + package, digest_size=16).digest()
+    verifier = hashlib.blake2b(b"stdv" + package, digest_size=16).digest()
+    key = _standard_key(password, salt, keylen)
+    enc_verifier = _aes_ecb(key, verifier, decrypt=False)
+    vhash = hashlib.sha1(verifier).digest()
+    enc_vhash = _aes_ecb(key, vhash + b"\x00" * 12, decrypt=False)
+    csp = "Microsoft Enhanced RSA and AES Cryptographic Provider\x00" \
+        .encode("utf-16-le")
+    hdr = struct.pack("<IIIIIIII", 0x24, 0, alg_id, 0x8004, key_bits,
+                      0x18, 0, 0) + csp
+    ver = (struct.pack("<I", 16) + salt + enc_verifier
+           + struct.pack("<I", 20) + enc_vhash)
+    info = struct.pack("<HHI", 4, 2, 0x24) \
+        + struct.pack("<I", len(hdr)) + hdr + ver
+    pkg = struct.pack("<Q", len(package)) \
+        + _aes_ecb(key, package, decrypt=False)
     info_p = info + b"\x00" * max(0, 4096 - len(info))
     pkg_p = pkg if len(pkg) >= 4096 else pkg + b"\x00" * (4096 - len(pkg))
     return _build_cfb([("EncryptionInfo", info_p),

@@ -75,17 +75,33 @@ def test_multi_segment_package():
     assert decrypt_office(enc, PW) == big
 
 
-def test_standard_descriptor_typed():
+@pytest.mark.parametrize("key_bits", [128, 192, 256])
+def test_standard_binary_roundtrip(key_bits):
+    """Office-2007 binary Standard descriptor: SHA-1 x50000 KDF,
+    AES-ECB verifier + package."""
+    from hoover_snoop2_spark.operators.office_crypto import (
+        encrypt_office_standard)
+
+    pkg = _docx("standard encrypted body")
+    enc = encrypt_office_standard(pkg, PW, key_bits=key_bits)
+    assert is_encrypted_office(enc)
+    assert decrypt_office(enc, PW) == pkg
+    with pytest.raises(OfficeCryptoBroken) as ei:
+        decrypt_office(enc, "wrong")
+    assert ei.value.reason == "office_bad_password"
+
+
+def test_unknown_descriptor_typed():
     import struct
 
     enc = bytearray(encrypt_office(_docx(), PW))
     # EncryptionInfo begins at the first data sector (offset 512 in the
-    # fixture CFB); overwrite its version with 4.2 (binary Standard)
+    # fixture CFB); overwrite its version with an unknown 5.4
     assert enc[512:514] == struct.pack("<H", 4)
-    enc[514:516] = struct.pack("<H", 2)
+    enc[512:514] = struct.pack("<H", 5)
     with pytest.raises(OfficeCryptoBroken) as ei:
         decrypt_office(bytes(enc), PW)
-    assert ei.value.reason == "office_crypt_standard_unsupported"
+    assert ei.value.reason == "office_crypt_unsupported"
 
 
 def test_analyze_blob_routes_protected():
