@@ -16211,6 +16211,88 @@ FROM txt ORDER BY doc_id
 """
 
 
+def q242_encrypted_office_extraction(spark, sf_dir):
+    """Encrypted-OOXML certification (q241's office sibling): per
+    document a minimal docx whose paragraphs are closed-form
+    (``tok<(doc_id*11+i)%89>`` for ``i < 2 + doc_id % 5``) is sealed
+    with the REAL [MS-OFFCRYPTO] writers — Agile (SHA-512/AES-256,
+    even ids) or 2007-binary Standard (SHA-1×50000/AES-ECB, odd ids) —
+    then opened by the REAL path (``is_encrypted_office`` detect →
+    ``decrypt_office`` verifier gate + KDF + segment/package decrypt →
+    ``docx_to_text``).  The oracle rebuilds the paragraph-joined text
+    in SQL; any regression in either descriptor, the verifier chain,
+    or the docx extractor hash-fails.  The plan REQUIRES MapInPandas.
+    Scale: one Arrow pass, no shuffle before the sort."""
+    import pandas as pd
+
+    def kernel(batches):
+        import io
+        import zipfile
+
+        from .operators.office_crypto import (
+            decrypt_office,
+            encrypt_office,
+            encrypt_office_standard,
+            is_encrypted_office,
+        )
+        from .operators.office_extract import docx_to_text
+
+        def minimal_docx(d):
+            n_tok = 2 + d % 5
+            paras = ["tok%d" % ((d * 11 + i) % 89) for i in range(n_tok)]
+            body = "".join(
+                "<w:p><w:r><w:t>%s</w:t></w:r></w:p>" % p for p in paras)
+            buf = io.BytesIO()
+            with zipfile.ZipFile(buf, "w") as z:
+                z.writestr(
+                    "[Content_Types].xml",
+                    '<Types xmlns="http://schemas.openxmlformats.org/'
+                    'package/2006/content-types"><Override PartName='
+                    '"/word/document.xml" ContentType="application/vnd.'
+                    'openxmlformats-officedocument.wordprocessingml.'
+                    'document.main+xml"/></Types>')
+                z.writestr(
+                    "word/document.xml",
+                    '<w:document xmlns:w="http://schemas.openxmlformats.'
+                    'org/wordprocessingml/2006/main"><w:body>%s</w:body>'
+                    '</w:document>' % body)
+            return buf.getvalue()
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                pkg = minimal_docx(d)
+                pw = "opw-%d" % (d % 4)
+                if d % 2 == 0:
+                    enc = encrypt_office(pkg, pw, spin=50)
+                else:
+                    enc = encrypt_office_standard(
+                        pkg, pw, key_bits=(128, 192, 256)[d % 3])
+                assert is_encrypted_office(enc)
+                text = docx_to_text(decrypt_office(enc, pw))
+                rows.append((d, text))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(kernel, schema="doc_id long, text string")
+        .orderBy("doc_id")
+    )
+
+
+Q242_SQL = r"""
+WITH g AS (SELECT i FROM generate_series(0, 5) AS t(i))
+SELECT d.doc_id,
+       string_agg('tok' || ((d.doc_id * 11 + g.i) % 89),
+                  chr(10) || chr(10) ORDER BY g.i) AS text
+FROM documents d JOIN g ON g.i < 2 + d.doc_id % 5
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -16445,6 +16527,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q239_encrypted_archive_roundtrip": q239_encrypted_archive_roundtrip,
     "q240_lz4_roundtrip": q240_lz4_roundtrip,
     "q241_encrypted_pdf_extraction": q241_encrypted_pdf_extraction,
+    "q242_encrypted_office_extraction": q242_encrypted_office_extraction,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -16676,6 +16759,7 @@ ORACLES: dict[str, str] = {
     "q239_encrypted_archive_roundtrip": Q239_SQL,
     "q240_lz4_roundtrip": Q240_SQL,
     "q241_encrypted_pdf_extraction": Q241_SQL,
+    "q242_encrypted_office_extraction": Q242_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

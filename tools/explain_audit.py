@@ -212,6 +212,7 @@ AUDITED = [
     "q239_encrypted_archive_roundtrip",
     "q240_lz4_roundtrip",
     "q241_encrypted_pdf_extraction",
+    "q242_encrypted_office_extraction",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -801,6 +802,10 @@ CHECKS = {
     "q241_encrypted_pdf_extraction": ["MapInPandas", "!HashAggregate",
                                       "!CartesianProduct",
                                       "!SortMergeJoin"],
+    # the office security handlers + docx extractor are the subject
+    "q242_encrypted_office_extraction": ["MapInPandas", "!HashAggregate",
+                                         "!CartesianProduct",
+                                         "!SortMergeJoin"],
 }
 
 NOTES = {
