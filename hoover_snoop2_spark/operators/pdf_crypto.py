@@ -191,12 +191,17 @@ class PdfDecryptor:
         Tries the empty user password first (owner-protected documents —
         the overwhelmingly common case), then ``password`` as user and
         as owner password."""
-        m = _ENC_REF_RE.search(data)
-        if not m:
-            return None
-        body = _obj_body(data, int(m.group(1)), int(m.group(2)))
+        body = None
+        # scan all /Encrypt refs, last wins (incremental updates append);
+        # refs that resolve to nothing or to a non-security dict are body
+        # text coincidences ("/Encrypt 5 0 R" inside a page stream), not
+        # an encrypted document
+        for m in _ENC_REF_RE.finditer(data):
+            cand = _obj_body(data, int(m.group(1)), int(m.group(2)))
+            if cand is not None and _dict_name(cand, b"Filter"):
+                body = cand
         if body is None:
-            raise PdfCryptoBroken("pdf_encrypt_malformed")
+            return None
         filt = _dict_name(body, b"Filter")
         if filt != b"Standard":
             raise PdfCryptoBroken("pdf_crypt_unsupported")

@@ -188,3 +188,15 @@ def test_pipeline_extracts_encrypted_pdf(spark, tmp_path):
     rows = {r["url"]: r for r in out.collect()}
     assert rows["https://x.example/owner.pdf"]["text"] == plain_text
     assert rows["https://x.example/locked.pdf"]["text"] == plain_text
+
+
+def test_plain_pdf_mentioning_encrypt_not_misclassified():
+    """A document whose TEXT contains '/Encrypt 5 0 R' is not encrypted."""
+    content = b"BT /F1 12 Tf 1 0 0 1 72 720 Tm (/Encrypt 5 0 R) Tj ET"
+    pdf = (b"%PDF-1.4\n"
+           b"1 0 obj\n<< /Length " + str(len(content)).encode()
+           + b" >>\nstream\n" + content + b"\nendstream\nendobj\n"
+           b"trailer\n<< /Root 9 0 R >>\n%%EOF\n")
+    text, pages, broken = pdf_to_text(pdf)
+    assert broken is None
+    assert "/Encrypt 5 0 R" in text
