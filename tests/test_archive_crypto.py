@@ -298,3 +298,37 @@ def test_winzip_writer_bsdtar_reads(tmp_path, strength):
     # and our own reader agrees
     C.set_archive_password(PW)
     assert _unpack_zip(z) == MEMBERS
+
+
+def test_pipeline_encrypted_zip_inside_email(spark, tmp_path):
+    """Recursion e2e: eml → attachment → encrypted zip → member text,
+    with the password riding the closure into every recursion level."""
+    import base64
+
+    from hoover_snoop2_spark.functions.archive_crypto import (
+        build_winzip_aes_zip,
+    )
+    from hoover_snoop2_spark.plans.pipeline import run_extraction
+
+    z = build_winzip_aes_zip(
+        [("notes.txt", b"attachment secret text")], PW, strength=3)
+    eml = (
+        b"From: a@example.org\r\nTo: b@example.org\r\n"
+        b"Subject: docs\r\nMIME-Version: 1.0\r\n"
+        b"Content-Type: multipart/mixed; boundary=B\r\n\r\n"
+        b"--B\r\nContent-Type: text/plain\r\n\r\nsee attached\r\n"
+        b"--B\r\nContent-Type: application/zip\r\n"
+        b"Content-Disposition: attachment; filename=docs.zip\r\n"
+        b"Content-Transfer-Encoding: base64\r\n\r\n"
+        + base64.encodebytes(z) +
+        b"--B--\r\n"
+    )
+    pages = _pages_df(spark, [("https://x.example/mail.eml", eml)])
+    out, _ = run_extraction(spark, pages,
+                            checkpoint_dir=str(tmp_path / "ck"),
+                            archive_password=PW)
+    rows = {r["url"]: r for r in out.collect()}
+    member = next((r for u, r in rows.items() if u.endswith("notes.txt")),
+                  None)
+    assert member is not None, sorted(rows)
+    assert member["text"] == "attachment secret text"
