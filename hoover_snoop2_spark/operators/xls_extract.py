@@ -106,6 +106,19 @@ def xls_to_table(data: bytes) -> tuple[dict | None, list[tuple[str, str]]]:
     except (CfbError, struct.error, KeyError) as e:
         raise XlsBroken("xls_parse_error") from e
 
+    from .xls_crypto import XlsCryptoBroken, decrypt_workbook_stream, has_filepass
+
+    if has_filepass(wb):
+        # FILEPASS RC4 ([MS-XLS] §2.2.10): worker-local password first,
+        # then Excel's well-known default VelvetSweatshop — the same
+        # ladder the reference's Tika/POI applies transparently
+        from ..functions.archive_crypto import default_archive_password
+
+        try:
+            wb = decrypt_workbook_stream(wb, default_archive_password())
+        except XlsCryptoBroken as e:
+            raise XlsBroken(e.reason) from e
+
     sst: list[str] = []
     cells: dict[tuple[int, int], str] = {}
     for rid, payload in _records(wb):

@@ -16293,6 +16293,72 @@ ORDER BY d.doc_id
 """
 
 
+def q243_encrypted_xls_extraction(spark, sf_dir):
+    """Encrypted legacy-.xls certification (q242's BIFF sibling): per
+    document a minimal BIFF8 workbook with closed-form cells
+    (``key<(doc_id*7+i)%53> / val<(doc_id*13+i)%97>`` for
+    ``i < 1 + doc_id % 4``) is sealed with the REAL FILEPASS writers —
+    RC4-standard (MD5 ladder, even ids) or RC4-CryptoAPI (SHA-1 ladder,
+    40/128-bit, odd ids) — then opened by the REAL path
+    (``has_filepass`` detect → verifier-gated positional-RC4 stream
+    decrypt → SST/LABELSST parse → row explode).  Ids divisible by 3
+    use Excel's well-known default password VelvetSweatshop and decrypt
+    with NO password configured (the Tika/POI parity case); others ride
+    the worker-local channel.  The oracle rebuilds the exploded-row
+    text in SQL; any regression in either key ladder, the block re-key,
+    or the plaintext-record exemptions hash-fails.  Scale: one Arrow
+    pass, no shuffle before the sort."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .functions.archive_crypto import set_archive_password
+        from .operators.xls_crypto import encrypt_xls
+        from .operators.xls_extract import build_xls, xls_to_table
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                body = [
+                    ["key%d" % ((d * 7 + i) % 53),
+                     "val%d" % ((d * 13 + i) % 97)]
+                    for i in range(1 + d % 4)
+                ]
+                xls = build_xls(["k", "v"], body)
+                pw = ("VelvetSweatshop" if d % 3 == 0
+                      else "xpw-%d" % (d % 5))
+                enc = encrypt_xls(
+                    xls, pw,
+                    variant=("rc4" if d % 2 == 0 else "capi"),
+                    key_bits=(40, 128)[(d // 2) % 2])
+                set_archive_password(None if d % 3 == 0 else pw)
+                try:
+                    _info, kids = xls_to_table(enc)
+                finally:
+                    set_archive_password(None)
+                rows.append((d, "".join(t for _n, t in kids)))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(kernel, schema="doc_id long, text string")
+        .orderBy("doc_id")
+    )
+
+
+Q243_SQL = r"""
+WITH g AS (SELECT i FROM generate_series(0, 4) AS t(i))
+SELECT d.doc_id,
+       string_agg('k = key' || ((d.doc_id * 7 + g.i) % 53) || chr(10)
+                  || 'v = val' || ((d.doc_id * 13 + g.i) % 97) || chr(10),
+                  '' ORDER BY g.i) AS text
+FROM documents d JOIN g ON g.i < 1 + d.doc_id % 4
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -16528,6 +16594,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q240_lz4_roundtrip": q240_lz4_roundtrip,
     "q241_encrypted_pdf_extraction": q241_encrypted_pdf_extraction,
     "q242_encrypted_office_extraction": q242_encrypted_office_extraction,
+    "q243_encrypted_xls_extraction": q243_encrypted_xls_extraction,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -16760,6 +16827,7 @@ ORACLES: dict[str, str] = {
     "q240_lz4_roundtrip": Q240_SQL,
     "q241_encrypted_pdf_extraction": Q241_SQL,
     "q242_encrypted_office_extraction": Q242_SQL,
+    "q243_encrypted_xls_extraction": Q243_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
