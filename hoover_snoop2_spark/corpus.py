@@ -61,7 +61,7 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 16
+CORPUS_VERSION = 17
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
@@ -979,6 +979,8 @@ def build_doc(doc_id: int) -> dict:
         "msg": "msg", "doc-legacy": "doc", "ppt-legacy": "ppt",
         "pst": "pst", "sevenzip": "7z",
     }[cat]
+    if cat == "xlsx" and doc_id % 4 == 3:
+        ext = "xls"  # the encrypted legacy BIFF8 slice
     url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
     warc_ts = EPOCH + timedelta(seconds=doc_id * 137)
     children: list[tuple[str, str]] = []
@@ -1099,9 +1101,33 @@ def build_doc(doc_id: int) -> dict:
     elif cat == "pptx":
         html, golden = render_pptx(doc_id, lang)
     elif cat == "xlsx":
-        html, kids, info = render_xlsx(doc_id)
-        children = kids
-        extra.update(info)
+        if doc_id % 4 == 3:
+            # every fourth spreadsheet is a LEGACY BIFF8 .xls sealed with
+            # the FILEPASS RC4 VelvetSweatshop default — same table
+            # content, decryption transparent end-to-end
+            from .operators.xls_crypto import encrypt_xls
+            from .operators.xls_extract import build_xls
+
+            rng = _rng(doc_id, 12)
+            ncols, nrows = rng.randint(2, 4), rng.randint(3, 8)
+            cols = [f"h{c}" for c in range(1, ncols + 1)]
+            rows = [[f"x{doc_id % 50}r{r}c{c}" for c in range(1, ncols + 1)]
+                    for r in range(1, nrows + 1)]
+            html = encrypt_xls(
+                build_xls(cols, rows), "VelvetSweatshop",
+                variant=("rc4" if doc_id % 2 == 0 else "capi"),
+                key_bits=(40, 128)[(doc_id // 2) % 2])
+            children = [
+                (f"{i}.txt", " ".join(f"{k} = {v}" for k, v in zip(cols, row)))
+                for i, row in enumerate(rows, start=1)
+            ]
+            extra.update({"table-columns": cols,
+                          "table-row-count": nrows + 1,
+                          "table-col-count": ncols})
+        else:
+            html, kids, info = render_xlsx(doc_id)
+            children = kids
+            extra.update(info)
         golden = ""
     elif cat == "msg":
         html, golden, kids = render_msg(doc_id, lang)
@@ -1117,6 +1143,16 @@ def build_doc(doc_id: int) -> dict:
         except UnicodeEncodeError:
             compressed = False
         html = build_doc_file(paras, compressed=compressed)
+        if doc_id % 3 == 2:
+            # every third legacy doc is RC4-encrypted with the
+            # VelvetSweatshop default ([MS-DOC] §2.2.6) — decryption must
+            # be transparent end-to-end, so the golden text is unchanged
+            from .operators.doc_crypto import encrypt_doc
+
+            html = encrypt_doc(
+                html, "VelvetSweatshop",
+                variant=("rc4" if doc_id % 2 == 0 else "capi"),
+                key_bits=(40, 128)[(doc_id // 2) % 2])
         golden = _golden_from_paragraphs(paras)
     elif cat == "sevenzip":
         from .operators.sevenzip_extract import build_7z
@@ -1186,7 +1222,15 @@ def build_doc(doc_id: int) -> dict:
         from .operators.ppt_extract import build_ppt
 
         paras = paragraphs_of(doc_id, lang, 3)
-        html = build_ppt(paras)
+        if doc_id % 3 == 2:
+            # every third legacy deck is persist-object-RC4 encrypted
+            # with the VelvetSweatshop default ([MS-PPT] §2.3.5)
+            from .operators.ppt_crypto import build_encrypted_ppt
+
+            html = build_encrypted_ppt(
+                paras, "VelvetSweatshop", key_bits=(40, 128)[doc_id % 2])
+        else:
+            html = build_ppt(paras)
         golden = _golden_from_paragraphs(paras)
     elif cat == "binary-skip":
         rng = _rng(doc_id, 10)
@@ -1202,7 +1246,8 @@ def build_doc(doc_id: int) -> dict:
         html, golden, lang = twin["html"], twin["text"], twin["lang"]
 
     date_created = date_modified = None
-    if cat in ("docx", "odt", "pptx", "xlsx"):
+    # legacy BIFF8 .xls (the doc_id % 4 == 3 slice) carries no docProps
+    if cat in ("docx", "odt", "pptx") or (cat == "xlsx" and doc_id % 4 != 3):
         date_created, date_modified = office_dates_of(doc_id)
 
     return {

@@ -25,6 +25,9 @@ PPT_MIME = "application/vnd.ms-powerpoint"
 RT_DOCUMENT = 0x03E8
 RT_TEXT_CHARS = 0x0FA0
 RT_TEXT_BYTES = 0x0FA8
+#: DocumentEncryptionAtom ([MS-PPT] §2.3.5.1) — CryptoAPI RC4 keyed per
+#: persist object; needs the persist directory walk we don't do → typed
+RT_DOC_ENCRYPTION = 0x2F14
 
 _PPT_STREAM = "PowerPoint Document"
 
@@ -73,8 +76,29 @@ def ppt_to_text(data: bytes) -> str:
     except (CfbError, struct.error, KeyError) as e:
         raise PptBroken("ppt_parse_error") from e
 
+    if "Current User" in paths:
+        from .ppt_crypto import (
+            PptCryptoBroken,
+            decrypt_ppt_stream,
+            ppt_is_encrypted,
+        )
+
+        cu = cf.read(paths["Current User"])
+        if ppt_is_encrypted(cu):
+            # [MS-PPT] §2.3.5 persist-object CryptoAPI RC4: worker-local
+            # password first, then the VelvetSweatshop default
+            from ..functions.archive_crypto import default_archive_password
+
+            try:
+                stream = decrypt_ppt_stream(
+                    stream, cu, default_archive_password())
+            except PptCryptoBroken as err:
+                raise PptBroken(err.reason) from err
+
     blocks: list[str] = []
     for rtype, payload in _records(stream):
+        if rtype == RT_DOC_ENCRYPTION:
+            raise PptBroken("ppt_encrypted")
         if rtype == RT_TEXT_CHARS:
             blocks.append(payload.decode("utf-16-le", "replace"))
         elif rtype == RT_TEXT_BYTES:

@@ -80,38 +80,42 @@ class _RC4:
 
 
 class _PositionalRC4:
-    """RC4 keystream addressed by absolute stream offset with per-1024-byte
-    block re-keying — the BIFF8 model where plaintext spans still consume
-    keystream."""
+    """RC4 keystream addressed by absolute stream offset with per-block
+    re-keying — the Office binary model where plaintext spans still
+    consume keystream.  BIFF8 re-keys every 1024 bytes ([MS-XLS]
+    §2.2.10); Word binary every 512 ([MS-OFFCRYPTO] §2.3.6.2)."""
 
-    def __init__(self, block_key):
+    def __init__(self, block_key, block: int = _BLOCK):
         self._block_key = block_key  # int block -> bytes key
+        self._block = block
         self._pos = 0
         self._rc4 = _RC4(block_key(0))
+
+    def _rekey(self) -> None:
+        if self._pos % self._block == 0:
+            self._rc4 = _RC4(self._block_key(self._pos // self._block))
 
     def _advance_to(self, pos: int) -> None:
         if pos < self._pos:
             raise ValueError("positional keystream cannot rewind")
         while self._pos < pos:
-            block_end = (self._pos // _BLOCK + 1) * _BLOCK
+            block_end = (self._pos // self._block + 1) * self._block
             n = min(pos, block_end) - self._pos
             self._rc4.keystream(n)
             self._pos += n
-            if self._pos % _BLOCK == 0:
-                self._rc4 = _RC4(self._block_key(self._pos // _BLOCK))
+            self._rekey()
 
     def crypt_at(self, pos: int, data: bytes) -> bytes:
         self._advance_to(pos)
         out = bytearray()
         i = 0
         while i < len(data):
-            block_end = (self._pos // _BLOCK + 1) * _BLOCK
+            block_end = (self._pos // self._block + 1) * self._block
             n = min(len(data) - i, block_end - self._pos)
             out += self._rc4.crypt(data[i:i + n])
             i += n
             self._pos += n
-            if self._pos % _BLOCK == 0:
-                self._rc4 = _RC4(self._block_key(self._pos // _BLOCK))
+            self._rekey()
         return bytes(out)
 
 
@@ -148,44 +152,42 @@ def _capi_block_key(password: str, salt: bytes, key_bits: int):
 # FILEPASS parse + verify
 # ---------------------------------------------------------------------------
 
-def parse_filepass(payload: bytes) -> dict:
-    """FILEPASS → {variant, salt, enc_verifier, enc_vhash, key_bits}."""
-    if len(payload) < 2:
-        raise XlsCryptoBroken("xls_crypt_malformed")
-    (enc_type,) = struct.unpack_from("<H", payload, 0)
-    if enc_type == 0:
-        raise XlsCryptoBroken("xls_xor_unsupported")
-    if len(payload) < 6:
-        raise XlsCryptoBroken("xls_crypt_malformed")
-    vmaj, vmin = struct.unpack_from("<HH", payload, 2)
+def parse_rc4_header(data: bytes, prefix: str = "xls") -> dict:
+    """EncryptionVersionInfo-led RC4 header (the FILEPASS payload past
+    wEncryptionType; the same wire shape starts Word's Table-stream
+    EncryptionHeader, [MS-DOC] §2.2.6.2-6.3) →
+    {variant, salt, enc_verifier, enc_vhash, key_bits}."""
+    if len(data) < 4:
+        raise XlsCryptoBroken(f"{prefix}_crypt_malformed")
+    vmaj, vmin = struct.unpack_from("<HH", data, 0)
     if (vmaj, vmin) == (1, 1):
-        if len(payload) < 6 + 48:
-            raise XlsCryptoBroken("xls_crypt_malformed")
+        if len(data) < 4 + 48:
+            raise XlsCryptoBroken(f"{prefix}_crypt_malformed")
         return {
             "variant": "rc4",
-            "salt": payload[6:22],
-            "enc_verifier": payload[22:38],
-            "enc_vhash": payload[38:54],
+            "salt": data[4:20],
+            "enc_verifier": data[20:36],
+            "enc_vhash": data[36:52],
             "key_bits": 128,
         }
     if vmin == 2 and vmaj in (2, 3, 4):
         # CryptoAPI: flags(4) headerSize(4) EncryptionHeader then verifier
-        if len(payload) < 14:
-            raise XlsCryptoBroken("xls_crypt_malformed")
-        (hdr_size,) = struct.unpack_from("<I", payload, 10)
-        hdr = payload[14:14 + hdr_size]
-        ver = payload[14 + hdr_size:]
+        if len(data) < 12:
+            raise XlsCryptoBroken(f"{prefix}_crypt_malformed")
+        (hdr_size,) = struct.unpack_from("<I", data, 8)
+        hdr = data[12:12 + hdr_size]
+        ver = data[12 + hdr_size:]
         if len(hdr) < 20 or len(ver) < 4 + 16 + 16 + 4 + 20:
-            raise XlsCryptoBroken("xls_crypt_malformed")
+            raise XlsCryptoBroken(f"{prefix}_crypt_malformed")
         alg_id, _alg_hash, key_bits = struct.unpack_from("<III", hdr, 8)
         if alg_id not in (0x6801, 0):  # CALG_RC4 (0 = "determine by flags")
-            raise XlsCryptoBroken("xls_cipher_unsupported")
+            raise XlsCryptoBroken(f"{prefix}_cipher_unsupported")
         key_bits = key_bits or 40
         if key_bits not in (40, 56, 64, 128):
-            raise XlsCryptoBroken("xls_cipher_unsupported")
+            raise XlsCryptoBroken(f"{prefix}_cipher_unsupported")
         (salt_size,) = struct.unpack_from("<I", ver, 0)
         if salt_size != 16:
-            raise XlsCryptoBroken("xls_crypt_malformed")
+            raise XlsCryptoBroken(f"{prefix}_crypt_malformed")
         return {
             "variant": "capi",
             "salt": ver[4:20],
@@ -193,7 +195,17 @@ def parse_filepass(payload: bytes) -> dict:
             "enc_vhash": ver[40:60],
             "key_bits": key_bits,
         }
-    raise XlsCryptoBroken("xls_crypt_unsupported")
+    raise XlsCryptoBroken(f"{prefix}_crypt_unsupported")
+
+
+def parse_filepass(payload: bytes) -> dict:
+    """FILEPASS → {variant, salt, enc_verifier, enc_vhash, key_bits}."""
+    if len(payload) < 2:
+        raise XlsCryptoBroken("xls_crypt_malformed")
+    (enc_type,) = struct.unpack_from("<H", payload, 0)
+    if enc_type == 0:
+        raise XlsCryptoBroken("xls_xor_unsupported")
+    return parse_rc4_header(payload[2:], "xls")
 
 
 def _verify(fp: dict, password: str):
@@ -280,8 +292,35 @@ def has_filepass(wb: bytes) -> bool:
 
 
 # ---------------------------------------------------------------------------
-# Fixture writer
+# Fixture writers
 # ---------------------------------------------------------------------------
+
+def build_rc4_header(password: str, salt: bytes, verifier: bytes, *,
+                     variant: str = "rc4", key_bits: int = 128):
+    """(EncryptionVersionInfo-led header bytes, block-key fn) — the
+    FILEPASS payload past wEncryptionType / Word's EncryptionHeader."""
+    if variant == "rc4":
+        block_key = _std_block_key(_std_key_material(password, salt))
+        rc4 = _RC4(block_key(0))
+        enc_verifier = rc4.crypt(verifier)
+        enc_vhash = rc4.crypt(hashlib.md5(verifier).digest())
+        return (struct.pack("<HH", 1, 1) + salt + enc_verifier + enc_vhash,
+                block_key)
+    if variant == "capi":
+        block_key = _capi_block_key(password, salt, key_bits)
+        rc4 = _RC4(block_key(0))
+        enc_verifier = rc4.crypt(verifier)
+        enc_vhash = rc4.crypt(hashlib.sha1(verifier).digest())
+        csp = "Microsoft Base Cryptographic Provider v1.0\x00" \
+            .encode("utf-16-le")
+        hdr = struct.pack("<IIIIIIII", 0x4, 0, 0x6801, 0x8004, key_bits,
+                          0x18, 0, 0) + csp
+        ver = (struct.pack("<I", 16) + salt + enc_verifier
+               + struct.pack("<I", 20) + enc_vhash)
+        return (struct.pack("<HH", 2, 2) + struct.pack(
+            "<II", 0x4, len(hdr)) + hdr + ver, block_key)
+    raise ValueError(variant)
+
 
 def encrypt_xls(data: bytes, password: str = _DEFAULT_PASSWORD, *,
                 variant: str = "rc4", key_bits: int = 128) -> bytes:
@@ -302,30 +341,9 @@ def encrypt_xls(data: bytes, password: str = _DEFAULT_PASSWORD, *,
 
     salt = hashlib.blake2b(b"xsalt" + data, digest_size=16).digest()
     verifier = hashlib.blake2b(b"xver" + data, digest_size=16).digest()
-    if variant == "rc4":
-        block_key = _std_block_key(_std_key_material(password, salt))
-        rc4 = _RC4(block_key(0))
-        enc_verifier = rc4.crypt(verifier)
-        enc_vhash = rc4.crypt(hashlib.md5(verifier).digest())
-        payload = struct.pack("<HHH", 1, 1, 1) + salt + enc_verifier \
-            + enc_vhash
-    elif variant == "capi":
-        block_key = _capi_block_key(password, salt, key_bits)
-        rc4 = _RC4(block_key(0))
-        enc_verifier = rc4.crypt(verifier)
-        enc_vhash = rc4.crypt(hashlib.sha1(verifier).digest())
-        csp = "Microsoft Base Cryptographic Provider v1.0\x00" \
-            .encode("utf-16-le")
-        hdr = struct.pack("<IIIIIIII", 0x4, 0, 0x6801, 0x8004, key_bits,
-                          0x18, 0, 0) + csp
-        ver = (struct.pack("<I", 16) + salt + enc_verifier
-               + struct.pack("<I", 20) + enc_vhash)
-        # wEncryptionType=1 (RC4), EncryptionVersionInfo 2.2 (CryptoAPI)
-        payload = struct.pack("<HHH", 1, 2, 2) + struct.pack(
-            "<II", 0x4, len(hdr)) + hdr + ver
-    else:
-        raise ValueError(variant)
-
+    hdr, block_key = build_rc4_header(password, salt, verifier,
+                                      variant=variant, key_bits=key_bits)
+    payload = struct.pack("<H", 1) + hdr  # wEncryptionType=1 (RC4)
     filepass = struct.pack("<HH", _R_FILEPASS, len(payload)) + payload
     plain = wb[:bof_end] + filepass + wb[bof_end:]
     enc = _transform_stream(plain, block_key)

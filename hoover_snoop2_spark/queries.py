@@ -16359,6 +16359,122 @@ ORDER BY d.doc_id
 """
 
 
+def q244_encrypted_doc_extraction(spark, sf_dir):
+    """Encrypted legacy-.doc certification (q243's Word sibling): per
+    document a minimal piece-table .doc with closed-form paragraphs
+    (``tok<(doc_id*17+i)%83>`` for ``i < 2 + doc_id % 4``; ids
+    divisible by 5 use the compressed cp1252 piece encoding) is sealed
+    with the REAL [MS-DOC] §2.2.6 writers — RC4-standard (even ids) or
+    RC4-CryptoAPI 40/128-bit (odd ids), EncryptionHeader prepended to
+    the Table stream, 512-byte positional re-key — then opened by the
+    REAL path (fEncrypted detect → verifier gate → per-stream decrypt
+    → Clx piece walk).  Ids divisible by 3 seal with VelvetSweatshop
+    and decrypt with NO password configured (Tika/POI parity); others
+    ride the worker-local channel.  Scale: one Arrow pass, no shuffle
+    before the sort."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .functions.archive_crypto import set_archive_password
+        from .operators.doc_crypto import encrypt_doc
+        from .operators.doc_extract import build_doc_file, doc_to_text
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                paras = ["tok%d" % ((d * 17 + i) % 83)
+                         for i in range(2 + d % 4)]
+                doc = build_doc_file(paras, compressed=(d % 5 == 0))
+                pw = ("VelvetSweatshop" if d % 3 == 0
+                      else "dpw-%d" % (d % 4))
+                enc = encrypt_doc(
+                    doc, pw,
+                    variant=("rc4" if d % 2 == 0 else "capi"),
+                    key_bits=(40, 128)[(d // 2) % 2])
+                set_archive_password(None if d % 3 == 0 else pw)
+                try:
+                    text = doc_to_text(enc)
+                finally:
+                    set_archive_password(None)
+                rows.append((d, text))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(kernel, schema="doc_id long, text string")
+        .orderBy("doc_id")
+    )
+
+
+Q244_SQL = r"""
+WITH g AS (SELECT i FROM generate_series(0, 5) AS t(i))
+SELECT d.doc_id,
+       string_agg('tok' || ((d.doc_id * 17 + g.i) % 83),
+                  chr(10) || chr(10) ORDER BY g.i) AS text
+FROM documents d JOIN g ON g.i < 2 + d.doc_id % 4
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+def q245_encrypted_ppt_extraction(spark, sf_dir):
+    """Encrypted legacy-.ppt certification (completes the legacy-Office
+    crypto triad with q243/q244): per document a deck with closed-form
+    slide blocks (``tok<(doc_id*19+i)%79>`` for ``i < 1 + doc_id % 4``)
+    is sealed with the REAL [MS-PPT] §2.3.5 writer — persist-object
+    CryptoAPI RC4 (40/128-bit), DocumentEncryptionAtom as a plaintext
+    persist object, marked CurrentUserAtom headerToken — then opened
+    by the REAL path (headerToken detect → user-edit/persist-directory
+    walk → verifier gate → per-persist-id RC4 → text-atom walk).  Ids
+    divisible by 3 seal with VelvetSweatshop and open with NO password
+    configured; others ride the worker-local channel.  Scale: one
+    Arrow pass, no shuffle before the sort."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .functions.archive_crypto import set_archive_password
+        from .operators.ppt_crypto import build_encrypted_ppt
+        from .operators.ppt_extract import ppt_to_text
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blocks = ["tok%d" % ((d * 19 + i) % 79)
+                          for i in range(1 + d % 4)]
+                pw = ("VelvetSweatshop" if d % 3 == 0
+                      else "ppw-%d" % (d % 4))
+                enc = build_encrypted_ppt(
+                    blocks, pw, key_bits=(40, 128)[d % 2])
+                set_archive_password(None if d % 3 == 0 else pw)
+                try:
+                    text = ppt_to_text(enc)
+                finally:
+                    set_archive_password(None)
+                rows.append((d, text))
+            yield pd.DataFrame(rows, columns=["doc_id", "text"])
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(kernel, schema="doc_id long, text string")
+        .orderBy("doc_id")
+    )
+
+
+Q245_SQL = r"""
+WITH g AS (SELECT i FROM generate_series(0, 4) AS t(i))
+SELECT d.doc_id,
+       string_agg('tok' || ((d.doc_id * 19 + g.i) % 79),
+                  chr(10) || chr(10) ORDER BY g.i) AS text
+FROM documents d JOIN g ON g.i < 1 + d.doc_id % 4
+GROUP BY d.doc_id
+ORDER BY d.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -16595,6 +16711,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q241_encrypted_pdf_extraction": q241_encrypted_pdf_extraction,
     "q242_encrypted_office_extraction": q242_encrypted_office_extraction,
     "q243_encrypted_xls_extraction": q243_encrypted_xls_extraction,
+    "q244_encrypted_doc_extraction": q244_encrypted_doc_extraction,
+    "q245_encrypted_ppt_extraction": q245_encrypted_ppt_extraction,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -16828,6 +16946,8 @@ ORACLES: dict[str, str] = {
     "q241_encrypted_pdf_extraction": Q241_SQL,
     "q242_encrypted_office_extraction": Q242_SQL,
     "q243_encrypted_xls_extraction": Q243_SQL,
+    "q244_encrypted_doc_extraction": Q244_SQL,
+    "q245_encrypted_ppt_extraction": Q245_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -114,7 +114,12 @@ def test_office_docprops_dates(spark, corpus_dir, digests):
     meta.xml (ODF) match the golden values for every office doc
     (reference get_date_created/modified, tika.py:148-176)."""
     golden = spark.read.parquet(f"{corpus_dir}/expected_digests.parquet")
-    g = golden.filter(F.col("category").isin("docx", "odt", "pptx", "xlsx"))
+    # the encrypted legacy .xls slice of the xlsx band has no docProps —
+    # its golden dates are null by construction
+    g = golden.filter(
+        F.col("category").isin("docx", "odt", "pptx", "xlsx")
+        & F.col("date_created").isNotNull()
+    )
     assert g.count() > 0
     j = g.alias("g").join(digests.alias("d"), "url")
     bad = j.filter(
