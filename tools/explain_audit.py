@@ -213,6 +213,9 @@ AUDITED = [
     "q240_lz4_roundtrip",
     "q241_encrypted_pdf_extraction",
     "q242_encrypted_office_extraction",
+    "q243_encrypted_xls_extraction",
+    "q244_encrypted_doc_extraction",
+    "q245_encrypted_ppt_extraction",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -806,6 +809,18 @@ CHECKS = {
     "q242_encrypted_office_extraction": ["MapInPandas", "!HashAggregate",
                                          "!CartesianProduct",
                                          "!SortMergeJoin"],
+    # the FILEPASS RC4 ladders + BIFF8 parse are the subject
+    "q243_encrypted_xls_extraction": ["MapInPandas", "!HashAggregate",
+                                      "!CartesianProduct",
+                                      "!SortMergeJoin"],
+    # the [MS-DOC] §2.2.6 stream decrypt + piece walk are the subject
+    "q244_encrypted_doc_extraction": ["MapInPandas", "!HashAggregate",
+                                      "!CartesianProduct",
+                                      "!SortMergeJoin"],
+    # the [MS-PPT] persist-object decrypt + text-atom walk are the subject
+    "q245_encrypted_ppt_extraction": ["MapInPandas", "!HashAggregate",
+                                      "!CartesianProduct",
+                                      "!SortMergeJoin"],
 }
 
 NOTES = {
