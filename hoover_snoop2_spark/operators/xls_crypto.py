@@ -255,6 +255,10 @@ def _transform_stream(stream: bytes, block_key) -> bytes:
 def decrypt_workbook_stream(wb: bytes, password: str | None = None) -> bytes:
     """Encrypted Workbook stream → plaintext stream (FILEPASS record kept;
     the parser ignores it).  Tries `password` then VelvetSweatshop."""
+    # record type/length headers are stored plaintext even in encrypted
+    # streams, so walking every record is safe — robust to the benign
+    # records real writers put between BOF and FILEPASS (WRITEPROT,
+    # CODEPAGE, FILESHARING, ...)
     fp_payload = None
     i = 0
     while i + 4 <= len(wb):
@@ -262,8 +266,6 @@ def decrypt_workbook_stream(wb: bytes, password: str | None = None) -> bytes:
         if rid == _R_FILEPASS:
             fp_payload = wb[i + 4:i + 4 + ln]
             break
-        if rid not in (_R_BOF,) and rid not in _PLAINTEXT_RECORDS:
-            break  # FILEPASS must precede encrypted content
         i += 4 + ln
     if fp_payload is None:
         return wb
@@ -285,8 +287,6 @@ def has_filepass(wb: bytes) -> bool:
         rid, ln = struct.unpack_from("<HH", wb, i)
         if rid == _R_FILEPASS:
             return True
-        if rid != _R_BOF and rid not in _PLAINTEXT_RECORDS:
-            return False
         i += 4 + ln
     return False
 
