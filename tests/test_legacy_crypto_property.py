@@ -76,3 +76,31 @@ def test_ppt_rc4_round_trip(blocks, password, key_bits):
         assert ppt_to_text(enc) == ppt_to_text(build_ppt(blocks))
     finally:
         set_archive_password(None)
+
+
+def test_truncation_and_bitflip_never_crash_analyze():
+    """Corrupt encrypted legacy-Office files surface typed broken rows,
+    never exceptions, through the analyze kernel."""
+    import hashlib
+
+    from hoover_snoop2_spark.operators.analyze import analyze_blob
+    from hoover_snoop2_spark.operators.doc_crypto import encrypt_doc
+    from hoover_snoop2_spark.operators.doc_extract import build_doc_file
+    from hoover_snoop2_spark.operators.ppt_crypto import build_encrypted_ppt
+    from hoover_snoop2_spark.operators.xls_crypto import encrypt_xls
+    from hoover_snoop2_spark.operators.xls_extract import build_xls
+
+    fixtures = [
+        encrypt_xls(build_xls(["a", "b"], [["1", "2"]]), "VelvetSweatshop"),
+        encrypt_doc(build_doc_file(["hello", "world"]), "VelvetSweatshop"),
+        build_encrypted_ppt(["slide one", "slide two"], "VelvetSweatshop"),
+    ]
+    for fx in fixtures:
+        for cut in range(64, len(fx), 97):
+            data = fx[:cut]
+            rows = analyze_blob(hashlib.sha3_256(data).hexdigest(), data)
+            assert rows and rows[0]["status"] in ("success", "broken", "skipped")
+        for pos in range(0, len(fx), 211):
+            data = fx[:pos] + bytes([fx[pos] ^ 0xFF]) + fx[pos + 1:]
+            rows = analyze_blob(hashlib.sha3_256(data).hexdigest(), data)
+            assert rows and rows[0]["status"] in ("success", "broken", "skipped")
