@@ -16475,6 +16475,56 @@ ORDER BY d.doc_id
 """
 
 
+def q246_filesystem_walk(spark, sf_dir):
+    """Filesystem-ingest certification (reference filesystem.walk,
+    filesystem.py:60-118): a deterministic directory tree is
+    materialized from the documents table (one ``doc_<id>.txt`` per
+    document, closed-form body ``fsdoc <id> body tok<id%101>``), then
+    read back through the REAL source (`binaryFile` recursive scan →
+    pages rows → run_extraction) and the extracted text is returned per
+    document.  The oracle rebuilds the bodies in SQL, so a regression
+    in the scan, the pages mapping, or the text path hash-fails.
+    Scale note: the tree write is a test harness; the read side is the
+    production path (per-file tasks, column-pruned binaryFile scan)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .plans.pipeline import run_extraction
+    from .sources.filesystem import read_directory
+
+    ids = [int(r.doc_id) for r in
+           _t(spark, sf_dir, "documents").select("doc_id").collect()]
+    root = tempfile.mkdtemp(prefix="fswalk_q246_")
+    sub = os.path.join(root, "texts")
+    os.makedirs(sub, exist_ok=True)
+    for d in ids:
+        with open(os.path.join(sub, "doc_%d.txt" % d), "wb") as f:
+            f.write(("fsdoc %d body tok%d" % (d, d % 101)).encode())
+
+    pages = read_directory(spark, root)
+    digests, _ = run_extraction(spark, pages, checkpoint_dir=None)
+    return (
+        digests
+        .select(
+            F.regexp_extract("url", r"doc_(\d+)\.txt$", 1)
+            .cast("long").alias("doc_id"),
+            "text",
+        )
+        .filter(F.col("doc_id").isNotNull())
+        .orderBy("doc_id")
+    )
+
+
+Q246_SQL = r"""
+SELECT doc_id,
+       'fsdoc ' || doc_id || ' body tok' || (doc_id % 101) AS text
+FROM documents
+ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -16713,6 +16763,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q243_encrypted_xls_extraction": q243_encrypted_xls_extraction,
     "q244_encrypted_doc_extraction": q244_encrypted_doc_extraction,
     "q245_encrypted_ppt_extraction": q245_encrypted_ppt_extraction,
+    "q246_filesystem_walk": q246_filesystem_walk,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -16948,6 +16999,7 @@ ORACLES: dict[str, str] = {
     "q243_encrypted_xls_extraction": Q243_SQL,
     "q244_encrypted_doc_extraction": Q244_SQL,
     "q245_encrypted_ppt_extraction": Q245_SQL,
+    "q246_filesystem_walk": Q246_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
