@@ -21,7 +21,13 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="hoover_snoop2_spark")
-    p.add_argument("--input", required=True, help="pages table (parquet dir)")
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="pages table (parquet dir)")
+    src.add_argument("--input-dir",
+                     help="ingest a raw directory tree instead of a pages "
+                          "table (the reference's filesystem.walk mode): "
+                          "recursive binaryFile scan, mtime as warc_ts, "
+                          ".partial.emlx sibling reconstruction")
     p.add_argument("--output", required=True, help="digest sink directory")
     p.add_argument("--checkpoint", required=True, help="stage snapshot dir")
     p.add_argument("--resume", action="store_true",
@@ -58,7 +64,12 @@ def main(argv: list[str] | None = None) -> int:
     from .session import get_spark
 
     spark = get_spark(app_name="snoop2_spark_extract")
-    pages = spark.read.parquet(args.input)
+    if args.input_dir:
+        from .sources.filesystem import read_directory
+
+        pages = read_directory(spark, args.input_dir)
+    else:
+        pages = spark.read.parquet(args.input)
 
     store = SnapshotStore(args.snapshot_dir) if args.snapshot_dir else None
     previous = None

@@ -153,3 +153,32 @@ def test_cli_compact_snapshots(spark, tmp_path, capsys, monkeypatch):
     assert len(store._resolve("digests", None)) == 1
     assert store.read(spark, "digests").count() == second["digests"]
     assert second["digests"] > first["digests"]
+
+
+def test_cli_input_dir(spark, tmp_path, capsys, monkeypatch):
+    """--input-dir ingests a raw directory tree (filesystem.walk mode)."""
+    import json as _json
+
+    from hoover_snoop2_spark.__main__ import main
+
+    monkeypatch.setattr(pyspark.sql.SparkSession, "stop", lambda self: None)
+
+    root = tmp_path / "collection"
+    root.mkdir()
+    (root / "a.txt").write_bytes(b"Directory-mode body text one.")
+    sub = root / "nested"
+    sub.mkdir()
+    (sub / "b.html").write_bytes(
+        b"<html><body><article><p>Nested article body, long enough to "
+        b"dominate the page's block scoring.</p></article></body></html>")
+
+    out = str(tmp_path / "out")
+    assert main(["--input-dir", str(root), "--output", out,
+                 "--checkpoint", str(tmp_path / "ckpt")]) == 0
+    summary = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["digests"] == 2
+
+    texts = {r.url.split("/")[-1]: r.text
+             for r in spark.read.parquet(out + "/digests").collect()}
+    assert texts["a.txt"].startswith("Directory-mode body")
+    assert "Nested article body" in texts["b.html"]
