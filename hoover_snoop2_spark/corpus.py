@@ -787,12 +787,27 @@ def render_pptx(doc_id: int, lang: str) -> tuple[bytes, str]:
     return _zip_bytes_of(members), _golden_from_paragraphs(goldens)
 
 
-def render_xlsx(doc_id: int) -> tuple[bytes, list[tuple[str, str]], dict]:
+def _xlsx_table_data(doc_id: int) -> tuple[list, list, list, dict]:
+    """(cols, rows, child goldens, table info) — shared by the xlsx
+    renderer and the encrypted legacy-.xls slice so the two can never
+    diverge."""
     rng = _rng(doc_id, 12)
     ncols, nrows = rng.randint(2, 4), rng.randint(3, 8)
     cols = [f"h{c}" for c in range(1, ncols + 1)]
     rows = [[f"x{doc_id % 50}r{r}c{c}" for c in range(1, ncols + 1)]
             for r in range(1, nrows + 1)]
+    children = [
+        (f"{i}.txt", " ".join(f"{k} = {v}" for k, v in zip(cols, row)))
+        for i, row in enumerate(rows, start=1)
+    ]
+    info = {"table-columns": cols, "table-row-count": nrows + 1,
+            "table-col-count": ncols}
+    return cols, rows, children, info
+
+
+def render_xlsx(doc_id: int) -> tuple[bytes, list[tuple[str, str]], dict]:
+    cols, rows, children, info = _xlsx_table_data(doc_id)
+    ncols, nrows = len(cols), len(rows)
     strings = cols + [v for row in rows for v in row]
     shared = "".join(f"<si><t>{_xml_escape(s)}</t></si>" for s in strings)
     sst = (
@@ -820,12 +835,6 @@ def render_xlsx(doc_id: int) -> tuple[bytes, list[tuple[str, str]], dict]:
          ("xl/sharedStrings.xml", sst.encode("utf-8")),
          ("xl/worksheets/sheet1.xml", sheet.encode("utf-8"))]
     )
-    children = [
-        (f"{i}.txt", " ".join(f"{k} = {v}" for k, v in zip(cols, row)))
-        for i, row in enumerate(rows, start=1)
-    ]
-    info = {"table-columns": cols, "table-row-count": nrows + 1,
-            "table-col-count": ncols}
     return data, children, info
 
 
@@ -1104,26 +1113,16 @@ def build_doc(doc_id: int) -> dict:
         if doc_id % 4 == 3:
             # every fourth spreadsheet is a LEGACY BIFF8 .xls sealed with
             # the FILEPASS RC4 VelvetSweatshop default — same table
-            # content, decryption transparent end-to-end
+            # content (shared generator), decryption transparent e2e
             from .operators.xls_crypto import encrypt_xls
             from .operators.xls_extract import build_xls
 
-            rng = _rng(doc_id, 12)
-            ncols, nrows = rng.randint(2, 4), rng.randint(3, 8)
-            cols = [f"h{c}" for c in range(1, ncols + 1)]
-            rows = [[f"x{doc_id % 50}r{r}c{c}" for c in range(1, ncols + 1)]
-                    for r in range(1, nrows + 1)]
+            cols, rows, children, info = _xlsx_table_data(doc_id)
             html = encrypt_xls(
                 build_xls(cols, rows), "VelvetSweatshop",
                 variant=("rc4" if doc_id % 2 == 0 else "capi"),
                 key_bits=(40, 128)[(doc_id // 2) % 2])
-            children = [
-                (f"{i}.txt", " ".join(f"{k} = {v}" for k, v in zip(cols, row)))
-                for i, row in enumerate(rows, start=1)
-            ]
-            extra.update({"table-columns": cols,
-                          "table-row-count": nrows + 1,
-                          "table-col-count": ncols})
+            extra.update(info)
         else:
             html, kids, info = render_xlsx(doc_id)
             children = kids

@@ -90,11 +90,16 @@ def doc_to_text(data: bytes) -> str:
             if table_name is None:
                 raise DocBroken("doc_table_stream_missing")
         table = cf.read(paths[table_name])
-        if len(wd) >= 0x44 and struct.unpack_from("<H", wd, _OFF_FLAGS)[0] & 0x0100:
+        from .doc_crypto import (
+            DocCryptoBroken,
+            decrypt_doc_streams,
+            doc_is_encrypted,
+        )
+
+        if doc_is_encrypted(wd):
             # fEncrypted ([MS-DOC] §2.2.6): RC4 over WordDocument/Table,
             # worker-local password then the VelvetSweatshop default
             from ..functions.archive_crypto import default_archive_password
-            from .doc_crypto import DocCryptoBroken, decrypt_doc_streams
 
             try:
                 wd, table, _ = decrypt_doc_streams(

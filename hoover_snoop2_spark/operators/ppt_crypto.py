@@ -122,6 +122,8 @@ def decrypt_ppt_stream(
         (offset_last_edit, offset_dir) = struct.unpack_from(
             "<II", ppt_stream, off + 8 + 8)
         if rlen >= 32:
+            if off + 8 + 32 > len(ppt_stream):
+                raise PptCryptoBroken("ppt_crypt_malformed")
             (epid,) = struct.unpack_from("<I", ppt_stream, off + 8 + 28)
             if enc_pid is None:
                 enc_pid = epid
@@ -166,7 +168,9 @@ def decrypt_ppt_stream(
         hdr = rc4.crypt(ppt_stream[poff:poff + 8])
         _vi, _rt, rlen = struct.unpack("<HHI", hdr)
         if poff + 8 + rlen > len(ppt_stream):
-            raise PptCryptoBroken("ppt_bad_password")
+            # password already verifier-checked: an overrun means the
+            # persist layout is corrupt, not that the key is wrong
+            raise PptCryptoBroken("ppt_crypt_malformed")
         out[poff:poff + 8] = hdr
         out[poff + 8:poff + 8 + rlen] = rc4.crypt(
             ppt_stream[poff + 8:poff + 8 + rlen])
@@ -209,7 +213,9 @@ def build_encrypted_ppt(blocks: list[str],
     doc_off = 0
     doc_enc = _RC4(block_key(1)).crypt(doc_plain)
     ea_off = doc_off + len(doc_enc)
-    enc_atom = struct.pack("<HHI", 0x0000, RT_DOC_ENCRYPTION, len(hdr)) + hdr
+    # recVer 0xF: DocumentEncryptionAtom is container-shaped per
+    # [MS-PPT] §2.3.5.1
+    enc_atom = struct.pack("<HHI", 0x000F, RT_DOC_ENCRYPTION, len(hdr)) + hdr
     dir_off = ea_off + len(enc_atom)
     entries = struct.pack("<I", 1 | (2 << 20)) + struct.pack(
         "<II", doc_off, ea_off)

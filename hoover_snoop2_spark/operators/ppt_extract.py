@@ -60,7 +60,13 @@ def _records(data: bytes, start: int = 0, end: int | None = None,
         if rlen > end - i:
             break
         if (ver_inst & 0x000F) == 0x000F and depth < 32:  # container
-            yield from _records(data, i, i + rlen, depth + 1)
+            # surface the container's own type too (payload elided):
+            # DocumentEncryptionAtom is container-shaped (recVer 0xF,
+            # [MS-PPT] §2.3.5.1) and must be detectable without
+            # recursing into its CryptoAPI header bytes as records
+            yield rtype, b""
+            if rtype != RT_DOC_ENCRYPTION:
+                yield from _records(data, i, i + rlen, depth + 1)
         else:
             yield rtype, data[i : i + rlen]
         i += rlen

@@ -106,18 +106,17 @@ def xls_to_table(data: bytes) -> tuple[dict | None, list[tuple[str, str]]]:
     except (CfbError, struct.error, KeyError) as e:
         raise XlsBroken("xls_parse_error") from e
 
-    from .xls_crypto import XlsCryptoBroken, decrypt_workbook_stream, has_filepass
+    # FILEPASS RC4 ([MS-XLS] §2.2.10): worker-local password first, then
+    # Excel's well-known default VelvetSweatshop — the ladder Tika/POI
+    # applies transparently.  decrypt_workbook_stream does its own
+    # single-walk FILEPASS probe and returns plain streams unchanged.
+    from ..functions.archive_crypto import default_archive_password
+    from .xls_crypto import XlsCryptoBroken, decrypt_workbook_stream
 
-    if has_filepass(wb):
-        # FILEPASS RC4 ([MS-XLS] §2.2.10): worker-local password first,
-        # then Excel's well-known default VelvetSweatshop — the same
-        # ladder the reference's Tika/POI applies transparently
-        from ..functions.archive_crypto import default_archive_password
-
-        try:
-            wb = decrypt_workbook_stream(wb, default_archive_password())
-        except XlsCryptoBroken as e:
-            raise XlsBroken(e.reason) from e
+    try:
+        wb = decrypt_workbook_stream(wb, default_archive_password())
+    except XlsCryptoBroken as e:
+        raise XlsBroken(e.reason) from e
 
     sst: list[str] = []
     cells: dict[tuple[int, int], str] = {}

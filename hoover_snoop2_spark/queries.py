@@ -16496,20 +16496,30 @@ def q246_filesystem_walk(spark, sf_dir):
 
     ids = [int(r.doc_id) for r in
            _t(spark, sf_dir, "documents").select("doc_id").collect()]
-    root = tempfile.mkdtemp(prefix="fswalk_q246_")
+    # deterministic cache dir (keyed by the id set) so repeated bench/
+    # certification runs reuse one tree instead of accumulating stale
+    # mkdtemp copies until /tmp fills; the COMPLETE marker commits it
+    key = "%d_%d_%d" % (len(ids), min(ids, default=0), max(ids, default=0))
+    root = os.path.join(tempfile.gettempdir(), "fswalk_q246_v1_" + key)
     sub = os.path.join(root, "texts")
-    os.makedirs(sub, exist_ok=True)
-    for d in ids:
-        with open(os.path.join(sub, "doc_%d.txt" % d), "wb") as f:
-            f.write(("fsdoc %d body tok%d" % (d, d % 101)).encode())
+    marker = os.path.join(root, "COMPLETE")
+    if not os.path.exists(marker):
+        os.makedirs(sub, exist_ok=True)
+        for d in ids:
+            with open(os.path.join(sub, "doc_%d.txt" % d), "wb") as f:
+                f.write(("fsdoc %d body tok%d" % (d, d % 101)).encode())
+        with open(marker, "w") as f:
+            f.write("ok")
 
     pages = read_directory(spark, root)
     digests, _ = run_extraction(spark, pages, checkpoint_dir=None)
     return (
         digests
         .select(
-            F.regexp_extract("url", r"doc_(\d+)\.txt$", 1)
-            .cast("long").alias("doc_id"),
+            # try_cast: non-matching paths (e.g. the cache-commit marker)
+            # extract '' and must become null, not an ANSI cast error
+            F.expr(r"try_cast(regexp_extract(url, 'doc_(\\d+)\\.txt$', 1) "
+                   "as bigint)").alias("doc_id"),
             "text",
         )
         .filter(F.col("doc_id").isNotNull())

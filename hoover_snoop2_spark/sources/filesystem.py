@@ -67,18 +67,27 @@ def read_directory(spark: SparkSession, root: str, *,
     if reconstruct_partial_emlx:
         from ..operators.emlx_reconstruct import reconstruct_emlx
 
-        has_partial = files.filter(
-            F.col("path").endswith(".partial.emlx")).limit(1).count() > 0
-        if has_partial:
-            fixed = reconstruct_emlx(files.select("path", "data"))
-            files = (
-                files.alias("f")
-                .join(fixed.alias("r"), "path", "left")
-                .select(
-                    "path", "mtime",
-                    F.coalesce(F.col("r.data"), F.col("f.data")).alias("data"),
-                )
+        # fully lazy (no eager existence probe): only directories that
+        # actually contain a .partial.emlx enter the grouped repair —
+        # the semi-join build side reads the pruned path column alone,
+        # and when no Apple Mail exists the repair frame is empty and
+        # AQE's empty-relation propagation turns the left join into a
+        # pass-through, so plain corpora never pay the byte shuffle
+        dirname = F.expr(
+            "substring_index(path, '/', size(split(path, '/')) - 1)")
+        partial_dirs = (files.filter(F.col("path").endswith(".partial.emlx"))
+                        .select(dirname.alias("dirname")).distinct())
+        relevant = (files.withColumn("dirname", dirname)
+                    .join(partial_dirs, "dirname", "left_semi"))
+        fixed = reconstruct_emlx(relevant.select("path", "data"))
+        files = (
+            files.alias("f")
+            .join(fixed.alias("r"), "path", "left")
+            .select(
+                "path", "mtime",
+                F.coalesce(F.col("r.data"), F.col("f.data")).alias("data"),
             )
+        )
         # fragment files ride inside their parent message, never alone
         files = files.filter(~F.col("path").rlike(r"\.emlxpart$"))
 

@@ -126,8 +126,10 @@ def test_encrypted_ppt_typed():
     assert ppt_to_text(plain) == "slide text"
     cf = CompoundFile(plain)
     stream = cf.read(cf.paths()["PowerPoint Document"])
-    # prepend a DocumentEncryptionAtom record header (0x2F14)
-    atom = struct.pack("<HHI", 0x000F & 0, 0x2F14, 4) + b"\x00" * 4
+    # prepend a DocumentEncryptionAtom record header (0x2F14) — recVer
+    # 0xF per [MS-PPT] §2.3.5.1 (container-shaped), the real-file shape
+    # for decks with no readable Current User stream
+    atom = struct.pack("<HHI", 0x000F, 0x2F14, 4) + b"\x00" * 4
     enc = _build_cfb([("PowerPoint Document", atom + stream)])
     with pytest.raises(PptBroken) as ei:
         ppt_to_text(enc)
