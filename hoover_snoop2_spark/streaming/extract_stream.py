@@ -105,6 +105,7 @@ def start_extract_stream(
     max_files_per_trigger: int = 8,
     wet_dir: str | None = None,
     source_format: str = "parquet",
+    checkpoint_location: str | None = None,
 ):
     """readStream(pages dir) → foreachBatch(incremental pipeline).
 
@@ -116,9 +117,34 @@ def start_extract_stream(
     crawl-to-corpus loop (WARC in → digests + WET out) with no batch
     staging step; ``schema`` is ignored (the source owns it) and the
     rows project onto the pages contract via ``to_pages``.
+    ``source_format='files'`` watches a RAW directory tree through the
+    streaming ``binaryFile`` source — the literal analog of the
+    reference's beat-driven filesystem.walk re-scan: drop files into
+    the collection dir and each trigger extracts only the new ones
+    (schema is the source's own; ``.partial.emlx`` sibling repair is a
+    batch-ingest feature — siblings may land in different micro-batches
+    — so use ``sources.filesystem.read_directory`` for Apple Mail trees).
     """
     extractor = StreamingExtractor(spark, out_dir, wet_dir=wet_dir)
-    if source_format == "warc":
+    if source_format == "files":
+        from pyspark.sql import functions as F
+
+        stream = (
+            spark.readStream.format("binaryFile")
+            # streaming file sources demand an explicit schema; this is
+            # binaryFile's fixed one
+            .schema("path string, modificationTime timestamp, "
+                    "length long, content binary")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .load(src_dir)
+            .select(
+                F.col("path").alias("url"),
+                F.col("modificationTime").alias("warc_ts"),
+                F.col("content").alias("html"),
+            )
+        )
+    elif source_format == "warc":
         from ..sources.warc import to_pages
         from ..sources.warc_datasource import WarcDataSource
 
@@ -137,6 +163,11 @@ def start_extract_stream(
             .load(src_dir)
         )
     writer = stream.writeStream.foreachBatch(extractor.process_batch)
+    if checkpoint_location:
+        # restartable watch: the source checkpoint remembers processed
+        # files and keeps epoch ids advancing across runs — without it a
+        # fresh query restarts at epoch 0 and re-reads the whole dir
+        writer = writer.option("checkpointLocation", checkpoint_location)
     if available_now:
         q = writer.trigger(availableNow=True).start()
     else:

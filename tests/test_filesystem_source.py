@@ -78,3 +78,43 @@ def test_full_extraction_over_directory(spark, tree):
     # child rows (the xls row explode) use the parent//name convention
     kids = digests.filter(F.col("url").contains("sheet.xls//"))
     assert kids.count() == 1
+
+
+def test_streaming_directory_watch(spark, tmp_path):
+    """source_format='files': drop files into a raw directory, stream
+    them through the incremental pipeline (the beat-driven re-walk
+    analog), then drop MORE files and re-trigger — only the delta
+    extracts, urls never duplicate."""
+    from pyspark.sql import functions as F
+
+    from hoover_snoop2_spark.streaming.extract_stream import (
+        start_extract_stream,
+    )
+
+    src = tmp_path / "watch"
+    src.mkdir()
+    (src / "one.txt").write_bytes(b"Watched file one body.")
+    (src / "two.html").write_bytes(
+        b"<html><body><article><p>Watched article two, with enough body "
+        b"text to dominate block scoring.</p></article></body></html>")
+
+    out = str(tmp_path / "digests_out")
+    ckpt = str(tmp_path / "stream_ckpt")
+    q = start_extract_stream(spark, str(src), out, source_format="files",
+                             checkpoint_location=ckpt)
+    q.awaitTermination()
+    first = spark.read.parquet(out)
+    assert first.count() == 2
+
+    # second drop + RESTART from the stream checkpoint → only the new
+    # file is read, landing in a later epoch partition
+    (src / "three.txt").write_bytes(b"Late arrival three.")
+    q = start_extract_stream(spark, str(src), out, source_format="files",
+                             checkpoint_location=ckpt)
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert got.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+    texts = {r.url.split("/")[-1]: r.text for r in got.collect()}
+    assert texts["three.txt"].startswith("Late arrival")
+    assert "Watched article two" in texts["two.html"]
