@@ -183,7 +183,12 @@ def sniff_bytes(data: bytes | None) -> tuple[str, str]:
         return "inode/x-empty", "binary"
 
     mime_type = ""
+    # two-range RIFF refinement: WEBP before the generic RIFF table entry
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        mime_type = "image/webp"
     for offset, sig, mt in _SIGNATURES:
+        if mime_type:
+            break
         if data[offset : offset + len(sig)] == sig:
             mime_type = mt
             break

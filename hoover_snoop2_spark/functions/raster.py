@@ -1,9 +1,10 @@
 """Magic-dispatched raster decode shared by the thumbnail and image
-feature operators: PNG, GIF, baseline JPEG, uncompressed BMP and
-baseline TIFF decode natively (:mod:`.png_codec`, :mod:`.gif_codec`,
-:mod:`.jpeg_codec`, :mod:`.bmp_codec`, :mod:`.tiff_codec`); unsupported
-variants surface their specific ``*_unsupported`` reason, and anything
-unrecognized is ``not_image``."""
+feature operators: PNG, GIF, baseline JPEG, uncompressed BMP,
+baseline TIFF, and lossless WebP decode natively (:mod:`.png_codec`,
+:mod:`.gif_codec`, :mod:`.jpeg_codec`, :mod:`.bmp_codec`,
+:mod:`.tiff_codec`, :mod:`.webp_codec`); unsupported variants surface
+their specific ``*_unsupported`` reason, and anything unrecognized is
+``not_image``."""
 
 from __future__ import annotations
 
@@ -16,6 +17,7 @@ from .gif_codec import GifError, gif_decode
 from .jpeg_codec import JpegError, jpeg_decode
 from .png_codec import PngError, png_decode
 from .tiff_codec import TiffError, tiff_decode
+from .webp_codec import WebpError, webp_decode
 
 PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
@@ -51,5 +53,10 @@ def decode_raster(data: bytes) -> tuple[np.ndarray | None, str | None]:
         try:
             return ico_decode(data), None
         except BmpError as e:
+            return None, str(e)
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        try:
+            return webp_decode(data), None
+        except WebpError as e:
             return None, str(e)
     return None, "not_image"

@@ -57,6 +57,14 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
             seg_len = struct.unpack(">H", data[i + 2 : i + 4])[0]
             i += 2 + seg_len
         return "jpeg", 0, 0
+    if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
+        from ..functions.webp_codec import webp_dims
+
+        dims = webp_dims(data)
+        if dims is not None:
+            _, w, h = dims
+            return "webp", w, h
+        return "webp", 0, 0
     return None
 
 

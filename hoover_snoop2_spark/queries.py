@@ -16535,6 +16535,99 @@ ORDER BY doc_id
 """
 
 
+def q247_webp_roundtrip(spark, sf_dir):
+    """Lossless-WebP (VP8L) certification under the driver's value-exact
+    gate — the q236/q237 sibling for :mod:`functions.webp_codec`.
+    Unlike JPEG, VP8L is lossless, so the oracle needs no flat-color
+    trick: each doc synthesizes a PATTERNED image (row gradient in red,
+    column gradient in green, checkerboard in blue — bases chosen so no
+    channel wraps mod 256), encodes it through a doc-varying VP8L path
+    (literals / LZ77 / color cache / SUBTRACT_GREEN / one of the 14
+    predictor modes / meta-prefix split), decodes with the real decoder,
+    and emits exact integer channel sums the SQL recomputes closed-form.
+    Any regression in the prefix-code reader, backward references, the
+    cache hash, a transform inverse, or a predictor mode shifts a sum
+    and hash-fails.  The plan REQUIRES MapInPandas — the codec kernel is
+    the subject.  Scale: one Arrow pass, no shuffle before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        from .functions.webp_codec import webp_decode, webp_encode_lossless
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + (d % 7) * 4
+                h = 6 + (d % 5) * 4
+                br = (d * 37) % 200
+                bg = (d * 59) % 200
+                bb = (d * 17) % 254
+                img = np.zeros((h, w, 3), np.uint8)
+                img[:, :, 0] = (br + np.arange(w))[None, :]
+                img[:, :, 1] = (bg + np.arange(h))[:, None]
+                img[:, :, 2] = bb + (np.add.outer(np.arange(h),
+                                                  np.arange(w)) % 2)
+                mode = d % 6
+                if mode == 0:
+                    data = webp_encode_lossless(img, use_lz77=False)
+                elif mode == 1:
+                    data = webp_encode_lossless(img, use_lz77=True)
+                elif mode == 2:
+                    data = webp_encode_lossless(
+                        img, cache_bits=1 + d % 8)
+                elif mode == 3:
+                    data = webp_encode_lossless(
+                        img, subtract_green=True, use_lz77=True)
+                elif mode == 4:
+                    data = webp_encode_lossless(
+                        img, predictor_mode=d % 14)
+                else:
+                    data = webp_encode_lossless(
+                        img, meta_split=True, cache_bits=4)
+                out = webp_decode(data)
+                s = out.astype(np.int64).sum(axis=(0, 1))
+                rows.append(
+                    (d, out.shape[1], out.shape[0],
+                     int(s[0]), int(s[1]), int(s[2]))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height",
+                         "sum_r", "sum_g", "sum_b"],
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, width long, height long, "
+                   "sum_r long, sum_g long, sum_b long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q247_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         8 + (doc_id % 7) * 4 AS w,
+         6 + (doc_id % 5) * 4 AS h,
+         (doc_id * 37) % 200 AS br,
+         (doc_id * 59) % 200 AS bg,
+         (doc_id * 17) % 254 AS bb
+  FROM documents
+)
+SELECT doc_id, w AS width, h AS height,
+       h * (w * br + (w * (w - 1)) // 2) AS sum_r,
+       w * (h * bg + (h * (h - 1)) // 2) AS sum_g,
+       w * h * bb + (w * h) // 2 AS sum_b
+FROM p ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -16774,6 +16867,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q244_encrypted_doc_extraction": q244_encrypted_doc_extraction,
     "q245_encrypted_ppt_extraction": q245_encrypted_ppt_extraction,
     "q246_filesystem_walk": q246_filesystem_walk,
+    "q247_webp_roundtrip": q247_webp_roundtrip,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -17010,6 +17104,7 @@ ORACLES: dict[str, str] = {
     "q244_encrypted_doc_extraction": Q244_SQL,
     "q245_encrypted_ppt_extraction": Q245_SQL,
     "q246_filesystem_walk": Q246_SQL,
+    "q247_webp_roundtrip": Q247_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
