@@ -16628,6 +16628,134 @@ FROM p ORDER BY doc_id
 """
 
 
+def q248_wat_export(spark, sf_dir):
+    """WAT metadata-record framing (Common Crawl's third artifact next to
+    WARC and WET: ``*.warc.wat.gz`` files of WARC/1.0 ``metadata``
+    records carrying one JSON envelope per page — WARC headers, HTTP
+    response shape, parsed HTML head/links in document order).  Each doc
+    synthesizes an HTML page from doc_id arithmetic (title absent when
+    doc%6==0, 1 + doc%3 anchors, an <img> when doc%4==0), runs the REAL
+    ``sources.warc.build_wat_record`` — regex link scan, insertion-order
+    compact JSON, WARC framing — and emits the record minus its
+    ``WARC-Record-ID`` line (UUIDv5 needs sha1, absent in the oracle
+    engine; the id line is pinned in ``test_warc.py`` instead, exactly
+    like q224's WET record).  The oracle rebuilds every byte closed-form
+    without touching HTML.  Scale: one Arrow pass over the corpus; the
+    ``write_wat`` sink itself is shuffle-free (one gzip-member stream
+    per partition)."""
+    import re as _re
+
+    import pandas as pd
+
+    def kernel(batches):
+        from .sources.warc import build_wat_record
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                url = f"https://site{d % 7}.example/p/{d}"
+                ts = pd.Timestamp("2024-01-01") + pd.to_timedelta(d, "s")
+                parts = ["<html><head>"]
+                if d % 6 != 0:
+                    parts.append(f"<title>Title {d}</title>")
+                parts.append("</head><body>")
+                for k in range(1, 2 + d % 3):
+                    parts.append(
+                        f'<a href="https://site{(d * k) % 7}.example/p/'
+                        f'{(d * 7 + k) % 97}">x</a>')
+                if d % 4 == 0:
+                    parts.append(
+                        f'<img src="https://img{d % 5}.example/i/'
+                        f'{d % 13}.png">')
+                parts.append("</body></html>")
+                html = "".join(parts).encode()
+                rec = build_wat_record(url, ts, html).decode()
+                sans_id = _re.sub(r"WARC-Record-ID: [^\r]*\r\n", "", rec)
+                body = rec.split("\r\n\r\n", 1)[1]
+                n_links = (1 + d % 3) + (1 if d % 4 == 0 else 0)
+                rows.append((
+                    d, url, ts.strftime("%Y-%m-%dT%H:%M:%SZ"),
+                    f"Title {d}" if d % 6 != 0 else None,
+                    n_links, len(body.rstrip("\r\n").encode()), sans_id,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "url", "warc_date", "title",
+                         "n_links", "content_length", "record"],
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, url string, warc_date string, "
+                   "title string, n_links long, content_length long, "
+                   "record string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q248_SQL = r"""
+WITH t AS (
+  SELECT doc_id AS d,
+         'https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example/p/'
+           || CAST(doc_id AS VARCHAR) AS url,
+         strftime(TIMESTAMP '2024-01-01 00:00:00'
+                  + to_seconds(doc_id), '%Y-%m-%dT%H:%M:%SZ') AS wdate
+  FROM documents
+), links AS (
+  SELECT d, url, wdate,
+         '{"path":"A@/href","url":"https://site'
+           || CAST((d * 1) % 7 AS VARCHAR) || '.example/p/'
+           || CAST((d * 7 + 1) % 97 AS VARCHAR) || '"}'
+         || CASE WHEN d % 3 >= 1 THEN
+              ',{"path":"A@/href","url":"https://site'
+              || CAST((d * 2) % 7 AS VARCHAR) || '.example/p/'
+              || CAST((d * 7 + 2) % 97 AS VARCHAR) || '"}' ELSE '' END
+         || CASE WHEN d % 3 >= 2 THEN
+              ',{"path":"A@/href","url":"https://site'
+              || CAST((d * 3) % 7 AS VARCHAR) || '.example/p/'
+              || CAST((d * 7 + 3) % 97 AS VARCHAR) || '"}' ELSE '' END
+         || CASE WHEN d % 4 = 0 THEN
+              ',{"path":"IMG@/src","url":"https://img'
+              || CAST(d % 5 AS VARCHAR) || '.example/i/'
+              || CAST(d % 13 AS VARCHAR) || '.png"}' ELSE '' END
+           AS links_json,
+         CASE WHEN d % 6 <> 0 THEN
+              '"Head":{"Title":"Title ' || CAST(d AS VARCHAR) || '"},'
+              ELSE '' END AS head_json
+  FROM t
+), env AS (
+  SELECT d, url, wdate,
+         '{"Envelope":{"Format":"WARC","WARC-Header-Metadata":'
+         || '{"WARC-Type":"response","WARC-Target-URI":"' || url
+         || '","WARC-Date":"' || wdate || '"},"Payload-Metadata":'
+         || '{"Actual-Content-Type":"application/http; msgtype=response",'
+         || '"HTTP-Response-Metadata":{"HTML-Metadata":{' || head_json
+         || '"Links":[' || links_json || ']}}}}}' AS body,
+         CASE WHEN d % 6 <> 0 THEN 'Title ' || CAST(d AS VARCHAR)
+              ELSE NULL END AS title,
+         (1 + d % 3) + CASE WHEN d % 4 = 0 THEN 1 ELSE 0 END AS n_links
+  FROM links
+)
+SELECT d AS doc_id, url, wdate AS warc_date, title,
+       n_links::BIGINT AS n_links,
+       strlen(body)::BIGINT AS content_length,
+       'WARC/1.0' || chr(13) || chr(10)
+       || 'WARC-Type: metadata' || chr(13) || chr(10)
+       || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+       || 'WARC-Date: ' || wdate || chr(13) || chr(10)
+       || 'Content-Type: application/json' || chr(13) || chr(10)
+       || 'Content-Length: ' || CAST(strlen(body) AS VARCHAR)
+       || chr(13) || chr(10) || chr(13) || chr(10)
+       || body || chr(13) || chr(10) || chr(13) || chr(10) AS record
+FROM env ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -16868,6 +16996,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q245_encrypted_ppt_extraction": q245_encrypted_ppt_extraction,
     "q246_filesystem_walk": q246_filesystem_walk,
     "q247_webp_roundtrip": q247_webp_roundtrip,
+    "q248_wat_export": q248_wat_export,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -17105,6 +17234,7 @@ ORACLES: dict[str, str] = {
     "q245_encrypted_ppt_extraction": Q245_SQL,
     "q246_filesystem_walk": Q246_SQL,
     "q247_webp_roundtrip": Q247_SQL,
+    "q248_wat_export": Q248_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import gzip
 import io
+import re
 import struct
 import zlib
 from datetime import datetime, timezone
@@ -671,3 +672,177 @@ def read_wet(spark: SparkSession, path_glob: str) -> DataFrame:
                     yield pd.DataFrame(rows)
 
     return files.mapInPandas(fn, schema=WET_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAT (metadata sidecar) — completes the Common Crawl artifact triple:
+# WARC (raw captures, read_warc/index_warc), WET (extracted text,
+# build_wet_record/write_wet/read_wet), WAT (per-record metadata JSON,
+# below).  Common Crawl ships ``*.warc.wat.gz`` files of WARC/1.0
+# ``metadata`` records whose body is one JSON envelope per captured page:
+# the WARC headers, the HTTP response shape, and the parsed HTML metadata
+# (head title, outgoing links in document order with their DOM paths).
+# ---------------------------------------------------------------------------
+
+#: document-order link scan: the four link-bearing attributes WAT reports,
+#: each tagged with its Common-Crawl DOM path convention
+_WAT_LINK_RE = re.compile(
+    rb"""<(?:
+        (?P<a>a)\s[^>]*?href\s*=\s*["'](?P<a_url>[^"']+)["'] |
+        (?P<img>img)\s[^>]*?src\s*=\s*["'](?P<img_url>[^"']+)["'] |
+        (?P<link>link)\s[^>]*?href\s*=\s*["'](?P<link_url>[^"']+)["'] |
+        (?P<script>script)\s[^>]*?src\s*=\s*["'](?P<script_url>[^"']+)["']
+    )""",
+    re.IGNORECASE | re.VERBOSE,
+)
+_WAT_TITLE_RE = re.compile(
+    rb"<title[^>]*>(.*?)</title>", re.IGNORECASE | re.DOTALL
+)
+_WAT_PATHS = {"a": "A@/href", "img": "IMG@/src",
+              "link": "LINK@/href", "script": "SCRIPT@/src"}
+
+
+def wat_html_metadata(html: bytes | str) -> tuple[str | None, list]:
+    """(title, [(dom_path, url), ...]) in document order — the
+    HTML-Metadata section of a WAT envelope."""
+    data = html.encode("utf-8", "replace") if isinstance(html, str) else html
+    m = _WAT_TITLE_RE.search(data)
+    title = None
+    if m:
+        title = m.group(1).decode("utf-8", "replace").strip() or None
+    links = []
+    for lm in _WAT_LINK_RE.finditer(data):
+        for tag, grp in (("a", "a_url"), ("img", "img_url"),
+                         ("link", "link_url"), ("script", "script_url")):
+            if lm.group(tag):
+                links.append((_WAT_PATHS[tag],
+                              lm.group(grp).decode("utf-8", "replace")))
+                break
+    return title, links
+
+
+def build_wat_record(url: str, warc_ts, html: bytes | str) -> bytes:
+    """One WARC/1.0 ``metadata`` record holding the JSON envelope for a
+    captured page — the WAT sibling of :func:`build_wet_record`.  The
+    JSON is serialized compactly (no spaces) with insertion-order keys,
+    so identical inputs produce byte-identical records; the record id is
+    a deterministic UUIDv5 of (url, date, type) like WET's."""
+    import json
+    import uuid
+
+    url = (url or "").replace("\r", "%0D").replace("\n", "%0A")
+    if warc_ts is None or pd.isna(warc_ts):
+        date = "1970-01-01T00:00:00Z"
+    else:
+        date = warc_ts.strftime("%Y-%m-%dT%H:%M:%SZ")
+    title, links = wat_html_metadata(html or b"")
+    html_meta: dict = {}
+    if title is not None:
+        html_meta["Head"] = {"Title": title}
+    if links:
+        html_meta["Links"] = [{"path": p, "url": u} for p, u in links]
+    env = {
+        "Envelope": {
+            "Format": "WARC",
+            "WARC-Header-Metadata": {
+                "WARC-Type": "response",
+                "WARC-Target-URI": url,
+                "WARC-Date": date,
+            },
+            "Payload-Metadata": {
+                "Actual-Content-Type": "application/http; msgtype=response",
+                "HTTP-Response-Metadata": {
+                    "HTML-Metadata": html_meta,
+                },
+            },
+        },
+    }
+    body = json.dumps(env, separators=(",", ":")).encode("utf-8")
+    rid = uuid.uuid5(uuid.NAMESPACE_URL, f"{url}\n{date}\nmetadata")
+    headers = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: metadata\r\n"
+        f"WARC-Target-URI: {url}\r\n"
+        f"WARC-Date: {date}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+        f"Content-Type: application/json\r\n"
+        f"Content-Length: {len(body)}\r\n"
+        f"\r\n"
+    ).encode("utf-8")
+    return headers + body + b"\r\n\r\n"
+
+
+def write_wat(df: DataFrame, out_dir: str) -> DataFrame:
+    """Distributed WAT sink — one ``part-NNNNN.warc.wat.gz`` per
+    partition, each record its own gzip member (the same CDX-friendly
+    framing as :func:`write_wet`).  Input needs (url, warc_ts, html);
+    returns the manifest DataFrame (path, n_records, n_bytes)."""
+    import gzip as _gzip
+    import os
+
+    from pyspark import TaskContext
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wat.gz")
+        n = 0
+        total = 0
+        f = None  # opened lazily so empty partitions write nothing
+        try:
+            for pdf in batches:
+                for url, ts, html in zip(
+                    pdf["url"], pdf["warc_ts"], pdf["html"]
+                ):
+                    rec = build_wat_record(
+                        url, ts, bytes(html) if html is not None else b"")
+                    if f is None:
+                        os.makedirs(out_dir, exist_ok=True)
+                        f = open(path, "wb")
+                    buf = io.BytesIO()
+                    with _gzip.GzipFile(fileobj=buf, mode="wb",
+                                        mtime=0) as gz:
+                        gz.write(rec)
+                    f.write(buf.getvalue())
+                    n += 1
+                    total += len(rec)
+        finally:
+            if f is not None:
+                f.close()
+        if n:
+            yield pd.DataFrame(
+                {"path": [path], "n_records": [n], "n_bytes": [total]}
+            )
+
+    return df.select("url", "warc_ts", "html").mapInPandas(
+        fn, schema="path string, n_records long, n_bytes long"
+    )
+
+
+def parse_wat_records(raw: bytes, warc_file: str = "") -> Iterator[dict]:
+    """Yield one dict per ``metadata`` record: url, warc_ts, title,
+    links (list of (path, url)), warc_file — the WAT ingest side."""
+    import json
+
+    raw = _inflate_stream(raw)
+    for _s, _e, headers, payload in _iter_raw_records(raw, warc_file):
+        if headers.get("warc-type") != "metadata":
+            continue
+        title = None
+        links: list = []
+        try:
+            env = json.loads(payload.decode("utf-8", "replace"))
+            hm = (env.get("Envelope", {}).get("Payload-Metadata", {})
+                  .get("HTTP-Response-Metadata", {})
+                  .get("HTML-Metadata", {}))
+            title = hm.get("Head", {}).get("Title")
+            links = [(d.get("path", ""), d.get("url", ""))
+                     for d in hm.get("Links", [])]
+        except (ValueError, AttributeError):
+            pass  # malformed envelope: keep the record with empty metadata
+        yield {
+            "url": headers.get("warc-target-uri", ""),
+            "warc_ts": _parse_warc_date(headers.get("warc-date", "")),
+            "title": title,
+            "links": links,
+            "warc_file": warc_file,
+        }

@@ -445,3 +445,101 @@ def test_read_index_cdx_warc_zst(spark, tmp_path):
         "https://a.example/x", "https://b.example/y",
     ]
     assert bytes(pages[0].html) == BODY_A
+
+
+# ---------------------------------------------------------------------------
+# WAT (metadata sidecar) — build/parse/sink
+# ---------------------------------------------------------------------------
+
+
+def test_wat_html_metadata_document_order():
+    from hoover_snoop2_spark.sources.warc import wat_html_metadata
+
+    html = (b'<html><head><title> My Page </title>'
+            b'<link href="https://c.example/s.css" rel="stylesheet">'
+            b'</head><body>'
+            b'<img src="https://img.example/top.png">'
+            b'<a href="https://a.example/1">one</a>'
+            b'<script src="https://cdn.example/s.js"></script>'
+            b'<a href="https://a.example/2">two</a></body></html>')
+    title, links = wat_html_metadata(html)
+    assert title == "My Page"
+    assert links == [
+        ("LINK@/href", "https://c.example/s.css"),
+        ("IMG@/src", "https://img.example/top.png"),
+        ("A@/href", "https://a.example/1"),
+        ("SCRIPT@/src", "https://cdn.example/s.js"),
+        ("A@/href", "https://a.example/2"),
+    ]
+    # no title, no links
+    assert wat_html_metadata(b"<html><body>plain</body></html>") == (
+        None, [])
+
+
+def test_wat_record_deterministic_and_parseable():
+    import json
+
+    from hoover_snoop2_spark.sources.warc import (
+        build_wat_record,
+        parse_warc_records,
+        parse_wat_records,
+    )
+
+    html = (b'<html><head><title>T</title></head>'
+            b'<body><a href="https://a.example/x">x</a></body></html>')
+    a = build_wat_record("https://x.example/p", datetime(2026, 3, 1), html)
+    b = build_wat_record("https://x.example/p", datetime(2026, 3, 1), html)
+    assert a == b  # UUIDv5 record id — no random state
+    # the id is a pinned function of (url, date, type)
+    assert b"WARC-Record-ID: <urn:uuid:" in a
+    recs = list(parse_wat_records(a))
+    assert len(recs) == 1
+    assert recs[0]["url"] == "https://x.example/p"
+    assert recs[0]["title"] == "T"
+    assert recs[0]["links"] == [("A@/href", "https://a.example/x")]
+    # metadata records are NOT response/conversion records
+    assert list(parse_warc_records(a)) == []
+    # the body is well-formed compact JSON with the CC envelope shape
+    body = bytes(a).split(b"\r\n\r\n", 1)[1].rstrip(b"\r\n")
+    env = json.loads(body)
+    assert env["Envelope"]["Format"] == "WARC"
+    hm = (env["Envelope"]["Payload-Metadata"]["HTTP-Response-Metadata"]
+          ["HTML-Metadata"])
+    assert hm["Head"]["Title"] == "T"
+    assert hm["Links"] == [{"path": "A@/href", "url": "https://a.example/x"}]
+
+
+def test_wat_roundtrip_spark(spark, tmp_path):
+    """Pages → WAT files (per-record gzip members) → parse back:
+    title/links byte-identical; manifest counts match."""
+    import glob
+
+    from hoover_snoop2_spark.sources.warc import parse_wat_records, write_wat
+
+    rows = [
+        ("https://a.example/1", datetime(2026, 1, 2, 3, 4, 5),
+         bytearray(b'<html><head><title>A</title></head><body>'
+                   b'<a href="https://b.example/2">x</a></body></html>')),
+        ("https://b.example/2", datetime(2026, 2, 3, 4, 5, 6),
+         bytearray(b"<html><body>no head</body></html>")),
+        ("https://c.example/3", None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary")
+    out = str(tmp_path / "wat")
+    manifest = write_wat(df.repartition(2), out).collect()
+    assert sum(m.n_records for m in manifest) == 3
+    got = {}
+    for path in glob.glob(out + "/*.warc.wat.gz"):
+        with open(path, "rb") as f:
+            for rec in parse_wat_records(f.read(), path):
+                got[rec["url"]] = rec
+    assert set(got) == {"https://a.example/1", "https://b.example/2",
+                        "https://c.example/3"}
+    assert got["https://a.example/1"]["title"] == "A"
+    assert got["https://a.example/1"]["links"] == [
+        ("A@/href", "https://b.example/2")]
+    assert got["https://b.example/2"]["title"] is None
+    assert got["https://b.example/2"]["links"] == []
+    # None html + None ts: empty metadata, epoch date
+    assert got["https://c.example/3"]["warc_ts"].year == 1970
