@@ -186,6 +186,18 @@ def sniff_bytes(data: bytes | None) -> tuple[str, str]:
     # two-range RIFF refinement: WEBP before the generic RIFF table entry
     if data[:4] == b"RIFF" and data[8:12] == b"WEBP":
         mime_type = "image/webp"
+    # ISO-BMFF brand dispatch (box size precedes the ftyp fourcc, so the
+    # signature table's fixed-offset prefixes can't express this)
+    elif len(data) >= 12 and data[4:8] == b"ftyp":
+        brand = data[8:12]
+        if brand in (b"avif", b"avis"):
+            mime_type = "image/avif"
+        elif brand in (b"heic", b"heix", b"mif1", b"msf1"):
+            mime_type = "image/heic"
+        elif brand == b"qt  ":
+            mime_type = "video/quicktime"
+        else:
+            mime_type = "video/mp4"
     for offset, sig, mt in _SIGNATURES:
         if mime_type:
             break

@@ -65,7 +65,50 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
             _, w, h = dims
             return "webp", w, h
         return "webp", 0, 0
+    if len(data) >= 12 and data[4:8] == b"ftyp" and data[8:12] in (
+        b"avif", b"avis", b"heic", b"heix", b"mif1", b"msf1",
+    ):
+        kind = "avif" if data[8:12] in (b"avif", b"avis") else "heic"
+        w, h = _ispe_dims(data)
+        return kind, w, h
     return None
+
+
+def _ispe_dims(data: bytes) -> tuple[int, int]:
+    """AVIF/HEIC pixel dimensions: ISO-BMFF walk meta (a FULL box — 4
+    version/flags bytes after the header) → iprp → ipco → ispe, whose
+    payload is version/flags + width + height (ISO/IEC 23008-12 §6.5.3).
+    Returns (0, 0) when absent/truncated — header-only, never raises."""
+
+    def walk(pos: int, end: int, want: bytes) -> tuple[int, int] | None:
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", data[pos:pos + 4])
+            btype = data[pos + 4:pos + 8]
+            if size < 8:
+                return None
+            if btype == want:
+                return pos + 8, min(end, pos + size)
+            pos += size
+        return None
+
+    span = walk(0, len(data), b"meta")
+    if span is None:
+        return 0, 0
+    pos, end = span
+    pos += 4  # meta is a full box: version/flags
+    for container in (b"iprp", b"ipco"):
+        span = walk(pos, end, container)
+        if span is None:
+            return 0, 0
+        pos, end = span
+    span = walk(pos, end, b"ispe")
+    if span is None:
+        return 0, 0
+    pos, end = span
+    if pos + 12 > len(data):
+        return 0, 0
+    w, h = struct.unpack(">II", data[pos + 4:pos + 12])
+    return w, h
 
 
 def parse_audio_header(data: bytes) -> tuple[str, int, int] | None:

@@ -113,3 +113,39 @@ def test_parse_video_header_truncated_v1_mvhd():
     ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
     out = parse_video_header(ftyp + moov)
     assert out is not None and out[0] == "mp4" and out[1] == 0
+
+
+def _avif_bytes(brand=b"avif", w=640, h=480):
+    import struct as _s
+
+    ftyp = _s.pack(">I", 16) + b"ftyp" + brand + b"\x00\x00\x00\x00"
+    ispe = _s.pack(">I", 20) + b"ispe" + b"\x00\x00\x00\x00" \
+        + _s.pack(">II", w, h)
+    ipco = _s.pack(">I", 8 + len(ispe)) + b"ipco" + ispe
+    iprp = _s.pack(">I", 8 + len(ipco)) + b"iprp" + ipco
+    meta = _s.pack(">I", 12 + len(iprp)) + b"meta" + b"\x00\x00\x00\x00" \
+        + iprp
+    return ftyp + meta
+
+
+def test_avif_heic_dims():
+    from hoover_snoop2_spark.operators.multimodal import parse_image_header
+
+    assert parse_image_header(_avif_bytes()) == ("avif", 640, 480)
+    assert parse_image_header(_avif_bytes(b"heic", 31, 17)) == (
+        "heic", 31, 17)
+    assert parse_image_header(_avif_bytes(b"mif1", 8, 9)) == ("heic", 8, 9)
+    # truncated after ftyp: typed (0, 0), never an exception
+    assert parse_image_header(_avif_bytes()[:16]) == ("avif", 0, 0)
+
+
+def test_bmff_brand_sniffing():
+    from hoover_snoop2_spark.functions.magic import sniff_bytes
+
+    assert sniff_bytes(_avif_bytes())[0] == "image/avif"
+    assert sniff_bytes(_avif_bytes(b"heix"))[0] == "image/heic"
+    import struct as _s
+    mp4 = _s.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    assert sniff_bytes(mp4)[0] == "video/mp4"
+    qt = _s.pack(">I", 16) + b"ftyp" + b"qt  " + b"\x00\x00\x00\x00"
+    assert sniff_bytes(qt)[0] == "video/quicktime"
