@@ -198,6 +198,16 @@ def sniff_bytes(data: bytes | None) -> tuple[str, str]:
             mime_type = "video/quicktime"
         else:
             mime_type = "video/mp4"
+    # bare MPEG-audio sync (no ID3 tag): demand a fully valid Layer III
+    # header so random 0xFF-leading binaries don't sniff as audio
+    elif (
+        len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+        and (data[1] >> 3) & 0x3 != 0b01        # version not reserved
+        and (data[1] >> 1) & 0x3 == 0b01        # layer III
+        and (data[2] >> 4) not in (0, 15)       # bitrate index valid
+        and (data[2] >> 2) & 0x3 != 3           # sample-rate index valid
+    ):
+        mime_type = "audio/mpeg"
     for offset, sig, mt in _SIGNATURES:
         if mime_type:
             break

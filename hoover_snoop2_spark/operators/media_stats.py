@@ -630,10 +630,128 @@ def aiff_decode(data: bytes) -> tuple[int, int, np.ndarray]:
 
 
 def decode_audio(data: bytes) -> tuple[int, int, np.ndarray]:
-    """Magic dispatch: RIFF/WAVE or FORM/AIFF → (rate, channels,
-    frames); anything else raises WavError('not_audio')."""
+    """Magic dispatch: RIFF/WAVE, FORM/AIFF, or fLaC → (rate, channels,
+    frames); anything else raises WavError('not_audio').  FLAC decode is
+    sample-exact (lossless), so its stats land on the same contract as
+    the PCM paths; FLAC errors re-surface as typed WavError reasons."""
     if data[:4] == b"RIFF":
         return wav_decode(data)
     if data[:4] == b"FORM":
         return aiff_decode(data)
+    if data[:4] == b"fLaC":
+        from ..functions.flac_codec import FlacError, flac_decode
+
+        try:
+            return flac_decode(data)
+        except FlacError as e:
+            raise WavError(str(e)) from e
     raise WavError("not_audio")
+
+
+# ------------------------------------------------------------ mp3 headers
+# MPEG audio is lossy (no sample-exact decode here, like JPEG's lossy
+# sibling VP8); what the pipeline needs from it is deterministic HEADER
+# stats: rate / channels / duration / bitrate from the frame-header walk.
+# Layer III only (the overwhelmingly common web case); Layers I/II refuse
+# with a typed reason.
+
+#: MPEG-1 Layer III bitrate table (kbps), index 1-14; 0=free, 15=bad
+_MP3_BITRATES_V1 = [0, 32, 40, 48, 56, 64, 80, 96, 112,
+                    128, 160, 192, 224, 256, 320]
+#: MPEG-2/2.5 Layer III bitrate table
+_MP3_BITRATES_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64,
+                    80, 96, 112, 128, 144, 160]
+#: sample rates by version bits (00=MPEG2.5, 10=MPEG2, 11=MPEG1)
+_MP3_RATES = {
+    0b00: [11025, 12000, 8000],
+    0b10: [22050, 24000, 16000],
+    0b11: [44100, 48000, 32000],
+}
+
+
+class Mp3Error(ValueError):
+    """Malformed/unsupported MPEG audio; maps to broken_reason."""
+
+
+def _skip_id3v2(data: bytes) -> int:
+    if data[:3] != b"ID3" or len(data) < 10:
+        return 0
+    size = ((data[6] & 0x7F) << 21) | ((data[7] & 0x7F) << 14) \
+        | ((data[8] & 0x7F) << 7) | (data[9] & 0x7F)
+    return 10 + size
+
+
+def mp3_stats(data: bytes) -> tuple[int, int, int, int, int]:
+    """Frame-header walk → (sample_rate, n_channels, duration_ms,
+    avg_bitrate_kbps, n_frames).  Tolerates an ID3v2 prefix and trailing
+    junk (ID3v1 tag); a stream whose first sync is not Layer III raises
+    typed."""
+    pos = _skip_id3v2(data)
+    n_frames = 0
+    total_samples = 0
+    total_kbps = 0
+    rate = 0
+    channels = 0
+    while pos + 4 <= len(data):
+        b0, b1, b2, b3 = data[pos:pos + 4]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            if n_frames:
+                break  # trailing junk / ID3v1 after the last frame
+            raise Mp3Error("mp3_bad_sync")
+        version = (b1 >> 3) & 0x3
+        layer = (b1 >> 1) & 0x3
+        if version == 0b01:
+            raise Mp3Error("mp3_bad_version")
+        if layer != 0b01:  # 01 = Layer III
+            raise Mp3Error("mp3_layer_unsupported")
+        bri = (b2 >> 4) & 0xF
+        sri = (b2 >> 2) & 0x3
+        padding = (b2 >> 1) & 0x1
+        mode = (b3 >> 6) & 0x3
+        if bri in (0, 15) or sri == 3:
+            raise Mp3Error("mp3_bad_header")
+        table = _MP3_BITRATES_V1 if version == 0b11 else _MP3_BITRATES_V2
+        kbps = table[bri]
+        srate = _MP3_RATES[version][sri]
+        spf = 1152 if version == 0b11 else 576
+        frame_len = (spf // 8) * kbps * 1000 // srate + padding
+        if frame_len <= 4:
+            raise Mp3Error("mp3_bad_header")
+        if rate == 0:
+            rate = srate
+            channels = 1 if mode == 0b11 else 2
+        n_frames += 1
+        total_samples += spf
+        total_kbps += kbps
+        pos += frame_len
+    if n_frames == 0:
+        raise Mp3Error("mp3_no_frames")
+    duration_ms = int(total_samples * 1000 / rate)
+    return rate, channels, duration_ms, total_kbps // n_frames, n_frames
+
+
+def mp3_encode_fixture(n_frames: int, *, version: int = 0b11,
+                       bitrate_index: int = 9, rate_index: int = 0,
+                       mono: bool = False, id3_pad: int = 0) -> bytes:
+    """Spec-valid Layer III frame headers with zeroed payloads (the walk
+    never decodes audio) — fixture generator for tests and oracles."""
+    out = bytearray()
+    if id3_pad:
+        out += b"ID3\x04\x00\x00" + bytes(
+            [(id3_pad >> 21) & 0x7F, (id3_pad >> 14) & 0x7F,
+             (id3_pad >> 7) & 0x7F, id3_pad & 0x7F]) + b"\x00" * id3_pad
+    table = _MP3_BITRATES_V1 if version == 0b11 else _MP3_BITRATES_V2
+    kbps = table[bitrate_index]
+    srate = _MP3_RATES[version][rate_index]
+    spf = 1152 if version == 0b11 else 576
+    for i in range(n_frames):
+        padding = i % 2  # exercise the padding byte
+        frame_len = (spf // 8) * kbps * 1000 // srate + padding
+        hdr = bytes([
+            0xFF,
+            0xE0 | (version << 3) | (0b01 << 1) | 1,  # layer III, no CRC
+            (bitrate_index << 4) | (rate_index << 2) | (padding << 1),
+            (0b11 if mono else 0b00) << 6,
+        ])
+        out += hdr + b"\x00" * (frame_len - 4)
+    return bytes(out)

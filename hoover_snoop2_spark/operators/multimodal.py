@@ -121,6 +121,24 @@ def parse_audio_header(data: bytes) -> tuple[str, int, int] | None:
             sample_rate = struct.unpack("<I", data[24:28])[0]
             return "wav", sample_rate, n_channels
         return "wav", 0, 0
+    if data[:4] == b"fLaC":
+        from ..functions.flac_codec import FlacError, flac_duration_ms
+
+        try:
+            rate, channels, _ = flac_duration_ms(data)
+            return "flac", rate, channels
+        except FlacError:
+            return "flac", 0, 0
+    if data[:3] == b"ID3" or (
+        len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
+    ):
+        from .media_stats import Mp3Error, mp3_stats
+
+        try:
+            rate, channels, _, _, _ = mp3_stats(bytes(data))
+            return "mp3", rate, channels
+        except Mp3Error:
+            return "mp3", 0, 0
     return None
 
 

@@ -16756,6 +16756,183 @@ FROM env ORDER BY doc_id
 """
 
 
+def q249_flac_roundtrip(spark, sf_dir):
+    """FLAC codec certification under the driver's value-exact gate (the
+    q247 sibling for :mod:`functions.flac_codec`).  FLAC is lossless, so
+    decoded samples must equal the generator exactly: each doc
+    synthesizes a deterministic ramp signal (constant base + i%25 saw),
+    encodes it through a doc-varying path — CONSTANT / VERBATIM / FIXED
+    orders 0-4 / LPC subframes, Rice partition order doc%3, and for
+    stereo docs (doc%3==0, second channel = negated first) one of the
+    four channel assignments — decodes with the real decoder (CRC-8 and
+    CRC-16 verified per frame), and emits exact integer per-channel sums
+    the SQL recomputes closed-form.  Any regression in Rice coding, a
+    predictor, stereo decorrelation, or the bit reader shifts a sum and
+    hash-fails.  Scale: one Arrow pass, no shuffle before the sort."""
+    import numpy as np
+    import pandas as pd
+
+    def kernel(batches):
+        from .functions.flac_codec import flac_decode, flac_encode
+
+        modes = ["constant", "verbatim", "fixed0", "fixed1", "fixed2",
+                 "fixed3", "fixed4", "lpc"]
+        stereos = ["independent", "left_side", "right_side", "mid_side"]
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 256 + (d % 4) * 128
+                c = (d * 13) % 400 - 200
+                mode = modes[d % 8]
+                if mode == "constant":
+                    x = np.full(n, c, np.int64)
+                else:
+                    x = c + (np.arange(n, dtype=np.int64) % 25)
+                rate = 8000 + (d % 5) * 8000
+                if d % 3 == 0:
+                    sig = np.stack([x, -x], axis=1)
+                    data = flac_encode(
+                        sig, rate, mode=mode, block_size=128,
+                        stereo=stereos[d % 4], porder=d % 3)
+                else:
+                    data = flac_encode(
+                        x, rate, mode=mode, block_size=128, porder=d % 3)
+                grate, gch, out = flac_decode(data)
+                s = out.astype(np.int64).sum(axis=0)
+                rows.append((
+                    d, grate, gch, int(out.shape[0]),
+                    int(s[0]), int(s[1]) if gch == 2 else 0,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_channels",
+                         "n_samples", "sum_c0", "sum_c1"],
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, sample_rate int, n_channels int, "
+                   "n_samples long, sum_c0 long, sum_c1 long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q249_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         256 + (doc_id % 4) * 128 AS n,
+         (doc_id * 13) % 400 - 200 AS c,
+         8000 + (doc_id % 5) * 8000 AS rate
+  FROM documents
+), s AS (
+  SELECT doc_id, n, rate,
+         CASE WHEN doc_id % 8 = 0 THEN n * c
+              ELSE n * c + (n // 25) * 300
+                   + ((n % 25) * ((n % 25) - 1)) // 2 END AS sum0
+  FROM p
+)
+SELECT doc_id, rate::INT AS sample_rate,
+       (CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END)::INT AS n_channels,
+       n::BIGINT AS n_samples,
+       sum0::BIGINT AS sum_c0,
+       (CASE WHEN doc_id % 3 = 0 THEN -sum0 ELSE 0 END)::BIGINT AS sum_c1
+FROM s ORDER BY doc_id
+"""
+
+
+def q250_mp3_stats(spark, sf_dir):
+    """MPEG-audio header-walk certification: each doc synthesizes a
+    Layer III stream (frame count, version/bitrate/rate indices, mono
+    flag, optional ID3v2 prefix all doc_id arithmetic; alternate frames
+    carry the padding byte), runs the real ``media_stats.mp3_stats``
+    frame walk — sync checks, version/layer gates, bitrate/rate tables,
+    padding-aware frame sizing — and emits the stats the SQL recomputes
+    closed-form.  A wrong table entry or frame-length formula desyncs
+    the walk and hash-fails.  Scale: one Arrow pass, header bytes only
+    (audio payloads are never decoded — MP3 is lossy; parity with the
+    reference's metadata-only treatment of audio)."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .operators.media_stats import mp3_encode_fixture, mp3_stats
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                nf = 5 + d % 40
+                version = 0b11 if d % 2 == 0 else 0b10
+                bri = 1 + d % 14
+                sri = d % 3
+                data = mp3_encode_fixture(
+                    nf, version=version, bitrate_index=bri,
+                    rate_index=sri, mono=(d % 5 == 0),
+                    id3_pad=(d % 7) * 16)
+                rate, ch, dur, kbps, frames = mp3_stats(data)
+                rows.append((d, rate, ch, dur, kbps, frames))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "sample_rate", "n_channels",
+                         "duration_ms", "avg_kbps", "n_frames"],
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, sample_rate int, n_channels int, "
+                   "duration_ms long, avg_kbps long, n_frames long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q250_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         5 + doc_id % 40 AS nf,
+         doc_id % 2 = 0 AS v1,
+         1 + doc_id % 14 AS bri,
+         doc_id % 3 AS sri
+  FROM documents
+), t AS (
+  SELECT doc_id, nf, v1, sri,
+         CASE WHEN v1 THEN
+           CASE bri WHEN 1 THEN 32 WHEN 2 THEN 40 WHEN 3 THEN 48
+                    WHEN 4 THEN 56 WHEN 5 THEN 64 WHEN 6 THEN 80
+                    WHEN 7 THEN 96 WHEN 8 THEN 112 WHEN 9 THEN 128
+                    WHEN 10 THEN 160 WHEN 11 THEN 192 WHEN 12 THEN 224
+                    WHEN 13 THEN 256 WHEN 14 THEN 320 END
+         ELSE
+           CASE bri WHEN 1 THEN 8 WHEN 2 THEN 16 WHEN 3 THEN 24
+                    WHEN 4 THEN 32 WHEN 5 THEN 40 WHEN 6 THEN 48
+                    WHEN 7 THEN 56 WHEN 8 THEN 64 WHEN 9 THEN 80
+                    WHEN 10 THEN 96 WHEN 11 THEN 112 WHEN 12 THEN 128
+                    WHEN 13 THEN 144 WHEN 14 THEN 160 END
+         END AS kbps,
+         CASE WHEN v1 THEN
+           CASE sri WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END
+         ELSE
+           CASE sri WHEN 0 THEN 22050 WHEN 1 THEN 24000 ELSE 16000 END
+         END AS rate,
+         CASE WHEN v1 THEN 1152 ELSE 576 END AS spf
+  FROM p
+)
+SELECT doc_id, rate::INT AS sample_rate,
+       (CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 2 END)::INT AS n_channels,
+       CAST(floor(nf * spf * 1000.0 / rate) AS BIGINT) AS duration_ms,
+       kbps::BIGINT AS avg_kbps,
+       nf::BIGINT AS n_frames
+FROM t ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -16997,6 +17174,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q246_filesystem_walk": q246_filesystem_walk,
     "q247_webp_roundtrip": q247_webp_roundtrip,
     "q248_wat_export": q248_wat_export,
+    "q249_flac_roundtrip": q249_flac_roundtrip,
+    "q250_mp3_stats": q250_mp3_stats,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -17235,6 +17414,8 @@ ORACLES: dict[str, str] = {
     "q246_filesystem_walk": Q246_SQL,
     "q247_webp_roundtrip": Q247_SQL,
     "q248_wat_export": Q248_SQL,
+    "q249_flac_roundtrip": Q249_SQL,
+    "q250_mp3_stats": Q250_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
