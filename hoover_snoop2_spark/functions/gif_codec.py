@@ -296,3 +296,46 @@ def gif_encode(rgb: np.ndarray, interlace: bool = False,
     out.append(bytes([min_code_size]) + blocks + b"\x00")
     out.append(b"\x3b")
     return b"".join(out)
+
+
+def gif_frame_count(data: bytes) -> int:
+    """Count image descriptors by walking the block stream (header,
+    optional global color table, extensions, image blocks) — animation
+    frame count for media stats without decoding pixels.  Returns what
+    was countable before any truncation; minimum 1 for a valid header."""
+    if data[:6] not in (b"GIF87a", b"GIF89a") or len(data) < 13:
+        return 0
+    flags = data[10]
+    pos = 13
+    if flags & 0x80:  # global color table
+        pos += 3 * (2 << (flags & 0x07))
+    frames = 0
+
+    def skip_subblocks(p: int) -> int:
+        while p < len(data):
+            size = data[p]
+            p += 1
+            if size == 0:
+                return p
+            p += size
+        return p
+
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension: label + sub-blocks
+            pos = skip_subblocks(pos + 2)
+        elif block == 0x2C:  # image descriptor
+            if pos + 10 > len(data):
+                break
+            frames += 1
+            iflags = data[pos + 9]
+            pos += 10
+            if iflags & 0x80:  # local color table
+                pos += 3 * (2 << (iflags & 0x07))
+            pos += 1  # LZW min code size
+            pos = skip_subblocks(pos)
+        else:
+            break  # unknown block: stop counting, keep what we have
+    return max(frames, 1)

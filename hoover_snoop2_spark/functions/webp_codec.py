@@ -1096,3 +1096,13 @@ def _riff_wrap(vp8l_payload: bytes) -> bytes:
     if len(vp8l_payload) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def webp_frame_count(data: bytes) -> int:
+    """Animation frame count: ANMF chunks in the RIFF walk; a still
+    image (VP8/VP8L/VP8X without ANMF) counts 1."""
+    try:
+        frames = sum(1 for fc, _ in _walk_riff(data) if fc == b"ANMF")
+    except WebpError:
+        return 0
+    return frames or 1

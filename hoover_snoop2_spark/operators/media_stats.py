@@ -755,3 +755,53 @@ def mp3_encode_fixture(n_frames: int, *, version: int = 0b11,
         ])
         out += hdr + b"\x00" * (frame_len - 4)
     return bytes(out)
+
+
+# ------------------------------------------------------------ ogg headers
+# Ogg's duration lives in the granule position of the final page (sample
+# index at stream rate for Vorbis; 48 kHz units minus pre-skip for Opus)
+# — header-only like the MP3 walk; payload decode stays out of scope
+# (lossy codecs, reference parity).
+
+
+def ogg_duration_ms(data: bytes) -> tuple[str, int, int, int]:
+    """Page-walk → (codec, sample_rate, n_channels, duration_ms).
+    Raises Mp3Error-style typed reasons via :class:`WavError`."""
+    if data[:4] != b"OggS":
+        raise WavError("not_ogg")
+    head = data[:2048]
+    codec, rate, channels, preskip = "", 0, 0, 0
+    i = head.find(b"OpusHead")
+    if i >= 0 and i + 16 <= len(head):
+        codec = "opus"
+        channels = head[i + 9]
+        preskip = struct.unpack("<H", head[i + 10:i + 12])[0]
+        rate = struct.unpack("<I", head[i + 12:i + 16])[0]
+    else:
+        i = head.find(b"\x01vorbis")
+        if i >= 0 and i + 16 <= len(head):
+            codec = "vorbis"
+            channels = head[i + 11]
+            rate = struct.unpack("<I", head[i + 12:i + 16])[0]
+    if not codec:
+        raise WavError("ogg_codec_unknown")
+    pos = 0
+    last_granule = 0
+    while pos + 27 <= len(data):
+        if data[pos:pos + 4] != b"OggS":
+            raise WavError("ogg_bad_page")
+        granule = struct.unpack("<q", data[pos + 6:pos + 14])[0]
+        nsegs = data[pos + 26]
+        seg_table = data[pos + 27:pos + 27 + nsegs]
+        if len(seg_table) < nsegs:
+            raise WavError("ogg_truncated")
+        if granule >= 0:
+            last_granule = granule
+        pos += 27 + nsegs + sum(seg_table)
+    if codec == "opus":
+        # granule is always 48 kHz units; duration excludes pre-skip
+        samples = max(0, last_granule - preskip)
+        dur = int(samples * 1000 / 48000)
+    else:
+        dur = int(last_granule * 1000 / rate) if rate else 0
+    return codec, rate, channels, dur

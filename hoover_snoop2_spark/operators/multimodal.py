@@ -139,6 +139,20 @@ def parse_audio_header(data: bytes) -> tuple[str, int, int] | None:
             return "mp3", rate, channels
         except Mp3Error:
             return "mp3", 0, 0
+    if data[:4] == b"OggS":
+        # codec ID header lives in the first page's first packet
+        head = data[:2048]
+        i = head.find(b"OpusHead")
+        if i >= 0 and i + 16 <= len(head):
+            channels = head[i + 9]
+            rate = struct.unpack("<I", head[i + 12:i + 16])[0]
+            return "ogg-opus", rate, channels
+        i = head.find(b"\x01vorbis")
+        if i >= 0 and i + 16 <= len(head):
+            channels = head[i + 11]
+            rate = struct.unpack("<I", head[i + 12:i + 16])[0]
+            return "ogg-vorbis", rate, channels
+        return "ogg", 0, 0
     return None
 
 
@@ -223,8 +237,18 @@ def media_map_in_pandas(decode_stub: bool = True):
                     if img is None and aud is None else None
                 )
                 if img is not None:
+                    if img[0] == "gif":
+                        from ..functions.gif_codec import gif_frame_count
+
+                        nf = gif_frame_count(data)
+                    elif img[0] == "webp":
+                        from ..functions.webp_codec import webp_frame_count
+
+                        nf = webp_frame_count(data)
+                    else:
+                        nf = 1
                     row.update(media_type=img[0], width=img[1],
-                               height=img[2], n_frames=1)
+                               height=img[2], n_frames=nf)
                 elif aud is not None:
                     row.update(media_type=aud[0], sample_rate=aud[1],
                                n_channels=aud[2])

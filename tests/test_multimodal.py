@@ -149,3 +149,65 @@ def test_bmff_brand_sniffing():
     assert sniff_bytes(mp4)[0] == "video/mp4"
     qt = _s.pack(">I", 16) + b"ftyp" + b"qt  " + b"\x00\x00\x00\x00"
     assert sniff_bytes(qt)[0] == "video/quicktime"
+
+
+def _ogg_page(granule, payload, seq, flags=0):
+    import struct as _s
+
+    segs = []
+    n = len(payload)
+    while n >= 255:
+        segs.append(255)
+        n -= 255
+    segs.append(n)
+    hdr = b"OggS" + bytes([0, flags]) + _s.pack("<q", granule) \
+        + _s.pack("<I", 1) + _s.pack("<I", seq) + b"\x00\x00\x00\x00" \
+        + bytes([len(segs)]) + bytes(segs)
+    return hdr + payload
+
+
+def test_ogg_headers_and_duration():
+    import struct as _s
+
+    from hoover_snoop2_spark.operators.multimodal import parse_audio_header
+    from hoover_snoop2_spark.operators.media_stats import ogg_duration_ms
+
+    vorbis_id = b"\x01vorbis" + _s.pack("<I", 0) + bytes([2]) \
+        + _s.pack("<I", 44100) + b"\x00" * 9
+    data = _ogg_page(-1, vorbis_id, 0, flags=2) \
+        + _ogg_page(44100 * 3, b"x" * 10, 1, flags=4)
+    assert parse_audio_header(data) == ("ogg-vorbis", 44100, 2)
+    assert ogg_duration_ms(data) == ("vorbis", 44100, 2, 3000)
+
+    opus_id = b"OpusHead" + bytes([1, 2]) + _s.pack("<H", 312) \
+        + _s.pack("<I", 48000) + b"\x00" * 3
+    data = _ogg_page(-1, opus_id, 0, flags=2) \
+        + _ogg_page(48000 * 2 + 312, b"y" * 5, 1, flags=4)
+    assert parse_audio_header(data) == ("ogg-opus", 48000, 2)
+    # opus duration excludes the pre-skip samples
+    assert ogg_duration_ms(data) == ("opus", 48000, 2, 2000)
+
+
+def test_gif_and_webp_frame_counts():
+    import numpy as np
+
+    from hoover_snoop2_spark.functions.gif_codec import (
+        gif_encode,
+        gif_frame_count,
+    )
+    from hoover_snoop2_spark.functions.webp_codec import (
+        webp_encode_lossless,
+        webp_frame_count,
+    )
+
+    img = np.zeros((4, 5, 3), np.uint8)
+    single = gif_encode(img)
+    assert gif_frame_count(single) == 1
+    # splice a second image block before the trailer -> 2 frames
+    # (fixture has a 2-entry global color table: descriptor starts at 19)
+    body, trailer = single[:-1], single[-1:]
+    second = single[19:-1]
+    assert gif_frame_count(body + second + trailer) == 2
+
+    still = webp_encode_lossless(img)
+    assert webp_frame_count(still) == 1
