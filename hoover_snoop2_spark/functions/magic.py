@@ -72,6 +72,30 @@ _HTML_PAT = re.compile(
     rb"^\s*(?:<!doctype\s+html|<html|<head|<body|<!--|<\?xml)", re.IGNORECASE
 )
 
+_SVG_SKIP = re.compile(
+    rb"\s+|<\?.*?\?>|<!--.*?-->|<!DOCTYPE[^>]*>", re.DOTALL | re.IGNORECASE
+)
+
+
+def svg_root_tag(data: bytes) -> bytes | None:
+    """The root ``<svg ...>`` tag bytes when the document's ROOT element
+    is svg (after BOM / XML declaration / comments / doctype) — inline
+    <svg> islands inside HTML do NOT match.  None otherwise."""
+    head = data[:4096]
+    if head[:3] == b"\xef\xbb\xbf":
+        head = head[3:]
+    pos = 0
+    while True:
+        m = _SVG_SKIP.match(head, pos)
+        if not m or m.end() == pos:
+            break
+        pos = m.end()
+    m = re.match(rb"<svg[\s>]", head[pos:], re.IGNORECASE)
+    if not m:
+        return None
+    end = head.find(b">", pos)
+    return head[pos:end + 1] if end >= 0 else head[pos:]
+
 # --- email override heuristics (magic.py:114-191 semantics, over bytes) ----
 
 _HEADER_SET = {
@@ -218,7 +242,12 @@ def sniff_bytes(data: bytes | None) -> tuple[str, str]:
     encoding = detect_mime_encoding(data)
 
     if not mime_type:
-        if _HTML_PAT.match(data[:1024]):
+        # SVG roots outrank the generic html/xml heuristic (an XML decl
+        # followed by <svg> is an image, not a web page); inline <svg>
+        # inside HTML does not match the root check
+        if svg_root_tag(data) is not None:
+            mime_type = "image/svg+xml"
+        elif _HTML_PAT.match(data[:1024]):
             mime_type = "text/html"
         elif encoding != "binary":
             mime_type = "text/plain"

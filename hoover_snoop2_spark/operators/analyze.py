@@ -152,6 +152,14 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
         elif mime_type == "text/html":
             digest["text"] = html_to_text(data)
 
+        elif mime_type == "image/svg+xml":
+            # the reference Tika-extracts svg character data
+            # (_tika_mime_types.py:1219); root-element sniff keeps html
+            # pages with inline <svg> islands on the html path
+            from .html_extract import svg_to_text
+
+            digest["text"] = svg_to_text(data)
+
         elif mime_type == "text/calendar":
             # native iCalendar reader (the reference Tika-extracts
             # text/calendar, _tika_mime_types.py:1350)

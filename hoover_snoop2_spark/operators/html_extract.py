@@ -694,3 +694,23 @@ def html_to_markdown(html_col) -> F.Column:
     out = r(out, r"\n{3,}", "\n\n")
     # F.trim strips spaces only — edge newlines need the regexp form
     return r(out, r"(?s)^\s+|\s+$", "")
+
+
+def svg_to_text(data: bytes) -> str:
+    """SVG text extraction — character data of text-bearing elements
+    (<text>/<tspan>/<title>/<desc>), markup and style/script/defs
+    subtrees dropped.  The reference Tika-extracts ``image/svg+xml``
+    (_tika_mime_types.py:1219); Tika's handler emits the document's
+    character data, which for SVG is exactly these elements."""
+    import html as _html
+    import re as _re
+    import unicodedata as _u
+
+    text = decode_html(data)
+    text = _re.sub(r"<(style|script|defs|metadata)\b.*?</\1\s*>", " ",
+                   text, flags=_re.DOTALL | _re.IGNORECASE)
+    text = _re.sub(r"<!--.*?-->", " ", text, flags=_re.DOTALL)
+    text = _re.sub(r"<[^>]*>", " ", text)
+    text = _html.unescape(text)
+    text = _u.normalize("NFC", " ".join(text.split()))
+    return text

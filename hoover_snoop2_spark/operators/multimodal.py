@@ -21,6 +21,8 @@ from __future__ import annotations
 import struct
 from typing import Iterator
 
+import re
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -71,7 +73,32 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
         kind = "avif" if data[8:12] in (b"avif", b"avis") else "heic"
         w, h = _ispe_dims(data)
         return kind, w, h
+    from ..functions.magic import svg_root_tag
+
+    svg = svg_root_tag(data)
+    if svg is not None:
+        return ("svg",) + _svg_dims(svg)
     return None
+
+
+def _svg_dims(tag: bytes) -> tuple[int, int]:
+    """Integer pixel dims from width/height attributes (unitless or px),
+    falling back to the viewBox, else (0, 0)."""
+
+    def attr(name: bytes) -> int | None:
+        m = re.search(name + rb"""\s*=\s*["']\s*(\d+(?:\.\d+)?)\s*(?:px)?\s*["']""",
+                      tag, re.IGNORECASE)
+        return int(float(m.group(1))) if m else None
+
+    w, h = attr(rb"\bwidth"), attr(rb"\bheight")
+    if w is not None and h is not None:
+        return w, h
+    m = re.search(
+        rb"""viewBox\s*=\s*["']\s*[-\d.]+[\s,]+[-\d.]+[\s,]+(\d+(?:\.\d+)?)"""
+        rb"""[\s,]+(\d+(?:\.\d+)?)\s*["']""", tag, re.IGNORECASE)
+    if m:
+        return int(float(m.group(1))), int(float(m.group(2)))
+    return w or 0, h or 0
 
 
 def _ispe_dims(data: bytes) -> tuple[int, int]:
@@ -198,8 +225,72 @@ def parse_video_header(data: bytes) -> tuple[str, int, int] | None:
         return "mp4", 0, 0
     if data[:4] == b"\x1a\x45\xdf\xa3":
         kind = "webm" if b"webm" in data[:64] else "mkv"
-        return kind, 0, 0
+        return kind, _ebml_duration_ms(data), 0
     return None
+
+
+def _ebml_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """(value, next_pos) for one EBML variable-length integer; element
+    IDs keep the length-marker bit, sizes strip it."""
+    if pos >= len(data):
+        raise ValueError("ebml_truncated")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("ebml_bad_vint")
+    n = 8 - first.bit_length() + 1
+    if pos + n > len(data):
+        raise ValueError("ebml_truncated")
+    v = first if keep_marker else first & ((1 << (8 - n)) - 1)
+    for i in range(1, n):
+        v = (v << 8) | data[pos + i]
+    return v, pos + n
+
+
+def _ebml_duration_ms(data: bytes) -> int:
+    """Matroska/WebM duration: Segment → Info → TimecodeScale (ns per
+    tick, default 1_000_000) × Duration (float ticks).  Header-only,
+    returns 0 when absent or malformed — never raises."""
+    try:
+        pos = 0
+        # skip the EBML header element, find the Segment
+        while pos < len(data):
+            eid, p = _ebml_vint(data, pos, True)
+            size, p = _ebml_vint(data, p, False)
+            if eid == 0x18538067:  # Segment
+                seg_end = min(len(data), p + size)
+                return _ebml_info_duration(data, p, seg_end)
+            pos = p + size
+    except ValueError:
+        pass
+    return 0
+
+
+def _ebml_info_duration(data: bytes, pos: int, end: int) -> int:
+    scale = 1_000_000
+    duration_ticks = None
+    while pos < end:
+        eid, p = _ebml_vint(data, pos, True)
+        size, p = _ebml_vint(data, p, False)
+        if eid == 0x1549A966:  # Info: recurse into it
+            info_end = min(end, p + size)
+            q = p
+            while q < info_end:
+                ceid, cp = _ebml_vint(data, q, True)
+                csize, cp = _ebml_vint(data, cp, False)
+                body = data[cp:cp + csize]
+                if ceid == 0x2AD7B1 and csize <= 8:  # TimecodeScale uint
+                    scale = int.from_bytes(body, "big") or scale
+                elif ceid == 0x4489:  # Duration float32/64
+                    if csize == 4:
+                        duration_ticks = struct.unpack(">f", body)[0]
+                    elif csize == 8:
+                        duration_ticks = struct.unpack(">d", body)[0]
+                q = cp + csize
+            break
+        pos = p + size
+    if duration_ticks is None:
+        return 0
+    return int(duration_ticks * scale / 1_000_000_000 * 1000)
 
 
 def _stub_feature(data: bytes) -> list[float]:

@@ -211,3 +211,61 @@ def test_gif_and_webp_frame_counts():
 
     still = webp_encode_lossless(img)
     assert webp_frame_count(still) == 1
+
+
+def test_mkv_webm_duration():
+    import struct as _s
+
+    from hoover_snoop2_spark.operators.multimodal import parse_video_header
+
+    def ebml(eid_bytes, payload):
+        # 1-byte size marker (0x80 | len) is enough for small payloads
+        return eid_bytes + bytes([0x80 | len(payload)]) + payload
+
+    # Info: TimecodeScale = 1_000_000 ns, Duration = 2500.0 ticks (f32)
+    tcs = ebml(b"\x2a\xd7\xb1", (1_000_000).to_bytes(3, "big"))
+    dur = ebml(b"\x44\x89", _s.pack(">f", 2500.0))
+    info = ebml(b"\x15\x49\xa9\x66", tcs + dur)
+    seg = ebml(b"\x18\x53\x80\x67", info)
+    head = ebml(b"\x1a\x45\xdf\xa3", b"webm")
+    out = parse_video_header(head + seg)
+    assert out == ("webm", 2500, 0)
+    # f64 duration + non-default scale (2 ms ticks)
+    tcs = ebml(b"\x2a\xd7\xb1", (2_000_000).to_bytes(3, "big"))
+    dur = ebml(b"\x44\x89", _s.pack(">d", 1000.0))
+    info = ebml(b"\x15\x49\xa9\x66", tcs + dur)
+    seg = ebml(b"\x18\x53\x80\x67", info)
+    head = ebml(b"\x1a\x45\xdf\xa3", b"mkv!")
+    assert parse_video_header(head + seg) == ("mkv", 2000, 0)
+    # truncated segment: duration 0, never an exception
+    assert parse_video_header(head + seg[:6])[1] == 0
+
+
+def test_svg_dims_and_sniff():
+    from hoover_snoop2_spark.functions.magic import sniff_bytes
+    from hoover_snoop2_spark.operators.multimodal import parse_image_header
+
+    svg = (b'<?xml version="1.0"?>\n<!-- c -->\n<!DOCTYPE svg>\n'
+           b'<svg width="120px" height="80" xmlns="x"><rect/></svg>')
+    assert sniff_bytes(svg)[0] == "image/svg+xml"
+    assert parse_image_header(svg) == ("svg", 120, 80)
+    vb = b'<svg viewBox="0 0 300 150"></svg>'
+    assert sniff_bytes(vb)[0] == "image/svg+xml"
+    assert parse_image_header(vb) == ("svg", 300, 150)
+    # inline svg inside an html page stays html
+    page = b'<html><body><svg width="9" height="9"></svg></body></html>'
+    assert sniff_bytes(page)[0] == "text/html"
+    assert parse_image_header(page) is None
+
+
+def test_svg_text_extraction():
+    from hoover_snoop2_spark.operators.analyze import analyze_blob
+
+    svg = (b'<svg width="10" height="10"><style>.a{fill:red}</style>'
+           b'<title>Chart of &amp; things</title>'
+           b'<text x="1" y="2">Revenue <tspan>2024</tspan></text></svg>')
+    rows = analyze_blob("k", svg)
+    digest = rows[0]
+    assert digest["mime_type"] == "image/svg+xml"
+    assert digest["text"] == "Chart of & things Revenue 2024"
+    assert digest["status"] == "success"
