@@ -61,7 +61,7 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 17
+CORPUS_VERSION = 18
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
@@ -421,6 +421,31 @@ def render_pdf(doc_id: int, lang: str) -> tuple[bytes, str, list[tuple[str, str]
         f"trailer\n<< /Size {n} /Root 1 0 R >>\nstartxref\n{xref_pos}\n%%EOF\n".encode()
     )
     return out.getvalue(), "\n\n".join(page_goldens), children
+
+
+def render_tnef(doc_id: int, lang: str) -> tuple[bytes, str, list[tuple[str, str]]]:
+    """winmail.dat via the [MS-OXTNEF] fixture writer; same golden
+    contract as render_msg — body text is the digest text, attachments
+    become children (the reference Tika-parses application/vnd.ms-tnef,
+    _tika_mime_types.py:526)."""
+    from .operators.tnef_extract import build_tnef
+
+    rng = _rng(doc_id, 23)
+    body = " ".join(_sentence(rng, lang) for _ in range(rng.randint(2, 4)))
+    subject = f"Winmail {doc_id} " + " ".join(rng.sample(_WORDS, 2))
+    sender = f"relay{doc_id % 17}@corp{doc_id % 5}.example"
+    atts = []
+    kids: list[tuple[str, str]] = []
+    if doc_id % 2 == 0:
+        att_text = " ".join(_sentence(rng, lang) for _ in range(2))
+        atts.append((f"brief{doc_id % 7}.txt", att_text.encode("utf-8")))
+        kids.append((f"brief{doc_id % 7}.txt", _golden_from_paragraphs([att_text])))
+    body_mode = ("plain", "html", "rtf")[doc_id % 3]
+    data = build_tnef(subject=subject, body=body, sender=sender,
+                      attachments=atts, body_mode=body_mode,
+                      date=(2019, 1 + doc_id % 12, 1 + doc_id % 28,
+                            doc_id % 24, doc_id % 60, (doc_id * 7) % 60))
+    return data, _golden_from_paragraphs([body]), kids
 
 
 def render_msg(doc_id: int, lang: str) -> tuple[bytes, str, list[tuple[str, str]]]:
@@ -867,6 +892,45 @@ def render_zip(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
     return buf.getvalue(), children
 
 
+def render_uuencode(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
+    """uuencoded text payload(s); every third doc carries two blocks."""
+    from .operators.legacy_encodings import build_uuencode
+
+    rng = _rng(doc_id, 24)
+    files = []
+    children: list[tuple[str, str]] = []
+    for i in range(2 if doc_id % 3 == 0 else 1):
+        body = " ".join(_sentence(rng, lang) for _ in range(2))
+        files.append((f"note{i}.txt", body.encode("utf-8")))
+        children.append((f"note{i}.txt", _golden_from_paragraphs([body])))
+    return build_uuencode(files), children
+
+
+def render_binhex(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
+    """BinHex 4.0 wrapping a text data fork (resource fork empty so the
+    golden children stay text-only)."""
+    from .operators.legacy_encodings import build_binhex
+
+    rng = _rng(doc_id, 25)
+    body = " ".join(_sentence(rng, lang) for _ in range(rng.randint(2, 3)))
+    name = f"Classic Report {doc_id % 11}.txt"
+    blob = build_binhex(name, body.encode("utf-8"),
+                        ftype=b"TEXT", creator=b"ttxt")
+    return blob, [(name, _golden_from_paragraphs([body]))]
+
+
+def render_applefile(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
+    """AppleSingle wrapping a text data fork with file dates."""
+    from .operators.legacy_encodings import build_applefile
+
+    rng = _rng(doc_id, 26)
+    body = " ".join(_sentence(rng, lang) for _ in range(2))
+    name = f"Mac Notes {doc_id % 13}.txt"
+    blob = build_applefile(name, body.encode("utf-8"),
+                           dates=(doc_id * 100, doc_id * 100 + 86400))
+    return blob, [(name, _golden_from_paragraphs([body]))]
+
+
 def render_targz(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
     rng = _rng(doc_id, 9)
     members = []
@@ -1060,9 +1124,24 @@ def build_doc(doc_id: int) -> dict:
         extra.update(info)
         golden = ""
     elif cat == "zip":
-        html, kids = render_zip(doc_id, lang)
+        # container family cycles by doc_id: zip plus the three legacy
+        # transfer encodings the reference Tika-accepts (uuencode :1465,
+        # mac-binhex40 :86, applefile :7 in _tika_mime_types.py)
+        arc_kind = doc_id % 8
+        if arc_kind == 1:
+            html, kids = render_uuencode(doc_id, lang)
+            ext = "uu"
+        elif arc_kind == 2:
+            html, kids = render_binhex(doc_id, lang)
+            ext = "hqx"
+        elif arc_kind == 5:
+            html, kids = render_applefile(doc_id, lang)
+            ext = "as"
+        else:
+            html, kids = render_zip(doc_id, lang)
         children = kids
         golden = ""
+        url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
     elif cat == "targz":
         # Unix-container family cycles by doc_id: tar.gz plus the four
         # formats the reference 7z-extracts (archives.py:41-55) that
@@ -1129,7 +1208,14 @@ def build_doc(doc_id: int) -> dict:
             extra.update(info)
         golden = ""
     elif cat == "msg":
-        html, golden, kids = render_msg(doc_id, lang)
+        # Outlook family cycles by doc_id: native .msg plus the TNEF
+        # winmail.dat encapsulation every fourth doc
+        if doc_id % 4 == 3:
+            html, golden, kids = render_tnef(doc_id, lang)
+            ext = "dat"
+            url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
+        else:
+            html, golden, kids = render_msg(doc_id, lang)
         children = kids
     elif cat == "doc-legacy":
         from .operators.doc_extract import build_doc_file

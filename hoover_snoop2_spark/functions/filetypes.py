@@ -21,6 +21,10 @@ FILE_TYPES: dict[str, str] = {
     "message/x-emlx": "email",
     "message/rfc822": "email",
     "application/vnd.ms-outlook": "email",
+    "application/vnd.ms-tnef": "email",
+    "text/x-uuencode": "archive",
+    "application/mac-binhex40": "archive",
+    "application/applefile": "archive",
     "application/x-hoover-pst": "email-archive",
     "application/mbox": "email-archive",
     "application/msword": "doc",

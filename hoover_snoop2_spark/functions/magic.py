@@ -52,6 +52,9 @@ _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1", "application/x-ole-storage"),
     (0, b"!BDN", "application/x-hoover-pst"),  # PST magic
     (0, b"SQLite format 3\x00", "application/vnd.sqlite3"),
+    (0, b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),  # winmail.dat
+    (0, b"\x00\x05\x16\x00", "application/applefile"),  # AppleSingle
+    (0, b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
     # classic Unix containers — all 7z-accepted in the reference
     # (archives.py:41-55), unpacked natively by operators/unix_archives
     (0, b"070701", "application/x-cpio"),  # cpio newc
@@ -274,6 +277,21 @@ def sniff_bytes(data: bytes | None) -> tuple[str, str]:
             mime_type = "application/mbox"
         else:
             mime_type = "message/rfc822"
+
+    # legacy transfer encodings — both Tika-accepted in the reference
+    # (_tika_mime_types.py:1465 text/x-uuencode, :86 mac-binhex40);
+    # refined AFTER the email overrides so an rfc822 message whose BODY
+    # carries a uu block stays message/rfc822
+    if mime_type == "text/plain":
+        from ..operators.legacy_encodings import (
+            looks_like_binhex,
+            looks_like_uuencode,
+        )
+
+        if looks_like_binhex(data):
+            mime_type = "application/mac-binhex40"
+        elif looks_like_uuencode(data):
+            mime_type = "text/x-uuencode"
 
     # OLE → treat as legacy excel, like the reference (magic.py:110-111)
     if mime_type == "application/x-ole-storage":

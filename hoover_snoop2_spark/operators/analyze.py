@@ -273,6 +273,69 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
             digest["email_date"] = meta.get("date")
             children = meta.get("attachments", [])
 
+        elif mime_type == "application/vnd.ms-tnef":
+            # winmail.dat ([MS-OXTNEF]) — the reference Tika-parses
+            # this mime (_tika_mime_types.py:526); decoded natively so
+            # its attachments recurse like .msg children
+            from .tnef_extract import TnefBroken, parse_tnef
+
+            try:
+                meta = parse_tnef(data)
+            except TnefBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+            else:
+                digest["text"] = normalize_text(meta.get("text", "")) or ""
+                digest["subject"] = meta.get("subject")
+                digest["email_from"] = meta.get("from")
+                digest["email_date"] = meta.get("date")
+                children = meta.get("attachments", [])
+
+        elif mime_type == "text/x-uuencode":
+            # uuencoded payloads fan out like archive members (the
+            # reference Tika-accepts text/x-uuencode,
+            # _tika_mime_types.py:1465)
+            from .legacy_encodings import UuBroken, parse_uuencode
+
+            try:
+                children = parse_uuencode(data)
+            except UuBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+
+        elif mime_type == "application/mac-binhex40":
+            # BinHex 4.0: CRC-verified data fork becomes the child; a
+            # non-empty resource fork is preserved as <name>.rsrc
+            # (_tika_mime_types.py:86)
+            from .legacy_encodings import BinhexBroken, parse_binhex
+
+            try:
+                hqx = parse_binhex(data)
+            except BinhexBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+            else:
+                children = [(hqx["name"] or "binhex", hqx["data"])]
+                if hqx["rsrc"]:
+                    children.append(((hqx["name"] or "binhex") + ".rsrc",
+                                     hqx["rsrc"]))
+
+        elif mime_type == "application/applefile":
+            # AppleSingle carries the data fork inline; AppleDouble is
+            # metadata-only by definition (_tika_mime_types.py:7)
+            from .legacy_encodings import AppleFileBroken, parse_applefile
+
+            try:
+                af = parse_applefile(data)
+            except AppleFileBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+            else:
+                digest["date_created"] = af["date_created"]
+                digest["date_modified"] = af["date_modified"]
+                if af["data"] is not None:
+                    children = [(af["name"] or "datafork", af["data"])]
+
         elif mime_type == "application/x-tika-ooxml-protected":
             # password-protected OOXML ([MS-OFFCRYPTO] Agile): decrypt
             # with the worker-local archive password and re-analyze the

@@ -16933,6 +16933,203 @@ FROM t ORDER BY doc_id
 """
 
 
+def q251_tnef_extraction(spark, sf_dir):
+    """TNEF (winmail.dat) decode certification: each doc synthesizes an
+    [MS-OXTNEF] stream (subject/body/sender/date/attachments all doc_id
+    arithmetic; the body cycles through its three real carriers —
+    attBody, MAPI PidTagHtml, LZFu PidTagRtfCompressed), runs the REAL
+    ``analyze_blob`` dispatch (magic sniff → parse_tnef → digest +
+    child fan-out), and emits fields the SQL recomputes closed-form.
+    A checksum, MAPI-walk, LZFu, or fan-out bug hash-fails.  Scale: one
+    Arrow pass over bounded synthetic blobs; the reference Tika-parses
+    this mime (_tika_mime_types.py:526)."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .operators.analyze import analyze_blob
+        from .operators.tnef_extract import build_tnef
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                body = f"winmail body {d} " + " ".join(
+                    ["alpha"] * (1 + d % 5)
+                )
+                n_att = d % 3
+                data = build_tnef(
+                    subject=f"TNEF {d}",
+                    body=body,
+                    sender=f"s{d}@ex.example",
+                    attachments=[
+                        (f"att{i}.txt", f"payload-{d}-{i}".encode("ascii"))
+                        for i in range(n_att)
+                    ],
+                    body_mode=("plain", "html", "rtf")[d % 3],
+                    date=(2020, 1 + d % 12, 1 + d % 28,
+                          d % 24, d % 60, (d * 7) % 60),
+                )
+                out = analyze_blob(str(d), data)
+                digest, children = out[0], out[1:]
+                rows.append((
+                    d,
+                    digest["mime_type"],
+                    digest["subject"],
+                    digest["text"],
+                    (digest.get("email_from") or [None])[0],
+                    digest.get("email_date"),
+                    len(children),
+                    sum(len(c["child_data"]) for c in children),
+                    digest["status"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime_type", "subject", "body_text",
+                         "email_from", "email_date", "n_children",
+                         "child_bytes", "status"],
+            )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, mime_type string, subject string, "
+                   "body_text string, email_from string, "
+                   "email_date string, n_children int, "
+                   "child_bytes long, status string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q251_SQL = r"""
+SELECT doc_id,
+       'application/vnd.ms-tnef' AS mime_type,
+       'TNEF ' || doc_id AS subject,
+       'winmail body ' || doc_id || ' ' ||
+         trim(repeat('alpha ', 1 + doc_id % 5)) AS body_text,
+       's' || doc_id || '@ex.example' AS email_from,
+       lpad(CAST(2020 AS VARCHAR), 4, '0') || '-' ||
+         lpad(CAST(1 + doc_id % 12 AS VARCHAR), 2, '0') || '-' ||
+         lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0') || 'T' ||
+         lpad(CAST(doc_id % 24 AS VARCHAR), 2, '0') || ':' ||
+         lpad(CAST(doc_id % 60 AS VARCHAR), 2, '0') || ':' ||
+         lpad(CAST((doc_id * 7) % 60 AS VARCHAR), 2, '0') || 'Z'
+         AS email_date,
+       CAST(doc_id % 3 AS INT) AS n_children,
+       CAST((doc_id % 3) *
+            (10 + length(CAST(doc_id AS VARCHAR))) AS BIGINT)
+         AS child_bytes,
+       'success' AS status
+FROM documents WHERE doc_id < 120 ORDER BY doc_id
+"""
+
+
+def q252_legacy_encodings(spark, sf_dir):
+    """uuencode / BinHex 4.0 / AppleSingle decode certification: each doc
+    synthesizes one of the three legacy transfer encodings (format cycles
+    by doc_id; payloads/names/dates are doc_id arithmetic), runs the REAL
+    ``analyze_blob`` dispatch (magic sniff → typed decoder → child
+    fan-out), and emits fields the SQL recomputes closed-form.  A 6-bit
+    alphabet, RLE90, CRC, entry-walk, or fan-out bug hash-fails.  The
+    reference Tika-accepts all three mimes (_tika_mime_types.py:1465,
+    :86, :7).  Scale: one Arrow pass over bounded synthetic blobs."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .operators.analyze import analyze_blob
+        from .operators.legacy_encodings import (
+            build_applefile,
+            build_binhex,
+            build_uuencode,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payload = (f"payload-{d}-" + "x" * (d % 7)).encode("ascii")
+                kind = d % 3
+                if kind == 0:
+                    data = build_uuencode(
+                        [("note0.txt", payload), ("note1.txt", payload)]
+                    )
+                elif kind == 1:
+                    rsrc = b"R" * (1 + d % 5) if d % 2 == 1 else b""
+                    data = build_binhex(f"fork{d % 11}.txt", payload,
+                                        rsrc=rsrc)
+                else:
+                    data = build_applefile(
+                        f"mac{d % 13}.txt", payload,
+                        dates=(d * 1000, d * 1000 + 3600),
+                    )
+                out = analyze_blob(str(d), data)
+                digest, children = out[0], out[1:]
+                rows.append((
+                    d,
+                    digest["mime_type"],
+                    ",".join(c["child_name"] for c in children),
+                    sum(len(c["child_data"]) for c in children),
+                    digest.get("date_created"),
+                    digest.get("date_modified"),
+                    digest["status"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime_type", "child_names",
+                         "child_bytes", "date_created", "date_modified",
+                         "status"],
+            )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, mime_type string, child_names string, "
+                   "child_bytes long, date_created string, "
+                   "date_modified string, status string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q252_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         doc_id % 3 AS kind,
+         9 + length(CAST(doc_id AS VARCHAR)) + doc_id % 7 AS plen
+  FROM documents WHERE doc_id < 120
+)
+SELECT doc_id,
+       CASE kind WHEN 0 THEN 'text/x-uuencode'
+                 WHEN 1 THEN 'application/mac-binhex40'
+                 ELSE 'application/applefile' END AS mime_type,
+       CASE kind
+         WHEN 0 THEN 'note0.txt,note1.txt'
+         WHEN 1 THEN 'fork' || (doc_id % 11) || '.txt' ||
+              CASE WHEN doc_id % 2 = 1
+                   THEN ',fork' || (doc_id % 11) || '.txt.rsrc'
+                   ELSE '' END
+         ELSE 'mac' || (doc_id % 13) || '.txt' END AS child_names,
+       CAST(CASE kind
+         WHEN 0 THEN 2 * plen
+         WHEN 1 THEN plen +
+              CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 5 ELSE 0 END
+         ELSE plen END AS BIGINT) AS child_bytes,
+       CASE WHEN kind = 2 THEN strftime(
+            TIMESTAMP '2000-01-01' + doc_id * (INTERVAL 1000 SECOND),
+            '%Y-%m-%dT%H:%M:%SZ') END AS date_created,
+       CASE WHEN kind = 2 THEN strftime(
+            TIMESTAMP '2000-01-01' + (doc_id * 1000 + 3600) *
+              (INTERVAL 1 SECOND),
+            '%Y-%m-%dT%H:%M:%SZ') END AS date_modified,
+       'success' AS status
+FROM base ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -17176,6 +17373,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q248_wat_export": q248_wat_export,
     "q249_flac_roundtrip": q249_flac_roundtrip,
     "q250_mp3_stats": q250_mp3_stats,
+    "q251_tnef_extraction": q251_tnef_extraction,
+    "q252_legacy_encodings": q252_legacy_encodings,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -17416,6 +17615,8 @@ ORACLES: dict[str, str] = {
     "q248_wat_export": Q248_SQL,
     "q249_flac_roundtrip": Q249_SQL,
     "q250_mp3_stats": Q250_SQL,
+    "q251_tnef_extraction": Q251_SQL,
+    "q252_legacy_encodings": Q252_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
