@@ -892,6 +892,32 @@ def render_zip(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
     return buf.getvalue(), children
 
 
+def _add_vba_project(docx_bytes: bytes, doc_id: int) -> tuple[bytes, list[tuple[str, str]]]:
+    """docx -> docm: inject a deterministic vbaProject.bin; children are
+    the macro module sources under the ``macros/<name>.bas`` convention."""
+    import io as _io
+    import zipfile as _zipfile
+
+    from .functions.textutils import normalize_text
+    from .operators.vba_extract import build_vba_project
+
+    mods = []
+    kids: list[tuple[str, str]] = []
+    for i in range(1 + doc_id % 2):
+        src = (f"Sub Auto{i}()\r\n    Total{i} = {doc_id * 3 + i}\r\n"
+               f"End Sub\r\n")
+        mods.append((f"Module{i}", src))
+        kids.append((f"macros/Module{i}.bas", normalize_text(src) or ""))
+    out = _io.BytesIO()
+    with _zipfile.ZipFile(_io.BytesIO(docx_bytes)) as zin, \
+         _zipfile.ZipFile(out, "w") as zout:
+        for n in zin.namelist():
+            zout.writestr(_zipfile.ZipInfo(n), zin.read(n))
+        zout.writestr(_zipfile.ZipInfo("word/vbaProject.bin"),
+                      build_vba_project(mods))
+    return out.getvalue(), kids
+
+
 def render_uuencode(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
     """uuencoded text payload(s); every third doc carries two blocks."""
     from .operators.legacy_encodings import build_uuencode
@@ -1168,6 +1194,14 @@ def build_doc(doc_id: int) -> dict:
         html, golden, children = render_pdf(doc_id, lang)
     elif cat == "docx":
         html, golden = render_docx(doc_id, lang)
+        if doc_id % 6 == 5:
+            # macro-enabled variant: same document body plus a
+            # vbaProject.bin whose module sources fan out as children
+            # ([MS-OVBA]; reference Tika list :499-532)
+            html, kids = _add_vba_project(html, doc_id)
+            children = kids
+            ext = "docm"
+            url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
     elif cat == "odt":
         # the zip-of-XML document family under one category: ODF text /
         # spreadsheet / presentation + EPUB cycle by doc_id (reference

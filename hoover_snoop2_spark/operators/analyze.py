@@ -26,8 +26,11 @@ from ..functions.textutils import normalize_text, read_text
 from .exif_extract import EXIF_MIME_TYPES, ExifBroken, extract_exif
 from .office_extract import (
     EPUB_MIME,
+    OOXML_DOCM,
     OOXML_DOCX,
+    OOXML_PPTM,
     OOXML_PPTX,
+    OOXML_XLSM,
     OOXML_XLSX,
     classify_zip_office,
     office_doc_dates,
@@ -245,7 +248,8 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
             children = unpack_bytes(data, mime_type)
 
         elif (
-            mime_type in (OOXML_DOCX, OOXML_PPTX, EPUB_MIME)
+            mime_type in (OOXML_DOCX, OOXML_PPTX, OOXML_DOCM, OOXML_PPTM,
+                          EPUB_MIME)
             or mime_type.startswith("application/vnd.oasis.opendocument")
         ):
             digest["text"] = office_to_text(data, mime_type)
@@ -259,6 +263,18 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
                 created, modified = office_doc_dates(data)
                 digest["date_created"] = created
                 digest["date_modified"] = modified
+            if mime_type in (OOXML_DOCM, OOXML_PPTM):
+                # macro-enabled: VBA module sources fan out as children
+                # ([MS-OVBA] walk; the reference Tika-accepts the
+                # macroenabled.12 family, _tika_mime_types.py:499-532)
+                from .vba_extract import VbaBroken, vba_modules_from_zip
+
+                try:
+                    children = [(f"macros/{n}.bas", t.encode("utf-8"))
+                                for n, t in vba_modules_from_zip(data)]
+                except VbaBroken as e:
+                    digest["status"] = "broken"
+                    digest["broken_reason"] = e.reason
 
         elif mime_type == "application/vnd.ms-outlook":
             # .msg extraction in-process (replaces the reference's
@@ -357,12 +373,19 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
                     digest["broken_reason"] = e.reason
 
         elif mime_type == "application/msword":
-            # legacy Word piece-table text ([MS-DOC] over our CFB reader)
+            # legacy Word piece-table text ([MS-DOC] over our CFB reader);
+            # a Macros/VBA storage fans out module sources like docm
             from .doc_extract import DocBroken, doc_to_text
+            from .vba_extract import VbaBroken, vba_modules_from_ole
 
             try:
                 digest["text"] = doc_to_text(data)
+                children = [(f"macros/{n}.bas", t.encode("utf-8"))
+                            for n, t in vba_modules_from_ole(data)]
             except DocBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+            except VbaBroken as e:
                 digest["status"] = "broken"
                 digest["broken_reason"] = e.reason
 
@@ -373,13 +396,21 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
             from .xls_extract import XlsBroken, is_xls, xls_to_table
 
             if is_xls(data):
+                from .vba_extract import VbaBroken, vba_modules_from_ole
+
                 try:
                     info, kids = xls_to_table(data)
                     if info:
                         digest["table_columns"] = info["table-columns"]
                         digest["table_row_count"] = info["table-row-count"]
                     children = [(n, t.encode("utf-8")) for n, t in kids]
+                    # a _VBA_PROJECT_CUR/VBA storage fans out like xlsm
+                    children += [(f"macros/{n}.bas", t.encode("utf-8"))
+                                 for n, t in vba_modules_from_ole(data)]
                 except XlsBroken as e:
+                    digest["status"] = "broken"
+                    digest["broken_reason"] = e.reason
+                except VbaBroken as e:
                     digest["status"] = "broken"
                     digest["broken_reason"] = e.reason
 
@@ -398,7 +429,7 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
 
             digest["text"] = rtf_to_text(data)
 
-        elif mime_type == OOXML_XLSX:
+        elif mime_type in (OOXML_XLSX, OOXML_XLSM):
             created, modified = office_doc_dates(data)
             digest["date_created"] = created
             digest["date_modified"] = modified
@@ -407,6 +438,15 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
                 digest["table_columns"] = info["table-columns"]
                 digest["table_row_count"] = info["table-row-count"]
             children = [(name, text.encode("utf-8")) for name, text in kids]
+            if mime_type == OOXML_XLSM:
+                from .vba_extract import VbaBroken, vba_modules_from_zip
+
+                try:
+                    children += [(f"macros/{n}.bas", t.encode("utf-8"))
+                                 for n, t in vba_modules_from_zip(data)]
+                except VbaBroken as e:
+                    digest["status"] = "broken"
+                    digest["broken_reason"] = e.reason
 
         elif mime_type in EXIF_MIME_TYPES:
             # EXIF GPS + creation date (reference exif.extract, exif.py:61-99)

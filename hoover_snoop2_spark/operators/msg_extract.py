@@ -375,122 +375,6 @@ def build_msg(subject: str, body: str, sender: str, to: list[str],
               (f"__substg1.0_{_P_ATT_DATA}0102", payload)])
         )
 
-    SECT = 512
-    MINI = 64
+    from .cfb import build_cfb
 
-    # mini stream layout
-    mini_data = bytearray()
-    mini_fat: list[int] = []
-
-    def add_mini(payload: bytes) -> tuple[int, int]:
-        start = len(mini_fat)
-        n = max(1, (len(payload) + MINI - 1) // MINI)
-        mini_data.extend(payload)
-        pad = (-len(payload)) % MINI
-        mini_data.extend(b"\x00" * pad)
-        for i in range(n - 1):
-            mini_fat.append(start + i + 1)
-        mini_fat.append(0xFFFFFFFE)
-        return start, len(payload)
-
-    # directory entries: root(0), then storages and streams
-    entries: list[dict] = []
-
-    def entry(name, typ, start=0xFFFFFFFE, size=0, child=0xFFFFFFFF):
-        entries.append(dict(name=name, type=typ, start=start, size=size,
-                            left=0xFFFFFFFF, right=0xFFFFFFFF, child=child))
-        return len(entries) - 1
-
-    root_idx = entry("Root Entry", 5)
-    top_indices = []
-    for name, payload in streams:
-        s, n = add_mini(payload)
-        top_indices.append(entry(name, 2, s, n))
-    for sname, substreams in storages:
-        st_idx = entry(sname, 1)
-        sub_indices = []
-        for name, payload in substreams:
-            s, n = add_mini(payload)
-            sub_indices.append(entry(name, 2, s, n))
-        # chain storage children as a right-leaning list
-        entries[st_idx]["child"] = sub_indices[0]
-        for a, b in zip(sub_indices, sub_indices[1:]):
-            entries[a]["right"] = b
-        top_indices.append(st_idx)
-    # root children: right-leaning list
-    entries[root_idx]["child"] = top_indices[0]
-    for a, b in zip(top_indices, top_indices[1:]):
-        entries[a]["right"] = b
-
-    # sector plan: [0]=FAT, [1..d]=directory, [m]=miniFAT, rest=mini stream
-    dir_raw = bytearray()
-    mini_total = len(mini_data)
-    root_start_placeholder = 0  # filled below
-
-    n_dir_sectors = max(1, (len(entries) * 128 + SECT - 1) // SECT)
-    minifat_raw = b"".join(struct.pack("<I", v) for v in mini_fat)
-    n_minifat_sectors = max(1, (len(minifat_raw) + SECT - 1) // SECT)
-    n_mini_sectors = max(1, (mini_total + SECT - 1) // SECT)
-
-    fat_sid = 0
-    dir_sid = 1
-    minifat_sid = dir_sid + n_dir_sectors
-    ministream_sid = minifat_sid + n_minifat_sectors
-    total_sectors = ministream_sid + n_mini_sectors
-
-    # root entry points at the mini stream
-    entries[root_idx]["start"] = ministream_sid
-    entries[root_idx]["size"] = mini_total
-    _ = root_start_placeholder
-
-    for e in entries:
-        name_bytes = e["name"].encode("utf-16-le")[:62] + b"\x00\x00"
-        chunk = bytearray(128)
-        chunk[: len(name_bytes)] = name_bytes
-        struct.pack_into("<H", chunk, 64, len(name_bytes))
-        chunk[66] = e["type"]
-        chunk[67] = 1  # black
-        struct.pack_into("<3I", chunk, 68, e["left"], e["right"], e["child"])
-        struct.pack_into("<I", chunk, 116, e["start"] if e["start"] != 0xFFFFFFFE else 0xFFFFFFFE)
-        struct.pack_into("<Q", chunk, 120, e["size"])
-        dir_raw += chunk
-    dir_raw += b"\x00" * ((-len(dir_raw)) % SECT)
-
-    # FAT: one sector covers up to 128 sectors — plenty here
-    fat = [0xFFFFFFFF] * (SECT // 4)
-    fat[fat_sid] = 0xFFFFFFFD  # FATSECT marker
-    for i in range(n_dir_sectors):
-        fat[dir_sid + i] = dir_sid + i + 1 if i < n_dir_sectors - 1 else 0xFFFFFFFE
-    for i in range(n_minifat_sectors):
-        fat[minifat_sid + i] = (
-            minifat_sid + i + 1 if i < n_minifat_sectors - 1 else 0xFFFFFFFE
-        )
-    for i in range(n_mini_sectors):
-        fat[ministream_sid + i] = (
-            ministream_sid + i + 1 if i < n_mini_sectors - 1 else 0xFFFFFFFE
-        )
-
-    header = bytearray(512)
-    header[:8] = b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1"
-    struct.pack_into("<H", header, 26, 0x003E)  # minor version
-    struct.pack_into("<H", header, 28, 0x0003)  # major version 3
-    struct.pack_into("<H", header, 24, 0)
-    struct.pack_into("<H", header, 30, 9)   # 512-byte sectors
-    struct.pack_into("<H", header, 32, 6)   # 64-byte mini sectors
-    struct.pack_into("<I", header, 44, 1)   # 1 FAT sector
-    struct.pack_into("<I", header, 48, dir_sid)
-    struct.pack_into("<I", header, 56, 4096)  # mini cutoff
-    struct.pack_into("<I", header, 60, minifat_sid)
-    struct.pack_into("<I", header, 64, n_minifat_sectors)
-    struct.pack_into("<I", header, 68, 0xFFFFFFFE)  # no DIFAT chain
-    struct.pack_into("<I", header, 72, 0)
-    difat = [fat_sid] + [0xFFFFFFFF] * 108
-    struct.pack_into("<109I", header, 76, *difat)
-
-    out = bytearray(header)
-    out += b"".join(struct.pack("<I", v) for v in fat)
-    out += dir_raw
-    out += minifat_raw + b"\x00" * ((-len(minifat_raw)) % SECT)
-    out += mini_data + b"\x00" * ((-mini_total) % SECT)
-    assert len(out) == (total_sectors + 1) * SECT, (len(out), total_sectors)
-    return bytes(out)
+    return build_cfb(streams, storages)

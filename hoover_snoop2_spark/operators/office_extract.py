@@ -34,8 +34,17 @@ OOXML_PPTX = "application/vnd.openxmlformats-officedocument.presentationml.prese
 ODF_ODT = "application/vnd.oasis.opendocument.text"
 EPUB_MIME = "application/epub+zip"
 
+# macro-enabled OOXML variants — all Tika-accepted in the reference
+# (_tika_mime_types.py:499-532); same zip-of-XML body plus vbaProject.bin.
+# Casing follows the reference's _file_types.py keys exactly (it mixes
+# macroEnabled/macroenabled per type) so get_filetype hits
+OOXML_DOCM = "application/vnd.ms-word.document.macroEnabled.12"
+OOXML_XLSM = "application/vnd.ms-excel.sheet.macroenabled.12"
+OOXML_PPTM = "application/vnd.ms-powerpoint.presentation.macroEnabled.12"
+
 OFFICE_MIME_TYPES = frozenset(
-    {OOXML_DOCX, OOXML_XLSX, OOXML_PPTX, ODF_ODT, EPUB_MIME}
+    {OOXML_DOCX, OOXML_XLSX, OOXML_PPTX, ODF_ODT, EPUB_MIME,
+     OOXML_DOCM, OOXML_XLSM, OOXML_PPTM}
 )
 
 
@@ -47,11 +56,11 @@ def classify_zip_office(data: bytes) -> str | None:
         with zipfile.ZipFile(io.BytesIO(data)) as zf:
             names = set(zf.namelist())
             if "word/document.xml" in names:
-                return OOXML_DOCX
+                return OOXML_DOCM if "word/vbaProject.bin" in names else OOXML_DOCX
             if "xl/workbook.xml" in names:
-                return OOXML_XLSX
+                return OOXML_XLSM if "xl/vbaProject.bin" in names else OOXML_XLSX
             if "ppt/presentation.xml" in names:
-                return OOXML_PPTX
+                return OOXML_PPTM if "ppt/vbaProject.bin" in names else OOXML_PPTX
             if "mimetype" in names and "content.xml" in names:
                 mt = zf.read("mimetype").decode("ascii", "replace").strip()
                 if mt.startswith("application/vnd.oasis.opendocument"):
@@ -406,7 +415,7 @@ def epub_dates(data: bytes) -> tuple[str | None, str | None]:
 def office_to_text(data: bytes, mime_type: str) -> str:
     if mime_type == EPUB_MIME:
         return epub_to_text(data)
-    if mime_type == OOXML_DOCX:
+    if mime_type in (OOXML_DOCX, OOXML_DOCM):
         return docx_to_text(data)
     if mime_type == "application/vnd.oasis.opendocument.spreadsheet":
         return ods_to_text(data)
@@ -416,6 +425,6 @@ def office_to_text(data: bytes, mime_type: str) -> str:
         "application/vnd.oasis.opendocument"
     ):
         return odt_to_text(data)
-    if mime_type == OOXML_PPTX:
+    if mime_type in (OOXML_PPTX, OOXML_PPTM):
         return pptx_to_text(data)
     return ""

@@ -17130,6 +17130,94 @@ FROM base ORDER BY doc_id
 """
 
 
+def q253_vba_macros(spark, sf_dir):
+    """VBA macro extraction certification ([MS-OVBA]): each doc
+    synthesizes a macro-enabled docm (minimal word/document.xml whose
+    body text is doc_id arithmetic + a vbaProject.bin with 1-3 modules
+    of doc_id-derived source), runs the REAL ``analyze_blob`` dispatch
+    (zip classify → macroEnabled refine → docx text + dir-stream walk →
+    module fan-out), and emits fields the SQL recomputes closed-form.
+    A compression, dir-record, or fan-out bug hash-fails.  The reference
+    Tika-accepts the macroenabled.12 family (_tika_mime_types.py:499-532).
+    Scale: one Arrow pass over bounded synthetic blobs."""
+    import pandas as pd
+
+    def kernel(batches):
+        import io
+        import zipfile
+
+        from .operators.analyze import analyze_blob
+        from .operators.vba_extract import build_vba_project
+
+        doc_xml = (
+            '<?xml version="1.0"?>'
+            '<w:document xmlns:w="http://schemas.openxmlformats.org/'
+            'wordprocessingml/2006/main"><w:body><w:p><w:r>'
+            "<w:t>Macro doc %d</w:t></w:r></w:p></w:body></w:document>"
+        )
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                mods = [
+                    (f"Module{i}",
+                     f"Sub Run{i}()\r\nCounter = {d + i}\r\nEnd Sub\r\n")
+                    for i in range(1 + d % 3)
+                ]
+                buf = io.BytesIO()
+                with zipfile.ZipFile(buf, "w") as zf:
+                    zf.writestr(zipfile.ZipInfo("word/document.xml"),
+                                (doc_xml % d).encode("utf-8"))
+                    zf.writestr(zipfile.ZipInfo("word/vbaProject.bin"),
+                                build_vba_project(mods))
+                out = analyze_blob(str(d), buf.getvalue())
+                digest, children = out[0], out[1:]
+                rows.append((
+                    d,
+                    digest["mime_type"],
+                    digest["text"],
+                    ",".join(c["child_name"] for c in children),
+                    sum(len(c["child_data"]) for c in children),
+                    digest["status"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime_type", "body_text", "child_names",
+                         "child_bytes", "status"],
+            )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, mime_type string, body_text string, "
+                   "child_names string, child_bytes long, status string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q253_SQL = r"""
+SELECT doc_id,
+       'application/vnd.ms-word.document.macroEnabled.12' AS mime_type,
+       'Macro doc ' || doc_id AS body_text,
+       'macros/Module0.bas' ||
+         CASE WHEN doc_id % 3 >= 1 THEN ',macros/Module1.bas' ELSE '' END ||
+         CASE WHEN doc_id % 3 >= 2 THEN ',macros/Module2.bas' ELSE '' END
+         AS child_names,
+       CAST(33 * (1 + doc_id % 3)
+            + length(CAST(doc_id AS VARCHAR))
+            + CASE WHEN doc_id % 3 >= 1
+                   THEN length(CAST(doc_id + 1 AS VARCHAR)) ELSE 0 END
+            + CASE WHEN doc_id % 3 >= 2
+                   THEN length(CAST(doc_id + 2 AS VARCHAR)) ELSE 0 END
+         AS BIGINT) AS child_bytes,
+       'success' AS status
+FROM documents WHERE doc_id < 120 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -17375,6 +17463,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q250_mp3_stats": q250_mp3_stats,
     "q251_tnef_extraction": q251_tnef_extraction,
     "q252_legacy_encodings": q252_legacy_encodings,
+    "q253_vba_macros": q253_vba_macros,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -17617,6 +17706,7 @@ ORACLES: dict[str, str] = {
     "q250_mp3_stats": Q250_SQL,
     "q251_tnef_extraction": Q251_SQL,
     "q252_legacy_encodings": Q252_SQL,
+    "q253_vba_macros": Q253_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
