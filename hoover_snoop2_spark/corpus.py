@@ -957,6 +957,22 @@ def render_applefile(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str
     return blob, [(name, _golden_from_paragraphs([body]))]
 
 
+def render_onenote(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
+    """OneNote section with 1-2 embedded text payloads
+    ([MS-ONESTORE] FileDataStoreObject walk; children are positional)."""
+    from .operators.onenote_extract import build_onenote
+
+    rng = _rng(doc_id, 27)
+    payloads = []
+    children: list[tuple[str, str]] = []
+    for i in range(1 + doc_id % 2):
+        body = " ".join(_sentence(rng, lang) for _ in range(2))
+        payloads.append(body.encode("utf-8"))
+        children.append((f"embedded{i}", _golden_from_paragraphs([body])))
+    blob = build_onenote(payloads, filler=bytes([doc_id % 256]) * (doc_id % 40))
+    return blob, children
+
+
 def render_targz(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
     rng = _rng(doc_id, 9)
     members = []
@@ -1163,6 +1179,9 @@ def build_doc(doc_id: int) -> dict:
         elif arc_kind == 5:
             html, kids = render_applefile(doc_id, lang)
             ext = "as"
+        elif arc_kind == 6:
+            html, kids = render_onenote(doc_id, lang)
+            ext = "one"
         else:
             html, kids = render_zip(doc_id, lang)
         children = kids

@@ -55,6 +55,11 @@ _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),  # winmail.dat
     (0, b"\x00\x05\x16\x00", "application/applefile"),  # AppleSingle
     (0, b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
+    # OneNote on-disk header GUIDs ([MS-ONESTORE]; Tika list :129-132)
+    (0, bytes.fromhex("e4525c7b8cd8a74daeb15378d02996d3"),
+     "application/onenote"),  # .one
+    (0, bytes.fromhex("a12fff43d9ef764c9ee210ea5722765f"),
+     "application/onenote"),  # .onetoc2
     # classic Unix containers — all 7z-accepted in the reference
     # (archives.py:41-55), unpacked natively by operators/unix_archives
     (0, b"070701", "application/x-cpio"),  # cpio newc

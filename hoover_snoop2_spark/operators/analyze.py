@@ -352,6 +352,18 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
                 if af["data"] is not None:
                     children = [(af["name"] or "datafork", af["data"])]
 
+        elif mime_type == "application/onenote":
+            # [MS-ONESTORE] FileDataStoreObject walk: embedded file
+            # payloads recurse as children (full section-text parse is a
+            # documented gap; Tika list :129-132)
+            from .onenote_extract import OneNoteBroken, extract_onenote_files
+
+            try:
+                children = extract_onenote_files(data)
+            except OneNoteBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+
         elif mime_type == "application/x-tika-ooxml-protected":
             # password-protected OOXML ([MS-OFFCRYPTO] Agile): decrypt
             # with the worker-local archive password and re-analyze the

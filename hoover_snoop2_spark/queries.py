@@ -17218,6 +17218,70 @@ FROM documents WHERE doc_id < 120 ORDER BY doc_id
 """
 
 
+def q254_onenote_embedded(spark, sf_dir):
+    """OneNote embedded-file extraction certification ([MS-ONESTORE]
+    §2.6.13): each doc synthesizes a .one stream (doc_id-derived filler
+    + FileDataStoreObjects), runs the REAL ``analyze_blob`` dispatch
+    (GUID magic sniff → FDSO walk → child fan-out), and emits fields the
+    SQL recomputes closed-form.  A GUID, length, or padding bug
+    hash-fails.  The reference Tika-accepts application/onenote
+    (_tika_mime_types.py:129-132)."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .operators.analyze import analyze_blob
+        from .operators.onenote_extract import build_onenote
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                payloads = [f"note-{d}-{i}".encode("ascii")
+                            for i in range(1 + d % 2)]
+                blob = build_onenote(
+                    payloads, kind="one",
+                    filler=bytes([d % 251]) * (d % 37),
+                )
+                out = analyze_blob(str(d), blob)
+                digest, children = out[0], out[1:]
+                rows.append((
+                    d,
+                    digest["mime_type"],
+                    ",".join(c["child_name"] for c in children),
+                    sum(len(c["child_data"]) for c in children),
+                    digest["status"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime_type", "child_names",
+                         "child_bytes", "status"],
+            )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, mime_type string, child_names string, "
+                   "child_bytes long, status string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q254_SQL = r"""
+SELECT doc_id,
+       'application/onenote' AS mime_type,
+       'embedded0' ||
+         CASE WHEN doc_id % 2 = 1 THEN ',embedded1' ELSE '' END
+         AS child_names,
+       CAST((1 + doc_id % 2) * (7 + length(CAST(doc_id AS VARCHAR)))
+         AS BIGINT) AS child_bytes,
+       'success' AS status
+FROM documents WHERE doc_id < 120 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -17464,6 +17528,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q251_tnef_extraction": q251_tnef_extraction,
     "q252_legacy_encodings": q252_legacy_encodings,
     "q253_vba_macros": q253_vba_macros,
+    "q254_onenote_embedded": q254_onenote_embedded,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -17707,6 +17772,7 @@ ORACLES: dict[str, str] = {
     "q251_tnef_extraction": Q251_SQL,
     "q252_legacy_encodings": Q252_SQL,
     "q253_vba_macros": Q253_SQL,
+    "q254_onenote_embedded": Q254_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
