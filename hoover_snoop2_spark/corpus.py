@@ -305,6 +305,30 @@ def render_csv(doc_id: int) -> tuple[bytes, list[tuple[str, str]], dict]:
     return body.encode("utf-8"), children, info
 
 
+def render_dbf(doc_id: int) -> tuple[bytes, list[tuple[str, str]], dict]:
+    """dBase fixed-width table — same golden contract as render_csv."""
+    from .operators.dbf_extract import build_dbf
+
+    rng = _rng(doc_id, 28)
+    ncols = rng.randint(2, 5)
+    nrows = rng.randint(3, 20)
+    cols = [f"F{c}" for c in range(1, ncols + 1)]
+    rows = [
+        [f"d{doc_id % 100}r{r}c{c}" for c in range(1, ncols + 1)]
+        for r in range(1, nrows + 1)
+    ]
+    children = [
+        (f"{i}.txt", " ".join(f"{k} = {v}" for k, v in zip(cols, row)))
+        for i, row in enumerate(rows, start=1)
+    ]
+    info = {
+        "table-columns": cols,
+        "table-row-count": nrows + 1,
+        "table-col-count": ncols,
+    }
+    return build_dbf(cols, rows), children, info
+
+
 # ---------------------------------------------------------------------------
 # minimal-PDF rendering (uncompressed, valid xref)
 # ---------------------------------------------------------------------------
@@ -1161,7 +1185,14 @@ def build_doc(doc_id: int) -> dict:
         children = kids
         golden = ""
     elif cat == "csv-table":
-        html, kids, info = render_csv(doc_id)
+        # table family: csv plus a dBase .dbf leg every 7th doc
+        # (Tika-accepted application/x-dbf, _tika_mime_types.py:863)
+        if doc_id % 7 == 3:
+            html, kids, info = render_dbf(doc_id)
+            ext = "dbf"
+            url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
+        else:
+            html, kids, info = render_csv(doc_id)
         children = kids
         extra.update(info)
         golden = ""

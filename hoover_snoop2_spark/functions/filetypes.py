@@ -45,6 +45,7 @@ FILE_TYPES: dict[str, str] = {
     "application/vnd.oasis.opendocument.spreadsheet-template": "xls",
     "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet": "xls",
     "application/vnd.openxmlformats-officedocument.spreadsheetml.template": "xls",
+    "application/x-dbf": "xls",
     "text/csv": "xls",
     "text/tab-separated-values": "xls",
     "application/csv": "xls",

@@ -260,7 +260,14 @@ def sniff_bytes(data: bytes | None) -> tuple[str, str]:
         elif encoding != "binary":
             mime_type = "text/plain"
         else:
-            mime_type = "application/octet-stream"
+            # dBase has no fixed magic — structural geometry check
+            # (Tika-accepted application/x-dbf, _tika_mime_types.py:863)
+            from ..operators.dbf_extract import looks_like_dbf
+
+            if looks_like_dbf(data):
+                mime_type = "application/x-dbf"
+            else:
+                mime_type = "application/octet-stream"
 
     # calendar / contact text formats — both Tika-accepted in the
     # reference (_tika_mime_types.py:1350,1469-1470); the mandatory

@@ -352,6 +352,22 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
                 if af["data"] is not None:
                     children = [(af["name"] or "datafork", af["data"])]
 
+        elif mime_type == "application/x-dbf":
+            # dBase fixed-width table -> csv-shaped explode (Tika list
+            # :863); structural sniff lives in magic.looks_like_dbf
+            from .dbf_extract import DbfBroken, dbf_to_table
+
+            try:
+                info, kids = dbf_to_table(data)
+            except DbfBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+            else:
+                if info:
+                    digest["table_columns"] = info["table-columns"]
+                    digest["table_row_count"] = info["table-row-count"]
+                children = [(n, t.encode("utf-8")) for n, t in kids]
+
         elif mime_type == "application/onenote":
             # [MS-ONESTORE] FileDataStoreObject walk: embedded file
             # payloads recurse as children (full section-text parse is a

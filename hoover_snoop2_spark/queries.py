@@ -17282,6 +17282,80 @@ FROM documents WHERE doc_id < 120 ORDER BY doc_id
 """
 
 
+def q255_dbf_tables(spark, sf_dir):
+    """dBase .dbf extraction certification: each doc synthesizes a DBF
+    (doc_id-derived geometry and cell values), runs the REAL
+    ``analyze_blob`` dispatch (structural sniff → fixed-width record
+    walk → csv-shaped row explode), and emits fields the SQL recomputes
+    closed-form.  A header-geometry, field-width, or explode bug
+    hash-fails.  The reference Tika-accepts application/x-dbf
+    (_tika_mime_types.py:863)."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .operators.analyze import analyze_blob
+        from .operators.dbf_extract import build_dbf
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ncols = 2 + d % 3
+                nrows = 1 + d % 5
+                cols = [f"F{c}" for c in range(1, ncols + 1)]
+                table = [[f"r{r}c{c}d{d}" for c in range(1, ncols + 1)]
+                         for r in range(1, nrows + 1)]
+                out = analyze_blob(str(d), build_dbf(cols, table))
+                digest, children = out[0], out[1:]
+                rows.append((
+                    d,
+                    digest["mime_type"],
+                    ",".join(digest["table_columns"] or []),
+                    digest["table_row_count"],
+                    len(children),
+                    sum(len(c["child_data"]) for c in children),
+                    digest["status"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime_type", "cols_csv", "row_count",
+                         "n_children", "child_bytes", "status"],
+            )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, mime_type string, cols_csv string, "
+                   "row_count int, n_children int, child_bytes long, "
+                   "status string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q255_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         2 + doc_id % 3 AS ncols,
+         1 + doc_id % 5 AS nrows,
+         length(CAST(doc_id AS VARCHAR)) AS dlen
+  FROM documents WHERE doc_id < 120
+)
+SELECT doc_id,
+       'application/x-dbf' AS mime_type,
+       'F1,F2' ||
+         CASE WHEN ncols >= 3 THEN ',F3' ELSE '' END ||
+         CASE WHEN ncols >= 4 THEN ',F4' ELSE '' END AS cols_csv,
+       CAST(nrows + 1 AS INT) AS row_count,
+       CAST(nrows AS INT) AS n_children,
+       CAST(nrows * ncols * (11 + dlen) AS BIGINT) AS child_bytes,
+       'success' AS status
+FROM base ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -17529,6 +17603,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q252_legacy_encodings": q252_legacy_encodings,
     "q253_vba_macros": q253_vba_macros,
     "q254_onenote_embedded": q254_onenote_embedded,
+    "q255_dbf_tables": q255_dbf_tables,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -17773,6 +17848,7 @@ ORACLES: dict[str, str] = {
     "q252_legacy_encodings": Q252_SQL,
     "q253_vba_macros": Q253_SQL,
     "q254_onenote_embedded": Q254_SQL,
+    "q255_dbf_tables": Q255_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
