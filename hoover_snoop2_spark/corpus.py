@@ -329,6 +329,36 @@ def render_dbf(doc_id: int) -> tuple[bytes, list[tuple[str, str]], dict]:
     return build_dbf(cols, rows), children, info
 
 
+def render_wk1(doc_id: int) -> tuple[bytes, list[tuple[str, str]], dict]:
+    """Lotus 1-2-3 WK1 — same golden contract as render_csv; cells mix
+    labels and numbers (numbers round-trip through the f64 record)."""
+    from .operators.lotus_extract import build_wk1
+
+    rng = _rng(doc_id, 29)
+    ncols = rng.randint(2, 4)
+    nrows = rng.randint(3, 12)
+    cols = [f"L{c}" for c in range(1, ncols + 1)]
+    rows = []
+    for r in range(1, nrows + 1):
+        row = []
+        for c in range(1, ncols + 1):
+            if (r + c + doc_id) % 3 == 0:
+                row.append(str((doc_id * r + c) % 10000))
+            else:
+                row.append(f"w{doc_id % 100}r{r}c{c}")
+        rows.append(row)
+    children = [
+        (f"{i}.txt", " ".join(f"{k} = {v}" for k, v in zip(cols, row)))
+        for i, row in enumerate(rows, start=1)
+    ]
+    info = {
+        "table-columns": cols,
+        "table-row-count": nrows + 1,
+        "table-col-count": ncols,
+    }
+    return build_wk1(cols, rows), children, info
+
+
 # ---------------------------------------------------------------------------
 # minimal-PDF rendering (uncompressed, valid xref)
 # ---------------------------------------------------------------------------
@@ -1190,6 +1220,10 @@ def build_doc(doc_id: int) -> dict:
         if doc_id % 7 == 3:
             html, kids, info = render_dbf(doc_id)
             ext = "dbf"
+            url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
+        elif doc_id % 7 == 5:
+            html, kids, info = render_wk1(doc_id)
+            ext = "wk1"
             url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
         else:
             html, kids, info = render_csv(doc_id)

@@ -46,6 +46,7 @@ FILE_TYPES: dict[str, str] = {
     "application/vnd.openxmlformats-officedocument.spreadsheetml.sheet": "xls",
     "application/vnd.openxmlformats-officedocument.spreadsheetml.template": "xls",
     "application/x-dbf": "xls",
+    "application/vnd.lotus-1-2-3": "xls",
     "text/csv": "xls",
     "text/tab-separated-values": "xls",
     "application/csv": "xls",

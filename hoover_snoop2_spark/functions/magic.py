@@ -55,6 +55,10 @@ _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),  # winmail.dat
     (0, b"\x00\x05\x16\x00", "application/applefile"),  # AppleSingle
     (0, b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
+    # Lotus 1-2-3 WK1: BOF record + revision word (Tika list :452)
+    (0, b"\x00\x00\x02\x00\x04\x04", "application/vnd.lotus-1-2-3"),
+    (0, b"\x00\x00\x02\x00\x05\x04", "application/vnd.lotus-1-2-3"),
+    (0, b"\x00\x00\x02\x00\x06\x04", "application/vnd.lotus-1-2-3"),
     # OneNote on-disk header GUIDs ([MS-ONESTORE]; Tika list :129-132)
     (0, bytes.fromhex("e4525c7b8cd8a74daeb15378d02996d3"),
      "application/onenote"),  # .one

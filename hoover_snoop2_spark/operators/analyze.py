@@ -368,6 +368,21 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
                     digest["table_row_count"] = info["table-row-count"]
                 children = [(n, t.encode("utf-8")) for n, t in kids]
 
+        elif mime_type == "application/vnd.lotus-1-2-3":
+            # Lotus WK1 record stream -> csv-shaped explode (Tika :452)
+            from .lotus_extract import Wk1Broken, wk1_to_table
+
+            try:
+                info, kids = wk1_to_table(data)
+            except Wk1Broken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+            else:
+                if info:
+                    digest["table_columns"] = info["table-columns"]
+                    digest["table_row_count"] = info["table-row-count"]
+                children = [(n, t.encode("utf-8")) for n, t in kids]
+
         elif mime_type == "application/onenote":
             # [MS-ONESTORE] FileDataStoreObject walk: embedded file
             # payloads recurse as children (full section-text parse is a

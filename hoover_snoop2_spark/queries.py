@@ -17356,6 +17356,97 @@ FROM base ORDER BY doc_id
 """
 
 
+def q256_wk1_tables(spark, sf_dir):
+    """Lotus 1-2-3 WK1 extraction certification: each doc synthesizes a
+    WK1 record stream (doc_id-derived label/number cells), runs the REAL
+    ``analyze_blob`` dispatch (BOF magic → record walk → csv-shaped
+    explode), and emits fields the SQL recomputes closed-form — the
+    first row's exploded child text is rebuilt character-for-character,
+    so a record-layout, prefix-strip, or number-format bug hash-fails.
+    The reference Tika-accepts application/vnd.lotus-1-2-3
+    (_tika_mime_types.py:452)."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .operators.analyze import analyze_blob
+        from .operators.lotus_extract import build_wk1
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                ncols = 2 + d % 2
+                nrows = 1 + d % 4
+                cols = [f"L{c}" for c in range(1, ncols + 1)]
+                table = []
+                for r in range(1, nrows + 1):
+                    table.append([
+                        str((d + r * c) % 1000)
+                        if (r + c + d) % 2 == 0 else f"x{r}c{c}"
+                        for c in range(1, ncols + 1)
+                    ])
+                out = analyze_blob(str(d), build_wk1(cols, table))
+                digest, children = out[0], out[1:]
+                rows.append((
+                    d,
+                    digest["mime_type"],
+                    ",".join(digest["table_columns"] or []),
+                    digest["table_row_count"],
+                    len(children),
+                    children[0]["child_data"].decode("utf-8")
+                    if children else None,
+                    digest["status"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime_type", "cols_csv", "row_count",
+                         "n_children", "first_child_text", "status"],
+            )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, mime_type string, cols_csv string, "
+                   "row_count int, n_children int, first_child_text string, "
+                   "status string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q256_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         2 + doc_id % 2 AS ncols,
+         1 + doc_id % 4 AS nrows
+  FROM documents WHERE doc_id < 120
+)
+SELECT doc_id,
+       'application/vnd.lotus-1-2-3' AS mime_type,
+       'L1,L2' || CASE WHEN ncols >= 3 THEN ',L3' ELSE '' END AS cols_csv,
+       CAST(nrows + 1 AS INT) AS row_count,
+       CAST(nrows AS INT) AS n_children,
+       'L1 = ' ||
+         CASE WHEN (2 + doc_id) % 2 = 0
+              THEN CAST((doc_id + 1) % 1000 AS VARCHAR)
+              ELSE 'x1c1' END || chr(10) ||
+       'L2 = ' ||
+         CASE WHEN (3 + doc_id) % 2 = 0
+              THEN CAST((doc_id + 2) % 1000 AS VARCHAR)
+              ELSE 'x1c2' END || chr(10) ||
+       CASE WHEN ncols >= 3 THEN
+         'L3 = ' ||
+           CASE WHEN (4 + doc_id) % 2 = 0
+                THEN CAST((doc_id + 3) % 1000 AS VARCHAR)
+                ELSE 'x1c3' END || chr(10)
+       ELSE '' END AS first_child_text,
+       'success' AS status
+FROM base ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -17604,6 +17695,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q253_vba_macros": q253_vba_macros,
     "q254_onenote_embedded": q254_onenote_embedded,
     "q255_dbf_tables": q255_dbf_tables,
+    "q256_wk1_tables": q256_wk1_tables,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -17849,6 +17941,7 @@ ORACLES: dict[str, str] = {
     "q253_vba_macros": Q253_SQL,
     "q254_onenote_embedded": Q254_SQL,
     "q255_dbf_tables": Q255_SQL,
+    "q256_wk1_tables": Q256_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
