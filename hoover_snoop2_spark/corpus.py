@@ -972,6 +972,28 @@ def _add_vba_project(docx_bytes: bytes, doc_id: int) -> tuple[bytes, list[tuple[
     return out.getvalue(), kids
 
 
+def render_vsdx(doc_id: int, lang: str) -> tuple[bytes, str]:
+    """Visio OPC drawing: 1-2 pages of shape texts; golden is the
+    paragraphs (one per shape) in page order."""
+    from .operators.visio_extract import build_vsdx
+
+    rng = _rng(doc_id, 30)
+    pages = []
+    paras: list[str] = []
+    for _p in range(1 + doc_id % 2):
+        shapes = [
+            " ".join(_sentence(rng, lang) for _ in range(1))
+            for _ in range(rng.randint(1, 3))
+        ]
+        pages.append(shapes)
+        paras.extend(shapes)
+    blob = build_vsdx(
+        pages,
+        extra_members=[("docProps/core.xml", _core_props_xml(doc_id))],
+    )
+    return blob, _golden_from_paragraphs(paras)
+
+
 def render_uuencode(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
     """uuencoded text payload(s); every third doc carries two blocks."""
     from .operators.legacy_encodings import build_uuencode
@@ -1291,16 +1313,20 @@ def build_doc(doc_id: int) -> dict:
         # spreadsheet / presentation + EPUB cycle by doc_id (reference
         # covers all four via Tika's mime list, _tika_mime_types.py;
         # epub also in its archive extension set, archives.py:54)
-        odf_kind = doc_id % 4
-        if odf_kind == 1:
+        odf_kind = doc_id % 8
+        if odf_kind in (1, 5):
             html, golden = render_ods(doc_id, lang)
             ext = "ods"
-        elif odf_kind == 2:
+        elif odf_kind in (2, 6):
             html, golden = render_odp(doc_id, lang)
             ext = "odp"
-        elif odf_kind == 3:
+        elif odf_kind in (3, 7):
             html, golden = render_epub(doc_id, lang)
             ext = "epub"
+        elif odf_kind == 4:
+            # Visio OPC drawing (Tika :527) joins the zip-of-XML family
+            html, golden = render_vsdx(doc_id, lang)
+            ext = "vsdx"
         else:
             html, golden = render_odt(doc_id, lang)
         url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"

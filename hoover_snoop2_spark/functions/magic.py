@@ -55,6 +55,10 @@ _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),  # winmail.dat
     (0, b"\x00\x05\x16\x00", "application/applefile"),  # AppleSingle
     (0, b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
+    # StuffIt archives (Tika list :1015-1016); codecs proprietary, so
+    # extraction is a typed refusal like compressed RAR members
+    (0, b"StuffIt (c)1997-", "application/x-stuffit"),
+    (0, b"SIT!", "application/x-stuffit"),
     # Lotus 1-2-3 WK1: BOF record + revision word (Tika list :452)
     (0, b"\x00\x00\x02\x00\x04\x04", "application/vnd.lotus-1-2-3"),
     (0, b"\x00\x00\x02\x00\x05\x04", "application/vnd.lotus-1-2-3"),

@@ -133,6 +133,13 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
             mime_type = "application/msword"
         elif is_ppt(data):
             mime_type = PPT_MIME
+        else:
+            from .visio_extract import is_vsd
+
+            if is_vsd(data):
+                # legacy Visio: container recognized (Tika :760); the
+                # VisioDocument stream's text is a documented gap
+                mime_type = "application/vnd.visio"
     digest: dict = dict(_EMPTY)
     digest.update(
         kind="digest",
@@ -367,6 +374,31 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
                     digest["table_columns"] = info["table-columns"]
                     digest["table_row_count"] = info["table-row-count"]
                 children = [(n, t.encode("utf-8")) for n, t in kids]
+
+        elif mime_type in ("application/vnd.ms-visio.drawing",
+                           "application/vnd.ms-visio.drawing.macroenabled.12"):
+            # modern Visio OPC zip: shape text per page (Tika :527-532);
+            # the macro-enabled variant fans out VBA like docm
+            from .vba_extract import VbaBroken, vba_modules_from_zip
+            from .visio_extract import vsdx_to_text
+
+            digest["text"] = normalize_text(vsdx_to_text(data)) or ""
+            created, modified = office_doc_dates(data)
+            digest["date_created"] = created
+            digest["date_modified"] = modified
+            if mime_type.endswith("macroenabled.12"):
+                try:
+                    children = [(f"macros/{n}.bas", t.encode("utf-8"))
+                                for n, t in vba_modules_from_zip(data)]
+                except VbaBroken as e:
+                    digest["status"] = "broken"
+                    digest["broken_reason"] = e.reason
+
+        elif mime_type == "application/x-stuffit":
+            # StuffIt compression is proprietary (same posture as
+            # compressed RAR members): container recognized, typed refusal
+            digest["status"] = "broken"
+            digest["broken_reason"] = "stuffit_unsupported"
 
         elif mime_type == "application/vnd.lotus-1-2-3":
             # Lotus WK1 record stream -> csv-shaped explode (Tika :452)

@@ -61,6 +61,10 @@ def classify_zip_office(data: bytes) -> str | None:
                 return OOXML_XLSM if "xl/vbaProject.bin" in names else OOXML_XLSX
             if "ppt/presentation.xml" in names:
                 return OOXML_PPTM if "ppt/vbaProject.bin" in names else OOXML_PPTX
+            if "visio/document.xml" in names:
+                from .visio_extract import classify_zip_visio
+
+                return classify_zip_visio(names)
             if "mimetype" in names and "content.xml" in names:
                 mt = zf.read("mimetype").decode("ascii", "replace").strip()
                 if mt.startswith("application/vnd.oasis.opendocument"):

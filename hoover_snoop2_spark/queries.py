@@ -17447,6 +17447,82 @@ FROM base ORDER BY doc_id
 """
 
 
+def q257_visio_text(spark, sf_dir):
+    """Visio vsdx/vsdm extraction certification: each doc synthesizes an
+    OPC drawing (doc_id-derived shape texts; odd docs are macro-enabled
+    with one VBA module), runs the REAL ``analyze_blob`` dispatch (zip
+    classify → page walk → shape text, + [MS-OVBA] fan-out), and emits
+    fields the SQL recomputes closed-form including the full extracted
+    text.  The reference Tika-accepts the visio family
+    (_tika_mime_types.py:527-532)."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .operators.analyze import analyze_blob
+        from .operators.vba_extract import build_vba_project
+        from .operators.visio_extract import build_vsdx
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                shapes = [f"Node {d} step {i}" for i in range(1 + d % 3)]
+                vba = None
+                if d % 2 == 1:
+                    vba = build_vba_project(
+                        [("Flow", f"Sub Flow()\r\nStage = {d}\r\n"
+                                  f"End Sub\r\n")]
+                    )
+                out = analyze_blob(str(d), build_vsdx([shapes],
+                                                      vba_project=vba))
+                digest, children = out[0], out[1:]
+                rows.append((
+                    d,
+                    digest["mime_type"],
+                    digest["text"],
+                    len(children),
+                    sum(len(c["child_data"]) for c in children),
+                    digest["status"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime_type", "body_text", "n_children",
+                         "child_bytes", "status"],
+            )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, mime_type string, body_text string, "
+                   "n_children int, child_bytes long, status string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q257_SQL = r"""
+SELECT doc_id,
+       CASE WHEN doc_id % 2 = 1
+            THEN 'application/vnd.ms-visio.drawing.macroenabled.12'
+            ELSE 'application/vnd.ms-visio.drawing' END AS mime_type,
+       'Node ' || doc_id || ' step 0' ||
+         CASE WHEN doc_id % 3 >= 1
+              THEN chr(10) || chr(10) || 'Node ' || doc_id || ' step 1'
+              ELSE '' END ||
+         CASE WHEN doc_id % 3 >= 2
+              THEN chr(10) || chr(10) || 'Node ' || doc_id || ' step 2'
+              ELSE '' END AS body_text,
+       CAST(doc_id % 2 AS INT) AS n_children,
+       CAST(CASE WHEN doc_id % 2 = 1
+                 THEN 31 + length(CAST(doc_id AS VARCHAR))
+                 ELSE 0 END AS BIGINT) AS child_bytes,
+       'success' AS status
+FROM documents WHERE doc_id < 120 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -17696,6 +17772,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q254_onenote_embedded": q254_onenote_embedded,
     "q255_dbf_tables": q255_dbf_tables,
     "q256_wk1_tables": q256_wk1_tables,
+    "q257_visio_text": q257_visio_text,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -17942,6 +18019,7 @@ ORACLES: dict[str, str] = {
     "q254_onenote_embedded": Q254_SQL,
     "q255_dbf_tables": Q255_SQL,
     "q256_wk1_tables": Q256_SQL,
+    "q257_visio_text": Q257_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
