@@ -329,6 +329,47 @@ def render_dbf(doc_id: int) -> tuple[bytes, list[tuple[str, str]], dict]:
     return build_dbf(cols, rows), children, info
 
 
+def render_sqlite(doc_id: int) -> tuple[bytes, list[tuple[str, str]], dict]:
+    """SQLite database via the stdlib sqlite3 writer (the independent
+    emitter for our native B-tree reader); one ``items`` table of text
+    cells, same golden contract as render_csv."""
+    import os
+    import sqlite3
+    import tempfile
+
+    rng = _rng(doc_id, 31)
+    ncols = rng.randint(2, 4)
+    nrows = rng.randint(3, 15)
+    cols = [f"c{c}" for c in range(1, ncols + 1)]
+    rows = [
+        [f"s{doc_id % 100}r{r}c{c}" for c in range(1, ncols + 1)]
+        for r in range(1, nrows + 1)
+    ]
+    path = tempfile.mktemp(suffix=".db")
+    try:
+        con = sqlite3.connect(path)
+        con.execute(f"CREATE TABLE items ({', '.join(c + ' TEXT' for c in cols)})")
+        for row in rows:
+            con.execute(
+                f"INSERT INTO items VALUES ({', '.join('?' * ncols)})", row)
+        con.commit()
+        con.close()
+        blob = open(path, "rb").read()
+    finally:
+        if os.path.exists(path):
+            os.unlink(path)
+    children = [
+        (f"items/{i}.txt", " ".join(f"{k} = {v}" for k, v in zip(cols, row)))
+        for i, row in enumerate(rows, start=1)
+    ]
+    info = {
+        "table-columns": cols,
+        "table-row-count": nrows + 1,
+        "table-col-count": ncols,
+    }
+    return blob, children, info
+
+
 def render_wk1(doc_id: int) -> tuple[bytes, list[tuple[str, str]], dict]:
     """Lotus 1-2-3 WK1 — same golden contract as render_csv; cells mix
     labels and numbers (numbers round-trip through the f64 record)."""
@@ -1246,6 +1287,10 @@ def build_doc(doc_id: int) -> dict:
         elif doc_id % 7 == 5:
             html, kids, info = render_wk1(doc_id)
             ext = "wk1"
+            url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
+        elif doc_id % 7 == 1:
+            html, kids, info = render_sqlite(doc_id)
+            ext = "db"
             url = f"https://site{doc_id % 97}.example/{cat}/{doc_id}.{ext}"
         else:
             html, kids, info = render_csv(doc_id)

@@ -47,6 +47,7 @@ FILE_TYPES: dict[str, str] = {
     "application/vnd.openxmlformats-officedocument.spreadsheetml.template": "xls",
     "application/x-dbf": "xls",
     "application/vnd.lotus-1-2-3": "xls",
+    "application/vnd.sqlite3": "xls",
     "application/vnd.ms-visio.drawing": "doc",
     "application/vnd.ms-visio.drawing.macroenabled.12": "doc",
     "application/vnd.visio": "doc",

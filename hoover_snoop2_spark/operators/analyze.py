@@ -359,6 +359,23 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
                 if af["data"] is not None:
                     children = [(af["name"] or "datafork", af["data"])]
 
+        elif mime_type == "application/vnd.sqlite3":
+            # native SQLite b-tree walk: every rowid table explodes like
+            # csv (beyond-reference: .db blobs are everywhere in real
+            # corpora); first table fills the digest table fields
+            from .sqlite_extract import SqliteBroken, sqlite_to_tables
+
+            try:
+                info, kids = sqlite_to_tables(data)
+            except SqliteBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+            else:
+                if info:
+                    digest["table_columns"] = info["table-columns"]
+                    digest["table_row_count"] = info["table-row-count"]
+                children = [(n, t.encode("utf-8")) for n, t in kids]
+
         elif mime_type == "application/x-dbf":
             # dBase fixed-width table -> csv-shaped explode (Tika list
             # :863); structural sniff lives in magic.looks_like_dbf

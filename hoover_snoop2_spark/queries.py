@@ -17523,7 +17523,87 @@ FROM documents WHERE doc_id < 120 ORDER BY doc_id
 """
 
 
+def q258_sqlite_tables(spark, sf_dir):
+    """Native SQLite reader certification: each doc CREATES a database
+    with the stdlib sqlite3 module (independent C writer), runs the REAL
+    ``analyze_blob`` dispatch (magic -> page-1 schema walk -> B-tree row
+    decode -> csv-shaped explode), and emits fields the SQL recomputes
+    closed-form including the first exploded child text.  A varint,
+    serial-type, rowid-alias, or overflow bug hash-fails.  Beyond the
+    reference's Tika list; .db blobs are ubiquitous in real corpora."""
+    import pandas as pd
+
+    def kernel(batches):
+        import os
+        import sqlite3
+        import tempfile
+
+        from .operators.analyze import analyze_blob
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                path = tempfile.mktemp(suffix=".db")
+                try:
+                    con = sqlite3.connect(path)
+                    con.execute(
+                        "CREATE TABLE t (id INTEGER PRIMARY KEY, val TEXT)")
+                    for r in range(1, 2 + d % 4):
+                        con.execute("INSERT INTO t VALUES (?, ?)",
+                                    (r, f"s{d}r{r}"))
+                    con.commit()
+                    con.close()
+                    blob = open(path, "rb").read()
+                finally:
+                    if os.path.exists(path):
+                        os.unlink(path)
+                out = analyze_blob(str(d), blob)
+                digest, children = out[0], out[1:]
+                rows.append((
+                    d,
+                    digest["mime_type"],
+                    ",".join(digest["table_columns"] or []),
+                    digest["table_row_count"],
+                    len(children),
+                    children[0]["child_data"].decode("utf-8")
+                    if children else None,
+                    digest["status"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime_type", "cols_csv", "row_count",
+                         "n_children", "first_child_text", "status"],
+            )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, mime_type string, cols_csv string, "
+                   "row_count int, n_children int, first_child_text string, "
+                   "status string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q258_SQL = r"""
+SELECT doc_id,
+       'application/vnd.sqlite3' AS mime_type,
+       'id,val' AS cols_csv,
+       CAST(2 + doc_id % 4 AS INT) AS row_count,
+       CAST(1 + doc_id % 4 AS INT) AS n_children,
+       'id = 1' || chr(10) || 'val = s' || doc_id || 'r1' || chr(10)
+         AS first_child_text,
+       'success' AS status
+FROM documents WHERE doc_id < 120 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
     "q03_topk_recent": q03_topk_recent,
@@ -17773,6 +17853,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q255_dbf_tables": q255_dbf_tables,
     "q256_wk1_tables": q256_wk1_tables,
     "q257_visio_text": q257_visio_text,
+    "q258_sqlite_tables": q258_sqlite_tables,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -18020,6 +18101,7 @@ ORACLES: dict[str, str] = {
     "q255_dbf_tables": Q255_SQL,
     "q256_wk1_tables": Q256_SQL,
     "q257_visio_text": Q257_SQL,
+    "q258_sqlite_tables": Q258_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,
