@@ -34,6 +34,9 @@ FILE_TYPES: dict[str, str] = {
     "application/vnd.ms-word.document.macroEnabled.12": "doc",
     "application/vnd.ms-word.template.macroEnabled.12": "doc",
     "application/vnd.oasis.opendocument.text": "doc",
+    "application/vnd.sun.xml.writer": "doc",
+    "application/vnd.sun.xml.calc": "xls",
+    "application/vnd.sun.xml.impress": "ppt",
     "application/vnd.oasis.opendocument.text-template": "doc",
     "application/rtf": "doc",
     "application/vnd.ms-excel": "xls",

@@ -257,7 +257,8 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
         elif (
             mime_type in (OOXML_DOCX, OOXML_PPTX, OOXML_DOCM, OOXML_PPTM,
                           EPUB_MIME)
-            or mime_type.startswith("application/vnd.oasis.opendocument")
+            or mime_type.startswith(("application/vnd.oasis.opendocument",
+                                     "application/vnd.sun.xml"))
         ):
             digest["text"] = office_to_text(data, mime_type)
             if mime_type == EPUB_MIME:

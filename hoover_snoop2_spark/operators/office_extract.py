@@ -69,6 +69,10 @@ def classify_zip_office(data: bytes) -> str | None:
                 mt = zf.read("mimetype").decode("ascii", "replace").strip()
                 if mt.startswith("application/vnd.oasis.opendocument"):
                     return mt
+                if mt.startswith("application/vnd.sun.xml"):
+                    # StarOffice/OpenOffice 1.x — ODF's ancestor, same
+                    # zip-of-XML layout (Tika list :712-721)
+                    return mt
             if "mimetype" in names:
                 mt = zf.read("mimetype").decode("ascii", "replace").strip()
                 if mt == EPUB_MIME:
@@ -421,12 +425,14 @@ def office_to_text(data: bytes, mime_type: str) -> str:
         return epub_to_text(data)
     if mime_type in (OOXML_DOCX, OOXML_DOCM):
         return docx_to_text(data)
-    if mime_type == "application/vnd.oasis.opendocument.spreadsheet":
+    if mime_type in ("application/vnd.oasis.opendocument.spreadsheet",
+                     "application/vnd.sun.xml.calc"):
         return ods_to_text(data)
-    if mime_type == "application/vnd.oasis.opendocument.presentation":
+    if mime_type in ("application/vnd.oasis.opendocument.presentation",
+                     "application/vnd.sun.xml.impress"):
         return odp_to_text(data)
     if mime_type == ODF_ODT or mime_type.startswith(
-        "application/vnd.oasis.opendocument"
+        ("application/vnd.oasis.opendocument", "application/vnd.sun.xml")
     ):
         return odt_to_text(data)
     if mime_type in (OOXML_PPTX, OOXML_PPTM):
