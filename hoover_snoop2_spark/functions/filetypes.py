@@ -23,6 +23,7 @@ FILE_TYPES: dict[str, str] = {
     "application/vnd.ms-outlook": "email",
     "application/vnd.ms-tnef": "email",
     "text/x-uuencode": "archive",
+    "application/x-snappy-framed": "archive",
     "application/mac-binhex40": "archive",
     "application/applefile": "archive",
     "application/x-hoover-pst": "email-archive",

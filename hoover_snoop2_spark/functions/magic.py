@@ -55,6 +55,8 @@ _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),  # winmail.dat
     (0, b"\x00\x05\x16\x00", "application/applefile"),  # AppleSingle
     (0, b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
+    # snappy framing stream identifier (Tika list :1004)
+    (0, b"\xff\x06\x00\x00sNaPpY", "application/x-snappy-framed"),
     # StuffIt archives (Tika list :1015-1016); codecs proprietary, so
     # extraction is a typed refusal like compressed RAR members
     (0, b"StuffIt (c)1997-", "application/x-stuffit"),
@@ -256,6 +258,14 @@ def sniff_bytes(data: bytes | None) -> tuple[str, str]:
             break
 
     encoding = detect_mime_encoding(data)
+
+    if not mime_type and data[:1] == b"d":
+        # bencoded metainfo dict (Tika list :842); the gate is a FULL
+        # bencode parse so prose starting with 'd' can't match
+        from ..operators.torrent_extract import looks_like_torrent
+
+        if looks_like_torrent(data):
+            mime_type = "application/x-bittorrent"
 
     if not mime_type:
         # SVG roots outrank the generic html/xml heuristic (an XML decl

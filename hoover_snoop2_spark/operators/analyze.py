@@ -360,6 +360,19 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
                 if af["data"] is not None:
                     children = [(af["name"] or "datafork", af["data"])]
 
+        elif mime_type == "application/x-bittorrent":
+            # BEP-3 metainfo: name/announce/files as text (Tika :842)
+            from .torrent_extract import TorrentBroken, torrent_to_text
+
+            try:
+                text, created = torrent_to_text(data)
+            except TorrentBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+            else:
+                digest["text"] = normalize_text(text) or ""
+                digest["date_created"] = created
+
         elif mime_type == "application/vnd.sqlite3":
             # native SQLite b-tree walk: every rowid table explodes like
             # csv (beyond-reference: .db blobs are everywhere in real

@@ -48,6 +48,7 @@ UNPACK_MIME_TYPES = frozenset(
         "application/x-compress",
         "application/zstd",
         "application/x-lz4",
+        "application/x-snappy-framed",
     }
 )
 
@@ -265,6 +266,18 @@ def unpack_bytes(data: bytes, mime_type: str) -> list[tuple[str, bytes]]:
         try:
             inner = lz4_decompress(data, max_output=MAX_CHILD_BYTES)
         except Lz4Error as e:
+            raise UnpackBroken(e.reason) from e
+        if inner[257 : 257 + 5] == b"ustar":
+            return _unpack_tar(inner)
+        return [("data", inner)]
+    if mime_type == "application/x-snappy-framed":
+        # framing format via the in-repo pure-Python codec (CRC-32C
+        # verified per chunk); recurses into tar for .tar.sz
+        from ..functions.snappy_codec import SnappyError, snappy_decompress_framed
+
+        try:
+            inner = snappy_decompress_framed(data, max_output=MAX_CHILD_BYTES)
+        except SnappyError as e:
             raise UnpackBroken(e.reason) from e
         if inner[257 : 257 + 5] == b"ustar":
             return _unpack_tar(inner)

@@ -17602,7 +17602,86 @@ FROM documents WHERE doc_id < 120 ORDER BY doc_id
 """
 
 
+def q259_snappy_roundtrip(spark, sf_dir):
+    """snappy framing certification (q236/q240's sibling): per document
+    a deterministic payload ``byte[i] = (doc_id*29 + i*5) % 256`` of
+    length ``50 + (doc_id % 9) * 37`` — constant-byte for ``% 4 == 0``
+    docs so copy tokens dominate — compressed by the in-repo framed
+    writer (128-byte chunks for ``% 2 == 0`` docs exercise multi-chunk
+    streams; a skippable chunk is injected for ``% 5 == 0``), then
+    decoded by the REAL :func:`..functions.snappy_codec.
+    snappy_decompress_framed` kernel with per-chunk CRC-32C
+    verification.  The oracle recomputes length / byte sum / boundary
+    bytes closed-form.  The plan REQUIRES MapInPandas."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .functions.snappy_codec import (
+            FRAME_MAGIC,
+            snappy_compress_framed,
+            snappy_decompress_framed,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 50 + (d % 9) * 37
+                if d % 4 == 0:
+                    payload = bytes([d % 251]) * n
+                else:
+                    payload = bytes((d * 29 + i * 5) % 256
+                                    for i in range(n))
+                blob = snappy_compress_framed(
+                    payload, block=128 if d % 2 == 0 else 65536)
+                if d % 5 == 0:
+                    blob = (FRAME_MAGIC + bytes([0x90, 4, 0, 0]) + b"meta"
+                            + blob[len(FRAME_MAGIC):])
+                out = snappy_decompress_framed(blob)
+                rows.append((d, len(out), sum(out), out[0], out[-1]))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_bytes", "byte_sum", "first_byte",
+                         "last_byte"],
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, n_bytes long, byte_sum long, "
+                   "first_byte long, last_byte long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q259_SQL = r"""
+WITH p AS (
+  SELECT doc_id, 50 + (doc_id % 9) * 37 AS n FROM documents
+),
+g AS (SELECT i FROM generate_series(0, 345) AS t(i)),
+sums AS (
+  SELECT p.doc_id, SUM((p.doc_id * 29 + g.i * 5) % 256) AS s
+  FROM p JOIN g ON g.i < p.n
+  GROUP BY p.doc_id
+)
+SELECT p.doc_id,
+       p.n AS n_bytes,
+       CASE WHEN p.doc_id % 4 = 0 THEN p.n * (p.doc_id % 251)
+            ELSE sums.s END AS byte_sum,
+       CASE WHEN p.doc_id % 4 = 0 THEN p.doc_id % 251
+            ELSE (p.doc_id * 29) % 256 END AS first_byte,
+       CASE WHEN p.doc_id % 4 = 0 THEN p.doc_id % 251
+            ELSE (p.doc_id * 29 + (p.n - 1) * 5) % 256 END AS last_byte
+FROM p JOIN sums ON sums.doc_id = p.doc_id
+ORDER BY p.doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+
 
     "q01_pricing_summary": q01_pricing_summary,
     "q02_task_matrix": q02_task_matrix,
@@ -17854,6 +17933,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q256_wk1_tables": q256_wk1_tables,
     "q257_visio_text": q257_visio_text,
     "q258_sqlite_tables": q258_sqlite_tables,
+    "q259_snappy_roundtrip": q259_snappy_roundtrip,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -18102,6 +18182,7 @@ ORACLES: dict[str, str] = {
     "q256_wk1_tables": Q256_SQL,
     "q257_visio_text": Q257_SQL,
     "q258_sqlite_tables": Q258_SQL,
+    "q259_snappy_roundtrip": Q259_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -216,6 +216,20 @@ AUDITED = [
     "q243_encrypted_xls_extraction",
     "q244_encrypted_doc_extraction",
     "q245_encrypted_ppt_extraction",
+    "q246_filesystem_walk",
+    "q247_webp_roundtrip",
+    "q248_wat_export",
+    "q249_flac_roundtrip",
+    "q250_mp3_stats",
+    "q251_tnef_extraction",
+    "q252_legacy_encodings",
+    "q253_vba_macros",
+    "q254_onenote_embedded",
+    "q255_dbf_tables",
+    "q256_wk1_tables",
+    "q257_visio_text",
+    "q258_sqlite_tables",
+    "q259_snappy_roundtrip",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -821,6 +835,37 @@ CHECKS = {
     "q245_encrypted_ppt_extraction": ["MapInPandas", "!HashAggregate",
                                       "!CartesianProduct",
                                       "!SortMergeJoin"],
+    # kernel-certification queries: the Arrow pass is the subject — no
+    # joins or aggregates belong in any of these plans
+    # q246 materializes extraction to a checkpoint first; the audited
+    # plan is the scan over it, so no Python node is expected
+    "q246_filesystem_walk": ["!CartesianProduct", "!SortMergeJoin"],
+    "q247_webp_roundtrip": ["MapInPandas", "!HashAggregate",
+                            "!CartesianProduct", "!SortMergeJoin"],
+    "q248_wat_export": ["MapInPandas", "!CartesianProduct",
+                        "!SortMergeJoin"],
+    "q249_flac_roundtrip": ["MapInPandas", "!HashAggregate",
+                            "!CartesianProduct", "!SortMergeJoin"],
+    "q250_mp3_stats": ["MapInPandas", "!HashAggregate",
+                       "!CartesianProduct", "!SortMergeJoin"],
+    "q251_tnef_extraction": ["MapInPandas", "!HashAggregate",
+                             "!CartesianProduct", "!SortMergeJoin"],
+    "q252_legacy_encodings": ["MapInPandas", "!HashAggregate",
+                              "!CartesianProduct", "!SortMergeJoin"],
+    "q253_vba_macros": ["MapInPandas", "!HashAggregate",
+                        "!CartesianProduct", "!SortMergeJoin"],
+    "q254_onenote_embedded": ["MapInPandas", "!HashAggregate",
+                              "!CartesianProduct", "!SortMergeJoin"],
+    "q255_dbf_tables": ["MapInPandas", "!HashAggregate",
+                        "!CartesianProduct", "!SortMergeJoin"],
+    "q256_wk1_tables": ["MapInPandas", "!HashAggregate",
+                        "!CartesianProduct", "!SortMergeJoin"],
+    "q257_visio_text": ["MapInPandas", "!HashAggregate",
+                        "!CartesianProduct", "!SortMergeJoin"],
+    "q258_sqlite_tables": ["MapInPandas", "!HashAggregate",
+                           "!CartesianProduct", "!SortMergeJoin"],
+    "q259_snappy_roundtrip": ["MapInPandas", "!HashAggregate",
+                              "!CartesianProduct", "!SortMergeJoin"],
 }
 
 NOTES = {
