@@ -55,6 +55,13 @@ _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),  # winmail.dat
     (0, b"\x00\x05\x16\x00", "application/applefile"),  # AppleSingle
     (0, b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
+    # PCX headers: 0x0A + version + RLE flag (image/vnd.zbrush.pcx,
+    # Tika list :1250); only the RLE=1 variants are distinctive enough
+    (0, b"\x0a\x00\x01", "image/vnd.zbrush.pcx"),
+    (0, b"\x0a\x02\x01", "image/vnd.zbrush.pcx"),
+    (0, b"\x0a\x03\x01", "image/vnd.zbrush.pcx"),
+    (0, b"\x0a\x04\x01", "image/vnd.zbrush.pcx"),
+    (0, b"\x0a\x05\x01", "image/vnd.zbrush.pcx"),
     # snappy framing stream identifier (Tika list :1004)
     (0, b"\xff\x06\x00\x00sNaPpY", "application/x-snappy-framed"),
     # StuffIt archives (Tika list :1015-1016); codecs proprietary, so
@@ -277,6 +284,9 @@ def sniff_bytes(data: bytes | None) -> tuple[str, str]:
             mime_type = "text/html"
         elif encoding != "binary":
             mime_type = "text/plain"
+        elif data[-18:] == b"TRUEVISION-XFILE.\x00":
+            # TGA 2.0 footer — the only reliable TGA magic (Tika :1290)
+            mime_type = "image/x-tga"
         else:
             # dBase has no fixed magic — structural geometry check
             # (Tika-accepted application/x-dbf, _tika_mime_types.py:863)

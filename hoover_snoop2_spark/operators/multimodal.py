@@ -73,6 +73,19 @@ def parse_image_header(data: bytes) -> tuple[str, int, int] | None:
         kind = "avif" if data[8:12] in (b"avif", b"avis") else "heic"
         w, h = _ispe_dims(data)
         return kind, w, h
+    if (len(data) >= 70 and data[0] == 0x0A and data[2] in (0, 1)
+            and data[1] in (0, 2, 3, 4, 5)):
+        # PCX (image/vnd.zbrush.pcx in the reference's Tika list):
+        # dims from the window coordinates
+        xmin, ymin, xmax, ymax = struct.unpack_from("<4H", data, 4)
+        if xmax >= xmin and ymax >= ymin:
+            return "pcx", xmax - xmin + 1, ymax - ymin + 1
+    if data[-18:] == b"TRUEVISION-XFILE.\x00" and len(data) >= 18:
+        # TGA 2.0 footer (image/x-tga); width/height u16 LE at 12/14
+        if len(data) >= 18 + 18:
+            w, h = struct.unpack_from("<HH", data, 12)
+            return "tga", w, h
+        return "tga", 0, 0
     from ..functions.magic import svg_root_tag
 
     svg = svg_root_tag(data)

@@ -316,3 +316,32 @@ def test_audio_stats_accepts_aiff(spark):
     row = audio_stats(df).collect()[0]
     assert (row.sample_rate, row.n_samples, row.sum_abs) == (22050, 3, 600)
     assert row.status == "ok"
+
+
+def test_pcx_dims():
+    import struct
+    from hoover_snoop2_spark.operators.multimodal import parse_image_header
+    from hoover_snoop2_spark.functions.magic import sniff_bytes
+
+    pcx = bytearray(128)
+    pcx[0] = 0x0A
+    pcx[1] = 5
+    pcx[2] = 1
+    pcx[3] = 8
+    struct.pack_into("<4H", pcx, 4, 10, 20, 329, 219)
+    blob = bytes(pcx) + b"\x00" * 64
+    assert parse_image_header(blob) == ("pcx", 320, 200)
+    assert sniff_bytes(blob)[0] == "image/vnd.zbrush.pcx"
+
+
+def test_tga_dims_footer():
+    import struct
+    from hoover_snoop2_spark.operators.multimodal import parse_image_header
+    from hoover_snoop2_spark.functions.magic import sniff_bytes
+
+    tga = bytearray(18)
+    tga[2] = 2
+    struct.pack_into("<HH", tga, 12, 640, 480)
+    blob = bytes(tga) + b"\x00" * 40 + b"TRUEVISION-XFILE.\x00"
+    assert parse_image_header(blob) == ("tga", 640, 480)
+    assert sniff_bytes(blob)[0] == "image/x-tga"
