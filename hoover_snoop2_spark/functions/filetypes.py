@@ -24,6 +24,7 @@ FILE_TYPES: dict[str, str] = {
     "application/vnd.ms-tnef": "email",
     "text/x-uuencode": "archive",
     "application/x-snappy-framed": "archive",
+    "application/vnd.ms-htmlhelp": "archive",
     "application/mac-binhex40": "archive",
     "application/applefile": "archive",
     "application/x-hoover-pst": "email-archive",

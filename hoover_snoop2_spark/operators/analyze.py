@@ -360,6 +360,17 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
                 if af["data"] is not None:
                     children = [(af["name"] or "datafork", af["data"])]
 
+        elif mime_type == "application/vnd.ms-htmlhelp":
+            # CHM/ITSS: LZXC sections decode via the in-repo LZX codec;
+            # html members recurse like archive children (Tika :509)
+            from .chm_extract import ChmBroken, chm_children
+
+            try:
+                children = chm_children(data)
+            except ChmBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+
         elif mime_type == "application/x-bittorrent":
             # BEP-3 metainfo: name/announce/files as text (Tika :842)
             from .torrent_extract import TorrentBroken, torrent_to_text

@@ -17680,7 +17680,98 @@ ORDER BY p.doc_id
 """
 
 
+def q260_chm_extraction(spark, sf_dir):
+    """CHM/ITSS extraction certification: each doc synthesizes a
+    compiled-help container (1-2 doc_id-derived html topics through the
+    in-repo LZX compressor), runs the REAL ``analyze_blob`` dispatch
+    (ITSF magic → PMGL walk → LZXC decode → child fan-out), re-analyzes
+    the first topic child, and emits fields the SQL recomputes
+    closed-form including that child's extracted text.  A bitstream,
+    tree-transmission, ENCINT, or reset-table bug hash-fails.  The
+    reference Tika-accepts application/vnd.ms-htmlhelp
+    (_tika_mime_types.py:509)."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .operators.analyze import analyze_blob
+        from .operators.chm_extract import build_chm
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                members = []
+                for i in range(1 + d % 2):
+                    body = f"Help topic {d} part {i} " + "lorem " * (d % 5)
+                    members.append(
+                        (f"topic{i}.html",
+                         f"<html><body><p>{body.strip()}</p></body>"
+                         f"</html>".encode("ascii"))
+                    )
+                out = analyze_blob(str(d), build_chm(members))
+                digest, children = out[0], out[1:]
+                first_child = analyze_blob("c", children[0]["child_data"])
+                rows.append((
+                    d,
+                    digest["mime_type"],
+                    ",".join(c["child_name"] for c in children),
+                    sum(len(c["child_data"]) for c in children),
+                    first_child[0]["text"],
+                    digest["status"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime_type", "child_names",
+                         "child_bytes", "first_topic_text", "status"],
+            )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, mime_type string, child_names string, "
+                   "child_bytes long, first_topic_text string, "
+                   "status string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q260_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         1 + doc_id % 2 AS nmem,
+         doc_id % 5 AS nlorem,
+         length(CAST(doc_id AS VARCHAR)) AS dlen
+  FROM documents WHERE doc_id < 120
+),
+topic AS (
+  SELECT doc_id, nmem, nlorem, dlen,
+         'Help topic ' || doc_id || ' part 0' ||
+           CASE WHEN nlorem > 0
+                THEN ' ' || trim(repeat('lorem ', nlorem))
+                ELSE '' END AS t0
+  FROM base
+)
+SELECT doc_id,
+       'application/vnd.ms-htmlhelp' AS mime_type,
+       'topic0.html' ||
+         CASE WHEN nmem = 2 THEN ',topic1.html' ELSE '' END
+         AS child_names,
+       -- per topic i: <html><body><p>BODY</p></body></html> wrapper is
+       -- 33 chars; BODY = 'Help topic <d> part <i>' (18 + dlen chars)
+       -- plus (' lorem' * nlorem) = 6*nlorem chars
+       CAST(nmem * (33 + 18 + dlen + 6 * nlorem) AS BIGINT)
+         AS child_bytes,
+       t0 AS first_topic_text,
+       'success' AS status
+FROM topic ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+
 
 
     "q01_pricing_summary": q01_pricing_summary,
@@ -17934,6 +18025,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q257_visio_text": q257_visio_text,
     "q258_sqlite_tables": q258_sqlite_tables,
     "q259_snappy_roundtrip": q259_snappy_roundtrip,
+    "q260_chm_extraction": q260_chm_extraction,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -18183,6 +18275,7 @@ ORACLES: dict[str, str] = {
     "q257_visio_text": Q257_SQL,
     "q258_sqlite_tables": Q258_SQL,
     "q259_snappy_roundtrip": Q259_SQL,
+    "q260_chm_extraction": Q260_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

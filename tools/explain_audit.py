@@ -230,6 +230,7 @@ AUDITED = [
     "q257_visio_text",
     "q258_sqlite_tables",
     "q259_snappy_roundtrip",
+    "q260_chm_extraction",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -866,6 +867,8 @@ CHECKS = {
                            "!CartesianProduct", "!SortMergeJoin"],
     "q259_snappy_roundtrip": ["MapInPandas", "!HashAggregate",
                               "!CartesianProduct", "!SortMergeJoin"],
+    "q260_chm_extraction": ["MapInPandas", "!HashAggregate",
+                            "!CartesianProduct", "!SortMergeJoin"],
 }
 
 NOTES = {
