@@ -25,6 +25,7 @@ FILE_TYPES: dict[str, str] = {
     "text/x-uuencode": "archive",
     "application/x-snappy-framed": "archive",
     "application/vnd.ms-htmlhelp": "archive",
+    "application/vnd.ms-cab-compressed": "archive",
     "application/mac-binhex40": "archive",
     "application/applefile": "archive",
     "application/x-hoover-pst": "email-archive",

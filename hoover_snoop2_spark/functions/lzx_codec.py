@@ -49,6 +49,7 @@ def _num_position_slots(window_bits: int) -> int:
 
 
 _MIN_MATCH = 2
+_FRAME_SIZE = 0x8000
 _NUM_SECONDARY_LEN = 249  # length-tree symbols
 _PRETREE_SYMS = 20
 
@@ -281,18 +282,18 @@ def _write_lengths(bw: _BitWriter, prev: list[int], lengths: list[int],
 
 
 def lzx_decompress(data: bytes, out_len: int, window_bits: int = 16,
-                   reset_interval_frames: int = 0) -> bytes:
-    """Decode one LZX stream (CHM LZXC layout: a fresh stream state at
-    every reset; ``reset_interval_frames == 0`` means a single stream).
-    ``data`` carries the whole compressed region; resets re-align to the
-    caller's reset offsets only when the caller slices — here the common
-    fixture/ControlData case of reset_interval >= total frames (one
-    span) plus explicit single-span calls is supported."""
+                   frame_align: bool = False) -> bytes:
+    """Decode one LZX stream.  ``frame_align=True`` re-aligns the input
+    bitstream to a 16-bit boundary after every 0x8000-byte output frame
+    — the CAB encoder convention; CHM fixture streams (and this repo's
+    compressor) don't pad, so the default is off and the CAB reader
+    retries with it on."""
     br = _BitReader(data)
-    return _decode_span(br, out_len, window_bits)
+    return _decode_span(br, out_len, window_bits, frame_align)
 
 
-def _decode_span(br: _BitReader, out_len: int, window_bits: int) -> bytes:
+def _decode_span(br: _BitReader, out_len: int, window_bits: int,
+                 frame_align: bool = False) -> bytes:
     nslots = _num_position_slots(window_bits)
     main_syms = 256 + (nslots << 3)
     main_len = [0] * main_syms
@@ -304,6 +305,14 @@ def _decode_span(br: _BitReader, out_len: int, window_bits: int) -> bytes:
     intel_size = 0
     if intel:
         intel_size = (br.read(16) << 16) | br.read(16)
+
+    next_frame = _FRAME_SIZE
+
+    def frame_check() -> None:
+        nonlocal next_frame
+        while frame_align and len(out) >= next_frame:
+            br.align16()
+            next_frame += _FRAME_SIZE
 
     while len(out) < out_len:
         btype = br.read(3)
@@ -321,6 +330,7 @@ def _decode_span(br: _BitReader, out_len: int, window_bits: int) -> bytes:
             out += br.read_bytes(bsize)
             if bsize % 2:
                 br.read_bytes(1)
+            frame_check()
             continue
         aligned_tree = None
         if btype == 2:  # aligned offsets
@@ -340,6 +350,7 @@ def _decode_span(br: _BitReader, out_len: int, window_bits: int) -> bytes:
             if sym < 256:
                 out.append(sym)
                 produced += 1
+                frame_check()
                 continue
             v = sym - 256
             slot = v >> 3
@@ -375,6 +386,7 @@ def _decode_span(br: _BitReader, out_len: int, window_bits: int) -> bytes:
             for _ in range(length):
                 out.append(out[-offset])
             produced += length
+            frame_check()
 
     if intel and intel_size and len(out) > 10:
         out = _e8_untranslate(bytes(out), intel_size)

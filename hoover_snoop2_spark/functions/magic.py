@@ -55,6 +55,9 @@ _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),  # winmail.dat
     (0, b"\x00\x05\x16\x00", "application/applefile"),  # AppleSingle
     (0, b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
+    # Microsoft Cabinet (Tika list :496; reference 7z ext set
+    # archives.py:43)
+    (0, b"MSCF\x00\x00\x00\x00", "application/vnd.ms-cab-compressed"),
     # CHM / ITSS compiled help (Tika list :509)
     (0, b"ITSF\x03\x00\x00\x00", "application/vnd.ms-htmlhelp"),
     # PCX headers: 0x0A + version + RLE flag (image/vnd.zbrush.pcx,

@@ -360,6 +360,17 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
                 if af["data"] is not None:
                     children = [(af["name"] or "datafork", af["data"])]
 
+        elif mime_type == "application/vnd.ms-cab-compressed":
+            # [MS-CAB] folders: none/MSZIP(zlib)/LZX decode; Quantum is
+            # a typed refusal (Tika :496; reference 7z ext archives.py:43)
+            from .cab_extract import CabBroken, parse_cab
+
+            try:
+                children = parse_cab(data)
+            except CabBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+
         elif mime_type == "application/vnd.ms-htmlhelp":
             # CHM/ITSS: LZXC sections decode via the in-repo LZX codec;
             # html members recurse like archive children (Tika :509)

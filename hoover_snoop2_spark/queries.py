@@ -17770,7 +17770,80 @@ FROM topic ORDER BY doc_id
 """
 
 
+def q261_cab_extraction(spark, sf_dir):
+    """CAB extraction certification: each doc synthesizes a one-folder
+    cabinet (method cycles none/MSZIP/LZX by doc_id; members are doc_id
+    arithmetic), runs the REAL ``analyze_blob`` dispatch (MSCF magic →
+    folder decode → file slice → child fan-out), and emits fields the
+    SQL recomputes closed-form.  A header-walk, checksum, MSZIP-
+    dictionary, or LZX bug hash-fails.  The reference Tika-accepts
+    application/vnd.ms-cab-compressed (_tika_mime_types.py:496) and
+    7z-extracts .cab (archives.py:43)."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .operators.analyze import analyze_blob
+        from .operators.cab_extract import build_cab
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                method = ("none", "mszip", "lzx")[d % 3]
+                members = [
+                    (f"m{i}.txt",
+                     (f"cab-{d}-{i}-" + "pad" * (d % 6)).encode("ascii"))
+                    for i in range(1 + d % 3)
+                ]
+                out = analyze_blob(str(d), build_cab(members, method))
+                digest, children = out[0], out[1:]
+                rows.append((
+                    d,
+                    digest["mime_type"],
+                    ",".join(c["child_name"] for c in children),
+                    sum(len(c["child_data"]) for c in children),
+                    digest["status"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime_type", "child_names",
+                         "child_bytes", "status"],
+            )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, mime_type string, child_names string, "
+                   "child_bytes long, status string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q261_SQL = r"""
+WITH base AS (
+  SELECT doc_id,
+         1 + doc_id % 3 AS nmem,
+         -- member i payload: 'cab-<d>-<i>-' + 'pad'*(d%6)
+         6 + length(CAST(doc_id AS VARCHAR)) + 1 + 3 * (doc_id % 6)
+           AS per_member
+  FROM documents WHERE doc_id < 120
+)
+SELECT doc_id,
+       'application/vnd.ms-cab-compressed' AS mime_type,
+       'm0.txt' ||
+         CASE WHEN nmem >= 2 THEN ',m1.txt' ELSE '' END ||
+         CASE WHEN nmem >= 3 THEN ',m2.txt' ELSE '' END AS child_names,
+       CAST(nmem * per_member AS BIGINT) AS child_bytes,
+       'success' AS status
+FROM base ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+
 
 
 
@@ -18026,6 +18099,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q258_sqlite_tables": q258_sqlite_tables,
     "q259_snappy_roundtrip": q259_snappy_roundtrip,
     "q260_chm_extraction": q260_chm_extraction,
+    "q261_cab_extraction": q261_cab_extraction,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -18276,6 +18350,7 @@ ORACLES: dict[str, str] = {
     "q258_sqlite_tables": Q258_SQL,
     "q259_snappy_roundtrip": Q259_SQL,
     "q260_chm_extraction": Q260_SQL,
+    "q261_cab_extraction": Q261_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

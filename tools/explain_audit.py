@@ -231,6 +231,7 @@ AUDITED = [
     "q258_sqlite_tables",
     "q259_snappy_roundtrip",
     "q260_chm_extraction",
+    "q261_cab_extraction",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -868,6 +869,8 @@ CHECKS = {
     "q259_snappy_roundtrip": ["MapInPandas", "!HashAggregate",
                               "!CartesianProduct", "!SortMergeJoin"],
     "q260_chm_extraction": ["MapInPandas", "!HashAggregate",
+                            "!CartesianProduct", "!SortMergeJoin"],
+    "q261_cab_extraction": ["MapInPandas", "!HashAggregate",
                             "!CartesianProduct", "!SortMergeJoin"],
 }
 
