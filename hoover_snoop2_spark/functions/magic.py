@@ -338,6 +338,14 @@ def sniff_bytes(data: bytes | None) -> tuple[str, str]:
         elif looks_like_uuencode(data):
             mime_type = "text/x-uuencode"
 
+    # MZ with a real PE chain refines to the Tika-accepted PE mime
+    # (:939-942); bare DOS stubs stay x-dosexec
+    if mime_type == "application/x-dosexec":
+        from ..operators.pe_extract import looks_like_pe
+
+        if looks_like_pe(data):
+            mime_type = "application/x-msdownload"
+
     # OLE → treat as legacy excel, like the reference (magic.py:110-111)
     if mime_type == "application/x-ole-storage":
         mime_type = "application/vnd.ms-excel"

@@ -360,6 +360,19 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
                 if af["data"] is not None:
                     children = [(af["name"] or "datafork", af["data"])]
 
+        elif mime_type == "application/x-msdownload":
+            # PE/COFF header metadata (Tika :939-942): the link
+            # timestamp is the only date a bare executable carries
+            from .pe_extract import PeBroken, parse_pe
+
+            try:
+                meta = parse_pe(data)
+            except PeBroken as e:
+                digest["status"] = "broken"
+                digest["broken_reason"] = e.reason
+            else:
+                digest["date_created"] = meta["timestamp"]
+
         elif mime_type == "application/vnd.ms-cab-compressed":
             # [MS-CAB] folders: none/MSZIP(zlib)/LZX decode; Quantum is
             # a typed refusal (Tika :496; reference 7z ext archives.py:43)

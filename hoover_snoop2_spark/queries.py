@@ -17842,7 +17842,79 @@ FROM base ORDER BY doc_id
 """
 
 
+def q262_pe_metadata(spark, sf_dir):
+    """PE/COFF metadata certification: each doc synthesizes a minimal
+    PE (machine/subsystem/timestamp all doc_id arithmetic), runs the
+    REAL ``analyze_blob`` dispatch (MZ → PE-chain refine → header walk),
+    and emits fields the SQL recomputes closed-form.  The reference
+    Tika-accepts application/x-msdownload (_tika_mime_types.py:939)."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .operators.analyze import analyze_blob
+        from .operators.pe_extract import build_pe, parse_pe
+
+        machines = (0x014C, 0x8664, 0xAA64)
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                blob = build_pe(machine=machines[d % 3],
+                                n_sections=1 + d % 7,
+                                timestamp=1000000000 + d * 1000,
+                                pe32plus=(d % 2 == 0),
+                                subsystem=2 + d % 2)
+                out = analyze_blob(str(d), blob)
+                meta = parse_pe(blob)
+                rows.append((
+                    d,
+                    out[0]["mime_type"],
+                    meta["machine"],
+                    meta["n_sections"],
+                    out[0]["date_created"],
+                    meta["pe_format"],
+                    meta["subsystem"],
+                    out[0]["status"],
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime_type", "machine", "n_sections",
+                         "date_created", "pe_format", "subsystem",
+                         "status"],
+            )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, mime_type string, machine string, "
+                   "n_sections int, date_created string, "
+                   "pe_format string, subsystem string, status string",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q262_SQL = r"""
+SELECT doc_id,
+       'application/x-msdownload' AS mime_type,
+       CASE doc_id % 3 WHEN 0 THEN 'i386' WHEN 1 THEN 'x86-64'
+            ELSE 'arm64' END AS machine,
+       CAST(1 + doc_id % 7 AS INT) AS n_sections,
+       strftime(TIMESTAMP '2001-09-09 01:46:40' +
+                doc_id * (INTERVAL 1000 SECOND),
+                '%Y-%m-%dT%H:%M:%SZ') AS date_created,
+       CASE WHEN doc_id % 2 = 0 THEN 'pe32+' ELSE 'pe32' END AS pe_format,
+       CASE WHEN doc_id % 2 = 0 THEN 'windows-gui'
+            ELSE 'windows-cui' END AS subsystem,
+       'success' AS status
+FROM documents WHERE doc_id < 120 ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+
 
 
 
@@ -18100,6 +18172,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q259_snappy_roundtrip": q259_snappy_roundtrip,
     "q260_chm_extraction": q260_chm_extraction,
     "q261_cab_extraction": q261_cab_extraction,
+    "q262_pe_metadata": q262_pe_metadata,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -18351,6 +18424,7 @@ ORACLES: dict[str, str] = {
     "q259_snappy_roundtrip": Q259_SQL,
     "q260_chm_extraction": Q260_SQL,
     "q261_cab_extraction": Q261_SQL,
+    "q262_pe_metadata": Q262_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

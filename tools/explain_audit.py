@@ -232,6 +232,7 @@ AUDITED = [
     "q259_snappy_roundtrip",
     "q260_chm_extraction",
     "q261_cab_extraction",
+    "q262_pe_metadata",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -872,6 +873,8 @@ CHECKS = {
                             "!CartesianProduct", "!SortMergeJoin"],
     "q261_cab_extraction": ["MapInPandas", "!HashAggregate",
                             "!CartesianProduct", "!SortMergeJoin"],
+    "q262_pe_metadata": ["MapInPandas", "!HashAggregate",
+                         "!CartesianProduct", "!SortMergeJoin"],
 }
 
 NOTES = {
