@@ -21,6 +21,7 @@ whole sniff runs inside an Arrow batch.
 from __future__ import annotations
 
 import re
+import struct
 
 import pandas as pd
 from pyspark.sql import functions as F
@@ -55,6 +56,10 @@ _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"\x78\x9f\x3e\x22", "application/vnd.ms-tnef"),  # winmail.dat
     (0, b"\x00\x05\x16\x00", "application/applefile"),  # AppleSingle
     (0, b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
+    (0, b"\x7fELF", "application/x-elf"),  # refined below (Tika :874/:999)
+    (0, b"FORM", "application/x-iff"),  # refined below (AIFF Tika :1179)
+    (0, b".snd", "audio/basic"),  # Sun AU (Tika :1062)
+    (0, b"MThd", "audio/midi"),  # Standard MIDI (Tika :1107)
     # Microsoft Cabinet (Tika list :496; reference 7z ext set
     # archives.py:43)
     (0, b"MSCF\x00\x00\x00\x00", "application/vnd.ms-cab-compressed"),
@@ -337,6 +342,18 @@ def sniff_bytes(data: bytes | None) -> tuple[str, str]:
             mime_type = "application/mac-binhex40"
         elif looks_like_uuencode(data):
             mime_type = "text/x-uuencode"
+
+    # IFF FORM refinement: AIFF/AIFC are audio (Tika :1179)
+    if mime_type == "application/x-iff" and data[8:12] in (b"AIFF", b"AIFC"):
+        mime_type = "audio/x-aiff"
+
+    # ELF type refinement: ET_DYN shared objects get their own Tika
+    # mime (:999); endianness per EI_DATA
+    if mime_type == "application/x-elf" and len(data) >= 18:
+        endian = "<" if data[5] == 1 else ">"
+        (e_type,) = struct.unpack_from(endian + "H", data, 16)
+        if e_type == 3:
+            mime_type = "application/x-sharedlib"
 
     # MZ with a real PE chain refines to the Tika-accepted PE mime
     # (:939-942); bare DOS stubs stay x-dosexec

@@ -193,6 +193,31 @@ def parse_audio_header(data: bytes) -> tuple[str, int, int] | None:
             rate = struct.unpack("<I", head[i + 12:i + 16])[0]
             return "ogg-vorbis", rate, channels
         return "ogg", 0, 0
+    if data[:4] == b"FORM" and data[8:12] in (b"AIFF", b"AIFC"):
+        # AIFF (audio/x-aiff, Tika :1179): COMM chunk; the sample rate
+        # is an 80-bit extended float per the public AIFF-1.3 spec
+        pos = 12
+        while pos + 8 <= len(data):
+            cid = data[pos:pos + 4]
+            (csize,) = struct.unpack(">I", data[pos + 4:pos + 8])
+            if cid == b"COMM" and pos + 8 + 18 <= len(data):
+                (channels,) = struct.unpack(">h", data[pos + 8:pos + 10])
+                exp_raw, = struct.unpack(">H", data[pos + 16:pos + 18])
+                (mant,) = struct.unpack(">Q", data[pos + 18:pos + 26])
+                exp = (exp_raw & 0x7FFF) - 16383 - 63
+                rate = int(mant * (2.0 ** exp)) if mant else 0
+                return "aiff", rate, channels
+            pos += 8 + csize + (csize & 1)
+        return "aiff", 0, 0
+    if data[:4] == b".snd" and len(data) >= 24:
+        # Sun AU (audio/basic, Tika :1062)
+        rate, channels = struct.unpack(">II", data[16:24])
+        return "au", rate, channels
+    if data[:4] == b"MThd" and len(data) >= 14:
+        # Standard MIDI (audio/midi, Tika :1107): no PCM rate; the
+        # track count rides the channels column
+        (ntrks,) = struct.unpack(">H", data[10:12])
+        return "midi", 0, ntrks
     return None
 
 

@@ -345,3 +345,44 @@ def test_tga_dims_footer():
     blob = bytes(tga) + b"\x00" * 40 + b"TRUEVISION-XFILE.\x00"
     assert parse_image_header(blob) == ("tga", 640, 480)
     assert sniff_bytes(blob)[0] == "image/x-tga"
+
+
+def test_aiff_au_midi_headers():
+    import math
+    import struct
+    from hoover_snoop2_spark.functions.magic import sniff_bytes
+    from hoover_snoop2_spark.operators.multimodal import parse_audio_header
+
+    def ext80(rate):
+        exp = math.floor(math.log2(rate))
+        mant = int(rate * (2 ** (63 - exp)))
+        return struct.pack(">HQ", exp + 16383, mant)
+
+    comm = struct.pack(">hIh", 2, 1000, 16) + ext80(44100)
+    aiff = (b"FORM" + struct.pack(">I", 4 + 8 + len(comm)) + b"AIFF"
+            + b"COMM" + struct.pack(">I", len(comm)) + comm)
+    assert sniff_bytes(aiff)[0] == "audio/x-aiff"
+    assert parse_audio_header(aiff) == ("aiff", 44100, 2)
+
+    au = b".snd" + struct.pack(">IIIII", 24, 100, 1, 8000, 1) + b"\x00" * 64
+    assert sniff_bytes(au)[0] == "audio/basic"
+    assert parse_audio_header(au) == ("au", 8000, 1)
+
+    midi = (b"MThd" + struct.pack(">IHHH", 6, 1, 3, 480)
+            + b"MTrk" + struct.pack(">I", 4) + b"\x00\xff\x2f\x00")
+    assert sniff_bytes(midi)[0] == "audio/midi"
+    assert parse_audio_header(midi) == ("midi", 0, 3)
+
+
+def test_elf_refinement():
+    import struct
+    from hoover_snoop2_spark.functions.magic import sniff_bytes
+
+    def elf(e_type, endian=1):
+        e = "<" if endian == 1 else ">"
+        return (b"\x7fELF" + bytes([2, endian, 1, 0]) + b"\x00" * 8
+                + struct.pack(e + "HH", e_type, 0x3E) + b"\x00" * 40)
+
+    assert sniff_bytes(elf(2))[0] == "application/x-elf"
+    assert sniff_bytes(elf(3))[0] == "application/x-sharedlib"
+    assert sniff_bytes(elf(3, endian=2))[0] == "application/x-sharedlib"
