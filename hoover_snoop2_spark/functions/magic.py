@@ -57,6 +57,8 @@ _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"\x00\x05\x16\x00", "application/applefile"),  # AppleSingle
     (0, b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
     (0, b"\x7fELF", "application/x-elf"),  # refined below (Tika :874/:999)
+    (0, b"#!AMR-WB\n", "audio/amr-wb"),  # Tika :1059
+    (0, b"#!AMR\n", "audio/amr"),  # Tika :1058
     (0, b"FORM", "application/x-iff"),  # refined below (AIFF Tika :1179)
     (0, b".snd", "audio/basic"),  # Sun AU (Tika :1062)
     (0, b"MThd", "audio/midi"),  # Standard MIDI (Tika :1107)
@@ -267,6 +269,13 @@ def sniff_bytes(data: bytes | None) -> tuple[str, str]:
         and (data[2] >> 2) & 0x3 != 3           # sample-rate index valid
     ):
         mime_type = "audio/mpeg"
+    # ADTS AAC: same 0xFFF sync but layer bits 00 and a valid
+    # sampling-frequency index (Tika :1177); disjoint from Layer III
+    elif (
+        len(data) >= 7 and data[0] == 0xFF and (data[1] & 0xF6) == 0xF0
+        and ((data[2] >> 2) & 0xF) < 13
+    ):
+        mime_type = "audio/x-aac"
     for offset, sig, mt in _SIGNATURES:
         if mime_type:
             break

@@ -169,6 +169,14 @@ def parse_audio_header(data: bytes) -> tuple[str, int, int] | None:
             return "flac", rate, channels
         except FlacError:
             return "flac", 0, 0
+    if (len(data) >= 7 and data[0] == 0xFF and (data[1] & 0xF6) == 0xF0
+            and ((data[2] >> 2) & 0xF) < 13):
+        # ADTS AAC (audio/x-aac, Tika :1177): layer bits 00 keep this
+        # disjoint from the MP3 branch below (Layer III is 01)
+        rates = (96000, 88200, 64000, 48000, 44100, 32000, 24000,
+                 22050, 16000, 12000, 11025, 8000, 7350)
+        channels = ((data[2] & 1) << 2) | (data[3] >> 6)
+        return "aac", rates[(data[2] >> 2) & 0xF], channels
     if data[:3] == b"ID3" or (
         len(data) >= 4 and data[0] == 0xFF and (data[1] & 0xE0) == 0xE0
     ):
@@ -218,6 +226,11 @@ def parse_audio_header(data: bytes) -> tuple[str, int, int] | None:
         # track count rides the channels column
         (ntrks,) = struct.unpack(">H", data[10:12])
         return "midi", 0, ntrks
+    if data[:6] == b"#!AMR\n" or data[:9] == b"#!AMR-WB\n":
+        # AMR narrowband/wideband (audio/amr + amr-wb, Tika :1058-1059);
+        # fixed rates per RFC 4867
+        wb = data[:9] == b"#!AMR-WB\n"
+        return ("amr-wb" if wb else "amr"), (16000 if wb else 8000), 1
     return None
 
 

@@ -386,3 +386,24 @@ def test_elf_refinement():
     assert sniff_bytes(elf(2))[0] == "application/x-elf"
     assert sniff_bytes(elf(3))[0] == "application/x-sharedlib"
     assert sniff_bytes(elf(3, endian=2))[0] == "application/x-sharedlib"
+
+
+def test_amr_and_adts_aac_headers():
+    from hoover_snoop2_spark.functions.magic import sniff_bytes
+    from hoover_snoop2_spark.operators.multimodal import parse_audio_header
+
+    nb = b"#!AMR\n" + b"\x3c" + b"\x00" * 31
+    wb = b"#!AMR-WB\n" + b"\x00" * 20
+    assert sniff_bytes(nb)[0] == "audio/amr"
+    assert parse_audio_header(nb) == ("amr", 8000, 1)
+    assert sniff_bytes(wb)[0] == "audio/amr-wb"
+    assert parse_audio_header(wb) == ("amr-wb", 16000, 1)
+
+    # ADTS: MPEG-4, layer 00, sfi=4 (44100), channel config 2
+    hdr = bytes([0xFF, 0xF1, (1 << 6) | (4 << 2), 2 << 6, 0x01, 0x7F, 0xFC])
+    blob = hdr + b"\x00" * 64
+    assert sniff_bytes(blob)[0] == "audio/x-aac"
+    assert parse_audio_header(blob) == ("aac", 44100, 2)
+    # layer-III sync must still be MP3, not AAC
+    mp3 = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 64
+    assert sniff_bytes(mp3)[0] == "audio/mpeg"
