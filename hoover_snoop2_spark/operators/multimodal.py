@@ -394,6 +394,14 @@ def media_map_in_pandas(decode_stub: bool = True):
                 elif aud is not None:
                     row.update(media_type=aud[0], sample_rate=aud[1],
                                n_channels=aud[2])
+                    if aud[0] == "midi":
+                        from .midi_stats import MidiError, midi_stats
+
+                        try:
+                            _f, _n, dur = midi_stats(bytes(data))
+                            row.update(duration_ms=dur)
+                        except MidiError:
+                            pass
                 elif vid is not None:
                     row.update(media_type=vid[0], duration_ms=vid[1],
                                n_frames=vid[2] or None)
