@@ -57,6 +57,10 @@ _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"\x00\x05\x16\x00", "application/applefile"),  # AppleSingle
     (0, b"\x00\x05\x16\x07", "application/applefile"),  # AppleDouble
     (0, b"\x7fELF", "application/x-elf"),  # refined below (Tika :874/:999)
+    # WordPerfect (Tika :773-776): detection + typed refusal — the
+    # WP5/6 fixed-length function-size tables could not be sourced and
+    # self-verified here (the VP8/mpbbS standard)
+    (0, b"\xffWPC", "application/vnd.wordperfect"),
     (0, b"#!AMR-WB\n", "audio/amr-wb"),  # Tika :1059
     (0, b"#!AMR\n", "audio/amr"),  # Tika :1058
     (0, b"FORM", "application/x-iff"),  # refined below (AIFF Tika :1179)

@@ -460,6 +460,12 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
                     digest["status"] = "broken"
                     digest["broken_reason"] = e.reason
 
+        elif mime_type == "application/vnd.wordperfect":
+            # typed refusal: WP function-size tables couldn't be
+            # sourced+self-verified (COVERAGE.md known-gaps)
+            digest["status"] = "broken"
+            digest["broken_reason"] = "wordperfect_unsupported"
+
         elif mime_type == "application/x-stuffit":
             # StuffIt compression is proprietary (same posture as
             # compressed RAR members): container recognized, typed refusal

@@ -51,3 +51,11 @@ def test_stuffit_typed_refusal():
         assert out[0]["mime_type"] == "application/x-stuffit"
         assert out[0]["status"] == "broken"
         assert out[0]["broken_reason"] == "stuffit_unsupported"
+
+
+def test_wordperfect_typed_refusal():
+    blob = b"\xffWPC" + b"\x10\x00\x00\x00" + b"\x01\x0a\x02\x01" + b"\x00" * 64
+    out = analyze_blob("k", blob)
+    assert out[0]["mime_type"] == "application/vnd.wordperfect"
+    assert out[0]["status"] == "broken"
+    assert out[0]["broken_reason"] == "wordperfect_unsupported"
