@@ -17913,7 +17913,131 @@ FROM documents WHERE doc_id < 120 ORDER BY doc_id
 """
 
 
+def q263_audio_typing(spark, sf_dir):
+    """Audio-typing certification for the r4 media additions: each doc
+    synthesizes one of five formats (AIFF / Sun AU / MIDI / AMR / ADTS
+    AAC, cycling by doc_id; rates and channel counts are doc_id
+    arithmetic), runs the REAL magic sniff + media header parse, and
+    emits fields the SQL recomputes closed-form — MIDI rows carry a
+    tempo-walk duration.  The reference Tika-accepts all five mimes
+    (_tika_mime_types.py:1179,1062,1107,1058,1177)."""
+    import pandas as pd
+
+    _AIFF_RATES = (8000, 16000, 22050, 44100, 48000)
+
+    def kernel(batches):
+        import math
+        import struct as _s
+
+        from .functions.magic import sniff_bytes
+        from .operators.midi_stats import build_midi
+        from .operators.multimodal import parse_audio_header
+
+        def ext80(rate):
+            exp = math.floor(math.log2(rate))
+            mant = int(rate * (2 ** (63 - exp)))
+            return _s.pack(">HQ", exp + 16383, mant)
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                kind = d % 5
+                dur = None
+                if kind == 0:
+                    rate = _AIFF_RATES[d % len(_AIFF_RATES)]
+                    ch = 1 + d % 2
+                    comm = _s.pack(">hIh", ch, 100, 16) + ext80(rate)
+                    blob = (b"FORM" + _s.pack(">I", 12 + len(comm))
+                            + b"AIFF" + b"COMM"
+                            + _s.pack(">I", len(comm)) + comm)
+                elif kind == 1:
+                    rate = 8000 * (1 + d % 3)
+                    ch = 1 + d % 2
+                    blob = (b".snd" + _s.pack(">IIIII", 24, 64, 1, rate,
+                                              ch) + b"\x00" * 64)
+                elif kind == 2:
+                    ticks = 480 * (1 + d % 4)
+                    blob = build_midi(
+                        [[(0, b"\x90\x3c\x40"),
+                          (ticks, b"\x80\x3c\x40")]], division=480)
+                    rate, ch = 0, 1
+                elif kind == 3:
+                    wb = d % 2 == 1
+                    blob = ((b"#!AMR-WB\n" if wb else b"#!AMR\n")
+                            + b"\x00" * 32)
+                    rate, ch = (16000 if wb else 8000), 1
+                else:
+                    sfi = 3 + d % 4  # 48000/44100/32000/24000
+                    rates = (96000, 88200, 64000, 48000, 44100, 32000,
+                             24000, 22050)
+                    ch = 1 + d % 2
+                    hdr = bytes([0xFF, 0xF1, (1 << 6) | (sfi << 2),
+                                 ch << 6, 0x01, 0x7F, 0xFC])
+                    blob = hdr + b"\x00" * 32
+                    rate = rates[sfi]
+                mime = sniff_bytes(blob)[0]
+                parsed = parse_audio_header(blob)
+                if parsed and parsed[0] == "midi":
+                    from .operators.midi_stats import midi_stats
+
+                    _f, _n, dur = midi_stats(blob)
+                rows.append((d, mime, parsed[0] if parsed else None,
+                             parsed[1] if parsed else None,
+                             parsed[2] if parsed else None, dur))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "mime_type", "kind", "sample_rate",
+                         "n_channels", "duration_ms"],
+            )
+
+    d = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, mime_type string, kind string, "
+                   "sample_rate int, n_channels int, duration_ms bigint",
+        )
+        .orderBy("doc_id")
+    )
+
+
+Q263_SQL = r"""
+WITH base AS (SELECT doc_id, doc_id % 5 AS k FROM documents
+              WHERE doc_id < 200)
+SELECT doc_id,
+       CASE k WHEN 0 THEN 'audio/x-aiff'
+              WHEN 1 THEN 'audio/basic'
+              WHEN 2 THEN 'audio/midi'
+              WHEN 3 THEN CASE WHEN doc_id % 2 = 1 THEN 'audio/amr-wb'
+                               ELSE 'audio/amr' END
+              ELSE 'audio/x-aac' END AS mime_type,
+       CASE k WHEN 0 THEN 'aiff' WHEN 1 THEN 'au' WHEN 2 THEN 'midi'
+              WHEN 3 THEN CASE WHEN doc_id % 2 = 1 THEN 'amr-wb'
+                               ELSE 'amr' END
+              ELSE 'aac' END AS kind,
+       CAST(CASE k
+         WHEN 0 THEN CASE doc_id % 5 WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                          WHEN 2 THEN 22050 WHEN 3 THEN 44100
+                          ELSE 48000 END
+         WHEN 1 THEN 8000 * (1 + doc_id % 3)
+         WHEN 2 THEN 0
+         WHEN 3 THEN CASE WHEN doc_id % 2 = 1 THEN 16000 ELSE 8000 END
+         ELSE CASE 3 + doc_id % 4 WHEN 3 THEN 48000 WHEN 4 THEN 44100
+                   WHEN 5 THEN 32000 ELSE 24000 END
+       END AS INT) AS sample_rate,
+       CAST(CASE WHEN k IN (0, 1, 4) THEN 1 + doc_id % 2
+                 ELSE 1 END AS INT) AS n_channels,
+       CASE WHEN k = 2
+            THEN CAST(500 * (1 + doc_id % 4) AS BIGINT) END
+         AS duration_ms
+FROM base ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+
 
 
 
@@ -18173,6 +18297,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q260_chm_extraction": q260_chm_extraction,
     "q261_cab_extraction": q261_cab_extraction,
     "q262_pe_metadata": q262_pe_metadata,
+    "q263_audio_typing": q263_audio_typing,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -18425,6 +18550,7 @@ ORACLES: dict[str, str] = {
     "q260_chm_extraction": Q260_SQL,
     "q261_cab_extraction": Q261_SQL,
     "q262_pe_metadata": Q262_SQL,
+    "q263_audio_typing": Q263_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

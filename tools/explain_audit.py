@@ -233,6 +233,7 @@ AUDITED = [
     "q260_chm_extraction",
     "q261_cab_extraction",
     "q262_pe_metadata",
+    "q263_audio_typing",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -875,6 +876,8 @@ CHECKS = {
                             "!CartesianProduct", "!SortMergeJoin"],
     "q262_pe_metadata": ["MapInPandas", "!HashAggregate",
                          "!CartesianProduct", "!SortMergeJoin"],
+    "q263_audio_typing": ["MapInPandas", "!HashAggregate",
+                          "!CartesianProduct", "!SortMergeJoin"],
 }
 
 NOTES = {
