@@ -61,7 +61,7 @@ _LANG_WORDS = {
 _LANGS = list(_LANG_WORDS)
 
 #: bump when generation rules change — invalidates bench corpus caches
-CORPUS_VERSION = 18
+CORPUS_VERSION = 19
 
 CATEGORIES = [
     # (threshold on scrambled doc_id % 1000, category)
@@ -1090,6 +1090,38 @@ def render_onenote(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]
     return blob, children
 
 
+def render_chm(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
+    """CHM compiled help with 1-2 text topics through the in-repo LZX
+    compressor; member digests carry the topic text."""
+    from .operators.chm_extract import build_chm
+
+    rng = _rng(doc_id, 32)
+    members = []
+    children: list[tuple[str, str]] = []
+    for i in range(1 + doc_id % 2):
+        body = " ".join(_sentence(rng, lang) for _ in range(2))
+        members.append((f"topic{i}.txt", body.encode("utf-8")))
+        children.append((f"topic{i}.txt", _golden_from_paragraphs([body])))
+    children.sort(key=lambda c: c[0])
+    return build_chm(members), children
+
+
+def render_cab(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
+    """Cabinet with 1-3 text members; method cycles none/MSZIP/LZX."""
+    from .operators.cab_extract import build_cab
+
+    rng = _rng(doc_id, 33)
+    members = []
+    children: list[tuple[str, str]] = []
+    for i in range(1 + doc_id % 3):
+        body = " ".join(_sentence(rng, lang) for _ in range(2))
+        members.append((f"files/doc{i}.txt", body.encode("utf-8")))
+        children.append((f"files/doc{i}.txt",
+                         _golden_from_paragraphs([body])))
+    method = ("none", "mszip", "lzx")[doc_id % 3]
+    return build_cab(members, method), children
+
+
 def render_targz(doc_id: int, lang: str) -> tuple[bytes, list[tuple[str, str]]]:
     rng = _rng(doc_id, 9)
     members = []
@@ -1314,6 +1346,12 @@ def build_doc(doc_id: int) -> dict:
         elif arc_kind == 6:
             html, kids = render_onenote(doc_id, lang)
             ext = "one"
+        elif arc_kind == 3:
+            html, kids = render_chm(doc_id, lang)
+            ext = "chm"
+        elif arc_kind == 7:
+            html, kids = render_cab(doc_id, lang)
+            ext = "cab"
         else:
             html, kids = render_zip(doc_id, lang)
         children = kids
