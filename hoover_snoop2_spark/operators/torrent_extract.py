@@ -76,7 +76,8 @@ def _bdecode(data: bytes, pos: int):
         if colon < 0:
             raise TorrentBroken("torrent_bad_bencode")
         ns = data[pos:colon]
-        if ns[0:1] == b"0" and len(ns) > 1:
+        if (not ns.isdigit()
+                or (ns[0:1] == b"0" and len(ns) > 1)):
             raise TorrentBroken("torrent_bad_bencode")
         n = int(ns)
         end = colon + 1 + n
