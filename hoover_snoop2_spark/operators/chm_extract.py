@@ -161,6 +161,16 @@ def parse_chm(data: bytes) -> dict[str, bytes]:
         (total_len,) = struct.unpack_from("<Q", reset, 16)
         if span is not None and len(span) >= 8:
             (total_len,) = struct.unpack_from("<Q", span, 0)
+        # decompression-bomb guard: a corrupted length field must not
+        # drive a giant decode loop (LZX tops out ~quadruple-digit
+        # ratios on pathological input; 4096x is far beyond real data)
+        if total_len > max(len(blob) * 4096, 1 << 20):
+            raise ChmBroken("chm_bad_length")
+        # a corrupted entry count must not drive a giant unpack loop;
+        # entries can only be what the stream actually holds
+        if rt_hdr > len(reset):
+            raise ChmBroken("chm_truncated")
+        rt_entries = min(rt_entries, (len(reset) - rt_hdr) // 8)
         offsets = [struct.unpack_from("<Q", reset, rt_hdr + 8 * i)[0]
                    for i in range(rt_entries)]
         out = bytearray()
