@@ -42,6 +42,14 @@ HEADLINE = [
     "q30_minhash_lsh_dups",
     "q31_simhash_dups",
     "q32_ann_lsh_topk",
+    # r4 corpus-sized-shuffle families (regression coverage for the
+    # heaviest non-pipeline plans: inverted index, template removal,
+    # bigram coverage, full-DAG pipeline cert, SemDeDup)
+    "q80_bigram_coverage",
+    "q81_inverted_index",
+    "q89_template_removal",
+    "q96_pipeline_text",
+    "q188_semdedup",
 ]
 
 
@@ -112,6 +120,40 @@ def bench_extraction(spark, pages_path: str, n_docs: int) -> dict:
         "docs_per_sec": round(n_docs / wall, 2),
         "urls_per_sec": round(n_urls / wall, 2),
     }
+
+
+def bench_per_category(spark, pages_path: str) -> dict:
+    """Per-category extraction throughput: one run_extraction pass per
+    corpus category (the url's second path segment IS the category —
+    corpus.build_doc).  This attributes the headline number's movement:
+    a slower round is either a real per-category regression (some
+    category's docs/s dropped) or a mix shift (new corpus version routes
+    more docs through heavier decoders), and the two were previously
+    indistinguishable (round-4 verdict item 7)."""
+    from pyspark.sql import functions as F
+
+    from hoover_snoop2_spark.plans.pipeline import run_extraction
+
+    pages = spark.read.parquet(pages_path).withColumn(
+        "_cat", F.split_part(F.col("url"), F.lit("/"), F.lit(4))
+    )
+    cats = [r[0] for r in pages.select("_cat").distinct().collect()]
+    out = {}
+    for cat in sorted(cats):
+        subset = pages.filter(F.col("_cat") == cat).drop("_cat").persist()
+        n = subset.count()
+        t0 = time.perf_counter()
+        digests, _ = run_extraction(spark, subset, checkpoint_dir=None)
+        n_urls = digests.count()
+        wall = time.perf_counter() - t0
+        subset.unpersist()
+        out[cat] = {
+            "docs": n,
+            "urls": n_urls,
+            "wall_sec": round(wall, 3),
+            "docs_per_sec": round(n / wall, 2),
+        }
+    return out
 
 
 def bench_alt_paths(spark, pages_path: str, n_docs: int) -> dict:
@@ -207,6 +249,53 @@ def bench_scaling(pages_path: str, n_docs: int) -> dict:
     }
 
 
+def _corpus_version() -> int:
+    from hoover_snoop2_spark.corpus import CORPUS_VERSION
+
+    return CORPUS_VERSION
+
+
+def _same_corpus_delta(extraction: dict) -> dict | None:
+    """Compare this run's extraction docs/s to the latest recorded
+    BENCH_r*.json taken on the SAME corpus version (v19 landed before the
+    round-4 record), so the headline delta is apples-to-apples: corpus
+    v19 has been frozen since r4, so any delta on it is code + box noise,
+    not mix shift (round-4 verdict item 7)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    # corpus version per recorded round: v19 landed mid-round-4 and is the
+    # mix that round-4's final record measured; earlier records are v17-.
+    known_versions = {4: 19}
+    best = None
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        if known_versions.get(rnd) != _corpus_version():
+            continue
+        try:
+            with open(p) as f:
+                rec = json.load(f)
+            prev_ex = (rec.get("parsed") or rec)["extraction"]
+            prev = prev_ex["docs_per_sec"]
+            if prev_ex.get("docs") != extraction.get("docs"):
+                continue  # different corpus size — rate not comparable
+        except (KeyError, TypeError, ValueError, OSError):
+            continue
+        if best is None or rnd > best["vs_round"]:
+            best = {"vs_round": rnd, "prev_docs_per_sec": prev}
+    if best is None:
+        return None
+    cur = extraction["docs_per_sec"]
+    best["docs_per_sec"] = cur
+    best["delta_pct"] = round(100.0 * (cur - best["prev_docs_per_sec"])
+                              / best["prev_docs_per_sec"], 1)
+    return best
+
+
 def write_bench_md(payload: dict) -> None:
     sc = payload.get("scaling") or {}
     ex = payload.get("extraction") or {}
@@ -226,6 +315,44 @@ def write_bench_md(payload: dict) -> None:
         "- reference comparison: snoop2's own micro-benchmark is ~1,710 "
         "docs/s for *bookkeeping only* (tasks.py:1729-1736); this number "
         "includes full sniff/extract/unpack per doc.",
+        f"- corpus version: v{payload.get('corpus_version')} "
+        "(frozen since round 4 — headline deltas on it are code + box "
+        "noise, not mix shift)",
+        *(
+            [
+                f"- same-corpus delta vs round "
+                f"{payload['same_corpus_delta']['vs_round']}: "
+                f"{payload['same_corpus_delta']['prev_docs_per_sec']} → "
+                f"{payload['same_corpus_delta']['docs_per_sec']} docs/s "
+                f"(**{payload['same_corpus_delta']['delta_pct']:+}%**)",
+            ]
+            if payload.get("same_corpus_delta")
+            else []
+        ),
+        *(
+            [
+                "",
+                "## Per-category extraction throughput",
+                "",
+                "(one run_extraction pass per corpus category — attributes "
+                "headline movement to the category that moved; per-pass "
+                "job-startup overhead ~1-2 s makes small categories read "
+                "slower than their share of the combined pass)",
+                "",
+                "| category | docs | urls | wall (s) | docs/s |",
+                "|---|---|---|---|---|",
+            ]
+            + [
+                f"| {cat} | {v['docs']} | {v['urls']} | {v['wall_sec']} | "
+                f"{v['docs_per_sec']} |"
+                for cat, v in sorted(
+                    (payload.get("per_category") or {}).items(),
+                    key=lambda kv: -kv[1]["wall_sec"],
+                )
+            ]
+            if payload.get("per_category")
+            else []
+        ),
         *(
             [
                 "",
@@ -312,6 +439,10 @@ def main() -> None:
     alt_paths = (
         bench_alt_paths(spark, pages_path, n_docs) if do_alt else None
     )
+    do_percat = os.environ.get("SPARK_GRAFT_PERCAT", "1") != "0"
+    per_category = (
+        bench_per_category(spark, pages_path) if do_percat else None
+    )
     stop_spark()
 
     scaling = bench_scaling(pages_path, n_docs) if do_scaling else None
@@ -326,7 +457,10 @@ def main() -> None:
         "sf": sf,
         "sf_dir": sf_dir,
         "cpus": cpus,
+        "corpus_version": _corpus_version(),
         "extraction": extraction,
+        "per_category": per_category,
+        "same_corpus_delta": _same_corpus_delta(extraction),
         "alt_paths": alt_paths,
         "scaling": scaling,
         "load_avg": {"start": load_start, "end": load_end},
