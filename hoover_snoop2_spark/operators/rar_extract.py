@@ -2,21 +2,26 @@
 RAR 4.x and RAR 5.0 block formats (the technote shipped with unrar and
 the rarfile project's format documentation).
 
-The reference shells RARs to ``7z x`` (archives.py:173-203).  RAR's
-COMPRESSION codecs (LZSS+PPMd variants) are proprietary reverse-
-engineered territory, so this module deliberately decodes only what has
-a public, deterministic definition:
+The reference shells RARs to ``7z x`` (archives.py:173-203).  This
+module decodes what has a public, deterministic definition:
 
 - the container structure of both generations (RAR4 7-byte signature,
   CRC'd block chain; RAR5 8-byte signature, vint-framed blocks);
 - STORED members (RAR4 method 0x30 / RAR5 compression method 0) extract
   byte-exactly;
-- anything compressed → ``rar_method_unsupported``; encrypted headers or
-  members → ``rar_encrypted`` — never a wrong extraction, and a strictly
-  better story than the old blanket ``archive_tool_missing``.
+- RAR5 COMPRESSED members (methods 1-5 all share one LZ+Huffman
+  scheme — RAR5 dropped PPMd) decode natively via
+  ``functions/rar5_codec.py``, with the FILE header's unpacked-data
+  CRC32 verified so a wrong decode surfaces as ``rar_crc_mismatch``,
+  never as silently-wrong text; solid members (window carry-over from
+  the previous member) → ``rar_solid_unsupported``; RAR7 "v1"
+  algorithm variants → ``rar_method_unsupported``;
+- RAR4 compressed members (the RAR29 LZSS+PPMd+RarVM family) →
+  ``rar_method_unsupported``; encrypted headers or members →
+  ``rar_encrypted``.
 
-A deterministic fixture writer (both generations, correct header CRCs)
-backs the tests and the golden corpus.
+A deterministic fixture writer (both generations, correct header CRCs,
+really-compressed RAR5 members) backs the tests and the golden corpus.
 """
 
 from __future__ import annotations
@@ -180,7 +185,9 @@ def _unpack_rar5(data: bytes, max_bytes: int) -> list[tuple[str, bytes]]:
             _attr, p = _read_vint(data, p)
             if file_flags & 0x0002:  # mtime
                 p += 4
-            if file_flags & 0x0004:  # crc32
+            data_crc = None
+            if file_flags & 0x0004:  # crc32 of the UNPACKED bytes
+                (data_crc,) = struct.unpack_from("<I", data, p)
                 p += 4
             comp_info, p = _read_vint(data, p)
             _host_os, p = _read_vint(data, p)
@@ -193,13 +200,42 @@ def _unpack_rar5(data: bytes, max_bytes: int) -> list[tuple[str, bytes]]:
             if len(payload) != data_size:
                 raise RarBroken("rar_error")
             if not is_dir:
+                version = comp_info & 0x3F
+                solid = bool(comp_info & 0x40)
                 method = (comp_info >> 7) & 0x7
-                if method != 0:
+                if file_flags & 0x0008:  # unpacked size unknown
                     raise RarBroken("rar_method_unsupported")
                 budget -= unp_size
                 if budget < 0:
                     raise RarBroken("archive_too_big")
-                out.append((name.replace("\\", "/"), payload[:unp_size]))
+                if method == 0:
+                    member = payload[:unp_size]
+                elif version != 0:
+                    # RAR7 "v1" algorithm variants (larger dicts etc.)
+                    raise RarBroken("rar_method_unsupported")
+                elif solid:
+                    # a solid member's LZ window starts inside the
+                    # previous member — decoding it standalone would be
+                    # silently wrong, so refuse typed
+                    raise RarBroken("rar_solid_unsupported")
+                else:
+                    from ..functions.rar5_codec import (
+                        Rar5Error,
+                        rar5_decompress,
+                    )
+
+                    try:
+                        member = rar5_decompress(
+                            payload, unp_size, max_bytes=max_bytes)
+                    except Rar5Error as e:
+                        raise RarBroken(e.reason) from e
+                    except (IndexError, ValueError, OverflowError) as e:
+                        raise RarBroken("rar_error") from e
+                if data_crc is not None and \
+                        zlib.crc32(member) & 0xFFFFFFFF != data_crc:
+                    # never surface a wrong decode as text
+                    raise RarBroken("rar_crc_mismatch")
+                out.append((name.replace("\\", "/"), member))
         pos = head_end + data_size
     return out
 
@@ -258,22 +294,35 @@ def _r5_block(htype: int, hflags: int, body: bytes, data: bytes = b"") -> bytes:
     return struct.pack("<I", crc) + head + data
 
 
-def build_rar5(members: list[tuple[str, bytes]], method: int = 0) -> bytes:
-    """Deterministic RAR 5.0 fixture (vint framing, stored members)."""
+def build_rar5(members: list[tuple[str, bytes]], method: int = 0,
+               raw_claim: bool = False) -> bytes:
+    """Deterministic RAR 5.0 fixture (vint framing).  ``method`` 0
+    writes stored members; 1-5 REALLY compresses them with the in-repo
+    RAR5 coder (functions/rar5_codec.py).  ``raw_claim=True`` keeps the
+    payload raw under a compressed-claiming header (corrupt-stream
+    tests)."""
     out = bytearray(_SIG5)
     out += _r5_block(_R5_MAIN, 0, _vint(0))  # archive flags = 0
     for name, payload in members:
         raw_name = name.encode("utf-8")
+        if method and not raw_claim:
+            from ..functions.rar5_codec import rar5_compress
+
+            data_area = rar5_compress(payload)
+        else:
+            data_area = payload
         body = (
             _vint(0x0004)                       # file flags: crc present
             + _vint(len(payload))               # unpacked size
             + _vint(0)                          # attributes
             + struct.pack("<I", zlib.crc32(payload) & 0xFFFFFFFF)
-            + _vint((method & 0x7) << 7)        # compression info
+            # dict-size bits only for compressed members, so stored
+            # fixtures keep the exact v19 golden-corpus byte layout
+            + _vint(((method & 0x7) << 7) | ((5 << 10) if method else 0))
             + _vint(0)                          # host os
             + _vint(len(raw_name))
             + raw_name
         )
-        out += _r5_block(_R5_FILE, 0x0002, body, payload)
+        out += _r5_block(_R5_FILE, 0x0002, body, data_area)
     out += _r5_block(_R5_END, 0, _vint(0))
     return bytes(out)

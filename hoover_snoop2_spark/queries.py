@@ -18042,6 +18042,110 @@ FROM base ORDER BY doc_id
 """
 
 
+def q264_rar5_roundtrip(spark, sf_dir):
+    """RAR5 codec certification (round-5 sibling of the q236/q240/q259
+    codec certs): per document a REAL RAR5 archive is built with
+    ``1 + doc_id % 3`` members — constant-byte (overlap-copy RLE
+    matches), duplicated-half (a far LZ match at distance n/2), and
+    arithmetic-pattern payloads by ``(doc_id + j) % 4`` — compressed by
+    the in-repo greedy-LZ RAR5 coder (method ``1 + doc_id % 5``; all
+    five method values share the one RAR5 scheme), then extracted
+    through the REAL container + codec path
+    (:func:`..operators.rar_extract.unpack_rar`, which also verifies
+    the FILE header CRC32 of the unpacked bytes).  Emitted stats are
+    computed FROM the decoded bytes, so the closed-form oracle catches
+    any wrong decode.  The reference shells RARs to ``7z x``
+    (archives.py:173-203).  Plan: one Arrow pass over doc_id, no
+    shuffle before the sort."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .operators.rar_extract import build_rar5, unpack_rar
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                m = 1 + d % 3
+                members = []
+                for j in range(m):
+                    k = (d + j) % 4
+                    n = 80 + ((d + j) % 5) * 60
+                    if k == 0:
+                        payload = bytes([(d + 7 * j) % 250]) * n
+                    elif k == 1:
+                        half = n // 2
+                        base = bytes(
+                            (d * 17 + j * 5 + i * 3) % 256
+                            for i in range(half)
+                        )
+                        payload = base + base
+                    else:
+                        payload = bytes(
+                            (d * 17 + j * 5 + i * 3) % 256
+                            for i in range(n)
+                        )
+                    members.append((f"m{j}.bin", payload))
+                archive = build_rar5(members, method=1 + d % 5)
+                for j, (name, got) in enumerate(unpack_rar(archive)):
+                    rows.append(
+                        (d, j, len(got), sum(got), got[0], got[-1])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "member", "n_bytes", "byte_sum",
+                         "first_byte", "last_byte"],
+            )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel,
+            schema="doc_id long, member long, n_bytes long, "
+                   "byte_sum long, first_byte long, last_byte long",
+        )
+        .orderBy("doc_id", "member")
+    )
+
+
+Q264_SQL = r"""
+WITH mem AS (
+  SELECT doc_id, j.j AS member,
+         (doc_id + j.j) % 4 AS k,
+         80 + ((doc_id + j.j) % 5) * 60 AS n
+  FROM documents
+  JOIN (SELECT i AS j FROM generate_series(0, 2) AS t(i)) j
+    ON j.j < 1 + doc_id % 3
+),
+-- max n = 80 + 4*60 = 320
+g AS (SELECT i FROM generate_series(0, 319) AS t(i)),
+sums AS (
+  SELECT m.doc_id, m.member,
+         SUM((m.doc_id * 17 + m.member * 5 + g.i * 3) % 256) AS s_full,
+         SUM(CASE WHEN g.i < m.n // 2
+                  THEN (m.doc_id * 17 + m.member * 5 + g.i * 3) % 256
+                  ELSE 0 END) AS s_half
+  FROM mem m JOIN g ON g.i < m.n
+  GROUP BY m.doc_id, m.member
+)
+SELECT m.doc_id, m.member,
+       m.n AS n_bytes,
+       CASE WHEN m.k = 0 THEN m.n * ((m.doc_id + 7 * m.member) % 250)
+            WHEN m.k = 1 THEN 2 * s.s_half
+            ELSE s.s_full END AS byte_sum,
+       CASE WHEN m.k = 0 THEN (m.doc_id + 7 * m.member) % 250
+            ELSE (m.doc_id * 17 + m.member * 5) % 256 END AS first_byte,
+       CASE WHEN m.k = 0 THEN (m.doc_id + 7 * m.member) % 250
+            WHEN m.k = 1 THEN (m.doc_id * 17 + m.member * 5
+                               + (m.n // 2 - 1) * 3) % 256
+            ELSE (m.doc_id * 17 + m.member * 5 + (m.n - 1) * 3) % 256
+       END AS last_byte
+FROM mem m JOIN sums s ON s.doc_id = m.doc_id AND s.member = m.member
+ORDER BY m.doc_id, m.member
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
@@ -18304,6 +18408,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q261_cab_extraction": q261_cab_extraction,
     "q262_pe_metadata": q262_pe_metadata,
     "q263_audio_typing": q263_audio_typing,
+    "q264_rar5_roundtrip": q264_rar5_roundtrip,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -18557,6 +18662,7 @@ ORACLES: dict[str, str] = {
     "q261_cab_extraction": Q261_SQL,
     "q262_pe_metadata": Q262_SQL,
     "q263_audio_typing": Q263_SQL,
+    "q264_rar5_roundtrip": Q264_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -1,7 +1,9 @@
-"""RAR container parsing (public RAR4/RAR5 block formats; stored members
-only — the reference shells to `7z x`, archives.py:173-203)."""
+"""RAR container parsing (public RAR4/RAR5 block formats; RAR5
+compressed members decode natively via functions/rar5_codec.py — the
+reference shells to `7z x`, archives.py:173-203)."""
 
 import hashlib
+import random
 
 import pytest
 
@@ -28,12 +30,73 @@ def test_stored_round_trip(build):
     assert unpack_rar(data) == MEMBERS
 
 
-@pytest.mark.parametrize("build", [build_rar4, build_rar5])
-def test_compressed_method_honest(build):
-    data = build(MEMBERS, method=3)
+def test_rar4_compressed_method_honest():
+    """RAR4's RAR29 scheme (LZSS+PPMd+RarVM) stays typed-refused."""
+    data = build_rar4(MEMBERS, method=3)
     with pytest.raises(RarBroken) as e:
         unpack_rar(data)
     assert e.value.reason == "rar_method_unsupported"
+
+
+@pytest.mark.parametrize("method", [1, 3, 5])
+def test_rar5_compressed_round_trip(method):
+    """All RAR5 method values decode through the one LZ scheme."""
+    data = build_rar5(MEMBERS, method=method)
+    assert unpack_rar(data) == MEMBERS
+    assert len(data) < sum(len(b) for _, b in MEMBERS) + 200
+
+
+def test_rar5_corrupt_stream_never_silent():
+    """A flipped payload byte surfaces as a typed error (structure or
+    CRC), never as silently-wrong member bytes."""
+    rng = random.Random(1)
+    payload = bytes(rng.randrange(256) for _ in range(2000)) * 2
+    base = build_rar5([("m.bin", payload)], method=3)
+    for flip in (len(base) // 2, len(base) - 20):
+        data = bytearray(base)
+        data[flip] ^= 0xFF
+        try:
+            got = unpack_rar(bytes(data))
+        except RarBroken as e:
+            assert e.reason in ("rar_error", "rar_crc_mismatch",
+                                "rar_method_unsupported")
+        else:
+            # flip landed outside this member's stream/crc coverage
+            assert got == [("m.bin", payload)]
+
+
+def test_rar5_solid_refused():
+    """comp_info solid bit (0x40) → typed refusal: the member's LZ
+    window starts inside the PREVIOUS member; decoding standalone would
+    be silently wrong."""
+    from hoover_snoop2_spark.operators import rar_extract as rx
+
+    data = bytearray(build_rar5([("a.txt", b"payload bytes")], method=1))
+    # comp_info vint in the file block: locate by rebuilding with the
+    # solid bit via the writer internals
+    import struct
+    import zlib
+
+    from hoover_snoop2_spark.functions.rar5_codec import rar5_compress
+
+    payload = b"payload bytes"
+    packed = rar5_compress(payload)
+    body = (
+        rx._vint(0x0004)
+        + rx._vint(len(payload))
+        + rx._vint(0)
+        + struct.pack("<I", zlib.crc32(payload) & 0xFFFFFFFF)
+        + rx._vint((1 << 7) | 0x40 | (5 << 10))  # method 1 + SOLID
+        + rx._vint(0)
+        + rx._vint(len(b"a.txt"))
+        + b"a.txt"
+    )
+    raw = (rx._SIG5 + rx._r5_block(rx._R5_MAIN, 0, rx._vint(0))
+           + rx._r5_block(rx._R5_FILE, 0x0002, body, packed)
+           + rx._r5_block(rx._R5_END, 0, rx._vint(0)))
+    with pytest.raises(RarBroken) as e:
+        unpack_rar(raw)
+    assert e.value.reason == "rar_solid_unsupported"
 
 
 def test_rar4_encrypted_flag():
