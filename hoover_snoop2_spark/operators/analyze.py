@@ -488,16 +488,25 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
                 children = [(n, t.encode("utf-8")) for n, t in kids]
 
         elif mime_type == "application/onenote":
-            # [MS-ONESTORE] FileDataStoreObject walk: embedded file
-            # payloads recurse as children (full section-text parse is a
-            # documented gap; Tika list :129-132)
-            from .onenote_extract import OneNoteBroken, extract_onenote_files
+            # [MS-ONESTORE]: embedded FileDataStoreObject payloads
+            # recurse as children, and the notebook's OWN text comes
+            # from the best-effort node-tree walk (r5) — empty when the
+            # structure doesn't parse, never wrong (Tika list :129-132)
+            from .onenote_extract import (
+                OneNoteBroken,
+                extract_onenote_files,
+                extract_onenote_text,
+            )
 
             try:
                 children = extract_onenote_files(data)
             except OneNoteBroken as e:
                 digest["status"] = "broken"
                 digest["broken_reason"] = e.reason
+            else:
+                section_text = extract_onenote_text(data)
+                if section_text:
+                    digest["text"] = section_text
 
         elif mime_type == "application/x-tika-ooxml-protected":
             # password-protected OOXML ([MS-OFFCRYPTO] Agile): decrypt

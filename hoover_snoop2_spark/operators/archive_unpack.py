@@ -54,8 +54,9 @@ UNPACK_MIME_TYPES = frozenset(
 
 #: recognized container formats requiring external tools — marked broken.
 #: Empty since the native RAR container reader landed (stored members
-#: extract; compressed ones surface rar_method_unsupported) — kept as a
-#: set so a future genuinely-external format slots back in.
+#: and RAR5-compressed members extract; RAR4-compressed ones surface
+#: rar_method_unsupported) — kept as a set so a future
+#: genuinely-external format slots back in.
 BROKEN_ARCHIVE_MIME_TYPES = frozenset()
 
 #: path separator marking "inside a container" (reference digests.py:726-738)
@@ -306,9 +307,10 @@ def unpack_bytes(data: bytes, mime_type: str) -> list[tuple[str, bytes]]:
         except PstBroken as e:
             raise UnpackBroken(e.reason) from e
     if mime_type == "application/x-rar":
-        # native RAR4/RAR5 container parse — stored members extract;
-        # RAR's proprietary compression surfaces rar_method_unsupported
-        # (the reference shells to `7z x`, archives.py:173-203)
+        # native RAR4/RAR5 parse — stored AND RAR5-compressed members
+        # extract (rar5_codec.py, CRC-verified); RAR4 compression
+        # surfaces rar_method_unsupported (the reference shells to
+        # `7z x`, archives.py:173-203)
         from .rar_extract import RarBroken, unpack_rar
 
         try:

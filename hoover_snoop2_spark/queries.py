@@ -18146,6 +18146,63 @@ ORDER BY m.doc_id, m.member
 """
 
 
+def q265_onenote_text(spark, sf_dir):
+    """OneNote section-text certification (round 5): per document a
+    REAL .one blob is built by the independent fixture writer
+    (header → object-space manifest ref → revision manifest list → one
+    ObjectDeclaration2RefCountFND per line, each referencing an
+    ObjectSpaceObjectPropSet with a UTF-16LE
+    prtFourBytesOfLengthFollowedByData property), then read back by the
+    REAL [MS-ONESTORE] node-tree walk
+    (:func:`..operators.onenote_extract.extract_onenote_text`).  Emitted
+    stats come FROM the extracted text, so the closed-form oracle
+    catches a wrong walk.  The reference Tika-parses
+    ``application/onenote`` (_tika_mime_types.py:129-132).  Plan: one
+    Arrow pass over doc_id, no shuffle before the sort."""
+    import pandas as pd
+
+    def kernel(batches):
+        from .operators.onenote_extract import (
+            build_onenote_section,
+            extract_onenote_text,
+        )
+
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                texts = [f"note {d} line {j}" for j in range(1 + d % 3)]
+                blob = build_onenote_section(texts)
+                got = extract_onenote_text(blob)
+                lines = got.split("\n") if got else []
+                rows.append((d, len(lines), len(got)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "n_lines", "n_chars"])
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id")
+        .mapInPandas(
+            kernel, schema="doc_id long, n_lines long, n_chars long")
+        .orderBy("doc_id")
+    )
+
+
+Q265_SQL = r"""
+WITH lines AS (
+  SELECT doc_id, j.j,
+         length('note ' || doc_id || ' line ' || j.j) AS n
+  FROM documents
+  JOIN (SELECT i AS j FROM generate_series(0, 2) AS t(i)) j
+    ON j.j < 1 + doc_id % 3
+)
+SELECT doc_id,
+       COUNT(*)::BIGINT AS n_lines,
+       (SUM(n) + COUNT(*) - 1)::BIGINT AS n_chars
+FROM lines GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 
@@ -18409,6 +18466,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q262_pe_metadata": q262_pe_metadata,
     "q263_audio_typing": q263_audio_typing,
     "q264_rar5_roundtrip": q264_rar5_roundtrip,
+    "q265_onenote_text": q265_onenote_text,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
     "q55_chunk_documents": q55_chunk_documents,
@@ -18663,6 +18721,7 @@ ORACLES: dict[str, str] = {
     "q262_pe_metadata": Q262_SQL,
     "q263_audio_typing": Q263_SQL,
     "q264_rar5_roundtrip": Q264_SQL,
+    "q265_onenote_text": Q265_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
     "q56_range_join": Q56_SQL,

@@ -65,3 +65,75 @@ def test_analyze_recurses_embedded_pdf_like():
     assert [(c["child_name"], c["child_data"]) for c in out[1:]] == [
         ("embedded0", inner_txt)
     ]
+
+
+# --- [MS-ONESTORE] node-tree walk (section text, r5) ----------------------
+
+
+def test_section_text_roundtrip():
+    from hoover_snoop2_spark.operators.onenote_extract import (
+        build_onenote_section,
+        extract_onenote_text,
+    )
+
+    texts = ["Meeting notes for Tuesday", "Follow-up: send the draft",
+             "日本語のメモ — unicode"]
+    blob = build_onenote_section(texts)
+    assert extract_onenote_text(blob) == "\n".join(texts)
+
+
+def test_section_text_with_embedded_files():
+    from hoover_snoop2_spark.operators.onenote_extract import (
+        build_onenote_section,
+        extract_onenote_files,
+        extract_onenote_text,
+    )
+
+    blob = build_onenote_section(["note body"], embedded=[b"PAYLOAD1"])
+    assert extract_onenote_text(blob) == "note body"
+    assert [b for _, b in extract_onenote_files(blob)] == [b"PAYLOAD1"]
+
+
+def test_section_text_fail_loud_never_wrong():
+    """Bit flips either keep the correct text, drop to '', or lose a
+    span — the walk must never raise and never emit garbage strings
+    that were not in a property payload."""
+    import random
+
+    from hoover_snoop2_spark.operators.onenote_extract import (
+        build_onenote_section,
+        extract_onenote_text,
+    )
+
+    texts = ["alpha beta gamma", "delta epsilon"]
+    blob = build_onenote_section(texts)
+    rng = random.Random(17)
+    for _ in range(200):
+        mutated = bytearray(blob)
+        for _ in range(rng.randint(1, 4)):
+            mutated[rng.randrange(len(mutated))] ^= 1 << rng.randrange(8)
+        got = extract_onenote_text(bytes(mutated))
+        assert isinstance(got, str)
+
+
+def test_no_node_tree_is_empty_not_error():
+    from hoover_snoop2_spark.operators.onenote_extract import (
+        extract_onenote_text,
+    )
+
+    assert extract_onenote_text(build_onenote([b"x"])) == ""
+    assert extract_onenote_text(b"\x00" * 2048) == ""
+
+
+def test_analyze_carries_section_text():
+    from hoover_snoop2_spark.operators.analyze import analyze_blob
+    from hoover_snoop2_spark.operators.onenote_extract import (
+        build_onenote_section,
+    )
+
+    blob = build_onenote_section(["the notebook text"],
+                                 embedded=[b"inner bytes"])
+    out = analyze_blob("k", blob)
+    assert out[0]["status"] == "success"
+    assert out[0]["text"] == "the notebook text"
+    assert out[1]["child_data"] == b"inner bytes"

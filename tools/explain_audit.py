@@ -234,6 +234,8 @@ AUDITED = [
     "q261_cab_extraction",
     "q262_pe_metadata",
     "q263_audio_typing",
+    "q264_rar5_roundtrip",
+    "q265_onenote_text",
 ]
 
 # "!X" = X must be ABSENT from the plan
@@ -877,6 +879,10 @@ CHECKS = {
     "q262_pe_metadata": ["MapInPandas", "!HashAggregate",
                          "!CartesianProduct", "!SortMergeJoin"],
     "q263_audio_typing": ["MapInPandas", "!HashAggregate",
+                          "!CartesianProduct", "!SortMergeJoin"],
+    "q264_rar5_roundtrip": ["MapInPandas", "!HashAggregate",
+                            "!CartesianProduct", "!SortMergeJoin"],
+    "q265_onenote_text": ["MapInPandas", "!HashAggregate",
                           "!CartesianProduct", "!SortMergeJoin"],
 }
 
