@@ -16,9 +16,12 @@ module decodes what has a public, deterministic definition:
   never as silently-wrong text; solid members (window carry-over from
   the previous member) → ``rar_solid_unsupported``; RAR7 "v1"
   algorithm variants → ``rar_method_unsupported``;
-- RAR4 compressed members (the RAR29 LZSS+PPMd+RarVM family) →
-  ``rar_method_unsupported``; encrypted headers or members →
-  ``rar_encrypted``.
+- RAR4 compressed members (methods 0x31-0x35, unp_ver 29) decode
+  natively via ``functions/rar29_codec.py`` — the LZSS half of RAR29;
+  PPMd blocks → ``rar_ppmd_unsupported`` and RarVM filter programs →
+  ``rar_filter_unsupported`` (both typed, both CRC-backstopped);
+  RAR 1.5/2.0 schemes → ``rar_method_unsupported``; encrypted headers
+  or members → ``rar_encrypted``.
 
 A deterministic fixture writer (both generations, correct header CRCs,
 really-compressed RAR5 members) backs the tests and the golden corpus.
@@ -127,12 +130,38 @@ def _unpack_rar4(data: bytes, max_bytes: int) -> list[tuple[str, bytes]]:
         if len(payload) != pack_size:
             raise RarBroken("rar_error")
         if not is_dir:
-            if method != _R4_METHOD_STORE:
-                raise RarBroken("rar_method_unsupported")
             budget -= unp_size
             if budget < 0:
                 raise RarBroken("archive_too_big")
-            out.append((name, payload[:unp_size]))
+            if method == _R4_METHOD_STORE:
+                member = payload[:unp_size]
+            elif 0x31 <= method <= 0x35:
+                if flags & 0x0010:
+                    # solid: the LZ window starts inside the previous
+                    # member — standalone decode would be silently wrong
+                    raise RarBroken("rar_solid_unsupported")
+                if _unp_ver != 29:
+                    # RAR 1.5/2.0 schemes (unp_ver 15/20/26) and newer
+                    # variants stay typed-refused
+                    raise RarBroken("rar_method_unsupported")
+                from ..functions.rar29_codec import (
+                    Rar29Error,
+                    rar29_decompress,
+                )
+
+                try:
+                    member = rar29_decompress(
+                        payload, unp_size, max_bytes=max_bytes)
+                except Rar29Error as e:
+                    raise RarBroken(e.reason) from e
+                except (IndexError, ValueError, OverflowError) as e:
+                    raise RarBroken("rar_error") from e
+                if zlib.crc32(member) & 0xFFFFFFFF != _fcrc:
+                    # never surface a wrong decode as member bytes
+                    raise RarBroken("rar_crc_mismatch")
+            else:
+                raise RarBroken("rar_method_unsupported")
+            out.append((name, member))
         pos += size + pack_size
     return out
 
@@ -252,21 +281,30 @@ def _r4_block(btype: int, flags: int, body: bytes) -> bytes:
     return struct.pack("<H", crc) + head
 
 
-def build_rar4(members: list[tuple[str, bytes]], method: int = _R4_METHOD_STORE) -> bytes:
-    """Deterministic RAR 4.x fixture; ``method`` other than 0x30 writes a
-    compressed-claiming header (payload kept raw) for broken-reason tests."""
+def build_rar4(members: list[tuple[str, bytes]], method: int = _R4_METHOD_STORE,
+               unp_ver: int = 29) -> bytes:
+    """Deterministic RAR 4.x fixture.  Methods 0x31-0x35 REALLY compress
+    with the in-repo RAR29 coder; any other non-store method writes a
+    compressed-claiming header (payload kept raw) for broken-reason
+    tests, as does an ``unp_ver`` other than 29."""
     out = bytearray(_SIG4)
     out += _r4_block(_R4_MAIN, 0, bytes(6))  # HighPosAv+PosAv reserved
     for name, payload in members:
         raw_name = name.encode("utf-8")
+        if 0x31 <= method <= 0x35 and unp_ver == 29:
+            from ..functions.rar29_codec import rar29_compress
+
+            data_area = rar29_compress(payload)
+        else:
+            data_area = payload
         body = struct.pack(
             "<IIBIIBBHI",
-            len(payload), len(payload), 0,
-            zlib.crc32(payload) & 0xFFFFFFFF, 0, 29, method,
+            len(data_area), len(payload), 0,
+            zlib.crc32(payload) & 0xFFFFFFFF, 0, unp_ver, method,
             len(raw_name), 0x20,
         ) + raw_name
         out += _r4_block(_R4_FILE, _R4_FLAG_ADD_SIZE, body)
-        out += payload
+        out += data_area
     out += _r4_block(_R4_END, 0, b"")
     return bytes(out)
 

@@ -18042,25 +18042,30 @@ FROM base ORDER BY doc_id
 """
 
 
-def q264_rar5_roundtrip(spark, sf_dir):
-    """RAR5 codec certification (round-5 sibling of the q236/q240/q259
-    codec certs): per document a REAL RAR5 archive is built with
-    ``1 + doc_id % 3`` members — constant-byte (overlap-copy RLE
-    matches), duplicated-half (a far LZ match at distance n/2), and
+def q264_rar_roundtrip(spark, sf_dir):
+    """RAR codec certification, BOTH generations (round-5 sibling of
+    the q236/q240/q259 codec certs): per document a REAL RAR archive is
+    built with ``1 + doc_id % 3`` members — constant-byte (overlap-copy
+    RLE matches), duplicated-half (a far LZ match at distance n/2), and
     arithmetic-pattern payloads by ``(doc_id + j) % 4`` — compressed by
-    the in-repo greedy-LZ RAR5 coder (method ``1 + doc_id % 5``; all
-    five method values share the one RAR5 scheme), then extracted
-    through the REAL container + codec path
+    the in-repo coder for the generation ``doc_id % 2`` selects (RAR5
+    LZ for odd ids, method ``1 + doc_id % 5``; RAR4/RAR29 LZSS for even
+    ids, method ``0x31 + doc_id % 5``), then extracted through the REAL
+    container + codec path
     (:func:`..operators.rar_extract.unpack_rar`, which also verifies
     the FILE header CRC32 of the unpacked bytes).  Emitted stats are
     computed FROM the decoded bytes, so the closed-form oracle catches
-    any wrong decode.  The reference shells RARs to ``7z x``
-    (archives.py:173-203).  Plan: one Arrow pass over doc_id, no
-    shuffle before the sort."""
+    any wrong decode in either codec.  The reference shells RARs to
+    ``7z x`` (archives.py:173-203).  Plan: one Arrow pass over doc_id,
+    no shuffle before the sort."""
     import pandas as pd
 
     def kernel(batches):
-        from .operators.rar_extract import build_rar5, unpack_rar
+        from .operators.rar_extract import (
+            build_rar4,
+            build_rar5,
+            unpack_rar,
+        )
 
         for pdf in batches:
             rows = []
@@ -18086,7 +18091,10 @@ def q264_rar5_roundtrip(spark, sf_dir):
                             for i in range(n)
                         )
                     members.append((f"m{j}.bin", payload))
-                archive = build_rar5(members, method=1 + d % 5)
+                if d % 2:
+                    archive = build_rar5(members, method=1 + d % 5)
+                else:
+                    archive = build_rar4(members, method=0x31 + d % 5)
                 for j, (name, got) in enumerate(unpack_rar(archive)):
                     rows.append(
                         (d, j, len(got), sum(got), got[0], got[-1])
@@ -18465,7 +18473,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q261_cab_extraction": q261_cab_extraction,
     "q262_pe_metadata": q262_pe_metadata,
     "q263_audio_typing": q263_audio_typing,
-    "q264_rar5_roundtrip": q264_rar5_roundtrip,
+    "q264_rar_roundtrip": q264_rar_roundtrip,
     "q265_onenote_text": q265_onenote_text,
     "q53_tfidf_terms": q53_tfidf_terms,
     "q54_session_window": q54_session_window,
@@ -18720,7 +18728,7 @@ ORACLES: dict[str, str] = {
     "q261_cab_extraction": Q261_SQL,
     "q262_pe_metadata": Q262_SQL,
     "q263_audio_typing": Q263_SQL,
-    "q264_rar5_roundtrip": Q264_SQL,
+    "q264_rar_roundtrip": Q264_SQL,
     "q265_onenote_text": Q265_SQL,
     "q54_session_window": Q54_SQL,
     "q55_chunk_documents": Q55_SQL,
@@ -18751,14 +18759,16 @@ ORACLES: dict[str, str] = {
 # the q94-q99 kernel certs, and the q234-q263 sniffer/crypto/codec certs
 # (minus q236/q237/q246, which stay in the judge-sampled tail).  Every
 # name here has a strict DuckDB oracle.  Dict CONTENT is unchanged —
-# only iteration order moves.
+# only iteration order moves.  (r5: q09/q13 — driver-green four rounds
+# running — yield their slots to the round's NEW kernel certs q264
+# RAR5 / q265 OneNote text, which have no driver history at all.)
 _CERT_WINDOW: list[str] = (
-    [f"q{i:02d}_" for i in range(1, 17)]
+    [f"q{i:02d}_" for i in range(1, 17) if i not in (9, 13)]
     + ["q50_"]
     + [f"q{i}_" for i in range(94, 100)]
     + ["q234_", "q235_"]
     + [f"q{i}_" for i in range(238, 246)]
-    + [f"q{i}_" for i in range(247, 264)]
+    + [f"q{i}_" for i in range(247, 266)]
 )
 
 

@@ -1,6 +1,7 @@
-"""RAR container parsing (public RAR4/RAR5 block formats; RAR5
-compressed members decode natively via functions/rar5_codec.py — the
-reference shells to `7z x`, archives.py:173-203)."""
+"""RAR container parsing (public RAR4/RAR5 block formats; RAR5 and
+RAR4/RAR29-LZ compressed members decode natively via
+functions/rar5_codec.py and functions/rar29_codec.py — the reference
+shells to `7z x`, archives.py:173-203)."""
 
 import hashlib
 import random
@@ -31,7 +32,8 @@ def test_stored_round_trip(build):
 
 
 def test_rar4_compressed_method_honest():
-    """RAR4's RAR29 scheme (LZSS+PPMd+RarVM) stays typed-refused."""
+    """An out-of-range method claim (not store, not 0x31-0x35) refuses
+    typed rather than guessing a decoder."""
     data = build_rar4(MEMBERS, method=3)
     with pytest.raises(RarBroken) as e:
         unpack_rar(data)
@@ -139,3 +141,63 @@ def test_truncated_rar_is_broken():
     data = build_rar4(MEMBERS)
     with pytest.raises(RarBroken):
         unpack_rar(data[:40])  # inside the first file header/payload
+
+
+@pytest.mark.parametrize("method", [0x31, 0x33, 0x35])
+def test_rar4_compressed_round_trip(method):
+    """RAR4 LZ (RAR29) members decode natively; PPMd/VM halves refuse
+    typed (test_rar29_codec.py)."""
+    data = build_rar4(MEMBERS, method=method)
+    assert unpack_rar(data) == MEMBERS
+    assert len(data) < sum(len(b) for _, b in MEMBERS) + 200
+
+
+def test_rar4_old_scheme_version_refused():
+    data = build_rar4(MEMBERS, method=0x33, unp_ver=20)  # RAR 2.0
+    with pytest.raises(RarBroken) as e:
+        unpack_rar(data)
+    assert e.value.reason == "rar_method_unsupported"
+
+
+def test_rar4_solid_refused():
+    from hoover_snoop2_spark.operators import rar_extract as rx
+    from hoover_snoop2_spark.functions.rar29_codec import rar29_compress
+    import struct
+    import zlib
+
+    payload = b"solid member payload"
+    packed = rar29_compress(payload)
+    body = struct.pack(
+        "<IIBIIBBHI",
+        len(packed), len(payload), 0,
+        zlib.crc32(payload) & 0xFFFFFFFF, 0, 29, 0x33,
+        len(b"a.txt"), 0x20,
+    ) + b"a.txt"
+    raw = (rx._SIG4 + rx._r4_block(rx._R4_MAIN, 0, bytes(6))
+           + rx._r4_block(rx._R4_FILE,
+                          rx._R4_FLAG_ADD_SIZE | 0x0010, body)  # SOLID
+           + packed + rx._r4_block(rx._R4_END, 0, b""))
+    with pytest.raises(RarBroken) as e:
+        unpack_rar(raw)
+    assert e.value.reason == "rar_solid_unsupported"
+
+
+def test_rar4_compressed_corrupt_never_silent():
+    import random as _r
+
+    rng = _r.Random(4)
+    payload = bytes(rng.randrange(256) for _ in range(2000)) * 2
+    base = build_rar4([("m.bin", payload)], method=0x33)
+    for flip in (len(base) // 2, len(base) - 30):
+        data = bytearray(base)
+        data[flip] ^= 0xFF
+        try:
+            got = unpack_rar(bytes(data))
+        except RarBroken as e:
+            assert e.reason in ("rar_error", "rar_crc_mismatch",
+                                "rar_method_unsupported",
+                                "rar_ppmd_unsupported",
+                                "rar_filter_unsupported",
+                                "rar_solid_unsupported")
+        else:
+            assert got == [("m.bin", payload)]

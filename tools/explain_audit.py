@@ -234,7 +234,7 @@ AUDITED = [
     "q261_cab_extraction",
     "q262_pe_metadata",
     "q263_audio_typing",
-    "q264_rar5_roundtrip",
+    "q264_rar_roundtrip",
     "q265_onenote_text",
 ]
 
@@ -880,7 +880,7 @@ CHECKS = {
                          "!CartesianProduct", "!SortMergeJoin"],
     "q263_audio_typing": ["MapInPandas", "!HashAggregate",
                           "!CartesianProduct", "!SortMergeJoin"],
-    "q264_rar5_roundtrip": ["MapInPandas", "!HashAggregate",
+    "q264_rar_roundtrip": ["MapInPandas", "!HashAggregate",
                             "!CartesianProduct", "!SortMergeJoin"],
     "q265_onenote_text": ["MapInPandas", "!HashAggregate",
                           "!CartesianProduct", "!SortMergeJoin"],
