@@ -20,8 +20,15 @@ module decodes what has a public, deterministic definition:
   natively via ``functions/rar29_codec.py`` — the LZSS half of RAR29;
   PPMd blocks → ``rar_ppmd_unsupported`` and RarVM filter programs →
   ``rar_filter_unsupported`` (both typed, both CRC-backstopped);
-  RAR 1.5/2.0 schemes → ``rar_method_unsupported``; encrypted headers
-  or members → ``rar_encrypted``.
+  RAR 1.5/2.0 schemes → ``rar_method_unsupported``;
+- RAR5 ENCRYPTED members decrypt with the worker-local archive
+  password: the extra-record 0x01 AES-256-CBC scheme with the
+  continued-PBKDF2 key schedule (base key at 2^count HMAC-SHA256
+  iterations, checksum-MAC key at +16, folded password check at +16
+  more) — wrong password → ``rar_bad_password``, no password →
+  ``rar_encrypted``, and the MAC'd checksum still gates the decode;
+  encrypted HEADERS (the block-level ENCRYPTION record) and RAR4
+  encryption stay ``rar_encrypted``.
 
 A deterministic fixture writer (both generations, correct header CRCs,
 really-compressed RAR5 members) backs the tests and the golden corpus.
@@ -186,6 +193,118 @@ def _read_vint(data: bytes, pos: int) -> tuple[int, int]:
         shift += 7
 
 
+# RAR5 file-data encryption (extra record 0x01): AES-256-CBC with a
+# PBKDF2-HMAC-SHA256 key schedule.  unrar derives three values from ONE
+# continued PBKDF2 block: the running XOR at 2^count iterations is the
+# AES key, at +16 more the checksum-MAC key, at +16 more the password
+# check value (folded to 8 bytes).  A failed check is typed
+# ``rar_bad_password`` (7z convention); decrypted data still passes the
+# CRC/MAC gate, so a wrong key can never surface as member bytes.
+_R5X_ENCRYPTION = 0x01
+
+
+def _rar5_kdf(password: str, salt: bytes,
+              count_log2: int) -> tuple[bytes, bytes, bytes]:
+    import hashlib
+    import hmac as hmac_mod
+
+    if count_log2 > 24:
+        raise RarBroken("rar_error")
+    inner = hmac_mod.new(password.encode("utf-8"), digestmod=hashlib.sha256)
+
+    def prf(msg: bytes) -> bytes:
+        m = inner.copy()
+        m.update(msg)
+        return m.digest()
+
+    u = prf(salt + b"\x00\x00\x00\x01")
+    acc = bytearray(u)
+    outputs = []
+    total = 1 << count_log2
+    for target in (total, 16, 16):
+        for _ in range(target - 1 if not outputs else target):
+            u = prf(u)
+            for i in range(32):
+                acc[i] ^= u[i]
+        outputs.append(bytes(acc))
+    key, hash_key, check_full = outputs
+    return key, hash_key, check_full
+
+
+def _fold_psw_check(check_full: bytes) -> bytes:
+    out = bytearray(8)
+    for i, b in enumerate(check_full):
+        out[i % 8] ^= b
+    return bytes(out)
+
+
+def _crc_to_mac(crc: int, hash_key: bytes) -> int:
+    import hashlib
+    import hmac as hmac_mod
+
+    digest = hmac_mod.new(hash_key, struct.pack("<I", crc),
+                          hashlib.sha256).digest()
+    out = 0
+    for i, b in enumerate(digest):
+        out ^= b << ((i & 3) * 8)
+    return out & 0xFFFFFFFF
+
+
+def _parse_file_encryption(data: bytes, start: int, end: int):
+    """Walk the FILE header's extra area; return the encryption record
+    as a dict, or None if absent."""
+    p = start
+    while p < end:
+        rec_size, p2 = _read_vint(data, p)
+        rec_end = p2 + rec_size
+        if rec_end > end:
+            raise RarBroken("rar_error")
+        rtype, p3 = _read_vint(data, p2)
+        if rtype == _R5X_ENCRYPTION:
+            version, p4 = _read_vint(data, p3)
+            if version != 0:  # 0 = AES-256
+                raise RarBroken("rar_encrypted")
+            eflags, p4 = _read_vint(data, p4)
+            if p4 + 33 > rec_end:
+                raise RarBroken("rar_error")
+            count_log2 = data[p4]
+            salt = data[p4 + 1:p4 + 17]
+            iv = data[p4 + 17:p4 + 33]
+            psw_check = None
+            if eflags & 0x01:
+                if p4 + 45 > rec_end:
+                    raise RarBroken("rar_error")
+                psw_check = data[p4 + 33:p4 + 41]
+            return {
+                "count_log2": count_log2,
+                "salt": salt,
+                "iv": iv,
+                "psw_check": psw_check,
+                "tweaked": bool(eflags & 0x02),
+            }
+        p = rec_end
+    return None
+
+
+def _decrypt_file_data(payload: bytes, enc: dict) -> tuple[bytes, bytes]:
+    from ..functions.archive_crypto import (
+        aes_cbc_decrypt,
+        default_archive_password,
+    )
+
+    password = default_archive_password()
+    if password is None:
+        raise RarBroken("rar_encrypted")
+    key, hash_key, check_full = _rar5_kdf(
+        password, enc["salt"], enc["count_log2"])
+    if enc["psw_check"] is not None and \
+            _fold_psw_check(check_full) != enc["psw_check"]:
+        raise RarBroken("rar_bad_password")
+    if len(payload) % 16:
+        raise RarBroken("rar_error")
+    return aes_cbc_decrypt(key, enc["iv"], payload), hash_key
+
+
 def _unpack_rar5(data: bytes, max_bytes: int) -> list[tuple[str, bytes]]:
     pos = len(_SIG5)
     out: list[tuple[str, bytes]] = []
@@ -199,14 +318,18 @@ def _unpack_rar5(data: bytes, max_bytes: int) -> list[tuple[str, bytes]]:
             raise RarBroken("rar_error")
         htype, p = _read_vint(data, hdr_pos)
         hflags, p = _read_vint(data, p)
-        if hflags & 0x0001:  # extra area
-            _extra_size, p = _read_vint(data, p)
+        extra_size = 0
+        if hflags & 0x0001:  # extra area (the LAST extra_size header bytes)
+            extra_size, p = _read_vint(data, p)
         data_size = 0
         if hflags & 0x0002:  # data area
             data_size, p = _read_vint(data, p)
         if htype == _R5_END:
             break
         if htype == _R5_ENCRYPTION:
+            # encrypted HEADERS (every subsequent block AES'd with a
+            # per-block IV) — not walked; file-data-only encryption IS
+            # handled below via the FILE block's extra record
             raise RarBroken("rar_encrypted")
         if htype == _R5_FILE:
             file_flags, p = _read_vint(data, p)
@@ -228,6 +351,13 @@ def _unpack_rar5(data: bytes, max_bytes: int) -> list[tuple[str, bytes]]:
             payload = data[head_end:head_end + data_size]
             if len(payload) != data_size:
                 raise RarBroken("rar_error")
+            enc = None
+            if extra_size:
+                enc = _parse_file_encryption(
+                    data, head_end - extra_size, head_end)
+            crc_mac_key = None
+            if enc is not None and not is_dir:
+                payload, crc_mac_key = _decrypt_file_data(payload, enc)
             if not is_dir:
                 version = comp_info & 0x3F
                 solid = bool(comp_info & 0x40)
@@ -260,10 +390,14 @@ def _unpack_rar5(data: bytes, max_bytes: int) -> list[tuple[str, bytes]]:
                         raise RarBroken(e.reason) from e
                     except (IndexError, ValueError, OverflowError) as e:
                         raise RarBroken("rar_error") from e
-                if data_crc is not None and \
-                        zlib.crc32(member) & 0xFFFFFFFF != data_crc:
-                    # never surface a wrong decode as text
-                    raise RarBroken("rar_crc_mismatch")
+                if data_crc is not None:
+                    actual = zlib.crc32(member) & 0xFFFFFFFF
+                    if enc is not None and enc["tweaked"]:
+                        # encrypted files store the MAC'd checksum
+                        actual = _crc_to_mac(actual, crc_mac_key)
+                    if actual != data_crc:
+                        # never surface a wrong decode as text
+                        raise RarBroken("rar_crc_mismatch")
                 out.append((name.replace("\\", "/"), member))
         pos = head_end + data_size
     return out
@@ -321,11 +455,16 @@ def _vint(value: int) -> bytes:
             return bytes(out)
 
 
-def _r5_block(htype: int, hflags: int, body: bytes, data: bytes = b"") -> bytes:
+def _r5_block(htype: int, hflags: int, body: bytes, data: bytes = b"",
+              extra: bytes = b"") -> bytes:
+    if extra:
+        hflags |= 0x0001
     hdr = _vint(htype) + _vint(hflags)
+    if extra:
+        hdr += _vint(len(extra))
     if hflags & 0x0002:
         hdr += _vint(len(data))
-    hdr += body
+    hdr += body + extra
     head = _vint(len(hdr)) + hdr
     # RAR5 header CRC covers head_size + header bytes
     crc = zlib.crc32(head) & 0xFFFFFFFF
@@ -333,15 +472,19 @@ def _r5_block(htype: int, hflags: int, body: bytes, data: bytes = b"") -> bytes:
 
 
 def build_rar5(members: list[tuple[str, bytes]], method: int = 0,
-               raw_claim: bool = False) -> bytes:
+               raw_claim: bool = False,
+               password: str | None = None,
+               kdf_log2: int = 14) -> bytes:
     """Deterministic RAR 5.0 fixture (vint framing).  ``method`` 0
     writes stored members; 1-5 REALLY compresses them with the in-repo
     RAR5 coder (functions/rar5_codec.py).  ``raw_claim=True`` keeps the
     payload raw under a compressed-claiming header (corrupt-stream
-    tests)."""
+    tests).  ``password`` encrypts each member's data area (AES-256-CBC,
+    extra record 0x01 with password-check + MAC'd checksum, deterministic
+    salt/iv per member)."""
     out = bytearray(_SIG5)
     out += _r5_block(_R5_MAIN, 0, _vint(0))  # archive flags = 0
-    for name, payload in members:
+    for idx, (name, payload) in enumerate(members):
         raw_name = name.encode("utf-8")
         if method and not raw_claim:
             from ..functions.rar5_codec import rar5_compress
@@ -349,11 +492,34 @@ def build_rar5(members: list[tuple[str, bytes]], method: int = 0,
             data_area = rar5_compress(payload)
         else:
             data_area = payload
+        crc = zlib.crc32(payload) & 0xFFFFFFFF
+        extra = b""
+        if password is not None:
+            import hashlib
+
+            from ..functions.archive_crypto import aes_cbc_encrypt
+
+            salt = hashlib.sha256(
+                b"rar5-fixture-salt" + raw_name + bytes([idx])).digest()[:16]
+            iv = hashlib.sha256(
+                b"rar5-fixture-iv" + raw_name + bytes([idx])).digest()[:16]
+            key, hash_key, check_full = _rar5_kdf(password, salt, kdf_log2)
+            pad = (-len(data_area)) % 16
+            data_area = aes_cbc_encrypt(key, iv,
+                                        data_area + b"\x00" * pad)
+            crc = _crc_to_mac(crc, hash_key)
+            psw_check = _fold_psw_check(check_full)
+            rec = (_vint(_R5X_ENCRYPTION) + _vint(0)  # AES-256
+                   + _vint(0x01 | 0x02)               # check + MAC'd csum
+                   + bytes([kdf_log2]) + salt + iv
+                   + psw_check
+                   + hashlib.sha256(psw_check).digest()[:4])
+            extra = _vint(len(rec)) + rec
         body = (
             _vint(0x0004)                       # file flags: crc present
             + _vint(len(payload))               # unpacked size
             + _vint(0)                          # attributes
-            + struct.pack("<I", zlib.crc32(payload) & 0xFFFFFFFF)
+            + struct.pack("<I", crc)
             # dict-size bits only for compressed members, so stored
             # fixtures keep the exact v19 golden-corpus byte layout
             + _vint(((method & 0x7) << 7) | ((5 << 10) if method else 0))
@@ -361,6 +527,6 @@ def build_rar5(members: list[tuple[str, bytes]], method: int = 0,
             + _vint(len(raw_name))
             + raw_name
         )
-        out += _r5_block(_R5_FILE, 0x0002, body, data_area)
+        out += _r5_block(_R5_FILE, 0x0002, body, data_area, extra=extra)
     out += _r5_block(_R5_END, 0, _vint(0))
     return bytes(out)

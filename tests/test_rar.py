@@ -201,3 +201,64 @@ def test_rar4_compressed_corrupt_never_silent():
                                 "rar_solid_unsupported")
         else:
             assert got == [("m.bin", payload)]
+
+
+# --- RAR5 file-data encryption (r5) ---------------------------------------
+
+
+@pytest.fixture
+def _pw():
+    from hoover_snoop2_spark.functions import archive_crypto as C
+
+    C.set_archive_password(None)
+    yield C
+    C.set_archive_password(None)
+
+
+@pytest.mark.parametrize("method", [0, 3])
+def test_rar5_encrypted_round_trip(method, _pw):
+    data = build_rar5(MEMBERS, method=method, password="hunter2",
+                      kdf_log2=12)
+    _pw.set_archive_password("hunter2")
+    assert unpack_rar(data) == MEMBERS
+
+
+def test_rar5_encrypted_no_password_typed(_pw):
+    data = build_rar5(MEMBERS, password="hunter2", kdf_log2=12)
+    with pytest.raises(RarBroken) as e:
+        unpack_rar(data)
+    assert e.value.reason == "rar_encrypted"
+
+
+def test_rar5_encrypted_wrong_password_typed(_pw):
+    data = build_rar5(MEMBERS, password="hunter2", kdf_log2=12)
+    _pw.set_archive_password("not it")
+    with pytest.raises(RarBroken) as e:
+        unpack_rar(data)
+    assert e.value.reason == "rar_bad_password"
+
+
+def test_rar5_encrypted_macd_checksum_guards_decode(_pw):
+    """The stored checksum of an encrypted file is the HMAC'd variant —
+    a flipped ciphertext byte must surface typed even though the
+    password check passes."""
+    data = bytearray(build_rar5([("m.bin", bytes(range(256)) * 8)],
+                                password="pw", kdf_log2=12))
+    _pw.set_archive_password("pw")
+    data[len(data) - 40] ^= 0xFF  # inside the encrypted data area
+    with pytest.raises(RarBroken) as e:
+        unpack_rar(bytes(data))
+    assert e.value.reason in ("rar_crc_mismatch", "rar_error")
+
+
+def test_rar5_kdf_continuation_is_pbkdf2():
+    """The base key must equal stdlib PBKDF2 at 2^count iterations —
+    the hash-key/check values are the same block CONTINUED 16+16
+    iterations further."""
+    import hashlib
+
+    from hoover_snoop2_spark.operators.rar_extract import _rar5_kdf
+
+    key, hash_key, check_full = _rar5_kdf("pw", b"s" * 16, 10)
+    assert key == hashlib.pbkdf2_hmac("sha256", b"pw", b"s" * 16, 1 << 10)
+    assert key != hash_key != check_full
