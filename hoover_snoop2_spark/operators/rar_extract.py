@@ -27,8 +27,16 @@ module decodes what has a public, deterministic definition:
   iterations, checksum-MAC key at +16, folded password check at +16
   more) — wrong password → ``rar_bad_password``, no password →
   ``rar_encrypted``, and the MAC'd checksum still gates the decode;
-  encrypted HEADERS (the block-level ENCRYPTION record) and RAR4
-  encryption stay ``rar_encrypted``.
+  encrypted HEADERS (the block-level ENCRYPTION record) stay
+  ``rar_encrypted``;
+- RAR4 (RAR 2.9+ salted) ENCRYPTED members decrypt too: the RAR3
+  AES-128 scheme — one continued SHA-1 over 2^18 rounds of
+  UTF-16LE-password+salt+counter, IV bytes tapped from the running
+  digest every 2^14 rounds, word-swapped final digest as the key.
+  RAR3 crypto has NO password-check value, so a wrong key is caught by
+  the CRC (stored) or the decoder's structure checks (compressed), both
+  reported ``rar_bad_password``; saltless pre-2.9 crypto stays
+  ``rar_encrypted``.
 
 A deterministic fixture writer (both generations, correct header CRCs,
 really-compressed RAR5 members) backs the tests and the golden corpus.
@@ -54,7 +62,50 @@ _R4_FLAG_PASSWORD = 0x0004      # file block: encrypted payload
 _R4_MAIN_FLAG_ENC = 0x0080      # main block: encrypted block headers
 _R4_FLAG_LARGE = 0x0100
 _R4_FLAG_UNICODE = 0x0200
+_R4_FLAG_SALT = 0x0400          # 8-byte salt after the name (RAR 2.9+)
 _R4_METHOD_STORE = 0x30
+
+
+def _rar3_keys(password: str, salt: bytes) -> tuple[bytes, bytes]:
+    """RAR 2.9/3.x AES-128 KDF: ONE continued SHA-1 over 2^18 rounds of
+    (UTF-16LE password + salt + 3-byte LE round counter); every 2^14
+    rounds the last byte of the running (non-finalized) digest becomes
+    the next IV byte; the key is the final running digest's first 16
+    bytes with each 32-bit word byte-swapped.  hashlib's ``copy()``
+    gives the mid-stream digests without a from-scratch SHA-1."""
+    import hashlib
+
+    raw = password.encode("utf-16-le") + salt
+    ctx = hashlib.sha1()
+    iv = bytearray(16)
+    rounds = 1 << 18
+    step = rounds >> 4
+    for i in range(rounds):
+        ctx.update(raw)
+        ctx.update(bytes((i & 0xFF, (i >> 8) & 0xFF, (i >> 16) & 0xFF)))
+        if i % step == 0:
+            iv[i // step] = ctx.copy().digest()[19]
+    digest = ctx.copy().digest()
+    key = bytearray(16)
+    for w in range(4):
+        for j in range(4):
+            key[w * 4 + j] = digest[w * 4 + (3 - j)]
+    return bytes(key), bytes(iv)
+
+
+def _rar3_decrypt(payload: bytes, salt: bytes) -> bytes:
+    from ..functions.archive_crypto import (
+        aes_cbc_decrypt,
+        default_archive_password,
+    )
+
+    password = default_archive_password()
+    if password is None:
+        raise RarBroken("rar_encrypted")
+    if len(payload) % 16:
+        raise RarBroken("rar_error")
+    key, iv = _rar3_keys(password, salt)
+    return aes_cbc_decrypt(key, iv, payload)
 
 # RAR5 header types
 _R5_MAIN = 1
@@ -126,8 +177,12 @@ def _unpack_rar4(data: bytes, max_bytes: int) -> list[tuple[str, bytes]]:
             unp_size |= high_unp << 32
             name_off += 8
         raw_name = data[name_off:name_off + name_size]
-        if flags & _R4_FLAG_PASSWORD:
-            raise RarBroken("rar_encrypted")
+        salt = None
+        if flags & _R4_FLAG_SALT:
+            salt_off = name_off + name_size
+            if salt_off + 8 > len(data):
+                raise RarBroken("rar_error")
+            salt = data[salt_off:salt_off + 8]
         if flags & _R4_FLAG_UNICODE:
             # name\0<packed unicode>: keep the plain 8-bit part
             raw_name = raw_name.split(b"\x00")[0]
@@ -136,6 +191,11 @@ def _unpack_rar4(data: bytes, max_bytes: int) -> list[tuple[str, bytes]]:
         payload = data[pos + size:pos + size + pack_size]
         if len(payload) != pack_size:
             raise RarBroken("rar_error")
+        if flags & _R4_FLAG_PASSWORD and not is_dir:
+            if salt is None:
+                # pre-2.9 saltless crypto (the old RAR13/15/20 ciphers)
+                raise RarBroken("rar_encrypted")
+            payload = _rar3_decrypt(payload, salt)
         if not is_dir:
             budget -= unp_size
             if budget < 0:
@@ -151,23 +211,37 @@ def _unpack_rar4(data: bytes, max_bytes: int) -> list[tuple[str, bytes]]:
                     # RAR 1.5/2.0 schemes (unp_ver 15/20/26) and newer
                     # variants stay typed-refused
                     raise RarBroken("rar_method_unsupported")
-                from ..functions.rar29_codec import (
-                    Rar29Error,
-                    rar29_decompress,
-                )
+                from ..functions.rar5_codec import Rar5Error
+                from ..functions.rar29_codec import rar29_decompress
 
                 try:
                     member = rar29_decompress(
                         payload, unp_size, max_bytes=max_bytes)
-                except Rar29Error as e:
-                    raise RarBroken(e.reason) from e
+                except Rar5Error as e:  # Rar29Error subclasses it; the
+                    # shared Huffman machinery raises the base class
+                    # RAR3 crypto has no password-check value: a wrong
+                    # key turns the stream into noise, so on an
+                    # encrypted member ANY structural decode error is
+                    # indistinguishable from a bad password (unrar
+                    # reports "CRC failed (password incorrect?)" for
+                    # the same reason) — report it as such
+                    raise RarBroken(
+                        "rar_bad_password"
+                        if flags & _R4_FLAG_PASSWORD else e.reason
+                    ) from e
                 except (IndexError, ValueError, OverflowError) as e:
                     raise RarBroken("rar_error") from e
-                if zlib.crc32(member) & 0xFFFFFFFF != _fcrc:
-                    # never surface a wrong decode as member bytes
-                    raise RarBroken("rar_crc_mismatch")
             else:
                 raise RarBroken("rar_method_unsupported")
+            if (method != _R4_METHOD_STORE
+                    or flags & _R4_FLAG_PASSWORD) and \
+                    zlib.crc32(member) & 0xFFFFFFFF != _fcrc:
+                # never surface a wrong decode/decrypt as member bytes
+                # (RAR3 crypto has no password check value — a wrong
+                # password IS a CRC mismatch, reported as bad password)
+                raise RarBroken(
+                    "rar_bad_password" if flags & _R4_FLAG_PASSWORD
+                    else "rar_crc_mismatch")
             out.append((name, member))
         pos += size + pack_size
     return out
@@ -416,14 +490,16 @@ def _r4_block(btype: int, flags: int, body: bytes) -> bytes:
 
 
 def build_rar4(members: list[tuple[str, bytes]], method: int = _R4_METHOD_STORE,
-               unp_ver: int = 29) -> bytes:
+               unp_ver: int = 29, password: str | None = None) -> bytes:
     """Deterministic RAR 4.x fixture.  Methods 0x31-0x35 REALLY compress
     with the in-repo RAR29 coder; any other non-store method writes a
     compressed-claiming header (payload kept raw) for broken-reason
-    tests, as does an ``unp_ver`` other than 29."""
+    tests, as does an ``unp_ver`` other than 29.  ``password`` encrypts
+    each data area with the RAR3 AES-128 scheme (salted, deterministic
+    per member)."""
     out = bytearray(_SIG4)
     out += _r4_block(_R4_MAIN, 0, bytes(6))  # HighPosAv+PosAv reserved
-    for name, payload in members:
+    for idx, (name, payload) in enumerate(members):
         raw_name = name.encode("utf-8")
         if 0x31 <= method <= 0x35 and unp_ver == 29:
             from ..functions.rar29_codec import rar29_compress
@@ -431,13 +507,28 @@ def build_rar4(members: list[tuple[str, bytes]], method: int = _R4_METHOD_STORE,
             data_area = rar29_compress(payload)
         else:
             data_area = payload
+        flags = _R4_FLAG_ADD_SIZE
+        tail = b""
+        if password is not None:
+            import hashlib
+
+            from ..functions.archive_crypto import aes_cbc_encrypt
+
+            salt = hashlib.sha256(
+                b"rar3-fixture-salt" + raw_name + bytes([idx])).digest()[:8]
+            key, iv = _rar3_keys(password, salt)
+            pad = (-len(data_area)) % 16
+            data_area = aes_cbc_encrypt(key, iv,
+                                        data_area + b"\x00" * pad)
+            flags |= _R4_FLAG_PASSWORD | _R4_FLAG_SALT
+            tail = salt
         body = struct.pack(
             "<IIBIIBBHI",
             len(data_area), len(payload), 0,
             zlib.crc32(payload) & 0xFFFFFFFF, 0, unp_ver, method,
             len(raw_name), 0x20,
-        ) + raw_name
-        out += _r4_block(_R4_FILE, _R4_FLAG_ADD_SIZE, body)
+        ) + raw_name + tail
+        out += _r4_block(_R4_FILE, flags, body)
         out += data_area
     out += _r4_block(_R4_END, 0, b"")
     return bytes(out)

@@ -262,3 +262,45 @@ def test_rar5_kdf_continuation_is_pbkdf2():
     key, hash_key, check_full = _rar5_kdf("pw", b"s" * 16, 10)
     assert key == hashlib.pbkdf2_hmac("sha256", b"pw", b"s" * 16, 1 << 10)
     assert key != hash_key != check_full
+
+
+# --- RAR4 (RAR3-scheme) file-data encryption (r5) -------------------------
+
+
+@pytest.mark.parametrize("method", [0x30, 0x33])
+def test_rar4_encrypted_round_trip(method, _pw):
+    data = build_rar4(MEMBERS, method=method, password="hunter2")
+    _pw.set_archive_password("hunter2")
+    assert unpack_rar(data) == MEMBERS
+
+
+def test_rar4_encrypted_no_password_typed(_pw):
+    data = build_rar4(MEMBERS, password="hunter2")
+    with pytest.raises(RarBroken) as e:
+        unpack_rar(data)
+    assert e.value.reason == "rar_encrypted"
+
+
+@pytest.mark.parametrize("method", [0x30, 0x33])
+def test_rar4_encrypted_wrong_password_typed(method, _pw):
+    """No check value in RAR3 crypto: a wrong key is caught by the CRC
+    (stored) or by the decoder's structure checks (compressed) — both
+    report rar_bad_password."""
+    data = build_rar4(MEMBERS, method=method, password="hunter2")
+    _pw.set_archive_password("not it")
+    with pytest.raises(RarBroken) as e:
+        unpack_rar(data)
+    assert e.value.reason == "rar_bad_password"
+
+
+def test_rar3_kdf_iv_comes_from_running_digest():
+    """Pin the KDF's shape: same password+salt reproduces; different
+    salt changes both key and iv; iv bytes are drawn at 2^14 strides."""
+    from hoover_snoop2_spark.operators.rar_extract import _rar3_keys
+
+    k1, iv1 = _rar3_keys("pw", b"saltsalt")
+    k2, iv2 = _rar3_keys("pw", b"saltsalt")
+    k3, iv3 = _rar3_keys("pw", b"SALTSALT")
+    assert (k1, iv1) == (k2, iv2)
+    assert k1 != k3 and iv1 != iv3
+    assert len(k1) == 16 and len(iv1) == 16
