@@ -172,12 +172,19 @@ def bench_alt_paths(spark, pages_path: str, n_docs: int) -> dict:
 
     pages = spark.read.parquet(pages_path)
 
-    t0 = time.perf_counter()
-    digests, _ = run_extraction(
-        spark, pages, checkpoint_dir=None, dedup_strategy="shuffle"
-    )
-    n_urls = digests.count()
-    shuffle_wall = time.perf_counter() - t0
+    # best-of-N like the other legs: a single-shot run recorded a 3x
+    # co-tenant spike in r5 (49.7 s vs 11.5-21 s on immediate re-runs)
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_ALT_REPEATS", "2")))
+    shuffle_runs = []
+    n_urls = 0
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        digests, _ = run_extraction(
+            spark, pages, checkpoint_dir=None, dedup_strategy="shuffle"
+        )
+        n_urls = digests.count()
+        shuffle_runs.append(time.perf_counter() - t0)
+    shuffle_wall = min(shuffle_runs)
 
     base_pages = pages.filter(F.crc32(F.col("url")) % 5 != 0)
     base, _ = run_extraction(spark, base_pages, checkpoint_dir=None)
@@ -193,6 +200,7 @@ def bench_alt_paths(spark, pages_path: str, n_docs: int) -> dict:
     base.unpersist()
     return {
         "shuffle_wall_sec": round(shuffle_wall, 3),
+        "shuffle_runs_sec": [round(w, 3) for w in shuffle_runs],
         "shuffle_docs_per_sec": round(n_docs / shuffle_wall, 2),
         "resume_base_urls": n_base,
         "resume_delta_urls": n_delta,
