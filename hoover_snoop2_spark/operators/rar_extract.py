@@ -27,8 +27,9 @@ module decodes what has a public, deterministic definition:
   iterations, checksum-MAC key at +16, folded password check at +16
   more) — wrong password → ``rar_bad_password``, no password →
   ``rar_encrypted``, and the MAC'd checksum still gates the decode;
-  encrypted HEADERS (the block-level ENCRYPTION record) stay
-  ``rar_encrypted``;
+  encrypted HEADERS (the block-level ENCRYPTION record, the ``-hp``
+  layout) decrypt too: every subsequent block is a 16-byte IV +
+  AES-256-CBC ciphertext under the same KDF, walked transparently;
 - RAR4 (RAR 2.9+ salted) ENCRYPTED members decrypt too: the RAR3
   AES-128 scheme — one continued SHA-1 over 2^18 rounds of
   UTF-16LE-password+salt+counter, IV bytes tapped from the running
@@ -379,56 +380,114 @@ def _decrypt_file_data(payload: bytes, enc: dict) -> tuple[bytes, bytes]:
     return aes_cbc_decrypt(key, enc["iv"], payload), hash_key
 
 
+def _read_header_encryption(hdr: bytes, p: int, head_end: int) -> bytes:
+    """ENCRYPTION block (type 4) body → the header AES key, password
+    check verified when present."""
+    from ..functions.archive_crypto import default_archive_password
+
+    version, p = _read_vint(hdr, p)
+    if version != 0:  # 0 = AES-256
+        raise RarBroken("rar_encrypted")
+    eflags, p = _read_vint(hdr, p)
+    if p + 17 > head_end:
+        raise RarBroken("rar_error")
+    count_log2 = hdr[p]
+    salt = hdr[p + 1:p + 17]
+    p += 17
+    password = default_archive_password()
+    if password is None:
+        raise RarBroken("rar_encrypted")
+    key, _hash_key, check_full = _rar5_kdf(password, salt, count_log2)
+    if eflags & 0x01:
+        if p + 8 > head_end:
+            raise RarBroken("rar_error")
+        if _fold_psw_check(check_full) != hdr[p:p + 8]:
+            raise RarBroken("rar_bad_password")
+    return key
+
+
+def _decrypt_header_block(data: bytes, pos: int, hdr_key: bytes):
+    """Header-encrypted archives store each block as 16-byte IV +
+    AES-256-CBC(crc32 + vint head_size + header), padded to 16.
+    Returns (header_plain, data_area_start) — the data area follows the
+    ciphertext raw (its own encryption is announced inside the header)."""
+    from ..functions.archive_crypto import aes_cbc_decrypt
+
+    if pos + 32 > len(data):
+        raise RarBroken("rar_error")
+    iv = data[pos:pos + 16]
+    first = aes_cbc_decrypt(hdr_key, iv, data[pos + 16:pos + 32])
+    head_size, vp = _read_vint(first, 4)
+    total = vp + head_size  # crc32(4) + head_size vint + header bytes
+    enc_len = (total + 15) & ~15
+    if pos + 16 + enc_len > len(data):
+        raise RarBroken("rar_error")
+    plain = aes_cbc_decrypt(hdr_key, iv,
+                            data[pos + 16:pos + 16 + enc_len])[:total]
+    return plain, pos + 16 + enc_len
+
+
 def _unpack_rar5(data: bytes, max_bytes: int) -> list[tuple[str, bytes]]:
     pos = len(_SIG5)
     out: list[tuple[str, bytes]] = []
     budget = max_bytes
+    hdr_key = None  # set after an ENCRYPTION block (header crypto)
     while pos + 5 <= len(data):
-        # block: crc32(4) + vint head_size + header bytes [+ data area]
-        head_start = pos + 4
-        head_size, hdr_pos = _read_vint(data, head_start)
-        head_end = hdr_pos + head_size
-        if head_end > len(data):
-            raise RarBroken("rar_error")
-        htype, p = _read_vint(data, hdr_pos)
-        hflags, p = _read_vint(data, p)
+        if hdr_key is None:
+            # block: crc32(4) + vint head_size + header [+ data area]
+            hdr = data
+            head_size, hdr_pos = _read_vint(data, pos + 4)
+            head_end = hdr_pos + head_size
+            if head_end > len(data):
+                raise RarBroken("rar_error")
+            area_start = head_end
+        else:
+            hdr, area_start = _decrypt_header_block(data, pos, hdr_key)
+            head_size, hdr_pos = _read_vint(hdr, 4)
+            head_end = hdr_pos + head_size
+            if head_end > len(hdr):
+                raise RarBroken("rar_error")
+        htype, p = _read_vint(hdr, hdr_pos)
+        hflags, p = _read_vint(hdr, p)
         extra_size = 0
         if hflags & 0x0001:  # extra area (the LAST extra_size header bytes)
-            extra_size, p = _read_vint(data, p)
+            extra_size, p = _read_vint(hdr, p)
         data_size = 0
         if hflags & 0x0002:  # data area
-            data_size, p = _read_vint(data, p)
+            data_size, p = _read_vint(hdr, p)
         if htype == _R5_END:
             break
         if htype == _R5_ENCRYPTION:
-            # encrypted HEADERS (every subsequent block AES'd with a
-            # per-block IV) — not walked; file-data-only encryption IS
-            # handled below via the FILE block's extra record
-            raise RarBroken("rar_encrypted")
+            # header encryption: every subsequent block is stored as a
+            # 16-byte IV + AES-256-CBC ciphertext under the archive
+            # password (same continued-PBKDF2 schedule as file data)
+            hdr_key = _read_header_encryption(hdr, p, head_end)
+            pos = area_start + data_size
+            continue
         if htype == _R5_FILE:
-            file_flags, p = _read_vint(data, p)
-            unp_size, p = _read_vint(data, p)
-            _attr, p = _read_vint(data, p)
+            file_flags, p = _read_vint(hdr, p)
+            unp_size, p = _read_vint(hdr, p)
+            _attr, p = _read_vint(hdr, p)
             if file_flags & 0x0002:  # mtime
                 p += 4
             data_crc = None
             if file_flags & 0x0004:  # crc32 of the UNPACKED bytes
-                (data_crc,) = struct.unpack_from("<I", data, p)
+                (data_crc,) = struct.unpack_from("<I", hdr, p)
                 p += 4
-            comp_info, p = _read_vint(data, p)
-            _host_os, p = _read_vint(data, p)
-            name_len, p = _read_vint(data, p)
-            if p + name_len > len(data):
+            comp_info, p = _read_vint(hdr, p)
+            _host_os, p = _read_vint(hdr, p)
+            name_len, p = _read_vint(hdr, p)
+            if p + name_len > len(hdr):
                 raise RarBroken("rar_error")
-            name = data[p:p + name_len].decode("utf-8", "replace")
+            name = hdr[p:p + name_len].decode("utf-8", "replace")
             is_dir = bool(file_flags & 0x0001)
-            payload = data[head_end:head_end + data_size]
+            payload = data[area_start:area_start + data_size]
             if len(payload) != data_size:
                 raise RarBroken("rar_error")
             enc = None
             if extra_size:
                 enc = _parse_file_encryption(
-                    data, head_end - extra_size, head_end)
+                    hdr, head_end - extra_size, head_end)
             crc_mac_key = None
             if enc is not None and not is_dir:
                 payload, crc_mac_key = _decrypt_file_data(payload, enc)
@@ -473,7 +532,7 @@ def _unpack_rar5(data: bytes, max_bytes: int) -> list[tuple[str, bytes]]:
                         # never surface a wrong decode as text
                         raise RarBroken("rar_crc_mismatch")
                 out.append((name.replace("\\", "/"), member))
-        pos = head_end + data_size
+        pos = area_start + data_size
     return out
 
 
@@ -547,14 +606,14 @@ def _vint(value: int) -> bytes:
 
 
 def _r5_block(htype: int, hflags: int, body: bytes, data: bytes = b"",
-              extra: bytes = b"") -> bytes:
+              extra: bytes = b"", data_size: int | None = None) -> bytes:
     if extra:
         hflags |= 0x0001
     hdr = _vint(htype) + _vint(hflags)
     if extra:
         hdr += _vint(len(extra))
     if hflags & 0x0002:
-        hdr += _vint(len(data))
+        hdr += _vint(len(data) if data_size is None else data_size)
     hdr += body + extra
     head = _vint(len(hdr)) + hdr
     # RAR5 header CRC covers head_size + header bytes
@@ -565,16 +624,46 @@ def _r5_block(htype: int, hflags: int, body: bytes, data: bytes = b"",
 def build_rar5(members: list[tuple[str, bytes]], method: int = 0,
                raw_claim: bool = False,
                password: str | None = None,
-               kdf_log2: int = 14) -> bytes:
+               kdf_log2: int = 14,
+               encrypt_headers: bool = False) -> bytes:
     """Deterministic RAR 5.0 fixture (vint framing).  ``method`` 0
     writes stored members; 1-5 REALLY compresses them with the in-repo
     RAR5 coder (functions/rar5_codec.py).  ``raw_claim=True`` keeps the
     payload raw under a compressed-claiming header (corrupt-stream
     tests).  ``password`` encrypts each member's data area (AES-256-CBC,
     extra record 0x01 with password-check + MAC'd checksum, deterministic
-    salt/iv per member)."""
+    salt/iv per member); ``encrypt_headers`` additionally writes an
+    ENCRYPTION block and wraps every subsequent block header as
+    IV + AES-256-CBC (the -hp layout)."""
+    hdr_key = None
     out = bytearray(_SIG5)
-    out += _r5_block(_R5_MAIN, 0, _vint(0))  # archive flags = 0
+    if encrypt_headers:
+        if password is None:
+            raise ValueError("encrypt_headers requires a password")
+        import hashlib
+
+        hsalt = hashlib.sha256(b"rar5-fixture-hdr-salt").digest()[:16]
+        hdr_key, _hk, check_full = _rar5_kdf(password, hsalt, kdf_log2)
+        psw_check = _fold_psw_check(check_full)
+        body = (_vint(0) + _vint(0x01) + bytes([kdf_log2]) + hsalt
+                + psw_check + hashlib.sha256(psw_check).digest()[:4])
+        out += _r5_block(_R5_ENCRYPTION, 0, body)
+
+    def emit(block: bytes) -> bytes:
+        """Wrap one full block (crc+vint+header, NO data area) when
+        header crypto is on: deterministic IV + AES over padded bytes."""
+        if hdr_key is None:
+            return block
+        import hashlib
+
+        from ..functions.archive_crypto import aes_cbc_encrypt
+
+        iv = hashlib.sha256(b"rar5-hdr-iv" + bytes([len(out) % 251])
+                            + block[:8]).digest()[:16]
+        pad = (-len(block)) % 16
+        return iv + aes_cbc_encrypt(hdr_key, iv, block + b"\x00" * pad)
+
+    out += emit(_r5_block(_R5_MAIN, 0, _vint(0)))  # archive flags = 0
     for idx, (name, payload) in enumerate(members):
         raw_name = name.encode("utf-8")
         if method and not raw_claim:
@@ -618,6 +707,8 @@ def build_rar5(members: list[tuple[str, bytes]], method: int = 0,
             + _vint(len(raw_name))
             + raw_name
         )
-        out += _r5_block(_R5_FILE, 0x0002, body, data_area, extra=extra)
-    out += _r5_block(_R5_END, 0, _vint(0))
+        head = _r5_block(_R5_FILE, 0x0002, body, b"", extra=extra,
+                         data_size=len(data_area))
+        out += emit(head) + data_area
+    out += emit(_r5_block(_R5_END, 0, _vint(0)))
     return bytes(out)

@@ -304,3 +304,20 @@ def test_rar3_kdf_iv_comes_from_running_digest():
     assert (k1, iv1) == (k2, iv2)
     assert k1 != k3 and iv1 != iv3
     assert len(k1) == 16 and len(iv1) == 16
+
+
+@pytest.mark.parametrize("method", [0, 3])
+def test_rar5_header_encrypted_round_trip(method, _pw):
+    """-hp layout: ENCRYPTION block + every subsequent block header
+    wrapped as IV + AES-256-CBC; file data carries its own record."""
+    data = build_rar5(MEMBERS, method=method, password="hunter2",
+                      kdf_log2=12, encrypt_headers=True)
+    with pytest.raises(RarBroken) as e:
+        unpack_rar(data)  # no password
+    assert e.value.reason == "rar_encrypted"
+    _pw.set_archive_password("wrong")
+    with pytest.raises(RarBroken) as e:
+        unpack_rar(data)
+    assert e.value.reason == "rar_bad_password"
+    _pw.set_archive_password("hunter2")
+    assert unpack_rar(data) == MEMBERS
