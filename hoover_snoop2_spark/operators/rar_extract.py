@@ -127,9 +127,13 @@ def is_rar(data: bytes) -> bool:
 
 
 def unpack_rar(data: bytes, max_bytes: int = 256 * 2**20) -> list[tuple[str, bytes]]:
-    """RAR bytes → [(member name, member bytes)] for all-STORED archives;
-    raises RarBroken('rar_method_unsupported' | 'rar_encrypted' |
-    'rar_error') otherwise."""
+    """RAR bytes → [(member name, member bytes)]: stored, RAR5-LZ and
+    RAR29-LZSS compressed, and password-channel-decrypted members all
+    extract (module docstring has the full matrix); the typed refusals
+    are RarBroken('rar_method_unsupported' | 'rar_ppmd_unsupported' |
+    'rar_filter_unsupported' | 'rar_solid_unsupported' |
+    'rar_encrypted' | 'rar_bad_password' | 'rar_crc_mismatch' |
+    'rar_error' | 'archive_too_big')."""
     if data.startswith(_SIG5):
         return _unpack_rar5(data, max_bytes)
     if data.startswith(_SIG4):
