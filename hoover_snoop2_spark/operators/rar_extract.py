@@ -332,6 +332,10 @@ def _crc_to_mac(crc: int, hash_key: bytes) -> int:
 def _parse_file_encryption(data: bytes, start: int, end: int):
     """Walk the FILE header's extra area; return the encryption record
     as a dict, or None if absent."""
+    if start < 0 or end > len(data) or start > end:
+        # corrupted extra_size (negative start would wrap via Python's
+        # negative indexing and dodge the normal bounds guards)
+        raise RarBroken("rar_error")
     p = start
     while p < end:
         rec_size, p2 = _read_vint(data, p)

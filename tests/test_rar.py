@@ -321,3 +321,27 @@ def test_rar5_header_encrypted_round_trip(method, _pw):
     assert e.value.reason == "rar_bad_password"
     _pw.set_archive_password("hunter2")
     assert unpack_rar(data) == MEMBERS
+
+
+def test_rar5_corrupt_extra_size_no_negative_index(_pw):
+    """A corrupted extra_size must not wrap to Python negative indexing
+    inside the extra-area walk (fuzz-found in r5) — typed error only."""
+    import random as _r
+
+    rng = _r.Random(5)
+    _pw.set_archive_password("pw")
+    bases = [
+        build_rar5([("a", b"q" * 300)], method=3, password="pw",
+                   kdf_log2=10),
+        build_rar5([("a", b"q" * 300)], password="pw", kdf_log2=10,
+                   encrypt_headers=True),
+    ]
+    for base in bases:
+        for _ in range(300):
+            m = bytearray(base)
+            for _ in range(rng.randrange(1, 6)):
+                m[rng.randrange(len(m))] = rng.randrange(256)
+            try:
+                unpack_rar(bytes(m))
+            except RarBroken:
+                pass
