@@ -67,6 +67,10 @@ _R4_FLAG_SALT = 0x0400          # 8-byte salt after the name (RAR 2.9+)
 _R4_METHOD_STORE = 0x30
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=256)
 def _rar3_keys(password: str, salt: bytes) -> tuple[bytes, bytes]:
     """RAR 2.9/3.x AES-128 KDF: ONE continued SHA-1 over 2^18 rounds of
     (UTF-16LE password + salt + 3-byte LE round counter); every 2^14
@@ -282,6 +286,7 @@ def _read_vint(data: bytes, pos: int) -> tuple[int, int]:
 _R5X_ENCRYPTION = 0x01
 
 
+@lru_cache(maxsize=256)
 def _rar5_kdf(password: str, salt: bytes,
               count_log2: int) -> tuple[bytes, bytes, bytes]:
     import hashlib
