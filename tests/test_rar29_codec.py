@@ -8,7 +8,7 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from hoover_snoop2_spark.functions.rar5_codec import _BitWriter
+from hoover_snoop2_spark.functions.rar5_codec import Rar5Error, _BitWriter
 from hoover_snoop2_spark.functions.rar29_codec import (
     Rar29Compressor,
     Rar29Error,
@@ -192,3 +192,26 @@ def test_property_roundtrip(data):
 )
 def test_property_repetitive_roundtrip(parts):
     _roundtrip(b"".join(chunk * reps for chunk, reps in parts))
+
+
+def test_fuzz_random_and_mutated_streams_typed_only():
+    """Same contract as the RAR5 fuzz: typed errors or a decode the
+    container-level CRC will judge — no uncaught exceptions."""
+    rng = random.Random(1)
+    for _ in range(200):
+        blob = bytes(rng.randrange(256)
+                     for _ in range(rng.randrange(0, 150)))
+        try:
+            rar29_decompress(blob, rng.randrange(0, 300))
+        except Rar5Error:  # base class: shared Huffman machinery
+            pass
+    payload = bytes(rng.randrange(256) for _ in range(800)) + b"abc" * 300
+    base = rar29_compress(payload)
+    for _ in range(200):
+        m = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        try:
+            rar29_decompress(bytes(m), len(payload))
+        except Rar5Error:
+            pass

@@ -262,3 +262,26 @@ def test_property_roundtrip(data):
 def test_property_repetitive_roundtrip(parts):
     data = b"".join(chunk * reps for chunk, reps in parts)
     _roundtrip(data)
+
+
+def test_fuzz_random_and_mutated_streams_typed_only():
+    """Random and mutated packed streams must raise Rar5Error or decode
+    (container CRC gates wrong bytes) — never an uncaught exception."""
+    rng = random.Random(1)
+    for _ in range(200):
+        blob = bytes(rng.randrange(256)
+                     for _ in range(rng.randrange(0, 150)))
+        try:
+            rar5_decompress(blob, rng.randrange(0, 300))
+        except Rar5Error:
+            pass
+    payload = bytes(rng.randrange(256) for _ in range(800)) + b"abc" * 300
+    base = rar5_compress(payload)
+    for _ in range(200):
+        m = bytearray(base)
+        for _ in range(rng.randrange(1, 4)):
+            m[rng.randrange(len(m))] = rng.randrange(256)
+        try:
+            rar5_decompress(bytes(m), len(payload))
+        except Rar5Error:
+            pass
