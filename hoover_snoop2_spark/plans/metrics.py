@@ -37,18 +37,34 @@ def stage_metrics(digests: DataFrame, stage: str, round_no: int) -> DataFrame:
 
 class RowCounter:
     """Accumulator-backed per-partition row counter, attachable inside
-    mapInPandas stages without forcing an extra action."""
+    mapInPandas stages without forcing an extra action.
+
+    ``child_acc`` additionally counts kind='child' rows (r6): the
+    pipeline's per-round "any deferred children?" probe used to be its
+    own `limit(1).count()` job over the checkpointed output; the count
+    rides the checkpoint write instead.  Accumulator semantics make this
+    sound for the zero-test: updates from successful tasks are applied
+    when the write job completes, so 0 means no child row was committed;
+    a retried/speculative task can only over-count, which at worst
+    schedules one extra round over an empty work set (harmless), never
+    drops work."""
 
     def __init__(self, spark, name: str):
         self.acc = spark.sparkContext.accumulator(0)
+        self.child_acc = spark.sparkContext.accumulator(0)
         self.name = name
 
     def wrap(self, gen_fn):
         acc = self.acc
+        child_acc = self.child_acc
 
         def wrapped(batches):
             for out in gen_fn(batches):
                 acc.add(len(out))
+                if "kind" in out.columns:
+                    n_child = int((out["kind"] == "child").sum())
+                    if n_child:
+                        child_acc.add(n_child)
                 yield out
 
         return wrapped

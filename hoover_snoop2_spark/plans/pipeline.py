@@ -363,12 +363,13 @@ def run_extraction(
         children = analyzed.filter(F.col("kind") == "child")
         if round_no >= max_depth:
             break
-        _t0 = _time.perf_counter()
-        n_children = children.limit(1).count()
-        if _TIMING:
-            print(f"[pipeline] r{round_no} child probe: "
-                  f"{_time.perf_counter() - _t0:.1f}s", flush=True)
-        if n_children == 0:
+        # deferred-children probe (r6): the analyze checkpoint already
+        # ran, so the UDF counter's child accumulator holds the round's
+        # kind='child' row count — no extra job (the former
+        # `children.limit(1).count()` probe re-read the snapshot per
+        # round).  See RowCounter.child_acc for why the zero-test is
+        # sound under task retries.
+        if counter.child_acc.value == 0:
             break
 
         # deferred children: representative rows carry their fields already;

@@ -138,7 +138,9 @@ def test_simhash_degenerate_bucket_cap(spark):
     buf = io.StringIO()
     with redirect_stdout(buf):
         out.explain("formatted")
-    assert "LeftSemi" in buf.getvalue()
+    # r6: the cap is a COUNT window over the block key (one exchange
+    # serves cap + self-join; no broadcast of a corpus-growing key set)
+    assert "Window" in buf.getvalue()
     pairs = {(r["id_a"], r["id_b"]) for r in out.collect()}
     assert (1000, 1001) in pairs
     assert len(pairs) <= 1 + 500  # no quadratic blow-up from the family
