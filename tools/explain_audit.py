@@ -249,7 +249,9 @@ CHECKS = {
     "q26_embedding_dups": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
     "q27_ngram_jaccard": ["!CartesianProduct", "!BroadcastNestedLoopJoin"],
     "q30_minhash_lsh_dups": ["!CartesianProduct"],
-    "q31_simhash_dups": ["LeftSemi", "!CartesianProduct"],
+    # r6: the degenerate-bucket cap is a COUNT window on the block
+    # key (was a broadcast LeftSemi — see operators/dedup.py)
+    "q31_simhash_dups": ["Window", "!CartesianProduct"],
     "q36_ocr_join": ["BroadcastHashJoin"],
     "q42_dup_families": ["!CartesianProduct", "!Window"],
     "q43_family_representatives": ["HashAggregate", "!Window", "!CartesianProduct"],
@@ -653,9 +655,11 @@ CHECKS = {
     "q187_window_frames": ["Window", "!CartesianProduct",
                            "!ArrowEvalPython"],
     # SemDeDup: in-row literal-seed argmax assignment (no window, no
-    # broadcast), intra-cluster pairwise as an equi-join only
+    # n-by-k shuffle); r6: the intra-cluster pairwise stage is a
+    # LEFT-SEMI equi-probe on the cluster key (early exit per member)
+    # instead of materialize-all-pairs + distinct over a SortMergeJoin
     "q188_semdedup": ["!CartesianProduct", "!BroadcastNestedLoopJoin",
-                      "!Window", "SortMergeJoin"],
+                      "!Window", "LeftSemi"],
     "q189_surt_keys": ["!SortMergeJoin", "!CartesianProduct",
                        "!ArrowEvalPython"],
     "q190_ccnet_buckets": ["HashAggregate", "!CartesianProduct",
