@@ -681,6 +681,15 @@ def analyze_tree(
       them as a normal next round (keeps one task from holding a whole
       giant archive, the reference's split-granularity concern).
     """
+    if blob_key is None:
+        # no-dedup fast path (plans/pipeline.py strategy='none'): the
+        # driver skipped the JVM sha2 pass, so derive the key here — the
+        # same bytes hashed by the same algorithm yield the identical
+        # value the JVM pass would have attached (the digest's reported
+        # sha256 field IS this hash; see analyze_blob)
+        blob_key = hashlib.sha256(data or b"").hexdigest()
+        if root_sha is None:
+            root_sha = blob_key
     rows = analyze_blob(blob_key, data)
     digest = rows[0]
     digest.update(kind="digest", root_sha=root_sha, url=url,

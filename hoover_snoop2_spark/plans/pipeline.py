@@ -29,7 +29,7 @@ from __future__ import annotations
 import os
 import time as _time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.filetypes import filetype_col
@@ -40,6 +40,15 @@ from .metrics import RowCounter, stage_metrics
 from .skew import HEAVY_SPREAD_BYTES, spread_heavy
 
 MAX_DEPTH = 5
+
+#: 'auto' skips the dedup election entirely when the measured duplicate
+#: fraction of a round is at or below this: re-analyzing a few duplicate
+#: blobs costs dup_frac extra kernel CPU, while the election costs a
+#: winner join against the blob scan plus two clone joins over the digest
+#: and child tables — a bad trade until duplicates are common.  The
+#: kernel is pure per (url, bytes), so both paths produce byte-identical
+#: digests (certified by test_dedup_strategies.py).
+DUP_SKIP_FRAC = 0.05
 
 #: opt-in step timing to stdout (perf debugging)
 _TIMING = os.environ.get("SNOOP_SPARK_TIMING") == "1"
@@ -77,11 +86,19 @@ def run_extraction(
     sinks — the streaming per-epoch writer — union epochs themselves).
 
     ``dedup_strategy``:
-    - ``'auto'`` (default): measured per round — an approx-distinct count
-      over the checkpointed pairs table (bookkeeping-sized, one cheap
-      column scan) picks ``broadcast`` while the unique-hash set fits
-      (``broadcast_max_uniques``) and degrades to ``shuffle`` past it, so
+    - ``'auto'`` (default): measured per round — the dup-rate/heavy-count
+      aggregates ride the pairs write via ``observe`` (no separate stats
+      job); a round whose duplicate fraction is ≤ ``DUP_SKIP_FRAC`` picks
+      ``none`` (analyze every row, skip the election + clone joins),
+      otherwise ``broadcast`` while the unique-hash set fits
+      (``broadcast_max_uniques``), degrading to ``shuffle`` past it, so
       the plan no longer silently breaks at ~10⁸ uniques on caller trust.
+    - ``'none'``: no dedup election at all — every row is analyzed
+      directly.  The kernel is deterministic per (url, bytes), so digests
+      are identical to the elected paths'; duplicate blobs just spend
+      duplicate kernel CPU.  Right when duplicates are rare (auto picks
+      this by measurement); also removes the winner broadcast and both
+      clone joins from the plan.
     - ``'broadcast'``: blob bytes never shuffle — winner urls elected over
       the (sha3, url) pairs table and broadcast back as a semi-join.
       Right while the per-round winner set fits a broadcast (millions of
@@ -92,7 +109,7 @@ def run_extraction(
       neither winners nor the dup set fit a broadcast; pairs with an
       Iceberg table bucketed by sha3_256 so the exchange is free.
     """
-    assert dedup_strategy in ("auto", "broadcast", "shuffle"), dedup_strategy
+    assert dedup_strategy in ("auto", "broadcast", "shuffle", "none"), dedup_strategy
     # Every stage boundary is a parquet snapshot (Iceberg-commit analog):
     # resumable, lineage-flat, and — decisive for this workload — all
     # downstream consumers read back COLUMN-PRUNED (children readers never
@@ -141,37 +158,62 @@ def run_extraction(
         # the only per-round bookkeeping materialization.  size rides
         # along (8 B/row) so the skew guard below can be gated on a
         # measured heavy count instead of engaging unconditionally.
+        # The per-round strategy aggregates (dup rate, heavy count) ride
+        # this write via observe — they cost no second job, and every
+        # consumer is a pure PLAN decision (a mis-observed value can only
+        # pick a slower strategy, never a wrong result).
+        _t0 = _time.perf_counter()
+        obs = Observation()
         pairs = cp.write(
             hashed.select(
                 "blob_key", "url", "parent_url", "depth", "ancestors",
                 F.coalesce(F.length("html"), F.lit(0)).alias("size"),
+            ).observe(
+                obs,
+                F.approx_count_distinct("blob_key").alias("n_uniq"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count_if(F.col("size") > HEAVY_SPREAD_BYTES).alias("n_heavy"),
             ),
             f"pairs_r{round_no}",
         )
-
-        # per-round strategy: broadcast while the unique-hash set fits, else
-        # shuffle.  One aggregation over the freshly checkpointed (tiny)
-        # pairs parquet — no blob bytes touched.  The same pass checks the
-        # unique-url invariant the broadcast fast path depends on (see the
-        # uniq join below): a re-crawled WARC url carrying two different
-        # payloads in one round breaks a url-only join.
-        stats = pairs.agg(
-            F.approx_count_distinct("blob_key").alias("n_uniq"),
-            F.count("*").alias("n_rows"),
-            F.countDistinct("url").alias("n_urls"),
-            F.count_if(F.col("size") > HEAVY_SPREAD_BYTES).alias("n_heavy"),
-        ).first()
-        urls_unique = stats["n_rows"] == stats["n_urls"]
+        stats = obs.get
+        if _TIMING:
+            print(f"[pipeline] r{round_no} pairs write+stats: "
+                  f"{_time.perf_counter() - _t0:.1f}s", flush=True)
+        n_uniq, n_rows = stats["n_uniq"], stats["n_rows"]
+        dup_frac = 0.0 if n_rows == 0 else 1.0 - n_uniq / n_rows
         if dedup_strategy == "auto":
-            n_uniq = stats["n_uniq"]
-            strategy = (
-                "broadcast" if n_uniq <= broadcast_max_uniques else "shuffle"
-            )
+            # resume rounds keep the election: the memoization anti-join
+            # runs against the tiny pairs table there, never the blob rows
+            if dup_frac <= DUP_SKIP_FRAC and not (
+                round_no == 0 and previous_digests is not None
+            ):
+                strategy = "none"
+            elif n_uniq <= broadcast_max_uniques:
+                strategy = "broadcast"
+            else:
+                strategy = "shuffle"
             if _TIMING:
                 print(f"[pipeline] r{round_no} auto dedup: ~{n_uniq} uniques "
-                      f"→ {strategy}", flush=True)
+                      f"/ {n_rows} rows (dup {dup_frac:.3f}) → {strategy}",
+                      flush=True)
         else:
             strategy = dedup_strategy
+        if strategy == "broadcast":
+            # the broadcast fast path joins blobs on the WINNING URL, which
+            # is only sound when urls are unique this round (a re-crawled
+            # WARC url carrying two payloads breaks a url-only join) — one
+            # exact aggregate over the tiny pairs parquet, run only when
+            # this path is actually taken.
+            _t0 = _time.perf_counter()
+            u = pairs.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.countDistinct("url").alias("u"),
+            ).first()
+            urls_unique = u["n"] == u["u"]
+            if _TIMING:
+                print(f"[pipeline] r{round_no} url-unique check: "
+                      f"{_time.perf_counter() - _t0:.1f}s", flush=True)
         _bcast = F.broadcast if strategy == "broadcast" else (lambda df: df)
 
         # recursion guard: a child whose bytes equal an ancestor container
@@ -216,13 +258,32 @@ def run_extraction(
         # winners carry their depth: a duplicate and its representative can
         # sit at different depths in the same round (deferred children mix
         # depths), so clones must rebase depth/ancestors on rep_depth.
-        winners = (
-            ok_pairs.groupBy("blob_key")
-            .agg(F.min_by(F.struct("url", "depth"), F.col("url")).alias("w"))
-            .select("blob_key", F.col("w.url").alias("url"),
-                    F.col("w.depth").alias("rep_depth"))
-        )
-        if strategy == "broadcast":
+        winners = None
+        if strategy != "none":
+            winners = (
+                ok_pairs.groupBy("blob_key")
+                .agg(F.min_by(F.struct("url", "depth"), F.col("url")).alias("w"))
+                .select("blob_key", F.col("w.url").alias("url"),
+                        F.col("w.depth").alias("rep_depth"))
+            )
+        if strategy == "none":
+            # no election: analyze every row directly — duplicate blobs
+            # re-run the (pure) kernel instead of being cloned by joins.
+            # Round 0 skips the JVM hash pass entirely: the kernel derives
+            # blob_key from the bytes it already hashes for the digest's
+            # sha256 field (identical value by construction).  Later
+            # rounds reuse the in-scan JVM hash for the recursion filter
+            # (the marker rows still come from the pairs table above); a
+            # forced-'none' resume run anti-joins on the in-scan hash.
+            if round_no > 0:
+                uniq = hashed.filter(
+                    ~F.array_contains(F.col("ancestors"), F.col("blob_key"))
+                )
+            elif previous_digests is not None:
+                uniq = resume_delta(hashed, previous_digests)
+            else:
+                uniq = work.withColumn("blob_key", F.lit(None).cast("string"))
+        elif strategy == "broadcast":
             # winners already reflects the recursion + resume filters.
             # Fast path (urls unique this round — the overwhelmingly common
             # case, verified by the stats pass above): join the raw blob
@@ -310,55 +371,61 @@ def run_extraction(
             )
         )
 
-        # duplicate round-input urls (lost the election) clone the
-        # representative's whole subtree via a broadcast of the small dup
-        # set + url-prefix rewrite — digest texts themselves never shuffle
-        dups = (
-            ok_pairs.withColumnsRenamed(
-                {"blob_key": "root_sha", "url": "dup_url",
-                 "parent_url": "dup_parent_url", "depth": "dup_depth",
-                 "ancestors": "dup_ancestors"}
-            )
-            .join(
-                _bcast(winners.withColumnsRenamed(
-                    {"blob_key": "root_sha", "url": "rep_url"})),
-                "root_sha",
-            )
-            .filter(F.col("dup_url") != F.col("rep_url"))
-        )
-
         digests_r = analyzed.filter(F.col("kind") == "digest").select(
             "root_sha", "url", "parent_url", "depth", *_DIGEST_FIELDS
         )
         digest_rounds.append(digests_r.drop("root_sha"))
-        rewrite_url = F.concat(
-            F.col("dup_url"),
-            F.expr("substring(url, length(rep_url) + 1)"),
-        )
-        # the subtree root is the row at the REPRESENTATIVE's depth; clones
-        # rebase depth as dup_depth + (depth - rep_depth)
-        rewrite_parent = F.when(
-            F.col("depth") == F.col("rep_depth"), F.col("dup_parent_url")
-        ).otherwise(
-            F.concat(F.col("dup_url"),
-                     F.expr("substring(parent_url, length(rep_url) + 1)"))
-        )
-        rewrite_depth = F.col("dup_depth") + F.col("depth") - F.col("rep_depth")
-        dup_digests = (
-            digests_r.join(
-                _bcast(dups.select(
-                    "root_sha", "dup_url", "dup_parent_url", "dup_depth",
-                    "rep_url", "rep_depth")),
-                "root_sha",
-            )
-            .withColumn("url", rewrite_url)
-            .withColumn("parent_url", rewrite_parent)
-            .withColumn("depth", rewrite_depth)
-            .drop("root_sha", "dup_url", "dup_parent_url", "dup_depth",
-                  "rep_url", "rep_depth")
-        )
-        digest_rounds.append(dup_digests)
         metric_rounds.append(stage_metrics(digests_r, "analyze", round_no))
+
+        # duplicate round-input urls (lost the election) clone the
+        # representative's whole subtree via a broadcast of the small dup
+        # set + url-prefix rewrite — digest texts themselves never shuffle.
+        # strategy='none' has no election: every url analyzed its own row,
+        # so there is nothing to clone and the joins are skipped outright.
+        dups = None
+        if strategy != "none":
+            dups = (
+                ok_pairs.withColumnsRenamed(
+                    {"blob_key": "root_sha", "url": "dup_url",
+                     "parent_url": "dup_parent_url", "depth": "dup_depth",
+                     "ancestors": "dup_ancestors"}
+                )
+                .join(
+                    _bcast(winners.withColumnsRenamed(
+                        {"blob_key": "root_sha", "url": "rep_url"})),
+                    "root_sha",
+                )
+                .filter(F.col("dup_url") != F.col("rep_url"))
+            )
+            rewrite_url = F.concat(
+                F.col("dup_url"),
+                F.expr("substring(url, length(rep_url) + 1)"),
+            )
+            # the subtree root is the row at the REPRESENTATIVE's depth;
+            # clones rebase depth as dup_depth + (depth - rep_depth)
+            rewrite_parent = F.when(
+                F.col("depth") == F.col("rep_depth"), F.col("dup_parent_url")
+            ).otherwise(
+                F.concat(F.col("dup_url"),
+                         F.expr("substring(parent_url, length(rep_url) + 1)"))
+            )
+            rewrite_depth = (
+                F.col("dup_depth") + F.col("depth") - F.col("rep_depth")
+            )
+            dup_digests = (
+                digests_r.join(
+                    _bcast(dups.select(
+                        "root_sha", "dup_url", "dup_parent_url", "dup_depth",
+                        "rep_url", "rep_depth")),
+                    "root_sha",
+                )
+                .withColumn("url", rewrite_url)
+                .withColumn("parent_url", rewrite_parent)
+                .withColumn("depth", rewrite_depth)
+                .drop("root_sha", "dup_url", "dup_parent_url", "dup_depth",
+                      "rep_url", "rep_depth")
+            )
+            digest_rounds.append(dup_digests)
 
         children = analyzed.filter(F.col("kind") == "child")
         if round_no >= max_depth:
@@ -373,7 +440,9 @@ def run_extraction(
             break
 
         # deferred children: representative rows carry their fields already;
-        # duplicate parents clone them with the same prefix rewrite
+        # duplicate parents clone them with the same prefix rewrite (no
+        # election → no clones: every parent's children came out of its
+        # own analysis)
         rep_child_work = children.select(
             "url",
             F.col("child_data").alias("html"),
@@ -381,32 +450,38 @@ def run_extraction(
             "depth",
             "ancestors",
         )
-        dup_child_work = (
-            children.select(
-                "root_sha", "url", "parent_url", "depth", "ancestors", "child_data"
+        next_work = rep_child_work
+        if strategy != "none":
+            dup_child_work = (
+                children.select(
+                    "root_sha", "url", "parent_url", "depth", "ancestors",
+                    "child_data"
+                )
+                .join(_bcast(dups), "root_sha")
+                .select(
+                    rewrite_url.alias("url"),
+                    F.col("child_data").alias("html"),
+                    F.concat(
+                        F.col("dup_url"),
+                        F.expr("substring(parent_url, length(rep_url) + 1)"),
+                    ).alias("parent_url"),
+                    rewrite_depth.alias("depth"),
+                    # ancestor chain: duplicate's own prefix + the subtree
+                    # suffix below the representative's depth (identical
+                    # bytes → identical hashes below the root)
+                    F.concat(
+                        F.col("dup_ancestors"),
+                        F.expr("slice(ancestors, rep_depth + 1, "
+                               "size(ancestors) - rep_depth)"),
+                    ).alias("ancestors"),
+                )
             )
-            .join(_bcast(dups), "root_sha")
-            .select(
-                rewrite_url.alias("url"),
-                F.col("child_data").alias("html"),
-                F.concat(
-                    F.col("dup_url"),
-                    F.expr("substring(parent_url, length(rep_url) + 1)"),
-                ).alias("parent_url"),
-                rewrite_depth.alias("depth"),
-                # ancestor chain: duplicate's own prefix + the subtree
-                # suffix below the representative's depth (identical bytes
-                # → identical hashes below the root)
-                F.concat(
-                    F.col("dup_ancestors"),
-                    F.expr("slice(ancestors, rep_depth + 1, "
-                           "size(ancestors) - rep_depth)"),
-                ).alias("ancestors"),
-            )
-        )
-        work = cp.write(
-            rep_child_work.unionByName(dup_child_work), f"work_r{round_no + 1}"
-        )
+            next_work = rep_child_work.unionByName(dup_child_work)
+        _t0 = _time.perf_counter()
+        work = cp.write(next_work, f"work_r{round_no + 1}")
+        if _TIMING:
+            print(f"[pipeline] r{round_no} work write: "
+                  f"{_time.perf_counter() - _t0:.1f}s", flush=True)
         round_no += 1
 
     all_digests = digest_rounds[0]

@@ -110,3 +110,103 @@ def test_same_url_two_payloads_no_cross_contamination(spark, tmp_path):
             assert text == by_hash[sha], (strategy, url, sha)
         # broadcast mode: all three payloads analyzed, no fabricated rows
         assert {g[1] for g in got} == set(by_hash)
+
+
+def _full_rows(df):
+    cols = sorted(df.columns)
+    return {tuple(str(r[c]) for c in cols) for r in df.collect()}
+
+
+def test_none_strategy_agrees(spark, small_corpus):
+    """strategy='none' (analyze every row, no election/clone joins) must
+    produce the identical digest set to the elected paths on a corpus
+    WITH duplicates — the kernel is pure per (url, bytes), so re-analyzing
+    a duplicate equals cloning its representative (r6 fast path)."""
+    pages_path, golden_path = small_corpus
+    a = _run(spark, pages_path, "broadcast")
+    b = _run(spark, pages_path, "none")
+    assert _full_rows(a) == _full_rows(b)
+    golden = spark.read.parquet(golden_path)
+    j = golden.alias("g").join(b.alias("d"), "url", "left")
+    assert j.filter(
+        F.coalesce(F.col("d.text"), F.lit(""))
+        != F.coalesce(F.col("g.text"), F.lit(""))
+    ).count() == 0
+
+
+def test_none_strategy_deferred_children(spark, small_corpus, tmp_path):
+    """Forced 'none' with a tiny inline cap drives the round>=1 loop (the
+    recursion-filter branch that reuses the in-scan JVM hash) — deferred
+    children must come out identical to the broadcast election's."""
+    pages_path, _ = small_corpus
+    a = run_extraction(
+        spark, spark.read.parquet(pages_path), dedup_strategy="broadcast",
+        checkpoint_dir=str(tmp_path / "ck_b"), inline_max_children=1,
+    )[0]
+    b = run_extraction(
+        spark, spark.read.parquet(pages_path), dedup_strategy="none",
+        checkpoint_dir=str(tmp_path / "ck_n"), inline_max_children=1,
+    )[0]
+    assert _full_rows(a) == _full_rows(b)
+    # the cap actually deferred work: children exist at depth >= 1
+    assert b.filter(F.col("depth") >= 1).count() > 0
+
+
+def test_none_strategy_resume(spark, small_corpus):
+    """Forced 'none' with previous_digests memoizes via the in-scan hash
+    anti-join: same urls, no duplicates."""
+    pages_path, _ = small_corpus
+    first = _run(spark, pages_path, "none")
+    again = run_extraction(
+        spark, spark.read.parquet(pages_path),
+        dedup_strategy="none", previous_digests=first,
+    )[0]
+    assert again.count() == first.count()
+    assert again.groupBy("url").count().filter(F.col("count") > 1).count() == 0
+
+
+def test_none_strategy_two_payloads(spark, tmp_path):
+    """A re-crawled url carrying two payloads: 'none' analyzes each row on
+    its own, so each digest carries its own payload's content."""
+    import hashlib
+
+    rows = [
+        ("http://re.crawl/x", b"<html><body>first crawl body</body></html>"),
+        ("http://re.crawl/x", b"<html><body>second crawl body</body></html>"),
+        ("http://other/y", b"<html><body>unrelated page</body></html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    p = str(tmp_path / "pages2")
+    pages.write.parquet(p)
+    digests = _run(spark, p, "none")
+    got = {
+        (r["url"], r["sha256"], r["text"])
+        for r in digests.select("url", "sha256", "text").collect()
+    }
+    by_hash = {hashlib.sha256(h).hexdigest():
+               h.decode().split("<body>")[1].split("</body>")[0]
+               for _, h in rows}
+    assert {g[1] for g in got} == set(by_hash)
+    for _url, sha, text in got:
+        assert text == by_hash[sha]
+
+
+def test_auto_picks_none_when_dups_rare(spark, tmp_path, capsys, monkeypatch):
+    """'auto' skips the election when the measured dup fraction is at or
+    below DUP_SKIP_FRAC — and the fast path's digests equal the forced
+    election's."""
+    import hoover_snoop2_spark.plans.pipeline as pl
+
+    monkeypatch.setattr(pl, "_TIMING", True)
+    rows = [(f"http://uniq.example/{i}",
+             f"<html><body>unique body {i}</body></html>".encode())
+            for i in range(50)]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    p = str(tmp_path / "uniq_pages")
+    pages.write.parquet(p)
+
+    auto = _run(spark, p, "auto")
+    out = capsys.readouterr().out
+    assert "→ none" in out
+    forced = _run(spark, p, "broadcast")
+    assert _full_rows(auto) == _full_rows(forced)
