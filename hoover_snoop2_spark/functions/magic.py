@@ -109,6 +109,23 @@ _SIGNATURES: list[tuple[int, bytes, str]] = [
     (0, b"MZ", "application/x-dosexec"),
 ]
 
+#: first-byte dispatch over _SIGNATURES (r6): the linear table scan ran
+#: ~50 slice-compares per sniff, nearly all of them impossible given the
+#: first byte.  For each possible first byte, keep — in original table
+#: order — only the entries that could match: offset-0 signatures whose
+#: first byte agrees, plus every non-zero-offset signature (which does
+#: not constrain byte 0).  First-match-wins order is preserved exactly,
+#: so the dispatch is behavior-identical to the full scan (pinned by
+#: test_magic's differential sweep).
+_SIG_DISPATCH: tuple[tuple[tuple[int, bytes, str], ...], ...] = tuple(
+    tuple(
+        (offset, sig, mt)
+        for offset, sig, mt in _SIGNATURES
+        if offset != 0 or (sig and sig[0] == b)
+    )
+    for b in range(256)
+)
+
 _HTML_PAT = re.compile(
     rb"^\s*(?:<!doctype\s+html|<html|<head|<body|<!--|<\?xml)", re.IGNORECASE
 )
@@ -280,12 +297,11 @@ def sniff_bytes(data: bytes | None) -> tuple[str, str]:
         and ((data[2] >> 2) & 0xF) < 13
     ):
         mime_type = "audio/x-aac"
-    for offset, sig, mt in _SIGNATURES:
-        if mime_type:
-            break
-        if data[offset : offset + len(sig)] == sig:
-            mime_type = mt
-            break
+    if not mime_type:
+        for offset, sig, mt in _SIG_DISPATCH[data[0]]:
+            if data[offset : offset + len(sig)] == sig:
+                mime_type = mt
+                break
 
     encoding = detect_mime_encoding(data)
 

@@ -96,3 +96,127 @@ def test_mhtml_saved_page_extracts_html_body():
     assert digest["text"] == "Saved page body text."
     assert digest["subject"] == "Test Page"
     assert digest["status"] == "success"
+
+
+def test_boundary_matcher_matches_stdlib_regex():
+    """The r6 feedparser boundary fast path must agree with the original
+    per-message compiled pattern — same match/None and same captured
+    groups — over structured and random (separator, line) pairs."""
+    import random
+    import re as _re
+
+    from hoover_snoop2_spark.functions.mime_boundary import _compile
+
+    rng = random.Random(99)
+    seps = [
+        "--simple", "--=_Part_12_345.678", '--b"quote', "--w[e]i(r)d+*?.^$|",
+        "--", "--\\back\\slash", "--sp ace", "--tab\there", "--ünïcodé",
+    ]
+    for _ in range(30):
+        seps.append("--" + "".join(rng.choice(
+            "abcDEF0123=_.-()[]*+?^$|\\ \t") for _ in range(rng.randrange(1, 25))))
+
+    tails = ["", "--", "-", " ", "\t \t", "--  ", "\n", "\r", "\r\n", "--\n",
+             "-- \t\n", "--\r\n", " \r", "x", "--x", " x\n", "\n\n", "--\r\n\n",
+             "\r\nx", "--junk", "\ntrailing", " -- \n"]
+    for _ in range(60):
+        tails.append("".join(rng.choice(" \t\r\n-x") for _ in range(rng.randrange(0, 8))))
+
+    for sep in seps:
+        pattern = ('(?P<sep>' + _re.escape(sep) +
+                   r')(?P<end>--)?(?P<ws>[ \t]*)(?P<linesep>\r\n|\r|\n)?$')
+        ref = _re.compile(pattern)
+        fast = _compile(pattern)
+        assert type(fast).__name__ == "_BoundaryMatcher", sep
+        lines = [sep + t for t in tails] + tails + [sep[:-1] + t for t in tails]
+        for line in lines:
+            rm = ref.match(line)
+            fm = fast.match(line)
+            assert (rm is None) == (fm is None), (sep, line)
+            if rm is not None:
+                for g in ("sep", "end", "ws", "linesep"):
+                    assert rm.group(g) == fm.group(g), (sep, line, g)
+                assert rm.group(0) == fm.group(0), (sep, line)
+
+
+def test_boundary_compile_fallback_untouched():
+    """Patterns that are not the exact feedparser template must reach the
+    real re.compile through the shim."""
+    import email.feedparser as fp
+
+    from hoover_snoop2_spark.functions.mime_boundary import (
+        _ReShim,
+        install,
+    )
+
+    install()
+    assert isinstance(fp.re, _ReShim)
+    # non-template pattern → real compiled regex
+    p = fp.re.compile(r"abc(?P<x>\d+)")
+    assert p.match("abc42").group("x") == "42"
+    # template with flags → real compiled regex
+    import re as _re
+    tmpl = ('(?P<sep>' + _re.escape("--b") +
+            r')(?P<end>--)?(?P<ws>[ \t]*)(?P<linesep>\r\n|\r|\n)?$')
+    assert type(fp.re.compile(tmpl, _re.MULTILINE)).__name__ != "_BoundaryMatcher"
+    # other attributes delegate
+    assert fp.re.escape("a+b") == _re.escape("a+b")
+
+
+def test_multipart_parse_identical_with_and_without_shim():
+    """End-to-end: multipart messages parse to identical structures with
+    the shim installed vs the pristine stdlib."""
+    import email
+    import email.feedparser as fp
+    import random
+    import re as _re
+
+    from hoover_snoop2_spark.functions.mime_boundary import install
+
+    rng = random.Random(5)
+    msgs = []
+    for i in range(40):
+        b1 = f"=_bound{i}_{rng.randrange(10**9)}"
+        b2 = f"inner{i}"
+        body = (
+            f"From: a@x.example\r\nTo: b@y.example\r\nSubject: t{i}\r\n"
+            f'Content-Type: multipart/mixed; boundary="{b1}"\r\n\r\n'
+            f"preamble\r\n--{b1}\r\n"
+            f"Content-Type: text/plain\r\n\r\nhello {i}\r\n"
+            f"--{b1}\r\n"
+            f'Content-Type: multipart/alternative; boundary="{b2}"\r\n\r\n'
+            f"--{b2}\r\nContent-Type: text/plain\r\n\r\nalt text\r\n"
+            f"--{b2}--\r\n"
+            f"--{b1}  \r\n"
+            f"Content-Type: text/html\r\n\r\n<p>html {i}</p>\r\n"
+            f"--{b1}--\r\nepilogue\r\n"
+        ).encode()
+        msgs.append(body)
+    # a malformed one: unterminated inner multipart
+    msgs.append(b"Content-Type: multipart/mixed; boundary=q\r\n\r\n--q\r\n"
+                b"Content-Type: text/plain\r\n\r\nno closer\r\n")
+
+    def dump(msg):
+        if msg.is_multipart():
+            return {
+                "ct": msg.get_content_type(),
+                "preamble": msg.preamble,
+                "epilogue": msg.epilogue,
+                "defects": [type(d).__name__ for d in msg.defects],
+                "parts": [dump(p) for p in msg.get_payload()],
+            }
+        return {
+            "ct": msg.get_content_type(),
+            "payload": msg.get_payload(decode=True),
+            "defects": [type(d).__name__ for d in msg.defects],
+        }
+
+    install()
+    shimmed = [dump(email.message_from_bytes(m)) for m in msgs]
+    saved = fp.re
+    try:
+        fp.re = _re  # pristine stdlib
+        plain = [dump(email.message_from_bytes(m)) for m in msgs]
+    finally:
+        fp.re = saved
+    assert shimmed == plain

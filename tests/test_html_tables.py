@@ -97,3 +97,57 @@ def test_table_inside_dropped_subtree_invisible():
 def test_empty_cells_kept():
     html = "<table><tr><td></td><td>x</td></tr></table>"
     assert extract_tables(html) == [[["", "x"]]]
+
+
+def test_fast_sniff_matches_stdlib():
+    """_fast_sniff must reproduce csv.Sniffer().sniff exactly — same
+    dialect fields or the same csv.Error — over structured and random
+    samples (the r6 delimiter-restricted frequency scan)."""
+    import csv as _csv
+    import random
+
+    from hoover_snoop2_spark.operators.tables import (
+        CSV_DELIMITER_LIST,
+        _fast_sniff,
+    )
+
+    rng = random.Random(1234)
+    samples = []
+    # structured: every candidate delimiter, varying widths/rows, quoted
+    # and unquoted, ragged, with prose mixed in
+    for delim in CSV_DELIMITER_LIST:
+        for rows in (1, 2, 9, 10, 11, 25):
+            for cols in (1, 2, 5):
+                body = "\n".join(
+                    delim.join(f"v{r}x{c}" for c in range(cols))
+                    for r in range(rows)
+                )
+                samples.append(body)
+                samples.append(body + "\n")
+                samples.append('h1%sh2\n"a%sb"%s"c"\n' % (delim, delim, delim))
+        samples.append(f"name{delim} age\nann{delim} 3\nbob{delim} 4\n")
+    samples += [
+        "just prose with, commas and: colons | pipes; here and there",
+        "a,b\nc;d\ne|f\ng:h\ni\tj",
+        "x\ny\nz",
+        ",,,\n,,,\n,,,",
+        "a,b\n\n\nc,d\n",
+        '"quoted,field",2\n"another,one",3\n',
+    ]
+    # random tag soup over a delimiter-heavy alphabet
+    alphabet = "ab ,;|:\t\n'\"0123456789"
+    for _ in range(400):
+        samples.append("".join(rng.choice(alphabet)
+                               for _ in range(rng.randrange(1, 400))))
+
+    def outcome(fn, sample):
+        try:
+            d = fn(sample)
+        except _csv.Error as e:
+            return ("error", str(e))
+        return (d.delimiter, d.quotechar, d.doublequote, d.skipinitialspace)
+
+    for s in samples:
+        ref = outcome(lambda x: _csv.Sniffer().sniff(x, CSV_DELIMITER_LIST), s)
+        got = outcome(lambda x: _fast_sniff(x, CSV_DELIMITER_LIST), s)
+        assert got == ref, (s[:80], got, ref)

@@ -85,3 +85,44 @@ def test_emlx_override():
 )
 def test_encoding_ladder(data, want):
     assert detect_mime_encoding(data) == want
+
+
+def test_signature_dispatch_equals_full_scan():
+    """The r6 first-byte dispatch must reproduce the full signature-table
+    scan exactly: for every table entry, for adversarial prefixes, and
+    for random bytes across all 256 first-byte values."""
+    import random
+
+    from hoover_snoop2_spark.functions.magic import _SIGNATURES, sniff_bytes
+
+    def full_scan(data):
+        for offset, sig, mt in _SIGNATURES:
+            if data[offset:offset + len(sig)] == sig:
+                return mt
+        return None
+
+    def dispatch_scan(data):
+        from hoover_snoop2_spark.functions.magic import _SIG_DISPATCH
+        for offset, sig, mt in _SIG_DISPATCH[data[0]]:
+            if data[offset:offset + len(sig)] == sig:
+                return mt
+        return None
+
+    rng = random.Random(42)
+    cases = []
+    for offset, sig, _mt in _SIGNATURES:
+        pad = bytes(rng.randrange(256) for _ in range(offset))
+        cases.append(pad + sig)                       # exact match
+        cases.append(pad + sig + b"tail")             # match + tail
+        if len(sig) > 1:
+            cases.append(pad + sig[:-1])              # truncated — no match
+    for b in range(256):
+        cases.append(bytes([b]))
+        cases.append(bytes([b]) + bytes(rng.randrange(256) for _ in range(300)))
+    for data in cases:
+        assert dispatch_scan(data) == full_scan(data), data[:16]
+    # the tar signature (non-zero offset) must stay reachable from any
+    # first byte
+    tar = bytes(257) + b"ustar"
+    assert dispatch_scan(tar) == full_scan(tar) == "application/x-tar"
+    assert sniff_bytes(tar)[0] == "application/x-tar"
