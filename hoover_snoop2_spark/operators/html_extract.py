@@ -272,7 +272,10 @@ def _scan_blocks(rawdata: str) -> list[tuple[str, int, int]]:
             return
         if tag == "a":
             a_depth += 1
-        if tag in block_tags:
+        if tag in block_tags and buf:
+            # empty-buffer flush is a no-op by invariant (chars/link_chars
+            # only become nonzero via data(), which always appends) — skip
+            # the call for the ~50% of block boundaries with nothing queued
             flush()
 
     def endtag(tag: str) -> None:
@@ -287,7 +290,7 @@ def _scan_blocks(rawdata: str) -> list[tuple[str, int, int]]:
             return
         if tag == "a":
             a_depth = max(0, a_depth - 1)
-        if tag in block_tags:
+        if tag in block_tags and buf:
             flush()
 
     n = len(rawdata)
