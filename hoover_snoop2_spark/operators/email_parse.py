@@ -68,6 +68,14 @@ def _extract_domain(text: str) -> str | None:
 
 def read_header(raw_header: Any) -> str:
     """Multi-encoding header decode (email.py:69-90)."""
+    if isinstance(raw_header, str) and "=?" not in raw_header:
+        # no RFC 2047 encoded word can exist without "=?", so
+        # decode_header returns the single chunk [(raw, None)] and
+        # str(make_header(...)) of a single chunk is the string itself
+        # (Header.__str__ only inserts spaces BETWEEN chunks) — skip the
+        # three-object round-trip for the overwhelmingly common plain
+        # header.  Differential-pinned by test_email.py.
+        return raw_header
     try:
         return str(email.header.make_header(email.header.decode_header(raw_header)))
     except UnicodeDecodeError:

@@ -220,3 +220,40 @@ def test_multipart_parse_identical_with_and_without_shim():
     finally:
         fp.re = saved
     assert shimmed == plain
+
+
+def test_read_header_fast_path_matches_stdlib():
+    """The plain-header fast path (no '=?') must equal the full
+    make_header(decode_header(...)) round-trip for every header shape."""
+    import email.header as H
+    import random
+
+    from hoover_snoop2_spark.operators.email_parse import read_header
+
+    rng = random.Random(31)
+    cases = [
+        "plain subject", "", " ", "  leading", "trailing  ", "a\n b",
+        "a\r\n\tb", "tab\there", "non-ascii é ü directly", 'quo"te; x',
+        "x" * 300, "=?utf-8?q?enc=C3=A9ded?=", "pre =?utf-8?b?w6k=?= post",
+        "=?bad?x?y?=", "=?", "a =? b", "=?utf-8?q?unterminated",
+    ]
+    for _ in range(200):
+        cases.append("".join(rng.choice(
+            "abc ?=\t\n;,:<>@é") for _ in range(rng.randrange(0, 60))))
+
+    def ref(h):
+        try:
+            return str(H.make_header(H.decode_header(h)))
+        except UnicodeDecodeError:
+            return str(h)
+        except Exception as e:  # HeaderParseError etc. — compare types
+            return ("raised", type(e).__name__)
+
+    def got(h):
+        try:
+            return read_header(h)
+        except Exception as e:
+            return ("raised", type(e).__name__)
+
+    for h in cases:
+        assert got(h) == ref(h), repr(h)
