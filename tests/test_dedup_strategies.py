@@ -210,3 +210,12 @@ def test_auto_picks_none_when_dups_rare(spark, tmp_path, capsys, monkeypatch):
     assert "→ none" in out
     forced = _run(spark, p, "broadcast")
     assert _full_rows(auto) == _full_rows(forced)
+
+
+def test_empty_input_all_strategies(spark):
+    """Zero-row input must complete under every strategy (the observe
+    metrics that drive 'auto' must resolve on an empty write, not stall)."""
+    empty = spark.createDataFrame([], "url string, html binary")
+    for strat in ("auto", "none", "broadcast", "shuffle"):
+        dg = run_extraction(spark, empty, dedup_strategy=strat)[0]
+        assert dg.count() == 0, strat
