@@ -98,13 +98,20 @@ EXTRA_TEXT_MIME_TYPES = frozenset(
 )
 
 
-def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
+def analyze_blob(blob_key: str, data: bytes,
+                 sha256_hex: str | None = None) -> list[dict]:
     """One blob → [digest row, child rows...].  Pure, deterministic.
 
     ``blob_key`` is the pipeline's opaque dedup/join key (JVM-side
     sha2-256 — F.sha2 needs no Python round-trip over the blob bytes);
     the digest's REPORTED ``sha3_256`` field (the reference's Blob PK,
-    models.py:66-71) is computed here from the bytes."""
+    models.py:66-71) is computed here from the bytes.
+
+    ``sha256_hex``, when given, MUST be the sha2-256 hex of ``data`` —
+    callers that already hold it (analyze_tree holds it for every child
+    by construction, and for roots whenever the pipeline attached a
+    non-null JVM hash) pass it in so the digest's sha256 field needs no
+    second full pass over the bytes."""
     data = data or b""
     mime_type, mime_encoding = sniff_bytes(data)
     if mime_type == "application/zip":
@@ -146,7 +153,7 @@ def analyze_blob(blob_key: str, data: bytes) -> list[dict]:
         sha3_256=hashlib.sha3_256(data).hexdigest(),
         md5=hashlib.md5(data).hexdigest(),
         sha1=hashlib.sha1(data).hexdigest(),
-        sha256=hashlib.sha256(data).hexdigest(),
+        sha256=sha256_hex or hashlib.sha256(data).hexdigest(),
         size=len(data),
         mime_type=mime_type,
         mime_encoding=mime_encoding,
@@ -666,6 +673,7 @@ def analyze_tree(
     max_depth: int,
     inline_max_children: int | None = None,
     inline_max_bytes: int | None = None,
+    derive_null_key: bool = False,
 ) -> list[dict]:
     """Analyze one blob AND its container subtree in-process.
 
@@ -681,16 +689,23 @@ def analyze_tree(
       them as a normal next round (keeps one task from holding a whole
       giant archive, the reference's split-granularity concern).
     """
-    if blob_key is None:
+    if blob_key is None and derive_null_key:
         # no-dedup fast path (plans/pipeline.py strategy='none'): the
         # driver skipped the JVM sha2 pass, so derive the key here — the
         # same bytes hashed by the same algorithm yield the identical
         # value the JVM pass would have attached (the digest's reported
-        # sha256 field IS this hash; see analyze_blob)
+        # sha256 field IS this hash; see analyze_blob).  Gated on the
+        # caller's request: under the ELECTED strategies a null key
+        # means the row's html itself was NULL (F.sha2(NULL) is NULL),
+        # and deriving sha256(b'') there would collide root_sha with
+        # genuinely-empty blobs and make the dup-clone join fabricate
+        # rows (pinned by test_null_html_no_fabricated_clones).
         blob_key = hashlib.sha256(data or b"").hexdigest()
         if root_sha is None:
             root_sha = blob_key
-    rows = analyze_blob(blob_key, data)
+    # blob_key, when non-null, is the bytes' sha2-256 by pipeline
+    # contract — reuse it as the digest's sha256 instead of re-hashing
+    rows = analyze_blob(blob_key, data, sha256_hex=blob_key)
     digest = rows[0]
     digest.update(kind="digest", root_sha=root_sha, url=url,
                   parent_url=parent_url, depth=depth, ancestors=None)
@@ -735,7 +750,8 @@ def analyze_tree(
         out.extend(
             analyze_tree(child_key, child_url, url, depth + 1, chain,
                          child_data, root_sha, max_depth,
-                         inline_max_children, inline_max_bytes)
+                         inline_max_children, inline_max_bytes,
+                         derive_null_key)
         )
     return out
 
@@ -745,7 +761,8 @@ def analyze_map_in_pandas(max_depth: int = 5,
                           inline_max_bytes: int | None = None,
                           archive_password: str | None = None,
                           pgp_keydata: bytes | None = None,
-                          pgp_passphrase: str | None = None):
+                          pgp_passphrase: str | None = None,
+                          derive_null_key: bool = False):
     """mapInPandas body factory over (blob_key, url, parent_url, depth,
     ancestors, html) unique-blob batches.
 
@@ -779,7 +796,8 @@ def analyze_map_in_pandas(max_depth: int = 5,
                     analyze_tree(key, url, parent_url, int(depth), chain,
                                  data, root_sha=key, max_depth=max_depth,
                                  inline_max_children=inline_max_children,
-                                 inline_max_bytes=inline_max_bytes)
+                                 inline_max_bytes=inline_max_bytes,
+                                 derive_null_key=derive_null_key)
                 )
                 if len(buf) >= CHUNK:
                     yield pd.DataFrame(buf)

@@ -258,7 +258,6 @@ def run_extraction(
         # winners carry their depth: a duplicate and its representative can
         # sit at different depths in the same round (deferred children mix
         # depths), so clones must rebase depth/ancestors on rep_depth.
-        winners = None
         if strategy != "none":
             winners = (
                 ok_pairs.groupBy("blob_key")
@@ -352,6 +351,12 @@ def run_extraction(
                     archive_password=archive_password,
                     pgp_keydata=pgp_keydata,
                     pgp_passphrase=pgp_passphrase,
+                    # only the no-election path deliberately ships null
+                    # keys for the kernel to derive; under the elected
+                    # strategies a null key means NULL html and must stay
+                    # null (root_sha NULL keeps the clone joins away from
+                    # the empty-bytes hash)
+                    derive_null_key=(strategy == "none"),
                 )
             ),
             schema=ANALYZE_SCHEMA,
@@ -382,7 +387,6 @@ def run_extraction(
         # set + url-prefix rewrite — digest texts themselves never shuffle.
         # strategy='none' has no election: every url analyzed its own row,
         # so there is nothing to clone and the joins are skipped outright.
-        dups = None
         if strategy != "none":
             dups = (
                 ok_pairs.withColumnsRenamed(

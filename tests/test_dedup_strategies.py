@@ -219,3 +219,29 @@ def test_empty_input_all_strategies(spark):
     for strat in ("auto", "none", "broadcast", "shuffle"):
         dg = run_extraction(spark, empty, dedup_strategy=strat)[0]
         assert dg.count() == 0, strat
+
+
+def test_null_html_no_fabricated_clones(spark, tmp_path):
+    """A NULL-html row's blob key is NULL under the elected strategies
+    (F.sha2(NULL) is NULL) and must STAY null through the kernel: deriving
+    sha256(b'') for it would collide root_sha with genuinely-empty blobs
+    and make the dup-clone join fabricate extra digest rows (review
+    finding, r6 session 2)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = pa.table({
+        "url": ["http://a/null", "http://b/empty1", "http://c/empty2"],
+        "html": pa.array([None, b"", b""], type=pa.binary()),
+    })
+    p = str(tmp_path / "null_pages")
+    pq.write_table(t, p + ".parquet")
+    import os
+    os.makedirs(p, exist_ok=True)
+    os.replace(p + ".parquet", os.path.join(p, "part-0.parquet"))
+    for strategy in ("broadcast", "shuffle", "none"):
+        digests = _run(spark, p, strategy)
+        rows = digests.select("url").collect()
+        urls = sorted(r["url"] for r in rows)
+        # one digest per unique (url, payload); never a fabricated clone
+        assert len(urls) == len(set(urls)) == 3, (strategy, urls)
